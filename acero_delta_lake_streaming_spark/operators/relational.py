@@ -1,0 +1,537 @@
+"""Relational operator catalog — the reference's query workload, Spark-first.
+
+Every operator from SURVEY.md §2.2-2.7 (the pandas dashboard queries of
+``visualizer.py`` and the Acero projection of ``collector.py:140-151``),
+re-expressed as lazy DataFrame plans over the driver fixture tables. Each
+query has a DuckDB oracle with identical column names and value semantics.
+
+Scale notes (100 TB):
+* filters/projections here all reach the parquet scan (PushedFilters /
+  pruned ReadSchema) — the reference materializes everything first
+  (visualizer.py:40-45);
+* semi/anti joins against a filtered dimension broadcast automatically
+  under AQE when the build side is small;
+* group-by counts run as partial (map-side) + final hash aggregates, so
+  shuffle volume is |groups|, not |rows|;
+* top-k is `TakeOrderedAndProject` — no global sort.
+
+Determinism notes (oracle hash parity):
+* never emit raw timestamps (ns vs µs truncation differs) — cast to DATE
+  or epoch ms;
+* alias every computed column identically in Spark and SQL;
+* deterministic tie-breaks on every LIMIT;
+* windowed SUM of BIGINT is HUGEINT in DuckDB — cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.schemas import EVENT_PROPS_SCHEMA
+
+# --------------------------------------------------------------------------
+# Projection / computed columns (P1-P3 — collector.py:140-151,110,182)
+# --------------------------------------------------------------------------
+
+
+def p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection by name — the reference's only Acero plan shape
+    (``table_source -> project``, collector.py:140-151). Catalyst prunes the
+    parquet scan to exactly these columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def p2_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal column attach (collector.py:110) + separator concat
+    (collector.py:182) in one projection."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("news").alias("feed"),
+        F.concat_ws("\n", "lang", "source").alias("tag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates (P4-P9 — visualizer.py:87-99,112)
+# --------------------------------------------------------------------------
+
+
+def p4_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`isin` membership filter (visualizer.py:88). Pushed to the scan as
+    an IN predicate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+def p5_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range predicate on a timestamp (visualizer.py:89-90)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.to_date("o_orderdate").between("1996-01-01", "1997-12-31")
+    ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
+
+
+def p6_anti_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated case-insensitive substring filter (visualizer.py:96-99).
+    pandas `na=False` semantics (null text = no match = row kept under
+    negation) are reproduced with coalesce-to-false."""
+    docs = load_table(spark, sf_dir, "documents")
+    no_spark = ~F.coalesce(F.contains(F.lower("text"), F.lit("spark")), F.lit(False))
+    no_src1 = ~F.coalesce(F.contains(F.lower("source"), F.lit("src1")), F.lit(False))
+    return docs.filter(no_spark & no_src1).select("doc_id", "lang", "source")
+
+
+def p7_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-composed predicate (visualizer.py:87-91): membership ∧ date
+    range ∧ numeric threshold, all pushed down together."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.to_date("o_orderdate").between("1995-06-01", "1999-06-01")
+        & (F.col("o_totalprice") > 1000.0)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def p9_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-column filter (visualizer.py:112): compute a flag column,
+    filter on it directly."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "is_discounted", F.col("l_discount") > 0.05
+    )
+    return li.filter("is_discounted").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J3 — visualizer.py:93,175-180,96-99)
+# --------------------------------------------------------------------------
+
+
+def j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (visualizer.py:93 — `isin` against another frame's
+    column). Build side is filtered first so AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    return li.join(
+        orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer equi join (visualizer.py:175-180). Unmatched keys are
+    coalesced to -1 so the null row survives hashing identically in both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey_f"),
+    )
+
+
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the general form of the reference's NOT-EXISTS-style
+    exclusion filters (visualizer.py:96-99)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A8 — visualizer.py:108-161,77-78)
+# --------------------------------------------------------------------------
+
+
+def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) metric (visualizer.py:108). Parquet aggregate pushdown can
+    answer this from footer metadata without scanning rows."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count distinct (visualizer.py:110). At 100 TB prefer
+    approx_count_distinct (HLL, no shuffle explosion); exact here to match
+    the oracle."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+def a3_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count (visualizer.py:112) via count_if — no separate
+    filter stage."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.expr("count_if(l_returnflag = 'R')").alias("n_returned")
+    )
+
+
+def a4_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed counts — the dashboard timeline (visualizer.py:115).
+    Batch form of a 1-day tumbling window."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def a5_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key frequency count (visualizer.py:136,160-161)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def a6_two_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key group count (visualizer.py:139-140)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def a7_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max bounds (visualizer.py:77-78); answered from parquet column
+    stats under aggregate pushdown."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("d_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("d_max"),
+    )
+
+
+def a8_grouped_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group counts plus per-partition total via window sum — the 'order
+    stacked bars by per-group total' pattern (visualizer.py:152-155)."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return g.withColumn("total", F.sum("n").over(w).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# Top-k (T1-T2 — visualizer.py:136,139)
+# --------------------------------------------------------------------------
+
+
+def t1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 keys by frequency (visualizer.py:136). Deterministic
+    tie-break (n desc, key asc); Spark plans TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def t2_topk_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restrict to the top-10 key set, then break down by a second key
+    (visualizer.py:139-140): top-k → semi join → two-key count."""
+    top = t1_topk(spark, sf_dir).select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(top), "o_custkey", "left_semi")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U2 — collector.py:190-201,231-240)
+# --------------------------------------------------------------------------
+
+
+def u1_union_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two slices unioned with a boolean discriminator — the main/other
+    actor-list flatten shape (collector.py:190-201)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderstatus = 'F'").select(
+        "o_orderkey", F.lit(True).alias("is_main")
+    )
+    b = orders.filter("o_orderstatus = 'O'").select(
+        "o_orderkey", F.lit(False).alias("is_main")
+    )
+    return a.unionByName(b)
+
+
+def u2_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed batch union (collector.py:231-240): append = union over
+    slices."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderpriority = '1-URGENT'")
+    b = orders.filter("o_orderpriority = '3-MEDIUM'")
+    return a.unionByName(b).select("o_orderkey", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (F1-F6 — collector.py:65-72,182; visualizer.py:89-98)
+# --------------------------------------------------------------------------
+
+
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery: to_date (F1/F2), lower+contains (F3),
+    concat_ws (F4) in one projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.lower("o_orderpriority").alias("lp"),
+        F.contains(F.lower("o_orderpriority"), F.lit("high")).alias("is_high"),
+    )
+
+
+def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode (F6 — processor.py:115's tool-call parse): from_json
+    with an explicit schema, then aggregate on the extracted field."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.from_json("props", EVENT_PROPS_SCHEMA).getField("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Flatten / UDTF analog (UD2 — collector.py:168-206)
+# --------------------------------------------------------------------------
+
+
+def ud2_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row→N-rows flatten (the actor-list explode, collector.py:190-201)
+    as split + explode + count. Row-count conservation = Σ array lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: the dashboard's full operator chain in one plan
+# --------------------------------------------------------------------------
+
+
+def flagship_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference dashboard's core chain (visualizer.py:87-140) on the
+    star schema: filter (P4+P5) → semi join (J1) → anti-contains (P6) →
+    top-10 (T1) → semi back (T2) → two-key counts (A6).
+
+    news≈orders, actors≈lineitem, actor_name≈l_partkey, role≈l_returnflag.
+    One Catalyst plan: both semi joins broadcast, aggregates partial+final.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    qualifying = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        & F.to_date("o_orderdate").between("1995-01-01", "1999-12-31")
+    ).select("o_orderkey")
+
+    items = li.join(
+        qualifying, li.l_orderkey == qualifying.o_orderkey, "left_semi"
+    ).filter(~F.contains(F.lower("l_returnflag"), F.lit("a")))
+
+    top_parts = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(10)
+        .select("l_partkey")
+    )
+
+    return (
+        items.join(F.broadcast(top_parts), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "p1_project": p1_project,
+    "p2_computed_columns": p2_computed_columns,
+    "p4_membership_filter": p4_membership_filter,
+    "p5_date_range_filter": p5_date_range_filter,
+    "p6_anti_contains_filter": p6_anti_contains_filter,
+    "p7_conjunctive_filter": p7_conjunctive_filter,
+    "p9_boolean_filter": p9_boolean_filter,
+    "j1_semi_join": j1_semi_join,
+    "j2_left_outer_join": j2_left_outer_join,
+    "j3_anti_join": j3_anti_join,
+    "a1_count_star": a1_count_star,
+    "a2_count_distinct": a2_count_distinct,
+    "a3_filtered_count": a3_filtered_count,
+    "a4_daily_counts": a4_daily_counts,
+    "a5_value_counts": a5_value_counts,
+    "a6_two_key_counts": a6_two_key_counts,
+    "a7_min_max": a7_min_max,
+    "a8_grouped_total_order": a8_grouped_total_order,
+    "t1_topk": t1_topk,
+    "t2_topk_breakdown": t2_topk_breakdown,
+    "u1_union_discriminator": u1_union_discriminator,
+    "u2_union_all": u2_union_all,
+    "f_scalar_suite": f_scalar_suite,
+    "f6_json_extract": f6_json_extract,
+    "ud2_explode_tokens": ud2_explode_tokens,
+    "flagship_breakdown": flagship_breakdown,
+}
+
+ORACLES = {
+    "p1_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "p2_computed_columns": (
+        "SELECT doc_id, 'news' AS feed, concat_ws(chr(10), lang, source) AS tag "
+        "FROM documents"
+    ),
+    "p4_membership_filter": (
+        "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    ),
+    "p5_date_range_filter": (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders "
+        "WHERE CAST(o_orderdate AS DATE) "
+        "BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'"
+    ),
+    "p6_anti_contains_filter": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE NOT COALESCE(contains(lower(text), 'spark'), FALSE) "
+        "AND NOT COALESCE(contains(lower(source), 'src1'), FALSE)"
+    ),
+    "p7_conjunctive_filter": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderstatus IN ('F', 'O') "
+        "AND CAST(o_orderdate AS DATE) "
+        "BETWEEN DATE '1995-06-01' AND DATE '1999-06-01' "
+        "AND o_totalprice > 1000.0"
+    ),
+    "p9_boolean_filter": (
+        "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
+        "WHERE l_discount > 0.05"
+    ),
+    "j1_semi_join": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"
+    ),
+    "j2_left_outer_join": (
+        "SELECT c_custkey, c_name, COALESCE(o_orderkey, -1) AS o_orderkey_f "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    ),
+    "j3_anti_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    ),
+    "a1_count_star": "SELECT count(*) AS n_rows FROM lineitem",
+    "a2_count_distinct": (
+        "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"
+    ),
+    "a3_filtered_count": (
+        "SELECT count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned "
+        "FROM lineitem"
+    ),
+    "a4_daily_counts": (
+        "SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n "
+        "FROM orders GROUP BY 1"
+    ),
+    "a5_value_counts": (
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1"
+    ),
+    "a6_two_key_counts": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+    "a7_min_max": (
+        "SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS d_min, "
+        "strftime(max(o_orderdate), '%Y-%m-%d') AS d_max FROM orders"
+    ),
+    "a8_grouped_total_order": (
+        "WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n "
+        "FROM orders GROUP BY 1, 2) "
+        "SELECT o_orderpriority, o_orderstatus, n, "
+        "CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total "
+        "FROM g"
+    ),
+    "t1_topk": (
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 "
+        "ORDER BY n DESC, o_custkey ASC LIMIT 10"
+    ),
+    "t2_topk_breakdown": (
+        "WITH top AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 "
+        "ORDER BY n DESC, o_custkey ASC LIMIT 10) "
+        "SELECT o.o_custkey, o.o_orderstatus, count(*) AS n FROM orders o "
+        "WHERE o.o_custkey IN (SELECT o_custkey FROM top) GROUP BY 1, 2"
+    ),
+    "u1_union_discriminator": (
+        "SELECT o_orderkey, TRUE AS is_main FROM orders "
+        "WHERE o_orderstatus = 'F' "
+        "UNION ALL "
+        "SELECT o_orderkey, FALSE AS is_main FROM orders "
+        "WHERE o_orderstatus = 'O'"
+    ),
+    "u2_union_all": (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "UNION ALL "
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = '3-MEDIUM'"
+    ),
+    "f_scalar_suite": (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, "
+        "concat_ws('|', o_orderstatus, o_orderpriority) AS tag, "
+        "lower(o_orderpriority) AS lp, "
+        "contains(lower(o_orderpriority), 'high') AS is_high "
+        "FROM orders"
+    ),
+    "f6_json_extract": (
+        "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
+        "count(*) AS n FROM events GROUP BY 1"
+    ),
+    "ud2_explode_tokens": (
+        "SELECT tok AS token, count(*) AS n FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "WHERE tok <> '' GROUP BY 1"
+    ),
+    "flagship_breakdown": (
+        "WITH qualifying AS ("
+        "  SELECT o_orderkey FROM orders "
+        "  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM') "
+        "  AND CAST(o_orderdate AS DATE) "
+        "      BETWEEN DATE '1995-01-01' AND DATE '1999-12-31'), "
+        "items AS ("
+        "  SELECT l_partkey, l_returnflag FROM lineitem "
+        "  WHERE l_orderkey IN (SELECT o_orderkey FROM qualifying) "
+        "  AND NOT contains(lower(l_returnflag), 'a')), "
+        "top_parts AS ("
+        "  SELECT l_partkey, count(*) AS n FROM items GROUP BY 1 "
+        "  ORDER BY n DESC, l_partkey ASC LIMIT 10) "
+        "SELECT i.l_partkey, i.l_returnflag, count(*) AS n FROM items i "
+        "WHERE i.l_partkey IN (SELECT l_partkey FROM top_parts) GROUP BY 1, 2"
+    ),
+}

@@ -1,0 +1,75 @@
+"""Order-insensitive result comparison between Spark and the DuckDB oracle.
+
+Mirrors the driver's correctness gate: row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted by
+their stringified tuple). Strict on values — floats must match exactly,
+which is why query authors round any arithmetic aggregate on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from acero_delta_lake_streaming_spark.catalog import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    return str(v)
+
+
+def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    out.sort()
+    return out
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    spark_pdf = spark_df.toPandas()
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, "ok"
