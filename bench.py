@@ -1,0 +1,103 @@
+"""Benchmark harness — the driver's per-round perf feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Execution is forced with the ``noop`` sink so the whole plan runs (scan →
+shuffle → agg) without driver-side collect serialization skewing the
+numbers; results of the headline queries are tiny anyway, the cost is in
+the input scan + shuffles, which noop preserves exactly.
+
+The reference publishes no benchmark numbers (BASELINE.md) — the contract
+is simply that these timings land parseably every round so regressions are
+visible round-over-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: the TPC-H-shaped analytics, the flagship dashboard chain,
+# and one representative of each heavy operator family added in round 2.
+# Names absent from the registry are skipped (keeps bench runnable while
+# operators land incrementally).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "flagship_breakdown",
+    "x1_exact_dedup",
+    "x2_minhash_near_dup",
+    "x3_cosine_topk",
+    "x4_doc_stats",
+    "x6_sessionize",
+    "ud1_extract_categories",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    from acero_delta_lake_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    def run(name: str) -> float:
+        df = registry[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # Warm up the JVM/codegen path once so the first measured query does
+    # not pay session/classloader startup.
+    if names:
+        try:
+            run(names[0])
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            timings[name] = round(run(name), 4)
+        except Exception as exc:  # a broken query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
