@@ -1,0 +1,45 @@
+"""Date-predicate helpers that keep parquet pushdown intact.
+
+``to_date(ts_col) <= lit`` wraps the scan column in a cast, which defeats
+parquet row-group pruning on the raw timestamp (VERDICT r1's one real
+plan-quality finding). These helpers rewrite day-granularity predicates as
+raw-column comparisons against TIMESTAMP_NTZ literals, so `.explain` shows
+the bounds in ``PushedFilters`` — at 100 TB that is a pruned scan instead
+of a full one. Semantics are identical: ``date(ts) <= D`` ⇔
+``ts < D+1day`` for any timestamp.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _ntz(day: str) -> Column:
+    return F.expr(f"TIMESTAMP_NTZ '{day} 00:00:00'")
+
+
+def _next_day(day: str) -> str:
+    return (_dt.date.fromisoformat(day) + _dt.timedelta(days=1)).isoformat()
+
+
+def day_le(col: str, day: str) -> Column:
+    """date(col) <= day  ⇔  col < day+1."""
+    return F.col(col) < _ntz(_next_day(day))
+
+
+def day_lt(col: str, day: str) -> Column:
+    """date(col) < day  ⇔  col < day."""
+    return F.col(col) < _ntz(day)
+
+
+def day_gt(col: str, day: str) -> Column:
+    """date(col) > day  ⇔  col >= day+1."""
+    return F.col(col) >= _ntz(_next_day(day))
+
+
+def day_between(col: str, lo: str, hi: str) -> Column:
+    """date(col) BETWEEN lo AND hi  ⇔  col >= lo AND col < hi+1."""
+    return (F.col(col) >= _ntz(lo)) & (F.col(col) < _ntz(_next_day(hi)))

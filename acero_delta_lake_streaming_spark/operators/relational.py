@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.functions.timeutil import day_between
 from acero_delta_lake_streaming_spark.schemas import EVENT_PROPS_SCHEMA
 
 # --------------------------------------------------------------------------
@@ -74,7 +75,7 @@ def p5_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-range predicate on a timestamp (visualizer.py:89-90)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(
-        F.to_date("o_orderdate").between("1996-01-01", "1997-12-31")
+        day_between("o_orderdate", "1996-01-01", "1997-12-31")
     ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
 
 
@@ -94,7 +95,7 @@ def p7_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(
         F.col("o_orderstatus").isin("F", "O")
-        & F.to_date("o_orderdate").between("1995-06-01", "1999-06-01")
+        & day_between("o_orderdate", "1995-06-01", "1999-06-01")
         & (F.col("o_totalprice") > 1000.0)
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
@@ -140,10 +141,15 @@ def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the general form of the reference's NOT-EXISTS-style
-    exclusion filters (visualizer.py:96-99)."""
+    exclusion filters (visualizer.py:96-99). The build side is filtered to
+    urgent orders so the anti set is non-empty at every SF (every customer
+    has *some* order, not every customer has an urgent one) — keeps the
+    oracle check exercising values instead of comparing two empty sets."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -349,7 +355,7 @@ def flagship_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qualifying = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
-        & F.to_date("o_orderdate").between("1995-01-01", "1999-12-31")
+        & day_between("o_orderdate", "1995-01-01", "1999-12-31")
     ).select("o_orderkey")
 
     items = li.join(
@@ -444,9 +450,12 @@ ORACLES = {
         "SELECT c_custkey, c_name, COALESCE(o_orderkey, -1) AS o_orderkey_f "
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
     ),
+    # NOT EXISTS (not NOT IN): matches left_anti's null semantics — a NULL
+    # key on the build side must not empty the whole result.
     "j3_anti_join": (
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
     ),
     "a1_count_star": "SELECT count(*) AS n_rows FROM lineitem",
     "a2_count_distinct": (

@@ -22,6 +22,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.functions.timeutil import (
+    day_between,
+    day_gt,
+    day_le,
+    day_lt,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,7 +36,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("2000-12-01"))
+        li.filter(day_le("l_shipdate", "2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -52,10 +58,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate") < F.lit("1998-01-01")
+        day_lt("o_orderdate", "1998-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.to_date("l_shipdate") > F.lit("1996-01-01")
+        day_gt("l_shipdate", "1996-01-01")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -76,7 +82,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.to_date("o_orderdate").between("1995-01-01", "1997-12-31")
+        day_between("o_orderdate", "1995-01-01", "1997-12-31")
     )
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))

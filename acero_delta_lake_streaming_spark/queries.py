@@ -15,48 +15,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = []
+import importlib
+import importlib.util
 
 from acero_delta_lake_streaming_spark.operators import relational, tpch  # noqa: E402
 
-_MODULES.extend([relational, tpch])
+_MODULES = [relational, tpch]
 
-try:  # extension operators land incrementally; keep the registry importable
-    from acero_delta_lake_streaming_spark.operators import dedup
+# Extension operator modules land incrementally. Gate on find_spec so only
+# truly-absent modules are skipped — a genuine import error inside an
+# existing module must propagate, not silently drop an operator family.
+_OPTIONAL = (
+    "acero_delta_lake_streaming_spark.operators.dedup",
+    "acero_delta_lake_streaming_spark.operators.similarity",
+    "acero_delta_lake_streaming_spark.operators.text",
+    "acero_delta_lake_streaming_spark.operators.sessionize",
+    "acero_delta_lake_streaming_spark.operators.multimodal",
+    "acero_delta_lake_streaming_spark.functions.extract",
+    "acero_delta_lake_streaming_spark.storage.queries",
+    "acero_delta_lake_streaming_spark.streaming.queries",
+)
+def _spec_exists(name: str) -> bool:
+    try:
+        return importlib.util.find_spec(name) is not None
+    except ModuleNotFoundError:
+        # Parent package itself absent; find_spec never executes module
+        # bodies, so this cannot mask a real import-time failure.
+        return False
 
-    _MODULES.append(dedup)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from acero_delta_lake_streaming_spark.operators import similarity
 
-    _MODULES.append(similarity)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from acero_delta_lake_streaming_spark.operators import text
-
-    _MODULES.append(text)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from acero_delta_lake_streaming_spark.operators import sessionize
-
-    _MODULES.append(sessionize)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from acero_delta_lake_streaming_spark.operators import multimodal
-
-    _MODULES.append(multimodal)
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from acero_delta_lake_streaming_spark.streaming import extract
-
-    _MODULES.append(extract)
-except ImportError:  # pragma: no cover
-    pass
+for _name in _OPTIONAL:
+    if _spec_exists(_name):
+        _MODULES.append(importlib.import_module(_name))
 
 
 def all_queries() -> dict[str, QueryFn]:

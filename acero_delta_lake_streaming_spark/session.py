@@ -25,7 +25,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus_or_default(default: int = 32) -> int:
+    # SPARK_GRAFT_CPUS may legitimately be "*" (meaning local[*]); shuffle
+    # partitioning needs an integer, so non-numeric values fall back.
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", str(default)))
+    except ValueError:
+        return default
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _cpus_or_default()
 
 
 def _builder_conf() -> dict[str, str]:
