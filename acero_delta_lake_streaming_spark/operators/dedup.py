@@ -1,0 +1,349 @@
+"""Deduplication operators (SURVEY.md §2.10 X1/X2) over ``documents``.
+
+Four variants, each a first-class training-data-pipeline operator:
+
+* **x1_exact_dedup** — hash-groupBy exact dedup (``dropDuplicates`` with a
+  deterministic keep-min-id rule so the oracle hash matches).
+* **x2_minhash_near_dup** — MinHash + banded LSH near-dup detection:
+  word-trigram shingles → 12 MinHash signatures → 4 bands × 3 rows →
+  bucket-equijoin candidates → exact-Jaccard verification. The candidate
+  join shuffles on band keys only — never all-pairs. This is the 100 TB
+  shape (Broder MinHash / LSH banding); ``pyspark.ml.feature.MinHashLSH``
+  implements the same idea, but hand-rolled md5 hashing keeps every step
+  reproducible in the DuckDB oracle.
+* **x2b_simhash_groups** — 16-bit SimHash (Charikar) over the same
+  shingles; docs sharing a fingerprint form candidate groups. One shuffle
+  on the fingerprint.
+* **x2c_ngram_jaccard_pairs** — exact all-pairs trigram Jaccard on a
+  bounded id-slice: the brute-force oracle twin of x2 (at 100 TB the
+  slice is a blocking key; the full corpus goes through x2).
+
+The fixture corpus has no literal duplicates, so each operator plants
+deterministic duplicates from the fixture itself (same derivation in Spark
+and SQL): exact copies for X1, 3-appended-words near-copies for X2.
+
+Reference anchor: the reference dedups ingested articles by guid with a
+Python list ledger (/root/reference/news_insights/collector.py:36-63,87-89);
+these operators are the content-level generalization its pipeline lacks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+
+# --- shared shingle derivation (identical semantics in Spark + DuckDB) -----
+
+#: Spark-side word-trigram shingle array from `text` (0-based array lambda).
+_SHINGLES_SPARK = (
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+    "ELSE array() END"
+)
+
+#: DuckDB-side equivalent (1-based list indexing).
+_SHINGLES_DUCK = (
+    "list_transform(range(1, greatest(len(w)-1, 1)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+
+_WORDS_SPARK = "filter(split(text, ' '), x -> x != '')"
+_WORDS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_N_HASHES = 12
+_BANDS = 4  # 4 bands x 3 rows; P(candidate) = 1-(1-s^3)^4
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+_JACCARD_THRESHOLD = 0.8
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """Fixture corpus + planted near-duplicates (docs ending in 0 get a
+    copy with 3 appended words → trigram Jaccard ≈ 0.93)."""
+    base = docs.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+    )
+    return base.unionByName(planted)
+
+
+_NEAR_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, text || ' xdup ydup zdup' FROM documents "
+    "WHERE doc_id % 10 = 0"
+)
+
+
+def _shingle_rows(corpus: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sh) word-trigram shingle rows."""
+    return (
+        corpus.withColumn("w", F.expr(_WORDS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLE_ROWS_SQL = (
+    "SELECT DISTINCT doc_id, sh FROM ("
+    f"  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM ("
+    f"    SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus))"
+)
+
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup
+# --------------------------------------------------------------------------
+
+
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on md5(text), keep the
+    minimum doc_id per group (deterministic, unlike dropDuplicates'
+    arbitrary-row semantics). At 100 TB the group key is the 128-bit
+    content hash, never the text itself — shuffle rows are (hash, id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_X1_SQL = (
+    "WITH corpus AS ("
+    "  SELECT doc_id, text FROM documents "
+    "  UNION ALL "
+    "  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0) "
+    "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, "
+    "count(*) AS n_copies FROM corpus GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# X2 — MinHash + banded LSH near-dup
+# --------------------------------------------------------------------------
+
+
+def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (all JVM built-ins, no Python):
+      shingle explode → distinct → groupBy(doc) with 12 min-hash aggs
+      → stack to 4 band rows → self-equijoin on (band, key) → distinct
+      pairs → shingle-intersection join → Jaccard filter.
+    The only joins are equi-joins on band keys and shingle strings —
+    shuffle volume is O(shingles + candidates), never O(n²).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(_near_dup_corpus(docs))
+
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+        for s in range(_N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+
+    stack_args = ", ".join(
+        f"{b}, md5(concat(s{b * _ROWS_PER_BAND}, "
+        f"s{b * _ROWS_PER_BAND + 1}, s{b * _ROWS_PER_BAND + 2}))"
+        for b in range(_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id", F.expr(f"stack({_BANDS}, {stack_args}) AS (band, bkey)")
+    )
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _x2_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{s}:' || sh)) AS s{s}" for s in range(_N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{b * _ROWS_PER_BAND} || "
+        f"s{b * _ROWS_PER_BAND + 1} || s{b * _ROWS_PER_BAND + 2}) AS bkey FROM sigs"
+        for b in range(_BANDS)
+    )
+    return (
+        f"WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}), "
+        f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
+        f"sigs AS (SELECT doc_id, {sig_cols} FROM dshingles GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM bands a JOIN bands b "
+        "  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM dshingles GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
+        "  FROM cand c "
+        "  JOIN dshingles sa ON sa.doc_id = c.doc_a "
+        "  JOIN dshingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
+        "  GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, "
+        "round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 4) AS jaccard "
+        "FROM inter i "
+        "JOIN counts ca ON ca.doc_id = i.doc_a "
+        "JOIN counts cb ON cb.doc_id = i.doc_b "
+        f"WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) >= {_JACCARD_THRESHOLD}"
+    )
+
+
+# --------------------------------------------------------------------------
+# X2b — SimHash candidate groups
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_exprs(instr_fn: str, shift_tpl: str) -> tuple[list[str], str]:
+    """Build ([per-bit sum aggregates], fingerprint assembly) SQL fragments.
+
+    One generator feeds both engines so the bit math cannot drift:
+    hex digit p of md5(sh) contributes its bit k to simhash bit 4p+k,
+    +1 when set, -1 when clear; fingerprint bit = sign of the sum.
+    """
+    sums = []
+    for j in range(_SIMHASH_BITS):
+        p, k = divmod(j, 4)
+        digit = f"({instr_fn}('0123456789abcdef', substr(md5(sh), {p + 1}, 1)) - 1)"
+        bit = shift_tpl.format(val=digit, k=k)
+        sums.append(f"sum(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS b{j}")
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return sums, fp
+
+
+def x2b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 candidate groups: fingerprint each doc, group identical
+    fingerprints. Two shuffles total (doc agg, fingerprint agg); at 100 TB
+    widen to 64 bits + banded sub-fingerprints for hamming-distance > 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(_near_dup_corpus(docs))
+    sums, fp_sql = _simhash_exprs("instr", "(shiftright({val}, {k}) & 1)")
+    per_doc = sh.groupBy("doc_id").agg(*[F.expr(s) for s in sums])
+    return (
+        per_doc.select("doc_id", F.expr(fp_sql).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _x2b_sql() -> str:
+    sums, fp_sql = _simhash_exprs("strpos", "(({val} >> {k}) & 1)")
+    sums_sql = ", ".join(sums)
+    return (
+        f"WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}), "
+        f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
+        f"per_doc AS (SELECT doc_id, {sums_sql} FROM dshingles GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {fp_sql} AS simhash FROM per_doc) "
+        "SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc "
+        "FROM fp GROUP BY 1 HAVING count(*) >= 2"
+    )
+
+
+# --------------------------------------------------------------------------
+# X2c — exact n-gram Jaccard on a bounded slice (brute-force twin of X2)
+# --------------------------------------------------------------------------
+
+_SLICE = 50  # doc_id < _SLICE plus their planted copies
+
+
+def x2c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise trigram Jaccard on an id-bounded block. The pair
+    space is generated through the shingle equi-join (docs sharing at
+    least one shingle), so even the 'brute force' path is an equi-join,
+    not a cross join; the id bound is the blocking key."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus(docs).filter(
+        (F.col("doc_id") % 1000000) < _SLICE
+    )
+    sh = _shingle_rows(corpus)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_X2C_SQL = (
+    f"WITH corpus AS (SELECT * FROM ({_NEAR_DUP_CORPUS_SQL}) "
+    f"  WHERE doc_id % 1000000 < {_SLICE}), "
+    f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
+    "counts AS (SELECT doc_id, count(*) AS n_sh FROM dshingles GROUP BY 1), "
+    "inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter "
+    "  FROM dshingles sa JOIN dshingles sb "
+    "  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id GROUP BY 1, 2) "
+    "SELECT i.doc_a, i.doc_b, "
+    "round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 4) AS jaccard "
+    "FROM inter i "
+    "JOIN counts ca ON ca.doc_id = i.doc_a "
+    "JOIN counts cb ON cb.doc_id = i.doc_b "
+    "WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) >= 0.5"
+)
+
+
+QUERIES = {
+    "x1_exact_dedup": x1_exact_dedup,
+    "x2_minhash_near_dup": x2_minhash_near_dup,
+    "x2b_simhash_groups": x2b_simhash_groups,
+    "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "x1_exact_dedup": _X1_SQL,
+    "x2_minhash_near_dup": _x2_sql(),
+    "x2b_simhash_groups": _x2b_sql(),
+    "x2c_ngram_jaccard_pairs": _X2C_SQL,
+}
