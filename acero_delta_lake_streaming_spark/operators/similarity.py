@@ -1,0 +1,322 @@
+"""Similarity search over the ``embeddings`` fixture (SURVEY.md §2.10 X3).
+
+Three operators, all pure JVM expressions (array fold via ``aggregate`` /
+``zip_with`` — no Python in the scoring path):
+
+* **x3_cosine_topk** — brute-force top-k cosine for a small query set:
+  queries broadcast, corpus scanned once, per-query ranking. This is the
+  exact baseline; at 100 TB it is still the right shape for few queries
+  (one scan, no shuffle of the corpus — ranking shuffles only the scored
+  pairs of the broadcast queries).
+* **x3b_ann_lsh** — random-hyperplane (sign) LSH: 4 md5-derived
+  hyperplanes → 16 buckets → candidates are bucket-mates only → cosine
+  rank within bucket. The candidate join is an equi-join on the bucket
+  id; corpus never self-joins all-pairs. The hyperplane weights are
+  derived from md5 digits, so the DuckDB oracle reproduces them exactly
+  (unlike ``BucketedRandomProjectionLSH``'s JVM-seeded planes).
+* **x3c_cosine_neardup** — embedding-cosine near-duplicate pairs on an
+  id-bounded block, with planted duplicate-direction vectors (scaled
+  copies → cosine exactly 1.0). The id bound is the blocking key; the
+  full-corpus path goes through x3b's buckets.
+
+Determinism: every dot/norm is a sequential left fold over the array in
+doubles (Spark ``aggregate`` with 0.0 seed ≡ DuckDB ``list_reduce``; the
+0.0 seed is absorbed exactly), so both engines produce bit-identical
+values — verified, not assumed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+
+# --- portable cosine fragments (Spark SQL / DuckDB) ------------------------
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_spark(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm_duck(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+
+_N_QUERIES = 5
+_TOPK = 10
+
+
+# --------------------------------------------------------------------------
+# X3 — brute-force cosine top-k (exact baseline / oracle of the LSH path)
+# --------------------------------------------------------------------------
+
+
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored_corpus = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    queries = scored_corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    pairs = (
+        scored_corpus.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+_X3_SQL = (
+    "WITH scored AS (SELECT vec_id, embedding, "
+    f"{_norm_duck('embedding')} AS nrm FROM embeddings), "
+    f"queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+    f"nrm AS q_nrm FROM scored WHERE vec_id < {_N_QUERIES}), "
+    "pairs AS (SELECT q.query_id, c.vec_id, "
+    f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) AS cos "
+    "FROM scored c CROSS JOIN queries q WHERE c.vec_id <> q.query_id), "
+    "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM pairs) "
+    f"SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked "
+    f"WHERE rk <= {_TOPK}"
+)
+
+
+# --------------------------------------------------------------------------
+# X3b — sign-LSH bucketed approximate nearest neighbors (the scale path)
+# --------------------------------------------------------------------------
+
+_N_TABLES = 4  # OR-amplification: candidate if bucket-mates in ANY table
+_PLANES_PER_TABLE = 3  # AND-amplification within a table: 8 buckets/table
+_DIM = 64
+
+# Hyperplane weight j of plane p (p globally numbered across tables):
+# uniform-ish in [-15/16, 15/16] from the first hex digit of md5("p:j").
+# Same string → same digit in both engines.
+_W_SPARK = (
+    "transform(sequence(0, {dim_m1}), j -> "
+    "(instr('0123456789abcdef', substr(md5(concat(p, ':', j)), 1, 1)) - 8.5) / 8.0)"
+).format(dim_m1=_DIM - 1)
+_W_DUCK = (
+    "list_transform(range(0, {dim}), j -> "
+    "(strpos('0123456789abcdef', substr(md5(p || ':' || j), 1, 1)) - 8.5) / 8.0)"
+).format(dim=_DIM)
+
+
+def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via multi-table sign-LSH.
+
+    4 hash tables × 3 hyperplanes: a corpus vector is a candidate for a
+    query iff they share a bucket in at least one table (standard
+    OR-amplified LSH — single-table recall on weakly-clustered data is
+    poor). Bucket assignment is a per-row fold against 12 broadcast
+    hyperplanes; the candidate join is an equi-join on (table, bucket) —
+    the corpus never self-joins all-pairs. At larger scale raise
+    planes-per-table to keep |bucket| ≈ constant; recall floor vs
+    x3_cosine_topk is pinned in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = _N_TABLES * _PLANES_PER_TABLE
+    planes = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "p")
+        .select(
+            "p",
+            F.expr(f"CAST(p DIV {_PLANES_PER_TABLE} AS INT)").alias("tbl"),
+            (F.col("p") % _PLANES_PER_TABLE).cast("int").alias("bit"),
+            F.expr(_W_SPARK).alias("warr"),
+        )
+    )
+    buckets = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "tbl",
+            "bit",
+            F.expr(_dot_spark("embedding", "warr")).alias("proj"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    scored = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    q_buckets = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(q_buckets),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    cand = (
+        cand_ids.join(scored, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+_X3B_SQL = (
+    "WITH planes AS (SELECT p, "
+    f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
+    f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p)), "
+    "buckets AS (SELECT e.vec_id, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl), "
+    "scored AS (SELECT vec_id, embedding, "
+    f"{_norm_duck('embedding')} AS nrm FROM embeddings), "
+    f"q_buckets AS (SELECT vec_id AS query_id, tbl AS q_tbl, "
+    f"bucket AS q_bucket FROM buckets WHERE vec_id < {_N_QUERIES}), "
+    "cand_ids AS (SELECT DISTINCT q.query_id, b.vec_id "
+    "FROM buckets b JOIN q_buckets q "
+    "ON b.tbl = q.q_tbl AND b.bucket = q.q_bucket AND b.vec_id <> q.query_id), "
+    f"queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+    f"nrm AS q_nrm FROM scored WHERE vec_id < {_N_QUERIES}), "
+    "cand AS (SELECT ci.query_id, ci.vec_id, "
+    f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) AS cos "
+    "FROM cand_ids ci "
+    "JOIN scored c ON c.vec_id = ci.vec_id "
+    "JOIN queries q ON q.query_id = ci.query_id), "
+    "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) "
+    "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 5"
+)
+
+
+# --------------------------------------------------------------------------
+# X3c — embedding-cosine near-duplicate pairs (blocked exact)
+# --------------------------------------------------------------------------
+
+_BLOCK = 150
+_NEAR_DUP_COS = 0.35
+
+
+def x3c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-dup pairs: planted duplicate-direction vectors
+    (×2-scaled copies, cosine exactly 1.0) plus natural high-cosine pairs
+    over an id-bounded block. Float ×2 is exact, so the planted copies are
+    bit-reproducible in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(2.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(planted)
+        .filter((F.col("vec_id") % 1000000) < _BLOCK)
+        .select("vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm"))
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = (
+        F.expr(_dot_spark("a.embedding", "b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    ).alias("cos")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos,
+        )
+        .filter(F.col("cos") >= _NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+_X3C_SQL = (
+    "WITH corpus0 AS ("
+    "  SELECT vec_id, embedding FROM embeddings "
+    "  UNION ALL "
+    "  SELECT vec_id + 1000000, "
+    "  list_transform(embedding, x -> x * CAST(2.0 AS REAL)) "
+    "  FROM embeddings WHERE vec_id % 10 = 0), "
+    f"corpus AS (SELECT vec_id, embedding, {_norm_duck('embedding')} AS nrm "
+    f"FROM corpus0 WHERE vec_id % 1000000 < {_BLOCK}) "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    f"round({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) "
+    "AS cosine "
+    "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id "
+    f"WHERE {_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+    f">= {_NEAR_DUP_COS}"
+)
+
+
+QUERIES = {
+    "x3_cosine_topk": x3_cosine_topk,
+    "x3b_ann_lsh": x3b_ann_lsh,
+    "x3c_cosine_neardup": x3c_cosine_neardup,
+}
+
+ORACLES = {
+    "x3_cosine_topk": _X3_SQL,
+    "x3b_ann_lsh": _X3B_SQL,
+    "x3c_cosine_neardup": _X3C_SQL,
+}
