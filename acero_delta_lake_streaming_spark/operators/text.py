@@ -1,0 +1,219 @@
+"""Text-analysis operators (SURVEY.md §2.10 X4) over ``documents``.
+
+The training-data-pipeline text suite: per-document stats + quality
+scoring, per-language corpus profiling, mod-sampled content fingerprints
+(the winnowing idea), and a self-trained char-bigram language classifier.
+All pure JVM expressions — per-row array lambdas and hash-groupBys; the
+only shuffles are the aggregations themselves.
+
+Reference anchor: the reference's only text handling is the title+"\\n"+
+description concat fed to the LLM (collector.py:182); this module is the
+corpus-analysis layer a 100 TB pipeline needs before any LLM sees a row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.dedup import (
+    _SHINGLES_DUCK,
+    _SHINGLES_SPARK,
+    _WORDS_DUCK,
+    _WORDS_SPARK,
+)
+
+# --------------------------------------------------------------------------
+# X4 — per-document stats + quality score (token counting)
+# --------------------------------------------------------------------------
+
+
+def x4_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats and a deterministic quality score — one narrow
+    projection, no shuffle at all (pure map stage; at 100 TB this is a
+    single pass that parquet column pruning reduces to the text column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", F.expr(_WORDS_SPARK))
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars_txt"),
+            F.size("w").alias("n_tokens"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+            F.round(
+                F.length(F.regexp_replace("text", " ", ""))
+                / F.size("w"),
+                4,
+            ).alias("avg_tok_len"),
+            F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias("ttr"),
+            F.round(
+                F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
+                * (F.size(F.array_distinct("w")) / F.size("w")),
+                4,
+            ).alias("quality"),
+        )
+    )
+
+
+_X4_SQL = (
+    f"WITH d AS (SELECT doc_id, lang, text, {_WORDS_DUCK} AS w FROM documents) "
+    "SELECT doc_id, lang, length(text) AS n_chars_txt, "
+    "len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct, "
+    "round(length(replace(text, ' ', '')) * 1.0 / len(w), 4) AS avg_tok_len, "
+    "round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr, "
+    "round(least(len(w) / 100.0, 1.0) * "
+    "(len(list_distinct(w)) * 1.0 / len(w)), 4) AS quality "
+    "FROM d"
+)
+
+
+# --------------------------------------------------------------------------
+# X4b — per-language corpus profile
+# --------------------------------------------------------------------------
+
+
+def x4b_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus aggregates: one partial+final hash agg, shuffle
+    volume = |langs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", F.expr(_WORDS_SPARK))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+            F.sum(F.size("w")).alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+_X4B_SQL = (
+    f"WITH d AS (SELECT lang, source, text, {_WORDS_DUCK} AS w FROM documents) "
+    "SELECT lang, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars, "
+    "sum(len(w)) AS total_tokens, count(DISTINCT source) AS n_sources "
+    "FROM d GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# X4c — mod-sampled content fingerprints (winnowing-style)
+# --------------------------------------------------------------------------
+
+
+def x4c_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash every word-trigram shingle, keep hashes
+    whose first hex digit is 0 (deterministic 1/16 mod-sampling — the
+    selection is content-defined, so near-identical docs keep
+    near-identical fingerprint sets, the property winnowing relies on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.withColumn("w", F.expr(_WORDS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("h"))
+        .filter(F.substring("h", 1, 1) == "0")
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("h").alias("min_fp"),
+        F.max("h").alias("max_fp"),
+    )
+
+
+_X4C_SQL = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM ("
+    f"  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM ("
+    f"    SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus)) "
+    "  WHERE substr(md5(s), 1, 1) = '0') "
+    "SELECT doc_id, count(*) AS n_fp, min(h) AS min_fp, max(h) AS max_fp "
+    "FROM sh GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# X4d — self-trained char-bigram language classifier
+# --------------------------------------------------------------------------
+
+_PROFILE_K = 20
+
+
+def x4d_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-ID: train per-lang top-20 char-bigram profiles from
+    the corpus, classify each doc by profile overlap, emit the confusion
+    matrix (lang × predicted). Plan: bigram explode → two hash aggs for
+    the profile (+top-k window) → semi-ish equi-join on bigram → argmax
+    window. Everything shuffles on bigrams or (doc, lang) — bounded keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_expr = (
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+    )
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.expr(bigram_expr)).alias("bg")
+    )
+    prof_w = Window.partitionBy("p_lang").orderBy(
+        F.desc("cnt"), F.asc("bg")
+    )
+    profile = (
+        grams.groupBy(F.col("lang").alias("p_lang"), "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .filter(F.col("rk") <= _PROFILE_K)
+        .select("p_lang", "bg")
+    )
+    doc_grams = grams.select("doc_id", "lang", "bg").distinct()
+    score_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("matched"), F.asc("p_lang")
+    )
+    scored = (
+        doc_grams.join(profile, "bg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .withColumn("rk", F.row_number().over(score_w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        scored.groupBy("lang", F.col("p_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_X4D_SQL = (
+    "WITH grams AS (SELECT doc_id, lang, unnest(list_transform("
+    "  range(1, length(text)), i -> substr(text, i, 2))) AS bg "
+    "  FROM documents), "
+    "prof_counts AS (SELECT lang AS p_lang, bg, count(*) AS cnt "
+    "  FROM grams GROUP BY 1, 2), "
+    "profile AS (SELECT p_lang, bg FROM ("
+    "  SELECT p_lang, bg, row_number() OVER (PARTITION BY p_lang "
+    "  ORDER BY cnt DESC, bg ASC) AS rk FROM prof_counts) "
+    f"  WHERE rk <= {_PROFILE_K}), "
+    "doc_grams AS (SELECT DISTINCT doc_id, lang, bg FROM grams), "
+    "scored AS (SELECT doc_id, lang, p_lang, count(*) AS matched "
+    "  FROM doc_grams JOIN profile USING (bg) GROUP BY 1, 2, 3), "
+    "best AS (SELECT doc_id, lang, p_lang FROM ("
+    "  SELECT doc_id, lang, p_lang, row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY matched DESC, p_lang ASC) AS rk FROM scored) WHERE rk = 1) "
+    "SELECT lang, p_lang AS predicted, count(*) AS n_docs "
+    "FROM best GROUP BY 1, 2"
+)
+
+
+QUERIES = {
+    "x4_doc_stats": x4_doc_stats,
+    "x4b_lang_profile": x4b_lang_profile,
+    "x4c_fingerprint": x4c_fingerprint,
+    "x4d_langid_ngram": x4d_langid_ngram,
+}
+
+ORACLES = {
+    "x4_doc_stats": _X4_SQL,
+    "x4b_lang_profile": _X4B_SQL,
+    "x4c_fingerprint": _X4C_SQL,
+    "x4d_langid_ngram": _X4D_SQL,
+}
