@@ -1,0 +1,301 @@
+"""UD1/UD2/UD3 — the LLM extraction operator, Spark-first.
+
+The reference's centerpiece is a per-article, sequential, blocking OpenAI
+function-call that parses into Pydantic ``EventResponse`` objects
+(/root/reference/news_insights/processor.py:63-121; its README flags the
+sequential calls as the bottleneck). Here the same semantics become one
+Arrow-batched ``mapInPandas`` stage:
+
+* the Python worker receives **whole Arrow batches** and makes one
+  provider call per batch (a real provider would fan the batch out
+  async — the seam is ``ExtractionProvider.extract_batch``);
+* the worker returns only ``(doc_id, raw_response)`` strings — schema
+  parsing happens JVM-side with ``from_json(EVENT_RESPONSE_SCHEMA)``, so
+  malformed model output degrades to a NULL struct instead of a Python
+  exception (UD3: quarantine, never crash the stream —
+  collector.py:186-187 skips failed rows the same way);
+* flattening (UD2) is ``explode`` over the two actor arrays with an
+  ``is_main_actor`` discriminator — the exact shape of
+  collector.py:168-206's Python loops, minus the loops.
+
+Providers:
+* ``MockExtractionProvider`` — deterministic, hermetic: actors come from
+  the first words of the text, the category from an md5 digit, and a 1/16
+  md5-gated slice of inputs "fails" with non-JSON output. Every rule is
+  mirrorable in SQL, which is what makes the whole UD1→UD2→UD3 pipeline
+  oracle-checkable end to end.
+* ``HttpExtractionProvider`` — the production seam: posts batches to an
+  OpenAI-compatible ``/chat/completions`` endpoint configured via
+  ``base_url``. Network access is deliberately not exercised in tests.
+
+At 100 TB: the scan before this stage projects only (id, text) — keep
+the LLM stage behind a narrow projection so column pruning holds; batch
+size is Arrow's ``maxRecordsPerBatch``; executor-side concurrency scales
+with cores, not driver round-trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+from typing import Protocol
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.schemas import (
+    EVENT_CATEGORIES,
+    EVENT_RESPONSE_SCHEMA,
+)
+
+
+class ExtractionProvider(Protocol):
+    """One batched LLM round-trip: texts in, raw model payloads out.
+
+    Implementations must be picklable (they ship to executors) and must
+    return one string per input — never raise for a bad row (UD3)."""
+
+    def extract_batch(self, texts: pd.Series) -> list[str]: ...
+
+
+class MockExtractionProvider:
+    """Deterministic stand-in for the LLM (hermetic tests + oracle).
+
+    Rules (each mirrored in the SQL oracles below):
+    * md5(text)[0] == 'f'   → non-JSON "model refusal" (→ quarantine)
+    * main_actors  = word0/subject, word1/object
+    * other_actors = word2/mention
+    * category     = EVENT_CATEGORIES[int(md5(text)[1], 16) % 5]
+    """
+
+    def extract_batch(self, texts: pd.Series) -> list[str]:
+        out = []
+        for text in texts:
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            if h[0] == "f":
+                out.append("ERROR: model refused to produce JSON")
+                continue
+            words = [w for w in text.split(" ") if w]
+            main = []
+            if len(words) >= 1:
+                main.append({"name": words[0], "role": "subject"})
+            if len(words) >= 2:
+                main.append({"name": words[1], "role": "object"})
+            other = (
+                [{"name": words[2], "role": "mention"}] if len(words) >= 3 else []
+            )
+            out.append(
+                json.dumps(
+                    {
+                        "main_actors": main,
+                        "other_actors": other,
+                        "category": EVENT_CATEGORIES[int(h[1], 16) % 5],
+                    }
+                )
+            )
+        return out
+
+
+class HttpExtractionProvider:
+    """OpenAI-compatible chat-completions provider (the production seam).
+
+    Mirrors processor.py:99-105's forced function call, but batched: one
+    HTTP request per Arrow batch. Requires an explicit ``base_url``; this
+    container has no network, so construction without one raises rather
+    than silently degrading.
+    """
+
+    def __init__(self, base_url: str, model: str = "extract-1", timeout: int = 30):
+        if not base_url:
+            raise ValueError(
+                "HttpExtractionProvider needs an explicit base_url; "
+                "use MockExtractionProvider for hermetic runs"
+            )
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.timeout = timeout
+
+    def extract_batch(self, texts: pd.Series) -> list[str]:
+        import urllib.request
+
+        payload = json.dumps(
+            {
+                "model": self.model,
+                "inputs": list(texts),
+                "response_schema": "event_response",
+            }
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.base_url}/v1/extract",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            body = json.load(resp)
+        return [json.dumps(r) if r is not None else "null" for r in body["results"]]
+
+
+def extract_events(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    provider: ExtractionProvider | None = None,
+) -> DataFrame:
+    """UD1: append an ``event`` struct column (EVENT_RESPONSE_SCHEMA) plus
+    the raw payload. NULL ``event`` == quarantined row (UD3)."""
+    provider = provider or MockExtractionProvider()
+    out_schema = f"{id_col} long, raw_response string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_response": provider.extract_batch(pdf[text_col]),
+                }
+            )
+
+    narrow = df.select(id_col, text_col)
+    extracted = narrow.mapInPandas(run, schema=out_schema)
+    parsed = F.from_json("raw_response", EVENT_RESPONSE_SCHEMA)
+    # PERMISSIVE from_json yields an all-null struct for non-JSON input;
+    # normalize that to a true NULL so "event IS NULL" == quarantined.
+    return extracted.withColumn(
+        "event",
+        F.when(
+            parsed.getField("category").isNull()
+            & parsed.getField("main_actors").isNull()
+            & parsed.getField("other_actors").isNull(),
+            F.lit(None).cast(EVENT_RESPONSE_SCHEMA),
+        ).otherwise(parsed),
+    )
+
+
+def flatten_actors(extracted: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """UD2: one row per (doc, actor): explode main+other with an
+    is_main_actor flag; quarantined rows (NULL event) drop out — exactly
+    collector.py:190-201's loop semantics."""
+    actor = (
+        "concat("
+        "transform(coalesce(event.main_actors, array()), "
+        "  a -> struct(a.name AS name, a.role AS role, true AS is_main)), "
+        "transform(coalesce(event.other_actors, array()), "
+        "  a -> struct(a.name AS name, a.role AS role, false AS is_main)))"
+    )
+    return (
+        extracted.filter(F.col("event").isNotNull())
+        .select(
+            F.col(id_col).alias("news_id"),
+            F.col("event.category").alias("category"),
+            F.explode(F.expr(actor)).alias("a"),
+        )
+        .select(
+            "news_id",
+            F.col("a.name").alias("actor_name"),
+            F.col("a.role").alias("actor_role"),
+            F.col("a.is_main").alias("is_main_actor"),
+            "category",
+        )
+    )
+
+
+# --- SQL mirrors of the mock rules (for the DuckDB oracles) ----------------
+
+_OK_PRED = "substr(md5(text), 1, 1) <> 'f'"
+_CAT_IDX = "(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 5"
+_CAT_CASE = " ".join(
+    [f"WHEN {_CAT_IDX} = {i} THEN '{c}'" for i, c in enumerate(EVENT_CATEGORIES)]
+)
+_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# Registry queries
+# --------------------------------------------------------------------------
+
+
+def ud1_extract_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category histogram of the extraction output over ``documents`` —
+    the UD1 pipeline end-to-end with quarantined rows surfaced as a
+    '(quarantined)' bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    extracted = extract_events(docs)
+    return (
+        extracted.select(
+            F.coalesce(F.col("event.category"), F.lit("(quarantined)")).alias(
+                "category"
+            )
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_UD1_SQL = (
+    "SELECT CASE WHEN NOT (" + _OK_PRED + ") THEN '(quarantined)' "
+    + _CAT_CASE
+    + " END AS category, count(*) AS n FROM documents GROUP BY 1"
+)
+
+
+def ud2_flatten_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract→flatten chain: per-actor rows with discriminator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return flatten_actors(extract_events(docs))
+
+
+_UD2_SQL = (
+    f"WITH ok AS (SELECT doc_id, {_WORDS} AS w, "
+    f"CASE {_CAT_CASE} END AS category "
+    f"FROM documents WHERE {_OK_PRED}) "
+    "SELECT doc_id AS news_id, w[1] AS actor_name, 'subject' AS actor_role, "
+    "TRUE AS is_main_actor, category FROM ok WHERE len(w) >= 1 "
+    "UNION ALL "
+    "SELECT doc_id, w[2], 'object', TRUE, category FROM ok WHERE len(w) >= 2 "
+    "UNION ALL "
+    "SELECT doc_id, w[3], 'mention', FALSE, category FROM ok WHERE len(w) >= 3"
+)
+
+
+def ud3_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerance accounting: totals, successes, quarantined, and
+    flatten conservation (actor rows = Σ actors per ok doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    extracted = extract_events(docs)
+    flat = flatten_actors(extracted)
+    summary = extracted.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("event").alias("n_ok"),
+        (F.count(F.lit(1)) - F.count("event")).alias("n_quarantined"),
+    )
+    actor_rows = flat.agg(F.count(F.lit(1)).alias("n_actor_rows"))
+    return summary.crossJoin(actor_rows)
+
+
+_UD3_SQL = (
+    f"WITH base AS (SELECT doc_id, {_WORDS} AS w, {_OK_PRED} AS ok "
+    "FROM documents) "
+    "SELECT count(*) AS n_total, "
+    "count(*) FILTER (WHERE ok) AS n_ok, "
+    "count(*) FILTER (WHERE NOT ok) AS n_quarantined, "
+    "coalesce(sum(CASE WHEN ok THEN "
+    "least(len(w), 1) + CASE WHEN len(w) >= 2 THEN 1 ELSE 0 END "
+    "+ CASE WHEN len(w) >= 3 THEN 1 ELSE 0 END ELSE 0 END), 0) "
+    "AS n_actor_rows FROM base"
+)
+
+
+QUERIES = {
+    "ud1_extract_categories": ud1_extract_categories,
+    "ud2_flatten_actors": ud2_flatten_actors,
+    "ud3_quarantine_stats": ud3_quarantine_stats,
+}
+
+ORACLES = {
+    "ud1_extract_categories": _UD1_SQL,
+    "ud2_flatten_actors": _UD2_SQL,
+    "ud3_quarantine_stats": _UD3_SQL,
+}
