@@ -1,0 +1,229 @@
+"""deltalite — a minimal Delta-Lake-style transactional table format.
+
+The reference stores everything in Delta Lake via delta-rs
+(/root/reference/news_insights/collector.py:219-226 append,
+/root/reference/visualizer.py:40-45 scan, README.md:12 time travel).
+``delta-spark`` is not available in this environment, so this module
+provides the same storage contract on plain parquet + a JSON commit log:
+
+* **ACID append/overwrite** — data files land in a per-commit directory,
+  then a single commit file is published atomically (write-tmp +
+  ``os.link``, which fails if the version exists → optimistic retry).
+  Readers either see a commit entirely or not at all; a crash before the
+  commit file leaves only invisible orphan data.
+* **Schema enforcement** — appends must match the table schema exactly
+  (delta-rs rejects drift on append the same way).
+* **Time travel** — ``read(..., version=N)`` replays the log to N.
+* **Idempotent writer commits** — ``append(..., app_id=, epoch=)`` skips
+  the write if (app_id, epoch) already committed. This is the engine's
+  exactly-once primitive for streaming ``foreachBatch`` retries, and the
+  direct fix for the reference's state-before-write loss bug
+  (collector.py:113-115 saves the dedup ledger before storage happens at
+  :233-240 — a crash between the two loses data silently). Here the
+  "state" IS the commit: data and watermark publish in one atomic op.
+
+Scale notes: the commit protocol is driver-side metadata only (one tiny
+JSON per commit — executors never touch the log); data writes are
+ordinary distributed ``df.write.parquet``. On a real cluster the
+``os.link`` claim becomes the object store's conditional-put, which is
+exactly how Delta/Iceberg commit services work; file listings per commit
+keep reads O(|log|) not O(listing the data dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_VERSION_DIGITS = 20
+
+
+class SchemaMismatchError(ValueError):
+    pass
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+@dataclass(frozen=True)
+class Commit:
+    version: int
+    action: str  # "append" | "overwrite"
+    files: tuple[str, ...]  # relative to table root
+    schema_json: str
+    app_id: str | None = None
+    epoch: int | None = None
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _read_log(table: str) -> list[Commit]:
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    commits = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            d = json.load(fh)
+        commits.append(
+            Commit(
+                version=d["version"],
+                action=d["action"],
+                files=tuple(d["files"]),
+                schema_json=d["schema"],
+                app_id=d.get("app_id"),
+                epoch=d.get("epoch"),
+            )
+        )
+    return commits
+
+
+def _publish(table: str, commit: Commit) -> None:
+    """Atomically publish one commit file; raises FileExistsError if the
+    version was claimed by a concurrent writer (caller retries)."""
+    path = _log_path(table, commit.version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": commit.version,
+            "action": commit.action,
+            "files": list(commit.files),
+            "schema": commit.schema_json,
+            "app_id": commit.app_id,
+            "epoch": commit.epoch,
+            "committed_at": time.time(),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.link(tmp, path)  # atomic claim: fails iff version exists
+    finally:
+        os.unlink(tmp)
+
+
+def table_exists(table: str) -> bool:
+    return bool(_read_log(table))
+
+
+def latest_version(table: str) -> int:
+    log = _read_log(table)
+    return log[-1].version if log else -1
+
+
+def has_committed(table: str, app_id: str, epoch: int) -> bool:
+    """True iff this (app_id, epoch) already published a commit — the
+    idempotence check for exactly-once foreachBatch sinks."""
+    return any(
+        c.app_id == app_id and c.epoch == epoch for c in _read_log(table)
+    )
+
+
+def write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    app_id: str | None = None,
+    epoch: int | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """Write ``df`` as one atomic commit; returns the committed version,
+    or None when the (app_id, epoch) commit already exists (idempotent
+    replay — the data is NOT rewritten)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    if app_id is not None and epoch is not None and has_committed(table, app_id, epoch):
+        return None
+
+    log = _read_log(table)
+    if log and mode == "append":
+        current = log[-1].schema_json
+        if current != df.schema.json():
+            raise SchemaMismatchError(
+                f"append schema drift for {table}: table={current} "
+                f"df={df.schema.json()}"
+            )
+
+    commit_dir = f"commit-{uuid.uuid4().hex}"
+    abs_dir = os.path.join(table, _DATA_DIR, commit_dir)
+    df.write.mode("errorifexists").parquet(abs_dir)
+    rel_files = tuple(
+        os.path.join(_DATA_DIR, commit_dir, name)
+        for name in sorted(os.listdir(abs_dir))
+        if name.endswith(".parquet")
+    )
+
+    for _ in range(max_retries):
+        # Re-check idempotence inside the retry loop: a concurrent replay
+        # of the same epoch may have won the race.
+        if (
+            app_id is not None
+            and epoch is not None
+            and has_committed(table, app_id, epoch)
+        ):
+            return None
+        version = latest_version(table) + 1
+        try:
+            _publish(
+                table,
+                Commit(
+                    version=version,
+                    action=mode,
+                    files=rel_files,
+                    schema_json=df.schema.json(),
+                    app_id=app_id,
+                    epoch=epoch,
+                ),
+            )
+            return version
+        except FileExistsError:
+            continue  # lost the optimistic race; retry at the next version
+    raise ConcurrentCommitError(f"could not commit to {table} after retries")
+
+
+def snapshot_files(table: str, version: int | None = None) -> tuple[list[str], str]:
+    """Resolve the (file list, schema json) visible at ``version``
+    (latest when None), honoring overwrite resets."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no deltalite table at {table}")
+    files: list[str] = []
+    schema_json = log[0].schema_json
+    for c in log:
+        if version is not None and c.version > version:
+            break
+        if c.action == "overwrite":
+            files = list(c.files)
+        else:
+            files.extend(c.files)
+        schema_json = c.schema_json
+    return [os.path.join(table, f) for f in files], schema_json
+
+
+def read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Lazy DataFrame over the table snapshot at ``version`` (time
+    travel); filters/projections push into the parquet scan as usual."""
+    files, schema_json = snapshot_files(table, version)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)

@@ -1,0 +1,151 @@
+"""Registry queries exercising the deltalite storage layer (S3/S4/S5).
+
+Each query materializes a small deltalite table from fixture data inside
+a scratch dir keyed by the sf_dir (rebuilt from scratch per call so the
+result is a pure function of the fixtures), then queries it back through
+the transactional read path. The oracle recomputes the same result
+straight from the fixture parquet — so the round trip through commit log
++ data files + time travel is what's actually under test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.functions.extract import (
+    _CAT_CASE,
+    _OK_PRED,
+    extract_events,
+    flatten_actors,
+)
+from acero_delta_lake_streaming_spark.storage import deltalite
+
+_SCRATCH_ROOT = "/tmp/adls_spark_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_SCRATCH_ROOT, key, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# --------------------------------------------------------------------------
+# S3 — transactional append + scan
+# --------------------------------------------------------------------------
+
+
+def s3_delta_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two ACID appends (collector.py:219-226's mode='append'), then an
+    aggregate over the lazy transactional read — filters push into the
+    parquet scan exactly as on the raw fixture."""
+    table = _scratch(sf_dir, "s3_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    deltalite.write(orders.filter("o_orderstatus = 'F'"), table, "append")
+    deltalite.write(orders.filter("o_orderstatus = 'O'"), table, "append")
+    return (
+        deltalite.read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_S3_SQL = (
+    "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# S4 — time travel
+# --------------------------------------------------------------------------
+
+
+def s4_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three versioned appends, then a VERSION AS OF 1 read (Delta time
+    travel, README.md:12): the third commit must be invisible."""
+    table = _scratch(sf_dir, "s4_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    for prio in ("1-URGENT", "3-MEDIUM", "5-LOW"):
+        deltalite.write(
+            orders.filter(F.col("o_orderpriority") == prio), table, "append"
+        )
+    return (
+        deltalite.read(spark, table, version=1)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_S4_SQL = (
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# S5 — medallion raw → curated → actors fan-out
+# --------------------------------------------------------------------------
+
+
+def s5_medallion_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three-table fan-out (collector.py:228-245) as one
+    batch pipeline over deltalite: raw = ingested rows, curated =
+    extraction output with quarantine dropped, actors = flattened actor
+    rows. Returns the actors rollup read back from storage."""
+    base = _scratch(sf_dir, "s5")
+    docs = load_table(spark, sf_dir, "documents")
+
+    raw = docs.select("doc_id", "text", "lang", "source")
+    deltalite.write(raw, os.path.join(base, "raw"), "append")
+
+    extracted = extract_events(deltalite.read(spark, os.path.join(base, "raw")))
+    curated = extracted.filter(F.col("event").isNotNull()).select(
+        "doc_id", F.col("event.category").alias("category")
+    )
+    deltalite.write(curated, os.path.join(base, "curated"), "append")
+
+    actors = flatten_actors(extracted)
+    deltalite.write(actors, os.path.join(base, "actors"), "append")
+
+    return (
+        deltalite.read(spark, os.path.join(base, "actors"))
+        .groupBy("category", "is_main_actor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_S5_SQL = (
+    "WITH ok AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS w, "
+    f"CASE {_CAT_CASE} END AS category "
+    f"FROM documents WHERE {_OK_PRED}), "
+    "actor_rows AS ("
+    "  SELECT category, TRUE AS is_main_actor FROM ok WHERE len(w) >= 1 "
+    "  UNION ALL SELECT category, TRUE FROM ok WHERE len(w) >= 2 "
+    "  UNION ALL SELECT category, FALSE FROM ok WHERE len(w) >= 3) "
+    "SELECT category, is_main_actor, count(*) AS n "
+    "FROM actor_rows GROUP BY 1, 2"
+)
+
+
+QUERIES = {
+    "s3_delta_append_scan": s3_delta_append_scan,
+    "s4_time_travel": s4_time_travel,
+    "s5_medallion_fanout": s5_medallion_fanout,
+}
+
+ORACLES = {
+    "s3_delta_append_scan": _S3_SQL,
+    "s4_time_travel": _S4_SQL,
+    "s5_medallion_fanout": _S5_SQL,
+}

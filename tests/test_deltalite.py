@@ -1,0 +1,97 @@
+"""ACID / time-travel / idempotence contract tests for deltalite
+(SURVEY.md §2.1 S3-S5, §2.8 ST2 exactly-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from acero_delta_lake_streaming_spark.storage import deltalite
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string")
+
+
+def test_append_read_roundtrip(spark, table):
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.write(_df(spark, [(3, "c")]), table)
+    got = sorted((r.id, r.v) for r in deltalite.read(spark, table).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert deltalite.latest_version(table) == 1
+
+
+def test_time_travel_versions(spark, table):
+    for i in range(3):
+        deltalite.write(_df(spark, [(i, str(i))]), table)
+    for v in range(3):
+        got = sorted(r.id for r in deltalite.read(spark, table, version=v).collect())
+        assert got == list(range(v + 1))
+
+
+def test_overwrite_resets(spark, table):
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.write(_df(spark, [(9, "z")]), table, mode="overwrite")
+    assert [r.id for r in deltalite.read(spark, table).collect()] == [9]
+    # pre-overwrite snapshot still readable (time travel across overwrite)
+    assert sorted(r.id for r in deltalite.read(spark, table, version=0).collect()) == [1, 2]
+
+
+def test_schema_enforcement(spark, table):
+    deltalite.write(_df(spark, [(1, "a")]), table)
+    drifted = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+    with pytest.raises(deltalite.SchemaMismatchError):
+        deltalite.write(drifted, table)
+    # overwrite may change schema
+    deltalite.write(drifted, table, mode="overwrite")
+    assert deltalite.read(spark, table).schema["v"].dataType.simpleString() == "double"
+
+
+def test_idempotent_epoch_commit(spark, table):
+    """The ST2 fix: replaying the same (app_id, epoch) must be a no-op —
+    no duplicates after a simulated foreachBatch retry."""
+    v0 = deltalite.write(_df(spark, [(1, "a")]), table, app_id="job", epoch=0)
+    assert v0 == 0
+    replay = deltalite.write(_df(spark, [(1, "a")]), table, app_id="job", epoch=0)
+    assert replay is None
+    assert deltalite.read(spark, table).count() == 1
+    v1 = deltalite.write(_df(spark, [(2, "b")]), table, app_id="job", epoch=1)
+    assert v1 == 1
+    assert deltalite.read(spark, table).count() == 2
+
+
+def test_crash_before_commit_invisible(spark, table):
+    """Data written without a published commit must be invisible — the
+    inverse of the reference's state-before-write bug: a crash loses at
+    most the uncommitted work, never acknowledged data."""
+    deltalite.write(_df(spark, [(1, "a")]), table)
+    # simulate a writer that crashed after the data write, before commit
+    orphan_dir = os.path.join(table, "data", "commit-orphan")
+    _df(spark, [(99, "crash")]).write.parquet(orphan_dir)
+    assert [r.id for r in deltalite.read(spark, table).collect()] == [1]
+
+
+def test_version_conflict_retries(spark, table):
+    """A claimed version file forces the writer to the next version
+    (optimistic concurrency) instead of clobbering or failing."""
+    deltalite.write(_df(spark, [(1, "a")]), table)
+    # adversarially claim version 1 with an empty-file commit
+    deltalite._publish(
+        table,
+        deltalite.Commit(
+            version=1,
+            action="append",
+            files=(),
+            schema_json=_df(spark, [(1, "a")]).schema.json(),
+        ),
+    )
+    v = deltalite.write(_df(spark, [(2, "b")]), table)
+    assert v == 2
+    assert sorted(r.id for r in deltalite.read(spark, table).collect()) == [1, 2]
