@@ -1,0 +1,158 @@
+"""Streaming semantics tests (SURVEY.md §2.8, §5.5): incremental ingest,
+exactly-once across crash/replay, empty batches, and the late-data
+watermark policy — the behaviors no SQL oracle can check.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.storage import deltalite
+from acero_delta_lake_streaming_spark.streaming.ingest import (
+    EVENT_BATCH_SCHEMA,
+    medallion_writer,
+    run_ingest,
+    windowed_event_counts,
+)
+from acero_delta_lake_streaming_spark.streaming.queries import (
+    write_single_parquet,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def test_incremental_ingest_dedup_and_empty_runs(spark, sf_dir, tmp_path):
+    drop, tables, cp = (
+        str(tmp_path / "drop"),
+        str(tmp_path / "tables"),
+        str(tmp_path / "cp"),
+    )
+    os.makedirs(drop)
+    docs = _docs(spark, sf_dir)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    write_single_parquet(b0, os.path.join(drop, "b0.parquet"))
+    run_ingest(spark, drop, tables, cp, with_actors=False)
+    curated = os.path.join(tables, "curated")
+    n0 = deltalite.read(spark, curated).count()
+    assert n0 > 0
+
+    # ST3: re-run with nothing new — a clean no-op, tables unchanged
+    run_ingest(spark, drop, tables, cp, with_actors=False)
+    assert deltalite.read(spark, curated).count() == n0
+
+    # ST1+ST2: second drop replays half of b0's ids plus new ones; the
+    # checkpointed dedup state must keep exactly one row per doc_id
+    b1 = docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0))
+    write_single_parquet(b1, os.path.join(drop, "b1.parquet"))
+    run_ingest(spark, drop, tables, cp, with_actors=False)
+    raw = deltalite.read(spark, os.path.join(tables, "raw"))
+    assert raw.count() == raw.select("doc_id").distinct().count()
+    ok_docs = deltalite.read(spark, curated)
+    assert ok_docs.count() == ok_docs.select("doc_id").distinct().count()
+
+
+def test_epoch_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """A foreachBatch retry (same epoch) after a crash must not duplicate
+    rows — the fix for the reference's ledger-before-write loss."""
+    base = str(tmp_path / "tables")
+    batch = _docs(spark, sf_dir).limit(50)
+    writer = medallion_writer(base, app_id="m1")
+    writer(batch, 0)
+    counts = {
+        t: deltalite.read(spark, os.path.join(base, t)).count()
+        for t in ("raw", "curated", "actors")
+    }
+    writer(batch, 0)  # replayed epoch
+    for t, n in counts.items():
+        assert deltalite.read(spark, os.path.join(base, t)).count() == n, t
+    writer(batch.limit(10), 1)  # a genuinely new epoch still lands
+    assert deltalite.read(spark, os.path.join(base, "raw")).count() == counts["raw"] + 10
+
+
+def test_partial_epoch_completes_without_duplicates(spark, sf_dir, tmp_path):
+    """Crash mid-fan-out (raw committed, curated/actors not): the retry
+    must skip raw and complete the rest — per-table exactly-once."""
+    base = str(tmp_path / "tables")
+    batch = _docs(spark, sf_dir).limit(40)
+    # simulate the partial epoch: only the raw commit landed
+    deltalite.write(batch, os.path.join(base, "raw"), app_id="m2-raw", epoch=0)
+    n_raw = deltalite.read(spark, os.path.join(base, "raw")).count()
+    medallion_writer(base, app_id="m2")(batch, 0)  # the retry
+    assert deltalite.read(spark, os.path.join(base, "raw")).count() == n_raw
+    assert deltalite.table_exists(os.path.join(base, "curated"))
+    assert deltalite.table_exists(os.path.join(base, "actors"))
+
+
+def _ts_ns(*args) -> int:
+    return int(
+        dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000
+    )
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """ST5, append mode: once the watermark finalizes (evicts) a window,
+    a late event for it is dropped — the window is emitted exactly once
+    and never revised. (Empirically pinned Spark contract: late rows
+    merge into *still-live* state; the hard drop applies to finalized
+    windows, which is what append mode's emit-once guarantee rests on.)"""
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+    os.makedirs(drop)
+
+    def ev(i, ts_ns):
+        return (i, ts_ns, 1, "click", 1.0)
+
+    batches = [
+        # b0: opens the Jan-5 and Jan-10 windows
+        [ev(1, _ts_ns(2024, 1, 5, 10)), ev(2, _ts_ns(2024, 1, 10, 12))],
+        # b1: watermark (Jan-10 11:00) finalizes the Jan-5 window → emit n=1
+        [ev(3, _ts_ns(2024, 1, 10, 13))],
+        # b2: a late Jan-5 event — must be dropped, not re-emitted
+        [ev(4, _ts_ns(2024, 1, 5, 9)), ev(5, _ts_ns(2024, 1, 10, 14))],
+    ]
+    for i, rows in enumerate(batches):
+        f = os.path.join(drop, f"b{i}.parquet")
+        write_single_parquet(
+            spark.createDataFrame(rows, EVENT_BATCH_SCHEMA), f
+        )
+        os.utime(f, ((i + 1) * 1_000_000,) * 2)  # pin processing order
+
+    emitted: list[tuple[int, list]] = []
+
+    def collect(batch_df, epoch_id):
+        emitted.append((epoch_id, batch_df.collect()))
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        windowed_event_counts(stream, watermark="1 hour")
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    jan5 = _ts_ns(2024, 1, 5) // 1_000_000
+    all_rows = [(r.day_start_ms, r.n) for _, rows in emitted for r in rows]
+    # Jan-5 emitted exactly once, with only the on-time event counted;
+    # Jan-10 still open (watermark never passes its end) → not emitted.
+    assert all_rows == [(jan5, 1)]
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the late Jan-5 event
