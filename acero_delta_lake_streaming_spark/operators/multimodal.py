@@ -1,0 +1,188 @@
+"""Multimodal column operators (SURVEY.md §2.10 X5) — binary media +
+typed metadata as first-class columns.
+
+The convention (MEDIA_SCHEMA, schemas.py): media is an opaque
+``binary`` column plus a typed ``meta`` struct. Operators are split so
+that metadata-only queries never deserialize bytes:
+
+* **x5_meta_pruning** — counts/aggregates over ``meta`` only; Catalyst
+  prunes the ``content`` derivation out of the plan entirely (asserted
+  in tests via the physical plan). At 100 TB this is the difference
+  between scanning kilobytes of metadata and petabytes of payload.
+* **x5b_decode_features** — the decode path: Arrow-batched
+  ``mapInPandas`` over the bytes. Real image/audio decoding libraries
+  are not in this container, so the decoder seam (``MediaDecoder``) has
+  a deterministic ``StubDecoder`` (pseudo-features from the bytes) and a
+  ``PillowDecoder`` placeholder that raises until the library exists.
+  The Spark-side plumbing — schema, batch shape, narrow projection
+  before the Python stage — is real and tested either way.
+
+The fixture set has no binary table, so media rows derive
+deterministically from ``documents`` (content = unhex(md5 chain of the
+text), metadata from doc_id/n_chars arithmetic) — same derivation in the
+SQL oracle, which never needs to see the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+
+_MEDIA_TYPE = "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1)"
+_FORMAT = "element_at(array('png', 'wav', 'mp4'), CAST(doc_id % 3 AS INT) + 1)"
+
+
+def build_media_table(docs: DataFrame) -> DataFrame:
+    """Derive a MEDIA_SCHEMA-shaped table from documents: 32 bytes of
+    deterministic 'payload' per row + typed metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))).alias(
+            "content"
+        ),
+        F.struct(
+            F.expr(_MEDIA_TYPE).alias("media_type"),
+            F.expr(_FORMAT).alias("format"),
+            F.when(F.col("doc_id") % 3 == 0, (F.col("n_chars") % 640 + 16).cast("int"))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("width"),
+            F.when(F.col("doc_id") % 3 == 0, (F.col("n_chars") % 480 + 16).cast("int"))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("height"),
+            F.when(F.col("doc_id") % 3 != 0, (F.col("n_chars") * 37).cast("bigint"))
+            .otherwise(F.lit(None).cast("bigint"))
+            .alias("duration_ms"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(16000))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X5 — metadata-only pruning query (oracle-checked; bytes never touched)
+# --------------------------------------------------------------------------
+
+
+def x5_meta_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the typed metadata only — the content expression is
+    pruned from the plan (tests assert no unhex/md5 survives)."""
+    media = build_media_table(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(
+            F.col("meta.media_type").alias("media_type"),
+            F.col("meta.format").alias("format"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("meta.width"), 2).alias("avg_width"),
+            F.round(F.avg("meta.duration_ms"), 2).alias("avg_duration_ms"),
+        )
+    )
+
+
+_X5_SQL = (
+    "WITH media AS (SELECT doc_id, "
+    "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type, "
+    "(['png', 'wav', 'mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format, "
+    "CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 16 AS INT) END AS width, "
+    "CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars * 37 AS BIGINT) END AS duration_ms "
+    "FROM documents) "
+    "SELECT media_type, format, count(*) AS n, "
+    "round(avg(width), 2) AS avg_width, "
+    "round(avg(duration_ms), 2) AS avg_duration_ms "
+    "FROM media GROUP BY 1, 2"
+)
+
+
+# --------------------------------------------------------------------------
+# X5b — decode / feature-extract over the binary column (stubbed decode)
+# --------------------------------------------------------------------------
+
+
+class StubDecoder:
+    """Deterministic stand-in for an image/audio decoder: features are
+    pure functions of the payload bytes, so tests are hermetic and
+    repeatable while the Arrow plumbing stays identical to a real
+    decoder's."""
+
+    def decode_batch(self, contents: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in contents:
+            data = bytes(b) if b is not None else b""
+            rows.append(
+                {
+                    "n_bytes": len(data),
+                    "checksum": sum(data) % 65536,
+                    "feat": [
+                        float(data[0]) if data else 0.0,
+                        float(data[len(data) // 2]) if data else 0.0,
+                        float(data[-1]) if data else 0.0,
+                        float(len(data)),
+                    ],
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+class PillowDecoder:
+    """Real image decode seam — requires PIL, which this container does
+    not ship. The class exists so the swap is a one-line constructor
+    change, not a pipeline rewrite."""
+
+    def __init__(self) -> None:
+        raise NotImplementedError(
+            "PIL is not available in this environment; use StubDecoder. "
+            "A real deployment implements decode_batch with "
+            "PIL.Image.open(io.BytesIO(b)) per Arrow batch."
+        )
+
+
+def decode_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Arrow-batched decode: narrow projection (media_id, content) into
+    mapInPandas; one decoder call per batch."""
+    decoder = decoder or StubDecoder()
+    schema = (
+        "media_id long, n_bytes int, checksum int, feat array<float>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decoder.decode_batch(pdf["content"])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def x5b_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + per-type feature rollup (rows-only check: the decode
+    output is byte-level, deliberately outside SQL's vocabulary)."""
+    media = build_media_table(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(media)
+    typed = feats.join(
+        media.select("media_id", F.col("meta.media_type").alias("media_type")),
+        "media_id",
+    )
+    return typed.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.round(F.avg("checksum"), 2).alias("avg_checksum"),
+    )
+
+
+QUERIES = {
+    "x5_meta_pruning": x5_meta_pruning,
+    "x5b_decode_features": x5b_decode_features,
+}
+
+ORACLES = {
+    "x5_meta_pruning": _X5_SQL,
+    # x5b intentionally absent: byte-level decode is not SQL-expressible;
+    # the driver records the rows-only check and tests pin the values.
+}

@@ -1,0 +1,73 @@
+"""X5 multimodal plumbing tests: schema fidelity, byte determinism,
+metadata pruning, and the decode seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.multimodal import (
+    PillowDecoder,
+    build_media_table,
+    decode_features,
+    x5_meta_pruning,
+)
+from acero_delta_lake_streaming_spark.schemas import MEDIA_SCHEMA
+
+
+def test_media_table_matches_declared_schema(spark, sf_dir):
+    """Names and types must match MEDIA_SCHEMA exactly (nullability flags
+    legitimately differ: the fixture scan can't prove non-nullness)."""
+    media = build_media_table(load_table(spark, sf_dir, "documents"))
+
+    def shape(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    assert shape(media.schema) == shape(MEDIA_SCHEMA)
+    meta_t = dict(shape(media.schema))["meta"]
+    assert meta_t == dict(shape(MEDIA_SCHEMA))["meta"]
+
+
+def test_content_bytes_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = build_media_table(docs)
+    texts = docs.select("doc_id", "text")
+    rows = (
+        media.join(texts, media.media_id == texts.doc_id)
+        .select("media_id", "content", "text")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        expected = bytes.fromhex(
+            hashlib.md5(r.text.encode()).hexdigest()
+            + hashlib.md5(("x" + r.text).encode()).hexdigest()
+        )
+        assert bytes(r.content) == expected
+        assert len(r.content) == 32
+
+
+def test_meta_query_prunes_content(spark, sf_dir):
+    """The metadata-only aggregate must not carry the payload derivation:
+    no unhex/md5 in the optimized plan → at scale, bytes are never read."""
+    plan = x5_meta_pruning(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "unhex" not in plan and "md5" not in plan
+
+
+def test_decode_features_shape_and_determinism(spark, sf_dir):
+    media = build_media_table(load_table(spark, sf_dir, "documents").limit(30))
+    a = {r.media_id: (r.n_bytes, r.checksum, r.feat) for r in decode_features(media).collect()}
+    b = {r.media_id: (r.n_bytes, r.checksum, r.feat) for r in decode_features(media).collect()}
+    assert a == b and len(a) == 30
+    for n_bytes, checksum, feat in a.values():
+        assert n_bytes == 32
+        assert 0 <= checksum < 65536
+        assert len(feat) == 4 and feat[3] == 32.0
+
+
+def test_real_decoder_seam_is_explicit():
+    with pytest.raises(NotImplementedError):
+        PillowDecoder()
