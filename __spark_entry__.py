@@ -42,6 +42,14 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         # timezone pinned so date/epoch derivations match the oracle.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The external driver uses a vanilla session (shuffle.partitions
+        # 200); at bench scale that is pure scheduling overhead. AQE
+        # coalesces most of it, but a right-sized initial count is free.
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+        except Exception:
+            pass
         return fn(spark, sf_dir)
 
     run.__name__ = getattr(fn, "__name__", "query")
