@@ -147,7 +147,8 @@ def extract_events(
     """UD1: append an ``event`` struct column (EVENT_RESPONSE_SCHEMA) plus
     the raw payload. NULL ``event`` == quarantined row (UD3)."""
     provider = provider or MockExtractionProvider()
-    out_schema = f"{id_col} long, raw_response string"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, raw_response string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

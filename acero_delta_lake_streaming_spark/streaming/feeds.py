@@ -1,0 +1,131 @@
+"""S1 — RSS feed source, decoupled from the stream (SURVEY.md §2.1).
+
+The reference fetches 5 BBC feeds with feedparser inside the ingest loop
+(/root/reference/news_insights/collector.py:28-34,74-120) and couples
+fetch, dedup state, and storage in one function. Here the fetcher is a
+thin edge process: parse RSS XML (stdlib ElementTree — feedparser is not
+in this environment, and the fields the reference consumes are plain RSS
+2.0 items) into NEWS_SCHEMA rows and drop them as parquet batch files;
+the checkpointed streaming ingest (ingest.py) picks them up with
+exactly-once semantics. Polling frequency, retries, and backfill are then
+operational concerns of the edge, not correctness concerns of the engine.
+
+Extraction parity with the reference entry handling:
+  title, description, link          — item child text
+  guid → id                         — dedup/join key (collector.py:89)
+  pubDate → published_time (µs ts)  — RFC-822 parse (collector.py:65-72)
+  media:thumbnail url or NULL       — collector.py:98's default
+  category                          — the feed's id, constant per feed
+"""
+
+from __future__ import annotations
+
+import email.utils
+import os
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from acero_delta_lake_streaming_spark.schemas import NEWS_SCHEMA
+
+_MEDIA_NS = "{http://search.yahoo.com/mrss/}"
+
+#: the reference's feed set (collector.py:28-34) — public BBC endpoints;
+#: used only when an operator explicitly fetches (never in tests).
+DEFAULT_FEEDS = {
+    "business": "http://feeds.bbci.co.uk/news/business/rss.xml",
+    "health": "http://feeds.bbci.co.uk/news/health/rss.xml",
+    "politics": "http://feeds.bbci.co.uk/news/politics/rss.xml",
+    "science_and_environment": "http://feeds.bbci.co.uk/news/science_and_environment/rss.xml",
+    "technology": "http://feeds.bbci.co.uk/news/technology/rss.xml",
+}
+
+
+def _text(item: ET.Element, tag: str) -> str | None:
+    el = item.find(tag)
+    return el.text if el is not None else None
+
+
+def _parse_pubdate(value: str | None) -> datetime | None:
+    if not value:
+        return None
+    parsed = email.utils.parsedate_to_datetime(value)
+    # tz-naive µs timestamps like the reference's timestamp('us')
+    # (collector.py:65-72 uses the feed's UTC struct_time directly):
+    # normalize to UTC wall time, then drop the zone.
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(timezone.utc).replace(tzinfo=None)
+    return parsed
+
+
+def parse_rss(xml_text: str, rss_id: str) -> list[dict]:
+    """Parse one RSS 2.0 document into NEWS_SCHEMA-shaped dicts."""
+    root = ET.fromstring(xml_text)
+    rows = []
+    for item in root.iter("item"):
+        thumb = item.find(f"{_MEDIA_NS}thumbnail")
+        rows.append(
+            {
+                "title": _text(item, "title") or "",
+                "published_time": _parse_pubdate(_text(item, "pubDate")),
+                "description": _text(item, "description"),
+                "link": _text(item, "link"),
+                "id": _text(item, "guid") or _text(item, "link") or "",
+                "thumbnail_url": thumb.get("url") if thumb is not None else None,
+                "category": rss_id,
+            }
+        )
+    return rows
+
+
+def feed_batch_df(
+    spark: SparkSession, documents: list[tuple[str, str]]
+) -> DataFrame:
+    """Parse (rss_id, xml) documents into one NEWS_SCHEMA DataFrame."""
+    rows = []
+    for rss_id, xml_text in documents:
+        rows.extend(parse_rss(xml_text, rss_id))
+    return spark.createDataFrame(
+        [
+            (
+                r["title"],
+                r["published_time"],
+                r["description"],
+                r["link"],
+                r["id"],
+                r["thumbnail_url"],
+                r["category"],
+            )
+            for r in rows
+        ],
+        NEWS_SCHEMA,
+    )
+
+
+def fetch_feeds(feeds: dict[str, str] | None = None, timeout: int = 20):
+    """Network edge: fetch each feed URL and yield (rss_id, xml). Not
+    exercised in tests — this container has no network; the parser is."""
+    import urllib.request
+
+    for rss_id, url in (feeds or DEFAULT_FEEDS).items():
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            yield rss_id, resp.read().decode("utf-8", errors="replace")
+
+
+def drop_feed_batch(
+    spark: SparkSession,
+    documents: list[tuple[str, str]],
+    drop_dir: str,
+    batch_name: str,
+) -> int:
+    """Parse feeds and drop one parquet batch file for the streaming
+    ingest; returns the row count."""
+    from acero_delta_lake_streaming_spark.streaming.queries import (
+        write_single_parquet,
+    )
+
+    df = feed_batch_df(spark, documents)
+    os.makedirs(drop_dir, exist_ok=True)
+    write_single_parquet(df, os.path.join(drop_dir, f"{batch_name}.parquet"))
+    return df.count()

@@ -63,6 +63,8 @@ def medallion_writer(
     app_id: str = "medallion-ingest",
     provider: ExtractionProvider | None = None,
     with_actors: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ):
     """foreachBatch function: one epoch → raw + curated (+ actors) commits.
 
@@ -82,11 +84,13 @@ def medallion_writer(
                 app_id=f"{app_id}-raw",
                 epoch=epoch_id,
             )
-            extracted = extract_events(batch_df, provider=provider)
+            extracted = extract_events(
+                batch_df, id_col=id_col, text_col=text_col, provider=provider
+            )
             extracted.persist()
             try:
                 curated = extracted.filter(F.col("event").isNotNull()).select(
-                    "doc_id", F.col("event.category").alias("category")
+                    id_col, F.col("event.category").alias("category")
                 )
                 deltalite.write(
                     curated,
@@ -96,7 +100,7 @@ def medallion_writer(
                 )
                 if with_actors:
                     deltalite.write(
-                        flatten_actors(extracted),
+                        flatten_actors(extracted, id_col=id_col),
                         os.path.join(base_dir, "actors"),
                         app_id=f"{app_id}-actors",
                         epoch=epoch_id,
@@ -117,20 +121,54 @@ def run_ingest(
     provider: ExtractionProvider | None = None,
     with_actors: bool = True,
     app_id: str = "medallion-ingest",
+    schema: T.StructType = DOC_BATCH_SCHEMA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> None:
     """One availableNow ingest pass: new files in ``drop_dir`` → dedup →
     medallion tables. Returns after the stream drains (ST1 incremental:
     call again after more files drop; the checkpoint skips consumed
     ones)."""
     stream = (
-        spark.readStream.schema(DOC_BATCH_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(os.path.join(drop_dir, "*.parquet"))
-        .dropDuplicates(["doc_id"])  # ST2 state, checkpoint-backed
+        .dropDuplicates([id_col])  # ST2 state, checkpoint-backed
     )
     q = (
         stream.writeStream.foreachBatch(
             medallion_writer(base_dir, app_id=app_id, provider=provider,
-                             with_actors=with_actors)
+                             with_actors=with_actors, id_col=id_col,
+                             text_col=text_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_news_ingest(
+    spark: SparkSession,
+    drop_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    provider: ExtractionProvider | None = None,
+) -> None:
+    """The reference-shaped pipeline: NEWS_SCHEMA feed batches, dedup on
+    the RSS guid, extraction text = title + '\\n' + description
+    (collector.py:182's P3 concat)."""
+    from acero_delta_lake_streaming_spark.schemas import NEWS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(NEWS_SCHEMA)
+        .parquet(os.path.join(drop_dir, "*.parquet"))
+        .dropDuplicates(["id"])
+        .withColumn("text", F.concat_ws("\n", "title", "description"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            medallion_writer(base_dir, app_id="news-ingest",
+                             provider=provider, id_col="id")
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -111,12 +111,181 @@ _ST4_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# S1 — RSS feed source → news medallion, end to end
+# --------------------------------------------------------------------------
+
+
+def _feeds_from_documents(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Deterministic RSS 2.0 documents derived from the fixture corpus:
+    one feed per lang, one item per document (title = first 3 words,
+    description = text, guid = doc id, pubDate = base + doc_id minutes).
+    The feed build is edge-side by nature (the reference's fetcher is a
+    driver loop too) — the engine-side ingest stays distributed."""
+    import collections
+    import datetime as dt
+    import email.utils
+    from xml.sax.saxutils import escape
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    by_lang = collections.defaultdict(list)
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        words = [w for w in r.text.split(" ") if w]
+        pub = email.utils.format_datetime(
+            base + dt.timedelta(minutes=r.doc_id)
+        )
+        thumb = (
+            f'<media:thumbnail url="http://img.example/{r.doc_id}.jpg"/>'
+            if r.doc_id % 2 == 0
+            else ""
+        )
+        by_lang[r.lang].append(
+            "<item>"
+            f"<title>{escape(' '.join(words[:3]))}</title>"
+            f"<description>{escape(r.text)}</description>"
+            f"<link>http://news.example/{r.doc_id}</link>"
+            f"<guid>guid-{r.doc_id}</guid>"
+            f"<pubDate>{pub}</pubDate>"
+            f"{thumb}"
+            "</item>"
+        )
+    return [
+        (
+            lang,
+            '<rss version="2.0" xmlns:media="http://search.yahoo.com/mrss/">'
+            f"<channel><title>{lang}</title>{''.join(items)}</channel></rss>",
+        )
+        for lang, items in sorted(by_lang.items())
+    ]
+
+
+def s1_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full S1 path: RSS XML → parser → dropped batch → checkpointed
+    news-schema medallion ingest (guid dedup, title+description
+    extraction text) → per-feed rollup of raw and extraction-ok counts
+    plus the published-time range."""
+    from acero_delta_lake_streaming_spark.streaming.feeds import drop_feed_batch
+    from acero_delta_lake_streaming_spark.streaming.ingest import run_news_ingest
+
+    base = _scratch(sf_dir, "s1")
+    drop, tables, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "tables"),
+        os.path.join(base, "cp"),
+    )
+    drop_feed_batch(spark, _feeds_from_documents(spark, sf_dir), drop, "batch0")
+    run_news_ingest(spark, drop, tables, cp)
+    raw = deltalite.read(spark, os.path.join(tables, "raw"))
+    ok_ids = deltalite.read(spark, os.path.join(tables, "curated")).select("id")
+    return (
+        raw.join(ok_ids.withColumn("is_ok", F.lit(1)), "id", "left")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.coalesce(F.col("is_ok"), F.lit(0))).alias("n_ok"),
+            F.min(F.unix_millis("published_time")).alias("min_pub_ms"),
+            F.max(F.unix_millis("published_time")).alias("max_pub_ms"),
+        )
+    )
+
+
+_S1_SQL = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:3], ' ') "
+    "|| chr(10) || text AS xt FROM documents) "
+    "SELECT lang AS category, count(*) AS n_raw, "
+    "count(*) FILTER (WHERE substr(md5(xt), 1, 1) <> 'f') AS n_ok, "
+    "min(epoch_ms(TIMESTAMP '2024-03-01' + doc_id * INTERVAL 1 MINUTE)) "
+    "AS min_pub_ms, "
+    "max(epoch_ms(TIMESTAMP '2024-03-01' + doc_id * INTERVAL 1 MINUTE)) "
+    "AS max_pub_ms "
+    "FROM t GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# ST2b — custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+
+def st2_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals through the keyed-state operator; the
+    final emission per user equals the batch aggregate whatever the
+    micro-batching was — which is exactly what the oracle checks."""
+    from pyspark.sql import Window
+
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+    from acero_delta_lake_streaming_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    base = _scratch(sf_dir, "st2")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    write_single_parquet(events, os.path.join(drop, "batch0.parquet"))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(
+            batch_df.withColumn("epoch", F.lit(epoch_id)),
+            out,
+            app_id="st2",
+            epoch=epoch_id,
+        )
+
+    stream = spark.readStream.schema(EVENT_BATCH_SCHEMA).parquet(
+        os.path.join(drop, "*.parquet")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emissions = deltalite.read(spark, out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (
+        emissions.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", F.round("total", 2).alias("total"))
+    )
+
+
+_ST2_SQL = (
+    "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1"
+)
+
+
 QUERIES = {
+    "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
+    "st2_stateful_totals": st2_stateful_totals,
     "st4_windowed_counts": st4_windowed_counts,
 }
 
 ORACLES = {
+    "s1_feed_ingest": _S1_SQL,
     "st1_medallion_ingest": _ST1_SQL,
+    "st2_stateful_totals": _ST2_SQL,
     "st4_windowed_counts": _ST4_SQL,
 }

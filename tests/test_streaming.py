@@ -91,6 +91,55 @@ def test_partial_epoch_completes_without_duplicates(spark, sf_dir, tmp_path):
     assert deltalite.table_exists(os.path.join(base, "actors"))
 
 
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps keyed state across micro-batches: a
+    user seen in two batches emits cumulative totals the second time."""
+    from acero_delta_lake_streaming_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+    os.makedirs(drop)
+    b0 = spark.createDataFrame(
+        [(1, 10**18, 7, "click", 1.5), (2, 10**18, 8, "view", 2.0)],
+        EVENT_BATCH_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [(3, 10**18, 7, "click", 4.0)], EVENT_BATCH_SCHEMA
+    )
+    f0, f1 = os.path.join(drop, "b0.parquet"), os.path.join(drop, "b1.parquet")
+    write_single_parquet(b0, f0)
+    write_single_parquet(b1, f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    emitted = []
+
+    def collect(batch_df, epoch_id):
+        emitted.append((epoch_id, {r.user_id: (r.n_events, r.total) for r in batch_df.collect()}))
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    nonempty = [(e, d) for e, d in emitted if d]
+    assert nonempty[0][1] == {7: (1, 1.5), 8: (1, 2.0)}
+    # second batch touches only user 7, whose totals are cumulative
+    assert nonempty[1][1] == {7: (2, 5.5)}
+
+
 def _ts_ns(*args) -> int:
     return int(
         dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000
