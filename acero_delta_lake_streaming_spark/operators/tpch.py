@@ -113,11 +113,167 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi join with a non-equi
+    condition (a lineitem shipped after the order date), counted by
+    priority. The semi join shuffles on orderkey once; the extra
+    predicate rides along, no second pass."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        day_between("o_orderdate", "1995-01-01", "1996-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume by
+    year. Both nation dimensions broadcast twice under different aliases;
+    the fact side shuffles only for the orderkey join."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        day_between("l_shipdate", "1995-01-01", "1996-12-31")
+    )
+    # Decimal accumulation: with ~1200 output groups, double-sum ULP
+    # differences vs the oracle land on rounding boundaries; decimal
+    # addition is exact and order-independent, so partial aggregation
+    # order can't flip the rounded result.
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        pairs.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+        )
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue with
+    their nation; TakeOrderedAndProject caps the shuffle at k rows per
+    partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        day_between("o_orderdate", "1995-01-01", "1995-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo parts' share
+    of revenue) over one month; the part dimension broadcasts."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        day_between("l_shipdate", "1996-03-01", "1996-03-31")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(0.0))
+    return joined.agg(
+        F.round(100.0 * promo / F.sum(revenue), 4).alias("promo_share_pct")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then join back to the
+    order/customer detail; the qualifying-keys side is small and
+    broadcast back against the facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across the
+    part join — Catalyst extracts the common partkey equi-condition, the
+    disjunction evaluates post-join on the broadcast side."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_late_shipment_priority": q4_late_shipment_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_trade": q7_nation_trade,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q18_large_orders": q18_large_orders,
+    "q19_brand_revenue": q19_brand_revenue,
 }
 
 ORACLES = {
@@ -160,5 +316,70 @@ ORACLES = {
         "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
         "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 "
         "AND l_quantity < 24"
+    ),
+    "q4_late_shipment_priority": (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE CAST(o_orderdate AS DATE) "
+        "BETWEEN DATE '1995-01-01' AND DATE '1996-12-31' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+        "GROUP BY 1"
+    ),
+    "q7_nation_trade": (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "WHERE CAST(l_shipdate AS DATE) "
+        "BETWEEN DATE '1995-01-01' AND DATE '1996-12-31' "
+        "AND sn.n_name <> cn.n_name "
+        "GROUP BY 1, 2, 3"
+    ),
+    "q10_returned_revenue": (
+        "SELECT c_custkey, c_name, n_name, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND CAST(o_orderdate AS DATE) "
+        "BETWEEN DATE '1995-01-01' AND DATE '1995-12-31' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    ),
+    "q14_promo_revenue_share": (
+        "SELECT ROUND(100.0 * "
+        "SUM(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+        "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE CAST(l_shipdate AS DATE) "
+        "BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'"
+    ),
+    "q18_large_orders": (
+        "WITH big AS (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty "
+        "FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 180) "
+        "SELECT c_custkey, c_name, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, total_qty "
+        "FROM orders JOIN big ON o_orderkey = l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50"
+    ),
+    "q19_brand_revenue": (
+        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#11' AND p_size <= 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#22' AND p_size <= 25 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#33' AND p_size <= 35 "
+        "AND l_quantity BETWEEN 20 AND 40)"
     ),
 }

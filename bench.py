@@ -33,6 +33,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q10_returned_revenue",
+    "q18_large_orders",
     "flagship_breakdown",
     "x1_exact_dedup",
     "x2_minhash_near_dup",
