@@ -291,6 +291,34 @@ def u2_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).select("o_orderkey", "o_orderpriority")
 
 
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — customers with both finished and open orders. Spark
+    plans it as a left-semi over distinct sides; one shuffle per side."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter("o_orderstatus = 'F'").select("o_custkey")
+    o = orders.filter("o_orderstatus = 'O'").select("o_custkey")
+    return f.intersect(o)
+
+
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference of two priority slices' customer
+    keys (keeps surplus multiplicity, unlike anti join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+    high = orders.filter("o_orderpriority = '2-HIGH'").select("o_custkey")
+    return urgent.exceptAll(high)
+
+
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → status → grand total) — the
+    grouping-sets family in one partial+final aggregation pass."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (F1-F6 — collector.py:65-72,182; visualizer.py:89-98)
 # --------------------------------------------------------------------------
@@ -404,6 +432,9 @@ QUERIES = {
     "t2_topk_breakdown": t2_topk_breakdown,
     "u1_union_discriminator": u1_union_discriminator,
     "u2_union_all": u2_union_all,
+    "u3_intersect": u3_intersect,
+    "u4_except_all": u4_except_all,
+    "a9_rollup": a9_rollup,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
     "ud2_explode_tokens": ud2_explode_tokens,
@@ -510,6 +541,20 @@ ORACLES = {
         "UNION ALL "
         "SELECT o_orderkey, o_orderpriority FROM orders "
         "WHERE o_orderpriority = '3-MEDIUM'"
+    ),
+    "u3_intersect": (
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT "
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+    ),
+    "u4_except_all": (
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "EXCEPT ALL "
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+    ),
+    "a9_rollup": (
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     ),
     "f_scalar_suite": (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, "

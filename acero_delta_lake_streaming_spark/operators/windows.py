@@ -1,0 +1,125 @@
+"""Window-function analytics — the time-series layer over the engine.
+
+The reference's only windowed computation is the per-day article
+timeline (visualizer.py:115) and the total-ordered stacked bar
+(visualizer.py:152-155, covered by A8). This module adds the standard
+analytic-window family a dashboard on 100 TB of events needs: lag
+deltas, frame-bounded moving averages, and in-group rankings.
+
+Scale shape: every query here is one hash aggregation (shuffle =
+|groups|) followed by a window over the *aggregated* rows — the window
+sort runs on group-count rows, never on raw events. Partitioned windows
+(`w3`) sort within partitions only; the one global-ordered window (`w1`,
+`w2`) operates on ~date-count rows, which is fine at any fact scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+
+
+def w1_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change of daily order counts (lag window)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "n",
+        (F.col("n") - F.lag("n", 1).over(w)).alias("delta"),
+    )
+
+
+_W1_SQL = (
+    "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, "
+    "count(*) AS n FROM orders GROUP BY 1) "
+    "SELECT d, n, n - lag(n, 1) OVER (ORDER BY d) AS delta FROM daily"
+)
+
+
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average of daily revenue (frame-bounded
+    window over the aggregated timeline)."""
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.round(F.col("rev"), 2).cast("double").alias("rev"),
+        F.round(F.avg("rev").over(w), 2).cast("double").alias("rev_ma7"),
+    )
+
+
+_W2_SQL = (
+    "WITH daily AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, "
+    "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT d, CAST(ROUND(rev, 2) AS DOUBLE) AS rev, "
+    "CAST(ROUND(AVG(rev) OVER (ORDER BY d "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_ma7 "
+    "FROM daily"
+)
+
+
+def w3_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue within each market segment: rank()
+    over a partitioned window on aggregated rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "spend", "rk")
+    )
+
+
+_W3_SQL = (
+    "WITH per_cust AS (SELECT c_mktsegment, c_custkey, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS spend "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) "
+    "SELECT c_mktsegment, c_custkey, spend, rk FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY spend DESC, c_custkey ASC) AS rk FROM per_cust) "
+    "WHERE rk <= 3"
+)
+
+
+QUERIES = {
+    "w1_daily_delta": w1_daily_delta,
+    "w2_moving_avg": w2_moving_avg,
+    "w3_rank_in_group": w3_rank_in_group,
+}
+
+ORACLES = {
+    "w1_daily_delta": _W1_SQL,
+    "w2_moving_avg": _W2_SQL,
+    "w3_rank_in_group": _W3_SQL,
+}

@@ -18,9 +18,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 import importlib
 import importlib.util
 
-from acero_delta_lake_streaming_spark.operators import relational, tpch  # noqa: E402
+from acero_delta_lake_streaming_spark.operators import (  # noqa: E402
+    relational,
+    tpch,
+    windows,
+)
 
-_MODULES = [relational, tpch]
+_MODULES = [relational, tpch, windows]
 
 # Extension operator modules land incrementally. Gate on find_spec so only
 # truly-absent modules are skipped — a genuine import error inside an

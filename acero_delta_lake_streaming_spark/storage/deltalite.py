@@ -217,6 +217,27 @@ def snapshot_files(table: str, version: int | None = None) -> tuple[list[str], s
     return [os.path.join(table, f) for f in files], schema_json
 
 
+def compact(
+    spark: SparkSession, table: str, target_partitions: int = 1
+) -> int:
+    """OPTIMIZE analog: rewrite the current snapshot as one overwrite
+    commit with ``target_partitions`` files. Streaming appends produce
+    one small file set per epoch; at scale the read path degrades with
+    file count, so periodic compaction keeps scans dense. Time travel to
+    pre-compaction versions still works — old files are referenced by
+    old commits and never deleted here (a vacuum would be a separate,
+    retention-driven step)."""
+    snapshot = read(spark, table).coalesce(target_partitions)
+    version = write(snapshot, table, mode="overwrite")
+    assert version is not None
+    return version
+
+
+def history(table: str) -> list[Commit]:
+    """The table's commit log, oldest first (DESCRIBE HISTORY analog)."""
+    return _read_log(table)
+
+
 def read(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

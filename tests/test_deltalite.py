@@ -78,6 +78,25 @@ def test_crash_before_commit_invisible(spark, table):
     assert [r.id for r in deltalite.read(spark, table).collect()] == [1]
 
 
+def test_compaction_preserves_data_and_history(spark, table):
+    """OPTIMIZE analog: N small commits → 1 compact file set with
+    identical data; pre-compaction versions stay readable."""
+    for i in range(5):
+        deltalite.write(_df(spark, [(i, str(i))]), table)
+    before = sorted(r.id for r in deltalite.read(spark, table).collect())
+    files_before, _ = deltalite.snapshot_files(table)
+    v = deltalite.compact(spark, table)
+    after = sorted(r.id for r in deltalite.read(spark, table).collect())
+    files_after, _ = deltalite.snapshot_files(table)
+    assert after == before
+    assert len(files_after) < len(files_before)
+    assert deltalite.history(table)[-1].version == v
+    # time travel to a pre-compaction version still resolves old files
+    assert sorted(
+        r.id for r in deltalite.read(spark, table, version=2).collect()
+    ) == [0, 1, 2]
+
+
 def test_version_conflict_retries(spark, table):
     """A claimed version file forces the writer to the next version
     (optimistic concurrency) instead of clobbering or failing."""
