@@ -143,7 +143,11 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is O(shingles + candidates), never O(n²).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_rows(_near_dup_corpus(docs))
+    # The shingle set feeds three consumers (signatures, per-doc counts,
+    # the intersection join); persisting computes the explode+distinct
+    # once instead of three times. Shingle rows are ~|corpus|·|words|
+    # short strings — MEMORY_AND_DISK spills safely at larger SF.
+    sh = _shingle_rows(_near_dup_corpus(docs)).persist()
 
     sig_aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")

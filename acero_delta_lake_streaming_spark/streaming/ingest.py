@@ -98,6 +98,18 @@ def medallion_writer(
                     app_id=f"{app_id}-curated",
                     epoch=epoch_id,
                 )
+                # UD3: failed extractions are routed, not dropped — the
+                # quarantine table keeps (id, raw payload) for replay or
+                # audit once the provider/schema issue is fixed.
+                quarantined = extracted.filter(F.col("event").isNull()).select(
+                    id_col, "raw_response"
+                )
+                deltalite.write(
+                    quarantined,
+                    os.path.join(base_dir, "quarantine"),
+                    app_id=f"{app_id}-quarantine",
+                    epoch=epoch_id,
+                )
                 if with_actors:
                     deltalite.write(
                         flatten_actors(extracted, id_col=id_col),

@@ -1,0 +1,96 @@
+"""Plan-quality regression guards (SURVEY.md §4, SCALING.md).
+
+The oracle gate proves results; these tests pin the *physical plans* the
+scale story depends on. If a refactor reintroduces a cast-wrapped date
+predicate, un-broadcasts a dimension, or turns top-k into a global sort,
+correctness stays green while 100 TB behavior regresses — this file is
+what catches that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from acero_delta_lake_streaming_spark.operators.dedup import x2_minhash_near_dup
+from acero_delta_lake_streaming_spark.operators.relational import (
+    flagship_breakdown,
+    p1_project,
+    t1_topk,
+)
+from acero_delta_lake_streaming_spark.operators.tpch import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_date_bound_pushed_to_scan(spark, sf_dir):
+    plan = _physical(q1_pricing_summary(spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and any("l_shipdate" in ln and "PushedFilters: [" in ln for ln in scan)
+    # the raw column is compared, not a to_date()-wrapped copy
+    assert "cast(l_shipdate" not in plan.lower().replace(" ", "")
+
+
+def test_q3_q5_broadcast_dimensions(spark, sf_dir):
+    for q in (q3_shipping_priority, q5_region_revenue):
+        plan = _physical(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        # the fact-fact orderkey join may be sort-merge or shuffled-hash;
+        # what must never appear is a cartesian product
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _physical(t1_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = _physical(p1_project(spark, sf_dir))
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+
+def test_flagship_semi_joins_broadcast(spark, sf_dir):
+    plan = _physical(flagship_breakdown(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """The 100 TB trap from VERDICT r1: near-dup candidates must come
+    from equi-joins on band keys, never a cross join."""
+    plan = _physical(x2_minhash_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_collect_in_query_paths():
+    """Static guard: operator modules must not materialize to the driver
+    (collect/toPandas) inside query-building code. The feed builder in
+    streaming.queries is the one sanctioned edge-side exception."""
+    import inspect
+
+    from acero_delta_lake_streaming_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        sessionize,
+        similarity,
+        text,
+        tpch,
+        windows,
+    )
+
+    for mod in (relational, tpch, windows, dedup, similarity, text,
+                sessionize, multimodal):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, mod.__name__
+        assert ".toPandas()" not in src, mod.__name__

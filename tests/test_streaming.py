@@ -57,6 +57,9 @@ def test_incremental_ingest_dedup_and_empty_runs(spark, sf_dir, tmp_path):
     assert raw.count() == raw.select("doc_id").distinct().count()
     ok_docs = deltalite.read(spark, curated)
     assert ok_docs.count() == ok_docs.select("doc_id").distinct().count()
+    # UD3: every ingested doc is either curated or quarantined — no drops
+    quarantined = deltalite.read(spark, os.path.join(tables, "quarantine"))
+    assert ok_docs.count() + quarantined.count() == raw.count()
 
 
 def test_epoch_replay_is_exactly_once(spark, sf_dir, tmp_path):
