@@ -63,6 +63,8 @@ class Commit:
     schema_json: str
     app_id: str | None = None
     epoch: int | None = None
+    #: per-file column stats for data skipping: {rel_path: {col: [min, max]}}
+    stats: dict | None = None
 
 
 def _log_path(table: str, version: int) -> str:
@@ -87,6 +89,7 @@ def _read_log(table: str) -> list[Commit]:
                 schema_json=d["schema"],
                 app_id=d.get("app_id"),
                 epoch=d.get("epoch"),
+                stats=d.get("stats"),
             )
         )
     return commits
@@ -105,6 +108,7 @@ def _publish(table: str, commit: Commit) -> None:
             "schema": commit.schema_json,
             "app_id": commit.app_id,
             "epoch": commit.epoch,
+            "stats": commit.stats,
             "committed_at": time.time(),
         }
     )
@@ -136,6 +140,41 @@ def has_committed(table: str, app_id: str, epoch: int) -> bool:
     )
 
 
+def _collect_file_stats(
+    table: str, rel_files: tuple[str, ...], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max from parquet footers (Delta data-skipping stats).
+    Footer reads are metadata-only — no row data is scanned."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        meta = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        col_stats: dict = {}
+        for col in stats_cols:
+            if col not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lo, hi = min(mins), max(maxs)
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                if not isinstance(lo, (str, int, float, bool)):
+                    lo, hi = str(lo), str(hi)
+                col_stats[col] = [lo, hi]
+        if col_stats:
+            out[rel] = col_stats
+    return out
+
+
 def write(
     df: DataFrame,
     table: str,
@@ -143,6 +182,7 @@ def write(
     app_id: str | None = None,
     epoch: int | None = None,
     max_retries: int = 10,
+    stats_cols: list[str] | None = None,
 ) -> int | None:
     """Write ``df`` as one atomic commit; returns the committed version,
     or None when the (app_id, epoch) commit already exists (idempotent
@@ -169,6 +209,7 @@ def write(
         for name in sorted(os.listdir(abs_dir))
         if name.endswith(".parquet")
     )
+    stats = _collect_file_stats(table, rel_files, stats_cols) if stats_cols else None
 
     for _ in range(max_retries):
         # Re-check idempotence inside the retry loop: a concurrent replay
@@ -190,6 +231,7 @@ def write(
                     schema_json=df.schema.json(),
                     app_id=app_id,
                     epoch=epoch,
+                    stats=stats,
                 ),
             )
             return version
@@ -198,22 +240,42 @@ def write(
     raise ConcurrentCommitError(f"could not commit to {table} after retries")
 
 
-def snapshot_files(table: str, version: int | None = None) -> tuple[list[str], str]:
+def snapshot_files(
+    table: str,
+    version: int | None = None,
+    skip: tuple | None = None,
+) -> tuple[list[str], str]:
     """Resolve the (file list, schema json) visible at ``version``
-    (latest when None), honoring overwrite resets."""
+    (latest when None), honoring overwrite resets.
+
+    ``skip=(col, lo, hi)`` applies data skipping: files whose recorded
+    [min, max] for ``col`` cannot intersect [lo, hi] are pruned without
+    touching them. Files with no recorded stats are conservatively
+    kept."""
     log = _read_log(table)
     if not log:
         raise FileNotFoundError(f"no deltalite table at {table}")
     files: list[str] = []
+    stats: dict = {}
     schema_json = log[0].schema_json
     for c in log:
         if version is not None and c.version > version:
             break
         if c.action == "overwrite":
             files = list(c.files)
+            stats = dict(c.stats or {})
         else:
             files.extend(c.files)
+            stats.update(c.stats or {})
         schema_json = c.schema_json
+    if skip is not None:
+        col, lo, hi = skip
+        kept = []
+        for f in files:
+            rng = (stats.get(f) or {}).get(col)
+            if rng is None or not (hi < rng[0] or lo > rng[1]):
+                kept.append(f)
+        files = kept
     return [os.path.join(table, f) for f in files], schema_json
 
 
@@ -239,11 +301,17 @@ def history(table: str) -> list[Commit]:
 
 
 def read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip: tuple | None = None,
 ) -> DataFrame:
     """Lazy DataFrame over the table snapshot at ``version`` (time
-    travel); filters/projections push into the parquet scan as usual."""
-    files, schema_json = snapshot_files(table, version)
+    travel); filters/projections push into the parquet scan as usual.
+    ``skip=(col, lo, hi)`` prunes whole files by commit-recorded stats
+    before Spark ever lists them — the caller still applies the exact
+    row-level filter (skipping is a superset guarantee, like Delta's)."""
+    files, schema_json = snapshot_files(table, version, skip=skip)
     schema = T.StructType.fromJson(json.loads(schema_json))
     if not files:
         return spark.createDataFrame([], schema)

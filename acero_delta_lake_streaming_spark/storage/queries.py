@@ -65,6 +65,37 @@ _S3_SQL = (
 )
 
 
+def s3b_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping end to end: status-sliced commits carry footer
+    min/max stats; the read prunes to the one matching slice's files
+    before Spark lists anything, and the exact filter rides on top
+    (superset guarantee, like Delta's)."""
+    table = _scratch(sf_dir, "s3b_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    for status in ("F", "O", "P"):
+        deltalite.write(
+            orders.filter(orders.o_orderstatus == status),
+            table,
+            stats_cols=["o_orderstatus"],
+        )
+    pruned = deltalite.read(spark, table, skip=("o_orderstatus", "F", "F"))
+    return (
+        pruned.filter("o_orderstatus = 'F'")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_S3B_SQL = (
+    "SELECT o_orderpriority, count(*) AS n, "
+    "round(sum(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1"
+)
+
+
 # --------------------------------------------------------------------------
 # S4 — time travel
 # --------------------------------------------------------------------------
@@ -140,12 +171,14 @@ _S5_SQL = (
 
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
+    "s3b_skipping_scan": s3b_skipping_scan,
     "s4_time_travel": s4_time_travel,
     "s5_medallion_fanout": s5_medallion_fanout,
 }
 
 ORACLES = {
     "s3_delta_append_scan": _S3_SQL,
+    "s3b_skipping_scan": _S3B_SQL,
     "s4_time_travel": _S4_SQL,
     "s5_medallion_fanout": _S5_SQL,
 }

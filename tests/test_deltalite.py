@@ -97,6 +97,33 @@ def test_compaction_preserves_data_and_history(spark, table):
     ) == [0, 1, 2]
 
 
+def test_data_skipping_prunes_files(spark, sf_dir, table):
+    """Commit-recorded footer stats prune whole files on read (Delta
+    data-skipping analog): a status-sliced table reads only the matching
+    slice's files, and results equal the unpruned filter."""
+    from acero_delta_lake_streaming_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    for status in ("F", "O", "P"):
+        deltalite.write(
+            orders.filter(orders.o_orderstatus == status),
+            table,
+            stats_cols=["o_orderstatus", "o_totalprice"],
+        )
+    all_files, _ = deltalite.snapshot_files(table)
+    f_files, _ = deltalite.snapshot_files(table, skip=("o_orderstatus", "F", "F"))
+    assert len(f_files) < len(all_files)
+    pruned = deltalite.read(spark, table, skip=("o_orderstatus", "F", "F"))
+    expected = orders.filter("o_orderstatus = 'F'").count()
+    # skipping is a superset guarantee: exact filter still applied on top
+    assert pruned.filter("o_orderstatus = 'F'").count() == expected
+    # numeric range skip: a range beyond the data prunes everything
+    none_files, _ = deltalite.snapshot_files(
+        table, skip=("o_totalprice", 10**12, 10**13)
+    )
+    assert none_files == []
+
+
 def test_version_conflict_retries(spark, table):
     """A claimed version file forces the writer to the next version
     (optimistic concurrency) instead of clobbering or failing."""
