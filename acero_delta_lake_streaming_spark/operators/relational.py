@@ -56,6 +56,26 @@ def p2_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p3_concat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction-text concat (collector.py:182:
+    f"{title}\\n{description}") as a dedicated projection."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", "source", "text").alias("extract_text"),
+    )
+
+
+def p8_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-defaulting access (collector.py:98's missing-thumbnail →
+    None): nullify a sentinel, then coalesce to a default."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.col("source"), F.lit("src0")), F.lit("(default)")
+        ).alias("source_or_default"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Filters / predicates (P4-P9 — visualizer.py:87-99,112)
 # --------------------------------------------------------------------------
@@ -252,6 +272,18 @@ def t1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t3_sort_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-for-display (the pandas .head() previews, README.md:78-89):
+    top-15 orders by price with a deterministic tie-break — planned as
+    TakeOrderedAndProject like every bounded sort here."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
 def t2_topk_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restrict to the top-10 key set, then break down by a second key
     (visualizer.py:139-140): top-k → semi join → two-key count."""
@@ -412,6 +444,9 @@ def flagship_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "p1_project": p1_project,
     "p2_computed_columns": p2_computed_columns,
+    "p3_concat_text": p3_concat_text,
+    "p8_null_default": p8_null_default,
+    "t3_sort_display": t3_sort_display,
     "p4_membership_filter": p4_membership_filter,
     "p5_date_range_filter": p5_date_range_filter,
     "p6_anti_contains_filter": p6_anti_contains_filter,
@@ -446,6 +481,18 @@ ORACLES = {
     "p2_computed_columns": (
         "SELECT doc_id, 'news' AS feed, concat_ws(chr(10), lang, source) AS tag "
         "FROM documents"
+    ),
+    "p3_concat_text": (
+        "SELECT doc_id, concat_ws(chr(10), source, text) AS extract_text "
+        "FROM documents"
+    ),
+    "p8_null_default": (
+        "SELECT doc_id, coalesce(nullif(source, 'src0'), '(default)') "
+        "AS source_or_default FROM documents"
+    ),
+    "t3_sort_display": (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15"
     ),
     "p4_membership_filter": (
         "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "

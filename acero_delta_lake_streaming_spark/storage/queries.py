@@ -169,11 +169,34 @@ _S5_SQL = (
 )
 
 
+def s6_cached_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the dashboard's 1h read cache (visualizer.py:29) as
+    df.cache(): the second consumer reads the in-memory columnar copy,
+    not the parquet. Spark-side caching is snapshot-consistent by
+    construction (the plan is pinned at cache time)."""
+    table = _scratch(sf_dir, "s6_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    deltalite.write(orders, table, "append")
+    cached = deltalite.read(spark, table).cache()
+    counts = cached.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    totals = cached.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    return counts.join(totals, "o_orderstatus")
+
+
+_S6_SQL = (
+    "SELECT o_orderstatus, count(*) AS n, "
+    "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
     "s4_time_travel": s4_time_travel,
     "s5_medallion_fanout": s5_medallion_fanout,
+    "s6_cached_read": s6_cached_read,
 }
 
 ORACLES = {
@@ -181,4 +204,5 @@ ORACLES = {
     "s3b_skipping_scan": _S3B_SQL,
     "s4_time_travel": _S4_SQL,
     "s5_medallion_fanout": _S5_SQL,
+    "s6_cached_read": _S6_SQL,
 }
