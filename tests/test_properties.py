@@ -1,0 +1,72 @@
+"""Property tests (SURVEY.md §5.6): invariants that hold for any data,
+checked on the fixtures — dedup idempotence, top-k stability under
+repartitioning, union/row-count conservation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.dedup import x1_exact_dedup
+from acero_delta_lake_streaming_spark.operators.relational import (
+    t1_topk,
+    u1_union_discriminator,
+)
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """Dedup of a dedup is a no-op: every group in x1's output has one
+    distinct text, so re-deduplicating changes nothing."""
+    first = x1_exact_dedup(spark, sf_dir)
+    assert first.count() == first.select("text_key").distinct().count()
+    # applying the same group-keep-min to the kept set is identity
+    again = (
+        first.groupBy("text_key")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .count()
+    )
+    assert again == first.count()
+
+
+def test_topk_stable_under_repartition(spark, sf_dir):
+    """The top-k result must not depend on physical partitioning."""
+    base = sorted(map(tuple, t1_topk(spark, sf_dir).collect()))
+    for n in (1, 7):
+        shuffled = (
+            load_table(spark, sf_dir, "orders")
+            .repartition(n)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("o_custkey"))
+            .limit(10)
+        )
+        assert sorted(map(tuple, shuffled.collect())) == base
+
+
+def test_union_conserves_rows(spark, sf_dir):
+    """Union row count = sum of slice counts (no dedup surprise in
+    unionByName)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderstatus = 'F'").count()
+    b = orders.filter("o_orderstatus = 'O'").count()
+    assert u1_union_discriminator(spark, sf_dir).count() == a + b
+
+
+def test_dedup_output_partition_invariant(spark, sf_dir):
+    """Content-hash dedup keeps the same keep_id set regardless of input
+    partitioning (min is commutative across partial aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    results = []
+    for n in (2, 13):
+        out = (
+            corpus.repartition(n)
+            .groupBy(F.md5("text").alias("text_key"))
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1]
