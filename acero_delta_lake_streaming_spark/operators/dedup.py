@@ -149,11 +149,16 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short strings — MEMORY_AND_DISK spills safely at larger SF.
     sh = _shingle_rows(_near_dup_corpus(docs)).persist()
 
+    # One aggregation produces the 12 signature mins AND the shingle
+    # count — folding the count in saves a second full shuffle over the
+    # shingle set (it feeds the Jaccard denominator later).
     sig_aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
         for s in range(_N_HASHES)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    sigs = sh.groupBy("doc_id").agg(
+        *sig_aggs, F.count(F.lit(1)).alias("n_sh")
+    )
 
     stack_args = ", ".join(
         f"{b}, md5(concat(s{b * _ROWS_PER_BAND}, "
@@ -176,7 +181,7 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    counts = sigs.select("doc_id", "n_sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
