@@ -323,6 +323,19 @@ def u2_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).select("o_orderkey", "o_orderpriority")
 
 
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, verified bit-equal). At 100 TB use
+    ``approx_percentile`` (t-digest sketch, mergeable, no per-group
+    sort) — the tolerance contract is pinned in tests/test_properties.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT — customers with both finished and open orders. Spark
     plans it as a left-semi over distinct sides; one shuffle per side."""
@@ -470,6 +483,7 @@ QUERIES = {
     "u3_intersect": u3_intersect,
     "u4_except_all": u4_except_all,
     "a9_rollup": a9_rollup,
+    "a10_percentiles": a10_percentiles,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
     "ud2_explode_tokens": ud2_explode_tokens,
@@ -602,6 +616,13 @@ ORACLES = {
     "a9_rollup": (
         "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
         "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+    ),
+    "a10_percentiles": (
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+        "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 "
+        "FROM lineitem GROUP BY 1"
     ),
     "f_scalar_suite": (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, "

@@ -44,6 +44,18 @@ def test_topk_stable_under_repartition(spark, sf_dir):
         assert sorted(map(tuple, shuffled.collect())) == base
 
 
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The scale path for a10: approx_percentile (t-digest) must land
+    within 2% of the exact interpolated percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.02, r
+
+
 def test_union_conserves_rows(spark, sf_dir):
     """Union row count = sum of slice counts (no dedup surprise in
     unionByName)."""
