@@ -309,14 +309,207 @@ _X3C_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X3d — IVF (inverted-file) ANN: k-means coarse quantizer + probed search
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+
+
+def _sqdist_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - "
+        f"CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a deterministic k-means coarse quantizer (8 centroids,
+    2 Lloyd iterations, seeds = the 8 vectors with smallest
+    md5(vec_id)), then probed search over the 2 nearest cells per query.
+
+    Everything is DataFrame ops: assignment is a fold against 8
+    broadcast centroids (no shuffle of the corpus), the centroid update
+    is one posexplode + two hash aggs per iteration, and search scores
+    only the probed cells' members. At 100 TB the cell assignment is
+    computed once at ingest and stored as a partition column — the query
+    path then reads nprobe/k of the corpus. Iterative refinement happens
+    entirely in the engine, which is the point: k-means is a join+agg
+    loop, not a special system."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+
+    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    centroids = (
+        corpus.withColumn("seed_rk", F.row_number().over(seed_w))
+        .filter(F.col("seed_rk") <= _IVF_K)
+        .select(
+            (F.col("seed_rk") - 1).alias("cid"),
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("carr"),
+        )
+    )
+
+    def assign(cents):
+        d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        return (
+            corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", d)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    for _ in range(_IVF_ITERS):
+        members = assign(centroids).join(emb, "vec_id")
+        elems = members.select(
+            "cid", F.posexplode("embedding").alias("dim", "x")
+        )
+        centroids = (
+            elems.groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, v))), "
+                    "s -> s.v)"
+                ).alias("carr")
+            )
+        )
+
+    final_assign = assign(centroids)
+    scored = corpus.join(final_assign, "vec_id")
+
+    q_probe_w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (
+        corpus.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
+        )
+        .withColumn("rk", F.row_number().over(q_probe_w))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    cand = (
+        scored.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _ivf_sql() -> str:
+    corpus = (
+        "corpus AS (SELECT vec_id, embedding, "
+        f"{_norm_duck('embedding')} AS nrm FROM embeddings)"
+    )
+    seeds = (
+        "c0 AS (SELECT CAST(rk - 1 AS INT) AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS carr FROM ("
+        "SELECT vec_id, embedding, row_number() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM corpus) "
+        f"WHERE rk <= {_IVF_K})"
+    )
+
+    def assign(cent):
+        return (
+            f"(SELECT vec_id, cid FROM ("
+            f"SELECT c.vec_id, ct.cid, row_number() OVER ("
+            f"PARTITION BY c.vec_id ORDER BY "
+            f"{_sqdist_duck('c.embedding', 'ct.carr')} ASC, ct.cid ASC) AS rk "
+            f"FROM corpus c CROSS JOIN {cent} ct) WHERE rk = 1)"
+        )
+
+    def update(prev_assign):
+        return (
+            f"(SELECT cid, list(v ORDER BY dim) AS carr FROM ("
+            f"SELECT a.cid, t.dim, avg(CAST(e.embedding[t.dim + 1] AS DOUBLE)) AS v "
+            f"FROM {prev_assign} a "
+            f"JOIN embeddings e ON e.vec_id = a.vec_id "
+            f"CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS dim) t "
+            f"GROUP BY a.cid, t.dim) GROUP BY cid)"
+        )
+
+    cent = "c0"
+    ctes = [corpus, seeds]
+    for i in range(_IVF_ITERS):
+        ctes.append(f"a{i} AS {assign(cent)}")
+        ctes.append(f"c{i + 1} AS {update(f'a{i}')}")
+        cent = f"c{i + 1}"
+    ctes.append(f"fa AS {assign(cent)}")
+    ctes.append(
+        "probes AS (SELECT query_id, cid FROM ("
+        "SELECT q.vec_id AS query_id, ct.cid, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        f"{_sqdist_duck('q.embedding', 'ct.carr')} ASC, ct.cid ASC) AS rk "
+        f"FROM corpus q CROSS JOIN {cent} ct WHERE q.vec_id < {_N_QUERIES}) "
+        f"WHERE rk <= {_IVF_NPROBE})"
+    )
+    ctes.append(
+        "queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+        f"nrm AS q_nrm FROM corpus WHERE vec_id < {_N_QUERIES})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.query_id, c.vec_id, "
+        f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) AS cos "
+        "FROM corpus c JOIN fa ON fa.vec_id = c.vec_id "
+        "JOIN probes p ON p.cid = fa.cid "
+        "JOIN queries q ON q.query_id = p.query_id "
+        "WHERE c.vec_id <> p.query_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ("
+        "SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+        "FROM cand) WHERE rk <= 5"
+    )
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
     "x3c_cosine_neardup": x3c_cosine_neardup,
+    "x3d_ivf_topk": x3d_ivf_topk,
 }
 
 ORACLES = {
     "x3_cosine_topk": _X3_SQL,
     "x3b_ann_lsh": _X3B_SQL,
     "x3c_cosine_neardup": _X3C_SQL,
+    "x3d_ivf_topk": _ivf_sql(),
 }
