@@ -382,6 +382,37 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f7_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery: extract, replace, and match-test in one
+    projection (all JVM regex, codegen-friendly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", "([0-9]+)", 1).alias("src_num"),
+        F.regexp_replace("lang", "^(en|fr)$", "eu").alias("lang_zone"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
+def f8_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar battery over tokenized text: size, bounded slice,
+    membership, distinct count, sorted head — the list-manipulation
+    vocabulary the dedup/text operators build on."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_WORDS_FILTER)
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.concat_ws("_", F.slice(w, 1, 3)).alias("head3"),
+        F.array_contains(w, "spark").alias("has_spark"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.element_at(F.array_sort(w), 1).alias("first_sorted"),
+    )
+
+
+_WORDS_FILTER = "filter(split(text, ' '), x -> x != '')"
+
+
 def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode (F6 — processor.py:115's tool-call parse): from_json
     with an explicit schema, then aggregate on the extracted field."""
@@ -486,6 +517,8 @@ QUERIES = {
     "a10_percentiles": a10_percentiles,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
+    "f7_regexp_suite": f7_regexp_suite,
+    "f8_array_suite": f8_array_suite,
     "ud2_explode_tokens": ud2_explode_tokens,
     "flagship_breakdown": flagship_breakdown,
 }
@@ -634,6 +667,24 @@ ORACLES = {
     "f6_json_extract": (
         "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
         "count(*) AS n FROM events GROUP BY 1"
+    ),
+    "f7_regexp_suite": (
+        "SELECT doc_id, "
+        "coalesce(regexp_extract(source, '([0-9]+)', 1), '') AS src_num, "
+        "regexp_replace(lang, '^(en|fr)$', 'eu') AS lang_zone, "
+        "regexp_matches(text, '^[a-z]') AS starts_lower "
+        "FROM documents"
+    ),
+    "f8_array_suite": (
+        "WITH d AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+        "FROM documents) "
+        "SELECT doc_id, len(w) AS n_words, "
+        "array_to_string(w[1:3], '_') AS head3, "
+        "list_contains(w, 'spark') AS has_spark, "
+        "len(list_distinct(w)) AS n_distinct, "
+        "list_sort(w)[1] AS first_sorted "
+        "FROM d"
     ),
     "ud2_explode_tokens": (
         "SELECT tok AS token, count(*) AS n FROM "

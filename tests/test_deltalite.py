@@ -78,6 +78,32 @@ def test_crash_before_commit_invisible(spark, table):
     assert [r.id for r in deltalite.read(spark, table).collect()] == [1]
 
 
+def test_concurrent_writers_all_commit(spark, table):
+    """Four threads appending simultaneously: optimistic concurrency
+    must land all four commits at distinct versions with no lost data."""
+    import threading
+
+    deltalite.write(_df(spark, [(0, "seed")]), table)
+    errors = []
+
+    def worker(i):
+        try:
+            deltalite.write(_df(spark, [(100 + i, f"w{i}")]), table)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    versions = [c.version for c in deltalite.history(table)]
+    assert versions == sorted(set(versions)) and len(versions) == 5
+    got = sorted(r.id for r in deltalite.read(spark, table).collect())
+    assert got == [0, 100, 101, 102, 103]
+
+
 def test_compaction_preserves_data_and_history(spark, table):
     """OPTIMIZE analog: N small commits → 1 compact file set with
     identical data; pre-compaction versions stay readable."""

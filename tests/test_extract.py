@@ -93,6 +93,55 @@ def test_http_provider_requires_base_url():
         HttpExtractionProvider(base_url="")
 
 
+def test_http_provider_round_trip_against_local_server():
+    """The production seam actually speaks HTTP: a local one-shot server
+    returns canned extraction results; the provider must post the batch
+    and map the response list positionally."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        received = None
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            Handler.received = json.loads(self.rfile.read(n))
+            body = json.dumps(
+                {
+                    "results": [
+                        {
+                            "main_actors": [{"name": "A", "role": "r"}],
+                            "other_actors": [],
+                            "category": "Others",
+                        },
+                        None,
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        provider = HttpExtractionProvider(
+            base_url=f"http://127.0.0.1:{srv.server_port}"
+        )
+        out = provider.extract_batch(pd.Series(["text one", "text two"]))
+    finally:
+        srv.shutdown()
+    assert Handler.received["inputs"] == ["text one", "text two"]
+    assert json.loads(out[0])["category"] == "Others"
+    assert out[1] == "null"
+
+
 def test_mock_handles_empty_text():
     out = MockExtractionProvider().extract_batch(pd.Series(["", "one"]))
     parsed = json.loads(out[0]) if not out[0].startswith("ERROR") else None
