@@ -112,14 +112,50 @@ _W3_SQL = (
 )
 
 
+def w4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day over events — each event lands in
+    two overlapping buckets (``F.window`` with a slide; identical
+    semantics in a stream with a watermark). Output = window start
+    epoch-ms + count + distinct users."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n",
+            "n_users",
+        )
+    )
+
+
+_W4_SQL = (
+    # each event contributes to the window starting at its own day and
+    # the one starting a day earlier (2-day span, 1-day slide)
+    "WITH hits AS ("
+    "  SELECT epoch_ms(date_trunc('day', ts)) AS win_start_ms, user_id "
+    "  FROM events "
+    "  UNION ALL "
+    "  SELECT epoch_ms(date_trunc('day', ts) - INTERVAL 1 DAY), user_id "
+    "  FROM events) "
+    "SELECT win_start_ms, count(*) AS n, "
+    "count(DISTINCT user_id) AS n_users FROM hits GROUP BY 1"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
     "w3_rank_in_group": w3_rank_in_group,
+    "w4_sliding_windows": w4_sliding_windows,
 }
 
 ORACLES = {
     "w1_daily_delta": _W1_SQL,
     "w2_moving_avg": _W2_SQL,
     "w3_rank_in_group": _W3_SQL,
+    "w4_sliding_windows": _W4_SQL,
 }
