@@ -49,6 +49,13 @@ def x4_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tok_len"),
             F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias("ttr"),
             F.round(
+                F.size(
+                    F.expr("filter(w, x -> x IN ('a', 'the'))")
+                )
+                / F.size("w"),
+                4,
+            ).alias("stopword_ratio"),
+            F.round(
                 F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
                 * (F.size(F.array_distinct("w")) / F.size("w")),
                 4,
@@ -63,6 +70,8 @@ _X4_SQL = (
     "len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct, "
     "round(length(replace(text, ' ', '')) * 1.0 / len(w), 4) AS avg_tok_len, "
     "round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr, "
+    "round(len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w), 4) "
+    "AS stopword_ratio, "
     "round(least(len(w) / 100.0, 1.0) * "
     "(len(list_distinct(w)) * 1.0 / len(w)), 4) AS quality "
     "FROM d"

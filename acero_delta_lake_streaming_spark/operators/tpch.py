@@ -263,6 +263,35 @@ def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a part
+    subset (LIKE filter broadcast through the part dimension); profit =
+    revenue minus a retail-price-based cost proxy (the fixture lacks
+    ps_supplycost). Decimal accumulation for cross-engine rounding."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -270,6 +299,7 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_trade": q7_nation_trade,
+    "q9_product_profit": q9_product_profit,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q18_large_orders": q18_large_orders,
@@ -340,6 +370,19 @@ ORACLES = {
         "BETWEEN DATE '1995-01-01' AND DATE '1996-12-31' "
         "AND sn.n_name <> cn.n_name "
         "GROUP BY 1, 2, 3"
+    ),
+    "q9_product_profit": (
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "- p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))), 2) AS DOUBLE) "
+        "AS profit "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE contains(p_name, 'red') "
+        "GROUP BY 1, 2"
     ),
     "q10_returned_revenue": (
         "SELECT c_custkey, c_name, n_name, "
