@@ -38,6 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Release the previous query's scoped caches (x2 shingles, t2
+        # counts, flagship items, ...) so a session looping the registry
+        # holds at most one query's persisted subplans at a time.
+        from acero_delta_lake_streaming_spark.plans.cache import (
+            release_scoped,
+        )
+
+        release_scoped()
         # nanosAsLong must be set before the events parquet footer is read;
         # timezone pinned so date/epoch derivations match the oracle.
         spark.conf.set("spark.sql.session.timeZone", "UTC")

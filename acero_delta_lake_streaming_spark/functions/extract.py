@@ -263,17 +263,27 @@ _UD2_SQL = (
 
 def ud3_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-tolerance accounting: totals, successes, quarantined, and
-    flatten conservation (actor rows = Σ actors per ok doc)."""
+    flatten conservation (actor rows = Σ actors per ok doc).
+
+    Single-pass by construction: the actor-row count is derived from the
+    event struct's array sizes (= exactly flatten_actors' output rows),
+    so all four aggregates come out of ONE mapInPandas stage — in
+    production each extraction is an LLM call, so a second pass would
+    double the spend."""
     docs = load_table(spark, sf_dir, "documents")
     extracted = extract_events(docs)
-    flat = flatten_actors(extracted)
-    summary = extracted.agg(
+    n_actors = F.when(F.col("event").isNull(), F.lit(0)).otherwise(
+        F.size(F.coalesce(F.col("event.main_actors"), F.array()))
+        + F.size(F.coalesce(F.col("event.other_actors"), F.array()))
+    )
+    return extracted.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count("event").alias("n_ok"),
         (F.count(F.lit(1)) - F.count("event")).alias("n_quarantined"),
+        F.coalesce(F.sum(n_actors), F.lit(0)).cast("bigint").alias(
+            "n_actor_rows"
+        ),
     )
-    actor_rows = flat.agg(F.count(F.lit(1)).alias("n_actor_rows"))
-    return summary.crossJoin(actor_rows)
 
 
 _UD3_SQL = (
@@ -282,9 +292,11 @@ _UD3_SQL = (
     "SELECT count(*) AS n_total, "
     "count(*) FILTER (WHERE ok) AS n_ok, "
     "count(*) FILTER (WHERE NOT ok) AS n_quarantined, "
-    "coalesce(sum(CASE WHEN ok THEN "
+    # CAST: DuckDB sum(INTEGER) is HUGEINT (→ float64 in pandas); Spark's
+    # is BIGINT — pin both to int64 so the dtype can't affect the hash.
+    "CAST(coalesce(sum(CASE WHEN ok THEN "
     "least(len(w), 1) + CASE WHEN len(w) >= 2 THEN 1 ELSE 0 END "
-    "+ CASE WHEN len(w) >= 3 THEN 1 ELSE 0 END ELSE 0 END), 0) "
+    "+ CASE WHEN len(w) >= 3 THEN 1 ELSE 0 END ELSE 0 END), 0) AS BIGINT) "
     "AS n_actor_rows FROM base"
 )
 

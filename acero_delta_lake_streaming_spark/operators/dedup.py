@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 
 # --- shared shingle derivation (identical semantics in Spark + DuckDB) -----
 
@@ -146,8 +147,9 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set feeds three consumers (signatures, per-doc counts,
     # the intersection join); persisting computes the explode+distinct
     # once instead of three times. Shingle rows are ~|corpus|·|words|
-    # short strings — MEMORY_AND_DISK spills safely at larger SF.
-    sh = _shingle_rows(_near_dup_corpus(docs)).persist()
+    # short strings — MEMORY_AND_DISK spills safely at larger SF. The
+    # scoped registry unpersists it when the next query starts.
+    sh = scoped_persist(_shingle_rows(_near_dup_corpus(docs)))
 
     # One aggregation produces the 12 signature mins AND the shingle
     # count — folding the count in saves a second full shuffle over the

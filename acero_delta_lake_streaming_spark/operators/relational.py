@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.functions.timeutil import day_between
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 from acero_delta_lake_streaming_spark.schemas import EVENT_PROPS_SCHEMA
 
 # --------------------------------------------------------------------------
@@ -286,14 +287,27 @@ def t3_sort_display(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t2_topk_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restrict to the top-10 key set, then break down by a second key
-    (visualizer.py:139-140): top-k → semi join → two-key count."""
-    top = t1_topk(spark, sf_dir).select("o_custkey")
+    (visualizer.py:139-140).
+
+    One fact scan: aggregate to (custkey, status) counts first, persist
+    that (|custkeys|×|statuses| rows — tiny next to the fact), derive the
+    top-10 key set from it by re-aggregation, and semi-join back onto the
+    cached counts. Round 2 recomputed t1's full fact aggregation inside
+    this plan — at 100 TB that was a second full scan+shuffle."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.join(F.broadcast(top), "o_custkey", "left_semi")
-        .groupBy("o_custkey", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+    counts2 = scoped_persist(
+        orders.groupBy("o_custkey", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
+    top = (
+        counts2.groupBy("o_custkey")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("o_custkey"))
+        .limit(10)
+        .select("o_custkey")
+    )
+    return counts2.join(F.broadcast(top), "o_custkey", "left_semi")
 
 
 # --------------------------------------------------------------------------
@@ -466,6 +480,16 @@ def flagship_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         qualifying, li.l_orderkey == qualifying.o_orderkey, "left_semi"
     ).filter(~F.contains(F.lower("l_returnflag"), F.lit("a")))
 
+    # DELIBERATE recompute of `items` in both branches. Measured at
+    # sf0.1/local[32]: this shape runs 0.6 s warm vs 0.9 s for the
+    # persist-the-(part,flag)-counts variant — the cache materialization
+    # barrier costs more than the second scan, because the breakdown
+    # branch aggregates only AFTER the broadcast top-10 semi join has
+    # discarded ~99.9% of rows. On a disk-bound 100 TB cluster the
+    # second scan is real IO; there, cache the (l_partkey,
+    # l_returnflag) counts as t2_topk_breakdown does (same pattern,
+    # measured win) — the flip is a two-line change, documented in
+    # SCALING.md.
     top_parts = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -381,9 +381,22 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         elems = members.select(
             "cid", F.posexplode("embedding").alias("dim", "x")
         )
+        # Centroid coordinates accumulate in decimal(18,6): exact and
+        # order-independent, so the downstream argmin cell assignment
+        # cannot flip on partial-agg ordering (double-sum ULP drift
+        # across partitionings/engines is the failure mode; CLAUDE.md's
+        # decimal-accumulation invariant). Cast back to double only for
+        # the final per-cell mean.
         centroids = (
             elems.groupBy("cid", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("v")
+            )
             .groupBy("cid")
             .agg(
                 F.expr(
@@ -457,7 +470,9 @@ def _ivf_sql() -> str:
     def update(prev_assign):
         return (
             f"(SELECT cid, list(v ORDER BY dim) AS carr FROM ("
-            f"SELECT a.cid, t.dim, avg(CAST(e.embedding[t.dim + 1] AS DOUBLE)) AS v "
+            f"SELECT a.cid, t.dim, "
+            f"CAST(sum(CAST(CAST(e.embedding[t.dim + 1] AS DOUBLE) "
+            f"AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v "
             f"FROM {prev_assign} a "
             f"JOIN embeddings e ON e.vec_id = a.vec_id "
             f"CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS dim) t "

@@ -34,6 +34,10 @@ def x4_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no shuffle at all (pure map stage; at 100 TB this is a
     single pass that parquet column pruning reduces to the text column)."""
     docs = load_table(spark, sf_dir, "documents")
+    # nullif'd denominator: a zero-token doc must yield NULL ratios in
+    # BOTH engines (DuckDB's `x / 0` is Inf under ieee_floating_point_ops,
+    # which would diverge from Spark's NULL and break the hash gate).
+    ntok = F.expr("nullif(size(w), 0)")
     return (
         docs.withColumn("w", F.expr(_WORDS_SPARK))
         .select(
@@ -44,20 +48,20 @@ def x4_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("w")).alias("n_distinct"),
             F.round(
                 F.length(F.regexp_replace("text", " ", ""))
-                / F.size("w"),
+                / ntok,
                 4,
             ).alias("avg_tok_len"),
-            F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias("ttr"),
+            F.round(F.size(F.array_distinct("w")) / ntok, 4).alias("ttr"),
             F.round(
                 F.size(
                     F.expr("filter(w, x -> x IN ('a', 'the'))")
                 )
-                / F.size("w"),
+                / ntok,
                 4,
             ).alias("stopword_ratio"),
             F.round(
                 F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
-                * (F.size(F.array_distinct("w")) / F.size("w")),
+                * (F.size(F.array_distinct("w")) / ntok),
                 4,
             ).alias("quality"),
         )
@@ -68,12 +72,13 @@ _X4_SQL = (
     f"WITH d AS (SELECT doc_id, lang, text, {_WORDS_DUCK} AS w FROM documents) "
     "SELECT doc_id, lang, length(text) AS n_chars_txt, "
     "len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct, "
-    "round(length(replace(text, ' ', '')) * 1.0 / len(w), 4) AS avg_tok_len, "
-    "round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr, "
-    "round(len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w), 4) "
-    "AS stopword_ratio, "
+    "round(length(replace(text, ' ', '')) * 1.0 / nullif(len(w), 0), 4) "
+    "AS avg_tok_len, "
+    "round(len(list_distinct(w)) * 1.0 / nullif(len(w), 0), 4) AS ttr, "
+    "round(len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 "
+    "/ nullif(len(w), 0), 4) AS stopword_ratio, "
     "round(least(len(w) / 100.0, 1.0) * "
-    "(len(list_distinct(w)) * 1.0 / len(w)), 4) AS quality "
+    "(len(list_distinct(w)) * 1.0 / nullif(len(w), 0)), 4) AS quality "
     "FROM d"
 )
 
@@ -102,7 +107,8 @@ def x4b_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X4B_SQL = (
     f"WITH d AS (SELECT lang, source, text, {_WORDS_DUCK} AS w FROM documents) "
     "SELECT lang, count(*) AS n_docs, round(avg(length(text)), 2) AS avg_chars, "
-    "sum(len(w)) AS total_tokens, count(DISTINCT source) AS n_sources "
+    "CAST(sum(len(w)) AS BIGINT) AS total_tokens, "
+    "count(DISTINCT source) AS n_sources "
     "FROM d GROUP BY 1"
 )
 
@@ -159,8 +165,13 @@ def x4d_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # Guarded like _SHINGLES_SPARK: on a 0/1-char text Spark's
+    # sequence(1, length-1) would DESCEND (implicit step -1) and emit
+    # spurious bigrams where DuckDB's range(1, length) is empty.
     bigram_expr = (
-        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+        "CASE WHEN length(text) >= 2 THEN "
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2)) "
+        "ELSE array() END"
     )
     grams = docs.select(
         "doc_id", "lang", F.explode(F.expr(bigram_expr)).alias("bg")

@@ -23,9 +23,16 @@ from acero_delta_lake_streaming_spark.functions.extract import (
     extract_events,
     flatten_actors,
 )
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 from acero_delta_lake_streaming_spark.storage import deltalite
 
-_SCRATCH_ROOT = "/tmp/adls_spark_scratch"
+# Keyed by PID so concurrent sessions (external driver + a local
+# pytest/bench run on the same sf_dir) never share commit logs or race
+# the per-call rmtree. Override via ADLS_SCRATCH_ROOT when a stable
+# location is wanted.
+_SCRATCH_ROOT = os.environ.get(
+    "ADLS_SCRATCH_ROOT", f"/tmp/adls_spark_scratch_{os.getpid()}"
+)
 
 
 def _scratch(sf_dir: str, name: str) -> str:
@@ -139,7 +146,12 @@ def s5_medallion_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.select("doc_id", "text", "lang", "source")
     deltalite.write(raw, os.path.join(base, "raw"), "append")
 
-    extracted = extract_events(deltalite.read(spark, os.path.join(base, "raw")))
+    # curated and actors are separate write actions off the same
+    # extraction — persist so the mapInPandas stage (the LLM calls, in
+    # production) runs once, mirroring streaming/ingest.py's writer.
+    extracted = scoped_persist(
+        extract_events(deltalite.read(spark, os.path.join(base, "raw")))
+    )
     curated = extracted.filter(F.col("event").isNotNull()).select(
         "doc_id", F.col("event.category").alias("category")
     )
@@ -177,7 +189,7 @@ def s6_cached_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _scratch(sf_dir, "s6_orders")
     orders = load_table(spark, sf_dir, "orders")
     deltalite.write(orders, table, "append")
-    cached = deltalite.read(spark, table).cache()
+    cached = scoped_persist(deltalite.read(spark, table))
     counts = cached.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     totals = cached.groupBy("o_orderstatus").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total")

@@ -72,6 +72,48 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ud3_single_python_stage(spark, sf_dir):
+    """The extraction (= LLM calls in production) must run once: all four
+    aggregates come from one mapInPandas stage (VERDICT r2)."""
+    from acero_delta_lake_streaming_spark.functions.extract import (
+        ud3_quarantine_stats,
+    )
+
+    plan = _physical(ud3_quarantine_stats(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+
+
+def test_t2_reuses_cached_counts(spark, sf_dir):
+    """t2 must derive top-k and breakdown from ONE persisted two-key agg,
+    not re-run the fact aggregation (VERDICT r2)."""
+    from acero_delta_lake_streaming_spark.operators.relational import (
+        t2_topk_breakdown,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    plan = _physical(t2_topk_breakdown(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
+    release_scoped()
+
+
+def test_scoped_caches_released(spark, sf_dir):
+    """The entry wrapper frees the previous query's persisted subplans:
+    after release, no scoped DataFrame stays registered and the executor
+    storage it held is dropped."""
+    import __spark_entry__ as ep
+
+    from acero_delta_lake_streaming_spark.plans import cache
+
+    ep.queries()["x2_minhash_near_dup"](spark, sf_dir).collect()
+    assert cache._SCOPED, "x2 should register its shingle cache"
+    stored_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert stored_before >= 1
+    n = cache.release_scoped(blocking=True)
+    assert n >= 1 and not cache._SCOPED
+    stored_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert stored_after < stored_before
+
+
 def test_no_collect_in_query_paths():
     """Static guard: operator modules must not materialize to the driver
     (collect/toPandas) inside query-building code. The feed builder in
