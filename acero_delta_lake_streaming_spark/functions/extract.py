@@ -99,16 +99,46 @@ class MockExtractionProvider:
         return out
 
 
-class HttpExtractionProvider:
-    """OpenAI-compatible chat-completions provider (the production seam).
+_SYSTEM_PROMPT = (
+    "You are a structured information extraction engine. Identify the "
+    "specific named actors in the article (full official names, never "
+    "generic terms), split them into main and other actors with their "
+    "roles, and classify the event category."
+)
 
-    Mirrors processor.py:99-105's forced function call, but batched: one
-    HTTP request per Arrow batch. Requires an explicit ``base_url``; this
-    container has no network, so construction without one raises rather
-    than silently degrading.
+
+class HttpExtractionProvider:
+    """OpenAI-wire chat-completions provider (the production seam).
+
+    Speaks the exact wire contract of the reference's processor
+    (processor.py:99-117): POST ``{base_url}/chat/completions`` with a
+    forced ``extract_event`` function call, read the arguments JSON off
+    ``choices[0].message.tool_calls[0].function.arguments``. Differences
+    from the reference are deliberate:
+
+    * **batch-concurrent**: the Arrow batch fans out over a small thread
+      pool inside the executor worker (the calls are network-bound; the
+      reference's sequential per-article loop was its self-identified
+      bottleneck);
+    * **never raises** (UD3): a transport error or a reply without a tool
+      call returns a non-JSON marker string, so the row quarantines
+      downstream instead of killing the stage.
+
+    Requires an explicit ``base_url``; this container has no network, so
+    construction without one raises rather than silently degrading. The
+    wire shape itself is pinned by a stub-server test
+    (tests/test_extract.py).
     """
 
-    def __init__(self, base_url: str, model: str = "extract-1", timeout: int = 30):
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "gpt-4-turbo",
+        api_key: str | None = None,
+        timeout: int = 30,
+        max_concurrency: int = 8,
+        temperature: float = 0.3,
+    ):
         if not base_url:
             raise ValueError(
                 "HttpExtractionProvider needs an explicit base_url; "
@@ -116,26 +146,75 @@ class HttpExtractionProvider:
             )
         self.base_url = base_url.rstrip("/")
         self.model = model
+        self.api_key = api_key
         self.timeout = timeout
+        self.max_concurrency = max_concurrency
+        self.temperature = temperature
 
-    def extract_batch(self, texts: pd.Series) -> list[str]:
+    def _request_one(self, text: str) -> str:
         import urllib.request
+
+        from acero_delta_lake_streaming_spark.schemas import (
+            EVENT_RESPONSE_JSON_SCHEMA,
+        )
 
         payload = json.dumps(
             {
                 "model": self.model,
-                "inputs": list(texts),
-                "response_schema": "event_response",
+                "messages": [
+                    {"role": "system", "content": _SYSTEM_PROMPT},
+                    {"role": "user", "content": text},
+                ],
+                "tools": [
+                    {
+                        "type": "function",
+                        "function": {
+                            "name": "extract_event",
+                            "description": (
+                                "Extracts actors from a news article and "
+                                "classifies the event type."
+                            ),
+                            "parameters": EVENT_RESPONSE_JSON_SCHEMA,
+                        },
+                    }
+                ],
+                "tool_choice": {
+                    "type": "function",
+                    "function": {"name": "extract_event"},
+                },
+                "temperature": self.temperature,
             }
         ).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
         req = urllib.request.Request(
-            f"{self.base_url}/v1/extract",
-            data=payload,
-            headers={"Content-Type": "application/json"},
+            f"{self.base_url}/chat/completions", data=payload, headers=headers
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             body = json.load(resp)
-        return [json.dumps(r) if r is not None else "null" for r in body["results"]]
+        calls = body["choices"][0]["message"].get("tool_calls") or []
+        if not calls:
+            return "ERROR: model reply contained no tool call"
+        args = calls[0]["function"]["arguments"]
+        return args if isinstance(args, str) else json.dumps(args)
+
+    def extract_batch(self, texts: pd.Series) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def safe(text: str) -> str:
+            try:
+                return self._request_one(text)
+            except Exception as exc:  # noqa: BLE001 — quarantine, not crash
+                return f"ERROR: {exc}"
+
+        items = list(texts)
+        if not items:
+            return []
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_concurrency, len(items))
+        ) as pool:
+            return list(pool.map(safe, items))
 
 
 def extract_events(

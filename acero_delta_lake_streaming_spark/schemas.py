@@ -61,6 +61,28 @@ EVENT_CATEGORIES = (
     "Others",
 )
 
+#: EVENT_RESPONSE_SCHEMA as OpenAI-function-call JSON Schema — the wire
+#: shape the reference sends as ``EventResponse.model_json_schema()``
+#: (processor.py:74-78); here it is a hand-pinned constant so the wire
+#: contract can't drift from the Spark column type silently.
+_ACTOR_JSON_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string"},
+        "role": {"type": "string"},
+    },
+    "required": ["name"],
+}
+EVENT_RESPONSE_JSON_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "main_actors": {"type": "array", "items": _ACTOR_JSON_SCHEMA},
+        "other_actors": {"type": "array", "items": _ACTOR_JSON_SCHEMA},
+        "category": {"type": "string", "enum": list(EVENT_CATEGORIES)},
+    },
+    "required": ["main_actors", "other_actors", "category"],
+}
+
 # --- Multimodal column convention (SURVEY.md §2.10 X5) ----------------------
 
 #: opaque media payload + typed metadata; decode/feature-extract operators

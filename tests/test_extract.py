@@ -93,53 +93,131 @@ def test_http_provider_requires_base_url():
         HttpExtractionProvider(base_url="")
 
 
-def test_http_provider_round_trip_against_local_server():
-    """The production seam actually speaks HTTP: a local one-shot server
-    returns canned extraction results; the provider must post the batch
-    and map the response list positionally."""
-    import http.server
-    import threading
+class _ChatCompletionsStub:
+    """Minimal OpenAI-wire chat/completions stub for wire-shape tests."""
 
-    class Handler(http.server.BaseHTTPRequestHandler):
-        received = None
+    def __init__(self, with_tool_call: bool = True):
+        import http.server
+        import threading
 
-        def do_POST(self):
-            n = int(self.headers["Content-Length"])
-            Handler.received = json.loads(self.rfile.read(n))
-            body = json.dumps(
-                {
-                    "results": [
-                        {
-                            "main_actors": [{"name": "A", "role": "r"}],
-                            "other_actors": [],
-                            "category": "Others",
-                        },
-                        None,
-                    ]
-                }
-            ).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+        stub = self
+        stub.requests: list[tuple[str, dict, dict]] = []
+        lock = threading.Lock()
 
-        def log_message(self, *a):  # keep test output quiet
-            pass
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                req = json.loads(self.rfile.read(n))
+                with lock:
+                    stub.requests.append(
+                        (self.path, dict(self.headers), req)
+                    )
+                if with_tool_call:
+                    # Echo the article's first word back as the actor so
+                    # the test can pin positional mapping.
+                    first = req["messages"][1]["content"].split(" ")[0]
+                    message = {
+                        "role": "assistant",
+                        "tool_calls": [
+                            {
+                                "type": "function",
+                                "function": {
+                                    "name": "extract_event",
+                                    "arguments": json.dumps(
+                                        {
+                                            "main_actors": [
+                                                {
+                                                    "name": first,
+                                                    "role": "subject",
+                                                }
+                                            ],
+                                            "other_actors": [],
+                                            "category": "Others",
+                                        }
+                                    ),
+                                },
+                            }
+                        ],
+                    }
+                else:
+                    message = {"role": "assistant", "content": "cannot"}
+                body = json.dumps({"choices": [{"message": message}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
-    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
-    thread = threading.Thread(target=srv.serve_forever, daemon=True)
-    thread.start()
+            def log_message(self, *a):  # keep test output quiet
+                pass
+
+        self._srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self._srv.server_port}/v1"
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    def shutdown(self):
+        self._srv.shutdown()
+
+
+def test_http_provider_openai_wire_shape():
+    """The production seam speaks the reference's exact wire contract
+    (processor.py:99-117): POST /v1/chat/completions, forced
+    extract_event function call, arguments JSON read off the tool call —
+    pinned against a local stub server."""
+    stub = _ChatCompletionsStub()
     try:
         provider = HttpExtractionProvider(
-            base_url=f"http://127.0.0.1:{srv.server_port}"
+            base_url=stub.base_url, api_key="sk-test", max_concurrency=2
         )
-        out = provider.extract_batch(pd.Series(["text one", "text two"]))
+        out = provider.extract_batch(
+            pd.Series(["alpha article text", "beta article text"])
+        )
     finally:
-        srv.shutdown()
-    assert Handler.received["inputs"] == ["text one", "text two"]
-    assert json.loads(out[0])["category"] == "Others"
-    assert out[1] == "null"
+        stub.shutdown()
+
+    assert len(stub.requests) == 2
+    for path, headers, req in stub.requests:
+        assert path == "/v1/chat/completions"
+        assert headers.get("Authorization") == "Bearer sk-test"
+        assert req["model"] == "gpt-4-turbo"
+        assert req["messages"][0]["role"] == "system"
+        assert req["messages"][1]["role"] == "user"
+        fn = req["tools"][0]["function"]
+        assert req["tools"][0]["type"] == "function"
+        assert fn["name"] == "extract_event"
+        assert set(fn["parameters"]["properties"]) == {
+            "main_actors",
+            "other_actors",
+            "category",
+        }
+        assert req["tool_choice"] == {
+            "type": "function",
+            "function": {"name": "extract_event"},
+        }
+        assert req["temperature"] == 0.3
+    # Positional mapping: reply for text i maps to out[i].
+    assert [json.loads(o)["main_actors"][0]["name"] for o in out] == [
+        "alpha",
+        "beta",
+    ]
+
+
+def test_http_provider_quarantines_instead_of_raising():
+    """No tool call in the reply and transport failure both degrade to a
+    non-JSON marker (→ quarantine downstream), never an exception."""
+    stub = _ChatCompletionsStub(with_tool_call=False)
+    try:
+        provider = HttpExtractionProvider(base_url=stub.base_url)
+        out = provider.extract_batch(pd.Series(["some text"]))
+    finally:
+        stub.shutdown()
+    assert out[0].startswith("ERROR:")
+
+    dead = HttpExtractionProvider(
+        base_url="http://127.0.0.1:9", timeout=1  # discard port, refused
+    )
+    out = dead.extract_batch(pd.Series(["a", "b"]))
+    assert all(o.startswith("ERROR:") for o in out)
 
 
 def test_mock_handles_empty_text():

@@ -208,3 +208,59 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped == 1  # the late Jan-5 event
+
+
+def test_polling_orchestrator_two_cycles_no_duplicates(spark, tmp_path):
+    """S1 orchestrator: two poll cycles where cycle 2 re-serves every
+    cycle-1 item (RSS feeds always re-serve recent items) plus new ones.
+    The checkpointed guid dedup must commit each article exactly once,
+    and the loop must sleep between cycles, not after the last."""
+    from xml.sax.saxutils import escape
+
+    from acero_delta_lake_streaming_spark.streaming.feeds import (
+        run_polling_ingest,
+    )
+
+    def rss(items):
+        body = "".join(
+            "<item>"
+            f"<title>{escape(t)}</title>"
+            f"<description>{escape(d)}</description>"
+            f"<link>http://x/{g}</link><guid>{g}</guid>"
+            "<pubDate>Mon, 04 Mar 2024 10:00:00 GMT</pubDate>"
+            "</item>"
+            for g, t, d in items
+        )
+        return (
+            '<rss version="2.0"><channel><title>t</title>'
+            f"{body}</channel></rss>"
+        )
+
+    cycle1 = [("g1", "alpha one", "d1"), ("g2", "beta two", "d2")]
+    cycle2 = cycle1 + [("g3", "gamma three", "d3")]
+    batches = iter([cycle1, cycle2])
+    sleeps: list[float] = []
+
+    drop, tables, cp = (
+        str(tmp_path / "drop"),
+        str(tmp_path / "tables"),
+        str(tmp_path / "cp"),
+    )
+    cycles = run_polling_ingest(
+        spark,
+        drop,
+        tables,
+        cp,
+        fetcher=lambda: [("news", rss(next(batches)))],
+        interval_s=7.0,
+        max_cycles=2,
+        sleep_fn=sleeps.append,
+    )
+    assert cycles == 2
+    assert sleeps == [7.0]  # between the two cycles only
+
+    raw = deltalite.read(spark, os.path.join(tables, "raw"))
+    ids = sorted(r.id for r in raw.select("id").collect())
+    assert ids == ["g1", "g2", "g3"]  # re-served g1/g2 not re-committed
+    # two drop files landed and neither overwrote the other
+    assert len([f for f in os.listdir(drop) if f.endswith(".parquet")]) == 2
