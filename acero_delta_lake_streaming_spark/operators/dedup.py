@@ -133,27 +133,14 @@ _X1_SQL = (
 # --------------------------------------------------------------------------
 
 
-def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+def _signatures_and_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MinHash signatures (+ shingle counts) and banded-LSH candidate
+    pairs from distinct (doc_id, sh) rows. Split out so the scale tests
+    can measure |candidates| growth directly (tests/test_scale_growth.py).
 
-    Plan shape (all JVM built-ins, no Python):
-      shingle explode → distinct → groupBy(doc) with 12 min-hash aggs
-      → stack to 4 band rows → self-equijoin on (band, key) → distinct
-      pairs → shingle-intersection join → Jaccard filter.
-    The only joins are equi-joins on band keys and shingle strings —
-    shuffle volume is O(shingles + candidates), never O(n²).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # The shingle set feeds three consumers (signatures, per-doc counts,
-    # the intersection join); persisting computes the explode+distinct
-    # once instead of three times. Shingle rows are ~|corpus|·|words|
-    # short strings — MEMORY_AND_DISK spills safely at larger SF. The
-    # scoped registry unpersists it when the next query starts.
-    sh = scoped_persist(_shingle_rows(_near_dup_corpus(docs)))
-
-    # One aggregation produces the 12 signature mins AND the shingle
-    # count — folding the count in saves a second full shuffle over the
-    # shingle set (it feeds the Jaccard denominator later).
+    One aggregation produces the 12 signature mins AND the shingle
+    count — folding the count in saves a second full shuffle over the
+    shingle set (it feeds the Jaccard denominator later)."""
     sig_aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
         for s in range(_N_HASHES)
@@ -182,7 +169,28 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return sigs, cand
 
+
+def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (all JVM built-ins, no Python):
+      shingle explode → distinct → groupBy(doc) with 12 min-hash aggs
+      → stack to 4 band rows → self-equijoin on (band, key) → distinct
+      pairs → shingle-intersection join → Jaccard filter.
+    The only joins are equi-joins on band keys and shingle strings —
+    shuffle volume is O(shingles + candidates), never O(n²).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The shingle set feeds three consumers (signatures, per-doc counts,
+    # the intersection join); persisting computes the explode+distinct
+    # once instead of three times. Shingle rows are ~|corpus|·|words|
+    # short strings — MEMORY_AND_DISK spills safely at larger SF. The
+    # scoped registry unpersists it when the next query starts.
+    sh = scoped_persist(_shingle_rows(_near_dup_corpus(docs)))
+
+    sigs, cand = _signatures_and_candidates(sh)
     counts = sigs.select("doc_id", "n_sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -137,19 +137,11 @@ _W_DUCK = (
 ).format(dim=_DIM)
 
 
-def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via multi-table sign-LSH.
-
-    4 hash tables × 3 hyperplanes: a corpus vector is a candidate for a
-    query iff they share a bucket in at least one table (standard
-    OR-amplified LSH — single-table recall on weakly-clustered data is
-    poor). Bucket assignment is a per-row fold against 12 broadcast
-    hyperplanes; the candidate join is an equi-join on (table, bucket) —
-    the corpus never self-joins all-pairs. At larger scale raise
-    planes-per-table to keep |bucket| ≈ constant; recall floor vs
-    x3_cosine_topk is pinned in tests/test_similarity.py.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
+def _lsh_candidate_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id) sign-LSH candidate pairs: bucket every vector
+    in each of the 4 tables, equi-join on (table, bucket) against the
+    query vectors' buckets. Split out so the scale tests can measure
+    |candidates| growth directly (tests/test_scale_growth.py)."""
     n_planes = _N_TABLES * _PLANES_PER_TABLE
     planes = (
         spark.range(n_planes)
@@ -176,15 +168,12 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
-    scored = emb.select(
-        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
-    )
     q_buckets = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand_ids = (
+    return (
         buckets.join(
             F.broadcast(q_buckets),
             (F.col("tbl") == F.col("q_tbl"))
@@ -193,6 +182,25 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "vec_id")
         .distinct()
+    )
+
+
+def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via multi-table sign-LSH.
+
+    4 hash tables × 3 hyperplanes: a corpus vector is a candidate for a
+    query iff they share a bucket in at least one table (standard
+    OR-amplified LSH — single-table recall on weakly-clustered data is
+    poor). Bucket assignment is a per-row fold against 12 broadcast
+    hyperplanes; the candidate join is an equi-join on (table, bucket) —
+    the corpus never self-joins all-pairs. At larger scale raise
+    planes-per-table to keep |bucket| ≈ constant; recall floor vs
+    x3_cosine_topk is pinned in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand_ids = _lsh_candidate_ids(emb.sparkSession, emb)
+    scored = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
     )
     queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
