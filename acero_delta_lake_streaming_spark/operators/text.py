@@ -224,11 +224,48 @@ _X4D_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X4e — BPE-style pre-tokenizer counting
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer split (contractions | space?-letters |
+#: space?-digits | space?-punct-run) with the RE2-unsupported trailing
+#: whitespace lookahead dropped — verified to tokenize identically under
+#: Java regex (Spark) and RE2 (DuckDB).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def x4e_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way an LLM pipeline budgets cost: whitespace
+    tokens next to BPE-style pre-tokens per document. Pure map stage —
+    at 100 TB this is one pruned-column pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_WORDS_SPARK)).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
+_X4E_SQL = (
+    "SELECT doc_id, "
+    f"len({_WORDS_DUCK}) AS n_ws_tokens, "
+    f"len(regexp_extract_all(text, '{_BPE_PAT.replace(chr(39), chr(39) * 2)}')) "
+    "AS n_bpe_tokens, "
+    "len(list_distinct(regexp_extract_all(text, "
+    f"'{_BPE_PAT.replace(chr(39), chr(39) * 2)}'))) AS n_bpe_distinct "
+    "FROM documents"
+)
+
+
 QUERIES = {
     "x4_doc_stats": x4_doc_stats,
     "x4b_lang_profile": x4b_lang_profile,
     "x4c_fingerprint": x4c_fingerprint,
     "x4d_langid_ngram": x4d_langid_ngram,
+    "x4e_bpe_token_stats": x4e_bpe_token_stats,
 }
 
 ORACLES = {
@@ -236,4 +273,5 @@ ORACLES = {
     "x4b_lang_profile": _X4B_SQL,
     "x4c_fingerprint": _X4C_SQL,
     "x4d_langid_ngram": _X4D_SQL,
+    "x4e_bpe_token_stats": _X4E_SQL,
 }

@@ -35,6 +35,7 @@ _OPTIONAL = (
     "acero_delta_lake_streaming_spark.operators.text",
     "acero_delta_lake_streaming_spark.operators.sessionize",
     "acero_delta_lake_streaming_spark.operators.multimodal",
+    "acero_delta_lake_streaming_spark.operators.asof",
     "acero_delta_lake_streaming_spark.functions.extract",
     "acero_delta_lake_streaming_spark.storage.queries",
     "acero_delta_lake_streaming_spark.streaming.queries",
@@ -69,8 +70,10 @@ _PRIORITY = [
     "x2c_ngram_jaccard_pairs",
     "x3_cosine_topk", "x3b_ann_lsh", "x3c_cosine_neardup", "x3d_ivf_topk",
     "x4_doc_stats", "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
+    "x4e_bpe_token_stats",
     "x5_meta_pruning", "x5b_decode_features",
     "x6_sessionize", "x6b_session_stats",
+    "xj1_asof_prior_click",
     # extraction pipeline
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer

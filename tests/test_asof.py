@@ -1,0 +1,85 @@
+"""asof_join semantics on hand-built frames: strict vs exact matching,
+tie-breaks, left NULLs, and the no-join-node plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from acero_delta_lake_streaming_spark.operators.asof import (
+    asof_join,
+    xj1_asof_prior_click,
+)
+
+LEFT = [  # (id, k, t)
+    (1, "a", 10),
+    (2, "a", 20),
+    (3, "a", 30),
+    (4, "b", 10),
+    (5, "c", 10),  # key with no right rows at all
+]
+RIGHT = [  # (rid, k, t, v)
+    (100, "a", 5, 1.0),
+    (101, "a", 20, 2.0),  # exactly at left t=20
+    (102, "a", 25, 3.0),
+    (103, "b", 9, 4.0),
+    (104, "b", 9, 5.0),  # same (k, t) — tiebreak must pick rid=104
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(LEFT, "id long, k string, t long")
+    right = spark.createDataFrame(RIGHT, "rid long, k string, t long, v double")
+    return left, right
+
+
+def test_asof_strict_excludes_equal_timestamps(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: (r.prior_rid, r.prior_v)
+        for r in asof_join(
+            left, right, "k", "t", "t",
+            {"prior_rid": "rid", "prior_v": "v"},
+            allow_exact=False, right_tiebreak="rid",
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)  # t=10: only t=5 precedes
+    assert out[2] == (100, 1.0)  # t=20: the t=20 right row is NOT eligible
+    assert out[3] == (102, 3.0)  # t=30: latest earlier is t=25
+    assert out[4] == (104, 5.0)  # (b,9) tie -> greatest rid
+    assert out[5] == (None, None)  # no right rows for key c
+
+
+def test_asof_exact_includes_equal_timestamps(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: r.prior_rid
+        for r in asof_join(
+            left, right, "k", "t", "t",
+            {"prior_rid": "rid"},
+            allow_exact=True, right_tiebreak="rid",
+        ).collect()
+    }
+    assert out[2] == 101  # t=20 right row now matches its own timestamp
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "t", "t", {"prior_rid": "rid"},
+        right_tiebreak="rid",
+    )
+    assert out.count() == len(LEFT)
+    assert [c for c in out.columns] == ["id", "k", "t", "prior_rid"]
+
+
+def test_asof_plan_has_no_join_node(spark, sf_dir):
+    """The whole point: union + one windowed sort per key — no join
+    operator, no cartesian, one exchange on the key."""
+    plan = (
+        xj1_asof_prior_click(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
