@@ -1,4 +1,5 @@
-"""As-of (point-in-time) join — a temporal operator Spark lacks natively.
+"""Temporal joins Spark lacks a native/scalable plan for: as-of
+(point-in-time) lookup and the bounded range join.
 
 The training-data staple: "for each example at time t, the latest
 feature/event at-or-before t per key" (point-in-time correctness in
@@ -165,10 +166,86 @@ _XJ1_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# XJ2 — bucketed range join (bounded time-window lookback)
+# --------------------------------------------------------------------------
+
+_LOOKBACK_NS = 3_600 * 1_000_000_000  # 1 hour
+
+
+def xj2_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: how many clicks the same user made in the
+    preceding hour (the bounded-window feature join).
+
+    A naive `c.t BETWEEN p.t - 1h AND p.t` join condition gives Spark a
+    nested-loop plan — the classic range-join trap. Bucketing time into
+    lookback-sized cells turns it into an **equi-join**: a click lives in
+    exactly one cell, a purchase probes its own cell and the previous
+    one (2 rows after a small explode), and the exact range predicate
+    rides on top as a post-join filter. Candidates per purchase = the
+    user's clicks in ≤2 cells, shuffle keys are (user, cell) — the plan
+    is guarded nested-loop-free in tests/test_asof.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts_ns").alias("p_tns"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns").alias("c_tns"),
+        F.expr(f"ts_ns DIV {_LOOKBACK_NS}").alias("cell"),
+    )
+    probes = purchases.select(
+        "p_event_id",
+        "user_id",
+        "p_tns",
+        F.explode(
+            F.expr(
+                f"array(p_tns DIV {_LOOKBACK_NS}, "
+                f"p_tns DIV {_LOOKBACK_NS} - 1)"
+            )
+        ).alias("cell"),
+    )
+    matched = probes.join(clicks, ["user_id", "cell"]).filter(
+        (F.col("c_tns") >= F.col("p_tns") - _LOOKBACK_NS)
+        & (F.col("c_tns") < F.col("p_tns"))
+    )
+    counts = matched.groupBy("p_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return (
+        purchases.join(counts, "p_event_id", "left")
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.expr("p_tns DIV 1000000").alias("ts_ms"),
+            F.coalesce("n_clicks_1h", F.lit(0)).cast("bigint").alias(
+                "n_clicks_1h"
+            ),
+        )
+    )
+
+
+_XJ2_SQL = (
+    "WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns "
+    "FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT user_id, epoch_ns(ts) AS tns "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT p.event_id, p.user_id, p.tns // 1000000 AS ts_ms, "
+    "CAST(count(c.tns) AS BIGINT) AS n_clicks_1h "
+    "FROM p LEFT JOIN c ON c.user_id = p.user_id "
+    f"AND c.tns >= p.tns - {_LOOKBACK_NS} AND c.tns < p.tns "
+    "GROUP BY 1, 2, 3"
+)
+
+
 QUERIES = {
     "xj1_asof_prior_click": xj1_asof_prior_click,
+    "xj2_range_clicks_before_purchase": xj2_range_clicks_before_purchase,
 }
 
 ORACLES = {
     "xj1_asof_prior_click": _XJ1_SQL,
+    "xj2_range_clicks_before_purchase": _XJ2_SQL,
 }

@@ -83,3 +83,19 @@ def test_asof_plan_has_no_join_node(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as an equi-join on
+    (user, cell) — the naive range condition's nested-loop plan is the
+    100 TB trap this operator exists to avoid."""
+    from acero_delta_lake_streaming_spark.operators.asof import (
+        xj2_range_clicks_before_purchase,
+    )
+
+    plan = (
+        xj2_range_clicks_before_purchase(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
