@@ -79,19 +79,22 @@ _NEAR_DUP_CORPUS_SQL = (
 
 
 def _shingle_rows(corpus: DataFrame) -> DataFrame:
-    """Distinct (doc_id, sh) word-trigram shingle rows."""
-    return (
-        corpus.withColumn("w", F.expr(_WORDS_SPARK))
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
-        .distinct()
+    """Distinct (doc_id, sh) word-trigram shingle rows.
+
+    Deduped with per-row ``array_distinct`` BEFORE the explode: the
+    set semantics are per-document, so a global ``.distinct()`` (a full
+    shuffle of every shingle row — the r2 shape) buys nothing a map-side
+    array op doesn't. One less shuffle on the hottest intermediate."""
+    return corpus.withColumn("w", F.expr(_WORDS_SPARK)).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
     )
 
 
 _SHINGLE_ROWS_SQL = (
-    "SELECT DISTINCT doc_id, sh FROM ("
-    f"  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM ("
-    f"    SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus))"
-)
+    "SELECT doc_id, unnest(list_distinct({shingles})) AS sh FROM ("
+    f"  SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus)"
+).format(shingles=_SHINGLES_DUCK)
 
 
 # --------------------------------------------------------------------------
