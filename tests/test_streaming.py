@@ -264,3 +264,66 @@ def test_polling_orchestrator_two_cycles_no_duplicates(spark, tmp_path):
     assert ids == ["g1", "g2", "g3"]  # re-served g1/g2 not re-committed
     # two drop files landed and neither overwrote the other
     assert len([f for f in os.listdir(drop) if f.endswith(".parquet")]) == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """ST7: purchases joined to same-user clicks in the preceding hour,
+    across micro-batches — a click buffered in epoch 0 must match a
+    purchase arriving in epoch 1, and out-of-range/cross-user clicks
+    must not. The join carries watermarks on both sides so click state
+    is evictable (the unbounded-state trap)."""
+    from acero_delta_lake_streaming_spark.streaming.joins import (
+        interval_click_join,
+    )
+
+    t0 = _ts_ns(2024, 1, 1)
+    m = 60 * 1_000_000_000  # one minute in ns
+    rows0 = [
+        (1, t0 + 10 * m, 7, "click", 0.0),
+        (2, t0 + 50 * m, 7, "click", 0.0),
+        (3, t0 + 20 * m, 8, "click", 0.0),  # other user — never matches
+    ]
+    rows1 = [
+        (4, t0 + 60 * m, 7, "purchase", 9.9),  # matches clicks 1, 2
+        (5, t0 + 90 * m, 7, "click", 0.0),
+        (6, t0 + 95 * m, 7, "purchase", 9.9),  # matches clicks 2, 5
+    ]
+    drop, cp = str(tmp_path / "drop"), str(tmp_path / "cp")
+    os.makedirs(drop)
+    f0, f1 = os.path.join(drop, "b0.parquet"), os.path.join(drop, "b1.parquet")
+    write_single_parquet(spark.createDataFrame(rows0, EVENT_BATCH_SCHEMA), f0)
+    write_single_parquet(spark.createDataFrame(rows1, EVENT_BATCH_SCHEMA), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    matched = []
+
+    def collect(batch_df, epoch_id):
+        matched.extend(
+            (r.p_event_id, r.c_event_id) for r in batch_df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        interval_click_join(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(matched) == [(4, 1), (4, 2), (6, 2), (6, 5)]
+
+    # Batch equivalence: the same plan over the union of both batches.
+    batch = spark.createDataFrame(rows0 + rows1, EVENT_BATCH_SCHEMA)
+    batch_pairs = sorted(
+        (r.p_event_id, r.c_event_id)
+        for r in interval_click_join(batch).collect()
+    )
+    assert batch_pairs == sorted(matched)
