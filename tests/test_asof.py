@@ -99,3 +99,69 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property test: the union+window formulation must agree with
+    pandas.merge_asof (the trusted single-node reference) on random
+    inputs, for both strict and at-or-before matching. Right-side ties
+    on (key, t) resolve to the greatest rid on both sides (merge_asof
+    keeps the last row in sort order; we sort by (t, rid))."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from(["a", "b", "c"])
+    times = st.integers(min_value=0, max_value=50)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left_rows=st.lists(st.tuples(keys, times), min_size=1, max_size=8),
+        right_rows=st.lists(
+            st.tuples(keys, times, st.floats(0, 9, allow_nan=False)),
+            max_size=8,
+        ),
+        allow_exact=st.booleans(),
+    )
+    def check(left_rows, right_rows, allow_exact):
+        left = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+        right = [(100 + i, k, t, v) for i, (k, t, v) in enumerate(right_rows)]
+        ldf = spark.createDataFrame(left, "id long, k string, t long")
+        rdf = spark.createDataFrame(
+            right, "rid long, k string, t long, v double"
+        )
+        got = {
+            r.id: (r.rid, r.v)
+            for r in asof_join(
+                ldf, rdf, "k", "t", "t",
+                {"rid": "rid", "v": "v"},
+                allow_exact=allow_exact, right_tiebreak="rid",
+            ).collect()
+        }
+
+        lp = pd.DataFrame(left, columns=["id", "k", "t"]).sort_values(
+            "t", kind="mergesort"
+        )
+        rp = (
+            pd.DataFrame(right, columns=["rid", "k", "t", "v"])
+            .astype({"rid": "int64", "t": "int64", "v": "float64"})
+            .sort_values(["t", "rid"], kind="mergesort")
+        )
+        exp_df = pd.merge_asof(
+            lp, rp, on="t", by="k",
+            allow_exact_matches=allow_exact, direction="backward",
+        )
+        exp = {
+            int(r.id): (
+                None if pd.isna(r.rid) else int(r.rid),
+                None if pd.isna(r.v) else r.v,
+            )
+            for r in exp_df.itertuples()
+        }
+        assert got == exp
+
+    check()
