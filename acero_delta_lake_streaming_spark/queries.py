@@ -81,7 +81,7 @@ _PRIORITY = [
     "s5_medallion_fanout", "s6_cached_read",
     # streaming
     "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
-    "st4_windowed_counts",
+    "st4_windowed_counts", "st7_interval_join",
     # flagship + core-family representatives (keep §2 component spread
     # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",

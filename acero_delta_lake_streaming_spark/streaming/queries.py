@@ -276,11 +276,90 @@ _ST2_SQL = (
 )
 
 
+def st7_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 driven as a REAL stream: events split chronologically into two
+    micro-batches, pushed through the watermark-bounded stream-stream
+    interval join (streaming/joins.py), pairs committed per epoch to a
+    transactional sink and read back. The chronological split matters:
+    after epoch 0 the watermark sits one lookback behind the split
+    point, so every click still needed by an epoch-1 purchase is still
+    buffered — the streamed result equals the batch join, which is what
+    the oracle recomputes (at µs precision, matching the engine's
+    ns→µs timestamp conversion)."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+    from acero_delta_lake_streaming_spark.streaming.joins import (
+        interval_click_join,
+    )
+
+    base = _scratch(sf_dir, "st7")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    split_ns = 1705363200 * 1_000_000_000  # 2024-01-16T00:00Z, mid-corpus
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(events.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(events.filter(F.col("ts_ns") >= split_ns), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(batch_df, out, app_id="st7", epoch=epoch_id)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        interval_click_join(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pairs = deltalite.read(spark, out)
+    return pairs.select(
+        "p_event_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        "c_event_id",
+        F.unix_millis("c_ts").alias("c_ts_ms"),
+    )
+
+
+_ST7_SQL = (
+    "WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT p.event_id AS p_event_id, p.user_id, "
+    "p.tus // 1000 AS p_ts_ms, "
+    "c.event_id AS c_event_id, c.tus // 1000 AS c_ts_ms "
+    "FROM p JOIN c ON c.user_id = p.user_id "
+    "AND c.tus >= p.tus - 3600000000 AND c.tus < p.tus"
+)
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
     "st2_stateful_totals": st2_stateful_totals,
     "st4_windowed_counts": st4_windowed_counts,
+    "st7_interval_join": st7_interval_join,
 }
 
 ORACLES = {
@@ -288,4 +367,5 @@ ORACLES = {
     "st1_medallion_ingest": _ST1_SQL,
     "st2_stateful_totals": _ST2_SQL,
     "st4_windowed_counts": _ST4_SQL,
+    "st7_interval_join": _ST7_SQL,
 }
