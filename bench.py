@@ -40,9 +40,13 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_near_dup",
     "x3_cosine_topk",
+    "x3b_ann_lsh",
     "x4_doc_stats",
+    "x4e_bpe_token_stats",
     "x6_sessionize",
     "ud1_extract_categories",
+    "xj1_asof_prior_click",
+    "xj2_range_clicks_before_purchase",
 ]
 
 
