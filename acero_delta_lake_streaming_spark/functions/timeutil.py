@@ -40,6 +40,11 @@ def day_gt(col: str, day: str) -> Column:
     return F.col(col) >= _ntz(_next_day(day))
 
 
+def day_ge(col: str, day: str) -> Column:
+    """date(col) >= day  ⇔  col >= day."""
+    return F.col(col) >= _ntz(day)
+
+
 def day_between(col: str, lo: str, hi: str) -> Column:
     """date(col) BETWEEN lo AND hi  ⇔  col >= lo AND col < hi+1."""
     return (F.col(col) >= _ntz(lo)) & (F.col(col) < _ntz(_next_day(hi)))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.functions.timeutil import (
     day_between,
+    day_ge,
     day_gt,
     day_le,
     day_lt,
@@ -292,6 +293,102 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate, then a
+    distribution over the per-key counts (two cascaded aggregations).
+    The outer join keeps zero-order customers — the c_count=0 bucket is
+    the part an inner join would silently lose."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a window over the part key — one shuffle
+    on l_partkey instead of a per-row subquery. The per-part average
+    accumulates in decimal(18,6): the 0.2·avg threshold feeds a strict
+    comparison, and a ULP of partial-agg drift there flips rows in and
+    out of the sum (CLAUDE.md's decimal invariant)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li_p = li.join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    avg_q = (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li_p.withColumn("avg_q", avg_q)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                ).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for the phone country
+    code): customers with above-average positive balance and no orders
+    since 2000 — a scalar-aggregate threshold (broadcast single-row
+    equi-join on a dummy key, NOT a collect or a cross join) feeding a
+    left anti join. Non-vacuous by construction (every fixture customer
+    has SOME order, so plain no-orders would test nothing; 55 rows at
+    sf0.01). Threshold and totals accumulate in decimal(18,6) for the
+    same boundary-flip reason as q17."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(day_ge("o_orderdate", "2000-01-01"))
+        .select("o_custkey")
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    rich = (
+        cust.withColumn("jk", F.lit(1))
+        .join(F.broadcast(thr), "jk")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("totacctbal"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -301,9 +398,12 @@ QUERIES = {
     "q7_nation_trade": q7_nation_trade,
     "q9_product_profit": q9_product_profit,
     "q10_returned_revenue": q10_returned_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_brand_revenue": q19_brand_revenue,
+    "q22_dormant_balances": q22_dormant_balances,
 }
 
 ORACLES = {
@@ -424,5 +524,36 @@ ORACLES = {
         "AND l_quantity BETWEEN 10 AND 30) "
         "OR (p_brand = 'Brand#33' AND p_size <= 35 "
         "AND l_quantity BETWEEN 20 AND 40)"
+    ),
+    "q13_customer_distribution": (
+        "WITH o AS (SELECT o_custkey, o_orderkey FROM orders "
+        "WHERE o_orderpriority <> '1-URGENT'), "
+        "per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN o ON c_custkey = o_custkey GROUP BY 1) "
+        "SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1"
+    ),
+    "q17_small_quantity_revenue": (
+        "WITH li_p AS (SELECT l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#23'), "
+        "st AS (SELECT *, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER "
+        "(PARTITION BY l_partkey) AS DOUBLE) "
+        "/ (COUNT(*) OVER (PARTITION BY l_partkey)) AS avg_q FROM li_p) "
+        "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) "
+        "AS DOUBLE) / 7.0, 2) AS avg_yearly "
+        "FROM st WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_q"
+    ),
+    "q22_dormant_balances": (
+        "WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) "
+        "AS DOUBLE) / COUNT(*) AS avg_bal "
+        "FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_nationkey, count(*) AS numcust, "
+        "ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) "
+        "AS totacctbal "
+        "FROM customer JOIN thr ON c_acctbal > avg_bal "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01') "
+        "GROUP BY 1"
     ),
 }
