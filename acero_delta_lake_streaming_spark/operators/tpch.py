@@ -351,9 +351,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (nationkey standing in for the phone country
     code): customers with above-average positive balance and no orders
-    since 2000 — a scalar-aggregate threshold (broadcast single-row
-    equi-join on a dummy key, NOT a collect or a cross join) feeding a
-    left anti join. Non-vacuous by construction (every fixture customer
+    since 2000 — a scalar-aggregate threshold feeding a left anti join.
+    The dummy-key join against the 1-row aggregate constant-folds into a
+    single-build-row BroadcastNestedLoopJoin — that is Spark's own
+    physical shape for an uncorrelated scalar subquery (O(|cust|·1),
+    no blowup), chosen here over a driver-side collect which would break
+    the no-collect invariant. Non-vacuous by construction (every fixture customer
     has SOME order, so plain no-orders would test nothing; 55 rows at
     sf0.01). Threshold and totals accumulate in decimal(18,6) for the
     same boundary-flip reason as q17."""

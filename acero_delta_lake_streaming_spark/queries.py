@@ -78,7 +78,7 @@ _PRIORITY = [
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
-    "s5_medallion_fanout", "s6_cached_read",
+    "s5_medallion_fanout", "s6_cached_read", "s7_upsert_merge",
     # streaming
     "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
     "st4_windowed_counts", "st7_interval_join",

@@ -240,6 +240,115 @@ def write(
     raise ConcurrentCommitError(f"could not commit to {table} after retries")
 
 
+def upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    app_id: str | None = None,
+    epoch: int | None = None,
+) -> int | None:
+    """MERGE analog: rows matching ``key_cols`` are replaced by ``df``'s
+    version, unmatched rows are inserted — in ONE atomic commit.
+
+    Copy-on-write at file granularity, like Delta's MERGE: one metadata
+    scan finds the data files that actually contain matched keys
+    (``input_file_name`` + a broadcast semi-join on the keys); untouched
+    files are carried into the new snapshot by reference, only affected
+    files are rewritten (minus matched rows) alongside the new data.
+    Time travel keeps working — prior commits still reference the old
+    files.
+
+    Concurrency is serializable-by-abort: the commit claims exactly
+    ``base_version + 1``; if any other writer committed since the
+    snapshot was taken, the claim fails and ConcurrentCommitError is
+    raised (re-run the merge on the new snapshot) — clobbering a
+    concurrent append silently, as a blind overwrite-retry would, is the
+    one thing a MERGE must never do."""
+    if app_id is not None and epoch is not None and has_committed(table, app_id, epoch):
+        return None
+    if not table_exists(table):
+        return write(df, table, "append", app_id=app_id, epoch=epoch)
+
+    from urllib.parse import unquote, urlparse
+
+    import pyspark.sql.functions as F
+
+    abs_files, schema_json = snapshot_files(table)
+    base_version = latest_version(table)
+    if schema_json != df.schema.json():
+        raise SchemaMismatchError(
+            f"upsert schema drift for {table}: table={schema_json} "
+            f"df={df.schema.json()}"
+        )
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    keys = df.select(*key_cols).distinct()
+
+    def _norm(uri: str) -> str:
+        parsed = urlparse(uri)
+        return os.path.abspath(unquote(parsed.path) if parsed.scheme else uri)
+
+    affected = {
+        _norm(r.src_file)
+        for r in (
+            spark.read.schema(schema)
+            .parquet(*abs_files)
+            .withColumn("src_file", F.input_file_name())
+            .join(F.broadcast(keys), list(key_cols), "left_semi")
+            .select("src_file")
+            .distinct()
+            .collect()  # driver-side METADATA only: one row per data file
+        )
+    }
+    table_abs = os.path.abspath(table)
+    kept_rel, rewrite_abs = [], []
+    for f in abs_files:
+        if os.path.abspath(f) in affected:
+            rewrite_abs.append(f)
+        else:
+            kept_rel.append(os.path.relpath(os.path.abspath(f), table_abs))
+
+    survivors = (
+        spark.read.schema(schema)
+        .parquet(*rewrite_abs)
+        .join(F.broadcast(keys), list(key_cols), "left_anti")
+        if rewrite_abs
+        else spark.createDataFrame([], schema)
+    )
+    out = survivors.unionByName(df.select(*[f.name for f in schema.fields]))
+
+    commit_dir = f"commit-{uuid.uuid4().hex}"
+    abs_dir = os.path.join(table, _DATA_DIR, commit_dir)
+    out.write.mode("errorifexists").parquet(abs_dir)
+    new_rel = tuple(
+        os.path.join(_DATA_DIR, commit_dir, name)
+        for name in sorted(os.listdir(abs_dir))
+        if name.endswith(".parquet")
+    )
+
+    if app_id is not None and epoch is not None and has_committed(table, app_id, epoch):
+        return None
+    version = base_version + 1
+    try:
+        _publish(
+            table,
+            Commit(
+                version=version,
+                action="overwrite",
+                files=tuple(kept_rel) + new_rel,
+                schema_json=schema_json,
+                app_id=app_id,
+                epoch=epoch,
+            ),
+        )
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{table} changed since the merge snapshot (version "
+            f"{base_version}); re-run the merge against the new snapshot"
+        ) from None
+    return version
+
+
 def snapshot_files(
     table: str,
     version: int | None = None,

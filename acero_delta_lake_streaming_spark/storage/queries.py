@@ -203,12 +203,68 @@ _S6_SQL = (
 )
 
 
+def s7_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — MERGE round trip: seed the table with orders, upsert a
+    changed version of the 'P' slice (price bumped +1000) plus brand-new
+    rows (offset keys), then aggregate the merged snapshot. The oracle
+    recomputes merge-by-hand in SQL, so matched-replace, unmatched-
+    insert, and untouched-carry-over are all value-checked."""
+    table = _scratch(sf_dir, "s7_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders, table, "append")
+    # The bump is an ADDITION, not a ×1.1-and-round: a 2-dp price times
+    # 1.1 lands exactly on .005 rounding ties, which Spark (HALF_UP) and
+    # DuckDB break differently — per-row round of computed doubles is a
+    # parity trap. Addition needs no per-row rounding at all.
+    p_slice = orders.filter("o_orderstatus = 'P'")
+    changes = p_slice.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(
+        p_slice.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
+    )
+    deltalite.upsert(spark, changes, table, ["o_orderkey"])
+    return (
+        deltalite.read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_S7_SQL = (
+    "WITH merged AS ("
+    "  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "  WHERE o_orderstatus <> 'P' "
+    "  UNION ALL "
+    "  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 "
+    "  FROM orders WHERE o_orderstatus = 'P' "
+    "  UNION ALL "
+    "  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice "
+    "  FROM orders WHERE o_orderstatus = 'P') "
+    "SELECT o_orderstatus, count(*) AS n, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+    "AS total FROM merged GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
     "s4_time_travel": s4_time_travel,
     "s5_medallion_fanout": s5_medallion_fanout,
     "s6_cached_read": s6_cached_read,
+    "s7_upsert_merge": s7_upsert_merge,
 }
 
 ORACLES = {
@@ -217,4 +273,5 @@ ORACLES = {
     "s4_time_travel": _S4_SQL,
     "s5_medallion_fanout": _S5_SQL,
     "s6_cached_read": _S6_SQL,
+    "s7_upsert_merge": _S7_SQL,
 }

@@ -167,3 +167,73 @@ def test_version_conflict_retries(spark, table):
     v = deltalite.write(_df(spark, [(2, "b")]), table)
     assert v == 2
     assert sorted(r.id for r in deltalite.read(spark, table).collect()) == [1, 2]
+
+
+def test_upsert_merge_semantics(spark, table):
+    """MERGE: matched keys replaced, unmatched inserted, one commit;
+    time travel still sees the pre-merge rows."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    v = deltalite.upsert(
+        spark, _df(spark, [(2, "B2"), (9, "new")]), table, ["id"]
+    )
+    assert v == 1
+    now = {r.id: r.v for r in deltalite.read(spark, table).collect()}
+    assert now == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    before = {r.id: r.v for r in deltalite.read(spark, table, version=0).collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
+
+
+def test_upsert_rewrites_only_affected_files(spark, table):
+    """Copy-on-write granularity: a commit's files without matched keys
+    are carried into the new snapshot by reference, not rewritten."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table)
+    deltalite.write(_df(spark, [(3, "c"), (4, "d")]).coalesce(1), table)
+    files_before, _ = deltalite.snapshot_files(table)
+    deltalite.upsert(spark, _df(spark, [(4, "D2")]), table, ["id"])
+    files_after, _ = deltalite.snapshot_files(table)
+    # the commit holding ids 1-2 is untouched; the 3-4 file was replaced
+    untouched = set(files_before) & set(files_after)
+    assert len(untouched) == 1
+    assert {r.id: r.v for r in deltalite.read(spark, table).collect()} == {
+        1: "a", 2: "b", 3: "c", 4: "D2"
+    }
+
+
+def test_upsert_idempotent_epoch_and_conflict(spark, table, monkeypatch):
+    deltalite.write(_df(spark, [(1, "a")]), table)
+    v = deltalite.upsert(
+        spark, _df(spark, [(1, "A")]), table, ["id"], app_id="m", epoch=5
+    )
+    assert v == 1
+    # replaying the same epoch is a no-op
+    assert (
+        deltalite.upsert(
+            spark, _df(spark, [(1, "XXX")]), table, ["id"], app_id="m", epoch=5
+        )
+        is None
+    )
+    assert {r.v for r in deltalite.read(spark, table).collect()} == {"A"}
+
+    # A commit landing BETWEEN the merge snapshot and its publish must
+    # abort the merge (serializable-by-abort), never be clobbered. The
+    # race is injected by stealing the version right before publish.
+    orig_publish = deltalite._publish
+    raced = {"done": False}
+
+    def race(table_, commit):
+        if not raced["done"]:
+            raced["done"] = True
+            orig_publish(
+                table_,
+                deltalite.Commit(
+                    version=commit.version,
+                    action="append",
+                    files=(),
+                    schema_json=commit.schema_json,
+                ),
+            )
+        orig_publish(table_, commit)
+
+    monkeypatch.setattr(deltalite, "_publish", race)
+    with pytest.raises(deltalite.ConcurrentCommitError):
+        deltalite.upsert(spark, _df(spark, [(2, "b")]), table, ["id"])
