@@ -378,11 +378,107 @@ _X2C_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X2d — near-dup clusters (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+_CC_ITERS = 6
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", iters: int = _CC_ITERS
+) -> DataFrame:
+    """Connected components by min-label propagation, pure DataFrame ops:
+    every node starts labeled with itself; each round replaces a node's
+    label with the minimum label among itself and its neighbors. After
+    ``iters`` rounds every node within graph distance ``iters`` of its
+    component's minimum carries that minimum.
+
+    A fixed iteration count keeps the plan action-free (no driver-side
+    convergence loop); near-dup graphs are unions of small cliques —
+    LSH pairs connect documents sharing bands — so the diameter is far
+    below 6. For general graphs at scale, run the same body under a
+    driver loop with an AQE-sized convergence check, or switch to the
+    alternating large-star/small-star algorithm (same join+agg
+    primitives, provably O(log n) rounds).
+
+    Returns (node, component) with component = min node id reachable."""
+    # Each round references the previous labels TWICE (neighbor join +
+    # carry-through), so the lineage doubles per round: 2^iters copies
+    # of the upstream pair pipeline. A persist is NOT enough — the
+    # runtime would reuse cached blocks but the driver still builds the
+    # exponentially-nested logical plan (measured: OOMs the driver at 6
+    # rounds). localCheckpoint materializes each round's ~|nodes| rows
+    # AND truncates the plan to a LogicalRDD — the standard lineage cut
+    # for iterative DataFrame algorithms. On a cluster with executor
+    # loss concerns, swap for reliable checkpoint(dir).
+    edges = scoped_persist(
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def x2d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster rollup: MinHash pairs → connected components →
+    one row per cluster (canonical representative = min doc_id, member
+    count). This is the step that turns pairwise similarity into a
+    keep-one-per-cluster dedup decision."""
+    # pairs feeds both direction branches of the edge build — persist so
+    # the whole MinHash pipeline runs once.
+    pairs = scoped_persist(
+        x2_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+def _x2d_sql() -> str:
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + _x2_sql()
+        + ")), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, label) AS ("
+        "  SELECT u, u FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node) "
+        "SELECT component, count(*) AS n_docs, max(node) AS max_doc FROM ("
+        "  SELECT node, min(label) AS component FROM reach GROUP BY 1) "
+        "GROUP BY 1"
+    )
+
+
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x2_minhash_near_dup": x2_minhash_near_dup,
     "x2b_simhash_groups": x2b_simhash_groups,
     "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
+    "x2d_dup_clusters": x2d_dup_clusters,
 }
 
 ORACLES = {
@@ -390,4 +486,5 @@ ORACLES = {
     "x2_minhash_near_dup": _x2_sql(),
     "x2b_simhash_groups": _x2b_sql(),
     "x2c_ngram_jaccard_pairs": _X2C_SQL,
+    "x2d_dup_clusters": _x2d_sql(),
 }

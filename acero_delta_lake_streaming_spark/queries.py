@@ -67,7 +67,7 @@ for _name in _OPTIONAL:
 _PRIORITY = [
     # LLM-pipeline X-operators
     "x1_exact_dedup", "x2_minhash_near_dup", "x2b_simhash_groups",
-    "x2c_ngram_jaccard_pairs",
+    "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
     "x3_cosine_topk", "x3b_ann_lsh", "x3c_cosine_neardup", "x3d_ivf_topk",
     "x4_doc_stats", "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
     "x4e_bpe_token_stats",
