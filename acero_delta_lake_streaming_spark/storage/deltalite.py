@@ -409,6 +409,54 @@ def history(table: str) -> list[Commit]:
     return _read_log(table)
 
 
+def vacuum(
+    table: str, keep_versions: int = 0, min_age_s: float = 0.0
+) -> list[str]:
+    """VACUUM analog: delete data files referenced only by snapshots
+    older than ``latest - keep_versions`` (plus uncommitted orphans from
+    crashed writers). Time travel to vacuumed versions stops working —
+    exactly Delta's retention trade. ``min_age_s`` is the safety window
+    for concurrent writers mid-commit (their data exists before their
+    commit file does; Delta's default retention serves the same
+    purpose — never vacuum with 0 age while writers are live).
+
+    Returns the deleted paths relative to the table root."""
+    log = _read_log(table)
+    if not log:
+        return []
+    latest = log[-1].version
+    referenced: set[str] = set()
+    for v in range(max(0, latest - keep_versions), latest + 1):
+        files, _ = snapshot_files(table, version=v)
+        referenced.update(os.path.abspath(f) for f in files)
+    data_root = os.path.join(table, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        return []
+    import shutil
+
+    now = time.time()
+    deleted = []
+    # Commit-dir granularity: a commit's files enter snapshots all
+    # together, so a directory either has referenced parquet (live) or
+    # none (vacuumable along with its _SUCCESS/.crc sidecars).
+    for entry in sorted(os.listdir(data_root)):
+        commit_dir = os.path.join(data_root, entry)
+        if not os.path.isdir(commit_dir):
+            continue
+        paths = [
+            os.path.join(dp, n)
+            for dp, _dirs, names in os.walk(commit_dir)
+            for n in names
+        ]
+        if any(os.path.abspath(p) in referenced for p in paths):
+            continue
+        if any(now - os.path.getmtime(p) < min_age_s for p in paths):
+            continue
+        deleted.extend(os.path.relpath(p, table) for p in paths)
+        shutil.rmtree(commit_dir)
+    return sorted(deleted)
+
+
 def read(
     spark: SparkSession,
     table: str,

@@ -237,3 +237,36 @@ def test_upsert_idempotent_epoch_and_conflict(spark, table, monkeypatch):
     monkeypatch.setattr(deltalite, "_publish", race)
     with pytest.raises(deltalite.ConcurrentCommitError):
         deltalite.upsert(spark, _df(spark, [(2, "b")]), table, ["id"])
+
+
+def test_vacuum_retention(spark, table):
+    """VACUUM deletes files only older snapshots reference; the current
+    snapshot survives, time travel beyond retention breaks (the Delta
+    trade), keep_versions widens the window, orphans are collected."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.compact(spark, table)  # v1 overwrite: v0 files now old
+    # orphan from a crashed writer: data dir with no commit
+    orphan_dir = os.path.join(table, "data", "commit-orphan")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+
+    # a fresh orphan inside the safety window is NOT deleted
+    assert deltalite.vacuum(table, keep_versions=0, min_age_s=3600) == []
+    deleted = deltalite.vacuum(table, keep_versions=0)
+    assert deleted, "v0 files and the orphan should be collected"
+    assert any("orphan" in d for d in deleted)
+
+    # current snapshot intact
+    assert {r.id for r in deltalite.read(spark, table).collect()} == {1, 2}
+    # vacuumed version unreadable (files gone, commit remains as history)
+    import py4j.protocol
+
+    with pytest.raises(Exception):
+        deltalite.read(spark, table, version=0).collect()
+    # keep_versions=1 would have kept v0: rebuild and check
+    table2 = table + "_2"
+    deltalite.write(_df(spark, [(1, "a")]), table2)
+    deltalite.compact(spark, table2)
+    assert deltalite.vacuum(table2, keep_versions=1) == []
+    assert {r.id for r in deltalite.read(spark, table2, version=0).collect()} == {1}
