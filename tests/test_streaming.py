@@ -327,3 +327,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in interval_click_join(batch).collect()
     )
     assert batch_pairs == sorted(matched)
+
+
+def test_streaming_sessionization_merges_across_batches(spark, tmp_path):
+    """ST8: session_window as a STREAMING aggregation — a session left
+    open by epoch 0 must absorb an in-gap event from epoch 1 (state
+    merge), and emit exactly once when the watermark closes it. This is
+    the streaming form of x6_sessionize (same operator, same gap)."""
+    drop, cp = str(tmp_path / "drop"), str(tmp_path / "cp")
+    os.makedirs(drop)
+    t0 = _ts_ns(2024, 1, 1)
+    m = 60 * 1_000_000_000
+    # user 7: events at 0 and 10min (epoch 0), then 20min (epoch 1,
+    # within the 30min gap -> same session), then a far event at 10h
+    # that pushes the watermark past the session's close.
+    b0 = [(1, t0, 7, "click", 1.0), (2, t0 + 10 * m, 7, "view", 1.0)]
+    b1 = [(3, t0 + 20 * m, 7, "click", 1.0), (4, t0 + 600 * m, 8, "view", 1.0)]
+    f0, f1 = os.path.join(drop, "b0.parquet"), os.path.join(drop, "b1.parquet")
+    write_single_parquet(spark.createDataFrame(b0, EVENT_BATCH_SCHEMA), f0)
+    write_single_parquet(spark.createDataFrame(b1, EVENT_BATCH_SCHEMA), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    emitted = []
+
+    def collect(batch_df, epoch_id):
+        emitted.extend(
+            (r.user_id, r.n) for r in batch_df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # exactly one emission for user 7's merged 3-event session; user 8's
+    # session is still open (watermark never passes it) -> not emitted
+    assert emitted == [(7, 3)]
