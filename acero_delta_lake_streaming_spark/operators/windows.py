@@ -146,11 +146,66 @@ _W4_SQL = (
 )
 
 
+def w5_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsample: per (event_type, day), the value of
+    the first event (open), max (high), min (low), and last event
+    (close). First/last are picked by row_number over the exact
+    (ts_ns, event_id) order — value-deterministic even with same-ns
+    events. One shuffle on the (type, day) key; window and final agg
+    share the partitioning, so the window sort is the only extra cost."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns DIV 86400000000000").alias("day_idx"),
+        "ts_ns",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("event_type", "day_idx").orderBy(
+        "ts_ns", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "day_idx").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_W5_SQL = (
+    "WITH e AS (SELECT event_type, "
+    "epoch_ns(ts) // 86400000000000 AS day_idx, "
+    "epoch_ns(ts) AS tns, event_id, value FROM events), "
+    "r AS (SELECT *, "
+    "row_number() OVER (PARTITION BY event_type, day_idx "
+    "ORDER BY tns, event_id) AS rn_a, "
+    "row_number() OVER (PARTITION BY event_type, day_idx "
+    "ORDER BY tns DESC, event_id DESC) AS rn_d FROM e) "
+    "SELECT event_type, day_idx, "
+    "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
+    "count(*) AS n "
+    "FROM r GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
     "w3_rank_in_group": w3_rank_in_group,
     "w4_sliding_windows": w4_sliding_windows,
+    "w5_ohlc_downsample": w5_ohlc_downsample,
 }
 
 ORACLES = {
@@ -158,4 +213,5 @@ ORACLES = {
     "w2_moving_avg": _W2_SQL,
     "w3_rank_in_group": _W3_SQL,
     "w4_sliding_windows": _W4_SQL,
+    "w5_ohlc_downsample": _W5_SQL,
 }

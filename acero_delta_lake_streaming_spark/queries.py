@@ -74,6 +74,7 @@ _PRIORITY = [
     "x5_meta_pruning", "x5b_decode_features",
     "x6_sessionize", "x6b_session_stats",
     "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
+    "w5_ohlc_downsample",
     # extraction pipeline
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer
