@@ -176,13 +176,89 @@ def x5b_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X5c — frame sampling (1 video row → N frame rows, Python-side UDTF shape)
+# --------------------------------------------------------------------------
+
+_FRAME_INTERVAL_MS = 5_000
+
+
+def sample_frames(
+    media: DataFrame, interval_ms: int = _FRAME_INTERVAL_MS
+) -> DataFrame:
+    """Frame-sampling over the binary column: one output row per sampled
+    frame (every ``interval_ms`` of duration, inclusive of t=0) — the
+    1→N mapInPandas shape a real video pipeline uses, with the actual
+    frame decode stubbed deterministically (md5(content ‖ index) stands
+    in for the decoded frame; this container has no video codecs). The
+    projection into the Python stage is (id, content, duration) only.
+    Resize/re-encode transforms are the 1→1 variant of the same
+    plumbing (see decode_features)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                data = bytes(content) if content is not None else b""
+                n = int(duration // interval_ms) + 1
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        hashlib.md5(data + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    narrow = media.filter(F.col("meta.media_type") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return narrow.mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame inventory after sampling. The frame BYTES are
+    byte-level (not SQL territory), but the frame COUNTS are a pure
+    function of the duration metadata — so this oracle value-checks the
+    1→N expansion itself: n_frames = duration // interval + 1, indexes
+    dense from 0."""
+    media = build_media_table(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_idx").cast("bigint").alias("first_idx"),
+        F.max("frame_idx").cast("bigint").alias("last_idx"),
+        F.countDistinct("frame").alias("n_distinct_frames"),
+    )
+
+
+_X5C_SQL = (
+    "WITH vids AS (SELECT doc_id AS media_id, "
+    "CAST(n_chars * 37 AS BIGINT) AS duration_ms "
+    "FROM documents WHERE doc_id % 3 = 2) "
+    "SELECT media_id, "
+    f"CAST(duration_ms // {_FRAME_INTERVAL_MS} + 1 AS BIGINT) AS n_frames, "
+    "CAST(0 AS BIGINT) AS first_idx, "
+    f"CAST(duration_ms // {_FRAME_INTERVAL_MS} AS BIGINT) AS last_idx, "
+    f"CAST(duration_ms // {_FRAME_INTERVAL_MS} + 1 AS BIGINT) "
+    "AS n_distinct_frames "
+    "FROM vids"
+)
+
+
 QUERIES = {
     "x5_meta_pruning": x5_meta_pruning,
     "x5b_decode_features": x5b_decode_features,
+    "x5c_frame_sample": x5c_frame_sample,
 }
 
 ORACLES = {
     "x5_meta_pruning": _X5_SQL,
     # x5b intentionally absent: byte-level decode is not SQL-expressible;
     # the driver records the rows-only check and tests pin the values.
+    "x5c_frame_sample": _X5C_SQL,
 }

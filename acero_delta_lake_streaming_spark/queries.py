@@ -71,7 +71,7 @@ _PRIORITY = [
     "x3_cosine_topk", "x3b_ann_lsh", "x3c_cosine_neardup", "x3d_ivf_topk",
     "x4_doc_stats", "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
     "x4e_bpe_token_stats",
-    "x5_meta_pruning", "x5b_decode_features",
+    "x5_meta_pruning", "x5b_decode_features", "x5c_frame_sample",
     "x6_sessionize", "x6b_session_stats",
     "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
     "w5_ohlc_downsample",
