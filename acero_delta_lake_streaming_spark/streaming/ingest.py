@@ -159,6 +159,30 @@ def run_ingest(
     q.awaitTermination()
 
 
+def cdc_upsert_writer(table: str, key_cols: list[str], app_id: str = "cdc"):
+    """foreachBatch sink that MERGEs each micro-batch into a deltalite
+    table (latest row per key wins) — the streaming CDC pattern: an
+    update arriving in a later epoch replaces the stored row instead of
+    appending a duplicate. Epoch idempotence rides on the same
+    (app_id, epoch) commit key as the append sink, so a replayed epoch
+    re-merges into a no-op commit check."""
+    from acero_delta_lake_streaming_spark.storage.deltalite import upsert
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            key_cols,
+            app_id=app_id,
+            epoch=epoch_id,
+        )
+
+    return write_batch
+
+
 def run_news_ingest(
     spark: SparkSession,
     drop_dir: str,

@@ -378,3 +378,93 @@ def test_streaming_sessionization_merges_across_batches(spark, tmp_path):
     # exactly one emission for user 7's merged 3-event session; user 8's
     # session is still open (watermark never passes it) -> not emitted
     assert emitted == [(7, 3)]
+
+
+def test_streaming_cdc_upsert(spark, tmp_path):
+    """CDC MERGE sink: an epoch-1 update for a key seen in epoch 0 must
+    REPLACE the stored row (not append), while new keys insert."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        cdc_upsert_writer,
+    )
+
+    drop, out, cp = (
+        str(tmp_path / "drop"),
+        str(tmp_path / "out"),
+        str(tmp_path / "cp"),
+    )
+    os.makedirs(drop)
+    t0 = _ts_ns(2024, 1, 1)
+    b0 = [(1, t0, 7, "click", 1.0), (2, t0, 8, "view", 2.0)]
+    b1 = [(1, t0, 7, "click", 99.0), (3, t0, 9, "view", 3.0)]  # 1 updated
+    f0, f1 = os.path.join(drop, "b0.parquet"), os.path.join(drop, "b1.parquet")
+    write_single_parquet(spark.createDataFrame(b0, EVENT_BATCH_SCHEMA), f0)
+    write_single_parquet(spark.createDataFrame(b1, EVENT_BATCH_SCHEMA), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cdc_upsert_writer(out, ["event_id"]))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.event_id: r.value for r in deltalite.read(spark, out).collect()}
+    assert got == {1: 99.0, 2: 2.0, 3: 3.0}
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """The bounded-state dedup variant: dropDuplicatesWithinWatermark
+    keeps a key only while it can still collide (event time within the
+    watermark delay) — a duplicate inside the window is dropped, and
+    per-batch state rows shrink once the watermark passes old keys
+    (the unbounded dropDuplicates ledger is the 100 TB trap)."""
+    drop, cp = str(tmp_path / "drop"), str(tmp_path / "cp")
+    os.makedirs(drop)
+    t0 = _ts_ns(2024, 1, 1)
+    h = 3600 * 1_000_000_000
+    b0 = [(1, t0, 7, "click", 1.0), (1, t0, 7, "click", 1.0)]  # in-batch dup
+    b1 = [(1, t0 + h // 2, 7, "click", 1.0),  # dup of key 1 within window
+          (2, t0 + 24 * h, 8, "view", 2.0)]   # far future: evicts key 1
+    b2 = [(3, t0 + 25 * h, 9, "view", 3.0)]
+    for i, rows in enumerate([b0, b1, b2]):
+        f = os.path.join(drop, f"b{i}.parquet")
+        write_single_parquet(spark.createDataFrame(rows, EVENT_BATCH_SCHEMA), f)
+        os.utime(f, ((i + 1) * 1_000_000,) * 2)
+
+    emitted = []
+
+    def collect(batch_df, epoch_id):
+        emitted.extend(r.event_id for r in batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(emitted) == [1, 2, 3]  # duplicates of key 1 all dropped
+    # state is bounded: the final batch holds fewer keys than total seen
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    assert state_rows and state_rows[-1] <= 2
