@@ -293,6 +293,35 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp stands in as lineitem revenue): per-key
+    totals kept only when they exceed a fraction of the GLOBAL total —
+    aggregate + HAVING against a scalar subquery. Both the per-part and
+    the global sums accumulate in decimal(18,6) (the strict threshold
+    comparison is the boundary-flip surface); the 1-row global joins
+    back via broadcast, Spark's own physical shape for an uncorrelated
+    scalar subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("double").alias("v")
+    )
+    tot = (
+        per_part.agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("t")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    return (
+        per_part.withColumn("jk", F.lit(1))
+        .join(F.broadcast(tot), "jk")
+        .filter(F.col("v") > F.col("t") * 0.0005)
+        .select("l_partkey", F.round("v", 2).alias("part_revenue"))
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate, then a
     distribution over the per-key counts (two cascaded aggregations).
@@ -401,6 +430,7 @@ QUERIES = {
     "q7_nation_trade": q7_nation_trade,
     "q9_product_profit": q9_product_profit,
     "q10_returned_revenue": q10_returned_revenue,
+    "q11_important_parts": q11_important_parts,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -527,6 +557,15 @@ ORACLES = {
         "AND l_quantity BETWEEN 10 AND 30) "
         "OR (p_brand = 'Brand#33' AND p_size <= 35 "
         "AND l_quantity BETWEEN 20 AND 40)"
+    ),
+    "q11_important_parts": (
+        "WITH per_part AS (SELECT l_partkey, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))) AS DOUBLE) AS v FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t "
+        "FROM per_part) "
+        "SELECT l_partkey, round(v, 2) AS part_revenue "
+        "FROM per_part JOIN tot ON v > t * CAST(0.0005 AS DOUBLE)"
     ),
     "q13_customer_distribution": (
         "WITH o AS (SELECT o_custkey, o_orderkey FROM orders "
