@@ -293,6 +293,90 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year — conditional-sum ratio over a 7-way join.
+    Every dimension (part subset, supplier, customer, both nation roles,
+    region) broadcasts; the only shuffle is lineitem⋈orders on orderkey
+    and the final tiny per-year aggregate. Volume accumulates in
+    decimal(18,6) so numerator and denominator are exact before the one
+    double division (CLAUDE.md decimal invariant)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        day_between("o_orderdate", "1995-01-01", "1996-12-31")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over one quarter, keep the
+    supplier(s) at the global maximum — aggregate, scalar-max, equality
+    join-back. Revenue stays decimal(18,6) through the max comparison so
+    the tie test is exact (a double max would make 'equals the max' a
+    ULP lottery); rounding to display precision happens after."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        day_between("l_shipdate", "1996-01-01", "1996-03-31")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per_supp.agg(F.max("total_rev").alias("max_rev")).withColumn(
+        "jk", F.lit(1)
+    )
+    return (
+        per_supp.withColumn("jk", F.lit(1))
+        .join(F.broadcast(mx), "jk")
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp stands in as lineitem revenue): per-key
     totals kept only when they exceed a fraction of the GLOBAL total —
@@ -428,11 +512,13 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_trade": q7_nation_trade,
+    "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_revenue": q10_returned_revenue,
     "q11_important_parts": q11_important_parts,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_brand_revenue": q19_brand_revenue,
@@ -557,6 +643,37 @@ ORACLES = {
         "AND l_quantity BETWEEN 10 AND 30) "
         "OR (p_brand = 'Brand#33' AND p_size <= 35 "
         "AND l_quantity BETWEEN 20 AND 40)"
+    ),
+    "q8_market_share": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6' "
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) "
+        "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA' "
+        "AND CAST(o_orderdate AS DATE) "
+        "BETWEEN DATE '1995-01-01' AND DATE '1996-12-31' "
+        "GROUP BY 1"
+    ),
+    "q15_top_supplier": (
+        "WITH per_supp AS (SELECT l_suppkey, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) "
+        "AS total_rev FROM lineitem "
+        "WHERE CAST(l_shipdate AS DATE) "
+        "BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, "
+        "ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue "
+        "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM per_supp)"
     ),
     "q11_important_parts": (
         "WITH per_part AS (SELECT l_partkey, "

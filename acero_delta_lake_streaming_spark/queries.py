@@ -36,6 +36,7 @@ _OPTIONAL = (
     "acero_delta_lake_streaming_spark.operators.sessionize",
     "acero_delta_lake_streaming_spark.operators.multimodal",
     "acero_delta_lake_streaming_spark.operators.asof",
+    "acero_delta_lake_streaming_spark.operators.curation",
     "acero_delta_lake_streaming_spark.functions.extract",
     "acero_delta_lake_streaming_spark.storage.queries",
     "acero_delta_lake_streaming_spark.streaming.queries",
