@@ -76,6 +76,7 @@ _PRIORITY = [
     "x6_sessionize", "x6b_session_stats",
     "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
     "w5_ohlc_downsample",
+    "x7_sequence_pack", "x8_dataset_split", "x9_stratified_sample",
     # extraction pipeline
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer
@@ -87,9 +88,11 @@ _PRIORITY = [
     # flagship + core-family representatives (keep §2 component spread
     # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",
-    "p1_project", "p2_computed_columns", "p3_concat_text",
+    # p2/p3/p8 (near-identical projection shapes, driver-green in round 2)
+    # yield their window slots to the x7-x9 curation family above
+    "p1_project",
     "p4_membership_filter", "p5_date_range_filter", "p6_anti_contains_filter",
-    "p7_conjunctive_filter", "p8_null_default", "p9_boolean_filter",
+    "p7_conjunctive_filter", "p9_boolean_filter",
     "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
     "t1_topk", "t2_topk_breakdown", "t3_sort_display",
     "u1_union_discriminator", "u2_union_all",
