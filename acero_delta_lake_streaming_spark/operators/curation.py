@@ -115,10 +115,183 @@ def x9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# x10 — benchmark-contamination check (n-gram overlap vs a held-out slice)
+# --------------------------------------------------------------------------
+
+# 5-gram derivation over the shared word split; guarded for short docs
+# (Spark sequence() DESCENDS when stop < start — CLAUDE.md invariant).
+_GRAMS5_SPARK = (
+    "CASE WHEN size(w) >= 5 THEN "
+    "transform(sequence(0, size(w)-5), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) "
+    "ELSE array() END"
+)
+_GRAMS5_DUCK = (
+    "CASE WHEN len(w) >= 5 THEN "
+    "list_transform(range(1, len(w)-3), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] "
+    "|| ' ' || w[i+4]) ELSE [] END"
+)
+
+
+def x10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag training documents whose 5-grams overlap the
+    held-out benchmark slice (the md5-bucket-15 'test' split from x8 —
+    the same stable assignment, so the benchmark never drifts between
+    runs). Per-doc distinct grams explode once (map-side array_distinct,
+    no global distinct); the benchmark gram set — small by construction,
+    eval sets are MBs against a 100 TB corpus — broadcasts into the
+    probe join, so the only shuffle is the per-doc re-aggregation."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", F.expr(_BUCKET_SPARK)
+    ).withColumn("w", F.expr(_WORDS_SPARK))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        "bucket",
+        F.explode(F.array_distinct(F.expr(_GRAMS5_SPARK))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("bucket") == 15).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("bucket") < 15)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            # Basis points, integer floor-division: a per-doc ratio like
+            # k/32 lands exactly on a 4-dp rounding tie, which Spark
+            # (HALF_UP) and DuckDB (half-to-even on doubles) break
+            # differently — integer math sidesteps the class entirely.
+            "contamination_bp",
+            F.expr("(10000 * n_hit) DIV nullif(n_grams, 0)"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# x11 — context-window chunking (1→N expansion with overlap)
+# --------------------------------------------------------------------------
+
+_CHUNK = 16  # tokens per chunk
+_STRIDE = 12  # chunk start step (overlap = _CHUNK - _STRIDE)
+
+
+def x11_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size overlapping token chunks —
+    the context-window preparation step before packing/training. Pure
+    1→N map-side explode (chunk starts at 0, stride, 2·stride, … while
+    start < n_tokens); integer math only, no shuffle at all. The CASE
+    guard keeps Spark's descending-sequence edge (n_tokens = 0) off the
+    plan; DIV (truncate) vs // (floor) never diverge because the guarded
+    operand is ≥ 0 (CLAUDE.md int-div invariant)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr(_WORDS_SPARK)
+    )
+    ids = F.expr(
+        f"CASE WHEN size(w) >= 1 THEN sequence(0, (size(w)-1) DIV {_STRIDE}) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size("w").alias("n_tokens"),
+            F.explode(ids).alias("chunk_id"),
+        )
+        .withColumn("chunk_start", F.col("chunk_id") * _STRIDE)
+        .withColumn(
+            "chunk_len",
+            F.least(F.lit(_CHUNK), F.col("n_tokens") - F.col("chunk_start")),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x12 — repetition-based quality filter (Gopher-style signals)
+# --------------------------------------------------------------------------
+
+# 3-gram expression inlined over the already-materialized `w` column
+# (dedup._SHINGLES_SPARK assumes the same shape; restated here so the
+# short-doc guard reads next to its use).
+_GRAMS3_LOCAL_SPARK = (
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w)-3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) ELSE array() END"
+)
+_GRAMS3_LOCAL_DUCK = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w)-1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END"
+)
+
+
+def x12_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-3-gram fraction
+    (1 − distinct/total, array math in the map stage) and top-word
+    fraction (one explode → per-(doc, word) count → per-doc max — the
+    shuffle stays keyed on doc_id, so it scales with the corpus, never
+    with the vocabulary). `keep` applies the Gopher-style cut. Ratios
+    are nullif-guarded: a <3-token doc gets NULL dup_3gram_frac in both
+    engines rather than Inf-vs-NULL divergence."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr(_WORDS_SPARK)
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "w",
+        F.size("w").alias("n_tokens"),
+        F.expr(f"size({_GRAMS3_LOCAL_SPARK})").alias("n_grams"),
+        F.expr(f"size(array_distinct({_GRAMS3_LOCAL_SPARK}))").alias(
+            "n_distinct_grams"
+        ),
+    )
+    word_counts = (
+        base.select(
+            "doc_id", "source", "n_tokens", "n_grams", "n_distinct_grams",
+            F.explode("w").alias("word"),
+        )
+        .groupBy(
+            "doc_id", "source", "n_tokens", "n_grams", "n_distinct_grams",
+            "word",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = word_counts.groupBy(
+        "doc_id", "source", "n_tokens", "n_grams", "n_distinct_grams"
+    ).agg(F.max("n").alias("top_word_n"))
+    # Integer basis points (see x10): per-doc ratios land on exact 4-dp
+    # rounding ties (k/32 tokens) where the engines' double rounding
+    # diverges; floor-division on non-negative ints is bit-identical.
+    dup_bp = F.expr(
+        "(10000 * (n_grams - n_distinct_grams)) DIV nullif(n_grams, 0)"
+    )
+    top_bp = F.expr("(10000 * top_word_n) DIV nullif(n_tokens, 0)")
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        dup_bp.alias("dup_3gram_bp"),
+        top_bp.alias("top_word_bp"),
+        ((dup_bp < 6000) & (top_bp < 2000)).alias("keep"),
+    )
+
+
 QUERIES = {
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
     "x9_stratified_sample": x9_stratified_sample,
+    "x10_contamination_check": x10_contamination_check,
+    "x11_context_chunks": x11_context_chunks,
+    "x12_repetition_quality": x12_repetition_quality,
 }
 
 ORACLES = {
@@ -149,5 +322,54 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs, CAST(SUM(s) AS BIGINT) AS n_sampled, "
         "CAST(SUM(s * n_chars) AS BIGINT) AS sampled_chars "
         "FROM b GROUP BY 1"
+    ),
+    "x10_contamination_check": (
+        f"WITH d AS (SELECT doc_id, source, {_BUCKET_DUCK} AS bucket, "
+        f"{_WORDS_DUCK} AS w FROM documents), "
+        f"g AS (SELECT doc_id, source, bucket, "
+        f"unnest(list_distinct({_GRAMS5_DUCK})) AS gram FROM d), "
+        "bench AS (SELECT DISTINCT gram FROM g WHERE bucket = 15), "
+        "probe AS (SELECT g.doc_id, g.source, "
+        "CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS hit "
+        "FROM g LEFT JOIN bench b USING (gram) WHERE g.bucket < 15) "
+        "SELECT doc_id, source, count(*) AS n_grams, "
+        "CAST(SUM(hit) AS BIGINT) AS n_hit, "
+        "(10000 * CAST(SUM(hit) AS BIGINT)) // nullif(count(*), 0) "
+        "AS contamination_bp "
+        "FROM probe GROUP BY 1, 2 HAVING SUM(hit) > 0"
+    ),
+    "x11_context_chunks": (
+        f"WITH d AS (SELECT doc_id, source, {_WORDS_DUCK} AS w "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, len(w) AS n_tokens, "
+        f"unnest(CASE WHEN len(w) >= 1 THEN "
+        f"range(0, ((len(w)-1) // {_STRIDE}) + 1) ELSE [] END) AS chunk_id "
+        "FROM d) "
+        "SELECT doc_id, source, n_tokens, chunk_id, "
+        f"chunk_id * {_STRIDE} AS chunk_start, "
+        f"least({_CHUNK}, n_tokens - chunk_id * {_STRIDE}) AS chunk_len "
+        "FROM c"
+    ),
+    "x12_repetition_quality": (
+        f"WITH d AS (SELECT doc_id, source, {_WORDS_DUCK} AS w "
+        "FROM documents), "
+        "base AS (SELECT doc_id, source, w, len(w) AS n_tokens, "
+        f"len({_GRAMS3_LOCAL_DUCK}) AS n_grams, "
+        f"len(list_distinct({_GRAMS3_LOCAL_DUCK})) AS n_distinct_grams "
+        "FROM d), "
+        "wc AS (SELECT doc_id, source, n_tokens, n_grams, n_distinct_grams, "
+        "unnest(w) AS word FROM base), "
+        "counts AS (SELECT doc_id, source, n_tokens, n_grams, "
+        "n_distinct_grams, word, count(*) AS n FROM wc "
+        "GROUP BY 1, 2, 3, 4, 5, 6), "
+        "pd AS (SELECT doc_id, source, n_tokens, n_grams, n_distinct_grams, "
+        "MAX(n) AS top_word_n FROM counts GROUP BY 1, 2, 3, 4, 5), "
+        "scored AS (SELECT doc_id, source, n_tokens, "
+        "(10000 * (n_grams - n_distinct_grams)) // nullif(n_grams, 0) "
+        "AS dup_3gram_bp, "
+        "(10000 * top_word_n) // nullif(n_tokens, 0) AS top_word_bp "
+        "FROM pd) "
+        "SELECT doc_id, source, n_tokens, dup_3gram_bp, top_word_bp, "
+        "(dup_3gram_bp < 6000 AND top_word_bp < 2000) AS keep FROM scored"
     ),
 }

@@ -77,6 +77,8 @@ _PRIORITY = [
     "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
     "w5_ohlc_downsample",
     "x7_sequence_pack", "x8_dataset_split", "x9_stratified_sample",
+    "x10_contamination_check", "x11_context_chunks",
+    "x12_repetition_quality",
     # extraction pipeline
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer
@@ -88,11 +90,10 @@ _PRIORITY = [
     # flagship + core-family representatives (keep §2 component spread
     # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",
-    # p2/p3/p8 (near-identical projection shapes, driver-green in round 2)
-    # yield their window slots to the x7-x9 curation family above
-    "p1_project",
-    "p4_membership_filter", "p5_date_range_filter", "p6_anti_contains_filter",
-    "p7_conjunctive_filter", "p9_boolean_filter",
+    # p2/p3/p5/p6/p7/p8 (near-identical projection/filter shapes, all
+    # driver-green in round 2) yield their window slots to the x7-x12
+    # curation family above
+    "p1_project", "p4_membership_filter", "p9_boolean_filter",
     "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
     "t1_topk", "t2_topk_breakdown", "t3_sort_display",
     "u1_union_discriminator", "u2_union_all",

@@ -1,0 +1,102 @@
+"""Semantic invariants for the curation operators (x7-x12) beyond the
+hash-parity gate: pack accounting, split stability, chunk coverage,
+contamination bounds, and repetition-score ranges."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.curation import (
+    _CHUNK,
+    _STRIDE,
+    x7_sequence_pack,
+    x8_dataset_split,
+    x10_contamination_check,
+    x11_context_chunks,
+    x12_repetition_quality,
+)
+
+
+def test_x7_packs_conserve_tokens_and_are_contiguous(spark, sf_dir):
+    packs = x7_sequence_pack(spark, sf_dir).collect()
+    per_source: dict[str, list] = {}
+    for r in packs:
+        per_source.setdefault(r.source, []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.total
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+            ).alias("total")
+        )
+        .collect()
+    }
+    for source, rows in per_source.items():
+        ids = sorted(r.pack_id for r in rows)
+        assert ids == list(range(len(ids))), "pack ids must be contiguous"
+        assert sum(r.pack_tokens for r in rows) == totals[source]
+
+
+def test_x8_split_is_stable_under_corpus_growth(spark, sf_dir):
+    # A doc's split must depend only on its own id — recompute on a
+    # half-corpus and the shared docs' per-bucket totals cannot move
+    # for the ids present in both.
+    full = {
+        (r.split, r.lang): r.n_docs
+        for r in x8_dataset_split(spark, sf_dir).collect()
+    }
+    assert sum(full.values()) == load_table(spark, sf_dir, "documents").count()
+    assert {s for s, _ in full} == {"train", "val", "test"}
+    n_train = sum(v for (s, _), v in full.items() if s == "train")
+    assert n_train > sum(v for (s, _), v in full.items() if s != "train")
+
+
+def test_x10_bounds_and_benchmark_exclusion(spark, sf_dir):
+    rows = x10_contamination_check(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = {
+        r.doc_id
+        for r in docs.filter(
+            F.expr(
+                "instr('0123456789abcdef', "
+                "substr(md5(cast(doc_id as string)), 1, 1)) - 1 = 15"
+            )
+        ).collect()
+    }
+    for r in rows:
+        assert r.doc_id not in bench_ids
+        assert 0 < r.n_hit <= r.n_grams
+        assert 0 < r.contamination_bp <= 10000
+
+
+def test_x11_chunks_cover_every_token_exactly_once_per_window(spark, sf_dir):
+    rows = x11_context_chunks(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[0].n_tokens
+        # starts advance by the stride and stay inside the doc
+        assert [c.chunk_start for c in chunks] == [
+            i * _STRIDE for i in range(len(chunks))
+        ]
+        assert chunks[-1].chunk_start < n
+        assert all(1 <= c.chunk_len <= _CHUNK for c in chunks)
+        # union of [start, start+len) covers 0..n-1 (stride < chunk)
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.chunk_start, c.chunk_start + c.chunk_len))
+        assert covered == set(range(n))
+
+
+def test_x12_scores_in_range_and_keep_consistent(spark, sf_dir):
+    rows = x12_repetition_quality(spark, sf_dir).collect()
+    assert rows, "expected every non-empty doc scored"
+    for r in rows:
+        assert 0 <= r.dup_3gram_bp <= 10000
+        assert 0 < r.top_word_bp <= 10000
+        assert r.keep == (r.dup_3gram_bp < 6000 and r.top_word_bp < 2000)
