@@ -25,15 +25,18 @@ import sys
 import time
 
 # Headline set: the TPC-H-shaped analytics, the flagship dashboard chain,
-# and one representative of each heavy operator family added in round 2.
-# Names absent from the registry are skipped (keeps bench runnable while
-# operators land incrementally).
+# and one representative of each heavy operator family (round 2: dedup /
+# ANN / text / session / extraction / temporal joins; round 3: the 7-way
+# market-share join and the curation pipeline). Names absent from the
+# registry are skipped (keeps bench runnable while operators land
+# incrementally).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_nation_trade",
+    "q8_market_share",
     "q10_returned_revenue",
     "q18_large_orders",
     "flagship_breakdown",
@@ -44,6 +47,9 @@ HEADLINE = [
     "x4_doc_stats",
     "x4e_bpe_token_stats",
     "x6_sessionize",
+    "x7_sequence_pack",
+    "x10_contamination_check",
+    "x12_repetition_quality",
     "ud1_extract_categories",
     "xj1_asof_prior_click",
     "xj2_range_clicks_before_purchase",
