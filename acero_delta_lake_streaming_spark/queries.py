@@ -84,16 +84,17 @@ _PRIORITY = [
     # storage layer
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
     "s5_medallion_fanout", "s6_cached_read", "s7_upsert_merge",
+    "s8_delta_format_roundtrip",
     # streaming
     "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
     "st4_windowed_counts", "st7_interval_join",
     # flagship + core-family representatives (keep §2 component spread
     # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",
-    # p2/p3/p5/p6/p7/p8 (near-identical projection/filter shapes, all
+    # p2/p3/p5/p6/p7/p8/p9 (near-identical projection/filter shapes, all
     # driver-green in round 2) yield their window slots to the x7-x12
-    # curation family above
-    "p1_project", "p4_membership_filter", "p9_boolean_filter",
+    # curation family and the s8 Delta-format round trip above
+    "p1_project", "p4_membership_filter",
     "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
     "t1_topk", "t2_topk_breakdown", "t3_sort_display",
     "u1_union_discriminator", "u2_union_all",

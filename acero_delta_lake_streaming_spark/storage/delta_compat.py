@@ -1,0 +1,289 @@
+"""Real Delta Lake *format* compatibility — read (and append to) tables
+whose transaction log is an actual ``_delta_log`` directory, without
+``delta-spark`` on the classpath.
+
+The reference stores its medallion tables in Delta format
+(collector.py:219-226 writes with ``mode='append'`` through delta-rs);
+``deltalite`` reproduces those semantics but its commit log is its own.
+This module closes the interop gap for the dominant cases:
+
+* ``read_delta``      — snapshot (or time-travel) scan of a Delta table
+  by replaying the JSON commit log, optionally starting from the last
+  parquet checkpoint. Protocol is enforced, not assumed: reader
+  version > 1 (column mapping, deletion vectors, …) raises rather than
+  silently returning wrong rows.
+* ``append_delta``    — append-only writer producing a log delta-spark /
+  delta-rs can read back (protocol 1/2, JSON actions, URL-encoded
+  relative paths).
+
+Driver-side work is strictly O(|log|) metadata — the data path is an
+ordinary distributed parquet scan with the log-derived file list, so
+filters and column pruning push down exactly as on raw parquet. On a
+real object store the ``rename`` publish becomes a conditional put —
+the same substitution deltalite documents.
+
+Scope (documented, checked, raised-on): unpartitioned and hive-layout
+partitioned tables; no deletion vectors, no column mapping, no
+generated columns. That covers every table the reference writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+class DeltaProtocolError(RuntimeError):
+    """Table requires reader features this implementation lacks."""
+
+
+class DeltaCorruptLogError(RuntimeError):
+    """Commit log is missing, gapped, or malformed."""
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.json")
+
+
+def is_delta_table(table: str) -> bool:
+    return os.path.isdir(_log_dir(table))
+
+
+def _list_commit_versions(table: str) -> list[int]:
+    out = []
+    for name in os.listdir(_log_dir(table)):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_version(table: str, max_version: int | None) -> int | None:
+    """Version of the newest usable single-file checkpoint, if any."""
+    try:
+        with open(os.path.join(_log_dir(table), _LAST_CHECKPOINT)) as f:
+            v = json.load(f)["version"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+    if max_version is not None and v > max_version:
+        # Time travel behind the checkpoint: replay JSON from scratch.
+        return None
+    path = os.path.join(_log_dir(table), f"{v:020d}.checkpoint.parquet")
+    return v if os.path.exists(path) else None
+
+
+def _check_protocol(action: dict) -> None:
+    p = action["protocol"]
+    reader = p.get("minReaderVersion", 1)
+    features = set(p.get("readerFeatures") or [])
+    if reader > 1 and not features:
+        raise DeltaProtocolError(
+            f"minReaderVersion={reader} requires reader features this "
+            "implementation does not support"
+        )
+    if features:  # table-features protocol: support exactly none
+        raise DeltaProtocolError(f"unsupported readerFeatures {features}")
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "protocol" in action:
+        _check_protocol(action)
+    elif "metaData" in action:
+        md = action["metaData"]
+        fmt = md.get("format", {}).get("provider", "parquet")
+        if fmt != "parquet":
+            raise DeltaProtocolError(f"unsupported format provider {fmt!r}")
+        state["schema"] = md["schemaString"]
+        state["partition_cols"] = md.get("partitionColumns") or []
+    elif "add" in action:
+        add = action["add"]
+        if add.get("deletionVector"):
+            raise DeltaProtocolError("deletion vectors are not supported")
+        state["files"][unquote(add["path"])] = True
+    elif "remove" in action:
+        state["files"].pop(unquote(action["remove"]["path"]), None)
+    # txn / commitInfo / cdc / domainMetadata actions carry no scan state
+
+
+def _replay_checkpoint(table: str, version: int, state: dict) -> None:
+    """Seed replay state from a single-file parquet checkpoint. The
+    checkpoint is metadata (KBs-MBs); pyarrow reads it driver-side, the
+    same altitude as the JSON log itself."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+    tbl = pq.read_table(path)
+    rows = tbl.to_pylist()
+    for row in rows:
+        if row.get("protocol"):
+            _check_protocol({"protocol": row["protocol"]})
+    # A checkpoint is already net-of-log: removes appear only as
+    # tombstones, so metaData + adds alone define the snapshot state.
+    for row in rows:
+        md = row.get("metaData")
+        if md and md.get("schemaString"):
+            state["schema"] = md["schemaString"]
+            state["partition_cols"] = md.get("partitionColumns") or []
+        add = row.get("add")
+        if add and add.get("path"):
+            if add.get("deletionVector"):
+                raise DeltaProtocolError("deletion vectors are not supported")
+            state["files"][unquote(add["path"])] = True
+
+
+def snapshot(table: str, version: int | None = None) -> dict:
+    """Resolve the file list + schema for a Delta table snapshot.
+
+    Returns ``{"files": [abs paths], "schema": StructType-json-str,
+    "partition_cols": [...], "version": int}``.
+    """
+    if not is_delta_table(table):
+        raise DeltaCorruptLogError(f"{table} has no {_LOG_DIR} directory")
+    versions = _list_commit_versions(table)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    state: dict = {"files": {}, "schema": None, "partition_cols": []}
+    ckpt = _checkpoint_version(table, version)
+    start = 0
+    if ckpt is not None:
+        _replay_checkpoint(table, ckpt, state)
+        start = ckpt + 1
+        versions = [v for v in versions if v >= start]
+    elif version is not None and (not versions or versions[0] != 0):
+        raise DeltaCorruptLogError(
+            f"cannot reconstruct version {version}: log does not start at 0"
+        )
+    expected = start if ckpt is not None else 0
+    for v in versions:
+        if v != expected:
+            raise DeltaCorruptLogError(
+                f"commit log gap: expected {expected:020d}.json, found {v}"
+            )
+        expected += 1
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if state["schema"] is None:
+        raise DeltaCorruptLogError("no metaData action found in log")
+    resolved = versions[-1] if versions else (ckpt if ckpt is not None else -1)
+    return {
+        "files": [os.path.join(table, p) for p in state["files"]],
+        "schema": state["schema"],
+        "partition_cols": state["partition_cols"],
+        "version": resolved,
+    }
+
+
+def read_delta(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Lazy DataFrame over a real Delta table at ``version`` (latest if
+    None). Partitioned tables must use the hive directory layout
+    delta-spark/delta-rs write by default (``col=value/`` path
+    segments); Spark then recovers partition columns via ``basePath``.
+    Delta's schemaString IS Spark's StructType JSON — the log schema is
+    authoritative, not footer inference."""
+    snap = snapshot(table, version)
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not snap["files"]:
+        return spark.createDataFrame([], full)
+    if snap["partition_cols"]:
+        for p in snap["partition_cols"]:
+            seg = f"{p}="
+            if not all(seg in f for f in snap["files"]):
+                raise DeltaProtocolError(
+                    "partitioned table without hive directory layout: "
+                    "per-file partitionValues materialization is not "
+                    "supported"
+                )
+        reader = spark.read.option("basePath", table)
+        # data files carry only the non-partition columns; Spark
+        # recovers partition columns from the directory names
+        data_schema = T.StructType(
+            [f for f in full.fields if f.name not in snap["partition_cols"]]
+        )
+        return reader.schema(data_schema).parquet(*snap["files"]).select(
+            [f.name for f in full.fields]
+        )
+    return spark.read.schema(full).parquet(*snap["files"])
+
+
+def append_delta(df: DataFrame, table: str) -> int:
+    """Append-only Delta writer: distributed parquet write, then one
+    driver-side JSON commit (protocol + metaData on create, adds
+    always). Publishes via atomic rename; returns the committed
+    version. Unpartitioned only — the reference's append path."""
+    os.makedirs(_log_dir(table), exist_ok=True)
+    versions = _list_commit_versions(table)
+    version = (versions[-1] + 1) if versions else 0
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+        os.rename(os.path.join(staging, name), os.path.join(table, final))
+        adds.append(
+            {
+                "add": {
+                    "path": quote(final),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, final)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+            }
+        }
+    )
+    tmp = _commit_path(table, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.rename(tmp, _commit_path(table, version))
+    return version

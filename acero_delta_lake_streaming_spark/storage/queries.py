@@ -258,6 +258,59 @@ _S7_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# S8 — real Delta Lake format round trip
+# --------------------------------------------------------------------------
+
+
+def s8_delta_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop with the reference's actual storage format: append twice
+    through the real-``_delta_log`` writer (JSON actions, protocol 1/2 —
+    what delta-rs reads back), then scan the table via the log-replay
+    reader and aggregate. Exercises commit authoring, action parsing,
+    and the log-derived file list end to end; the union of the version-0
+    time-travel slice and the latest-minus-v0 delta proves snapshot
+    isolation across versions."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s8_orders_delta")
+    orders = load_table(spark, sf_dir, "orders")
+    delta_compat.append_delta(orders.filter("o_orderstatus = 'F'"), table)
+    delta_compat.append_delta(orders.filter("o_orderstatus = 'O'"), table)
+    v0 = delta_compat.read_delta(spark, table, version=0).withColumn(
+        "snap", F.lit("v0")
+    )
+    latest = delta_compat.read_delta(spark, table).withColumn(
+        "snap", F.lit("latest")
+    )
+    return (
+        v0.unionByName(latest)
+        .groupBy("snap", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_S8_SQL = (
+    "WITH snaps AS ("
+    "SELECT 'v0' AS snap, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' "
+    "UNION ALL "
+    "SELECT 'latest' AS snap, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderstatus IN ('F', 'O')) "
+    "SELECT snap, o_orderstatus, count(*) AS n, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+    "AS total FROM snaps GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -265,9 +318,11 @@ QUERIES = {
     "s5_medallion_fanout": s5_medallion_fanout,
     "s6_cached_read": s6_cached_read,
     "s7_upsert_merge": s7_upsert_merge,
+    "s8_delta_format_roundtrip": s8_delta_format_roundtrip,
 }
 
 ORACLES = {
+    "s8_delta_format_roundtrip": _S8_SQL,
     "s3_delta_append_scan": _S3_SQL,
     "s3b_skipping_scan": _S3B_SQL,
     "s4_time_travel": _S4_SQL,
