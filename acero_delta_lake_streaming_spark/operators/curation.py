@@ -44,28 +44,36 @@ _BUCKET_DUCK = (
 )
 
 
-def x7_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign documents to fixed-token-budget packs: within each source
-    (ordered by doc_id), pack_id = floor(tokens-before-me / budget) — the
-    standard deterministic offset-chunking approximation of greedy
-    sequence packing. One window shuffle on ``source``; integer math
-    only."""
-    docs = load_table(spark, sf_dir, "documents")
+def assign_packs(
+    toks: DataFrame, budget: int = _PACK_TOKENS
+) -> DataFrame:
+    """Library form of sequence packing: given ``(source, doc_id,
+    n_tokens)`` rows, add ``pack_id`` = floor(tokens-before-me /
+    budget) within each source ordered by doc_id — the standard
+    deterministic offset-chunking approximation of greedy packing. One
+    window shuffle on ``source``; integer math only."""
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    return toks.withColumn(
+        "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("pack_id", F.expr(f"prior DIV {budget}"))
+
+
+def x7_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, pack) accounting over `assign_packs` of the
+    documents table."""
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
         "doc_id",
         F.expr(f"size({_WORDS_SPARK})").alias("n_tokens"),
     )
-    packed = toks.withColumn(
-        "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    ).withColumn("pack_id", F.expr(f"prior DIV {_PACK_TOKENS}"))
     return (
-        packed.groupBy("source", "pack_id")
+        assign_packs(toks)
+        .groupBy("source", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
@@ -184,19 +192,18 @@ _CHUNK = 16  # tokens per chunk
 _STRIDE = 12  # chunk start step (overlap = _CHUNK - _STRIDE)
 
 
-def x11_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split each document into fixed-size overlapping token chunks —
-    the context-window preparation step before packing/training. Pure
-    1→N map-side explode (chunk starts at 0, stride, 2·stride, … while
-    start < n_tokens); integer math only, no shuffle at all. The CASE
-    guard keeps Spark's descending-sequence edge (n_tokens = 0) off the
-    plan; DIV (truncate) vs // (floor) never diverge because the guarded
-    operand is ≥ 0 (CLAUDE.md int-div invariant)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "w", F.expr(_WORDS_SPARK)
-    )
+def chunk_tokens(
+    docs: DataFrame, chunk: int = _CHUNK, stride: int = _STRIDE
+) -> DataFrame:
+    """Library form of context-window chunking: given rows with a ``w``
+    token-array column (plus ``doc_id``/``source``), emit one row per
+    chunk (starts at 0, stride, 2·stride, … while start < n_tokens).
+    Pure 1→N map-side explode; integer math only, no shuffle at all.
+    The CASE guard keeps Spark's descending-sequence edge (n_tokens =
+    0) off the plan; DIV (truncate) vs // (floor) never diverge because
+    the guarded operand is ≥ 0 (CLAUDE.md int-div invariant)."""
     ids = F.expr(
-        f"CASE WHEN size(w) >= 1 THEN sequence(0, (size(w)-1) DIV {_STRIDE}) "
+        f"CASE WHEN size(w) >= 1 THEN sequence(0, (size(w)-1) DIV {stride}) "
         "ELSE array() END"
     )
     return (
@@ -206,12 +213,21 @@ def x11_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("w").alias("n_tokens"),
             F.explode(ids).alias("chunk_id"),
         )
-        .withColumn("chunk_start", F.col("chunk_id") * _STRIDE)
+        .withColumn("chunk_start", F.col("chunk_id") * stride)
         .withColumn(
             "chunk_len",
-            F.least(F.lit(_CHUNK), F.col("n_tokens") - F.col("chunk_start")),
+            F.least(F.lit(chunk), F.col("n_tokens") - F.col("chunk_start")),
         )
     )
+
+
+def x11_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`chunk_tokens` over the documents table — the context-window
+    preparation step before packing/training."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr(_WORDS_SPARK)
+    )
+    return chunk_tokens(docs)
 
 
 # --------------------------------------------------------------------------

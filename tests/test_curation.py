@@ -93,6 +93,59 @@ def test_x11_chunks_cover_every_token_exactly_once_per_window(spark, sf_dir):
         assert covered == set(range(n))
 
 
+def test_chunk_math_exhaustive_over_small_token_counts(spark):
+    """Every n_tokens in 0..40 (including the empty-doc guard and both
+    DIV boundary cases) against a Python reference of the chunking
+    contract — one Spark call over the whole batch."""
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        chunk_tokens,
+    )
+
+    rows = [(n, "s", ["t"] * n) for n in range(41)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, w array<string>"
+    )
+    got: dict[int, list] = {}
+    for r in chunk_tokens(docs, chunk=16, stride=12).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_start, r.chunk_len)
+        )
+    for n in range(41):
+        expected = [
+            (i, i * 12, min(16, n - i * 12))
+            for i in range((max(n - 1, 0)) // 12 + 1)
+            if i * 12 < n
+        ]
+        assert sorted(got.get(n, [])) == expected, f"n_tokens={n}"
+
+
+def test_pack_assignment_matches_python_reference(spark):
+    """assign_packs against a per-source running-total reference, with
+    a doc larger than the whole budget (must still land in exactly one
+    pack) and an empty doc."""
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        assign_packs,
+    )
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 200), ("a", 3, 300),  # crosses budget=256
+        ("a", 4, 0),
+        ("b", 1, 999),  # single doc above the budget
+        ("b", 2, 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    got = {
+        (r.source, r.doc_id): r.pack_id
+        for r in assign_packs(docs, budget=256).collect()
+    }
+    prior: dict[str, int] = {}
+    for source, doc_id, n in sorted(rows):
+        assert got[(source, doc_id)] == prior.get(source, 0) // 256
+        prior[source] = prior.get(source, 0) + n
+
+
 def test_x12_scores_in_range_and_keep_consistent(spark, sf_dir):
     rows = x12_repetition_quality(spark, sf_dir).collect()
     assert rows, "expected every non-empty doc scored"
