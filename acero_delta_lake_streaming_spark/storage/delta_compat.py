@@ -50,6 +50,10 @@ class DeltaCorruptLogError(RuntimeError):
     """Commit log is missing, gapped, or malformed."""
 
 
+class ConcurrentDeltaCommitError(RuntimeError):
+    """A concurrent writer claimed the target commit version."""
+
+
 def _log_dir(table: str) -> str:
     return os.path.join(table, _LOG_DIR)
 
@@ -282,8 +286,22 @@ def append_delta(df: DataFrame, table: str) -> int:
             }
         }
     )
+    # Atomic claim of the version slot: os.link fails iff the commit
+    # file already exists (rename would silently overwrite a concurrent
+    # writer's commit — a lost update). Same protocol as deltalite's
+    # _publish; on an object store this is the conditional put.
     tmp = _commit_path(table, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
-    os.rename(tmp, _commit_path(table, version))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _commit_path(table, version))
+    except FileExistsError:
+        raise ConcurrentDeltaCommitError(
+            f"version {version} was claimed by a concurrent writer; "
+            "orphaned data files remain for VACUUM"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version

@@ -254,6 +254,35 @@ def test_checkpoint_seeds_replay(spark, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+def test_concurrent_commit_is_rejected_not_overwritten(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers racing for the same version: the loser must raise,
+    never silently replace the winner's commit (lost update). The race
+    window is list-versions → publish; simulate it by making the
+    loser's listing stale (the winner commits v1 after the loser
+    listed), so both target v1."""
+    table = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    dc.append_delta(df, table)
+    winner = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    real_list = dc._list_commit_versions
+
+    def stale_then_winner_commits(t):
+        versions = real_list(t)  # loser reads the log: only v0
+        with open(winner, "w") as f:  # winner lands v1 just after
+            f.write('{"commitInfo": {"operation": "WRITE"}}\n')
+        return versions
+
+    monkeypatch.setattr(dc, "_list_commit_versions", stale_then_winner_commits)
+    with pytest.raises(dc.ConcurrentDeltaCommitError):
+        dc.append_delta(df, table)
+    monkeypatch.undo()
+    assert (
+        open(winner).read() == '{"commitInfo": {"operation": "WRITE"}}\n'
+    ), "winner's commit was clobbered"
+
+
 def test_append_round_trip_and_foreign_readability(spark, tmp_path):
     """Our writer's log must parse with the strictness we apply to
     foreign logs AND carry the exact action fields delta-rs requires
