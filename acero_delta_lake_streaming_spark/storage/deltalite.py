@@ -389,7 +389,11 @@ def snapshot_files(
 
 
 def compact(
-    spark: SparkSession, table: str, target_partitions: int = 1
+    spark: SparkSession,
+    table: str,
+    target_partitions: int = 1,
+    sort_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """OPTIMIZE analog: rewrite the current snapshot as one overwrite
     commit with ``target_partitions`` files. Streaming appends produce
@@ -397,9 +401,25 @@ def compact(
     file count, so periodic compaction keeps scans dense. Time travel to
     pre-compaction versions still works — old files are referenced by
     old commits and never deleted here (a vacuum would be a separate,
-    retention-driven step)."""
-    snapshot = read(spark, table).coalesce(target_partitions)
-    version = write(snapshot, table, mode="overwrite")
+    retention-driven step).
+
+    ``sort_by`` is the OPTIMIZE ZORDER-lite path: range-repartition +
+    sort on the given columns so each output file covers a disjoint
+    value range, which makes the recorded min/max stats tight — a
+    skipping read on the cluster column then prunes to ~1/N of the
+    files instead of none (appends interleave values, so their stats
+    spans overlap completely). Stats are recorded for ``stats_cols``
+    (default: the sort columns). Single-dimension clustering; true
+    Z-ordering interleaves multiple dimensions, same stats mechanics."""
+    snapshot = read(spark, table)
+    if sort_by:
+        snapshot = snapshot.repartitionByRange(
+            target_partitions, *sort_by
+        ).sortWithinPartitions(*sort_by)
+        stats_cols = stats_cols or sort_by
+    else:
+        snapshot = snapshot.coalesce(target_partitions)
+    version = write(snapshot, table, mode="overwrite", stats_cols=stats_cols)
     assert version is not None
     return version
 

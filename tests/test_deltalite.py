@@ -123,6 +123,37 @@ def test_compaction_preserves_data_and_history(spark, table):
     ) == [0, 1, 2]
 
 
+def test_sorted_compaction_enables_skipping(spark, table):
+    """OPTIMIZE ZORDER-lite: interleaved appends give every file the
+    full value range (skipping prunes nothing); sort-clustered
+    compaction makes ranges disjoint, so a point read prunes to a
+    strict subset of files while returning identical rows."""
+    # two appends, each covering the FULL id range (interleaved)
+    deltalite.write(
+        _df(spark, [(i, str(i)) for i in range(0, 100, 2)]), table
+    )
+    deltalite.write(
+        _df(spark, [(i, str(i)) for i in range(1, 100, 2)]), table
+    )
+    unsorted_kept, _ = deltalite.snapshot_files(table, skip=("id", 7, 7))
+    all_before, _ = deltalite.snapshot_files(table)
+    # appends recorded no id stats -> conservatively keep everything
+    assert len(unsorted_kept) == len(all_before)
+
+    deltalite.compact(spark, table, target_partitions=4, sort_by=["id"])
+    all_after, _ = deltalite.snapshot_files(table)
+    kept, _ = deltalite.snapshot_files(table, skip=("id", 7, 7))
+    assert len(all_after) >= 2
+    assert len(kept) < len(all_after), "disjoint ranges must prune"
+    rows = sorted(
+        r.id
+        for r in deltalite.read(spark, table, skip=("id", 7, 7))
+        .filter("id = 7")
+        .collect()
+    )
+    assert rows == [7]
+
+
 def test_data_skipping_prunes_files(spark, sf_dir, table):
     """Commit-recorded footer stats prune whole files on read (Delta
     data-skipping analog): a status-sliced table reads only the matching
