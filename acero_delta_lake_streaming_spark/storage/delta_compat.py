@@ -227,11 +227,65 @@ def read_delta(
     return spark.read.schema(full).parquet(*snap["files"])
 
 
-def append_delta(df: DataFrame, table: str) -> int:
+def streaming_sink(table: str, app_id: str):
+    """``foreachBatch`` function writing a stream into a REAL Delta
+    table exactly-once: each epoch appends with ``txn=(app_id,
+    epoch)``, so a crash-replayed micro-batch no-ops instead of
+    double-appending — the interop twin of the deltalite medallion
+    sink, for pipelines whose downstream readers are delta-rs /
+    delta-spark. Usage::
+
+        stream.writeStream.foreachBatch(
+            delta_compat.streaming_sink(path, "my-app")
+        )
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_delta(batch_df, table, txn=(app_id, epoch_id))
+
+    return write_batch
+
+
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest ``txn`` action version committed for ``app_id`` (-1 if
+    none) — Delta's exactly-once handshake for streaming sinks: a
+    restarted writer checks this before re-appending an epoch. Scans
+    the retained JSON log (our writer never checkpoints; reading a
+    foreign checkpointed table's txn state would extend
+    ``_replay_checkpoint``)."""
+    if not is_delta_table(table):
+        return -1
+    latest = -1
+    for v in _list_commit_versions(table):
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    latest = max(latest, txn.get("version", -1))
+    return latest
+
+
+def append_delta(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """Append-only Delta writer: distributed parquet write, then one
     driver-side JSON commit (protocol + metaData on create, adds
-    always). Publishes via atomic rename; returns the committed
-    version. Unpartitioned only — the reference's append path."""
+    always). Publishes via atomic link-claim; returns the committed
+    version. Unpartitioned only — the reference's append path.
+
+    ``txn=(app_id, epoch)`` makes the append idempotent the way a Delta
+    streaming sink is: if the log already holds a ``txn`` action for
+    this app at >= epoch, the call is a no-op returning -1; otherwise
+    the commit carries the ``txn`` action, so data + progress publish
+    atomically (a replayed epoch after a crash cannot double-append)."""
+    if txn is not None and last_txn_version(table, txn[0]) >= txn[1]:
+        return -1
     os.makedirs(_log_dir(table), exist_ok=True)
     versions = _list_commit_versions(table)
     version = (versions[-1] + 1) if versions else 0
@@ -275,6 +329,11 @@ def append_delta(df: DataFrame, table: str) -> int:
                     "createdTime": int(time.time() * 1000),
                 }
             }
+        )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1],
+                     "lastUpdated": int(time.time() * 1000)}}
         )
     actions.extend(adds)
     actions.append(

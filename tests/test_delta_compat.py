@@ -283,6 +283,65 @@ def test_concurrent_commit_is_rejected_not_overwritten(
     ), "winner's commit was clobbered"
 
 
+def test_txn_makes_epoch_replay_idempotent(spark, tmp_path):
+    """The Delta streaming-sink handshake: a replayed (app, epoch)
+    append is a no-op; a new epoch commits and advances the txn
+    watermark; an unrelated app is unaffected."""
+    table = str(tmp_path / "txn_tbl")
+    df = spark.createDataFrame([(1,)], "id long")
+    assert dc.append_delta(df, table, txn=("app", 0)) == 0
+    assert dc.last_txn_version(table, "app") == 0
+    # crash-replay of epoch 0: no second append, no new version
+    assert dc.append_delta(df, table, txn=("app", 0)) == -1
+    assert [r.id for r in dc.read_delta(spark, table).collect()] == [1]
+    # next epoch commits
+    assert dc.append_delta(df, table, txn=("app", 1)) == 1
+    assert dc.last_txn_version(table, "app") == 1
+    assert len(dc.read_delta(spark, table).collect()) == 2
+    # a different app's watermark is independent
+    assert dc.last_txn_version(table, "other") == -1
+    assert dc.append_delta(df, table, txn=("other", 0)) == 2
+
+
+def test_streaming_sink_exactly_once_through_real_stream(spark, tmp_path):
+    """Two availableNow micro-batch runs through a real file-drop
+    readStream into the Delta-format sink: second run re-reads nothing
+    (checkpoint) and a manually replayed epoch no-ops (txn), so the
+    table holds each row exactly once."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    table = str(tmp_path / "delta_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(drop))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                dc.streaming_sink(table, "stream-app")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (drop / "a.json").write_text('{"id": 1, "v": "a"}\n')
+    run_once()
+    (drop / "b.json").write_text('{"id": 2, "v": "b"}\n')
+    run_once()
+    got = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    assert got == [(1, "a"), (2, "b")]
+    # crash-replay of the last epoch: same (app, epoch) appends nothing
+    epoch = dc.last_txn_version(table, "stream-app")
+    replay = spark.createDataFrame([(2, "b")], "id long, v string")
+    assert dc.append_delta(replay, table, txn=("stream-app", epoch)) == -1
+    assert len(dc.read_delta(spark, table).collect()) == 2
+
+
 def test_append_round_trip_and_foreign_readability(spark, tmp_path):
     """Our writer's log must parse with the strictness we apply to
     foreign logs AND carry the exact action fields delta-rs requires
