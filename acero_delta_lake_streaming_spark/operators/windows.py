@@ -200,15 +200,50 @@ _W5_SQL = (
 )
 
 
+def w6_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience growth: new users per day + running total.
+
+    A running COUNT(DISTINCT) is not incrementally computable, so this
+    uses the scale rewrite: per-user min(first day) — one shuffle on
+    user_id — then a per-day count and a running sum over ~|days| rows.
+    The global window never sees raw events."""
+    events = load_table(spark, sf_dir, "events")
+    day_ms = F.expr("unix_millis(date_trunc('DAY', ts))")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(day_ms).alias("day_ms")
+    )
+    per_day = first_seen.groupBy("day_ms").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_ms")
+    return per_day.select(
+        "day_ms",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+_W6_SQL = (
+    "WITH fs AS (SELECT user_id, min(epoch_ms(date_trunc('day', ts))) "
+    "AS day_ms FROM events GROUP BY 1), "
+    "pd AS (SELECT day_ms, count(*) AS new_users FROM fs GROUP BY 1) "
+    "SELECT day_ms, new_users, "
+    "CAST(SUM(new_users) OVER (ORDER BY day_ms) AS BIGINT) AS cum_users "
+    "FROM pd"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
     "w3_rank_in_group": w3_rank_in_group,
     "w4_sliding_windows": w4_sliding_windows,
     "w5_ohlc_downsample": w5_ohlc_downsample,
+    "w6_new_users": w6_new_users,
 }
 
 ORACLES = {
+    "w6_new_users": _W6_SQL,
     "w1_daily_delta": _W1_SQL,
     "w2_moving_avg": _W2_SQL,
     "w3_rank_in_group": _W3_SQL,
