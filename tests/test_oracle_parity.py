@@ -22,6 +22,17 @@ def test_registry_shape():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_priority_names_exist():
+    """A typo'd _PRIORITY entry silently wastes one of the ~50 slots the
+    external driver records — every listed name must be a real query."""
+    from acero_delta_lake_streaming_spark.queries import _PRIORITY
+
+    stale = [n for n in _PRIORITY if n not in QUERIES]
+    assert not stale, f"_PRIORITY names not in registry: {stale}"
+    dupes = [n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     con = duckdb_connect(sf_dir)
