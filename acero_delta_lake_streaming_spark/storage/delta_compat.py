@@ -272,12 +272,22 @@ def last_txn_version(table: str, app_id: str) -> int:
 
 
 def append_delta(
-    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append-only Delta writer: distributed parquet write, then one
     driver-side JSON commit (protocol + metaData on create, adds
     always). Publishes via atomic link-claim; returns the committed
-    version. Unpartitioned only — the reference's append path.
+    version.
+
+    ``partition_by`` writes the hive layout delta-spark produces
+    (``col=value/`` dirs, URL-encoded paths, raw values in each add's
+    ``partitionValues``); partitioning is fixed at table creation and
+    later appends must match. Nulls in partition columns are not
+    supported (delta-spark's ``__HIVE_DEFAULT_PARTITION__`` escape is
+    out of scope).
 
     ``txn=(app_id, epoch)`` makes the append idempotent the way a Delta
     streaming sink is: if the log already holds a ``txn`` action for
@@ -286,32 +296,62 @@ def append_delta(
     atomically (a replayed epoch after a crash cannot double-append)."""
     if txn is not None and last_txn_version(table, txn[0]) >= txn[1]:
         return -1
+    partition_by = list(partition_by or [])
     os.makedirs(_log_dir(table), exist_ok=True)
     versions = _list_commit_versions(table)
     version = (versions[-1] + 1) if versions else 0
+    if version > 0:
+        existing = snapshot(table)["partition_cols"]
+        if existing != partition_by:
+            raise DeltaProtocolError(
+                f"table is partitioned by {existing}, append specified "
+                f"{partition_by}"
+            )
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
-        os.rename(os.path.join(staging, name), os.path.join(table, final))
-        adds.append(
-            {
-                "add": {
-                    "path": quote(final),
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table, final)),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
+    for dirpath, _dirs, names in sorted(os.walk(staging)):
+        # hive dir segments under staging carry the partition values
+        rel_dir = os.path.relpath(dirpath, staging)
+        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals = dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in segments)
         )
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+        if set(pvals) != set(partition_by):
+            if any(n.endswith(".parquet") for n in names):
+                raise DeltaCorruptLogError(
+                    f"unexpected staging layout at {rel_dir!r}"
+                )
+            continue
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(*segments, fname) if segments else fname
+            os.makedirs(
+                os.path.dirname(os.path.join(table, rel)) or table,
+                exist_ok=True,
+            )
+            os.rename(os.path.join(dirpath, name), os.path.join(table, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging)
 
     actions: list[dict] = []
     if version == 0:
@@ -324,7 +364,7 @@ def append_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
                 }

@@ -303,6 +303,42 @@ def test_txn_makes_epoch_replay_idempotent(spark, tmp_path):
     assert dc.append_delta(df, table, txn=("other", 0)) == 2
 
 
+def test_partitioned_append_round_trip(spark, tmp_path):
+    """Partitioned writes produce the delta-spark layout (hive dirs,
+    partitionValues in each add, partition cols excluded from data
+    files) and read back with pruning; later appends must match the
+    table's partitioning."""
+    table = str(tmp_path / "part_ours")
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "fr", "b"), (3, "en", "c")],
+        "id long, lang string, v string",
+    )
+    assert dc.append_delta(df, table, partition_by=["lang"]) == 0
+    more = spark.createDataFrame([(4, "de", "d")], "id long, lang string, v string")
+    assert dc.append_delta(more, table, partition_by=["lang"]) == 1
+
+    snap = dc.snapshot(table)
+    assert snap["partition_cols"] == ["lang"]
+    assert all("lang=" in f for f in snap["files"])
+    with open(os.path.join(table, "_delta_log", f"{0:020d}.json")) as f:
+        adds = [
+            json.loads(line)["add"]
+            for line in f
+            if line.strip() and "add" in json.loads(line)
+        ]
+    assert {a["partitionValues"]["lang"] for a in adds} == {"en", "fr"}
+
+    got = sorted(
+        (r.id, r.lang, r.v) for r in dc.read_delta(spark, table).collect()
+    )
+    assert got == [(1, "en", "a"), (2, "fr", "b"), (3, "en", "c"),
+                   (4, "de", "d")]
+    assert dc.read_delta(spark, table).filter("lang = 'de'").count() == 1
+
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(more, table)  # partitioning must match
+
+
 def test_streaming_sink_exactly_once_through_real_stream(spark, tmp_path):
     """Two availableNow micro-batch runs through a real file-drop
     readStream into the Delta-format sink: second run re-reads nothing
