@@ -378,6 +378,28 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — order counts per priority spread across status columns.
+    Values are enumerated explicitly (``pivot(col, values)``) so Spark
+    skips the extra distinct-values job and plans ONE hash aggregation;
+    an open-ended pivot at 100 TB would first scan for distincts and
+    then aggregate. Empty cells surface as NULL from pivot and are
+    coalesced to 0 to match the oracle's FILTER counts."""
+    piv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (F1-F6 — collector.py:65-72,182; visualizer.py:89-98)
 # --------------------------------------------------------------------------
@@ -539,6 +561,7 @@ QUERIES = {
     "u4_except_all": u4_except_all,
     "a9_rollup": a9_rollup,
     "a10_percentiles": a10_percentiles,
+    "a11_pivot": a11_pivot,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
     "f7_regexp_suite": f7_regexp_suite,
@@ -680,6 +703,13 @@ ORACLES = {
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
         "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 "
         "FROM lineitem GROUP BY 1"
+    ),
+    "a11_pivot": (
+        "SELECT o_orderpriority, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p "
+        "FROM orders GROUP BY 1"
     ),
     "f_scalar_suite": (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, "

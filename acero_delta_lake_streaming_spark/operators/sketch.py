@@ -1,0 +1,190 @@
+"""Sketch + data-quality operators: oracle-checkable approximate
+distinct counting (KMV) and a one-scan column profiler.
+
+The reference has no sketch layer (its aggregations are exact pandas
+value_counts, visualizer.py:60-155); at 100 TB a pipeline needs
+approximate distincts and cheap whole-table profiling before anything
+else runs. Spark's production sketch is ``approx_count_distinct``
+(HyperLogLog++), but its register layout is implementation-defined, so
+it can never hash-match a DuckDB oracle. This module instead implements
+a K-Minimum-Values sketch from first principles (Bar-Yossef et al. 2002)
+with an md5-derived hash both engines compute bit-identically — the
+sketch *semantics* (uniform hash, k-th order statistic, (k-1)/U_k
+estimator) become testable, while the docstrings point the production
+path at the built-in HLL.
+
+Scale shape:
+
+* x13: the hash-space projection runs map-side; the per-group distinct
+  is a partial-aggregated shuffle on (event_type, h) — cardinality
+  |distinct hashes|, never |events|. The window ranks *hashes within a
+  group*, and a KMV sketch only ever needs the k smallest, so state per
+  group is O(distinct). A production variant keeps only k values per
+  partition before merging (the sketch is mergeable by construction:
+  k-min of a union = k-min of the per-partition k-mins).
+* dq1: ONE scan of orders computes every per-column metric in a single
+  multi-aggregate (null counts and min/max fold partially map-side;
+  the exact count-distincts expand the shuffle 4x, which is the
+  documented trade against ``approx_count_distinct`` at 100 TB). The
+  wide 1-row result is unpivoted driver-free with ``stack``.
+
+Parity notes: the 6-hex-digit hash integer uses the CLAUDE.md
+``instr``/``strpos`` digit map (md5 is the only cross-engine hash);
+all arithmetic is integer (``DIV`` / ``//``), no float anywhere;
+``nullif`` guards the h_k=0 division edge on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+
+_K = 64  # order statistic kept by the KMV sketch
+_SPACE = 16**6  # 6 hex digits -> hash space [0, 16^6)
+
+
+def _hex6_int(md5_expr: str, instr_fn: str) -> str:
+    """Integer in [0, 16^6) from the first 6 hex chars of an md5, as a
+    portable SQL expression (``instr_fn``: Spark ``instr`` / DuckDB
+    ``strpos``)."""
+    terms = [
+        f"({instr_fn}('0123456789abcdef', substr({md5_expr}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (5 - p)}"
+        for p in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HASH_SPARK = _hex6_int("md5(cast(user_id as string))", "instr")
+_HASH_DUCK = _hex6_int("md5(cast(user_id as varchar))", "strpos")
+
+
+def kmv_distinct(events: DataFrame, key: str, hash_expr: str, k: int = _K) -> DataFrame:
+    """Library form: KMV distinct estimate of ``hash_expr``'s source
+    column per ``key``. Returns (key, est bigint, n_hashes bigint)."""
+    h = events.selectExpr(key, f"{hash_expr} AS h").distinct()
+    w = Window.partitionBy(key).orderBy("h")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(key).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    ).select(
+        key,
+        F.when(
+            F.col("n_hashes") >= k,
+            F.expr(f"({k - 1} * {_SPACE}) DIV nullif(h_k, 0)"),
+        )
+        .otherwise(F.col("n_hashes"))
+        .cast("bigint")
+        .alias("est"),
+        F.col("n_hashes").cast("bigint").alias("n_hashes"),
+    )
+
+
+def x13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a 64-minimum-values
+    sketch, alongside the exact count so the estimator's error is
+    visible in the result itself."""
+    events = load_table(spark, sf_dir, "events")
+    est = kmv_distinct(events, "event_type", _HASH_SPARK).select(
+        "event_type", F.col("est").alias("est_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return est.join(exact, "event_type")
+
+
+_X13_SQL = (
+    f"WITH h AS (SELECT DISTINCT event_type, {_HASH_DUCK} AS h FROM events), "
+    "r AS (SELECT event_type, h, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY h) AS rn FROM h), "
+    f"g AS (SELECT event_type, max(CASE WHEN rn = {_K} THEN h END) AS h_k, "
+    "count(*) AS n_hashes FROM r GROUP BY 1), "
+    "e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users "
+    "FROM events GROUP BY 1) "
+    f"SELECT g.event_type, CAST(CASE WHEN n_hashes >= {_K} THEN "
+    f"({_K - 1} * {_SPACE}) // nullif(h_k, 0) ELSE n_hashes END AS BIGINT) "
+    "AS est_users, CAST(exact_users AS BIGINT) AS exact_users "
+    "FROM g JOIN e USING (event_type)"
+)
+
+# (column spark-name, null-check expr is shared, min/max projection pair)
+_PROFILE_COLS = [
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "cast(o_custkey as string)", "cast(o_custkey as varchar)"),
+]
+
+
+def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of ``orders``: per column, row count, null
+    count, exact distinct count, and min/max (string-typed so the
+    schema is uniform across column types). The date column is
+    formatted to ISO to keep timestamps out of the result."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, sp, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{name}"),
+            F.countDistinct(name).cast("bigint").alias(f"nd_{name}"),
+            F.expr(f"min({sp})").alias(f"mn_{name}"),
+            F.expr(f"max({sp})").alias(f"mx_{name}"),
+        ]
+    aggs += [
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_o_orderdate"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_o_orderdate"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_o_orderdate"),
+    ]
+    wide = orders.agg(*aggs)
+    names = [c for c, _, _ in _PROFILE_COLS] + ["o_orderdate"]
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in names
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(names)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def _profile_union_sql() -> str:
+    parts = []
+    for name, _, du in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null, "
+            f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"min({du}) AS min_val, max({du}) AS max_val FROM orders"
+        )
+    parts.append(
+        "SELECT 'o_orderdate' AS col_name, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null, "
+        "CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct, "
+        "strftime(min(o_orderdate), '%Y-%m-%d') AS min_val, "
+        "strftime(max(o_orderdate), '%Y-%m-%d') AS max_val FROM orders"
+    )
+    return " UNION ALL ".join(parts)
+
+
+_DQ1_SQL = _profile_union_sql()
+
+
+QUERIES = {
+    "x13_kmv_distinct": x13_kmv_distinct,
+    "dq1_column_profile": dq1_column_profile,
+}
+
+ORACLES = {
+    "x13_kmv_distinct": _X13_SQL,
+    "dq1_column_profile": _DQ1_SQL,
+}

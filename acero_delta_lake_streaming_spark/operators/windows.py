@@ -233,6 +233,78 @@ _W6_SQL = (
 )
 
 
+def w7_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build: collapse each user's event stream into
+    validity intervals of their current event_type (runs of equal type
+    become one row with valid_from/valid_to, open-ended for the
+    current state). The standard dimension-history merge a warehouse
+    runs on every load.
+
+    Scale shape: one shuffle on user_id; both windows and the island
+    group-by reuse that partitioning, so history build is a single
+    exchange regardless of fact size. The user_id % 97 slice bounds
+    the *output* (and is pushed to the scan); the plan is unchanged
+    for the full population."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("user_id") % 97) == 0)
+        # order on raw ts_ns: the us-floored ts can tie where the
+        # oracle's nanosecond timestamps don't (same trap as w5)
+        .select("user_id", "ts_ns", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = events.withColumn(
+        "new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ns").alias("from_ns"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_next = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("from_ns DIV 1000000").alias("from_ms"),
+        F.expr(
+            "lead(from_ns) OVER (PARTITION BY user_id ORDER BY run_id) "
+            "DIV 1000000"
+        ).alias("to_ms"),
+        F.when(F.lead("from_ns").over(w_next).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+        "n_events",
+    )
+
+
+_W7_SQL = (
+    "WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type "
+    "FROM events WHERE user_id % 97 = 0), "
+    "f AS (SELECT *, CASE WHEN lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY tns, event_id) IS NULL OR "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) "
+    "<> event_type THEN 1 ELSE 0 END AS new_run FROM e), "
+    "n AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id "
+    "ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM f), "
+    "runs AS (SELECT user_id, run_id, event_type, min(tns) AS from_ns, "
+    "count(*) AS n_events FROM n GROUP BY 1, 2, 3) "
+    "SELECT user_id, event_type AS state, "
+    "from_ns // 1000000 AS from_ms, "
+    "lead(from_ns) OVER (PARTITION BY user_id ORDER BY run_id) "
+    "// 1000000 AS to_ms, "
+    "CASE WHEN lead(from_ns) OVER "
+    "(PARTITION BY user_id ORDER BY run_id) IS NULL THEN 1 ELSE 0 END "
+    "AS is_current, CAST(n_events AS BIGINT) AS n_events FROM runs"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -240,6 +312,7 @@ QUERIES = {
     "w4_sliding_windows": w4_sliding_windows,
     "w5_ohlc_downsample": w5_ohlc_downsample,
     "w6_new_users": w6_new_users,
+    "w7_scd2_user_state": w7_scd2_user_state,
 }
 
 ORACLES = {
@@ -249,4 +322,5 @@ ORACLES = {
     "w3_rank_in_group": _W3_SQL,
     "w4_sliding_windows": _W4_SQL,
     "w5_ohlc_downsample": _W5_SQL,
+    "w7_scd2_user_state": _W7_SQL,
 }
