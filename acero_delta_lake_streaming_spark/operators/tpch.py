@@ -505,8 +505,176 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: groupwise-minimum selection — the correlated
+    ``price = (SELECT min(...) WHERE same group)`` subquery decorrelated
+    into a min-window over p_type (one shuffle on the group key; the
+    classic plan would re-scan part per row). Equality on the min is
+    safe float-wise: selection of an existing value, no arithmetic."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("mp", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("mp"))
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+def q12_priority_class_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus standing in for l_shipmode): fact-
+    fact join then a two-way conditional aggregation — counts of
+    critical vs non-critical order priorities per line class in one
+    pass. Integer-only measures; the orderkey join is the one shuffle
+    (co-located for free under the bucketed layout proven in
+    tests/test_bucketing.py)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            day_ge("l_shipdate", "1996-01-01")
+            & day_lt("l_shipdate", "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem is the part↔supplier association —
+    the fixtures ship no partsupp): distinct supplier count per part
+    attribute triple, for parts outside an excluded brand/type and
+    suppliers outside a NOT-IN set (negative balances). The distinct
+    (partkey, suppkey) projection collapses the fact table FIRST (one
+    shuffle to |associations|), then both dimension joins broadcast."""
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4") & (~F.col("p_type").like("MEDIUM%"))
+    )
+    return (
+        assoc.join(
+            F.broadcast(bad), assoc.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(parts), assoc.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregate inside a semi-join chain —
+    suppliers in one nation who moved more than a threshold of 'red'
+    parts in 1996. The per-(supplier, part) sum accumulates in
+    decimal(18,6) (strict > threshold is a boundary-flip surface); both
+    dimension probes broadcast; the supplier list reduces via left-semi
+    so no duplicate s_name rows ever materialize."""
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        day_ge("l_shipdate", "1996-01-01") & day_lt("l_shipdate", "1997-01-01")
+    )
+    moved = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty")
+        )
+        .filter(F.col("qty") > 60.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return supp.join(
+        moved, supp.s_suppkey == moved.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS double correlation —
+    suppliers credited for finished orders where no OTHER supplier
+    shipped a line. Decorrelated: distinct (order, supplier) pairs,
+    per-order supplier count, keep n_supp = 1 — two aggregations on
+    the same orderkey partitioning instead of two correlated rescans
+    of lineitem (the oracle keeps the NOT EXISTS form to prove
+    equivalence)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    solo = pairs.join(
+        n_supp.filter(F.col("n_supp") == 1).select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    fin = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    per_supp = (
+        solo.join(fin, solo.l_orderkey == fin.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return per_supp.join(
+        F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey
+    ).select("s_name", "numwait")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_cheapest_part": q2_cheapest_part,
+    "q12_priority_class_shipping": q12_priority_class_shipping,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_sole_supplier_orders": q21_sole_supplier_orders,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q5_region_revenue": q5_region_revenue,

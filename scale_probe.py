@@ -1,0 +1,150 @@
+"""Scale probe: drive the LSH dedup + ANN candidate generators at
+sf1-equivalent (a 10x in-flight replication of sf0.1) and report
+candidate-volume growth and per-doc throughput vs plain sf0.1.
+
+This extends tests/test_scale_growth.py one decade further than the
+shipped fixtures go. No files are written: replicas are built in the
+logical plan by unioning the sf0.1 corpus 10 times with shifted ids and
+a per-replica letter rotation (so replica shingles don't collide with
+the original's — candidate growth is measured on *unrelated* content,
+the honest worst case for bucket occupancy). Embedding replicas keep
+their direction (sign-LSH and cosine are scale-invariant), so ANN
+bucket occupancy grows exactly 10x — the designed O(N) behavior.
+
+Usage: python scale_probe.py   (prints one JSON line; ~2-3 min)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+sys.path.insert(0, "/root/repo")
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.dedup import (
+    _JACCARD_THRESHOLD,
+    _near_dup_corpus,
+    _shingle_rows,
+    _signatures_and_candidates,
+)
+from acero_delta_lake_streaming_spark.operators.similarity import (
+    _lsh_candidate_ids,
+)
+from acero_delta_lake_streaming_spark.plans.cache import (
+    release_scoped,
+    scoped_persist,
+)
+from acero_delta_lake_streaming_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+_ROT = "etaoinshrd"  # 10 most frequent letters; rotating them rewrites
+# nearly every word, so replica shingle sets are disjoint from the base
+
+
+def replicate_docs(docs: DataFrame, times: int) -> DataFrame:
+    parts = []
+    for i in range(times):
+        rot = _ROT[i:] + _ROT[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.translate("text", _ROT, rot).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_pairs(corpus: DataFrame) -> tuple[int, int, int, float]:
+    """(corpus_n, shingle_n, candidate_n, pair-pipeline seconds)."""
+    t0 = time.time()
+    sh = scoped_persist(_shingle_rows(corpus))
+    shingle_n = sh.count()
+    sigs, cand = _signatures_and_candidates(sh)
+    cand_n = cand.count()
+    # full verification pass (intersection join + Jaccard filter),
+    # mirroring x2's tail
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sigs.select("doc_id", "n_sh")
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    n_pairs = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .count()
+    )
+    corpus_n = corpus.count()
+    release_scoped()
+    del n_pairs
+    return corpus_n, shingle_n, cand_n, time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark()
+    docs = load_table(spark, SF_DIR, "documents")
+    out: dict[str, dict] = {}
+
+    base = _near_dup_corpus(docs)
+    big = _near_dup_corpus(replicate_docs(docs, 10).repartition(32))
+    for tag, corpus in (("x1", base), ("x10", big)):
+        n, sh_n, cand_n, secs = minhash_pairs(corpus)
+        out[f"minhash_{tag}"] = {
+            "docs": n,
+            "shingles": sh_n,
+            "candidates": cand_n,
+            "sec": round(secs, 1),
+            "docs_per_sec": round(n / secs, 0),
+        }
+        print(f"minhash_{tag}: {out[f'minhash_{tag}']}", file=sys.stderr)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb10 = None
+    for i in range(10):
+        part = emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, x -> x * {1.0 + i / 10.0})"
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        emb10 = part if emb10 is None else emb10.unionByName(part)
+    for tag, e in (("x1", emb), ("x10", emb10.repartition(32))):
+        t0 = time.time()
+        n = e.count()
+        cand_n = _lsh_candidate_ids(spark, e).count()
+        out[f"ann_{tag}"] = {
+            "vectors": n,
+            "candidates": cand_n,
+            "sec": round(time.time() - t0, 1),
+        }
+        print(f"ann_{tag}: {out[f'ann_{tag}']}", file=sys.stderr)
+
+    m1, m10 = out["minhash_x1"], out["minhash_x10"]
+    a1, a10 = out["ann_x1"], out["ann_x10"]
+    out["growth"] = {
+        "minhash_cand_ratio": round(m10["candidates"] / m1["candidates"], 2),
+        "minhash_doc_ratio": round(m10["docs"] / m1["docs"], 2),
+        "ann_cand_ratio": round(a10["candidates"] / a1["candidates"], 2),
+        "ann_vec_ratio": round(a10["vectors"] / a1["vectors"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
