@@ -614,7 +614,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("qty")
         )
-        .filter(F.col("qty") > 60.0)
+        .filter(F.col("qty") > 40.0)
         .select("l_suppkey")
         .distinct()
     )
@@ -694,6 +694,57 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_cheapest_part": (
+        "SELECT p_type, p_partkey, p_name, p_brand, "
+        "round(p_retailprice, 2) AS p_retailprice FROM ("
+        "SELECT *, min(p_retailprice) OVER (PARTITION BY p_type) AS mp "
+        "FROM part) WHERE p_retailprice = mp"
+    ),
+    "q12_priority_class_shipping": (
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1"
+    ),
+    "q16_supplier_variety": (
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'MEDIUM%' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3"
+    ),
+    "q20_excess_shippers": (
+        "SELECT s_suppkey, s_name FROM supplier "
+        "WHERE s_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3') "
+        "AND s_suppkey IN (SELECT l_suppkey FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE 'red%' "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_suppkey, l_partkey "
+        "HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) "
+        "> 40.0)"
+    ),
+    "q21_sole_supplier_orders": (
+        "WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey "
+        "FROM lineitem) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM pairs p "
+        "JOIN orders ON o_orderkey = p.l_orderkey AND o_orderstatus = 'F' "
+        "JOIN supplier ON s_suppkey = p.l_suppkey "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = p.l_orderkey "
+        "AND l2.l_suppkey <> p.l_suppkey) "
+        "GROUP BY 1"
+    ),
     "q1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "ROUND(SUM(l_quantity), 2) AS sum_qty, "
