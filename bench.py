@@ -53,6 +53,13 @@ HEADLINE = [
     "ud1_extract_categories",
     "xj1_asof_prior_click",
     "xj2_range_clicks_before_purchase",
+    # round-3 late additions: sketch/profile, SCD2, and the two
+    # heaviest of the five suite-completing TPC-H shapes
+    "x13_kmv_distinct",
+    "dq1_column_profile",
+    "w7_scd2_user_state",
+    "q16_supplier_variety",
+    "q21_sole_supplier_orders",
 ]
 
 

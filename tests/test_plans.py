@@ -139,18 +139,66 @@ def test_no_collect_in_query_paths():
     import inspect
 
     from acero_delta_lake_streaming_spark.operators import (
+        asof,
+        curation,
         dedup,
         multimodal,
         relational,
         sessionize,
         similarity,
+        sketch,
         text,
         tpch,
         windows,
     )
 
     for mod in (relational, tpch, windows, dedup, similarity, text,
-                sessionize, multimodal):
+                sessionize, multimodal, asof, curation, sketch):
         src = inspect.getsource(mod)
         assert ".collect()" not in src, mod.__name__
         assert ".toPandas()" not in src, mod.__name__
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """w7's three windows and the island group-by must all reuse ONE
+    user_id exchange — the property that makes the history build a
+    single-shuffle pass at any fact scale."""
+    from acero_delta_lake_streaming_spark.operators.windows import (
+        w7_scd2_user_state,
+    )
+
+    plan = _physical(w7_scd2_user_state(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q16_q21_broadcast_no_cartesian(spark, sf_dir):
+    """q16: the fact collapses to distinct associations FIRST, then both
+    dimension probes broadcast. q21: the decorrelated NOT-EXISTS must
+    stay equi-join-only."""
+    from acero_delta_lake_streaming_spark.operators.tpch import (
+        q16_supplier_variety,
+        q21_sole_supplier_orders,
+    )
+
+    plan = _physical(q16_supplier_variety(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    plan = _physical(q21_sole_supplier_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_no_cartesian_and_profile_one_scan(spark, sf_dir):
+    """x13's est/exact join is a tiny equi-join (never nested-loop);
+    dq1 must read orders exactly once (one FileScan — the whole point
+    of the multi-aggregate profile)."""
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq1_column_profile,
+        x13_kmv_distinct,
+    )
+
+    plan = _physical(x13_kmv_distinct(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _physical(dq1_column_profile(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
