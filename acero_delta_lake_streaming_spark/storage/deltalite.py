@@ -175,6 +175,28 @@ def _collect_file_stats(
     return out
 
 
+def merge_schemas(
+    table_schema: T.StructType, df_schema: T.StructType
+) -> T.StructType:
+    """Delta-style additive schema evolution: the merged schema keeps
+    every table column (original order) and appends the incoming
+    frame's NEW columns as nullable. A column present in both with a
+    different type is a hard error — silent type coercion is how lakes
+    corrupt; Delta rejects it too."""
+    existing = {f.name: f for f in table_schema.fields}
+    out = list(table_schema.fields)
+    for f in df_schema.fields:
+        prev = existing.get(f.name)
+        if prev is None:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+        elif prev.dataType != f.dataType:
+            raise SchemaMismatchError(
+                f"type conflict on {f.name}: table={prev.dataType} "
+                f"df={f.dataType}"
+            )
+    return T.StructType(out)
+
+
 def write(
     df: DataFrame,
     table: str,
@@ -183,23 +205,36 @@ def write(
     epoch: int | None = None,
     max_retries: int = 10,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Write ``df`` as one atomic commit; returns the committed version,
     or None when the (app_id, epoch) commit already exists (idempotent
-    replay — the data is NOT rewritten)."""
+    replay — the data is NOT rewritten).
+
+    ``merge_schema=True`` enables additive evolution on append: new
+    nullable columns join the table schema; readers null-fill them for
+    pre-evolution files (the scan always applies the LATEST commit's
+    schema, so no data rewrite happens — same mechanics as Delta's
+    ``mergeSchema``). Type changes are rejected either way."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     if app_id is not None and epoch is not None and has_committed(table, app_id, epoch):
         return None
 
+    commit_schema_json = df.schema.json()
     log = _read_log(table)
     if log and mode == "append":
         current = log[-1].schema_json
-        if current != df.schema.json():
-            raise SchemaMismatchError(
-                f"append schema drift for {table}: table={current} "
-                f"df={df.schema.json()}"
+        if current != commit_schema_json:
+            if not merge_schema:
+                raise SchemaMismatchError(
+                    f"append schema drift for {table}: table={current} "
+                    f"df={df.schema.json()}"
+                )
+            merged = merge_schemas(
+                T.StructType.fromJson(json.loads(current)), df.schema
             )
+            commit_schema_json = merged.json()
 
     commit_dir = f"commit-{uuid.uuid4().hex}"
     abs_dir = os.path.join(table, _DATA_DIR, commit_dir)
@@ -228,7 +263,7 @@ def write(
                     version=version,
                     action=mode,
                     files=rel_files,
-                    schema_json=df.schema.json(),
+                    schema_json=commit_schema_json,
                     app_id=app_id,
                     epoch=epoch,
                     stats=stats,

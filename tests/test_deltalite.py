@@ -301,3 +301,39 @@ def test_vacuum_retention(spark, table):
     deltalite.compact(spark, table2)
     assert deltalite.vacuum(table2, keep_versions=1) == []
     assert {r.id for r in deltalite.read(spark, table2, version=0).collect()} == {1}
+
+
+def test_schema_evolution_adds_nullable_column(spark, table):
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    widened = spark.createDataFrame(
+        [(3, "c", 9.5)], "id bigint, v string, score double"
+    )
+    with pytest.raises(deltalite.SchemaMismatchError):
+        deltalite.write(widened, table)  # strict by default
+    deltalite.write(widened, table, merge_schema=True)
+    got = deltalite.read(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "v", "score"]
+    rows = {r.id: r.score for r in got.collect()}
+    # pre-evolution files null-fill the new column; no data rewrite
+    assert rows == {1: None, 2: None, 3: 9.5}
+    # time travel to the pre-evolution version keeps the OLD schema
+    old = deltalite.read(spark, table, version=0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+
+
+def test_schema_evolution_missing_column_null_fills(spark, table):
+    deltalite.write(
+        spark.createDataFrame([(1, "a", 1.0)], "id bigint, v string, score double"),
+        table,
+    )
+    narrow = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    deltalite.write(narrow, table, merge_schema=True)
+    rows = {r.id: r.score for r in deltalite.read(spark, table).collect()}
+    assert rows == {1: 1.0, 2: None}
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    deltalite.write(_df(spark, [(1, "a")]), table)
+    conflicted = spark.createDataFrame([(1, 2)], "id bigint, v bigint")
+    with pytest.raises(deltalite.SchemaMismatchError):
+        deltalite.write(conflicted, table, merge_schema=True)
