@@ -89,7 +89,7 @@ _PRIORITY = [
     "s8_delta_format_roundtrip",
     # streaming
     "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
-    "st4_windowed_counts", "st7_interval_join",
+    "st4_windowed_counts", "st7_interval_join", "st8_stream_static_enrich",
     # flagship + core-family representatives (keep §2 component spread
     # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",

@@ -354,12 +354,88 @@ _ST7_SQL = (
 )
 
 
+def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: stream-static enrichment — each micro-batch broadcast-joins
+    the static ``customer`` dimension (re-resolved per epoch, exactly
+    Spark's stream-static join semantics), rolls up to per-epoch
+    (event_type, segment) counts, and commits them transactionally.
+    Counts are ADDITIVE across epochs, so the final read just sums the
+    per-epoch partials — the incremental-aggregation pattern that keeps
+    streaming state out of the engine entirely at 100 TB (the sink
+    table IS the state). Oracle: the batch join over all events."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+
+    base = _scratch(sf_dir, "st8")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    split_ns = 1705363200 * 1_000_000_000
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(events.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(events.filter(F.col("ts_ns") >= split_ns), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        agg = (
+            batch_df.join(
+                F.broadcast(dim), batch_df.user_id == dim.c_custkey
+            )
+            .groupBy("event_type", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        deltalite.write(agg, out, app_id="st8", epoch=epoch_id)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        deltalite.read(spark, out)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+    )
+
+
+_ST8_SQL = (
+    "SELECT event_type, c_mktsegment, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
     "st2_stateful_totals": st2_stateful_totals,
     "st4_windowed_counts": st4_windowed_counts,
     "st7_interval_join": st7_interval_join,
+    "st8_stream_static_enrich": st8_stream_static_enrich,
 }
 
 ORACLES = {
@@ -368,4 +444,5 @@ ORACLES = {
     "st2_stateful_totals": _ST2_SQL,
     "st4_windowed_counts": _ST4_SQL,
     "st7_interval_join": _ST7_SQL,
+    "st8_stream_static_enrich": _ST8_SQL,
 }
