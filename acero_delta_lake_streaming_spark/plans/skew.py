@@ -53,3 +53,35 @@ def salted_agg(
         ]
     )
     return merged
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+) -> DataFrame:
+    """Skew-split inner equi-join for a known hot-key set.
+
+    AQE's skew splitting only helps sort-merge joins whose skew is
+    visible in shuffle statistics at runtime; when the hot keys are
+    known up front (a bot user, a null-ish default, a viral document),
+    splitting the plan explicitly is cheaper and deterministic:
+
+    * hot rows  — left semi-filtered to ``hot_keys``, joined with the
+      (small by construction: |hot keys| distinct values) hot slice of
+      ``right`` via BROADCAST — the hot key never shuffles at all;
+    * cold rows — anti-filtered, joined normally (shuffle without the
+      hot key is well-balanced by assumption).
+
+    Result is value-identical to ``left.join(right, key)`` for any
+    ``hot_keys`` set. ``hot_keys`` must be a 1-column DataFrame named
+    ``key``, small enough to broadcast (it also broadcasts into both
+    semi/anti filters)."""
+    hk = F.broadcast(hot_keys.select(key).distinct())
+    l_hot = left.join(hk, key, "left_semi")
+    l_cold = left.join(hk, key, "left_anti")
+    r_hot = right.join(hk, key, "left_semi")
+    out_hot = l_hot.join(F.broadcast(r_hot), key)
+    out_cold = l_cold.join(right, key)
+    return out_hot.unionByName(out_cold)
