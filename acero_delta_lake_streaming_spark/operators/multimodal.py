@@ -256,9 +256,36 @@ QUERIES = {
     "x5c_frame_sample": x5c_frame_sample,
 }
 
+def _hexpair_sum(h: str) -> str:
+    """DuckDB expression: sum of the 16 byte values encoded by a 32-char
+    md5 hex string (byte i = 16*digit(2i) + digit(2i+1)) — recomputes
+    the StubDecoder checksum from first principles in SQL."""
+    return (
+        "list_sum(list_transform(range(0, 16), i -> "
+        f"16 * (strpos('0123456789abcdef', substr({h}, 2*i + 1, 1)) - 1) "
+        f"+ strpos('0123456789abcdef', substr({h}, 2*i + 2, 1)) - 1))"
+    )
+
+
+_X5B_SQL = (
+    "WITH m AS (SELECT doc_id, "
+    "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] "
+    "AS media_type, "
+    "md5(text) AS h1, md5('x' || text) AS h2 FROM documents), "
+    "c AS (SELECT media_type, 32 AS n_bytes, "
+    f"{_hexpair_sum('h1')} + {_hexpair_sum('h2')} AS checksum FROM m) "
+    "SELECT media_type, CAST(count(*) AS BIGINT) AS n, "
+    "round(avg(n_bytes), 2) AS avg_bytes, "
+    "round(avg(checksum), 2) AS avg_checksum FROM c GROUP BY 1"
+)
+
+
 ORACLES = {
     "x5_meta_pruning": _X5_SQL,
-    # x5b intentionally absent: byte-level decode is not SQL-expressible;
-    # the driver records the rows-only check and tests pin the values.
+    # x5b's Arrow-batched decode runs real Python bytes->features code,
+    # but the StubDecoder is a pure function of the md5-derived payload,
+    # so the oracle can recompute its checksum arithmetic in SQL — the
+    # decode path gets the full hash gate, not just a rows-only check.
+    "x5b_decode_features": _X5B_SQL,
     "x5c_frame_sample": _X5C_SQL,
 }
