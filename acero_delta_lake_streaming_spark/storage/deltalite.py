@@ -39,6 +39,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -429,6 +430,7 @@ def compact(
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE analog: rewrite the current snapshot as one overwrite
     commit with ``target_partitions`` files. Streaming appends produce
@@ -444,10 +446,15 @@ def compact(
     skipping read on the cluster column then prunes to ~1/N of the
     files instead of none (appends interleave values, so their stats
     spans overlap completely). Stats are recorded for ``stats_cols``
-    (default: the sort columns). Single-dimension clustering; true
-    Z-ordering interleaves multiple dimensions, same stats mechanics."""
+    (default: the sort columns). Single-dimension clustering;
+    ``zorder_by`` is the true multi-dimension path."""
     snapshot = read(spark, table)
-    if sort_by:
+    if zorder_by:
+        if sort_by:
+            raise ValueError("sort_by and zorder_by are exclusive")
+        snapshot = _zorder(spark, snapshot, zorder_by, target_partitions)
+        stats_cols = stats_cols or zorder_by
+    elif sort_by:
         snapshot = snapshot.repartitionByRange(
             target_partitions, *sort_by
         ).sortWithinPartitions(*sort_by)
@@ -457,6 +464,67 @@ def compact(
     version = write(snapshot, table, mode="overwrite", stats_cols=stats_cols)
     assert version is not None
     return version
+
+
+_Z_BITS = 12  # bucket resolution per dimension (4096 cells/dim)
+
+
+def _interleave_expr(cols: list[str]) -> str:
+    """SQL expression interleaving the low ``_Z_BITS`` bits of the given
+    integer bucket columns into one z-value (bit i of dim d lands at
+    position i*ndims + d) — pure JVM integer ops, codegen-friendly."""
+    n = len(cols)
+    terms = [
+        f"shiftleft(shiftright({c}, {i}) & 1, {i * n + d})"
+        for i in range(_Z_BITS)
+        for d, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+def _zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: list[str],
+    target_partitions: int,
+) -> DataFrame:
+    """True multi-dimension Z-order clustering: each dimension is
+    normalized to a 12-bit bucket rank by min/max (ONE tiny aggregate,
+    broadcast back — no global sort, unlike an ntile ranking, so the
+    normalization itself scales), the per-dimension bits interleave
+    into a z-value, and files are range-partitioned + sorted on it.
+    Locality in z implies locality in EVERY dimension, so recorded
+    min/max stats are tight on all z-ordered columns at once — a
+    skipping read prunes on any of them, where a lexicographic sort
+    only prunes on its leading column."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).withColumn("__jk", F.lit(1))
+    z_input = df.withColumn("__jk", F.lit(1)).join(F.broadcast(bounds), "__jk")
+    cells = (1 << _Z_BITS) - 1
+    bucket_cols = []
+    for c in cols:
+        b = f"__zb_{c}"
+        z_input = z_input.withColumn(
+            b,
+            F.least(
+                F.lit(cells),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"__lo_{c}"))
+                    / F.expr(f"nullif(__hi_{c} - __lo_{c}, 0.0)")
+                    * (cells + 1)
+                ).cast("int"),
+            ),
+        ).fillna({b: 0})
+        bucket_cols.append(b)
+    z_input = z_input.withColumn("__z", F.expr(_interleave_expr(bucket_cols)))
+    return (
+        z_input.repartitionByRange(target_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__jk", "__z", *bucket_cols, *[f"__lo_{c}" for c in cols],
+              *[f"__hi_{c}" for c in cols])
+    )
 
 
 def history(table: str) -> list[Commit]:

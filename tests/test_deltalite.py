@@ -337,3 +337,62 @@ def test_schema_evolution_rejects_type_change(spark, table):
     conflicted = spark.createDataFrame([(1, 2)], "id bigint, v bigint")
     with pytest.raises(deltalite.SchemaMismatchError):
         deltalite.write(conflicted, table, merge_schema=True)
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, table):
+    """True Z-order: after zorder_by=[x, y], a point read prunes files
+    on EITHER dimension (lexicographic sort only prunes its leading
+    column — trailing-column stats stay full-range in every file)."""
+    rows = [(x, y, x * 100 + y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+    deltalite.write(df, table)
+
+    deltalite.compact(spark, table, target_partitions=16, zorder_by=["x", "y"])
+    all_files, _ = deltalite.snapshot_files(table)
+    assert len(all_files) >= 8
+    kept_x, _ = deltalite.snapshot_files(table, skip=("x", 3, 3))
+    kept_y, _ = deltalite.snapshot_files(table, skip=("y", 3, 3))
+    assert len(kept_x) < len(all_files), "must prune on x"
+    assert len(kept_y) < len(all_files), "must prune on y"
+
+    # data survives the rewrite bit-for-bit
+    got = sorted(
+        (r.x, r.y, r.payload) for r in deltalite.read(spark, table).collect()
+    )
+    assert got == sorted(rows)
+    # and the pruned read still returns exactly the right rows
+    slice_y = sorted(
+        r.payload
+        for r in deltalite.read(spark, table, skip=("y", 3, 3))
+        .filter("y = 3")
+        .collect()
+    )
+    assert slice_y == [x * 100 + 3 for x in range(32)]
+
+
+def test_zorder_beats_lexicographic_on_trailing_dim(spark, table):
+    """The measurable advantage: same data, sort_by=[x,y] vs
+    zorder_by=[x,y] — the z-ordered layout prunes strictly more files
+    for a trailing-dimension (y) point read."""
+    rows = [(x, y, 0) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+
+    lex_table, z_table = table + "_lex", table + "_z"
+    deltalite.write(df, lex_table)
+    deltalite.compact(
+        spark, lex_table, target_partitions=16, sort_by=["x", "y"],
+        stats_cols=["x", "y"],
+    )
+    deltalite.write(df, z_table)
+    deltalite.compact(spark, z_table, target_partitions=16, zorder_by=["x", "y"])
+
+    lex_all, _ = deltalite.snapshot_files(lex_table)
+    z_all, _ = deltalite.snapshot_files(z_table)
+    lex_kept, _ = deltalite.snapshot_files(lex_table, skip=("y", 3, 3))
+    z_kept, _ = deltalite.snapshot_files(z_table, skip=("y", 3, 3))
+    lex_frac = len(lex_kept) / len(lex_all)
+    z_frac = len(z_kept) / len(z_all)
+    assert z_frac < lex_frac, (
+        f"z-order kept {z_frac:.2f} of files on trailing dim, "
+        f"lexicographic kept {lex_frac:.2f}"
+    )
