@@ -86,7 +86,7 @@ _PRIORITY = [
     # storage layer
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
     "s5_medallion_fanout", "s6_cached_read", "s7_upsert_merge",
-    "s8_delta_format_roundtrip",
+    "s8_delta_format_roundtrip", "s9_zorder_skipping",
     # streaming
     "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
     "st4_windowed_counts", "st7_interval_join", "st8_stream_static_enrich",

@@ -311,6 +311,49 @@ _S8_SQL = (
 )
 
 
+def s9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER end to end through the entry surface: orders
+    land as interleaved appends (stats useless), a z-order compaction
+    on (o_custkey, o_totalprice) rewrites them, and the read then
+    skips files on the TRAILING dimension — the multi-dim clustering
+    property itself, driven as an oracle-checked query. The exact
+    filter rides on top of the pruned scan (superset guarantee), so
+    the result equals the plain SQL filter regardless of layout."""
+    table = _scratch(sf_dir, "s9_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table)
+    deltalite.write(orders.filter("o_orderkey % 2 = 1"), table)
+    deltalite.compact(
+        spark, table, target_partitions=8,
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    pruned = deltalite.read(
+        spark, table, skip=("o_totalprice", 0.0, 50000.0)
+    )
+    return (
+        pruned.filter("o_totalprice <= 50000.0")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_S9_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+    "AS total FROM orders WHERE o_totalprice <= 50000.0 GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -319,6 +362,7 @@ QUERIES = {
     "s6_cached_read": s6_cached_read,
     "s7_upsert_merge": s7_upsert_merge,
     "s8_delta_format_roundtrip": s8_delta_format_roundtrip,
+    "s9_zorder_skipping": s9_zorder_skipping,
 }
 
 ORACLES = {
@@ -329,4 +373,5 @@ ORACLES = {
     "s5_medallion_fanout": _S5_SQL,
     "s6_cached_read": _S6_SQL,
     "s7_upsert_merge": _S7_SQL,
+    "s9_zorder_skipping": _S9_SQL,
 }
