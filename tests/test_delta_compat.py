@@ -402,3 +402,38 @@ def test_append_round_trip_and_foreign_readability(spark, tmp_path):
     adds = [a["add"] for a in actions if "add" in a]
     assert adds and all(not a["path"].startswith("/") for a in adds)
     assert all("partitionValues" in a and "size" in a for a in adds)
+
+
+def test_schema_evolution_mid_log(spark, tmp_path):
+    """A later commit's metaData action evolves the schema (Delta's
+    mergeSchema write): the reader must apply the LATEST schema to all
+    files (null-filling the new column for pre-evolution files) and
+    keep the old schema under time travel."""
+    table = str(tmp_path / "evo")
+    old_ddl = "id long, v string"
+    new_ddl = "id long, v string, score double"
+    _write_parquet(spark, [(1, "a"), (2, "b")], old_ddl, f"{table}/f1.parquet")
+    _write_parquet(spark, [(3, "c", 9.5)], new_ddl, f"{table}/f2.parquet")
+    _commit(
+        table, 0,
+        [
+            _PROTO,
+            _meta(spark, old_ddl),
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _commit(
+        table, 1,
+        [
+            _meta(spark, new_ddl),
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    latest = dc.read_delta(spark, table)
+    assert [f.name for f in latest.schema.fields] == ["id", "v", "score"]
+    rows = {r.id: r.score for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    v0 = dc.read_delta(spark, table, version=0)
+    assert [f.name for f in v0.schema.fields] == ["id", "v"]
