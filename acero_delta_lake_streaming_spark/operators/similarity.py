@@ -137,11 +137,10 @@ _W_DUCK = (
 ).format(dim=_DIM)
 
 
-def _lsh_candidate_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(query_id, vec_id) sign-LSH candidate pairs: bucket every vector
-    in each of the 4 tables, equi-join on (table, bucket) against the
-    query vectors' buckets. Split out so the scale tests can measure
-    |candidates| growth directly (tests/test_scale_growth.py)."""
+def _sign_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket): sign-LSH bucket of every vector in each of
+    the 4 tables — a per-row fold against 12 broadcast hyperplanes, no
+    shuffle of the corpus beyond the tiny (vec_id, tbl) re-group."""
     n_planes = _N_TABLES * _PLANES_PER_TABLE
     planes = (
         spark.range(n_planes)
@@ -153,7 +152,7 @@ def _lsh_candidate_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
             F.expr(_W_SPARK).alias("warr"),
         )
     )
-    buckets = (
+    return (
         emb.crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
@@ -168,6 +167,14 @@ def _lsh_candidate_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
             ).alias("bucket")
         )
     )
+
+
+def _lsh_candidate_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id) sign-LSH candidate pairs: bucket every vector
+    in each of the 4 tables, equi-join on (table, bucket) against the
+    query vectors' buckets. Split out so the scale tests can measure
+    |candidates| growth directly (tests/test_scale_growth.py)."""
+    buckets = _sign_buckets(spark, emb)
     q_buckets = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("tbl").alias("q_tbl"),
@@ -523,11 +530,114 @@ def _ivf_sql() -> str:
     )
 
 
+_SEMDEDUP_COS = 0.9
+
+
+def x14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped corpus-level embedding dedup (Abbas et al. 2023):
+    bucket the WHOLE corpus (originals + planted duplicate-direction
+    copies) with the 4-table sign-LSH, generate within-bucket candidate
+    pairs, verify by exact cosine ≥ 0.9, and apply the keep-min-id
+    policy — each dropped vector reports its kept representative.
+
+    This is the corpus-wide scale path x3c deliberately isn't: no
+    all-pairs join anywhere — candidates come only from (table, bucket)
+    equi-joins, O(Σ bucket²) ≪ O(N²) for any spread-out corpus, and
+    the exact-cosine verify touches only candidates. Duplicate copies
+    share every bucket (scaling preserves projection signs), so recall
+    on true duplicates is 1.0 by construction, not luck."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(2.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    buckets = _sign_buckets(spark, corpus)
+    ba = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    pair_ids = (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    scored = corpus.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    sa = scored.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    sb = scored.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = (F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))).alias(
+        "cos"
+    )
+    dups = (
+        pair_ids.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cos") >= _SEMDEDUP_COS)
+    )
+    w = Window.partitionBy("vec_b").orderBy("vec_a")
+    return (
+        dups.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("vec_b").alias("dropped_id"),
+            F.col("vec_a").alias("kept_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+_X14_SQL = (
+    "WITH corpus AS ("
+    "  SELECT vec_id, embedding FROM embeddings "
+    "  UNION ALL "
+    "  SELECT vec_id + 1000000, "
+    "  list_transform(embedding, x -> x * CAST(2.0 AS REAL)) "
+    "  FROM embeddings WHERE vec_id % 10 = 0), "
+    "planes AS (SELECT p, "
+    f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
+    f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p)), "
+    "buckets AS (SELECT e.vec_id, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM corpus e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl), "
+    "pair_ids AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM buckets a JOIN buckets b "
+    "ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+    f"scored AS (SELECT vec_id, embedding, {_norm_duck('embedding')} AS nrm "
+    "FROM corpus), "
+    "dups AS (SELECT p.vec_a, p.vec_b, "
+    f"{_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos "
+    "FROM pair_ids p "
+    "JOIN scored a ON a.vec_id = p.vec_a "
+    "JOIN scored b ON b.vec_id = p.vec_b), "
+    f"f AS (SELECT * FROM dups WHERE cos >= {_SEMDEDUP_COS}), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_b ORDER BY vec_a) AS rk FROM f) "
+    "SELECT vec_b AS dropped_id, vec_a AS kept_id, round(cos, 6) AS cosine "
+    "FROM r WHERE rk = 1"
+)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
     "x3c_cosine_neardup": x3c_cosine_neardup,
     "x3d_ivf_topk": x3d_ivf_topk,
+    "x14_semdedup": x14_semdedup,
 }
 
 ORACLES = {
@@ -535,4 +645,5 @@ ORACLES = {
     "x3b_ann_lsh": _X3B_SQL,
     "x3c_cosine_neardup": _X3C_SQL,
     "x3d_ivf_topk": _ivf_sql(),
+    "x14_semdedup": _X14_SQL,
 }
