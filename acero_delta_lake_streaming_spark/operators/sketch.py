@@ -179,12 +179,73 @@ def _profile_union_sql() -> str:
 _DQ1_SQL = _profile_union_sql()
 
 
+# Expectation rules over orders: (rule name, violation predicate —
+# identical text in Spark SQL and DuckDB).
+_DQ2_RULES = [
+    ("positive_price", "o_totalprice <= 0"),
+    ("status_domain", "o_orderstatus NOT IN ('F', 'O', 'P')"),
+    ("orderdate_not_null", "o_orderdate IS NULL"),
+    ("priority_format", "o_orderpriority NOT LIKE '%-%'"),
+]
+
+
+def dq2_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks (Delta constraints / Great-Expectations
+    shape): every rule's violation count plus an FK referential check
+    (orders.o_custkey ⊆ customer.c_custkey). ONE scan: the dimension
+    broadcast-left-joins in, every rule — including the FK orphan
+    check — becomes a conditional sum in a single multi-aggregate, and
+    ``stack`` unpivots to one row per rule. Emitting counts (not
+    booleans) keeps the check actionable: the violation volume IS the
+    triage signal at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    )
+    all_rules = _DQ2_RULES + [("fk_customer", "c_custkey IS NULL")]
+    wide = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v_{name}")
+            for name, pred in all_rules
+        ],
+    )
+    stack = ", ".join(f"'{name}', v_{name}" for name, _ in all_rules)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(all_rules)}, {stack}) AS (rule, n_violations)",
+    ).select("rule", "n_rows", "n_violations")
+
+
+def _dq2_sql() -> str:
+    rules = _DQ2_RULES + [("fk_customer", "ck IS NULL")]
+    parts = [
+        f"SELECT '{name}' AS rule, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_violations FROM j"
+        for name, pred in rules
+    ]
+    return (
+        "WITH j AS (SELECT o.*, c.c_custkey AS ck FROM orders o "
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+_DQ2_SQL = _dq2_sql()
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
+    "dq2_expectations": dq2_expectations,
 }
 
 ORACLES = {
     "x13_kmv_distinct": _X13_SQL,
     "dq1_column_profile": _DQ1_SQL,
+    "dq2_expectations": _DQ2_SQL,
 }

@@ -305,6 +305,78 @@ _W7_SQL = (
 )
 
 
+_FUNNEL = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_NS = 12 * 3600 * 1_000_000_000  # 12 h conversion window
+
+
+def w8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users reaching view → click within
+    12 h of the first view → purchase within 12 h of that click.
+    Stage N's anchor is the min event time strictly AFTER (and within
+    the window of) the user's stage-N-1 anchor — sequential-conversion
+    semantics, not set membership (the fixture drops 150 → 37 → 7
+    across the stages, so ordering bugs change the answer).
+
+    Scale shape: one aggregation per stage, each a shuffle on user_id
+    only (state = |users|, never |events|); stage joins are
+    user_id-partitioned equi-joins that AQE co-locates with the aggs.
+    Raw ns timestamps order the stages; the output is stage counts, so
+    no timestamp leaves the query."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_type"
+    )
+    anchors = (
+        events.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t"))
+    )
+    stages = [anchors]
+    for ev in _FUNNEL[1:]:
+        prev = stages[-1].select("user_id", F.col("t").alias("t_prev"))
+        nxt = (
+            events.filter(F.col("event_type") == ev)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts_ns") > F.col("t_prev"))
+                & (F.col("ts_ns") <= F.col("t_prev") + _FUNNEL_WINDOW_NS)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_ns").alias("t"))
+        )
+        stages.append(nxt)
+    out = None
+    for i, (name, df) in enumerate(zip(_FUNNEL, stages)):
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(
+            F.lit(i + 1).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_W8_SQL = (
+    "WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_type "
+    "FROM events), "
+    "s1 AS (SELECT user_id, min(tns) AS t FROM e "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, min(tns) AS t FROM e "
+    "JOIN s1 ON e.user_id = s1.user_id AND e.tns > s1.t "
+    f"AND e.tns <= s1.t + {_FUNNEL_WINDOW_NS} "
+    "WHERE event_type = 'click' GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, min(tns) AS t FROM e "
+    "JOIN s2 ON e.user_id = s2.user_id AND e.tns > s2.t "
+    f"AND e.tns <= s2.t + {_FUNNEL_WINDOW_NS} "
+    "WHERE event_type = 'purchase' GROUP BY 1) "
+    "SELECT 1 AS stage_no, 'view' AS stage, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+    "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 "
+    "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -313,6 +385,7 @@ QUERIES = {
     "w5_ohlc_downsample": w5_ohlc_downsample,
     "w6_new_users": w6_new_users,
     "w7_scd2_user_state": w7_scd2_user_state,
+    "w8_funnel": w8_funnel,
 }
 
 ORACLES = {
@@ -323,4 +396,5 @@ ORACLES = {
     "w4_sliding_windows": _W4_SQL,
     "w5_ohlc_downsample": _W5_SQL,
     "w7_scd2_user_state": _W7_SQL,
+    "w8_funnel": _W8_SQL,
 }

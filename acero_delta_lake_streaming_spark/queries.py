@@ -80,8 +80,8 @@ _PRIORITY = [
     "x7_sequence_pack", "x8_dataset_split", "x9_stratified_sample",
     "x10_contamination_check", "x11_context_chunks",
     "x12_repetition_quality", "x13_kmv_distinct", "x14_semdedup",
-    "dq1_column_profile",
-    "w7_scd2_user_state", "a11_pivot",
+    "dq1_column_profile", "dq2_expectations",
+    "w7_scd2_user_state", "w8_funnel", "a11_pivot",
     # extraction pipeline
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     # storage layer
