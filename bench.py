@@ -60,6 +60,8 @@ HEADLINE = [
     "w7_scd2_user_state",
     "q16_supplier_variety",
     "q21_sole_supplier_orders",
+    "x14_semdedup",
+    "w8_funnel",
 ]
 
 

@@ -202,3 +202,25 @@ def test_kmv_no_cartesian_and_profile_one_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     plan = _physical(dq1_column_profile(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
+
+
+def test_semdedup_funnel_dq2_shapes(spark, sf_dir):
+    """x14: candidates via (tbl, bucket) equi-joins only; w8: stage
+    joins are equi-joins on user_id; dq2: one orders scan + one
+    customer scan, FK folded into the same aggregate (no third scan)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x14_semdedup,
+    )
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq2_expectations,
+    )
+    from acero_delta_lake_streaming_spark.operators.windows import w8_funnel
+
+    plan = _physical(x14_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    plan = _physical(w8_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _physical(dq2_expectations(spark, sf_dir))
+    assert plan.count("FileScan") == 2, plan
+    assert "BroadcastHashJoin" in plan
