@@ -301,6 +301,62 @@ def x12_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex4_int(md5_expr: str, pos_fn: str) -> str:
+    """Integer in [0, 65536) from the first 4 hex chars of an md5."""
+    terms = [
+        f"({pos_fn}('0123456789abcdef', substr({md5_expr}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (3 - p)}"
+        for p in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def x15_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — the data-mixing step between
+    curation and training: each source gets a target sampling rate
+    (here derived from the source index: 25/50/75/100% in rotation,
+    standing in for Pile/Dolma-style mixture weights) and documents are
+    kept by comparing an md5-derived uniform against it. Per source:
+    corpus size, kept size, and the realized rate in integer basis
+    points (``10000 * kept DIV total`` — no float rounding to split
+    between engines).
+
+    Deterministic and incremental like x8/x9: a document's keep
+    decision never changes when the corpus grows, so re-mixing a
+    refreshed corpus preserves every previously kept doc — the
+    property that keeps training-data diffs reviewable. Pure map +
+    one hash-agg on source; no shuffle of payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", "src(\\d+)", 1).cast("int")
+    u16 = F.expr(_hex4_int("md5(cast(doc_id as string))", "instr"))
+    keep = (u16 * 4) < ((srcnum % 4 + 1) * 65536)
+    return (
+        docs.select("source", keep.cast("int").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+        )
+        .withColumn(
+            "realized_bp", F.expr("10000 * n_kept DIV n_docs").cast("bigint")
+        )
+    )
+
+
+_X15_SQL = (
+    "WITH d AS (SELECT source, "
+    "CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS srcnum, "
+    f"{_hex4_int('md5(cast(doc_id as varchar))', 'strpos')} AS u16 "
+    "FROM documents) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN u16 * 4 < (srcnum % 4 + 1) * 65536 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(10000 * sum(CASE WHEN u16 * 4 < (srcnum % 4 + 1) * 65536 "
+    "THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS realized_bp "
+    "FROM d GROUP BY 1"
+)
+
+
 QUERIES = {
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
@@ -308,6 +364,7 @@ QUERIES = {
     "x10_contamination_check": x10_contamination_check,
     "x11_context_chunks": x11_context_chunks,
     "x12_repetition_quality": x12_repetition_quality,
+    "x15_mixture_sample": x15_mixture_sample,
 }
 
 ORACLES = {
@@ -388,4 +445,5 @@ ORACLES = {
         "SELECT doc_id, source, n_tokens, dup_3gram_bp, top_word_bp, "
         "(dup_3gram_bp < 6000 AND top_word_bp < 2000) AS keep FROM scored"
     ),
+    "x15_mixture_sample": _X15_SQL,
 }

@@ -80,6 +80,7 @@ _PRIORITY = [
     "x7_sequence_pack", "x8_dataset_split", "x9_stratified_sample",
     "x10_contamination_check", "x11_context_chunks",
     "x12_repetition_quality", "x13_kmv_distinct", "x14_semdedup",
+    "x15_mixture_sample",
     "dq1_column_profile", "dq2_expectations",
     "w7_scd2_user_state", "w8_funnel", "a11_pivot",
     # extraction pipeline
