@@ -385,10 +385,15 @@ def append_delta(
             }
         }
     )
-    # Atomic claim of the version slot: os.link fails iff the commit
-    # file already exists (rename would silently overwrite a concurrent
-    # writer's commit — a lost update). Same protocol as deltalite's
-    # _publish; on an object store this is the conditional put.
+    _publish_commit(table, version, actions)
+    return version
+
+
+def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
+    """Atomic claim of the version slot: os.link fails iff the commit
+    file already exists (rename would silently overwrite a concurrent
+    writer's commit — a lost update). Same protocol as deltalite's
+    _publish; on an object store this is the conditional put."""
     tmp = _commit_path(table, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
@@ -403,4 +408,72 @@ def append_delta(
         ) from None
     finally:
         os.unlink(tmp)
+
+
+def optimize_delta(
+    spark: SparkSession, table: str, target_partitions: int = 1
+) -> int:
+    """OPTIMIZE for a real-format Delta table: rewrite the current
+    snapshot into ``target_partitions`` compacted files and publish ONE
+    commit of remove + add actions, all ``dataChange: false`` — Delta's
+    bin-compaction contract, so a streaming reader of the table sees no
+    new data and time travel to pre-compaction versions still resolves
+    the old files (nothing is deleted here; that is VACUUM's job).
+    Unpartitioned tables only — partitioned compaction rewrites per
+    directory and is out of scope for this seam."""
+    snap = snapshot(table)
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "optimize of hive-partitioned tables is not supported"
+        )
+    if not snap["files"]:
+        raise DeltaCorruptLogError(f"nothing to optimize in {table}")
+    version = snap["version"] + 1
+    df = read_delta(spark, table).coalesce(target_partitions)
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+        os.rename(os.path.join(staging, name), os.path.join(table, fname))
+        adds.append(
+            {
+                "add": {
+                    "path": quote(fname),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, fname)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    import shutil
+
+    shutil.rmtree(staging)
+
+    removes = [
+        {
+            "remove": {
+                "path": quote(os.path.relpath(f, table)),
+                "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": False,
+            }
+        }
+        for f in snap["files"]
+    ]
+    actions = removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_partitions)
+                },
+            }
+        }
+    ]
+    _publish_commit(table, version, actions)
     return version

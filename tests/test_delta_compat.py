@@ -437,3 +437,46 @@ def test_schema_evolution_mid_log(spark, tmp_path):
     assert rows == {1: None, 2: None, 3: 9.5}
     v0 = dc.read_delta(spark, table, version=0)
     assert [f.name for f in v0.schema.fields] == ["id", "v"]
+
+
+def test_optimize_compacts_without_data_change(spark, tmp_path):
+    """OPTIMIZE on a real-format table: three appends become one file
+    in a single remove+add commit with dataChange=false everywhere;
+    rows are identical, and time travel still resolves the
+    pre-compaction snapshots (old files are referenced, not deleted)."""
+    table = str(tmp_path / "opt")
+    for i in range(3):
+        dc.append_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"), table
+        )
+    before = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    n_files_before = len(dc.snapshot(table)["files"])
+    v = dc.optimize_delta(spark, table, target_partitions=1)
+    assert v == 3
+    snap = dc.snapshot(table)
+    assert len(snap["files"]) == 1
+    after = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    assert after == before
+    # pre-compaction time travel intact
+    v1 = sorted((r.id, r.v) for r in dc.read_delta(spark, table, version=1).collect())
+    assert v1 == [(0, "v0"), (1, "v1")]
+    # every action in the OPTIMIZE commit is dataChange: false
+    with open(os.path.join(table, "_delta_log", f"{3:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    flags = [
+        a[k]["dataChange"]
+        for a in actions
+        for k in ("add", "remove")
+        if k in a
+    ]
+    assert flags and not any(flags)
+    assert sum(1 for a in actions if "remove" in a) == n_files_before >= 3
+    # a partitioned table is refused loudly
+    pt = str(tmp_path / "ptab")
+    dc.append_delta(
+        spark.createDataFrame([(1, "a")], "id long, part string"),
+        pt,
+        partition_by=["part"],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.optimize_delta(spark, pt)
