@@ -477,3 +477,46 @@ def optimize_delta(
     ]
     _publish_commit(table, version, actions)
     return version
+
+
+def vacuum_delta(
+    table: str, keep_versions: int = 0, min_age_s: float = 0.0
+) -> list[str]:
+    """VACUUM for a real-format Delta table: delete data files that are
+    referenced ONLY by snapshots older than ``latest - keep_versions``
+    (plus uncommitted orphans from crashed writers). Time travel to
+    vacuumed versions stops working — exactly Delta's retention trade.
+    ``min_age_s`` is the safety window for concurrent writers whose
+    data files land before their commit file does.
+
+    Returns deleted paths relative to the table root. The log itself is
+    never touched (Delta keeps history metadata; only data files age
+    out)."""
+    latest = snapshot(table)["version"]
+    referenced: set[str] = set()
+    for v in range(max(0, latest - keep_versions), latest + 1):
+        try:
+            referenced.update(
+                os.path.abspath(f) for f in snapshot(table, v)["files"]
+            )
+        except DeltaCorruptLogError:
+            continue  # pre-checkpoint version no longer reconstructable
+    now = time.time()
+    deleted = []
+    for dirpath, dirs, names in os.walk(table):
+        # never touch the transaction log or in-flight staging dirs
+        dirs[:] = [
+            d for d in dirs
+            if d != "_delta_log" and not d.startswith("_staging_")
+        ]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, name)
+            if os.path.abspath(path) in referenced:
+                continue
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+            os.remove(path)
+            deleted.append(os.path.relpath(path, table))
+    return sorted(deleted)

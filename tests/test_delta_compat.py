@@ -480,3 +480,33 @@ def test_optimize_compacts_without_data_change(spark, tmp_path):
     )
     with pytest.raises(dc.DeltaProtocolError):
         dc.optimize_delta(spark, pt)
+
+
+def test_vacuum_delta_retention(spark, tmp_path):
+    """After OPTIMIZE, vacuum with keep_versions=0 deletes the files
+    only pre-compaction snapshots referenced: the current read is
+    unchanged, old-version time travel loses its data files, and the
+    log itself is untouched."""
+    table = str(tmp_path / "vac")
+    for i in range(3):
+        dc.append_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"), table
+        )
+    dc.optimize_delta(spark, table, target_partitions=1)
+    before = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    deleted = dc.vacuum_delta(table, keep_versions=0)
+    assert deleted, "pre-compaction files should age out"
+    assert sorted(
+        (r.id, r.v) for r in dc.read_delta(spark, table).collect()
+    ) == before
+    # old snapshot's files are gone: reading v0 must now fail
+    with pytest.raises(Exception):
+        dc.read_delta(spark, table, version=0).collect()
+    # log intact: all 5 commits still present
+    logs = sorted(os.listdir(os.path.join(table, "_delta_log")))
+    assert [ln for ln in logs if ln.endswith(".json")] == [
+        f"{v:020d}.json" for v in range(4)
+    ]
+    # keep_versions window protects referenced files
+    deleted2 = dc.vacuum_delta(table, keep_versions=10)
+    assert deleted2 == []
