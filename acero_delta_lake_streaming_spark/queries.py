@@ -67,37 +67,39 @@ for _name in _OPTIONAL:
 # core family; the long relational/TPC-H tail (all driver-green in round
 # 2, CORRECTNESS_r02.json) fills the remainder.
 _PRIORITY = [
-    # LLM-pipeline X-operators
-    "x1_exact_dedup", "x2_minhash_near_dup", "x2b_simhash_groups",
-    "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
-    "x3_cosine_topk", "x3b_ann_lsh", "x3c_cosine_neardup", "x3d_ivf_topk",
-    "x4_doc_stats", "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
-    "x4e_bpe_token_stats",
-    "x5_meta_pruning", "x5b_decode_features", "x5c_frame_sample",
-    "x6_sessionize", "x6b_session_stats",
-    "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
-    "w5_ohlc_downsample",
-    "x7_sequence_pack", "x8_dataset_split", "x9_stratified_sample",
-    "x10_contamination_check", "x11_context_chunks",
-    "x12_repetition_quality", "x13_kmv_distinct", "x14_semdedup",
-    "x15_mixture_sample",
-    "dq1_column_profile", "dq2_expectations",
-    "w7_scd2_user_state", "w8_funnel", "a11_pivot",
-    # extraction pipeline
+    # Window layout (the driver records ~the first 50): one CORE query
+    # per family first — every dedup/similarity/text/multimodal/session/
+    # curation/sketch capstone, the full extraction pipeline, the ENTIRE
+    # storage and streaming families (none had driver rows before round
+    # 3) — then family variants fill the remaining slots. Sub-variants
+    # (x2b..x2d, x3c/x3d, x4b..x4e, ...) and the relational/TPC-H tail
+    # (driver-green in round 2) sit past the window; they stay verified
+    # by the local tri-scale gate.
+    # -- family cores (1-28) --
+    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
+    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
+    "x7_sequence_pack", "x13_kmv_distinct", "x14_semdedup",
+    "dq1_column_profile",
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
-    # storage layer
-    "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
-    "s5_medallion_fanout", "s6_cached_read", "s7_upsert_merge",
-    "s8_delta_format_roundtrip", "s9_zorder_skipping",
-    # streaming
-    "s1_feed_ingest", "st1_medallion_ingest", "st2_stateful_totals",
-    "st4_windowed_counts", "st7_interval_join", "st8_stream_static_enrich",
-    # flagship + core-family representatives (keep §2 component spread
-    # inside the window: P, J, A, T, U, F each get driver rows)
     "flagship_breakdown",
-    # p2/p3/p5/p6/p7/p8/p9 (near-identical projection/filter shapes, all
-    # driver-green in round 2) yield their window slots to the x7-x12
-    # curation family and the s8 Delta-format round trip above
+    "s1_feed_ingest", "s3_delta_append_scan", "s3b_skipping_scan",
+    "s4_time_travel", "s5_medallion_fanout", "s6_cached_read",
+    "s7_upsert_merge", "s8_delta_format_roundtrip", "s9_zorder_skipping",
+    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
+    "st7_interval_join", "st8_stream_static_enrich",
+    # -- family variants (29-50) --
+    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
+    "x3b_ann_lsh", "x3c_cosine_neardup", "x3d_ivf_topk",
+    "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
+    "x4e_bpe_token_stats", "x5b_decode_features", "x5c_frame_sample",
+    "x6b_session_stats", "xj1_asof_prior_click",
+    "xj2_range_clicks_before_purchase", "w5_ohlc_downsample",
+    "w7_scd2_user_state", "w8_funnel",
+    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
+    "x11_context_chunks",
+    # -- past the ~50 window --
+    "x12_repetition_quality", "x15_mixture_sample", "dq2_expectations",
+    "a11_pivot",
     "p1_project", "p4_membership_filter",
     "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
     "t1_topk", "t2_topk_breakdown", "t3_sort_display",
