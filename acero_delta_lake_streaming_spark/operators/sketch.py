@@ -238,14 +238,104 @@ def _dq2_sql() -> str:
 _DQ2_SQL = _dq2_sql()
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d independent hash
+# rows x w counters; est(key) = min over rows of counter[h_j(key)].
+# Spark's native frequent-items path (``approx_count_distinct`` has no
+# frequency twin; ``stat.freqItems`` is RDD-ish and non-deterministic
+# across partitionings) cannot hash-match an oracle, so — like the KMV
+# above — the sketch is built from first principles on the md5 digit
+# map both engines share.
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row (2 hex digits)
+
+
+def _hex2_int(md5_expr: str, instr_fn: str) -> str:
+    """Integer in [0, 256) from the first 2 hex chars of an md5."""
+    return (
+        f"(({instr_fn}('0123456789abcdef', substr({md5_expr}, 1, 1)) - 1) * 16"
+        f" + ({instr_fn}('0123456789abcdef', substr({md5_expr}, 2, 1)) - 1))"
+    )
+
+
+_CMS_MD5_SPARK = "md5(concat(cast(j as string), ':', cast(user_id as string)))"
+_CMS_MD5_DUCK = "md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+
+
+def cms_sketch(df: DataFrame, key: str, d: int = _CMS_D) -> DataFrame:
+    """Build the (j, bucket, cnt) sketch table for ``key``. The
+    per-row fan-out (x``d``) partial-aggregates map-side, so the
+    shuffled state is at most d*w = 1024 cells regardless of input
+    size — the whole point of a sketch at 100 TB."""
+    rows = df.select(key).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(d)]))
+    )
+    bucket = _hex2_int(_CMS_MD5_SPARK.replace("user_id", key), "instr")
+    return (
+        rows.withColumn("bucket", F.expr(bucket))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def x17_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min estimated event frequency, with the
+    exact count alongside so the one-sided error (est >= exact) is
+    visible in the result. The probe side joins the 1024-cell sketch
+    (broadcast) against the distinct keys; at 100 TB the sketch is
+    built once and probed by any later stage without rescanning."""
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(events, "user_id")
+    probe = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])))
+        .withColumn("bucket", F.expr(_hex2_int(_CMS_MD5_SPARK, "instr")))
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est"), "user_id")
+        .limit(20)
+    )
+
+
+_X17_SQL = (
+    "WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j), "
+    "rows AS (SELECT user_id, j, "
+    f"{_hex2_int(_CMS_MD5_DUCK, 'strpos')} AS bucket FROM events, js), "
+    "sketch AS (SELECT j, bucket, count(*) AS cnt FROM rows "
+    "GROUP BY 1, 2), "
+    "probe AS (SELECT DISTINCT user_id FROM events), "
+    "pb AS (SELECT user_id, j, "
+    f"{_hex2_int(_CMS_MD5_DUCK, 'strpos')} AS bucket FROM probe, js), "
+    "est AS (SELECT user_id, CAST(min(cnt) AS BIGINT) AS est "
+    "FROM pb JOIN sketch USING (j, bucket) GROUP BY 1), "
+    "exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact "
+    "FROM events GROUP BY 1) "
+    "SELECT user_id, est, exact FROM est JOIN exact USING (user_id) "
+    "ORDER BY est DESC, user_id LIMIT 20"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
     "dq2_expectations": dq2_expectations,
+    "x17_cms_heavy_hitters": x17_cms_heavy_hitters,
 }
 
 ORACLES = {
     "x13_kmv_distinct": _X13_SQL,
     "dq1_column_profile": _DQ1_SQL,
     "dq2_expectations": _DQ2_SQL,
+    "x17_cms_heavy_hitters": _X17_SQL,
 }
