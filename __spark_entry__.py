@@ -28,7 +28,6 @@ def entry(spark: SparkSession) -> DataFrame:
     one Catalyst plan — SURVEY.md §7 step 1.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from acero_delta_lake_streaming_spark.operators.relational import (
         flagship_breakdown,
     )
@@ -46,10 +45,10 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         )
 
         release_scoped()
-        # nanosAsLong must be set before the events parquet footer is read;
-        # timezone pinned so date/epoch derivations match the oracle.
+        # Timezone pinned so date/epoch derivations match the oracle.
+        # (events timestamps need no conf: catalog.load_table reads the
+        # µs int64 with an explicit schema.)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The external driver uses a vanilla session (shuffle.partitions
         # 200); at bench scale that is pure scheduling overhead. AQE
         # coalesces most of it, but a right-sized initial count is free.

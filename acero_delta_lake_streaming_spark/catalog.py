@@ -30,19 +30,29 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy DataFrame for one fixture table.
 
-    ``events.ts`` arrives as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader cannot decode; with ``nanosAsLong`` it lands as int64
-    nanoseconds and is converted JVM-side. ``ts DIV 1000`` floors toward
-    zero (epoch-positive data), matching DuckDB's ns→µs truncation, so
-    derived values hash-match the oracle. The raw column is retained as
-    ``ts_ns`` for ordering ties below microsecond resolution.
+    ``events.ts`` is parquet TIMESTAMP(MICROS) (int64 physical). It is
+    read with an explicit LongType schema — the raw epoch-microsecond
+    int64, no session conf required — then converted JVM-side:
+    ``timestamp_micros(ts)`` for the timestamp view and ``ts * 1000``
+    for ``ts_ns``, the epoch-nanosecond BIGINT every downstream
+    operator orders/derives on. DuckDB's ``epoch_ns(ts)`` on the same
+    µs data yields exactly ``µs * 1000``, so ns-scale arithmetic
+    hash-matches the oracles bit-for-bit. Reading the int64 directly
+    keeps the scan vectorized and independent of reader-version
+    timestamp handling (earlier fixtures were TIMESTAMP(NANOS) and
+    needed the now-removed ``nanosAsLong`` legacy conf).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        from acero_delta_lake_streaming_spark.schemas import FIXTURE_SCHEMAS
+
+        df = spark.read.schema(FIXTURE_SCHEMAS["events"]).parquet(
+            f"{sf_dir}/{name}.parquet"
         )
-    return df
+        df = df.withColumn(
+            "ts_ns", (F.col("ts") * F.lit(1000)).cast("bigint")
+        ).withColumn("ts", F.expr("timestamp_micros(ts)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

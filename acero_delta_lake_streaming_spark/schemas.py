@@ -176,8 +176,9 @@ FIXTURE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType(), True),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS): read as int64 ns (nanosAsLong)
-    # and converted to a microsecond timestamp by the catalog loader.
+    # events.ts is parquet TIMESTAMP(MICROS), int64 physical: read raw as
+    # epoch-µs LongType (explicit schema, no legacy conf) and converted to
+    # a timestamp + epoch-ns BIGINT by the catalog loader.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),

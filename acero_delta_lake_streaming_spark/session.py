@@ -11,10 +11,9 @@ unchanged:
 * AQE on — runtime coalescing of shuffle partitions, skew-join splitting,
   and dynamic broadcast decisions; essential at 100 TB where static
   partition counts are always wrong for some stage.
-* ``nanosAsLong`` — the events fixture carries parquet TIMESTAMP(NANOS),
-  which Spark's vectorized reader rejects; reading as raw int64 ns and
-  converting JVM-side (``timestamp_micros(ns DIV 1000)``) keeps the scan
-  vectorized instead of falling back to a Python re-encode.
+* No legacy parquet confs — the events fixture's TIMESTAMP(MICROS) column
+  is read with an explicit LongType schema in ``catalog.load_table``, so
+  timestamp decoding never depends on session-level reader settings.
 * Arrow everywhere — any pandas interchange (mapInPandas operators,
   toPandas in tests) goes through Arrow batches, never row pickling.
 """
@@ -46,7 +45,6 @@ def _builder_conf() -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Parquet scan efficiency: pushdown + pruning are on by default but
         # pinned here so a misconfigured cluster can't silently regress them.
         "spark.sql.parquet.filterPushdown": "true",
@@ -85,7 +83,6 @@ def get_spark(
     # reused (getOrCreate ignores builder confs on reuse).
     for k in (
         "spark.sql.session.timeZone",
-        "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.adaptive.enabled",
     ):
         try:
