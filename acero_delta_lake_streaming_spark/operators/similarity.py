@@ -532,6 +532,92 @@ def _ivf_sql() -> str:
 
 _SEMDEDUP_COS = 0.9
 
+# Adaptive plane count for the corpus-scale LSH (x14). A fixed
+# planes-per-table means E[bucket] = N / 2^planes grows with the corpus
+# and within-bucket candidate pairs grow ~N² — quadratic, the one shape
+# that cannot ship at 100 TB. Deriving planes from the corpus count
+# pins E[bucket] ≈ B instead, making candidate volume ~2·N·B — linear.
+# The derivation is INTEGER-ONLY (no float log2: libm rounding at a
+# power-of-two boundary could flip the plane count between engines):
+# planes = max(3, smallest p with 2^p >= ceil(N / B)).
+_SEM_TARGET_BUCKET = 16  # target expected bucket occupancy B
+_SEM_MAX_PLANES = 16  # supports corpora up to B * 2^16 per table
+
+_PPT_SPARK = (
+    "GREATEST(3, array_min(filter(transform(sequence(0, {mx}), q -> "
+    "IF(shiftleft(1, q) >= (cnt + {bm1}) DIV {b}, q, CAST(NULL AS INT))), "
+    "x -> x IS NOT NULL)))"
+).format(mx=_SEM_MAX_PLANES, b=_SEM_TARGET_BUCKET, bm1=_SEM_TARGET_BUCKET - 1)
+_PPT_DUCK = (
+    "GREATEST(3, list_min(list_filter(list_transform(range(0, {mxe}), q -> "
+    "CASE WHEN (1 << q) >= (cnt + {bm1}) // {b} THEN CAST(q AS INT) END), "
+    "x -> x IS NOT NULL)))"
+).format(
+    mxe=_SEM_MAX_PLANES + 1, b=_SEM_TARGET_BUCKET, bm1=_SEM_TARGET_BUCKET - 1
+)
+
+
+def _adaptive_sign_buckets(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) like ``_sign_buckets``, but planes-per-table
+    scales with the corpus count. The count feeds the plane set through a
+    broadcast of a one-row aggregate — declarative, no driver collect."""
+    ppt = corpus.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(_PPT_SPARK).alias("ppt")
+    )
+    planes = (
+        spark.range(_N_TABLES * (_SEM_MAX_PLANES + 1))
+        .withColumnRenamed("id", "p")
+        .crossJoin(F.broadcast(ppt))
+        .filter(F.col("p") < F.col("ppt") * _N_TABLES)
+        .select(
+            "p",
+            F.expr("CAST(p DIV ppt AS INT)").alias("tbl"),
+            F.expr("CAST(p % ppt AS INT)").alias("bit"),
+            F.expr(_W_SPARK).alias("warr"),
+        )
+    )
+    return (
+        corpus.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "tbl",
+            "bit",
+            F.expr(_dot_spark("embedding", "warr")).alias("proj"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+
+
+def _semdedup_corpus(emb: DataFrame) -> DataFrame:
+    """Originals + planted duplicate-direction copies (scaled ×2 → cosine
+    exactly 1.0 with their source; every 10th vector)."""
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(2.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def _semdedup_pair_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Within-bucket candidate pairs under the adaptive plane count.
+    Split out so tests/test_scale_growth.py can pin |candidates| ~ N."""
+    buckets = _adaptive_sign_buckets(spark, corpus)
+    ba = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    return (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
 
 def x14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped corpus-level embedding dedup (Abbas et al. 2023):
@@ -542,27 +628,15 @@ def x14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the corpus-wide scale path x3c deliberately isn't: no
     all-pairs join anywhere — candidates come only from (table, bucket)
-    equi-joins, O(Σ bucket²) ≪ O(N²) for any spread-out corpus, and
-    the exact-cosine verify touches only candidates. Duplicate copies
-    share every bucket (scaling preserves projection signs), so recall
-    on true duplicates is 1.0 by construction, not luck."""
+    equi-joins, and planes-per-table is derived from the corpus count
+    (``_PPT_SPARK``) so expected bucket occupancy stays ≈ constant:
+    candidate volume is ~2·N·B — linear in N, measured across a real
+    ×4 corpus step in tests/test_scale_growth.py. Duplicate copies
+    share every bucket at any plane count (scaling preserves projection
+    signs), so recall on true duplicates is 1.0 by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
-        F.expr(
-            "transform(embedding, x -> x * CAST(2.0 AS FLOAT))"
-        ).alias("embedding"),
-    )
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    buckets = _sign_buckets(spark, corpus)
-    ba = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    bb = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    pair_ids = (
-        ba.join(bb, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    corpus = _semdedup_corpus(emb)
+    pair_ids = _semdedup_pair_ids(spark, corpus)
     scored = corpus.select(
         "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
     )
@@ -604,11 +678,14 @@ _X14_SQL = (
     "  SELECT vec_id + 1000000, "
     "  list_transform(embedding, x -> x * CAST(2.0 AS REAL)) "
     "  FROM embeddings WHERE vec_id % 10 = 0), "
+    "cnt AS (SELECT count(*) AS cnt FROM corpus), "
+    f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt), "
     "planes AS (SELECT p, "
-    f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
-    f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+    "CAST(p // ppt AS INT) AS tbl, "
+    "CAST(p % ppt AS INT) AS bit, "
     f"{_W_DUCK} AS warr "
-    f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p)), "
+    f"FROM range(0, {_N_TABLES * (_SEM_MAX_PLANES + 1)}) t(p) "
+    f"CROSS JOIN pp WHERE p < ppt * {_N_TABLES}), "
     "buckets AS (SELECT e.vec_id, pl.tbl, "
     "sum(CASE WHEN "
     f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "

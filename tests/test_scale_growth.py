@@ -28,8 +28,11 @@ from acero_delta_lake_streaming_spark.operators.dedup import (
 )
 from acero_delta_lake_streaming_spark.operators.similarity import (
     _lsh_candidate_ids,
+    _semdedup_corpus,
+    _semdedup_pair_ids,
     x3_cosine_topk,
     x3b_ann_lsh,
+    x14_semdedup,
 )
 from acero_delta_lake_streaming_spark.plans.cache import release_scoped
 
@@ -59,6 +62,33 @@ def test_minhash_recall_and_linear_candidates(spark):
         recall = sum((d, d + 1000000) in found for d in planted) / len(planted)
         assert recall >= 0.9, (sf, recall)
         stats[sf] = (corpus_n, cand_n)
+    (n1, c1), (n2, c2) = stats[SMALL], stats[LARGE]
+    assert n2 > n1, "fixture corpora no longer differ — update SMALL/LARGE"
+    assert c2 / c1 <= (n2 / n1) * GROWTH_SLACK, stats
+
+
+def test_semdedup_recall_and_linear_candidates(spark):
+    """x14's adaptive plane count must hold candidate volume ~linear in
+    the corpus (fixed planes made it ~quadratic: E[bucket] = N/8 per
+    table), while keeping recall 1.0 on the planted scaled duplicates
+    (sign-LSH buckets are scale-invariant at any plane count)."""
+    stats = {}
+    for sf in (SMALL, LARGE):
+        emb = load_table(spark, sf, "embeddings")
+        corpus = _semdedup_corpus(emb)
+        n = corpus.count()
+        cand_n = _semdedup_pair_ids(spark, corpus).count()
+        planted = [
+            r.vec_id
+            for r in emb.filter("vec_id % 10 = 0").select("vec_id").collect()
+        ]
+        dropped = {
+            r.dropped_id: r.kept_id
+            for r in x14_semdedup(spark, sf).collect()
+        }
+        recall = sum(d + 1000000 in dropped for d in planted) / len(planted)
+        assert recall == 1.0, (sf, recall)
+        stats[sf] = (n, cand_n)
     (n1, c1), (n2, c2) = stats[SMALL], stats[LARGE]
     assert n2 > n1, "fixture corpora no longer differ — update SMALL/LARGE"
     assert c2 / c1 <= (n2 / n1) * GROWTH_SLACK, stats
