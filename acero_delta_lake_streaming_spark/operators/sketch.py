@@ -17,11 +17,11 @@ Scale shape:
 
 * x13: the hash-space projection runs map-side; the per-group distinct
   is a partial-aggregated shuffle on (event_type, h) — cardinality
-  |distinct hashes|, never |events|. The window ranks *hashes within a
-  group*, and a KMV sketch only ever needs the k smallest, so state per
-  group is O(distinct). A production variant keeps only k values per
-  partition before merging (the sketch is mergeable by construction:
-  k-min of a union = k-min of the per-partition k-mins).
+  |distinct hashes|, never |events|. The k-th order statistic is then a
+  salted two-stage aggregation (the sketch is mergeable by
+  construction: k-min of a union = k-min of the per-cell k-mins), so
+  no reducer ever holds a group's full distinct-hash set — the old
+  full-distinct ``row_number`` window is gone.
 * dq1: ONE scan of orders computes every per-column metric in a single
   multi-aggregate (null counts and min/max fold partially map-side;
   the exact count-distincts expand the shuffle 4x, which is the
@@ -37,7 +37,7 @@ all arithmetic is integer (``DIV`` / ``//``), no float anywhere;
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 
@@ -61,16 +61,39 @@ _HASH_SPARK = _hex6_int("md5(cast(user_id as string))", "instr")
 _HASH_DUCK = _hex6_int("md5(cast(user_id as varchar))", "strpos")
 
 
+_PREMERGE_CELLS = 32  # salt width of the k-min pre-merge
+
+
 def kmv_distinct(events: DataFrame, key: str, hash_expr: str, k: int = _K) -> DataFrame:
     """Library form: KMV distinct estimate of ``hash_expr``'s source
-    column per ``key``. Returns (key, est bigint, n_hashes bigint)."""
+    column per ``key``. Returns (key, est bigint, n_hashes bigint).
+
+    The k-th order statistic is computed with a salted two-stage
+    aggregation, exploiting that the sketch is mergeable (k-min of a
+    union = k-min of the per-cell k-mins): distinct hashes fan out to
+    ``(key, h % CELLS)`` cells that each keep only their k smallest,
+    then the per-key merge sorts ≤ k·CELLS values. No window anywhere —
+    the old ``row_number`` ranking put every distinct hash of a group
+    on one reducer (O(distinct) state on a handful of hot partitions);
+    here reducer state is bounded by O(distinct/CELLS) transiently and
+    O(k·CELLS) at the merge, at any corpus size."""
     h = events.selectExpr(key, f"{hash_expr} AS h").distinct()
-    w = Window.partitionBy(key).orderBy("h")
-    ranked = h.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy(key).agg(
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
-        F.count(F.lit(1)).alias("n_hashes"),
-    ).select(
+    cells = (
+        h.groupBy(key, F.pmod(F.col("h"), F.lit(_PREMERGE_CELLS)).alias("cell"))
+        .agg(
+            F.expr(f"slice(sort_array(collect_list(h)), 1, {k})").alias("mins"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    merged = cells.groupBy(key).agg(
+        F.expr(
+            # try_element_at: NULL (not an ANSI error) when < k hashes exist;
+            # that branch only feeds the n_hashes < k fallback anyway.
+            f"try_element_at(slice(array_sort(flatten(collect_list(mins))), 1, {k}), {k})"
+        ).alias("h_k"),
+        F.sum("c").alias("n_hashes"),
+    )
+    return merged.select(
         key,
         F.when(
             F.col("n_hashes") >= k,
@@ -177,6 +200,107 @@ def _profile_union_sql() -> str:
 
 
 _DQ1_SQL = _profile_union_sql()
+
+
+# dq1b: (name, minmax expr spark/duck, distinct-encoding expr spark/duck).
+# The encoding turns every column into the string md5 hashes, preserving
+# distinctness (o_orderdate is date-granular in the fixture, so ISO dates
+# are injective on it).
+_DQ1B_COLS = [
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus",
+     "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority",
+     "o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "cast(o_custkey as string)", "cast(o_custkey as varchar)",
+     "cast(o_custkey as string)", "cast(o_custkey as varchar)"),
+    ("o_orderdate",
+     "date_format(o_orderdate, 'yyyy-MM-dd')",
+     "strftime(o_orderdate, '%Y-%m-%d')",
+     "date_format(o_orderdate, 'yyyy-MM-dd')",
+     "strftime(o_orderdate, '%Y-%m-%d')"),
+]
+
+
+def dq1b_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of dq1: distinct counts via the KMV sketch instead of
+    exact ``countDistinct``. dq1's single multi-aggregate pays a 4×
+    Expand of orders to dedupe per column — a non-starter at 100 TB.
+    Here the base metrics (count/nulls/min/max) stay a pure map-side
+    fold with no Expand, and distincts go through an unpivoted
+    ``(col_name, hash)`` projection whose shuffle is O(Σ distinct)
+    after map-side partial dedup, never O(4N) rows. Cardinalities
+    below k=64 come back exact (the sketch degenerates to the count);
+    larger ones carry the (k-1)/U_k estimate. Unlike
+    ``approx_count_distinct`` (HLL register layout is
+    implementation-defined) every value here is oracle-checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, sp, _, _, _ in _DQ1B_COLS:
+        aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{name}"),
+            F.expr(f"min({sp})").alias(f"mn_{name}"),
+            F.expr(f"max({sp})").alias(f"mx_{name}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', nn_{name}, mn_{name}, mx_{name}"
+        for name, *_ in _DQ1B_COLS
+    )
+    base = wide.selectExpr(
+        "n_rows",
+        f"stack({len(_DQ1B_COLS)}, {stack}) AS "
+        "(col_name, n_null, min_val, max_val)",
+    )
+    unpivot = ", ".join(
+        f"'{name}', CASE WHEN {name} IS NOT NULL THEN {enc} END"
+        for name, _, _, enc, _ in _DQ1B_COLS
+    )
+    pairs = (
+        orders.selectExpr(
+            f"stack({len(_DQ1B_COLS)}, {unpivot}) AS (col_name, v)"
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    est = kmv_distinct(pairs, "col_name", _hex6_int("md5(v)", "instr")).select(
+        "col_name", F.col("est").alias("est_distinct")
+    )
+    return base.join(F.broadcast(est), "col_name").select(
+        "col_name", "n_rows", "n_null", "est_distinct", "min_val", "max_val"
+    )
+
+
+def _dq1b_sql() -> str:
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {enc} AS v FROM orders "
+        f"WHERE {name} IS NOT NULL"
+        for name, _, _, _, enc in _DQ1B_COLS
+    )
+    hash_expr = _hex6_int("md5(v)", "strpos")
+    base = " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_null, min({mm}) AS min_val, max({mm}) AS max_val FROM orders"
+        for name, _, mm, _, _ in _DQ1B_COLS
+    )
+    return (
+        f"WITH pairs AS ({unpivot}), "
+        f"h AS (SELECT DISTINCT col_name, {hash_expr} AS h FROM pairs), "
+        "r AS (SELECT col_name, h, row_number() OVER "
+        "(PARTITION BY col_name ORDER BY h) AS rn FROM h), "
+        f"g AS (SELECT col_name, max(CASE WHEN rn = {_K} THEN h END) AS h_k, "
+        "count(*) AS n_hashes FROM r GROUP BY 1), "
+        f"est AS (SELECT col_name, CAST(CASE WHEN n_hashes >= {_K} THEN "
+        f"({_K - 1} * {_SPACE}) // nullif(h_k, 0) ELSE n_hashes END AS BIGINT) "
+        "AS est_distinct FROM g), "
+        f"base AS ({base}) "
+        "SELECT col_name, n_rows, n_null, est_distinct, min_val, max_val "
+        "FROM base JOIN est USING (col_name)"
+    )
+
+
+_DQ1B_SQL = _dq1b_sql()
 
 
 # Expectation rules over orders: (rule name, violation predicate —
@@ -329,6 +453,7 @@ _X17_SQL = (
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
+    "dq1b_approx_profile": dq1b_approx_profile,
     "dq2_expectations": dq2_expectations,
     "x17_cms_heavy_hitters": x17_cms_heavy_hitters,
 }
@@ -336,6 +461,7 @@ QUERIES = {
 ORACLES = {
     "x13_kmv_distinct": _X13_SQL,
     "dq1_column_profile": _DQ1_SQL,
+    "dq1b_approx_profile": _DQ1B_SQL,
     "dq2_expectations": _DQ2_SQL,
     "x17_cms_heavy_hitters": _X17_SQL,
 }

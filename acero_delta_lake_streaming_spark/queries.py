@@ -87,7 +87,7 @@ _PRIORITY = [
     "q17_small_quantity_revenue", "q20_excess_shippers",
     "q21_sole_supplier_orders", "q22_dormant_balances",
     # -- changed or new this round (19-25) --
-    "x13_kmv_distinct", "x14_semdedup",
+    "x13_kmv_distinct", "x14_semdedup", "dq1b_approx_profile",
     "s1_feed_ingest", "dq1_column_profile",
     # -- r3-proven family cores fill the window (26-50) --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",

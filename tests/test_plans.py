@@ -200,8 +200,20 @@ def test_kmv_no_cartesian_and_profile_one_scan(spark, sf_dir):
     plan = _physical(x13_kmv_distinct(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # The k-th order statistic is a salted two-stage agg; a Window here
+    # would mean one reducer ranks a group's ENTIRE distinct-hash set.
+    assert "Window" not in plan, plan
     plan = _physical(dq1_column_profile(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
+    # dq1b is the scale twin: the KMV path must not pay dq1's 4× Expand
+    # (multi-countDistinct rewrite) anywhere in its plan.
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq1b_approx_profile,
+    )
+
+    plan = _physical(dq1b_approx_profile(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_semdedup_funnel_dq2_shapes(spark, sf_dir):
