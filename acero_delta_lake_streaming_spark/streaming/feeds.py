@@ -131,6 +131,50 @@ def drop_feed_batch(
     return df.count()
 
 
+def drop_feed_batch_files(
+    spark: SparkSession, xml_dir: str, drop_dir: str, batch_name: str
+) -> None:
+    """Distributed twin of ``drop_feed_batch``: read ``<rss_id>.xml``
+    feed files as whole-text, parse them into NEWS_SCHEMA rows inside an
+    Arrow-batched ``mapInPandas`` (``parse_rss`` is module-level, so
+    executors import it), and drop one parquet batch. No feed XML ever
+    reaches the driver — at a 100× corpus the parse fans out per file."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.streaming.queries import (
+        write_single_parquet,
+    )
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(os.path.join(xml_dir, "*.xml"))
+        .select(
+            F.input_file_name().alias("path"), F.col("value").alias("xml")
+        )
+    )
+
+    def parse(batches):
+        import urllib.parse
+
+        import pandas as pd
+
+        cols = [f.name for f in NEWS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, xml_text in zip(pdf["path"], pdf["xml"]):
+                name = os.path.basename(urllib.parse.unquote(path))
+                rss_id = os.path.splitext(name)[0]
+                rows.extend(parse_rss(xml_text, rss_id))
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in cols}, columns=cols
+            )
+
+    df = raw.mapInPandas(parse, NEWS_SCHEMA)
+    os.makedirs(drop_dir, exist_ok=True)
+    write_single_parquet(df, os.path.join(drop_dir, f"{batch_name}.parquet"))
+
+
 def run_polling_ingest(
     spark: SparkSession,
     drop_dir: str,

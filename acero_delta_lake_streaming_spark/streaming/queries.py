@@ -116,52 +116,68 @@ _ST4_SQL = (
 # --------------------------------------------------------------------------
 
 
-def _feeds_from_documents(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Deterministic RSS 2.0 documents derived from the fixture corpus:
-    one feed per lang, one item per document (title = first 3 words,
-    description = text, guid = doc id, pubDate = base + doc_id minutes).
-    The feed build is edge-side by nature (the reference's fetcher is a
-    driver loop too) — the engine-side ingest stays distributed."""
-    import collections
-    import datetime as dt
-    import email.utils
-    from xml.sax.saxutils import escape
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
-        .collect()
+def _write_feed_files(spark: SparkSession, sf_dir: str, xml_dir: str) -> None:
+    """Deterministic RSS 2.0 feed files derived from the fixture corpus:
+    one ``<lang>.xml`` per lang, one item per document (title = first 3
+    words, description = text, guid = doc id, pubDate = base + doc_id
+    minutes). Fully distributed: each lang's feed is assembled inside an
+    ``applyInPandas`` task and written to ``xml_dir`` by the executor —
+    the document texts never pass through the driver (the old builder
+    ``collect()``-ed the corpus; at a 100× corpus that OOMs the driver
+    before the engine sees a byte). A single feed's XML must still fit
+    one task — at real scale feeds shard by (lang, day), same code shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
     )
-    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
-    by_lang = collections.defaultdict(list)
-    for r in sorted(docs, key=lambda r: r.doc_id):
-        words = [w for w in r.text.split(" ") if w]
-        pub = email.utils.format_datetime(
-            base + dt.timedelta(minutes=r.doc_id)
-        )
-        thumb = (
-            f'<media:thumbnail url="http://img.example/{r.doc_id}.jpg"/>'
-            if r.doc_id % 2 == 0
-            else ""
-        )
-        by_lang[r.lang].append(
-            "<item>"
-            f"<title>{escape(' '.join(words[:3]))}</title>"
-            f"<description>{escape(r.text)}</description>"
-            f"<link>http://news.example/{r.doc_id}</link>"
-            f"<guid>guid-{r.doc_id}</guid>"
-            f"<pubDate>{pub}</pubDate>"
-            f"{thumb}"
-            "</item>"
-        )
-    return [
-        (
-            lang,
+    os.makedirs(xml_dir, exist_ok=True)
+
+    def build(pdf):
+        import datetime as dt
+        import email.utils
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+        items = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            words = [w for w in text.split(" ") if w]
+            pub = email.utils.format_datetime(
+                base + dt.timedelta(minutes=doc_id)
+            )
+            thumb = (
+                f'<media:thumbnail url="http://img.example/{doc_id}.jpg"/>'
+                if doc_id % 2 == 0
+                else ""
+            )
+            items.append(
+                "<item>"
+                f"<title>{escape(' '.join(words[:3]))}</title>"
+                f"<description>{escape(text)}</description>"
+                f"<link>http://news.example/{doc_id}</link>"
+                f"<guid>guid-{doc_id}</guid>"
+                f"<pubDate>{pub}</pubDate>"
+                f"{thumb}"
+                "</item>"
+            )
+        lang = str(pdf["lang"].iloc[0])
+        xml = (
             '<rss version="2.0" xmlns:media="http://search.yahoo.com/mrss/">'
-            f"<channel><title>{lang}</title>{''.join(items)}</channel></rss>",
+            f"<channel><title>{lang}</title>{''.join(items)}</channel></rss>"
         )
-        for lang, items in sorted(by_lang.items())
-    ]
+        tmp = os.path.join(xml_dir, f".{lang}.xml.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(xml)
+        os.replace(tmp, os.path.join(xml_dir, f"{lang}.xml"))
+        return pd.DataFrame({"lang": [lang], "n_items": [len(items)]})
+
+    # The action drives the distributed write; the returned (lang, n)
+    # frame is tiny and only forces execution.
+    docs.groupBy("lang").applyInPandas(
+        build, "lang string, n_items long"
+    ).count()
 
 
 def s1_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,16 +185,20 @@ def s1_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     news-schema medallion ingest (guid dedup, title+description
     extraction text) → per-feed rollup of raw and extraction-ok counts
     plus the published-time range."""
-    from acero_delta_lake_streaming_spark.streaming.feeds import drop_feed_batch
+    from acero_delta_lake_streaming_spark.streaming.feeds import (
+        drop_feed_batch_files,
+    )
     from acero_delta_lake_streaming_spark.streaming.ingest import run_news_ingest
 
     base = _scratch(sf_dir, "s1")
-    drop, tables, cp = (
+    drop, tables, cp, xml_dir = (
         os.path.join(base, "drop"),
         os.path.join(base, "tables"),
         os.path.join(base, "cp"),
+        os.path.join(base, "feeds"),
     )
-    drop_feed_batch(spark, _feeds_from_documents(spark, sf_dir), drop, "batch0")
+    _write_feed_files(spark, sf_dir, xml_dir)
+    drop_feed_batch_files(spark, xml_dir, drop, "batch0")
     run_news_ingest(spark, drop, tables, cp)
     raw = deltalite.read(spark, os.path.join(tables, "raw"))
     ok_ids = deltalite.read(spark, os.path.join(tables, "curated")).select("id")

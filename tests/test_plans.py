@@ -133,17 +133,22 @@ def test_scoped_caches_released(spark, sf_dir):
 
 
 def test_no_collect_in_query_paths():
-    """Static guard: operator modules must not materialize to the driver
-    (collect/toPandas) inside query-building code. The feed builder in
-    streaming.queries is the one sanctioned edge-side exception."""
+    """Static guard: no module reachable from queries() materializes
+    data to the driver (collect/toPandas) — the s1 feed build, formerly
+    the one sanctioned exception, is now a distributed applyInPandas
+    write. The single remaining collect lives in deltalite's commit-log
+    reader and touches METADATA rows only (one per data file), never
+    table data."""
     import inspect
 
+    from acero_delta_lake_streaming_spark.functions import extract
     from acero_delta_lake_streaming_spark.operators import (
         asof,
         curation,
         dedup,
         multimodal,
         relational,
+        scrub,
         sessionize,
         similarity,
         sketch,
@@ -151,9 +156,17 @@ def test_no_collect_in_query_paths():
         tpch,
         windows,
     )
+    from acero_delta_lake_streaming_spark.storage import (
+        queries as storage_queries,
+    )
+    from acero_delta_lake_streaming_spark.streaming import feeds, ingest
+    from acero_delta_lake_streaming_spark.streaming import (
+        queries as streaming_queries,
+    )
 
     for mod in (relational, tpch, windows, dedup, similarity, text,
-                sessionize, multimodal, asof, curation, sketch):
+                sessionize, multimodal, asof, curation, sketch, scrub,
+                extract, storage_queries, streaming_queries, feeds, ingest):
         src = inspect.getsource(mod)
         assert ".collect()" not in src, mod.__name__
         assert ".toPandas()" not in src, mod.__name__
