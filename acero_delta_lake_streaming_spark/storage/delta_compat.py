@@ -410,29 +410,193 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
         os.unlink(tmp)
 
 
+def _compact_files(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    files: list[str],
+    pvals: dict[str, str],
+    target_partitions: int,
+) -> tuple[list[dict], list[dict]]:
+    """Rewrite one file group (all of an unpartitioned table, or one
+    hive partition directory) into ``target_partitions`` compacted
+    files. Returns (removes, adds), all ``dataChange: false``. The scan
+    reads the raw file list (data columns only — hive layout keeps
+    partition values in the directory name, so the compacted file's
+    contents stay layout-identical)."""
+    segments = [f"{k}={quote(v)}" for k, v in pvals.items()]
+    rel_dir = os.path.join(*segments) if segments else ""
+    df = spark.read.parquet(*files).coalesce(target_partitions)
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+        rel = os.path.join(rel_dir, fname) if rel_dir else fname
+        os.makedirs(
+            os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True
+        )
+        os.rename(os.path.join(staging, name), os.path.join(table, rel))
+        adds.append(
+            {
+                "add": {
+                    "path": quote(rel),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(table, rel)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    import shutil
+
+    shutil.rmtree(staging)
+    removes = [
+        {
+            "remove": {
+                "path": quote(os.path.relpath(f, table)),
+                "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": False,
+            }
+        }
+        for f in files
+    ]
+    return removes, adds
+
+
 def optimize_delta(
     spark: SparkSession, table: str, target_partitions: int = 1
 ) -> int:
     """OPTIMIZE for a real-format Delta table: rewrite the current
-    snapshot into ``target_partitions`` compacted files and publish ONE
-    commit of remove + add actions, all ``dataChange: false`` — Delta's
-    bin-compaction contract, so a streaming reader of the table sees no
-    new data and time travel to pre-compaction versions still resolves
-    the old files (nothing is deleted here; that is VACUUM's job).
-    Unpartitioned tables only — partitioned compaction rewrites per
-    directory and is out of scope for this seam."""
+    snapshot into compacted files (``target_partitions`` per file
+    group) and publish ONE commit of remove + add actions, all
+    ``dataChange: false`` — Delta's bin-compaction contract, so a
+    streaming reader of the table sees no new data and time travel to
+    pre-compaction versions still resolves the old files (nothing is
+    deleted here; that is VACUUM's job).
+
+    Hive-partitioned tables compact per partition directory: each
+    ``col=value/`` group rewrites independently (the scan reads only
+    that group's files; partition values stay in the directory name),
+    and every group's remove+add lands in the same atomic commit —
+    a reader never sees a half-compacted table. At warehouse scale the
+    per-partition rewrites are independent jobs; batching their actions
+    into one commit (or one commit per partition, as delta-spark's
+    OPTIMIZE WHERE does) is a publish-policy choice, not a format one."""
     snap = snapshot(table)
-    if snap["partition_cols"]:
-        raise DeltaProtocolError(
-            "optimize of hive-partitioned tables is not supported"
-        )
     if not snap["files"]:
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
     version = snap["version"] + 1
-    df = read_delta(spark, table).coalesce(target_partitions)
+    pcols = snap["partition_cols"]
+
+    groups: list[tuple[list[str], dict[str, str]]] = []
+    if pcols:
+        by_dir: dict[str, list[str]] = {}
+        for f in snap["files"]:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        for dirpath, files in sorted(by_dir.items()):
+            rel_dir = os.path.relpath(dirpath, table)
+            pvals = dict(
+                (k, unquote(v))
+                for k, v in (
+                    seg.split("=", 1) for seg in rel_dir.split(os.sep)
+                )
+            )
+            if set(pvals) != set(pcols):
+                raise DeltaProtocolError(
+                    f"partition directory {rel_dir!r} does not match "
+                    f"partition columns {pcols}"
+                )
+            groups.append((sorted(files), pvals))
+    else:
+        groups.append((snap["files"], {}))
+
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for files, pvals in groups:
+        r, a = _compact_files(
+            spark, table, version, files, pvals, target_partitions
+        )
+        removes.extend(r)
+        adds.extend(a)
+    actions = removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_partitions)
+                },
+            }
+        }
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Copy-on-write MERGE (upsert) into a real-format Delta table:
+    source rows REPLACE same-key target rows, unmatched source rows
+    INSERT — the semantics of ``deltalite.upsert`` (and of
+    ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    INSERT *``), published as one remove+add commit delta-rs/delta-spark
+    can read back.
+
+    File-level copy-on-write, delta-spark's low-shuffle-merge contract:
+    only data files that actually CONTAIN a matched key are rewritten
+    (surviving rows carried over + the whole source); untouched files
+    stay in place. The touched-file discovery is a broadcast semi-join
+    on ``input_file_name()`` whose distinct-file result is METADATA
+    (one row per touched file) — the only driver materialization, same
+    altitude as the commit log itself. Unpartitioned tables only (the
+    reference's tables are unpartitioned; partitioned merge adds
+    partition-pruned touch discovery, same shape)."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table)
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "merge into hive-partitioned tables is not supported"
+        )
+    version = snap["version"] + 1
+    cur = read_delta(spark, table)
+    if set(source.columns) != set(cur.columns):
+        raise DeltaProtocolError(
+            f"merge source columns {sorted(source.columns)} do not match "
+            f"table columns {sorted(cur.columns)}"
+        )
+    keys = source.select(*key_cols).distinct()
+    tagged = cur.withColumn("_src_file", F.input_file_name())
+    touched_uris = [
+        r["_src_file"]
+        for r in tagged.join(F.broadcast(keys), key_cols, "leftsemi")
+        .select("_src_file")
+        .distinct()
+        .collect()  # METADATA only: one row per touched data file
+    ]
+    from urllib.parse import urlparse
+
+    touched_abs = {
+        os.path.abspath(unquote(urlparse(u).path)) for u in touched_uris
+    }
+    survivors = (
+        tagged.filter(F.col("_src_file").isin(touched_uris))
+        .join(F.broadcast(keys), key_cols, "left_anti")
+        .drop("_src_file")
+    )
+    new_data = survivors.select(*cur.columns).unionByName(
+        source.select(*cur.columns)
+    )
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    new_data.write.mode("overwrite").parquet(staging)
     adds = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -446,31 +610,33 @@ def optimize_delta(
                     "partitionValues": {},
                     "size": os.path.getsize(os.path.join(table, fname)),
                     "modificationTime": int(time.time() * 1000),
-                    "dataChange": False,
+                    "dataChange": True,
                 }
             }
         )
     import shutil
 
     shutil.rmtree(staging)
-
     removes = [
         {
             "remove": {
                 "path": quote(os.path.relpath(f, table)),
                 "deletionTimestamp": int(time.time() * 1000),
-                "dataChange": False,
+                "dataChange": True,
             }
         }
         for f in snap["files"]
+        if os.path.abspath(f) in touched_abs
     ]
     actions = removes + adds + [
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
-                "operation": "OPTIMIZE",
+                "operation": "MERGE",
                 "operationParameters": {
-                    "targetSize": str(target_partitions)
+                    "predicate": " AND ".join(
+                        f"target.{k} = source.{k}" for k in key_cols
+                    )
                 },
             }
         }

@@ -354,6 +354,54 @@ _S9_SQL = (
 )
 
 
+def s10_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — copy-on-write MERGE on the REAL Delta format: seed the
+    table as two append commits (even/odd keys → multiple data files),
+    merge in a changed 'P' slice (price +1000) plus brand-new rows, and
+    aggregate the merged snapshot read back through the log-replay
+    reader. Same upsert semantics as deltalite's s7, now producing a
+    remove+add commit delta-rs/delta-spark can consume; only files
+    containing a matched key are rewritten (pinned by
+    tests/test_delta_compat.py). Oracle recomputes the merge by hand."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s10_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 1"), table)
+    p_slice = orders.filter("o_orderstatus = 'P'")
+    # Addition, not ×1.1: per-row rounding of computed doubles is the
+    # s7-documented parity trap.
+    changes = p_slice.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(
+        p_slice.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
+    )
+    delta_compat.merge_delta(spark, table, changes, ["o_orderkey"])
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+# Identical end state to s7 (same merge semantics, different storage
+# engine underneath) — the oracle is the same hand-computed merge.
+_S10_SQL = _S7_SQL
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -363,6 +411,7 @@ QUERIES = {
     "s7_upsert_merge": s7_upsert_merge,
     "s8_delta_format_roundtrip": s8_delta_format_roundtrip,
     "s9_zorder_skipping": s9_zorder_skipping,
+    "s10_delta_merge": s10_delta_merge,
 }
 
 ORACLES = {
@@ -374,4 +423,5 @@ ORACLES = {
     "s6_cached_read": _S6_SQL,
     "s7_upsert_merge": _S7_SQL,
     "s9_zorder_skipping": _S9_SQL,
+    "s10_delta_merge": _S10_SQL,
 }

@@ -471,15 +471,115 @@ def test_optimize_compacts_without_data_change(spark, tmp_path):
     ]
     assert flags and not any(flags)
     assert sum(1 for a in actions if "remove" in a) == n_files_before >= 3
-    # a partitioned table is refused loudly
-    pt = str(tmp_path / "ptab")
-    dc.append_delta(
-        spark.createDataFrame([(1, "a")], "id long, part string"),
-        pt,
-        partition_by=["part"],
+
+
+def test_optimize_partitioned_per_directory(spark, tmp_path):
+    """Partitioned OPTIMIZE compacts each hive partition directory to
+    one file inside one atomic commit; rows, partition values, and the
+    hive layout all survive, and every action is dataChange: false."""
+    table = str(tmp_path / "popt")
+    for i in range(3):
+        dc.append_delta(
+            spark.createDataFrame(
+                [(i, "a"), (i + 100, "b")], "id long, part string"
+            ),
+            table,
+            partition_by=["part"],
+        )
+    before = sorted(
+        (r.id, r.part) for r in dc.read_delta(spark, table).collect()
     )
+    assert len(dc.snapshot(table)["files"]) == 6  # 3 appends x 2 dirs
+    v = dc.optimize_delta(spark, table, target_partitions=1)
+    assert v == 3
+    snap = dc.snapshot(table)
+    assert len(snap["files"]) == 2  # one compacted file per partition dir
+    for f in snap["files"]:
+        assert "part=" in f, f  # hive layout preserved
+    after = sorted(
+        (r.id, r.part) for r in dc.read_delta(spark, table).collect()
+    )
+    assert after == before
+    with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert sorted(a["partitionValues"]["part"] for a in adds) == ["a", "b"]
+    flags = [
+        a[k]["dataChange"]
+        for a in actions
+        for k in ("add", "remove")
+        if k in a
+    ]
+    assert flags and not any(flags)
+    # pre-compaction time travel intact
+    v0 = sorted(
+        (r.id, r.part)
+        for r in dc.read_delta(spark, table, version=0).collect()
+    )
+    assert v0 == [(0, "a"), (100, "b")]
+
+
+def test_merge_delta_copy_on_write(spark, tmp_path):
+    """MERGE rewrites only files containing a matched key: matched rows
+    are replaced, unmatched source rows insert, untouched files stay in
+    place (their add entries survive the commit verbatim), and the
+    remove+add actions are dataChange: true."""
+    table = str(tmp_path / "merge")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "old1"), (2, "old2")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    dc.append_delta(
+        spark.createDataFrame(
+            [(3, "old3"), (4, "old4")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    files_before = {
+        os.path.relpath(f, table) for f in dc.snapshot(table)["files"]
+    }
+    assert len(files_before) == 2
+    source = spark.createDataFrame(
+        [(2, "NEW2"), (99, "NEW99")], "id long, v string"
+    )
+    v = dc.merge_delta(spark, table, source, ["id"])
+    assert v == 2
+    rows = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    assert rows == [
+        (1, "old1"), (2, "NEW2"), (3, "old3"), (4, "old4"), (99, "NEW99")
+    ]
+    # the file holding ids 3/4 contains no matched key -> not rewritten
+    files_after = {
+        os.path.relpath(f, table) for f in dc.snapshot(table)["files"]
+    }
+    untouched = files_before & files_after
+    assert len(untouched) == 1
+    with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert len(removes) == 1  # only the touched file was removed
+    flags = [
+        a[k]["dataChange"]
+        for a in actions
+        for k in ("add", "remove")
+        if k in a
+    ]
+    assert flags and all(flags)
+    # pre-merge time travel still sees the old values
+    v1 = sorted(
+        (r.id, r.v) for r in dc.read_delta(spark, table, version=1).collect()
+    )
+    assert v1 == [(1, "old1"), (2, "old2"), (3, "old3"), (4, "old4")]
+    # merging a mismatched schema is refused loudly
     with pytest.raises(dc.DeltaProtocolError):
-        dc.optimize_delta(spark, pt)
+        dc.merge_delta(
+            spark,
+            table,
+            spark.createDataFrame([(1,)], "id long"),
+            ["id"],
+        )
 
 
 def test_vacuum_delta_retention(spark, tmp_path):
