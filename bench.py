@@ -62,6 +62,10 @@ HEADLINE = [
     "q21_sole_supplier_orders",
     "x14_semdedup",
     "w8_funnel",
+    # round-4 additions: PII scrub (map-only baseline), the KMV-based
+    # profile twin (vs dq1's exact-distinct Expand)
+    "x16_pii_redaction",
+    "dq1b_approx_profile",
 ]
 
 
