@@ -313,45 +313,7 @@ def append_delta(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    adds = []
-    for dirpath, _dirs, names in sorted(os.walk(staging)):
-        # hive dir segments under staging carry the partition values
-        rel_dir = os.path.relpath(dirpath, staging)
-        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
-        pvals = dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in segments)
-        )
-        if set(pvals) != set(partition_by):
-            if any(n.endswith(".parquet") for n in names):
-                raise DeltaCorruptLogError(
-                    f"unexpected staging layout at {rel_dir!r}"
-                )
-            continue
-        for name in sorted(names):
-            if not name.endswith(".parquet"):
-                continue
-            fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
-            rel = os.path.join(*segments, fname) if segments else fname
-            os.makedirs(
-                os.path.dirname(os.path.join(table, rel)) or table,
-                exist_ok=True,
-            )
-            os.rename(os.path.join(dirpath, name), os.path.join(table, rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel),
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(os.path.join(table, rel)),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
-    import shutil
-
-    shutil.rmtree(staging)
+    adds = _promote_staged(table, staging, version, partition_by, True)
 
     actions: list[dict] = []
     if version == 0:
@@ -387,6 +349,57 @@ def append_delta(
     )
     _publish_commit(table, version, actions)
     return version
+
+
+def _promote_staged(
+    table: str,
+    staging: str,
+    version: int,
+    partition_by: list[str],
+    data_change: bool,
+) -> list[dict]:
+    """Move a staged (possibly hive-partitioned) parquet write into the
+    table root and return its ``add`` actions. Hive dir segments under
+    staging carry the partition values; the staging dir is removed."""
+    adds = []
+    for dirpath, _dirs, names in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals = dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in segments)
+        )
+        if set(pvals) != set(partition_by):
+            if any(n.endswith(".parquet") for n in names):
+                raise DeltaCorruptLogError(
+                    f"unexpected staging layout at {rel_dir!r}"
+                )
+            continue
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(*segments, fname) if segments else fname
+            os.makedirs(
+                os.path.dirname(os.path.join(table, rel)) or table,
+                exist_ok=True,
+            )
+            os.rename(os.path.join(dirpath, name), os.path.join(table, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": data_change,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging)
+    return adds
 
 
 def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
@@ -555,16 +568,16 @@ def merge_delta(
     stay in place. The touched-file discovery is a broadcast semi-join
     on ``input_file_name()`` whose distinct-file result is METADATA
     (one row per touched file) — the only driver materialization, same
-    altitude as the commit log itself. Unpartitioned tables only (the
-    reference's tables are unpartitioned; partitioned merge adds
-    partition-pruned touch discovery, same shape)."""
+    altitude as the commit log itself. Hive-partitioned tables work the
+    same way: survivors + source rewrite through a ``partitionBy``
+    staging write, removes carry each touched file's partition values
+    from its directory name, and a matched row whose source carries new
+    partition values simply lands in the new directory (partition-key
+    change is a remove+add like any other row move)."""
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
-    if snap["partition_cols"]:
-        raise DeltaProtocolError(
-            "merge into hive-partitioned tables is not supported"
-        )
+    pcols = snap["partition_cols"]
     version = snap["version"] + 1
     cur = read_delta(spark, table)
     if set(source.columns) != set(cur.columns):
@@ -596,32 +609,27 @@ def merge_delta(
     )
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    new_data.write.mode("overwrite").parquet(staging)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        fname = f"part-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
-        os.rename(os.path.join(staging, name), os.path.join(table, fname))
-        adds.append(
-            {
-                "add": {
-                    "path": quote(fname),
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table, fname)),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
-    import shutil
+    writer = new_data.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds = _promote_staged(table, staging, version, pcols, True)
 
-    shutil.rmtree(staging)
+    def _pvals(path: str) -> dict[str, str]:
+        rel_dir = os.path.relpath(os.path.dirname(path), table)
+        if rel_dir == ".":
+            return {}
+        return dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        )
+
     removes = [
         {
             "remove": {
                 "path": quote(os.path.relpath(f, table)),
                 "deletionTimestamp": int(time.time() * 1000),
+                "partitionValues": _pvals(f),
                 "dataChange": True,
             }
         }

@@ -582,6 +582,61 @@ def test_merge_delta_copy_on_write(spark, tmp_path):
         )
 
 
+def test_merge_delta_partitioned(spark, tmp_path):
+    """MERGE into a hive-partitioned table: replaced rows, inserts, and
+    a partition-key CHANGE (id 2 moves a→b) all land correctly; the
+    untouched partition's file survives, removes carry partitionValues,
+    and the hive layout is preserved."""
+    table = str(tmp_path / "pmerge")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a", "v1"), (2, "a", "v2"), (3, "b", "v3")],
+            "id long, part string, v string",
+        ).coalesce(1),
+        table,
+        partition_by=["part"],
+    )
+    dc.append_delta(
+        spark.createDataFrame(
+            [(4, "c", "v4")], "id long, part string, v string"
+        ).coalesce(1),
+        table,
+        partition_by=["part"],
+    )
+    files_before = {
+        os.path.relpath(f, table) for f in dc.snapshot(table)["files"]
+    }
+    source = spark.createDataFrame(
+        [(2, "b", "MOVED2"), (9, "a", "NEW9")],
+        "id long, part string, v string",
+    )
+    v = dc.merge_delta(spark, table, source, ["id"])
+    rows = sorted(
+        (r.id, r.part, r.v) for r in dc.read_delta(spark, table).collect()
+    )
+    assert rows == [
+        (1, "a", "v1"),
+        (2, "b", "MOVED2"),
+        (3, "b", "v3"),
+        (4, "c", "v4"),
+        (9, "a", "NEW9"),
+    ]
+    files_after = {
+        os.path.relpath(f, table) for f in dc.snapshot(table)["files"]
+    }
+    # id 2 lived in part=a's file; part=b's and part=c's files had no
+    # matched key and must survive untouched
+    survivors = files_before & files_after
+    assert {f.split(os.sep)[0] for f in survivors} == {"part=b", "part=c"}
+    for f in files_after:
+        assert f.split(os.sep)[0] in {"part=a", "part=b", "part=c"}, f
+    with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert len(removes) == 1
+    assert removes[0]["partitionValues"] == {"part": "a"}
+
+
 def test_vacuum_delta_retention(spark, tmp_path):
     """After OPTIMIZE, vacuum with keep_versions=0 deletes the files
     only pre-compaction snapshots referenced: the current read is
