@@ -473,12 +473,112 @@ def _x2d_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X19 — corpus-level line dedup (boilerplate removal)
+# --------------------------------------------------------------------------
+
+_X19_BP1 = "subscribe to our newsletter today for updates"
+_X19_BP2 = "all rights reserved by the publisher"
+_X19_DF = 5  # a line present in >= this many distinct docs is boilerplate
+_X19_MAX_LINES = 8  # fixture docs carry 1-3 lines; oracle range bound
+
+
+def x19_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication, the CCNet/RefinedWeb boilerplate
+    pass: a line that appears in ≥ ``_X19_DF`` distinct documents is
+    removed from EVERY document (nav menus, subscribe prompts, legal
+    footers); per document the result reports total/kept/dropped line
+    counts plus the md5 + length of the reassembled cleaned text. The
+    fixture corpus is single-line, so two boilerplate lines are planted
+    deterministically (every 4th doc gets a subscribe prompt, every 6th
+    a rights footer — both replayed by the oracle), and the operator
+    must drop exactly those.
+
+    Scale shape: two shuffles, both O(|lines|) — the document-frequency
+    count groups on ``md5(line)`` (32-byte keys, never full line text),
+    and the rejoin + per-doc rollup groups on doc_id. No window, no
+    all-pairs anything; this is the same count-join-filter shape exact
+    dedup (x1) uses, lifted from documents to lines. Reassembly order is
+    pinned by the line's position, so the cleaned-text md5 is
+    deterministic under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\n" + _X19_BP1)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\n" + _X19_BP2)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    lines = dirty.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("dirty"), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
+    df_counts = lines.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    merged = lines.join(df_counts, "h")
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("n_docs") < _X19_DF, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                f"array_join(transform(filter(array_sort("
+                f"collect_list(struct(pos, line, n_docs))), "
+                f"s -> s.n_docs < {_X19_DF}), s -> s.line), '\\n')"
+            ).alias("cleaned"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+            F.md5(F.col("cleaned")).alias("cleaned_md5"),
+            F.length(F.col("cleaned")).cast("bigint").alias("cleaned_len"),
+        )
+    )
+
+
+_X19_SQL = (
+    "WITH d AS (SELECT doc_id, text || "
+    f"CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_X19_BP1}' ELSE '' END || "
+    f"CASE WHEN doc_id % 6 = 0 THEN chr(10) || '{_X19_BP2}' ELSE '' END "
+    "AS dirty FROM documents), "
+    "l0 AS (SELECT doc_id, string_split(dirty, chr(10)) AS ls FROM d), "
+    "l AS (SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line, "
+    "md5(ls[CAST(i AS INT)]) AS h FROM l0 CROSS JOIN "
+    f"(SELECT unnest(range(1, {_X19_MAX_LINES + 1})) AS i) t "
+    "WHERE i <= len(ls)), "
+    "c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1), "
+    "j AS (SELECT l.doc_id, l.pos, l.line, c.n_docs FROM l "
+    "JOIN c ON l.h = c.h) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    f"CAST(sum(CASE WHEN n_docs < {_X19_DF} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept, "
+    f"CAST(count(*) - sum(CASE WHEN n_docs < {_X19_DF} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_dropped, "
+    f"md5(coalesce(string_agg(line, chr(10) ORDER BY pos) "
+    f"FILTER (WHERE n_docs < {_X19_DF}), '')) AS cleaned_md5, "
+    f"CAST(length(coalesce(string_agg(line, chr(10) ORDER BY pos) "
+    f"FILTER (WHERE n_docs < {_X19_DF}), '')) AS BIGINT) AS cleaned_len "
+    "FROM j GROUP BY doc_id"
+)
+
+
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x2_minhash_near_dup": x2_minhash_near_dup,
     "x2b_simhash_groups": x2b_simhash_groups,
     "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
     "x2d_dup_clusters": x2d_dup_clusters,
+    "x19_line_dedup": x19_line_dedup,
 }
 
 ORACLES = {
@@ -487,4 +587,5 @@ ORACLES = {
     "x2b_simhash_groups": _x2b_sql(),
     "x2c_ngram_jaccard_pairs": _X2C_SQL,
     "x2d_dup_clusters": _x2d_sql(),
+    "x19_line_dedup": _X19_SQL,
 }
