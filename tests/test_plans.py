@@ -216,6 +216,16 @@ def test_kmv_no_cartesian_and_profile_one_scan(spark, sf_dir):
     # The k-th order statistic is a salted two-stage agg; a Window here
     # would mean one reducer ranks a group's ENTIRE distinct-hash set.
     assert "Window" not in plan, plan
+    # x19 line dedup: count-join-filter on md5(line) hash keys — no
+    # window, no cartesian, no nested-loop join anywhere.
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x19_line_dedup,
+    )
+
+    plan = _physical(x19_line_dedup(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     plan = _physical(dq1_column_profile(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
     # dq1b is the scale twin: the KMV path must not pay dq1's 4× Expand
