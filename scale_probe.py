@@ -34,6 +34,7 @@ from acero_delta_lake_streaming_spark.operators.dedup import (
 )
 from acero_delta_lake_streaming_spark.operators.similarity import (
     _lsh_candidate_ids,
+    _semdedup_pair_ids,
 )
 from acero_delta_lake_streaming_spark.plans.cache import (
     release_scoped,
@@ -135,13 +136,30 @@ def main() -> None:
         }
         print(f"ann_{tag}: {out[f'ann_{tag}']}", file=sys.stderr)
 
+    # SemDeDup (x14): adaptive planes must hold candidate growth ~linear
+    # across the same decade step (the fixed-plane version was ~x100 here)
+    for tag, e in (("x1", emb), ("x10", emb10.repartition(32))):
+        t0 = time.time()
+        corpus = e.select("vec_id", "embedding")
+        n = corpus.count()
+        cand_n = _semdedup_pair_ids(spark, corpus).count()
+        out[f"semdedup_{tag}"] = {
+            "vectors": n,
+            "candidates": cand_n,
+            "sec": round(time.time() - t0, 1),
+        }
+        print(f"semdedup_{tag}: {out[f'semdedup_{tag}']}", file=sys.stderr)
+
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
     a1, a10 = out["ann_x1"], out["ann_x10"]
+    s1, s10 = out["semdedup_x1"], out["semdedup_x10"]
     out["growth"] = {
         "minhash_cand_ratio": round(m10["candidates"] / m1["candidates"], 2),
         "minhash_doc_ratio": round(m10["docs"] / m1["docs"], 2),
         "ann_cand_ratio": round(a10["candidates"] / a1["candidates"], 2),
         "ann_vec_ratio": round(a10["vectors"] / a1["vectors"], 2),
+        "semdedup_cand_ratio": round(s10["candidates"] / s1["candidates"], 2),
+        "semdedup_vec_ratio": round(s10["vectors"] / s1["vectors"], 2),
     }
     print(json.dumps(out))
 
