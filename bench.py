@@ -63,9 +63,10 @@ HEADLINE = [
     "x14_semdedup",
     "w8_funnel",
     # round-4 additions: PII scrub (map-only baseline), the KMV-based
-    # profile twin (vs dq1's exact-distinct Expand)
+    # profile twin (vs dq1's exact-distinct Expand), line dedup
     "x16_pii_redaction",
     "dq1b_approx_profile",
+    "x19_line_dedup",
 ]
 
 
