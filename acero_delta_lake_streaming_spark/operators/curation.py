@@ -311,6 +311,87 @@ def _hex4_int(md5_expr: str, pos_fn: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_X20_MIN_TOKENS = 20
+_X20_MAX_CHARS = 520
+_X20_LANGS = ("en", "de", "fr", "es")
+
+
+def x20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel as ONE Catalyst
+    plan: quality filter (token floor, char ceiling) → language filter
+    (latin-script set, drops zh) → exact dedup (keep-min-doc_id per
+    md5(text); every 7th doc is planted as a copy so the stage provably
+    fires) → deterministic split assignment (x8's md5 bucket) → per
+    (split, lang) doc and token totals. This is the composition story:
+    the stages that exist as individual operators (x4-style stats, x1
+    dedup, x8 split) fuse into one declarative plan — one corpus scan,
+    one dedup shuffle on the 128-bit text hash, one 12-row aggregate —
+    and Catalyst pipelines the filters into the scan. At 100 TB this is
+    the plan a curation run actually executes, not a chain of
+    materialized intermediate tables."""
+    from acero_delta_lake_streaming_spark.operators.dedup import _WORDS_SPARK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(planted)
+    filtered = (
+        corpus.withColumn("n_tokens", F.expr(f"size({_WORDS_SPARK})"))
+        .filter(
+            (F.col("n_tokens") >= _X20_MIN_TOKENS)
+            & (F.col("n_chars") <= _X20_MAX_CHARS)
+            & F.col("lang").isin(*_X20_LANGS)
+        )
+        .withColumn("h", F.md5(F.col("text")))
+    )
+    keeper = filtered.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    deduped = filtered.join(keeper, "h").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    bucket = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 13, "train").when(bucket < 15, "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _x20_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.dedup import _WORDS_DUCK
+
+    langs = ", ".join(f"'{la}'" for la in _X20_LANGS)
+    return (
+        "WITH corpus AS ("
+        "SELECT doc_id, text, lang, n_chars FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000, text, lang, n_chars FROM documents "
+        "WHERE doc_id % 7 = 0), "
+        f"t AS (SELECT *, len({_WORDS_DUCK}) AS n_tokens FROM corpus), "
+        f"f AS (SELECT *, md5(text) AS h FROM t "
+        f"WHERE n_tokens >= {_X20_MIN_TOKENS} "
+        f"AND n_chars <= {_X20_MAX_CHARS} AND lang IN ({langs})), "
+        "k AS (SELECT h, min(doc_id) AS keep_id FROM f GROUP BY 1), "
+        "d AS (SELECT f.* FROM f JOIN k ON f.h = k.h "
+        "AND f.doc_id = k.keep_id), "
+        "s AS (SELECT CASE WHEN bucket < 13 THEN 'train' "
+        "WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split, "
+        "lang, n_tokens FROM ("
+        f"SELECT *, {_BUCKET_DUCK} AS bucket FROM d)) "
+        "SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+        "FROM s GROUP BY 1, 2"
+    )
+
+
 def x15_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling — the data-mixing step between
     curation and training: each source gets a target sampling rate
@@ -365,6 +446,7 @@ QUERIES = {
     "x11_context_chunks": x11_context_chunks,
     "x12_repetition_quality": x12_repetition_quality,
     "x15_mixture_sample": x15_mixture_sample,
+    "x20_curation_pipeline": x20_curation_pipeline,
 }
 
 ORACLES = {
@@ -446,4 +528,5 @@ ORACLES = {
         "(dup_3gram_bp < 6000 AND top_word_bp < 2000) AS keep FROM scored"
     ),
     "x15_mixture_sample": _X15_SQL,
+    "x20_curation_pipeline": _x20_sql(),
 }
