@@ -67,6 +67,7 @@ HEADLINE = [
     "x16_pii_redaction",
     "dq1b_approx_profile",
     "x19_line_dedup",
+    "x20_curation_pipeline",
 ]
 
 

@@ -517,6 +517,13 @@ def test_optimize_partitioned_per_directory(spark, tmp_path):
         for r in dc.read_delta(spark, table, version=0).collect()
     )
     assert v0 == [(0, "a"), (100, "b")]
+    # vacuum after partitioned OPTIMIZE: pre-compaction files age out of
+    # their hive dirs, current snapshot reads unchanged
+    deleted = dc.vacuum_delta(table, keep_versions=0)
+    assert len(deleted) == 6 and all("part=" in p for p in deleted)
+    assert sorted(
+        (r.id, r.part) for r in dc.read_delta(spark, table).collect()
+    ) == before
 
 
 def test_merge_delta_copy_on_write(spark, tmp_path):
