@@ -557,6 +557,17 @@ _PPT_DUCK = (
 )
 
 
+def planes_for_occupancy(n: int, target_occupancy: int = _SEM_TARGET_BUCKET) -> int:
+    """Driver-side twin of ``_PPT_SPARK``: the planes-per-table that
+    holds E[bucket] ≈ ``target_occupancy`` for an ``n``-vector corpus —
+    max(3, smallest p with 2^p >= ceil(n / B)). Use this to size a
+    fixed-plane LSH (x3b's 3-planes default is this formula at the
+    fixture scale); x14 computes the same number in-plan so the oracle
+    can replay it."""
+    q = max(1, (n + target_occupancy - 1) // target_occupancy)
+    return max(3, (q - 1).bit_length())
+
+
 def _adaptive_sign_buckets(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     """(vec_id, tbl, bucket) like ``_sign_buckets``, but planes-per-table
     scales with the corpus count. The count feeds the plane set through a

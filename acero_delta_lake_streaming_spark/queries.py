@@ -88,8 +88,8 @@ _PRIORITY = [
     "q21_sole_supplier_orders", "q22_dormant_balances",
     # -- changed or new this round (19-25) --
     "x13_kmv_distinct", "x14_semdedup", "dq1b_approx_profile",
-    "s10_delta_merge", "x19_line_dedup", "x20_curation_pipeline",
-    "s1_feed_ingest", "dq1_column_profile",
+    "s10_delta_merge", "s10b_partitioned_merge", "x19_line_dedup",
+    "x20_curation_pipeline", "s1_feed_ingest", "dq1_column_profile",
     # -- r3-proven family cores fill the window (26-50) --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

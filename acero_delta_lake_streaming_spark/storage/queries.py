@@ -402,6 +402,49 @@ def s10_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S10_SQL = _S7_SQL
 
 
+def s10b_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10b — MERGE into a HIVE-PARTITIONED real-format Delta table
+    (partitioned by o_orderstatus). The price-bump updates stay in
+    their partition; the new rows land in partition 'P'; partitions
+    without a matched key keep their files untouched (copy-on-write is
+    file-granular, so partition pruning bounds the rewrite). End state
+    equals s7/s10 — the storage layout must not change the answer."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s10b_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders, table, partition_by=["o_orderstatus"]
+    )
+    p_slice = orders.filter("o_orderstatus = 'P'")
+    changes = p_slice.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(
+        p_slice.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
+    )
+    delta_compat.merge_delta(spark, table, changes, ["o_orderkey"])
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_S10B_SQL = _S7_SQL
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -412,6 +455,7 @@ QUERIES = {
     "s8_delta_format_roundtrip": s8_delta_format_roundtrip,
     "s9_zorder_skipping": s9_zorder_skipping,
     "s10_delta_merge": s10_delta_merge,
+    "s10b_partitioned_merge": s10b_partitioned_merge,
 }
 
 ORACLES = {
@@ -424,4 +468,5 @@ ORACLES = {
     "s7_upsert_merge": _S7_SQL,
     "s9_zorder_skipping": _S9_SQL,
     "s10_delta_merge": _S10_SQL,
+    "s10b_partitioned_merge": _S10B_SQL,
 }

@@ -35,6 +35,52 @@ def test_kmv_error_bound(spark, sf_dir):
             assert rel < 0.51, f"{r}: rel err {rel:.2f}"
 
 
+def test_dq1b_estimates_track_exact(spark, sf_dir):
+    """dq1b's KMV distinct estimates must agree with dq1's exact
+    profile: exactly when under-full (< k distinct), within 4-sigma KMV
+    error otherwise; n_rows/n_null/min/max are identical by
+    construction."""
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq1b_approx_profile,
+    )
+
+    exact = {r.col_name: r for r in dq1_column_profile(spark, sf_dir).collect()}
+    approx = {
+        r.col_name: r for r in dq1b_approx_profile(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for name, a in approx.items():
+        e = exact[name]
+        assert (a.n_rows, a.n_null, a.min_val, a.max_val) == (
+            e.n_rows, e.n_null, e.min_val, e.max_val
+        ), name
+        if e.n_distinct < _K:
+            assert a.est_distinct == e.n_distinct, name
+        else:
+            rel = abs(a.est_distinct - e.n_distinct) / e.n_distinct
+            assert rel < 0.51, f"{name}: rel err {rel:.2f}"
+
+
+def test_planes_for_occupancy_matches_in_plan_derivation(spark):
+    """The driver-side sizing helper and x14's in-plan _PPT_SPARK must
+    agree for any corpus count (same integer derivation)."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _PPT_SPARK,
+        planes_for_occupancy,
+    )
+
+    counts = [1, 15, 16, 17, 255, 256, 257, 5500, 55000, 10**6]
+    rows = (
+        spark.createDataFrame([(c,) for c in counts], "cnt long")
+        .select("cnt", F.expr(_PPT_SPARK).alias("ppt"))
+        .collect()
+    )
+    for r in rows:
+        assert r.ppt == planes_for_occupancy(r.cnt), (r.cnt, r.ppt)
+
+
 def test_profile_marginals(spark, sf_dir):
     prof = {r.col_name: r for r in dq1_column_profile(spark, sf_dir).collect()}
     n_orders = load_table(spark, sf_dir, "orders").count()
