@@ -1,0 +1,211 @@
+"""Corpus search & record linkage — the retrieval layer of a
+training-data pipeline: BM25 keyword scoring over ``documents`` and
+edit-distance record linkage over ``part`` names.
+
+The reference has no retrieval layer (its search surface is the
+Streamlit keyword filter over collected articles, visualizer.py:62-74,
+which is a plain substring match); these operators give the engine the
+two retrieval shapes a 100 TB curation stack actually runs:
+
+* **x21_bm25_topk** — BM25 keyword ranking expressed as the
+  inverted-index *probe* plan: explode tokens, keep only query terms
+  (the filter lands before any shuffle, so the corpus-wide explode
+  never materializes non-matching terms), aggregate per-(doc, term)
+  tf, broadcast the tiny per-term df table and the one-row corpus
+  stats row back onto the candidates, and TakeOrdered the final
+  scores. No inverted index is materialized — at 100 TB the index IS
+  the probe-side shuffle, keyed by doc, sized by matching docs only.
+
+  Parity: classic BM25 is ``idf(t) * tf*(k1+1) / (tf + k1*(1-b +
+  b*dl/avgdl))`` with a log idf. ``ln`` is the one primitive Spark's
+  JVM (1-ulp Math.log) and DuckDB's libm do not promise to round
+  identically, so the hash gate can't use it: this implementation
+  keeps Robertson tf-saturation and length normalization bit-exact in
+  scaled integers (k1=1.2, b=0.75 — the standard constants — as the
+  rationals 12/10 and 7500/10000) and swaps the log idf for the
+  monotone rational ``1e6 DIV df`` (harmonic idf). Ranking is
+  preserved for any monotone idf; production would use ln.
+
+* **x23_fuzzy_linkage** — entity resolution over part names:
+  Levenshtein distance (identical DP definition in Spark and DuckDB,
+  integer-exact) between names sharing a blocking key. The scale move
+  is **distinct-first**: names collapse to the distinct-string level
+  (with support counts) *before* the quadratic compare, so the pair
+  space is |vocab|² — constant under corpus growth — instead of N².
+  Blocking on the name's noun token then bounds each compare block to
+  the adjectives sharing that noun. A 100× corpus changes only the
+  support counts, never the pair count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.operators.dedup import (
+    _WORDS_DUCK,
+    _WORDS_SPARK,
+)
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+# --------------------------------------------------------------------------
+# x21 — BM25 top-k keyword retrieval
+# --------------------------------------------------------------------------
+
+_QUERY_TERMS = ("spark", "vector", "merge", "stream")
+_TOPK = 25
+
+# Robertson/BM25 constants as exact rationals (k1 = 1.2, b = 0.75).
+# lennorm_bp = 1e4 * (1 - b + b * dl/avgdl); saturation in ppm:
+#   sat_ppm = 1e6 * tf*(k1+1) / (tf + k1*lennorm/1e4)
+#           = 1e6 * 220000*tf DIV (100000*tf + 12*lennorm_bp)
+# idf_ppm  = 1e6 DIV df  (monotone rational idf — see module docstring).
+# contribution = idf_ppm * sat_ppm DIV 1e6, summed per doc. All integer.
+
+
+def x21_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents for a 4-term keyword query under integer-exact
+    BM25 (k1=1.2, b=0.75, harmonic idf). Columns: doc_id, n_terms_hit,
+    score_ppm."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    ).withColumn("dl", F.size("w"))
+
+    # One-row corpus stats (N, floor-avg doc length), broadcast back on
+    # a literal key — a BroadcastHashJoin, not a cartesian.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) DIV count(*)").alias("avgdl"),
+    ).withColumn("k", F.lit(1))
+
+    # Persisted: both the df table and the scoring pass consume the
+    # matched-term aggregate — without the cache the corpus-wide explode
+    # would run twice (the expensive stage at 100 TB).
+    terms = scoped_persist(
+        docs.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        terms.join(F.broadcast(df_tbl), "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+        .withColumn(
+            "lennorm_bp", F.expr("2500 + (7500 * dl) DIV avgdl")
+        )
+        .withColumn(
+            # 220000 * tf first: tf is BIGINT (count), so the product
+            # promotes before the 1e6 scale-up — two int literals
+            # multiplied first would overflow Spark's INT silently.
+            "sat_ppm",
+            F.expr(
+                "(220000 * tf * 1000000) DIV "
+                "(100000 * tf + 12 * lennorm_bp)"
+            ),
+        )
+        .withColumn("idf_ppm", F.expr("1000000 DIV df"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(F.expr("idf_ppm * sat_ppm DIV 1000000"))
+            .cast("bigint")
+            .alias("score_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+_X21_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    f"len({_WORDS_DUCK}) AS dl, {_WORDS_DUCK} AS w FROM documents), "
+    "stats AS (SELECT count(*) AS n_docs, "
+    "CAST(sum(dl) AS BIGINT) // count(*) AS avgdl FROM d), "
+    "t AS (SELECT doc_id, dl, term, count(*) AS tf FROM ("
+    "SELECT doc_id, dl, unnest(w) AS term FROM d) "
+    f"WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3), "
+    "dfs AS (SELECT term, count(*) AS df FROM t GROUP BY 1), "
+    "c AS (SELECT t.doc_id, "
+    "2500 + (7500 * t.dl) // s.avgdl AS lennorm_bp, t.tf, dfs.df "
+    "FROM t JOIN dfs ON t.term = dfs.term CROSS JOIN stats s), "
+    "scored AS (SELECT doc_id, "
+    "CAST(count(*) AS BIGINT) AS n_terms_hit, "
+    "CAST(sum((1000000 // df) * "
+    "((220000 * tf * 1000000) // (100000 * tf + 12 * lennorm_bp)) "
+    "// 1000000) AS BIGINT) AS score_ppm "
+    "FROM c GROUP BY 1) "
+    "SELECT doc_id, n_terms_hit, score_ppm FROM scored "
+    f"ORDER BY score_ppm DESC, doc_id ASC LIMIT {_TOPK}"
+)
+
+
+# --------------------------------------------------------------------------
+# x23 — edit-distance record linkage (distinct-first + blocking)
+# --------------------------------------------------------------------------
+
+_LINK_MAX_DIST = 3  # adjacent part names differ in the adjective token
+
+
+def x23_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part-name pairs: collapse parts to distinct names
+    with support counts, block on the noun token, Levenshtein within
+    the block, keep 0 < dist <= 3. Ordered pairs (name_a < name_b)
+    with both supports — the review queue of an entity-resolution
+    pass."""
+    parts = load_table(spark, sf_dir, "part")
+    # Persisted: the self-join consumes the distinct-name aggregate on
+    # both sides — one corpus scan, not two.
+    names = scoped_persist(
+        parts.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .withColumn("noun", F.expr("split(name, ' ')[1]"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(F.broadcast(b), on=[F.col("a.noun") == F.col("b.noun"),
+                                   F.col("a.name") < F.col("b.name")])
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.alias("dist"),
+            F.col("a.support").alias("support_a"),
+            F.col("b.support").alias("support_b"),
+        )
+        .filter((F.col("dist") > 0) & (F.col("dist") <= _LINK_MAX_DIST))
+    )
+
+
+_X23_SQL = (
+    "WITH names AS (SELECT p_name AS name, "
+    "CAST(count(*) AS BIGINT) AS support, "
+    "split_part(p_name, ' ', 2) AS noun FROM part GROUP BY 1), "
+    "pairs AS (SELECT a.name AS name_a, b.name AS name_b, "
+    "levenshtein(a.name, b.name) AS dist, "
+    "a.support AS support_a, b.support AS support_b "
+    "FROM names a JOIN names b "
+    "ON a.noun = b.noun AND a.name < b.name) "
+    "SELECT name_a, name_b, dist, support_a, support_b FROM pairs "
+    f"WHERE dist > 0 AND dist <= {_LINK_MAX_DIST}"
+)
+
+
+QUERIES = {
+    "x21_bm25_topk": x21_bm25_topk,
+    "x23_fuzzy_linkage": x23_fuzzy_linkage,
+}
+
+ORACLES = {
+    "x21_bm25_topk": _X21_SQL,
+    "x23_fuzzy_linkage": _X23_SQL,
+}

@@ -720,12 +720,87 @@ _X14_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X22 — int8 scalar quantization + reconstruction-error audit
+# --------------------------------------------------------------------------
+
+
+def x22_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of every embedding (per-vector
+    scale = max|v|/127, the faiss/SQ8 convention) and the per-label
+    reconstruction-error audit that decides whether the quantized
+    index is usable.
+
+    This is the 100 TB enabler for the ANN family: int8 vectors shuffle
+    and cache at a quarter of float32, so x3b/x3d candidate stages run
+    on quantized vectors and only the final re-rank touches floats.
+    The whole operator is one map over the corpus plus a |labels|-row
+    aggregate — no shuffle of embeddings, no Python.
+
+    Parity: quantize/dequantize stay in IEEE doubles with an identical
+    op sequence in both engines (same multiply/divide order), the
+    per-vector squared error folds sequentially like the cosine dot
+    products (CLAUDE.md), and the only cross-row aggregation happens on
+    integers: err_e9 = floor(err * 1e9) per vector, summed exactly.
+    ``floor`` sidesteps the HALF_UP-vs-half-even rounding split."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.selectExpr(
+        "label",
+        "nullif(array_max(transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma",
+        "embedding",
+    ).selectExpr(
+        "label",
+        # int8 code array: floor(v * 127 / ma + 0.5) in [-127, 127]
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 "
+        "/ ma + 0.5) AS BIGINT)) AS qv",
+        "ma",
+        "embedding",
+    ).selectExpr(
+        "label",
+        "CAST(floor(aggregate(zip_with(embedding, qv, (v, q) -> "
+        "(CAST(v AS DOUBLE) - (CAST(q AS DOUBLE) * ma) / 127.0) * "
+        "(CAST(v AS DOUBLE) - (CAST(q AS DOUBLE) * ma) / 127.0)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        "* 1000000000.0) AS BIGINT) AS err_e9",
+    )
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("err_e9").cast("bigint").alias("total_err_e9"),
+        )
+        .withColumn("mse_e9", F.expr("total_err_e9 DIV n_vecs"))
+    )
+
+
+_X22_SQL = (
+    "WITH e AS (SELECT label, embedding, "
+    "nullif(list_max(list_transform(embedding, "
+    "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma "
+    "FROM embeddings), "
+    "q AS (SELECT label, ma, embedding, "
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 "
+    "/ ma + 0.5) AS BIGINT)) AS qv FROM e), "
+    "err AS (SELECT label, CAST(floor(list_reduce(list_transform("
+    "list_zip(embedding, qv), p -> "
+    "(CAST(p[1] AS DOUBLE) - (CAST(p[2] AS DOUBLE) * ma) / 127.0) * "
+    "(CAST(p[1] AS DOUBLE) - (CAST(p[2] AS DOUBLE) * ma) / 127.0)), "
+    "(acc, v) -> acc + v) * 1000000000.0) AS BIGINT) AS err_e9 FROM q) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(sum(err_e9) AS BIGINT) AS total_err_e9, "
+    "CAST(sum(err_e9) AS BIGINT) // count(*) AS mse_e9 "
+    "FROM err GROUP BY 1"
+)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
     "x3c_cosine_neardup": x3c_cosine_neardup,
     "x3d_ivf_topk": x3d_ivf_topk,
     "x14_semdedup": x14_semdedup,
+    "x22_quantize_error": x22_quantize_error,
 }
 
 ORACLES = {
@@ -734,4 +809,5 @@ ORACLES = {
     "x3c_cosine_neardup": _X3C_SQL,
     "x3d_ivf_topk": _ivf_sql(),
     "x14_semdedup": _X14_SQL,
+    "x22_quantize_error": _X22_SQL,
 }

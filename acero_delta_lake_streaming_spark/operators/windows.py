@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 
 
 def w1_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +378,100 @@ _W8_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w9 — calendar gap fill + forward fill (sparse time series densification)
+# --------------------------------------------------------------------------
+
+# Sparse slice: ~1/19 of users above a value threshold leaves real
+# calendar gaps at small SF, so the fill path is actually exercised.
+_W9_USER_MOD, _W9_USER_RESIDUE, _W9_MIN_VALUE = 19, 7, 250
+
+
+def w9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify a sparse daily revenue series: build the full calendar
+    between the slice's first and last day, left-join the daily
+    aggregate onto it per event type, and forward-fill missing days
+    with the last observed value (``last(..., ignorenulls)`` /
+    ``last_value(... IGNORE NULLS)``).
+
+    Scale shape: the raw scan aggregates to |types|×|days| rows before
+    anything else happens; the calendar explode is driven by a one-row
+    min/max aggregate and the grid is a broadcast of two tiny dims. The
+    forward-fill window sorts |days| rows per type — never raw events.
+    Revenue aggregates as micros-of-value BIGINT (value cast to
+    decimal(18,6), scaled by 1e6): integer forward-fill, zero float
+    drift between engines."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") % _W9_USER_MOD == _W9_USER_RESIDUE)
+            & (F.col("value") > _W9_MIN_VALUE)
+        )
+        .select("event_type", F.to_date("ts").alias("d"), "value")
+    )
+    # Calendar bounds and the type list both derive from the |types| ×
+    # |days| aggregate, NOT from the raw slice — events is scanned
+    # exactly once, and everything after the agg is dimension-sized.
+    daily = scoped_persist(
+        ev.groupBy("event_type", "d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+            ).alias("rev_micros"),
+        )
+    )
+    cal = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+        )
+        .withColumn("k", F.lit(1))
+    )
+    types = daily.select("event_type").distinct().withColumn("k", F.lit(1))
+    grid = cal.join(F.broadcast(types), "k").select("event_type", "d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            "rev_micros",
+            F.last("rev_micros", ignorenulls=True).over(w).alias(
+                "ff_rev_micros"
+            ),
+        )
+    )
+
+
+_W9_SQL = (
+    "WITH s AS (SELECT event_type, CAST(ts AS DATE) AS d, value "
+    f"FROM events WHERE user_id % {_W9_USER_MOD} = {_W9_USER_RESIDUE} "
+    f"AND value > {_W9_MIN_VALUE}), "
+    "daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev "
+    "FROM s GROUP BY 1, 2), "
+    "b AS (SELECT min(d) AS lo, max(d) AS hi FROM s), "
+    "cal AS (SELECT CAST(unnest(generate_series(lo, hi, "
+    "INTERVAL 1 DAY)) AS DATE) AS d FROM b), "
+    "ty AS (SELECT DISTINCT event_type FROM s), "
+    "grid AS (SELECT ty.event_type, cal.d FROM ty CROSS JOIN cal) "
+    "SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day, "
+    "coalesce(daily.n, 0) AS n_events, daily.rev AS rev_micros, "
+    "last_value(daily.rev IGNORE NULLS) OVER "
+    "(PARTITION BY g.event_type ORDER BY g.d "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_rev_micros "
+    "FROM grid g LEFT JOIN daily "
+    "ON g.event_type = daily.event_type AND g.d = daily.d"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -386,6 +481,7 @@ QUERIES = {
     "w6_new_users": w6_new_users,
     "w7_scd2_user_state": w7_scd2_user_state,
     "w8_funnel": w8_funnel,
+    "w9_gap_fill": w9_gap_fill,
 }
 
 ORACLES = {
@@ -397,4 +493,5 @@ ORACLES = {
     "w5_ohlc_downsample": _W5_SQL,
     "w7_scd2_user_state": _W7_SQL,
     "w8_funnel": _W8_SQL,
+    "w9_gap_fill": _W9_SQL,
 }

@@ -445,6 +445,93 @@ def s10b_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S10B_SQL = _S7_SQL
 
 
+# --------------------------------------------------------------------------
+# S11 — version diff (CDC between snapshots)
+# --------------------------------------------------------------------------
+
+
+def s11_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between two table versions: seed version 0
+    with a keyed subset of orders, overwrite with a changed snapshot
+    (the 'P' slice dropped, the %3==0 keys newly present, 'F' prices
+    bumped +500), then diff ``VERSION AS OF 0`` against latest with one
+    full-outer join on the key — the added/removed/updated/unchanged
+    breakdown plus the net price delta that a downstream incremental
+    consumer would apply.
+
+    Scale shape: the diff is a single key-partitioned full-outer join
+    between two snapshot scans — both sides shuffle once on the primary
+    key, and AQE co-partitions them; the output aggregate is 4 rows.
+    Deltas accumulate as decimal cents (exact; CLAUDE.md), key checksums
+    as BIGINT sums, so the whole diff is hash-stable."""
+    table = _scratch(sf_dir, "s11_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 3 != 0"), table, "append")
+    v1 = orders.filter("o_orderstatus <> 'P'").withColumn(
+        "o_totalprice",
+        # +500.0 is an exact-addition change; a ×-and-round bump lands
+        # on .005 ties that Spark and DuckDB break differently (s7).
+        F.expr(
+            "CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 500.0 "
+            "ELSE o_totalprice END"
+        ),
+    )
+    deltalite.write(v1, table, "overwrite")
+    a = deltalite.read(spark, table, version=0).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("pa")
+    )
+    b = deltalite.read(spark, table).select(
+        F.col("o_orderkey").alias("kb"), F.col("o_totalprice").alias("pb")
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"),
+        "pa",
+        "pb",
+        F.expr(
+            "CASE WHEN pa IS NULL THEN 'added' "
+            "WHEN pb IS NULL THEN 'removed' "
+            "WHEN pa <> pb THEN 'updated' ELSE 'unchanged' END"
+        ).alias("change_type"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(coalesce(CAST(pb AS DECIMAL(18,6)), "
+                "CAST(0 AS DECIMAL(18,6))) - "
+                "coalesce(CAST(pa AS DECIMAL(18,6)), "
+                "CAST(0 AS DECIMAL(18,6)))) * 100 AS BIGINT)"
+            ).alias("delta_cents"),
+        )
+    )
+
+
+_S11_SQL = (
+    "WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 <> 0), "
+    "v1 AS (SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' "
+    "THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderstatus <> 'P'), "
+    "j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, "
+    "a.o_totalprice AS pa, b.o_totalprice AS pb, "
+    "CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+    "WHEN b.o_orderkey IS NULL THEN 'removed' "
+    "WHEN a.o_totalprice <> b.o_totalprice THEN 'updated' "
+    "ELSE 'unchanged' END AS change_type "
+    "FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey) "
+    "SELECT change_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum, "
+    "CAST(sum(coalesce(CAST(pb AS DECIMAL(18,6)), "
+    "CAST(0 AS DECIMAL(18,6))) - coalesce(CAST(pa AS DECIMAL(18,6)), "
+    "CAST(0 AS DECIMAL(18,6)))) * 100 AS BIGINT) AS delta_cents "
+    "FROM j GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -456,6 +543,7 @@ QUERIES = {
     "s9_zorder_skipping": s9_zorder_skipping,
     "s10_delta_merge": s10_delta_merge,
     "s10b_partitioned_merge": s10b_partitioned_merge,
+    "s11_version_diff": s11_version_diff,
 }
 
 ORACLES = {
@@ -469,4 +557,5 @@ ORACLES = {
     "s9_zorder_skipping": _S9_SQL,
     "s10_delta_merge": _S10_SQL,
     "s10b_partitioned_merge": _S10B_SQL,
+    "s11_version_diff": _S11_SQL,
 }

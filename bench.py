@@ -68,6 +68,12 @@ HEADLINE = [
     "dq1b_approx_profile",
     "x19_line_dedup",
     "x20_curation_pipeline",
+    # round-4 retrieval/quantization/CDC additions
+    "x21_bm25_topk",
+    "x22_quantize_error",
+    "x23_fuzzy_linkage",
+    "w9_gap_fill",
+    "s11_version_diff",
 ]
 
 
