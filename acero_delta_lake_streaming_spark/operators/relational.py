@@ -378,6 +378,22 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with the grouping id — every
+    subtotal combination in one pass, completing the grouping-sets
+    family (ROLLUP = a9, PIVOT = a11). Spark expands the cube as one
+    Expand + hash aggregate (4 grouping sets here); both engines put
+    the leftmost cube column in the grouping id's high bit."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
 def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — order counts per priority spread across status columns.
     Values are enumerated explicitly (``pivot(col, values)``) so Spark
@@ -561,6 +577,7 @@ QUERIES = {
     "u4_except_all": u4_except_all,
     "a9_rollup": a9_rollup,
     "a10_percentiles": a10_percentiles,
+    "a12_cube": a12_cube,
     "a11_pivot": a11_pivot,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
@@ -696,6 +713,12 @@ ORACLES = {
     "a9_rollup": (
         "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
         "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+    ),
+    "a12_cube": (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
     "a10_percentiles": (
         "SELECT l_returnflag, "

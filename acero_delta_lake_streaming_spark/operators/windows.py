@@ -472,6 +472,73 @@ _W9_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w10 — exponential moving average (integer-exact recursive smoothing)
+# --------------------------------------------------------------------------
+
+
+def w10_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-count EMA with α = 1/5: ``ema_d = (x_d + 4·ema_{d-1})
+    DIV 5`` in micro-units — the one windowed statistic SQL windows
+    can't express (each row depends on the previous OUTPUT, not the
+    previous input), done as a per-prefix fold over the packed daily
+    series.
+
+    Parity: the recurrence stays in BIGINT micros end to end — float
+    EMA would compound ULP drift across 2400 fold steps; integer DIV
+    is bit-stable in both engines. Spark's ``transform`` lambda index
+    is 0-based, DuckDB's 1-based: the prefix slices are written so both
+    fold exactly the first i elements with the first element as seed.
+
+    Scale shape: the fold runs on the |days|-row aggregate (2.4 k rows
+    for 6.5 y of orders), packed into one row — O(days²) lambda steps,
+    ~3 M here, independent of fact-table scale. The 100 TB shape for
+    *unbounded* series is the streaming variant: st2's
+    applyInPandasWithState carries exactly this ema_micros as its
+    running state; this batch form exists for backfills, where the
+    series length is the calendar, not the corpus."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = daily.agg(
+        F.expr("sort_array(collect_list(struct(d, n)))").alias("s")
+    ).selectExpr(
+        "transform(s, e -> e.d) AS ds",
+        "transform(s, e -> CAST(e.n AS BIGINT)) AS ns",
+    ).selectExpr(
+        "ds",
+        "ns",
+        "transform(ns, v -> v * 1000000) AS sc",
+    )
+    return packed.selectExpr(
+        # Spark lambda index i is 0-based: fold elements 2..i+1 seeded
+        # with sc[0] == fold of the first i+1 elements.
+        "explode(arrays_zip(ds, ns, transform(ns, (x, i) -> "
+        "aggregate(slice(sc, 2, i), sc[0], "
+        "(acc, v) -> (v + 4 * acc) DIV 5)))) AS r"
+    ).selectExpr(
+        "r.ds AS d", "r.ns AS n", "r.`2` AS ema_micros"
+    )
+
+
+_W10_SQL = (
+    "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, "
+    "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), "
+    "p AS (SELECT list(d ORDER BY d) AS ds, list(n ORDER BY d) AS ns "
+    "FROM daily), "
+    "e AS (SELECT ds, ns, list_transform(ns, v -> v * 1000000) AS sc "
+    "FROM p) "
+    # DuckDB lambda index i is 1-based: reduce of the first i elements
+    # (seeded by the first) == Spark's fold at 0-based index i-1.
+    "SELECT unnest(ds) AS d, unnest(ns) AS n, "
+    "unnest(list_transform(ns, (x, i) -> "
+    "list_reduce(list_slice(sc, 1, i), "
+    "(acc, v) -> (v + 4 * acc) // 5))) AS ema_micros FROM e"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -482,6 +549,7 @@ QUERIES = {
     "w7_scd2_user_state": w7_scd2_user_state,
     "w8_funnel": w8_funnel,
     "w9_gap_fill": w9_gap_fill,
+    "w10_ema": w10_ema,
 }
 
 ORACLES = {
@@ -494,4 +562,5 @@ ORACLES = {
     "w7_scd2_user_state": _W7_SQL,
     "w8_funnel": _W8_SQL,
     "w9_gap_fill": _W9_SQL,
+    "w10_ema": _W10_SQL,
 }
