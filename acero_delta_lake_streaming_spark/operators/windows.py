@@ -384,7 +384,7 @@ _W8_SQL = (
 
 # Sparse slice: ~1/19 of users above a value threshold leaves real
 # calendar gaps at small SF, so the fill path is actually exercised.
-_W9_USER_MOD, _W9_USER_RESIDUE, _W9_MIN_VALUE = 19, 7, 250
+_W9_USER_MOD, _W9_USER_RESIDUE, _W9_MIN_VALUE = 19, 7, 100
 
 
 def w9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,145 @@
+"""Semantics + scale-shape tests for the retrieval/linkage family and
+the round-4 time-series additions (w9 gap fill, w10 EMA).
+
+The oracle-parity gate proves value equality; these pin the *claims*
+the operators make about behavior and scale:
+
+* x21: every hit contains a query term; scores are BM25-monotone in a
+  controlled corpus (more matched terms => higher score when tf/dl are
+  held equal); the candidate set grows linearly with the corpus, never
+  superlinearly (the inverted-index-probe property).
+* x23: the pair space is |vocab|²-bounded — CONSTANT between sf0.01 and
+  sf0.1 because the name vocabulary is fixed while supports grow (the
+  distinct-first property that makes edit-distance linkage viable at
+  100 TB).
+* w9: the output calendar is gap-free per type, and at least one gap
+  row was actually forward-filled at the test SF (the fill path is
+  exercised, not vacuous).
+* w10: the integer recurrence matches an independent Python fold.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from acero_delta_lake_streaming_spark.operators.retrieval import (
+    _QUERY_TERMS,
+    x21_bm25_topk,
+    x23_fuzzy_linkage,
+)
+from acero_delta_lake_streaming_spark.operators.windows import (
+    w9_gap_fill,
+    w10_ema,
+)
+from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+SMALL = "/root/testdata/sf0.01"
+LARGE = "/root/testdata/sf0.1"
+GROWTH_SLACK = 1.5
+
+
+def test_bm25_hits_contain_query_terms(spark, sf_dir):
+    top = x21_bm25_topk(spark, sf_dir).collect()
+    release_scoped()
+    assert 0 < len(top) <= 25
+    # scores are positive, sorted desc with doc_id tie-break
+    scores = [(r.score_ppm, r.doc_id) for r in top]
+    assert all(s > 0 for s, _ in scores)
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    ids = [r.doc_id for r in top]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        assert any(t in r.text.split(" ") for t in _QUERY_TERMS), r.doc_id
+
+
+def test_bm25_candidates_grow_linearly(spark):
+    """The probe plan touches only docs containing a query term; that
+    candidate count must track corpus size (×10 step), not blow up."""
+    counts = {}
+    for sf in (SMALL, LARGE):
+        docs = load_table(spark, sf, "documents")
+        n_corpus = docs.count()
+        n_cand = (
+            docs.select(
+                F.explode(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                ).alias("term"),
+                "doc_id",
+            )
+            .filter(F.col("term").isin(*_QUERY_TERMS))
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        counts[sf] = (n_corpus, n_cand)
+    (c_s, k_s), (c_l, k_l) = counts[SMALL], counts[LARGE]
+    assert k_l / k_s <= (c_l / c_s) * GROWTH_SLACK
+
+
+def test_linkage_pair_space_constant_across_scales(spark):
+    """distinct-first: the compare space is the name vocabulary, which
+    does not grow with the corpus — pair count must be IDENTICAL at
+    sf0.01 and sf0.1 while supports scale ~10x."""
+    small = x23_fuzzy_linkage(spark, SMALL).collect()
+    release_scoped()
+    large = x23_fuzzy_linkage(spark, LARGE).collect()
+    release_scoped()
+    assert {(r.name_a, r.name_b) for r in small} == {
+        (r.name_a, r.name_b) for r in large
+    }
+    sup_small = sum(r.support_a + r.support_b for r in small)
+    sup_large = sum(r.support_a + r.support_b for r in large)
+    assert sup_large > 5 * sup_small  # supports grow with the corpus
+
+
+def test_linkage_pairs_are_near_not_equal(spark, sf_dir):
+    rows = x23_fuzzy_linkage(spark, sf_dir).collect()
+    release_scoped()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b  # ordered, no self/dup pairs
+        assert 1 <= r.dist <= 3
+        # blocking key: identical noun token
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+
+
+def test_gap_fill_calendar_is_dense_and_fills(spark, sf_dir):
+    rows = w9_gap_fill(spark, sf_dir).collect()
+    release_scoped()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_days = {t: len(v) for t, v in by_type.items()}
+    # every type spans the same dense calendar
+    assert len(set(n_days.values())) == 1
+    filled_gap = False
+    for t, v in by_type.items():
+        v.sort(key=lambda r: r.day)
+        seen = False
+        for r in v:
+            if r.n_events > 0:
+                seen = True
+                assert r.ff_rev_micros == r.rev_micros
+            elif seen:
+                # gap after first observation: forward-filled, not null
+                assert r.rev_micros is None
+                assert r.ff_rev_micros is not None
+                filled_gap = True
+    assert filled_gap, "fixture produced no gaps - slice needs retuning"
+
+
+def test_ema_matches_python_fold(spark, sf_dir):
+    rows = sorted(w10_ema(spark, sf_dir).collect(), key=lambda r: r.d)
+    release_scoped()
+    assert rows
+    ema = None
+    for r in rows:
+        ema = r.n * 1_000_000 if ema is None else (r.n * 1_000_000 + 4 * ema) // 5
+        assert r.ema_micros == ema, r.d
