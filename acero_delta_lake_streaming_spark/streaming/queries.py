@@ -449,6 +449,91 @@ _ST8_SQL = (
 )
 
 
+def st9_streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: the EMA as RUNNING STATE — w10's integer recurrence carried
+    across micro-batches by ``applyInPandasWithState``. Events split
+    chronologically into two epochs at a midnight boundary (a day must
+    never straddle batches or it would fold twice); epoch 1 resumes
+    from epoch 0's checkpointed (ema, n_days) state, and the final
+    emission per event type equals the batch prefix-fold over the whole
+    series — which is exactly what the oracle recomputes with
+    ``list_reduce``. This is the 100 TB shape for unbounded series:
+    state is O(|keys|), the batch fold (w10) exists for
+    calendar-bounded backfills."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+    from acero_delta_lake_streaming_spark.streaming.stateful import (
+        running_daily_ema,
+    )
+
+    base = _scratch(sf_dir, "st9")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    split_ns = 1705363200 * 1_000_000_000  # 2024-01-16T00:00Z, midnight
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(events.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(events.filter(F.col("ts_ns") >= split_ns), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(
+            batch_df.withColumn("epoch", F.lit(epoch_id)),
+            out,
+            app_id="st9",
+            epoch=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+        .withColumn("d_idx", F.expr("ts_ns DIV 86400000000000"))
+    )
+    q = (
+        running_daily_ema(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    emissions = deltalite.read(spark, out)
+    w = Window.partitionBy("event_type").orderBy(F.desc("epoch"))
+    return (
+        emissions.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "n_days", "ema_micros")
+    )
+
+
+_ST9_SQL = (
+    "WITH daily AS (SELECT event_type, "
+    "epoch_ns(ts) // 86400000000000 AS d, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "p AS (SELECT event_type, list(n * 1000000 ORDER BY d) AS sc "
+    "FROM daily GROUP BY 1) "
+    "SELECT event_type, CAST(len(sc) AS BIGINT) AS n_days, "
+    "CAST(list_reduce(sc, (acc, v) -> (v + 4 * acc) // 5) AS BIGINT) "
+    "AS ema_micros FROM p"
+)
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -456,6 +541,7 @@ QUERIES = {
     "st4_windowed_counts": st4_windowed_counts,
     "st7_interval_join": st7_interval_join,
     "st8_stream_static_enrich": st8_stream_static_enrich,
+    "st9_streaming_ema": st9_streaming_ema,
 }
 
 ORACLES = {
@@ -465,4 +551,5 @@ ORACLES = {
     "st4_windowed_counts": _ST4_SQL,
     "st7_interval_join": _ST7_SQL,
     "st8_stream_static_enrich": _ST8_SQL,
+    "st9_streaming_ema": _ST9_SQL,
 }

@@ -468,3 +468,52 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
         for op in p["stateOperators"]
     ]
     assert state_rows and state_rows[-1] <= 2
+
+
+def test_streaming_ema_state_carries_across_epochs(spark, sf_dir):
+    """st9: two chronological micro-batches; epoch 1's emission must
+    CONTINUE epoch 0's fold (n_days grows, value changes), and the
+    final state must equal the batch prefix-fold (w10's recurrence)
+    computed independently in Python."""
+    from acero_delta_lake_streaming_spark.storage.queries import (
+        _SCRATCH_ROOT,
+    )
+    from acero_delta_lake_streaming_spark.streaming.queries import (
+        st9_streaming_ema,
+    )
+
+    final = {r.event_type: r for r in st9_streaming_ema(spark, sf_dir).collect()}
+    assert final
+
+    # the emissions table is still on disk (scratch is wiped on the
+    # NEXT call); epoch continuity is visible in its per-epoch rows
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_SCRATCH_ROOT, key, "st9", "out")
+    emissions = deltalite.read(spark, out).collect()
+    epochs = {r.epoch for r in emissions}
+    assert epochs == {0, 1}, epochs
+    for r in emissions:
+        if r.epoch == 0 and r.event_type in final:
+            f = final[r.event_type]
+            assert f.n_days > r.n_days  # state grew across the epoch
+            assert f.ema_micros != r.ema_micros
+
+    # independent fold over the daily counts
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.expr("ts_ns DIV 86400000000000").alias("d")
+        )
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r["count"]))
+    for etype, pairs in series.items():
+        ema = None
+        for _, n in sorted(pairs):
+            x = n * 1_000_000
+            ema = x if ema is None else (x + 4 * ema) // 5
+        assert final[etype].ema_micros == ema
+        assert final[etype].n_days == len(pairs)
