@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CHANGE_DIR = "_change_data"
 _VERSION_DIGITS = 20
 
 
@@ -54,6 +55,13 @@ class SchemaMismatchError(ValueError):
 
 class ConcurrentCommitError(RuntimeError):
     pass
+
+
+class ChangeDataUnavailableError(RuntimeError):
+    """An overwrite-type commit in the requested range captured no
+    change data (upsert ran without change_data=True, or compact/
+    overwrite rewrote the table) — row-level changes cannot be
+    reconstructed for it, mirroring Delta's CDF-not-enabled error."""
 
 
 @dataclass(frozen=True)
@@ -66,6 +74,9 @@ class Commit:
     epoch: int | None = None
     #: per-file column stats for data skipping: {rel_path: {col: [min, max]}}
     stats: dict | None = None
+    #: relative path of this commit's change-data folder (CDF), if the
+    #: writer captured row-level changes (upsert with change_data=True)
+    cdf_dir: str | None = None
 
 
 def _log_path(table: str, version: int) -> str:
@@ -91,6 +102,7 @@ def _read_log(table: str) -> list[Commit]:
                 app_id=d.get("app_id"),
                 epoch=d.get("epoch"),
                 stats=d.get("stats"),
+                cdf_dir=d.get("cdf"),
             )
         )
     return commits
@@ -110,6 +122,7 @@ def _publish(table: str, commit: Commit) -> None:
             "app_id": commit.app_id,
             "epoch": commit.epoch,
             "stats": commit.stats,
+            "cdf": commit.cdf_dir,
             "committed_at": time.time(),
         }
     )
@@ -283,6 +296,7 @@ def upsert(
     key_cols: list[str],
     app_id: str | None = None,
     epoch: int | None = None,
+    change_data: bool = False,
 ) -> int | None:
     """MERGE analog: rows matching ``key_cols`` are replaced by ``df``'s
     version, unmatched rows are inserted — in ONE atomic commit.
@@ -362,6 +376,41 @@ def upsert(
         if name.endswith(".parquet")
     )
 
+    cdf_rel: str | None = None
+    if change_data:
+        # Row-level change capture (Delta CDF semantics): rows whose key
+        # already existed emit an update_preimage (the replaced row) and
+        # an update_postimage (df's version); brand-new keys emit
+        # inserts. The preimage scan touches only the rewritten files —
+        # the same ones the merge already reads — so CDF costs one extra
+        # write of |changes| rows, never a table scan. The folder is
+        # referenced by the commit record ONLY on a successful claim, so
+        # a lost commit race leaves an orphan (vacuumable), never a
+        # phantom change set.
+        preimage = (
+            spark.read.schema(schema)
+            .parquet(*rewrite_abs)
+            .join(F.broadcast(keys), list(key_cols), "left_semi")
+            if rewrite_abs
+            else spark.createDataFrame([], schema)
+        )
+        old_keys = preimage.select(*key_cols).distinct()
+        postimage = df.join(F.broadcast(old_keys), list(key_cols), "left_semi")
+        inserts = df.join(F.broadcast(old_keys), list(key_cols), "left_anti")
+        changes = (
+            preimage.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                postimage.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(inserts.withColumn("_change_type", F.lit("insert")))
+        )
+        cdf_rel = os.path.join(_CHANGE_DIR, commit_dir)
+        changes.write.mode("errorifexists").parquet(
+            os.path.join(table, cdf_rel)
+        )
+
     if app_id is not None and epoch is not None and has_committed(table, app_id, epoch):
         return None
     version = base_version + 1
@@ -375,6 +424,7 @@ def upsert(
                 schema_json=schema_json,
                 app_id=app_id,
                 epoch=epoch,
+                cdf_dir=cdf_rel,
             ),
         )
     except FileExistsError:
@@ -422,6 +472,73 @@ def snapshot_files(
                 kept.append(f)
         files = kept
     return [os.path.join(table, f) for f in files], schema_json
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read: every row-level change committed in
+    ``[from_version, to_version]`` with ``_change_type`` ∈
+    {insert, update_preimage, update_postimage} and
+    ``_commit_version`` columns — what an incremental downstream
+    consumer (a CDC MERGE into a mart, a streaming backfill) applies
+    instead of re-diffing snapshots.
+
+    Append commits synthesize inserts directly from their data files
+    (no capture needed — exactly Delta's behavior); overwrite commits
+    must have been written with ``change_data=True`` or
+    :class:`ChangeDataUnavailableError` is raised. Scale: the read is
+    O(|changed rows| in range), never a snapshot scan."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no deltalite table at {table}")
+    hi = to_version if to_version is not None else log[-1].version
+    schema = T.StructType.fromJson(json.loads(log[0].schema_json))
+    parts: list[DataFrame] = []
+    for c in log:
+        if c.version < from_version or c.version > hi:
+            continue
+        if c.cdf_dir is not None:
+            part = spark.read.schema(
+                T.StructType(
+                    list(T.StructType.fromJson(json.loads(c.schema_json)))
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+            ).parquet(os.path.join(table, c.cdf_dir))
+        elif c.action == "append":
+            part = (
+                spark.read.schema(
+                    T.StructType.fromJson(json.loads(c.schema_json))
+                )
+                .parquet(*[os.path.join(table, f) for f in c.files])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        else:
+            raise ChangeDataUnavailableError(
+                f"{table} version {c.version}: overwrite commit without "
+                "captured change data (upsert(change_data=True))"
+            )
+        parts.append(
+            part.withColumn(
+                "_commit_version", F.lit(c.version).cast("bigint")
+            )
+        )
+    if not parts:
+        base = T.StructType(
+            list(schema)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], base)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def compact(

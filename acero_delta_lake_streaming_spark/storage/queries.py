@@ -532,6 +532,67 @@ _S11_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# S12 — change data feed (row-level CDC capture at MERGE time)
+# --------------------------------------------------------------------------
+
+
+def s12_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed end to end: seed even-keyed orders, MERGE with
+    ``change_data=True`` (the 'P' slice price-bumped = updates, odd
+    'O'-status keys = inserts), then consume ``read_changes`` for the
+    merge commit and aggregate per change type. The update rows emit
+    BOTH a preimage and a postimage — the contract a downstream CDC
+    MERGE needs to stay idempotent — and the consumer read is
+    O(|changed rows|), never a snapshot diff (that's s11's shape, for
+    tables without capture enabled).
+
+    The oracle replays the change capture from the fixtures: preimage
+    = the original even-P rows, postimage = the same keys +1000,
+    inserts = the odd-O rows."""
+    table = _scratch(sf_dir, "s12_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table, "append")
+    updates = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    deltalite.upsert(
+        spark,
+        updates.unionByName(inserts),
+        table,
+        ["o_orderkey"],
+        change_data=True,
+    )
+    changes = deltalite.read_changes(spark, table, from_version=1)
+    return changes.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+
+
+_S12_SQL = (
+    "WITH pre AS (SELECT 'update_preimage' AS _change_type, "
+    "o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'), "
+    "post AS (SELECT 'update_postimage', o_orderkey, o_totalprice + 1000.0 "
+    "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'), "
+    "ins AS (SELECT 'insert', o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "u AS (SELECT * FROM pre UNION ALL SELECT * FROM post "
+    "UNION ALL SELECT * FROM ins) "
+    "SELECT _change_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -544,6 +605,7 @@ QUERIES = {
     "s10_delta_merge": s10_delta_merge,
     "s10b_partitioned_merge": s10b_partitioned_merge,
     "s11_version_diff": s11_version_diff,
+    "s12_change_feed": s12_change_feed,
 }
 
 ORACLES = {
@@ -558,4 +620,5 @@ ORACLES = {
     "s10_delta_merge": _S10_SQL,
     "s10b_partitioned_merge": _S10B_SQL,
     "s11_version_diff": _S11_SQL,
+    "s12_change_feed": _S12_SQL,
 }

@@ -396,3 +396,49 @@ def test_zorder_beats_lexicographic_on_trailing_dim(spark, table):
         f"z-order kept {z_frac:.2f} of files on trailing dim, "
         f"lexicographic kept {lex_frac:.2f}"
     )
+
+
+def test_change_feed_captures_merge_row_changes(spark, table):
+    """CDF: an upsert with change_data=True records preimage+postimage
+    for replaced keys and insert for new keys; append commits
+    synthesize inserts with no capture."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    deltalite.upsert(
+        spark,
+        _df(spark, [(2, "B2"), (9, "new")]),
+        table,
+        ["id"],
+        change_data=True,
+    )
+    ch = deltalite.read_changes(spark, table, from_version=1).collect()
+    got = {(r._change_type, r.id, r.v) for r in ch}
+    assert got == {
+        ("update_preimage", 2, "b"),
+        ("update_postimage", 2, "B2"),
+        ("insert", 9, "new"),
+    }
+    assert all(r._commit_version == 1 for r in ch)
+
+    # full-range read includes the seed append as synthesized inserts
+    full = deltalite.read_changes(spark, table, from_version=0).collect()
+    inserts_v0 = {
+        (r.id, r.v) for r in full if r._commit_version == 0
+    }
+    assert inserts_v0 == {(1, "a"), (2, "b"), (3, "c")}
+    assert all(
+        r._change_type == "insert" for r in full if r._commit_version == 0
+    )
+
+
+def test_change_feed_unavailable_without_capture(spark, table):
+    """An overwrite commit written without capture must refuse CDF
+    reads loudly, never silently return a partial feed."""
+    import pytest
+
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.upsert(spark, _df(spark, [(2, "B2")]), table, ["id"])
+    with pytest.raises(deltalite.ChangeDataUnavailableError):
+        deltalite.read_changes(spark, table, from_version=1).collect()
+    # but a range excluding the uncaptured commit still works
+    ok = deltalite.read_changes(spark, table, 0, 0).collect()
+    assert {r.id for r in ok} == {1, 2}
