@@ -394,6 +394,37 @@ def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant aggregation plan driven end to end: per-type
+    event totals through ``plans.skew.salted_agg`` — event_type has ~5
+    values over the whole corpus, the textbook hot-key shape where a
+    plain GROUP BY funnels every row of a key through ONE reduce task.
+    Salting shards each key over 16 partial groups (first shuffle
+    spreads the hot keys), then merges the shards; results are
+    value-identical to the direct aggregate for any
+    commutative+associative merge, which is exactly what the oracle's
+    plain GROUP BY checks. Value totals accumulate as decimal partials
+    (exact merge, CLAUDE.md) and emit as BIGINT micros."""
+    from acero_delta_lake_streaming_spark.plans.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    merged = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum("v")),
+        },
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(total * 1000000 AS BIGINT)").alias("total_micros"),
+    )
+
+
 def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — order counts per priority spread across status columns.
     Values are enumerated explicitly (``pivot(col, values)``) so Spark
@@ -578,6 +609,7 @@ QUERIES = {
     "a9_rollup": a9_rollup,
     "a10_percentiles": a10_percentiles,
     "a12_cube": a12_cube,
+    "a13_salted_hot_agg": a13_salted_hot_agg,
     "a11_pivot": a11_pivot,
     "f_scalar_suite": f_scalar_suite,
     "f6_json_extract": f6_json_extract,
@@ -719,6 +751,11 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n, "
         "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "a13_salted_hot_agg": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) "
+        "AS total_micros FROM events GROUP BY 1"
     ),
     "a10_percentiles": (
         "SELECT l_returnflag, "
