@@ -794,6 +794,97 @@ _X22_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X24 — random-projection (JL) dimensionality reduction + energy audit
+# --------------------------------------------------------------------------
+
+_JL_DIMS = 8  # 64 -> 8: the cheap-ANN / pre-cluster representation
+_JL_P0 = 100  # plane ids offset so the weights are independent of x3b's
+
+
+def x24_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection of every embedding
+    (64 → 8 dims, md5-derived hyperplane weights — x3b's construction,
+    offset plane ids) with the per-label energy audit: input vs
+    projected squared-norm sums and the retained-energy ratio. This is
+    the third lever of the embedding-scale toolkit: x22 shrinks
+    bytes/dim, x24 shrinks dims, x3b/x3d bucket — together they set the
+    shuffle and cache budget of ANN at 100 TB.
+
+    One map over the corpus (the 8 projection vectors ride in a one-row
+    broadcast of packed structs; no per-row md5), then a |labels|-row
+    aggregate of exact integers. Each y_j is the canonical sequential
+    dot fold; norms floor to e9 ints per vector before any cross-row
+    sum, and the ratio divides BIGINTs DIV-first
+    (``proj DIV (input DIV 1e6)``) so neither engine's wider
+    intermediate types change the result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(_JL_P0, _JL_P0 + _JL_DIMS)
+        .withColumnRenamed("id", "p")
+        .select("p", F.expr(_W_SPARK).alias("warr"))
+    )
+    packed = planes.agg(
+        F.expr("sort_array(collect_list(struct(p, warr)))").alias("ps")
+    ).withColumn("k", F.lit(1))
+    return (
+        emb.withColumn("k", F.lit(1))
+        .join(F.broadcast(packed), "k")
+        .selectExpr(
+            "label",
+            "embedding",
+            "transform(ps, s -> aggregate(zip_with(embedding, s.warr, "
+            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v)) AS y",
+        )
+        .selectExpr(
+            "label",
+            "CAST(floor(aggregate(transform(embedding, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v) * 1000000000.0) AS BIGINT) AS nx2_e9",
+            "CAST(floor(aggregate(transform(y, v -> v * v), "
+            "CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v) * 1000000000.0) AS BIGINT) AS ny2_e9",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("nx2_e9").cast("bigint").alias("input_e9"),
+            F.sum("ny2_e9").cast("bigint").alias("projected_e9"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr("projected_e9 DIV (input_e9 DIV 1000000)"),
+        )
+    )
+
+
+_X24_SQL = (
+    "WITH planes AS (SELECT p, "
+    f"{_W_DUCK} AS warr "
+    f"FROM (SELECT unnest(range({_JL_P0}, {_JL_P0 + _JL_DIMS})) AS p)), "
+    "packed AS (SELECT list(struct_pack(p := p, warr := warr) "
+    "ORDER BY p) AS ps FROM planes), "
+    "v AS (SELECT label, embedding, ps FROM embeddings CROSS JOIN packed), "
+    "yy AS (SELECT label, embedding, "
+    "list_transform(ps, s -> list_reduce(list_transform("
+    "list_zip(embedding, s.warr), pr -> CAST(pr[1] AS DOUBLE) * pr[2]), "
+    "(acc, v) -> acc + v)) AS y FROM v), "
+    "e AS (SELECT label, "
+    "CAST(floor(list_reduce(list_transform(embedding, x -> "
+    "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v) * 1000000000.0) AS BIGINT) AS nx2_e9, "
+    "CAST(floor(list_reduce(list_transform(y, x -> x * x), "
+    "(acc, v) -> acc + v) * 1000000000.0) AS BIGINT) AS ny2_e9 FROM yy) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(sum(nx2_e9) AS BIGINT) AS input_e9, "
+    "CAST(sum(ny2_e9) AS BIGINT) AS projected_e9, "
+    "CAST(sum(ny2_e9) AS BIGINT) // "
+    "(CAST(sum(nx2_e9) AS BIGINT) // 1000000) AS ratio_ppm "
+    "FROM e GROUP BY 1"
+)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -801,6 +892,7 @@ QUERIES = {
     "x3d_ivf_topk": x3d_ivf_topk,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
+    "x24_jl_projection": x24_jl_projection,
 }
 
 ORACLES = {
@@ -810,4 +902,5 @@ ORACLES = {
     "x3d_ivf_topk": _ivf_sql(),
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
+    "x24_jl_projection": _X24_SQL,
 }
