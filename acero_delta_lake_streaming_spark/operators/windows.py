@@ -539,6 +539,78 @@ _W10_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w11 — rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_W11_TRAIL = 7  # trailing window (days), current day excluded
+_W11_SIGMA = 2.0
+
+
+def w11_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: each day's order count scored
+    against the mean/std of the trailing 7 days (current day excluded —
+    the anomaly must not contaminate its own baseline). Days with
+    |z| > 2 flag as anomalies.
+
+    Parity: the window sums are EXACT BIGINTs (counts and squared
+    counts), so mean and variance derive from identical integers in
+    both engines; the only float work is one identical-order
+    (s2 - s1²/n)/(n-1) expression and a sqrt, with z rounded at the
+    final projection (the cosine-score pattern). Scale: one hash
+    aggregate to |days| rows, then a frame-bounded window over the
+    aggregated series — same shape as w2."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-_W11_TRAIL, -1)
+    scored = (
+        daily.withColumn("s1", F.sum("n").over(w).cast("bigint"))
+        .withColumn("s2", F.sum(F.expr("n * n")).over(w).cast("bigint"))
+        .withColumn("cnt", F.count("n").over(w).cast("bigint"))
+        .filter(F.col("cnt") == _W11_TRAIL)
+    )
+    # nullif guards the flat-baseline case (7 identical trailing days →
+    # std 0): Spark under ANSI throws on /0 and DuckDB yields ±Inf —
+    # both sides agree on NULL instead (CLAUDE.md denominators rule).
+    z = F.expr(
+        "(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+        "nullif(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+        "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+        "(CAST(cnt AS DOUBLE) - 1.0)), CAST(0.0 AS DOUBLE))"
+    )
+    return scored.select(
+        "d",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _W11_SIGMA).alias("is_anomaly"),
+    )
+
+
+_W11_SQL = (
+    "WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, "
+    "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), "
+    "scored AS (SELECT d, n, "
+    f"CAST(sum(n) OVER tw AS BIGINT) AS s1, "
+    f"CAST(sum(n * n) OVER tw AS BIGINT) AS s2, "
+    f"CAST(count(n) OVER tw AS BIGINT) AS cnt FROM daily "
+    f"WINDOW tw AS (ORDER BY d ROWS BETWEEN {_W11_TRAIL} PRECEDING "
+    "AND 1 PRECEDING)) "
+    "SELECT d, n, "
+    "round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+    "nullif(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+    "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+    "(CAST(cnt AS DOUBLE) - 1.0)), 0), 6) AS z, "
+    "abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+    "nullif(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+    "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)) / "
+    f"(CAST(cnt AS DOUBLE) - 1.0)), 0)) > {_W11_SIGMA} AS is_anomaly "
+    f"FROM scored WHERE cnt = {_W11_TRAIL}"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -550,6 +622,7 @@ QUERIES = {
     "w8_funnel": w8_funnel,
     "w9_gap_fill": w9_gap_fill,
     "w10_ema": w10_ema,
+    "w11_anomaly_zscore": w11_anomaly_zscore,
 }
 
 ORACLES = {
@@ -563,4 +636,5 @@ ORACLES = {
     "w8_funnel": _W8_SQL,
     "w9_gap_fill": _W9_SQL,
     "w10_ema": _W10_SQL,
+    "w11_anomaly_zscore": _W11_SQL,
 }
