@@ -74,8 +74,10 @@ _PRIORITY = [
     # CORRECTNESS_r02/r03 goes first (18 entries incl. the newly wired
     # x16), then queries whose implementation changed this round (x13
     # KMV pre-merge, x14 adaptive planes, s1 collect-free fixtures) or
-    # that are new this round (dq1b, s10, s11), then family cores
-    # proven in r3 fill the remainder. Everything past the window stays
+    # that are new this round (x21-x24, w9-w11, a12/a13, s10-s12, st9,
+    # dq1b, x19, x20), then family cores proven in r3 fill the
+    # remainder — entries 1-50 are exactly the never-recorded +
+    # new/changed set plus 11 cores. Everything past the window stays
     # verified by the local tri-scale gate
     # (tests/test_oracle_parity.py, sf0.001/0.01/0.1).
     # -- never driver-recorded in r2/r3 (1-18) --

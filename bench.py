@@ -74,6 +74,8 @@ HEADLINE = [
     "x23_fuzzy_linkage",
     "w9_gap_fill",
     "s11_version_diff",
+    "x24_jl_projection",
+    "w11_anomaly_zscore",
 ]
 
 
