@@ -96,7 +96,7 @@ _PRIORITY = [
     "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
     "w9_gap_fill", "s11_version_diff", "w10_ema", "a12_cube",
     "st9_streaming_ema", "s12_change_feed", "a13_salted_hot_agg",
-    "x24_jl_projection", "w11_anomaly_zscore",
+    "x24_jl_projection", "w11_anomaly_zscore", "s12b_incremental_consumer",
     # -- r3-proven family cores fill the window (26-50) --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

@@ -593,6 +593,66 @@ _S12_SQL = (
 )
 
 
+def s12b_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental CDC consumer across MULTIPLE commits: two
+    captured MERGEs land on the seed (v1 bumps the 'P' prices, v2 bumps
+    the 'F' prices and inserts the odd 'O' keys), and the consumer
+    reads ``read_changes`` for the whole `[1, 2]` range in one call —
+    per (commit, change type) accounting, exactly the bookkeeping an
+    incremental downstream MERGE does to stay idempotent across a
+    multi-commit catch-up read. O(changed rows) total; the two change
+    sets stay distinguishable by ``_commit_version``."""
+    table = _scratch(sf_dir, "s12b_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table, "append")
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    deltalite.upsert(spark, bump_p, table, ["o_orderkey"], change_data=True)
+    bump_f = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'F'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(200.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    deltalite.upsert(
+        spark,
+        bump_f.unionByName(inserts),
+        table,
+        ["o_orderkey"],
+        change_data=True,
+    )
+    changes = deltalite.read_changes(spark, table, 1, 2)
+    return changes.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+
+
+_S12B_SQL = (
+    "WITH v1 AS ("
+    "SELECT 1 AS _commit_version, 'update_preimage' AS _change_type, "
+    "o_totalprice AS p FROM orders "
+    "WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P' "
+    "UNION ALL SELECT 1, 'update_postimage', o_totalprice + 1000.0 "
+    "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'), "
+    "v2 AS ("
+    "SELECT 2, 'update_preimage', o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F' "
+    "UNION ALL SELECT 2, 'update_postimage', o_totalprice + 200.0 "
+    "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F' "
+    "UNION ALL SELECT 2, 'insert', o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2) "
+    "SELECT CAST(_commit_version AS BIGINT) AS _commit_version, "
+    "_change_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(p AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -606,6 +666,7 @@ QUERIES = {
     "s10b_partitioned_merge": s10b_partitioned_merge,
     "s11_version_diff": s11_version_diff,
     "s12_change_feed": s12_change_feed,
+    "s12b_incremental_consumer": s12b_incremental_consumer,
 }
 
 ORACLES = {
@@ -621,4 +682,5 @@ ORACLES = {
     "s10b_partitioned_merge": _S10B_SQL,
     "s11_version_diff": _S11_SQL,
     "s12_change_feed": _S12_SQL,
+    "s12b_incremental_consumer": _S12B_SQL,
 }
