@@ -64,11 +64,16 @@ _TOPK = 25
 # contribution = idf_ppm * sat_ppm DIV 1e6, summed per doc. All integer.
 
 
-def x21_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-25 documents for a 4-term keyword query under integer-exact
-    BM25 (k1=1.2, b=0.75, harmonic idf). Columns: doc_id, n_terms_hit,
-    score_ppm."""
-    docs = load_table(spark, sf_dir, "documents").select(
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _QUERY_TERMS,
+    topk: int = _TOPK,
+) -> DataFrame:
+    """Library form: rank ``(doc_id, text)`` rows for ``terms`` under
+    integer-exact BM25 (see module docstring). The registry query wraps
+    the documents table; tests drive controlled corpora through the
+    same plan and check against an independent Python fold."""
+    docs = docs.select(
         "doc_id", F.expr(_WORDS_SPARK).alias("w")
     ).withColumn("dl", F.size("w"))
 
@@ -82,18 +87,18 @@ def x21_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: both the df table and the scoring pass consume the
     # matched-term aggregate — without the cache the corpus-wide explode
     # would run twice (the expensive stage at 100 TB).
-    terms = scoped_persist(
+    matched = scoped_persist(
         docs.select("doc_id", "dl", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = (
-        terms.groupBy("term")
+        matched.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
     scored = (
-        terms.join(F.broadcast(df_tbl), "term")
+        matched.join(F.broadcast(df_tbl), "term")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(stats), "k")
         .withColumn(
@@ -120,7 +125,16 @@ def x21_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
-        .limit(_TOPK)
+        .limit(topk)
+    )
+
+
+def x21_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents for a 4-term keyword query under integer-exact
+    BM25 (k1=1.2, b=0.75, harmonic idf). Columns: doc_id, n_terms_hit,
+    score_ppm."""
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -156,13 +170,12 @@ _X21_SQL = (
 _LINK_MAX_DIST = 3  # adjacent part names differ in the adjective token
 
 
-def x23_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical part-name pairs: collapse parts to distinct names
-    with support counts, block on the noun token, Levenshtein within
-    the block, keep 0 < dist <= 3. Ordered pairs (name_a < name_b)
-    with both supports — the review queue of an entity-resolution
-    pass."""
-    parts = load_table(spark, sf_dir, "part")
+def link_names(
+    parts: DataFrame, max_dist: int = _LINK_MAX_DIST
+) -> DataFrame:
+    """Library form: near-identical name pairs over ``(p_name,)`` rows —
+    distinct-first + noun-token blocking + Levenshtein. The registry
+    query wraps the part table; tests drive planted-typo corpora."""
     # Persisted: the self-join consumes the distinct-name aggregate on
     # both sides — one corpus scan, not two.
     names = scoped_persist(
@@ -182,8 +195,17 @@ def x23_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.support").alias("support_a"),
             F.col("b.support").alias("support_b"),
         )
-        .filter((F.col("dist") > 0) & (F.col("dist") <= _LINK_MAX_DIST))
+        .filter((F.col("dist") > 0) & (F.col("dist") <= max_dist))
     )
+
+
+def x23_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part-name pairs: collapse parts to distinct names
+    with support counts, block on the noun token, Levenshtein within
+    the block, keep 0 < dist <= 3. Ordered pairs (name_a < name_b)
+    with both supports — the review queue of an entity-resolution
+    pass."""
+    return link_names(load_table(spark, sf_dir, "part"))
 
 
 _X23_SQL = (

@@ -143,3 +143,87 @@ def test_ema_matches_python_fold(spark, sf_dir):
     for r in rows:
         ema = r.n * 1_000_000 if ema is None else (r.n * 1_000_000 + 4 * ema) // 5
         assert r.ema_micros == ema, r.d
+
+
+def _bm25_python(texts: dict[int, str], terms) -> dict[int, tuple[int, int]]:
+    """Independent integer BM25 fold (pure Python) replicating the spec:
+    k1=1.2, b=0.75 as rationals, harmonic idf, all floor division."""
+    words = {d: [w for w in t.split(" ") if w] for d, t in texts.items()}
+    n_docs = len(words)
+    avgdl = sum(len(w) for w in words.values()) // n_docs
+    tf: dict[tuple[int, str], int] = {}
+    for d, ws in words.items():
+        for w in ws:
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    out: dict[int, tuple[int, int]] = {}
+    for (d, w), f in tf.items():
+        dl = len(words[d])
+        lennorm_bp = 2500 + (7500 * dl) // avgdl
+        sat_ppm = (220000 * f * 1000000) // (100000 * f + 12 * lennorm_bp)
+        idf_ppm = 1000000 // df[w]
+        hits, score = out.get(d, (0, 0))
+        out[d] = (hits + 1, score + idf_ppm * sat_ppm // 1000000)
+    return out
+
+
+def test_bm25_matches_independent_python_fold(spark):
+    """Controlled corpus through the real plan vs a from-scratch Python
+    implementation of the integer BM25 spec — catches Spark-expression
+    bugs (precedence, overflow, DIV order) that the oracle cannot,
+    because the oracle replays the same formula."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    texts = {
+        1: "spark spark spark pad pad",
+        2: "spark pad",
+        3: "vector merge stream pad pad pad",
+        4: "pad pad pad",
+        5: "spark vector pad pad pad pad pad pad pad pad pad pad",
+    }
+    terms = ("spark", "vector", "merge", "stream")
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_terms_hit, r.score_ppm)
+        for r in bm25_scores(docs, terms, topk=10).collect()
+    }
+    release_scoped()
+    assert got == _bm25_python(texts, terms)
+    # tf saturation: d1 (tf=3) must beat d2 (tf=1, same term) but by
+    # far less than 3x
+    assert got[1][1] > got[2][1]
+    assert got[1][1] < 2 * got[2][1]
+
+
+def test_linkage_finds_planted_typo_pairs(spark):
+    """Planted near-identical names through the real plan: typo pairs
+    within a noun block are found with the exact expected distance;
+    cross-noun pairs and far pairs are not."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        link_names,
+    )
+
+    rows = (
+        [("red widget",)] * 3
+        + [("rad widget",)] * 2      # dist 1 from "red widget"
+        + [("xyz widget",)] * 1      # dist 3 from "red widget" (3 subs)
+        + [("blue widget",)] * 1     # dist 4 from "red widget" — cut
+        + [("red gizmo",)] * 4       # different noun block
+    )
+    parts = spark.createDataFrame(rows, "p_name string")
+    got = {
+        (r.name_a, r.name_b): (r.dist, r.support_a, r.support_b)
+        for r in link_names(parts).collect()
+    }
+    release_scoped()
+    assert got[("rad widget", "red widget")] == (1, 2, 3)
+    assert got[("red widget", "xyz widget")][0] == 3
+    assert ("blue widget", "red widget") not in got  # dist 4 > max
+    assert ("red gizmo", "red widget") not in got  # cross-block
