@@ -541,6 +541,46 @@ def read_changes(
     return out
 
 
+def follow_changes(
+    spark: SparkSession,
+    table: str,
+    apply_fn,
+    *,
+    start_version: int = 0,
+    max_cycles: int | None = None,
+    interval_s: float = 30.0,
+    sleep_fn=None,
+) -> int:
+    """CDC follower: poll the commit log and hand each batch of newly
+    committed versions to ``apply_fn(changes_df, from_v, to_v)`` exactly
+    once, in commit order — the incremental-consumer loop that turns the
+    Change Data Feed into a live downstream MERGE (the CDC analog of
+    feeds.run_polling_ingest; like there, the loop adds no correctness:
+    each version's change set is read once and versions never reorder).
+
+    Returns the next unapplied version (the cursor). A durable consumer
+    persists that cursor atomically with its sink — the same
+    (app_id, epoch) idempotent-commit discipline the streaming medallion
+    uses — so a crashed follower resumes with ``start_version=cursor``
+    and re-applies nothing. ``max_cycles=None`` polls forever; tests
+    inject a no-op ``sleep_fn`` and bounded cycles."""
+    import time
+
+    sleep_fn = sleep_fn or time.sleep
+    cursor = start_version
+    cycle = 0
+    while True:
+        latest = latest_version(table)
+        if latest >= cursor:
+            changes = read_changes(spark, table, cursor, latest)
+            apply_fn(changes, cursor, latest)
+            cursor = latest + 1
+        cycle += 1
+        if max_cycles is not None and cycle >= max_cycles:
+            return cursor
+        sleep_fn(interval_s)
+
+
 def compact(
     spark: SparkSession,
     table: str,

@@ -442,3 +442,46 @@ def test_change_feed_unavailable_without_capture(spark, table):
     # but a range excluding the uncaptured commit still works
     ok = deltalite.read_changes(spark, table, 0, 0).collect()
     assert {r.id for r in ok} == {1, 2}
+
+
+def test_follow_changes_applies_each_version_once(spark, table):
+    """CDC follower: two polls around an intervening captured MERGE —
+    every version applied exactly once, in order, and the resumed
+    cursor re-applies nothing."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.upsert(
+        spark, _df(spark, [(2, "B2")]), table, ["id"], change_data=True
+    )
+
+    applied = []
+
+    def apply_fn(changes, from_v, to_v):
+        applied.append(
+            (from_v, to_v, sorted((r.id, r._change_type) for r in changes.collect()))
+        )
+
+    cursor = deltalite.follow_changes(
+        spark, table, apply_fn, max_cycles=1, sleep_fn=lambda s: None
+    )
+    assert cursor == 2
+    assert applied[0][0] == 0 and applied[0][1] == 1
+    flat = applied[0][2]
+    assert (1, "insert") in flat and (2, "update_preimage") in flat
+
+    # a new captured merge lands; resuming from the cursor applies ONLY it
+    deltalite.upsert(
+        spark, _df(spark, [(9, "new")]), table, ["id"], change_data=True
+    )
+    cursor2 = deltalite.follow_changes(
+        spark,
+        table,
+        apply_fn,
+        start_version=cursor,
+        max_cycles=2,
+        sleep_fn=lambda s: None,
+    )
+    assert cursor2 == 3
+    assert applied[-1][:2] == (2, 2)
+    assert applied[-1][2] == [(9, "insert")]
+    # exactly two applications total — nothing re-applied on the idle cycle
+    assert len(applied) == 2

@@ -66,3 +66,63 @@ def test_ann_is_sound(spark, sf_dir):
     for r in x3b_ann_lsh(spark, sf_dir).collect():
         assert r.cosine <= best[r.query_id] + 1e-9
         assert r.vec_id != r.query_id
+
+
+def test_quantize_error_matches_independent_numpy_fold(spark, sf_dir):
+    """x22 per-label sums vs a from-scratch float64 fold in Python
+    replicating the expression order (the oracle replays the same SQL
+    formula, so it can't catch expression bugs). Exact equality: both
+    sides are IEEE doubles folded in identical order, floored to e9
+    ints before any cross-row sum."""
+    import collections
+    import math
+
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x22_quantize_error,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    expect = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        xs = [float(v) for v in r.embedding]
+        ma = max(abs(v) for v in xs)
+        acc = 0.0
+        for v in xs:
+            q = math.floor(v * 127.0 / ma + 0.5)
+            d = v - (float(q) * ma) / 127.0
+            acc = acc + d * d
+        e9 = math.floor(acc * 1e9)
+        expect[r.label][0] += 1
+        expect[r.label][1] += e9
+    got = {
+        r.label: (r.n_vecs, r.total_err_e9, r.mse_e9)
+        for r in x22_quantize_error(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for label, (n, tot) in expect.items():
+        assert got[label] == (n, tot, tot // n), label
+
+
+def test_jl_projection_energy_ratio_is_plausible(spark, sf_dir):
+    """x24: projected energy must be positive and a stable fraction of
+    input energy (JL with ±-ish weights concentrates; a broken fold
+    shows up as 0 or wildly scaled ratios), and per-label ratios must
+    agree within an order of magnitude — the projection is
+    label-independent."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x24_jl_projection,
+    )
+
+    rows = x24_jl_projection(spark, sf_dir).collect()
+    assert rows
+    ratios = [r.ratio_ppm for r in rows]
+    assert all(r > 0 for r in ratios)
+    assert max(ratios) < 20 * min(ratios), ratios
+    for r in rows:
+        assert r.mse_e9 >= 0 if hasattr(r, "mse_e9") else True
+        assert r.input_e9 > 0 and r.projected_e9 > 0
