@@ -554,6 +554,7 @@ def merge_delta(
     table: str,
     source: DataFrame,
     key_cols: list[str],
+    change_data: bool = False,
 ) -> int:
     """Copy-on-write MERGE (upsert) into a real-format Delta table:
     source rows REPLACE same-key target rows, unmatched source rows
@@ -608,6 +609,56 @@ def merge_delta(
         source.select(*cur.columns)
     )
 
+    cdc_actions: list[dict] = []
+    if change_data:
+        # Protocol-shaped CDC capture (`cdc` actions + `_change_data/`
+        # files, dataChange:false so log replay ignores them for table
+        # state — exactly how delta-spark publishes CDF). Unpartitioned
+        # tables only for now; refuse loudly rather than write change
+        # files a partition-pruning CDF reader would mis-scope.
+        if pcols:
+            raise DeltaProtocolError(
+                "change_data capture on a hive-partitioned table is not "
+                "supported; merge without capture or departition first"
+            )
+        preimage = (
+            tagged.filter(F.col("_src_file").isin(touched_uris))
+            .join(F.broadcast(keys), key_cols, "leftsemi")
+            .drop("_src_file")
+        )
+        old_keys = preimage.select(*key_cols).distinct()
+        changes = (
+            preimage.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                source.select(*cur.columns)
+                .join(F.broadcast(old_keys), key_cols, "leftsemi")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            .unionByName(
+                source.select(*cur.columns)
+                .join(F.broadcast(old_keys), key_cols, "leftanti")
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        )
+        cdc_dir = os.path.join("_change_data", f"merge-{uuid.uuid4().hex}")
+        changes.write.mode("errorifexists").parquet(
+            os.path.join(table, cdc_dir)
+        )
+        for name in sorted(os.listdir(os.path.join(table, cdc_dir))):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(cdc_dir, name)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = new_data.write.mode("overwrite")
     if pcols:
@@ -636,7 +687,7 @@ def merge_delta(
         for f in snap["files"]
         if os.path.abspath(f) in touched_abs
     ]
-    actions = removes + adds + [
+    actions = cdc_actions + removes + adds + [
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
@@ -651,6 +702,85 @@ def merge_delta(
     ]
     _publish_commit(table, version, actions)
     return version
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read over a real-format Delta log: row-level
+    changes for every data-changing commit in ``[from_version,
+    to_version]`` with ``_change_type`` and ``_commit_version`` columns
+    (delta-spark's ``table_changes`` shape).
+
+    Per version: published ``cdc`` actions are read directly; an
+    append-style commit (adds with ``dataChange:true``, no data-changing
+    removes) synthesizes inserts from its data files; a commit that
+    removed data without captured change files raises
+    :class:`deltalite.ChangeDataUnavailableError`. Commits whose actions
+    are all ``dataChange:false`` (OPTIMIZE) contribute nothing, exactly
+    like Delta's CDF."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    if not is_delta_table(table):
+        raise DeltaCorruptLogError(f"{table} has no {_LOG_DIR} directory")
+    versions = [
+        v
+        for v in _list_commit_versions(table)
+        if v >= from_version and (to_version is None or v <= to_version)
+    ]
+    parts: list[DataFrame] = []
+    for v in versions:
+        cdc_paths: list[str] = []
+        add_paths: list[str] = []
+        data_removes = False
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_paths.append(unquote(action["cdc"]["path"]))
+                elif "add" in action and action["add"].get("dataChange", True):
+                    add_paths.append(unquote(action["add"]["path"]))
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    data_removes = True
+        if cdc_paths:
+            part = spark.read.parquet(
+                *[os.path.join(table, p) for p in cdc_paths]
+            )
+        elif data_removes:
+            raise ChangeDataUnavailableError(
+                f"{table} version {v}: data-changing commit without "
+                "captured change files (merge_delta(change_data=True))"
+            )
+        elif add_paths:
+            part = spark.read.parquet(
+                *[os.path.join(table, p) for p in add_paths]
+            ).withColumn("_change_type", F.lit("insert"))
+        else:
+            continue  # metadata-only or dataChange:false (OPTIMIZE)
+        parts.append(
+            part.withColumn("_commit_version", F.lit(v).cast("bigint"))
+        )
+    if not parts:
+        raise ChangeDataUnavailableError(
+            f"{table}: no data-changing commits in "
+            f"[{from_version}, {to_version}]"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def vacuum_delta(

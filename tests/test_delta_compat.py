@@ -672,3 +672,93 @@ def test_vacuum_delta_retention(spark, tmp_path):
     # keep_versions window protects referenced files
     deleted2 = dc.vacuum_delta(table, keep_versions=10)
     assert deleted2 == []
+
+
+def test_merge_delta_cdc_capture_and_read(spark, tmp_path):
+    """Real-format CDF: merge_delta(change_data=True) publishes `cdc`
+    actions (dataChange:false, files under _change_data/) and
+    read_delta_changes reconstructs preimage/postimage/insert; the seed
+    append synthesizes inserts; table state is unaffected by the cdc
+    files."""
+    import json as _json
+
+    table = str(tmp_path / "cdc")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    source = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "id long, v string"
+    )
+    v = dc.merge_delta(spark, table, source, ["id"], change_data=True)
+    assert v == 1
+
+    # cdc actions in the commit: dataChange false, under _change_data/
+    with open(dc._commit_path(table, 1)) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc and all(not c["dataChange"] for c in cdc)
+    assert all(c["path"].startswith("_change_data/") for c in cdc)
+
+    # table state ignores cdc files entirely
+    now = {r.id: r.v for r in dc.read_delta(spark, table).collect()}
+    assert now == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+    got = {
+        (r._change_type, r.id, r.v)
+        for r in dc.read_delta_changes(spark, table, 1, 1).collect()
+    }
+    assert got == {
+        ("update_preimage", 2, "b"),
+        ("update_postimage", 2, "B2"),
+        ("insert", 9, "new"),
+    }
+    # full range: the seed append arrives as synthesized inserts at v0
+    full = dc.read_delta_changes(spark, table, 0).collect()
+    v0 = {(r.id, r.v) for r in full if r._commit_version == 0}
+    assert v0 == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_delta_cdc_refusals(spark, tmp_path):
+    """Uncaptured data-changing merges refuse CDF reads; partitioned
+    capture refuses at write time."""
+    import pytest
+
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    table = str(tmp_path / "cdc_refuse")
+    dc.append_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table,
+    )
+    dc.merge_delta(
+        spark,
+        table,
+        spark.createDataFrame([(2, "B2")], "id long, v string"),
+        ["id"],
+    )
+    with pytest.raises(ChangeDataUnavailableError):
+        dc.read_delta_changes(spark, table, 1, 1).collect()
+
+    ptable = str(tmp_path / "cdc_part")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b")], "id long, part string, v string"
+        ),
+        ptable,
+        partition_by=["part"],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.merge_delta(
+            spark,
+            ptable,
+            spark.createDataFrame(
+                [(1, "x", "A2")], "id long, part string, v string"
+            ),
+            ["id"],
+            change_data=True,
+        )
