@@ -368,14 +368,35 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
     )
 
-    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # Seed selection must be a distributed top-k, not a global window:
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition partial
+    # top-8 then a driver-side merge of 8-row heads), while
+    # row_number().over(Window.orderBy(...)) would sort the WHOLE corpus
+    # into one task to keep 8 rows — the one plan shape that cannot
+    # survive 100 TB. cid assignment over the 8 survivors is a windowless
+    # array_sort(collect_list) fold (struct sort key = (md5, vec_id),
+    # identical ordering semantics to the oracle's row_number).
+    seeds8 = (
+        corpus.select(
+            F.md5(F.col("vec_id").cast("string")).alias("sk"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("sk", "vec_id")
+        .limit(_IVF_K)
+    )
     centroids = (
-        corpus.withColumn("seed_rk", F.row_number().over(seed_w))
-        .filter(F.col("seed_rk") <= _IVF_K)
+        seeds8.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sk", "vec_id", "embedding"))
+            ).alias("ss")
+        )
+        .select(F.posexplode("ss").alias("cid", "s"))
         .select(
-            (F.col("seed_rk") - 1).alias("cid"),
+            "cid",
             F.expr(
-                "transform(embedding, x -> CAST(x AS DOUBLE))"
+                "transform(s.embedding, x -> CAST(x AS DOUBLE))"
             ).alias("carr"),
         )
     )

@@ -259,3 +259,27 @@ def test_semdedup_funnel_dq2_shapes(spark, sf_dir):
     plan = _physical(dq2_expectations(spark, sf_dir))
     assert plan.count("FileScan") == 2, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_seed_selection_distributed(spark, sf_dir):
+    """x3d's k-means seeds are a distributed top-8 (TakeOrderedAndProject:
+    per-partition partial top-k, driver merges 8-row heads), NOT a
+    partition-less row_number window — which would global-sort the whole
+    embeddings corpus into one task just to keep 8 rows (the r4 VERDICT's
+    one scale-killer). Every remaining Window in the plan must be
+    partitioned (vec_id / query_id) and every Sort local."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3d_ivf_topk,
+    )
+
+    plan = _physical(x3d_ivf_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # Physical Sort prints `Sort [keys], <global>, 0` — a global sort
+    # (the footprint of an unpartitioned window over the corpus) is the
+    # regression this guard exists to catch.
+    assert not re.search(r"Sort \[[^\]]*\], true, 0", plan), plan
+    # Each windowspecdefinition leads with its partition column.
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) in ("vec_id", "query_id"), m.group(0)
