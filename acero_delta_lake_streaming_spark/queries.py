@@ -69,62 +69,82 @@ for _name in _OPTIONAL:
 # core family; the long relational/TPC-H tail (all driver-green in round
 # 2, CORRECTNESS_r02.json) fills the remainder.
 _PRIORITY = [
-    # Window layout (the driver records ~the first 50). Round-4 rotation
-    # rule: every query that has NEVER had a driver-recorded row across
-    # CORRECTNESS_r02/r03 goes first (18 entries incl. the newly wired
-    # x16), then queries whose implementation changed this round (x13
-    # KMV pre-merge, x14 adaptive planes, s1 collect-free fixtures) or
-    # that are new this round (x21-x24, w9-w11, a12/a13, s10-s12, st9,
-    # dq1b, x19, x20), then family cores proven in r3 fill the
-    # remainder — entries 1-50 are exactly the never-recorded +
-    # new/changed set plus 11 cores. Everything past the window stays
+    # Window layout (the driver records ~the first 50). Round-5 rotation
+    # rule (VERDICT r4 item 2): fixtures REGENERATE between rounds, so a
+    # query's driver proof decays — no query's newest driver-green row
+    # should be older than two rounds. Slots 1-5: queries new or changed
+    # this round (x3d seed-selection rewrite; x3e/x21b/s13/st10 new).
+    # Slots 6-50: 45 of the 49 queries whose newest driver row is
+    # round-2 vintage (the relational/TPC-H core, recorded before two
+    # fixture regenerations). The 4 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9 — each shadowed by an in-window near-twin) lead the
+    # past-window tail for round 6, followed by r3-proven then r4-proven
+    # families (newest proof last). Everything past the window stays
     # verified by the local tri-scale gate
     # (tests/test_oracle_parity.py, sf0.001/0.01/0.1).
-    # -- never driver-recorded in r2/r3 (1-18) --
-    "x16_pii_redaction",
-    "x12_repetition_quality", "x15_mixture_sample", "dq2_expectations",
-    "a11_pivot", "x17_cms_heavy_hitters", "w6_new_users",
+    # -- new or changed this round (1-5) --
+    "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
+    "s13_merge_delete", "st10_cdf_follower",
+    # -- r2-vintage re-proof under round-5 fixtures (6-50) --
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
+    "q10_returned_revenue", "q14_promo_revenue_share",
+    "q18_large_orders", "q19_brand_revenue",
+    "p1_project", "p2_computed_columns", "p3_concat_text",
+    "p4_membership_filter", "p5_date_range_filter",
+    "p6_anti_contains_filter", "p7_conjunctive_filter", "p8_null_default",
+    "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
+    "a1_count_star", "a2_count_distinct", "a3_filtered_count",
+    "a4_daily_counts", "a6_two_key_counts", "a7_min_max",
+    "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
+    "t1_topk", "t2_topk_breakdown",
+    "u1_union_discriminator", "u2_union_all", "u3_intersect",
+    "f_scalar_suite", "f6_json_extract", "f7_regexp_suite",
+    "f8_array_suite",
+    "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
+    "w4_sliding_windows",
+    "ud2_explode_tokens",
+    # -- past the ~50 window --
+    # r2-vintage deferred to the round-6 window:
+    "t3_sort_display", "u4_except_all", "a5_value_counts",
+    "p9_boolean_filter",
+    # r3-proven:
+    "flagship_breakdown",
+    "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
+    "s5_medallion_fanout", "s6_cached_read",
+    "s7_upsert_merge", "s8_delta_format_roundtrip", "s9_zorder_skipping",
+    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
+    "st7_interval_join", "st8_stream_static_enrich",
+    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
+    "x3b_ann_lsh", "x3c_cosine_neardup",
+    "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
+    "x4e_bpe_token_stats", "x5b_decode_features", "x5c_frame_sample",
+    "x6b_session_stats", "xj1_asof_prior_click",
+    "xj2_range_clicks_before_purchase",
+    "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
+    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
+    "x11_context_chunks",
+    # r4-proven (newest driver rows; least in need of a slot):
+    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
+    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
+    "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
+    "x14_semdedup", "x15_mixture_sample", "x16_pii_redaction",
+    "x17_cms_heavy_hitters", "x19_line_dedup", "x20_curation_pipeline",
+    "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
+    "x24_jl_projection",
+    "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
+    "dq1_column_profile", "dq1b_approx_profile", "dq2_expectations",
+    "a11_pivot", "a12_cube", "a13_salted_hot_agg",
+    "w6_new_users", "w9_gap_fill", "w10_ema", "w11_anomaly_zscore",
+    "s1_feed_ingest", "s10_delta_merge", "s10b_partitioned_merge",
+    "s11_version_diff", "s12_change_feed", "s12b_incremental_consumer",
+    "st9_streaming_ema",
     "q2_cheapest_part", "q8_market_share", "q11_important_parts",
     "q12_priority_class_shipping", "q13_customer_distribution",
     "q15_top_supplier", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q20_excess_shippers",
     "q21_sole_supplier_orders", "q22_dormant_balances",
-    # -- changed or new this round (19-25) --
-    "x13_kmv_distinct", "x14_semdedup", "dq1b_approx_profile",
-    "s10_delta_merge", "s10b_partitioned_merge", "x19_line_dedup",
-    "x20_curation_pipeline", "s1_feed_ingest", "dq1_column_profile",
-    "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
-    "w9_gap_fill", "s11_version_diff", "w10_ema", "a12_cube",
-    "st9_streaming_ema", "s12_change_feed", "a13_salted_hot_agg",
-    "x24_jl_projection", "w11_anomaly_zscore", "s12b_incremental_consumer",
-    # -- r3-proven family cores fill the window (26-50) --
-    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
-    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
-    "x7_sequence_pack",
-    "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
-    "flagship_breakdown",
-    "s3_delta_append_scan", "s4_time_travel", "s5_medallion_fanout",
-    "s7_upsert_merge", "s8_delta_format_roundtrip", "s9_zorder_skipping",
-    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
-    "st7_interval_join", "st8_stream_static_enrich",
-    "x2d_dup_clusters", "x3b_ann_lsh", "w8_funnel",
-    # -- past the ~50 window (r2- and/or r3-proven; local tri-scale) --
-    "s3b_skipping_scan", "s6_cached_read",
-    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs",
-    "x3c_cosine_neardup", "x3d_ivf_topk",
-    "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
-    "x4e_bpe_token_stats", "x5b_decode_features", "x5c_frame_sample",
-    "x6b_session_stats", "xj1_asof_prior_click",
-    "xj2_range_clicks_before_purchase", "w5_ohlc_downsample",
-    "w7_scd2_user_state",
-    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
-    "x11_context_chunks",
-    "p1_project", "p4_membership_filter",
-    "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
-    "t1_topk", "t2_topk_breakdown", "t3_sort_display",
-    "u1_union_discriminator", "u2_union_all",
-    "f_scalar_suite", "f6_json_extract",
-    "a8_grouped_total_order", "a4_daily_counts", "a6_two_key_counts",
 ]
 
 
