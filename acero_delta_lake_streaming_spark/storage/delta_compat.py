@@ -40,6 +40,11 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
+#: write a parquet checkpoint every N commits (Delta's default cadence),
+#: so snapshot() replay is O(tail) instead of O(commits) on long-lived
+#: tables — at 10k commits that is the difference between reading one
+#: parquet file + <10 JSON commits and parsing 10k JSON files per read.
+_CHECKPOINT_INTERVAL = 10
 
 
 class DeltaProtocolError(RuntimeError):
@@ -252,9 +257,11 @@ def last_txn_version(table: str, app_id: str) -> int:
     """Highest ``txn`` action version committed for ``app_id`` (-1 if
     none) — Delta's exactly-once handshake for streaming sinks: a
     restarted writer checks this before re-appending an epoch. Scans
-    the retained JSON log (our writer never checkpoints; reading a
-    foreign checkpointed table's txn state would extend
-    ``_replay_checkpoint``)."""
+    the retained JSON log, which our writer never deletes (checkpoints
+    accelerate snapshot replay but the JSON history stays); reading a
+    foreign table whose JSON tail was truncated at a checkpoint would
+    extend this to the checkpoint's ``txn`` rows, which our own
+    checkpoints already carry."""
     if not is_delta_table(table):
         return -1
     latest = -1
@@ -421,6 +428,162 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(table, version)
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Write a protocol-shaped single-file parquet checkpoint at
+    ``version`` plus the ``_last_checkpoint`` pointer — the standard
+    Delta cadence delta-rs follows (the reference's collector inherits
+    it via ``deltalake``, collector.py:219-226). The checkpoint is
+    net-of-log state: protocol + metaData + one ``add`` row per LIVE
+    file + the latest ``txn`` row per appId. Replay for the state is
+    O(commits) once every ``_CHECKPOINT_INTERVAL`` commits — amortized
+    O(1) per write — and every subsequent ``snapshot()`` reads the
+    checkpoint + the JSON tail only (``_replay_checkpoint``,
+    ``_checkpoint_version``). Checkpointing is an optimization of the
+    log, never a mutation of it: all JSON commits stay, so time travel
+    behind the checkpoint still replays from version 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol: dict | None = None
+    meta: dict | None = None
+    adds: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
+    for v in range(version + 1):
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    prev = txns.get(t["appId"])
+                    if prev is None or t.get("version", -1) >= prev.get(
+                        "version", -1
+                    ):
+                        txns[t["appId"]] = t
+    if protocol is None or meta is None:
+        raise DeltaCorruptLogError(
+            f"{table}: cannot checkpoint without protocol/metaData actions"
+        )
+
+    pv_type = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()),
+                     ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pv_type),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": protocol.get("minReaderVersion", 1),
+                "minWriterVersion": protocol.get("minWriterVersion", 2),
+            }
+        },
+        {
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {
+                    "provider": meta.get("format", {}).get(
+                        "provider", "parquet"
+                    )
+                },
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "createdTime": meta.get("createdTime"),
+            }
+        },
+    ]
+    for t in txns.values():
+        rows.append(
+            {
+                "txn": {
+                    "appId": t["appId"],
+                    "version": t.get("version", 0),
+                    "lastUpdated": t.get("lastUpdated"),
+                }
+            }
+        )
+    for add in adds.values():
+        rows.append(
+            {
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": list(
+                        (add.get("partitionValues") or {}).items()
+                    ),
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,  # checkpoint rows are state, not news
+                }
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    ckpt_path = os.path.join(
+        _log_dir(table), f"{version:020d}.checkpoint.parquet"
+    )
+    tmp_ckpt = ckpt_path + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(tbl, tmp_ckpt)
+    os.rename(tmp_ckpt, ckpt_path)
+    ptr = os.path.join(_log_dir(table), _LAST_CHECKPOINT)
+    tmp_ptr = ptr + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp_ptr, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp_ptr, ptr)
 
 
 def _compact_files(
@@ -704,6 +867,134 @@ def merge_delta(
     return version
 
 
+def delete_delta(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    change_data: bool = False,
+) -> int:
+    """Row-level DELETE on a real-format Delta table (``MERGE ... WHEN
+    MATCHED THEN DELETE`` / GDPR erasure): rows whose ``key_cols`` match
+    ``keys`` are removed, copy-on-write at file granularity — only data
+    files that actually CONTAIN a matched key are rewritten minus their
+    matched rows; untouched files stay in place. Publishes one
+    remove+add commit delta-rs/delta-spark read back, identical
+    mechanics to :func:`merge_delta` minus the source union.
+
+    ``change_data=True`` additionally publishes the deleted rows as
+    ``delete``-typed preimages via ``cdc`` actions + ``_change_data/``
+    files (dataChange:false), Delta's CDF shape for erasure — the thing
+    that lets a downstream consumer propagate the deletion instead of
+    re-scanning. Unpartitioned tables only for capture, as in
+    merge_delta."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table)
+    pcols = snap["partition_cols"]
+    version = snap["version"] + 1
+    cur = read_delta(spark, table)
+    key_df = keys.select(*key_cols).distinct()
+    tagged = cur.withColumn("_src_file", F.input_file_name())
+    touched_uris = [
+        r["_src_file"]
+        for r in tagged.join(F.broadcast(key_df), key_cols, "leftsemi")
+        .select("_src_file")
+        .distinct()
+        .collect()  # METADATA only: one row per touched data file
+    ]
+    from urllib.parse import urlparse
+
+    touched_abs = {
+        os.path.abspath(unquote(urlparse(u).path)) for u in touched_uris
+    }
+    survivors = (
+        tagged.filter(F.col("_src_file").isin(touched_uris))
+        .join(F.broadcast(key_df), key_cols, "left_anti")
+        .drop("_src_file")
+        .select(*cur.columns)
+    )
+
+    cdc_actions: list[dict] = []
+    if change_data:
+        if pcols:
+            raise DeltaProtocolError(
+                "change_data capture on a hive-partitioned table is not "
+                "supported; delete without capture or departition first"
+            )
+        deleted = (
+            tagged.filter(F.col("_src_file").isin(touched_uris))
+            .join(F.broadcast(key_df), key_cols, "leftsemi")
+            .drop("_src_file")
+            .select(*cur.columns)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_dir = os.path.join("_change_data", f"delete-{uuid.uuid4().hex}")
+        deleted.write.mode("errorifexists").parquet(
+            os.path.join(table, cdc_dir)
+        )
+        for name in sorted(os.listdir(os.path.join(table, cdc_dir))):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(cdc_dir, name)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+
+    adds: list[dict] = []
+    if touched_abs:
+        staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+        writer = survivors.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        adds = _promote_staged(table, staging, version, pcols, True)
+
+    def _pvals(path: str) -> dict[str, str]:
+        rel_dir = os.path.relpath(os.path.dirname(path), table)
+        if rel_dir == ".":
+            return {}
+        return dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        )
+
+    removes = [
+        {
+            "remove": {
+                "path": quote(os.path.relpath(f, table)),
+                "deletionTimestamp": int(time.time() * 1000),
+                "partitionValues": _pvals(f),
+                "dataChange": True,
+            }
+        }
+        for f in snap["files"]
+        if os.path.abspath(f) in touched_abs
+    ]
+    actions = cdc_actions + removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": " AND ".join(
+                        f"target.{k} = source.{k}" for k in key_cols
+                    )
+                },
+            }
+        }
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
 def read_delta_changes(
     spark: SparkSession,
     table: str,
@@ -764,9 +1055,28 @@ def read_delta_changes(
                 "captured change files (merge_delta(change_data=True))"
             )
         elif add_paths:
-            part = spark.read.parquet(
-                *[os.path.join(table, p) for p in add_paths]
-            ).withColumn("_change_type", F.lit("insert"))
+            # Synthesized inserts must carry the FULL log schema. On a
+            # hive-partitioned table the data files hold only the
+            # non-partition columns — reading them bare would silently
+            # drop the partition columns from the change rows, so
+            # recover them via basePath exactly as read_delta does.
+            snap_v = snapshot(table, v)
+            full = T.StructType.fromJson(json.loads(snap_v["schema"]))
+            pcols = snap_v["partition_cols"]
+            files = [os.path.join(table, p) for p in add_paths]
+            if pcols:
+                data_schema = T.StructType(
+                    [f for f in full.fields if f.name not in pcols]
+                )
+                part = (
+                    spark.read.option("basePath", table)
+                    .schema(data_schema)
+                    .parquet(*files)
+                    .select([f.name for f in full.fields])
+                )
+            else:
+                part = spark.read.schema(full).parquet(*files)
+            part = part.withColumn("_change_type", F.lit("insert"))
         else:
             continue  # metadata-only or dataChange:false (OPTIMIZE)
         parts.append(
@@ -795,16 +1105,42 @@ def vacuum_delta(
 
     Returns deleted paths relative to the table root. The log itself is
     never touched (Delta keeps history metadata; only data files age
-    out)."""
+    out). Change-data files follow the same retention as snapshots:
+    ``cdc`` files of commits within the retention window stay readable
+    (``read_delta_changes`` keeps working for retained versions), while
+    change files of vacuumed-away versions age out with their data —
+    Delta's CDF retention contract."""
     latest = snapshot(table)["version"]
     referenced: set[str] = set()
-    for v in range(max(0, latest - keep_versions), latest + 1):
+    retained_from = max(0, latest - keep_versions)
+    for v in range(retained_from, latest + 1):
         try:
             referenced.update(
                 os.path.abspath(f) for f in snapshot(table, v)["files"]
             )
         except DeltaCorruptLogError:
             continue  # pre-checkpoint version no longer reconstructable
+        # cdc change files are never in any snapshot's file list
+        # (dataChange:false, state-invisible) — reference them explicitly
+        # for retained versions or this walk would delete the CDF of
+        # fully-retained merge commits.
+        try:
+            with open(_commit_path(table, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        referenced.add(
+                            os.path.abspath(
+                                os.path.join(
+                                    table, unquote(action["cdc"]["path"])
+                                )
+                            )
+                        )
+        except FileNotFoundError:
+            continue
     now = time.time()
     deleted = []
     for dirpath, dirs, names in os.walk(table):

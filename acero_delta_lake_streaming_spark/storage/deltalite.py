@@ -77,6 +77,11 @@ class Commit:
     #: relative path of this commit's change-data folder (CDF), if the
     #: writer captured row-level changes (upsert with change_data=True)
     cdf_dir: str | None = None
+    #: False for commits that rearrange bytes without changing rows
+    #: (compact/OPTIMIZE) — Delta's ``dataChange:false``. The CDF reader
+    #: skips these instead of raising, so a follower can advance past a
+    #: compaction. Absent in pre-existing logs -> True.
+    data_change: bool = True
 
 
 def _log_path(table: str, version: int) -> str:
@@ -103,6 +108,7 @@ def _read_log(table: str) -> list[Commit]:
                 epoch=d.get("epoch"),
                 stats=d.get("stats"),
                 cdf_dir=d.get("cdf"),
+                data_change=d.get("data_change", True),
             )
         )
     return commits
@@ -123,6 +129,7 @@ def _publish(table: str, commit: Commit) -> None:
             "epoch": commit.epoch,
             "stats": commit.stats,
             "cdf": commit.cdf_dir,
+            "data_change": commit.data_change,
             "committed_at": time.time(),
         }
     )
@@ -220,6 +227,7 @@ def write(
     max_retries: int = 10,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    data_change: bool = True,
 ) -> int | None:
     """Write ``df`` as one atomic commit; returns the committed version,
     or None when the (app_id, epoch) commit already exists (idempotent
@@ -281,6 +289,7 @@ def write(
                     app_id=app_id,
                     epoch=epoch,
                     stats=stats,
+                    data_change=data_change,
                 ),
             )
             return version
@@ -435,6 +444,112 @@ def upsert(
     return version
 
 
+def delete_keys(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    change_data: bool = False,
+) -> int:
+    """Row-level DELETE (``MERGE ... WHEN MATCHED THEN DELETE`` /
+    ``DELETE WHERE key IN (...)``) — the GDPR-erasure primitive a corpus
+    owner asks for first. Copy-on-write at file granularity, the same
+    shape as :func:`upsert`: one metadata scan finds the files that
+    actually CONTAIN a matched key (broadcast semi-join on
+    ``input_file_name``), only those are rewritten minus the matched
+    rows; untouched files carry over by reference, and everything
+    publishes as ONE atomic overwrite commit (serializable-by-abort,
+    like upsert — a concurrent commit fails the claim rather than being
+    clobbered).
+
+    ``change_data=True`` captures the deleted rows as ``delete``-typed
+    preimages in the commit's CDF folder (Delta's change type for
+    erasure), so an incremental consumer can propagate the deletion
+    downstream instead of re-diffing snapshots."""
+    from urllib.parse import unquote, urlparse
+
+    import pyspark.sql.functions as F
+
+    abs_files, schema_json = snapshot_files(table)
+    base_version = latest_version(table)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    keys = keys_df.select(*key_cols).distinct()
+
+    def _norm(uri: str) -> str:
+        parsed = urlparse(uri)
+        return os.path.abspath(unquote(parsed.path) if parsed.scheme else uri)
+
+    affected = {
+        _norm(r.src_file)
+        for r in (
+            spark.read.schema(schema)
+            .parquet(*abs_files)
+            .withColumn("src_file", F.input_file_name())
+            .join(F.broadcast(keys), list(key_cols), "left_semi")
+            .select("src_file")
+            .distinct()
+            .collect()  # driver-side METADATA only: one row per data file
+        )
+    }
+    table_abs = os.path.abspath(table)
+    kept_rel, rewrite_abs = [], []
+    for f in abs_files:
+        if os.path.abspath(f) in affected:
+            rewrite_abs.append(f)
+        else:
+            kept_rel.append(os.path.relpath(os.path.abspath(f), table_abs))
+
+    commit_dir = f"commit-{uuid.uuid4().hex}"
+    new_rel: tuple[str, ...] = ()
+    if rewrite_abs:
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*rewrite_abs)
+            .join(F.broadcast(keys), list(key_cols), "left_anti")
+        )
+        abs_dir = os.path.join(table, _DATA_DIR, commit_dir)
+        survivors.write.mode("errorifexists").parquet(abs_dir)
+        new_rel = tuple(
+            os.path.join(_DATA_DIR, commit_dir, name)
+            for name in sorted(os.listdir(abs_dir))
+            if name.endswith(".parquet")
+        )
+
+    cdf_rel: str | None = None
+    if change_data:
+        deleted = (
+            spark.read.schema(schema)
+            .parquet(*rewrite_abs)
+            .join(F.broadcast(keys), list(key_cols), "left_semi")
+            if rewrite_abs
+            else spark.createDataFrame([], schema)
+        )
+        changes = deleted.withColumn("_change_type", F.lit("delete"))
+        cdf_rel = os.path.join(_CHANGE_DIR, commit_dir)
+        changes.write.mode("errorifexists").parquet(
+            os.path.join(table, cdf_rel)
+        )
+
+    version = base_version + 1
+    try:
+        _publish(
+            table,
+            Commit(
+                version=version,
+                action="overwrite",
+                files=tuple(kept_rel) + new_rel,
+                schema_json=schema_json,
+                cdf_dir=cdf_rel,
+            ),
+        )
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{table} changed since the delete snapshot (version "
+            f"{base_version}); re-run against the new snapshot"
+        ) from None
+    return version
+
+
 def snapshot_files(
     table: str,
     version: int | None = None,
@@ -508,6 +623,11 @@ def read_changes(
                     + [T.StructField("_change_type", T.StringType())]
                 )
             ).parquet(os.path.join(table, c.cdf_dir))
+        elif not c.data_change:
+            # compact/OPTIMIZE: bytes moved, no rows changed — Delta's
+            # CDF skips dataChange:false commits; a follower must be
+            # able to advance past them, not error out.
+            continue
         elif c.action == "append":
             part = (
                 spark.read.schema(
@@ -618,7 +738,11 @@ def compact(
         stats_cols = stats_cols or sort_by
     else:
         snapshot = snapshot.coalesce(target_partitions)
-    version = write(snapshot, table, mode="overwrite", stats_cols=stats_cols)
+    # dataChange:false — same rows, new layout; CDF consumers skip it
+    version = write(
+        snapshot, table, mode="overwrite", stats_cols=stats_cols,
+        data_change=False,
+    )
     assert version is not None
     return version
 

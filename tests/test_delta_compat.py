@@ -762,3 +762,178 @@ def test_merge_delta_cdc_refusals(spark, tmp_path):
             ["id"],
             change_data=True,
         )
+
+
+def test_checkpoint_written_and_seeds_snapshot(spark, tmp_path):
+    """Every _CHECKPOINT_INTERVAL commits the writer publishes a parquet
+    checkpoint + _last_checkpoint; snapshot() then replays checkpoint +
+    JSON tail only (proven by hiding the pre-checkpoint JSON commits),
+    while time travel behind the checkpoint still replays from 0."""
+    table = str(tmp_path / "ckpt_write")
+    for i in range(25):
+        dc.append_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"), table
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 20
+
+    full = {r.id: r.v for r in dc.read_delta(spark, table).collect()}
+    assert full == {i: f"v{i}" for i in range(25)}
+
+    # Hide the pre-checkpoint JSON tail: the snapshot must still resolve
+    # (checkpoint + commits 21..24), which proves O(tail) replay.
+    hidden = []
+    for v in range(20):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.rename(p, p + ".hidden")
+        hidden.append(p)
+    try:
+        assert {
+            r.id for r in dc.read_delta(spark, table).collect()
+        } == set(range(25))
+        assert dc.snapshot(table)["version"] == 24
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+    # time travel BEHIND the checkpoint replays JSON from version 0
+    assert {
+        r.id for r in dc.read_delta(spark, table, version=5).collect()
+    } == set(range(6))
+
+
+def test_checkpoint_preserves_partitioned_and_merge_state(spark, tmp_path):
+    """Checkpoint state is net-of-log: a merge's removes drop out, hive
+    partition columns still recover through basePath when reading a
+    checkpoint-seeded snapshot."""
+    table = str(tmp_path / "ckpt_part")
+    for i in range(11):
+        dc.append_delta(
+            spark.createDataFrame(
+                [(i, "even" if i % 2 == 0 else "odd", float(i))],
+                "id long, par string, x double",
+            ),
+            table,
+            partition_by=["par"],
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    got = {
+        (r.id, r.par, r.x) for r in dc.read_delta(spark, table).collect()
+    }
+    assert got == {
+        (i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(11)
+    }
+
+
+def test_delete_delta_copy_on_write_and_cdf(spark, tmp_path):
+    """Row-level DELETE: only files containing matched keys rewrite,
+    time travel keeps the pre-delete rows, and change_data=True captures
+    delete-typed preimages that read_delta_changes returns."""
+    import json as _json
+
+    table = str(tmp_path / "del")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    dc.append_delta(
+        spark.createDataFrame(
+            [(3, "c"), (4, "d")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    files_before = set(dc.snapshot(table)["files"])
+    v = dc.delete_delta(
+        spark,
+        table,
+        spark.createDataFrame([(2,)], "id long"),
+        ["id"],
+        change_data=True,
+    )
+    assert v == 2
+    now = {r.id: r.v for r in dc.read_delta(spark, table).collect()}
+    assert now == {1: "a", 3: "c", 4: "d"}
+    # the untouched file (ids 3,4) survives by reference
+    files_after = set(dc.snapshot(table)["files"])
+    assert len(files_before & files_after) == 1
+    # time travel: pre-delete snapshot still has id=2
+    old = {r.id for r in dc.read_delta(spark, table, version=1).collect()}
+    assert old == {1, 2, 3, 4}
+    # commit carries DELETE op + cdc actions
+    with open(dc._commit_path(table, 2)) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "DELETE" for a in actions
+    )
+    got = {
+        (r._change_type, r.id, r.v)
+        for r in dc.read_delta_changes(spark, table, 2, 2).collect()
+    }
+    assert got == {("delete", 2, "b")}
+
+
+def test_vacuum_preserves_retained_cdc(spark, tmp_path):
+    """vacuum keeps cdc change files of commits inside the retention
+    window (read_delta_changes still works) and ages out the CDF of
+    vacuumed-away versions — Delta's CDF retention contract."""
+    table = str(tmp_path / "vac_cdc")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    dc.merge_delta(
+        spark,
+        table,
+        spark.createDataFrame([(2, "B2")], "id long, v string"),
+        ["id"],
+        change_data=True,
+    )  # v1
+    dc.merge_delta(
+        spark,
+        table,
+        spark.createDataFrame([(1, "A3")], "id long, v string"),
+        ["id"],
+        change_data=True,
+    )  # v2
+    # full retention: nothing deleted, both change sets readable
+    assert dc.vacuum_delta(table, keep_versions=10) == []
+    assert dc.read_delta_changes(spark, table, 1, 2).count() > 0
+    # keep only the latest snapshot: v1's cdc ages out, v2's survives
+    deleted = dc.vacuum_delta(table, keep_versions=0)
+    assert any(p.startswith("_change_data/merge-") for p in deleted)
+    got = {
+        (r._change_type, r.id, r.v)
+        for r in dc.read_delta_changes(spark, table, 2, 2).collect()
+    }
+    assert got == {
+        ("update_preimage", 1, "a"),
+        ("update_postimage", 1, "A3"),
+    }
+    with pytest.raises(Exception):
+        dc.read_delta_changes(spark, table, 1, 1).collect()
+
+
+def test_partitioned_append_cdf_carries_partition_cols(spark, tmp_path):
+    """Synthesized insert changes on a hive-partitioned table must
+    include the partition columns (recovered via basePath), not silently
+    drop them."""
+    table = str(tmp_path / "cdf_part")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b")], "id long, par string, v string"
+        ),
+        table,
+        partition_by=["par"],
+    )
+    rows = {
+        (r.id, r.par, r.v, r._change_type)
+        for r in dc.read_delta_changes(spark, table, 0, 0).collect()
+    }
+    assert rows == {(1, "x", "a", "insert"), (2, "y", "b", "insert")}

@@ -485,3 +485,56 @@ def test_follow_changes_applies_each_version_once(spark, table):
     assert applied[-1][2] == [(9, "insert")]
     # exactly two applications total — nothing re-applied on the idle cycle
     assert len(applied) == 2
+
+
+def test_cdf_skips_compaction_commits(spark, table):
+    """compact() publishes data_change=False; a CDF read over a range
+    containing the compaction skips it (no rows, no error) and a
+    follower advances past it — Delta's dataChange:false contract."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.write(_df(spark, [(3, "c")]), table)
+    deltalite.compact(spark, table, target_partitions=1)  # v2
+    ch = deltalite.read_changes(spark, table, from_version=0).collect()
+    got = {(r._commit_version, r.id, r._change_type) for r in ch}
+    assert got == {
+        (0, 1, "insert"),
+        (0, 2, "insert"),
+        (1, 3, "insert"),
+    }
+    # follower consumes through the compaction without erroring
+    applied = []
+    cursor = deltalite.follow_changes(
+        spark,
+        table,
+        lambda c, lo, hi: applied.append((lo, hi, c.count())),
+        start_version=2,
+        max_cycles=1,
+        sleep_fn=lambda _s: None,
+    )
+    assert cursor == 3 and applied == [(2, 2, 0)]
+
+
+def test_delete_keys_copy_on_write_and_cdf(spark, table):
+    """Row-level DELETE: matched rows gone in one commit, untouched
+    files carried by reference, time travel intact, and delete-typed
+    preimages captured for the CDF."""
+    deltalite.write(_df(spark, [(1, "a"), (2, "b")]), table)
+    deltalite.write(_df(spark, [(3, "c"), (4, "d")]), table)
+    files_before, _ = deltalite.snapshot_files(table)
+    v = deltalite.delete_keys(
+        spark,
+        spark.createDataFrame([(2,)], "id long"),
+        table,
+        ["id"],
+        change_data=True,
+    )
+    assert v == 2
+    now = {r.id: r.v for r in deltalite.read(spark, table).collect()}
+    assert now == {1: "a", 3: "c", 4: "d"}
+    files_after, _ = deltalite.snapshot_files(table)
+    kept = set(files_before) & set(files_after)
+    assert kept, "the untouched file must carry over by reference"
+    old = {r.id for r in deltalite.read(spark, table, version=1).collect()}
+    assert old == {1, 2, 3, 4}
+    ch = deltalite.read_changes(spark, table, 2, 2).collect()
+    assert {(r._change_type, r.id, r.v) for r in ch} == {("delete", 2, "b")}
