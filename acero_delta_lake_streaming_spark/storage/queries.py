@@ -653,6 +653,150 @@ _S12B_SQL = (
 )
 
 
+def s13_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — row-level DELETE on the REAL Delta format with CDF capture
+    (GDPR erasure, VERDICT r4 item 4): seed even-keyed orders as two
+    append commits (two file groups), ``delete_delta`` every key
+    divisible by 10 with ``change_data=True``, then return BOTH sides
+    of the contract in one result: the post-delete snapshot
+    ('remaining') read through log replay, and the delete-typed CDF
+    preimages ('deleted') read through ``read_delta_changes`` — per
+    (part, status) accounting. Copy-on-write is file-granular (only
+    files containing a matched key rewrite; pinned in
+    tests/test_delta_compat.py) and the CDF read is O(|deleted rows|).
+    Oracle replays the erasure from the fixtures."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s13_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    v = delta_compat.delete_delta(
+        spark, table, doomed, ["o_orderkey"], change_data=True
+    )
+    remaining = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("remaining")
+    )
+    deleted = (
+        delta_compat.read_delta_changes(spark, table, v, v)
+        .filter("_change_type = 'delete'")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("part", F.lit("deleted"))
+    )
+    return (
+        remaining.unionByName(deleted)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S13_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "u AS (SELECT 'deleted' AS part, o_orderkey, o_orderstatus, "
+    "o_totalprice FROM seed WHERE o_orderkey % 10 = 0 "
+    "UNION ALL SELECT 'remaining', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM seed WHERE o_orderkey % 10 <> 0) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
+def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 — the CDC follower driven end to end through the entry
+    surface (VERDICT r4 item 7): a source deltalite table takes three
+    commits (seed append, captured price-bump MERGE, captured row-level
+    DELETE), and ``follow_changes`` feeds each batch to a consumer that
+    maintains a DOWNSTREAM deltalite mart by applying postimages+inserts
+    as upserts and delete preimages as deletes — per version, in commit
+    order, exactly once (the follower loop's pinned contract). The
+    returned aggregate reads the MART, so the hash gate certifies the
+    whole replication chain: capture → feed → apply → downstream state.
+    Each applied batch is O(|changed rows|); the mart never re-scans
+    the source."""
+    src = _scratch(sf_dir, "st10_src")
+    mart = _scratch(sf_dir, "st10_mart")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), src, "append")
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    deltalite.upsert(spark, bump_p, src, ["o_orderkey"], change_data=True)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    deltalite.delete_keys(
+        spark, doomed, src, ["o_orderkey"], change_data=True
+    )
+
+    def apply_batch(changes: DataFrame, from_v: int, to_v: int) -> None:
+        for ver in range(from_v, to_v + 1):
+            batch = changes.filter(F.col("_commit_version") == ver)
+            ups = batch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+            dels = batch.filter(
+                F.col("_change_type") == "delete"
+            ).select("o_orderkey")
+            # isEmpty guards skip no-op commits (a delete-only version
+            # has no upserts and vice versa) — same pattern as
+            # streaming_sink's empty-epoch no-op.
+            if not ups.isEmpty():
+                if not deltalite.table_exists(mart):
+                    deltalite.write(ups, mart, "append")
+                else:
+                    deltalite.upsert(spark, ups, mart, ["o_orderkey"])
+            if deltalite.table_exists(mart) and not dels.isEmpty():
+                deltalite.delete_keys(spark, dels, mart, ["o_orderkey"])
+
+    deltalite.follow_changes(
+        spark,
+        src,
+        apply_batch,
+        start_version=0,
+        max_cycles=1,
+        sleep_fn=lambda _s: None,
+    )
+    return (
+        deltalite.read(spark, mart)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_ST10_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "bumped AS (SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice FROM seed), "
+    "final AS (SELECT * FROM bumped WHERE o_orderkey % 10 <> 0) "
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM final GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -667,6 +811,8 @@ QUERIES = {
     "s11_version_diff": s11_version_diff,
     "s12_change_feed": s12_change_feed,
     "s12b_incremental_consumer": s12b_incremental_consumer,
+    "s13_merge_delete": s13_merge_delete,
+    "st10_cdf_follower": st10_cdf_follower,
 }
 
 ORACLES = {
@@ -683,4 +829,6 @@ ORACLES = {
     "s11_version_diff": _S11_SQL,
     "s12_change_feed": _S12_SQL,
     "s12b_incremental_consumer": _S12B_SQL,
+    "s13_merge_delete": _S13_SQL,
+    "st10_cdf_follower": _ST10_SQL,
 }
