@@ -816,6 +816,212 @@ _X22_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X3e — quantized two-stage ANN (SQ8 candidates, exact float re-rank)
+# --------------------------------------------------------------------------
+
+_SQ8_RERANK = 32  # stage-1 survivors per query handed to the float re-rank
+
+
+def x3e_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard SQ8 two-stage ANN search (VERDICT r4 item 5): x22's
+    int8 quantization feeds x3b's sign-LSH bucket probe for candidate
+    generation, the float vectors are touched only for the final exact
+    re-rank of ≤``_SQ8_RERANK`` survivors per query.
+
+    This realizes the 4×-smaller-shuffle promise x22's docstring makes:
+    after the initial scan the float arrays NEVER cross an exchange —
+    bucket assignment folds the dequantized vectors to scalars before
+    its aggregate, the candidate set is (query_id, vec_id) pairs, the
+    coarse scoring and the float re-rank both stream the corpus through
+    BroadcastHashJoins on the (small by construction) candidate list.
+    Pinned in tests/test_plans.py: no SortMergeJoin/ShuffledHashJoin
+    anywhere in the plan — un-broadcasting any of these joins would
+    shuffle an array payload and fail the guard.
+
+    Hash-exact despite approximation: the int8 codes are deterministic
+    (floor(x·127/ma + 0.5) in IEEE doubles, identical in DuckDB), so
+    the dequantized coarse scores are bit-identical across engines, the
+    stage-1 survivor SET matches exactly, and the exact re-rank is the
+    same sequential-fold cosine as x3/x3b."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # int8 codes (x22's SQ8 convention); the float array is dropped here
+    # and only reappears in the final re-rank
+    deq = scoped_persist(
+        emb.selectExpr(
+            "vec_id",
+            "nullif(array_max(transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma",
+            "embedding",
+        )
+        .filter("ma IS NOT NULL")
+        .selectExpr(
+            "vec_id",
+            "ma",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+            "127.0 / ma + 0.5) AS BIGINT)) AS qv",
+        )
+        .selectExpr(
+            "vec_id",
+            "transform(qv, q -> CAST(q AS DOUBLE) * ma / 127.0) AS demb",
+        )
+        .withColumn("dnrm", F.expr(_norm_spark("demb")))
+    )
+    n_planes = _N_TABLES * _PLANES_PER_TABLE
+    planes = (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "p")
+        .select(
+            "p",
+            F.expr(f"CAST(p DIV {_PLANES_PER_TABLE} AS INT)").alias("tbl"),
+            (F.col("p") % _PLANES_PER_TABLE).cast("int").alias("bit"),
+            F.expr(_W_SPARK).alias("warr"),
+        )
+    )
+    # bucket assignment on the QUANTIZED representation: per-row fold to
+    # a scalar projection, then a (vec_id, tbl) aggregate — the shuffle
+    # payload is three scalars, never an array
+    buckets = (
+        deq.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "tbl",
+            "bit",
+            F.expr(_dot_spark("demb", "warr")).alias("proj"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("proj") > 0, F.expr("shiftleft(1, bit)")
+                ).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    q_buckets = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(q_buckets),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    # coarse scoring on dequantized int8: candidates broadcast, corpus
+    # codes stream through the join — no array shuffle
+    qd = deq.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("demb").alias("q_demb"),
+        F.col("dnrm").alias("q_dnrm"),
+    )
+    ccos = (
+        F.expr(_dot_spark("demb", "q_demb"))
+        / (F.col("dnrm") * F.col("q_dnrm"))
+    ).alias("ccos")
+    coarse = (
+        deq.join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(qd), "query_id")
+        .select("query_id", "vec_id", ccos)
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("vec_id")
+    )
+    survivors = (
+        coarse.withColumn("rk", F.row_number().over(cw))
+        .filter(F.col("rk") <= _SQ8_RERANK)
+        .select("query_id", "vec_id")
+    )
+    # exact float re-rank: the ONLY stage that touches the float arrays,
+    # and they stream (broadcast survivor list), never shuffle
+    scored = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    exact = (
+        scored.join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+_X3E_SQL = (
+    "WITH quant AS (SELECT vec_id, ma, "
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 "
+    "/ ma + 0.5) AS BIGINT)) AS qv FROM ("
+    "SELECT vec_id, embedding, "
+    "nullif(list_max(list_transform(embedding, "
+    "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma "
+    "FROM embeddings) WHERE ma IS NOT NULL), "
+    "deq AS (SELECT vec_id, "
+    "list_transform(qv, q -> CAST(q AS DOUBLE) * ma / 127.0) AS demb "
+    "FROM quant), "
+    "dn AS (SELECT vec_id, demb, "
+    f"{_norm_duck('demb')} AS dnrm FROM deq), "
+    "planes AS (SELECT p, "
+    f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
+    f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p)), "
+    "buckets AS (SELECT d.vec_id, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('d.demb', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM deq d CROSS JOIN planes pl GROUP BY d.vec_id, pl.tbl), "
+    "q_buckets AS (SELECT vec_id AS query_id, tbl AS q_tbl, "
+    f"bucket AS q_bucket FROM buckets WHERE vec_id < {_N_QUERIES}), "
+    "cand_ids AS (SELECT DISTINCT q.query_id, b.vec_id "
+    "FROM buckets b JOIN q_buckets q "
+    "ON b.tbl = q.q_tbl AND b.bucket = q.q_bucket "
+    "AND b.vec_id <> q.query_id), "
+    "qd AS (SELECT vec_id AS query_id, demb AS q_demb, dnrm AS q_dnrm "
+    f"FROM dn WHERE vec_id < {_N_QUERIES}), "
+    "coarse AS (SELECT ci.query_id, ci.vec_id, "
+    f"{_dot_duck('c.demb', 'q.q_demb')} / (c.dnrm * q.q_dnrm) AS ccos "
+    "FROM cand_ids ci "
+    "JOIN dn c ON c.vec_id = ci.vec_id "
+    "JOIN qd q ON q.query_id = ci.query_id), "
+    "survivors AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY ccos DESC, vec_id ASC) AS rk "
+    f"FROM coarse) WHERE rk <= {_SQ8_RERANK}), "
+    "scored AS (SELECT vec_id, embedding, "
+    f"{_norm_duck('embedding')} AS nrm FROM embeddings), "
+    "queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+    f"nrm AS q_nrm FROM scored WHERE vec_id < {_N_QUERIES}), "
+    "exact AS (SELECT s.query_id, s.vec_id, "
+    f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) AS cos "
+    "FROM survivors s "
+    "JOIN scored c ON c.vec_id = s.vec_id "
+    "JOIN queries q ON q.query_id = s.query_id) "
+    "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ("
+    "SELECT query_id, vec_id, cos, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+    "FROM exact) WHERE rk <= 5"
+)
+
+
+# --------------------------------------------------------------------------
 # X24 — random-projection (JL) dimensionality reduction + energy audit
 # --------------------------------------------------------------------------
 
@@ -911,6 +1117,7 @@ QUERIES = {
     "x3b_ann_lsh": x3b_ann_lsh,
     "x3c_cosine_neardup": x3c_cosine_neardup,
     "x3d_ivf_topk": x3d_ivf_topk,
+    "x3e_quantized_ann": x3e_quantized_ann,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
@@ -921,6 +1128,7 @@ ORACLES = {
     "x3b_ann_lsh": _X3B_SQL,
     "x3c_cosine_neardup": _X3C_SQL,
     "x3d_ivf_topk": _ivf_sql(),
+    "x3e_quantized_ann": _X3E_SQL,
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,

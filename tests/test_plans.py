@@ -283,3 +283,24 @@ def test_ivf_seed_selection_distributed(spark, sf_dir):
     # Each windowspecdefinition leads with its partition column.
     for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) in ("vec_id", "query_id"), m.group(0)
+
+
+def test_quantized_ann_no_array_shuffle_joins(spark, sf_dir):
+    """x3e's scale contract: float embeddings only stream, never
+    shuffle. Every join against the corpus (candidate probe, coarse
+    scoring, float re-rank) must be broadcast-on-the-small-side — an
+    un-broadcast would plan SortMergeJoin/ShuffledHashJoin and move an
+    array payload through an exchange."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3e_quantized_ann,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x3e_quantized_ann(spark, sf_dir))
+    finally:
+        release_scoped()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
