@@ -164,6 +164,162 @@ _X21_SQL = (
 
 
 # --------------------------------------------------------------------------
+# x21b — BM25 with the PRODUCTION log idf (tolerance-verified twin)
+# --------------------------------------------------------------------------
+
+# Classic Robertson idf ln(1 + (N - df + 0.5)/(df + 0.5)), computed by
+# a PORTABLE ln: the builtin `ln` is the one primitive whose result is
+# NOT identical across engines (measured here: JVM Math.log and DuckDB's
+# libm disagree by 1 ulp on real df inputs of this very corpus — both
+# only promise ≤1 ulp), so x21b evaluates ln as a fixed sequence of
+# IEEE exact-or-correctly-rounded operations that both engines must
+# round identically:
+#   1. range-reduce x = m · 2^k with INTEGER-EXACT steps: k from the
+#      bit length of floor(x) (x > 1 always here), m = x / 2^k — the
+#      divisor is an exact power of two, so the division is exact;
+#      one conditional halving centers m in [1/√2·√2) ≈ [1, 1.415).
+#   2. ln(m) = 2·atanh(z), z = (m-1)/(m+1), |z| ≤ 0.172, via an
+#      11-term Horner polynomial in z² (truncation < 3e-18, far below
+#      double roundoff).
+#   3. ln(x) = k·ln2 + 2·z·poly with ln2 as a literal.
+# Every +,-,*,/ and comparison is deterministic IEEE double math, the
+# literals parse to identical doubles, so Spark ≡ DuckDB bit-for-bit —
+# by construction, not by libm luck. Accuracy vs math.log is pinned
+# < 1e-13 relative in tests/test_retrieval.py.
+_SQRT2 = "1.4142135623730951"
+_LN2 = "0.6931471805599453"
+_ATANH_POLY = (
+    "(1.0 + ls * (0.3333333333333333 + ls * (0.2 + ls * "
+    "(0.14285714285714285 + ls * (0.1111111111111111 + ls * "
+    "(0.09090909090909091 + ls * (0.07692307692307693 + ls * "
+    "(0.06666666666666667 + ls * (0.058823529411764705 + ls * "
+    "(0.05263157894736842 + ls * 0.047619047619047616))))))))))"
+)
+_LN_SAT = (
+    "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) "
+    "+ 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+)
+
+
+def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21's production twin (VERDICT r4 item 6): the SAME inverted-
+    index probe plan, scored with the real logarithmic Robertson idf
+    instead of x21's harmonic rational. Columns: doc_id, n_terms_hit,
+    score_e9.
+
+    ``ln`` is evaluated by the portable construction above (see
+    ``_ATANH_POLY``) because the builtin differs by 1 ulp between JVM
+    and libm on real inputs — measured, then designed around. The
+    per-(doc, term) contribution quantizes to e9 integers BEFORE the
+    per-doc sum, so the aggregate is order-independent (partial-agg
+    ordering cannot flip a hash — the CLAUDE.md decimal-accumulation
+    rule applied to irrational addends). Production ranking semantics,
+    fully hash-gated — no tolerance needed at the gate; the tolerance
+    check in tests pins the approximation against math.log instead."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
+        .withColumn("dl", F.size("w"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
+    ).withColumn("k", F.lit(1))
+    matched = scoped_persist(
+        docs.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        matched.join(F.broadcast(df_tbl), "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+        .withColumn(
+            "lx",
+            F.expr(
+                "1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) "
+                "/ (CAST(df AS DOUBLE) + 0.5)"
+            ),
+        )
+        .withColumn(
+            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
+        )
+        .withColumn(
+            "m0",
+            F.expr(
+                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "lnk",
+            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
+        )
+        .withColumn(
+            "lm",
+            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
+        )
+        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
+        .withColumn("ls", F.expr("lz * lz"))
+        .withColumn(
+            "idf",
+            F.expr(
+                f"CAST(lnk AS DOUBLE) * {_LN2} "
+                f"+ 2.0 * lz * {_ATANH_POLY}"
+            ),
+        )
+        .withColumn(
+            "contrib_e9",
+            F.expr(
+                f"CAST(floor(idf * {_LN_SAT} * 1000000000.0) AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("contrib_e9").cast("bigint").alias("score_e9"),
+        )
+    )
+    return scored.orderBy(F.desc("score_e9"), F.asc("doc_id")).limit(_TOPK)
+
+
+_X21B_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    f"len({_WORDS_DUCK}) AS dl, {_WORDS_DUCK} AS w FROM documents), "
+    "stats AS (SELECT count(*) AS n_docs, "
+    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
+    "t AS (SELECT doc_id, dl, term, count(*) AS tf FROM ("
+    "SELECT doc_id, dl, unnest(w) AS term FROM d) "
+    f"WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3), "
+    "dfs AS (SELECT term, count(*) AS df FROM t GROUP BY 1), "
+    "c0 AS (SELECT t.doc_id, t.tf, t.dl, s.avgdl, "
+    "1.0 + (CAST(s.n_docs - dfs.df AS DOUBLE) + 0.5) "
+    "/ (CAST(dfs.df AS DOUBLE) + 0.5) AS lx "
+    "FROM t JOIN dfs ON t.term = dfs.term CROSS JOIN stats s), "
+    "c1 AS (SELECT *, "
+    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
+    "c2 AS (SELECT *, "
+    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
+    "c3 AS (SELECT *, "
+    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
+    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
+    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
+    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
+    "c6 AS (SELECT doc_id, tf, dl, avgdl, "
+    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS idf "
+    "FROM c5), "
+    "c AS (SELECT doc_id, CAST(floor("
+    f"idf * {_LN_SAT} * 1000000000.0) AS BIGINT) AS contrib_e9 FROM c6), "
+    "scored AS (SELECT doc_id, "
+    "CAST(count(*) AS BIGINT) AS n_terms_hit, "
+    "CAST(sum(contrib_e9) AS BIGINT) AS score_e9 FROM c GROUP BY 1) "
+    "SELECT doc_id, n_terms_hit, score_e9 FROM scored "
+    f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK}"
+)
+
+
+# --------------------------------------------------------------------------
 # x23 — edit-distance record linkage (distinct-first + blocking)
 # --------------------------------------------------------------------------
 
@@ -224,10 +380,12 @@ _X23_SQL = (
 
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
+    "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
     "x23_fuzzy_linkage": x23_fuzzy_linkage,
 }
 
 ORACLES = {
     "x21_bm25_topk": _X21_SQL,
+    "x21b_bm25_ln_topk": _X21B_SQL,
     "x23_fuzzy_linkage": _X23_SQL,
 }

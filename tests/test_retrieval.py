@@ -227,3 +227,88 @@ def test_linkage_finds_planted_typo_pairs(spark):
     assert got[("red widget", "xyz widget")][0] == 3
     assert ("blue widget", "red widget") not in got  # dist 4 > max
     assert ("red gizmo", "red widget") not in got  # cross-block
+
+
+def test_bm25_portable_ln_accuracy_and_fold(spark, sf_dir):
+    """The documented tolerance check for x21b (the production-ln BM25
+    twin). The builtin ln is NOT cross-engine stable (JVM Math.log and
+    DuckDB libm measurably differ by 1 ulp on this corpus's df inputs),
+    so x21b uses the portable range-reduce + atanh-Horner construction;
+    this test pins (1) that construction against math.log to < 1e-12
+    relative on the actual idf inputs, and (2) the end-to-end e9 scores
+    against an independent Python BM25 fold within the floor-boundary
+    tolerance (each of the <=|terms| per-doc contributions can floor
+    1 off when the true value sits within ~1e-4 of an integer)."""
+    import math
+
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _QUERY_TERMS,
+        x21b_bm25_ln_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text.lower().split()) for r in docs.collect()]
+    n_docs = len(rows)
+    dls = {d: len(w) for d, w in rows}
+    avgdl = sum(dls.values()) / n_docs
+    tf: dict = {}
+    for d, w in rows:
+        for t in w:
+            if t in _QUERY_TERMS:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfs: dict = {}
+    for (_d, t) in tf:
+        dfs[t] = dfs.get(t, 0) + 1
+
+    # (1) portable ln vs math.log on the actual idf inputs
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _ATANH_POLY,
+        _LN2,
+        _SQRT2,
+    )
+
+    for t, df_v in sorted(dfs.items()):
+        x = 1.0 + (float(n_docs - df_v) + 0.5) / (float(df_v) + 0.5)
+        got = spark.sql(
+            f"""SELECT CAST(lnk AS DOUBLE) * {_LN2}
+                       + 2.0 * lz * {_ATANH_POLY} AS v
+                FROM (SELECT *, lz * lz AS ls FROM
+                (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM
+                (SELECT *,
+                   k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk,
+                   CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm
+                 FROM (SELECT *,
+                   lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)
+                     AS m0
+                 FROM (SELECT lx,
+                   length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0
+                 FROM (SELECT CAST({x!r} AS DOUBLE) AS lx))))))"""
+        ).collect()[0][0]
+        assert abs(got - math.log(x)) <= 1e-12 * abs(math.log(x)), (
+            t, x, got, math.log(x),
+        )
+
+    # (2) end-to-end scores vs an independent Python fold
+    py_scores: dict = {}
+    hits: dict = {}
+    for (d, t), tf_v in tf.items():
+        idf = math.log(
+            1.0 + (float(n_docs - dfs[t]) + 0.5) / (float(dfs[t]) + 0.5)
+        )
+        sat = (tf_v * 2.2) / (
+            tf_v + 1.2 * (0.25 + 0.75 * (float(dls[d]) / avgdl))
+        )
+        py_scores[d] = py_scores.get(d, 0) + math.floor(idf * sat * 1e9)
+        hits[d] = hits.get(d, 0) + 1
+    try:
+        got = {
+            r.doc_id: (r.n_terms_hit, r.score_e9)
+            for r in x21b_bm25_ln_topk(spark, sf_dir).collect()
+        }
+    finally:
+        release_scoped()
+    assert got, "top-k must not be empty"
+    n_terms = len(_QUERY_TERMS)
+    for d, (nh, s) in got.items():
+        assert nh == hits[d]
+        assert abs(s - py_scores[d]) <= n_terms, (d, s, py_scores[d])
