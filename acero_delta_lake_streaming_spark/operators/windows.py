@@ -29,6 +29,11 @@ def w1_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Unpartitioned BY DESIGN, and scale-safe: the input is the
+    # post-aggregation DAILY series, so the single window task holds
+    # |calendar days| rows (thousands at any corpus size), never the
+    # corpus. Spark's 'No Partition Defined' warning is expected here
+    # and is not a scale bug.
     w = Window.orderBy("d")
     return daily.select(
         "d",
@@ -58,6 +63,11 @@ def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
+    # Unpartitioned BY DESIGN, and scale-safe: the input is the
+    # post-aggregation DAILY series, so the single window task holds
+    # |calendar days| rows (thousands at any corpus size), never the
+    # corpus. Spark's 'No Partition Defined' warning is expected here
+    # and is not a scale bug.
     w = Window.orderBy("d").rowsBetween(-6, 0)
     return daily.select(
         "d",
@@ -216,6 +226,11 @@ def w6_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day = first_seen.groupBy("day_ms").agg(
         F.count(F.lit(1)).alias("new_users")
     )
+    # Unpartitioned BY DESIGN, and scale-safe: the input is the
+    # post-aggregation DAILY series, so the single window task holds
+    # |calendar days| rows (thousands at any corpus size), never the
+    # corpus. Spark's 'No Partition Defined' warning is expected here
+    # and is not a scale bug.
     w = Window.orderBy("day_ms")
     return per_day.select(
         "day_ms",
@@ -565,6 +580,11 @@ def w11_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # Unpartitioned BY DESIGN, and scale-safe: the input is the
+    # post-aggregation DAILY series, so the single window task holds
+    # |calendar days| rows (thousands at any corpus size), never the
+    # corpus. Spark's 'No Partition Defined' warning is expected here
+    # and is not a scale bug.
     w = Window.orderBy("d").rowsBetween(-_W11_TRAIL, -1)
     scored = (
         daily.withColumn("s1", F.sum("n").over(w).cast("bigint"))

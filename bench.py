@@ -76,6 +76,14 @@ HEADLINE = [
     "s11_version_diff",
     "x24_jl_projection",
     "w11_anomaly_zscore",
+    # round-5 additions: quantized two-stage ANN, production-ln BM25,
+    # distributed-seed IVF (plan fix), real-format DELETE + CDF, CDC
+    # follower to a downstream mart
+    "x3e_quantized_ann",
+    "x21b_bm25_ln_topk",
+    "x3d_ivf_topk",
+    "s13_merge_delete",
+    "st10_cdf_follower",
 ]
 
 
