@@ -409,6 +409,63 @@ def _promote_staged(
     return adds
 
 
+def _write_change_data(
+    table: str, changes: DataFrame, version: int, pcols: list[str]
+) -> list[dict]:
+    """Stage a CDF change set and promote it into ``_change_data/`` in
+    Delta's real layout: hive ``col=value/`` dirs mirroring the table's
+    partitioning directly under ``_change_data/`` (so the change feed
+    partition-prunes exactly like the table), unique
+    ``cdc-<version>-<uuid>`` filenames, one ``cdc`` action per file
+    carrying its ``partitionValues`` — dataChange:false throughout, so
+    log replay ignores the files for table state. A row whose merge
+    moves it across partitions emits its preimage in the old directory
+    and its postimage in the new one, which is exactly what a
+    partition-scoped CDF consumer should see."""
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    writer = changes.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    actions: list[dict] = []
+    for dirpath, _dirs, names in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals = dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in segments)
+        )
+        if set(pvals) != set(pcols):
+            if any(n.endswith(".parquet") for n in names):
+                raise DeltaCorruptLogError(
+                    f"unexpected cdc staging layout at {rel_dir!r}"
+                )
+            continue
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fname = f"cdc-{version:05d}-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join("_change_data", *segments, fname)
+            os.makedirs(
+                os.path.dirname(os.path.join(table, rel)), exist_ok=True
+            )
+            os.rename(os.path.join(dirpath, name), os.path.join(table, rel))
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "dataChange": False,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging)
+    return actions
+
+
 def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
     """Atomic claim of the version slot: os.link fails iff the commit
     file already exists (rename would silently overwrite a concurrent
@@ -776,14 +833,10 @@ def merge_delta(
     if change_data:
         # Protocol-shaped CDC capture (`cdc` actions + `_change_data/`
         # files, dataChange:false so log replay ignores them for table
-        # state — exactly how delta-spark publishes CDF). Unpartitioned
-        # tables only for now; refuse loudly rather than write change
-        # files a partition-pruning CDF reader would mis-scope.
-        if pcols:
-            raise DeltaProtocolError(
-                "change_data capture on a hive-partitioned table is not "
-                "supported; merge without capture or departition first"
-            )
+        # state — exactly how delta-spark publishes CDF). Partitioned
+        # tables write the change files into hive dirs mirroring the
+        # table layout (_write_change_data), partition-key moves emit
+        # preimage and postimage in their respective directories.
         preimage = (
             tagged.filter(F.col("_src_file").isin(touched_uris))
             .join(F.broadcast(keys), key_cols, "leftsemi")
@@ -803,24 +856,7 @@ def merge_delta(
                 .withColumn("_change_type", F.lit("insert"))
             )
         )
-        cdc_dir = os.path.join("_change_data", f"merge-{uuid.uuid4().hex}")
-        changes.write.mode("errorifexists").parquet(
-            os.path.join(table, cdc_dir)
-        )
-        for name in sorted(os.listdir(os.path.join(table, cdc_dir))):
-            if not name.endswith(".parquet"):
-                continue
-            rel = os.path.join(cdc_dir, name)
-            cdc_actions.append(
-                {
-                    "cdc": {
-                        "path": quote(rel),
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(table, rel)),
-                        "dataChange": False,
-                    }
-                }
-            )
+        cdc_actions = _write_change_data(table, changes, version, pcols)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = new_data.write.mode("overwrite")
@@ -917,11 +953,6 @@ def delete_delta(
 
     cdc_actions: list[dict] = []
     if change_data:
-        if pcols:
-            raise DeltaProtocolError(
-                "change_data capture on a hive-partitioned table is not "
-                "supported; delete without capture or departition first"
-            )
         deleted = (
             tagged.filter(F.col("_src_file").isin(touched_uris))
             .join(F.broadcast(key_df), key_cols, "leftsemi")
@@ -929,24 +960,7 @@ def delete_delta(
             .select(*cur.columns)
             .withColumn("_change_type", F.lit("delete"))
         )
-        cdc_dir = os.path.join("_change_data", f"delete-{uuid.uuid4().hex}")
-        deleted.write.mode("errorifexists").parquet(
-            os.path.join(table, cdc_dir)
-        )
-        for name in sorted(os.listdir(os.path.join(table, cdc_dir))):
-            if not name.endswith(".parquet"):
-                continue
-            rel = os.path.join(cdc_dir, name)
-            cdc_actions.append(
-                {
-                    "cdc": {
-                        "path": quote(rel),
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(table, rel)),
-                        "dataChange": False,
-                    }
-                }
-            )
+        cdc_actions = _write_change_data(table, deleted, version, pcols)
 
     adds: list[dict] = []
     if touched_abs:
@@ -1046,9 +1060,34 @@ def read_delta_changes(
                 ):
                     data_removes = True
         if cdc_paths:
-            part = spark.read.parquet(
-                *[os.path.join(table, p) for p in cdc_paths]
-            )
+            # Change files of a partitioned table live in hive dirs
+            # under _change_data/ and carry only the non-partition
+            # columns; recover partition columns via basePath exactly
+            # like the table read does.
+            snap_v = snapshot(table, v)
+            full = T.StructType.fromJson(json.loads(snap_v["schema"]))
+            pcols = snap_v["partition_cols"]
+            files = [os.path.join(table, p) for p in cdc_paths]
+            ct_field = T.StructField("_change_type", T.StringType())
+            if pcols:
+                cdc_schema = T.StructType(
+                    [f for f in full.fields if f.name not in pcols]
+                    + [ct_field]
+                )
+                part = (
+                    spark.read.option(
+                        "basePath", os.path.join(table, "_change_data")
+                    )
+                    .schema(cdc_schema)
+                    .parquet(*files)
+                    .select(
+                        [f.name for f in full.fields] + ["_change_type"]
+                    )
+                )
+            else:
+                part = spark.read.schema(
+                    T.StructType(list(full.fields) + [ct_field])
+                ).parquet(*files)
         elif data_removes:
             raise ChangeDataUnavailableError(
                 f"{table} version {v}: data-changing commit without "

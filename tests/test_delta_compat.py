@@ -722,8 +722,7 @@ def test_merge_delta_cdc_capture_and_read(spark, tmp_path):
 
 
 def test_merge_delta_cdc_refusals(spark, tmp_path):
-    """Uncaptured data-changing merges refuse CDF reads; partitioned
-    capture refuses at write time."""
+    """Uncaptured data-changing merges refuse CDF reads loudly."""
     import pytest
 
     from acero_delta_lake_streaming_spark.storage.deltalite import (
@@ -744,24 +743,87 @@ def test_merge_delta_cdc_refusals(spark, tmp_path):
     with pytest.raises(ChangeDataUnavailableError):
         dc.read_delta_changes(spark, table, 1, 1).collect()
 
-    ptable = str(tmp_path / "cdc_part")
+
+def test_partitioned_cdc_capture_and_partition_move(spark, tmp_path):
+    """Partitioned CDF capture in Delta's real layout: change files in
+    hive dirs directly under _change_data/ with partitionValues in the
+    cdc actions; the read recovers partition columns via basePath; a
+    merge that MOVES a row across partitions emits its preimage in the
+    old directory and postimage in the new one."""
+    import json as _json
+
+    table = str(tmp_path / "cdc_part_cap")
     dc.append_delta(
         spark.createDataFrame(
-            [(1, "x", "a"), (2, "y", "b")], "id long, part string, v string"
+            [(1, "x", "a"), (2, "y", "b")], "id long, par string, v string"
         ),
-        ptable,
-        partition_by=["part"],
+        table,
+        partition_by=["par"],
     )
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.merge_delta(
-            spark,
-            ptable,
-            spark.createDataFrame(
-                [(1, "x", "A2")], "id long, part string, v string"
-            ),
-            ["id"],
-            change_data=True,
-        )
+    # id=1 updates in place (par stays x); id=2 MOVES partition y -> z;
+    # id=9 inserts into partition x
+    source = spark.createDataFrame(
+        [(1, "x", "A2"), (2, "z", "B2"), (9, "x", "new")],
+        "id long, par string, v string",
+    )
+    v = dc.merge_delta(spark, table, source, ["id"], change_data=True)
+
+    with open(dc._commit_path(table, v)) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc and all(not c["dataChange"] for c in cdc)
+    # hive layout directly under _change_data/ (paths URL-quoted like
+    # add paths), partitionValues recorded
+    from urllib.parse import unquote
+
+    assert all(
+        unquote(c["path"]).startswith("_change_data/par=") for c in cdc
+    )
+    assert {c["partitionValues"]["par"] for c in cdc} >= {"x", "y", "z"}
+
+    got = {
+        (r._change_type, r.id, r.par, r.v)
+        for r in dc.read_delta_changes(spark, table, v, v).collect()
+    }
+    assert got == {
+        ("update_preimage", 1, "x", "a"),
+        ("update_postimage", 1, "x", "A2"),
+        ("update_preimage", 2, "y", "b"),
+        ("update_postimage", 2, "z", "B2"),
+        ("insert", 9, "x", "new"),
+    }
+    # table state agrees with the postimages
+    now = {(r.id, r.par, r.v) for r in dc.read_delta(spark, table).collect()}
+    assert now == {(1, "x", "A2"), (2, "z", "B2"), (9, "x", "new")}
+
+
+def test_partitioned_delete_cdf(spark, tmp_path):
+    """Partitioned row-level DELETE with capture: delete preimages land
+    in their partition's _change_data dir and read back with partition
+    columns intact."""
+    table = str(tmp_path / "del_part")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b"), (3, "y", "c")],
+            "id long, par string, v string",
+        ),
+        table,
+        partition_by=["par"],
+    )
+    v = dc.delete_delta(
+        spark,
+        table,
+        spark.createDataFrame([(2,)], "id long"),
+        ["id"],
+        change_data=True,
+    )
+    got = {
+        (r._change_type, r.id, r.par, r.v)
+        for r in dc.read_delta_changes(spark, table, v, v).collect()
+    }
+    assert got == {("delete", 2, "y", "b")}
+    now = {(r.id, r.par) for r in dc.read_delta(spark, table).collect()}
+    assert now == {(1, "x"), (3, "y")}
 
 
 def test_checkpoint_written_and_seeds_snapshot(spark, tmp_path):
@@ -907,7 +969,7 @@ def test_vacuum_preserves_retained_cdc(spark, tmp_path):
     assert dc.read_delta_changes(spark, table, 1, 2).count() > 0
     # keep only the latest snapshot: v1's cdc ages out, v2's survives
     deleted = dc.vacuum_delta(table, keep_versions=0)
-    assert any(p.startswith("_change_data/merge-") for p in deleted)
+    assert any(p.startswith("_change_data/cdc-") for p in deleted)
     got = {
         (r._change_type, r.id, r.v)
         for r in dc.read_delta_changes(spark, table, 2, 2).collect()
