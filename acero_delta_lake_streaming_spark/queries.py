@@ -74,18 +74,18 @@ _PRIORITY = [
     # query's driver proof decays — no query's newest driver-green row
     # should be older than two rounds. Slots 1-5: queries new or changed
     # this round (x3d seed-selection rewrite; x3e/x21b/s13/st10 new).
-    # Slots 6-50: 45 of the 49 queries whose newest driver row is
+    # Slots 7-50: 44 of the 49 queries whose newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 4 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9 — each shadowed by an in-window near-twin) lead the
-    # past-window tail for round 6, followed by r3-proven then r4-proven
-    # families (newest proof last). Everything past the window stays
-    # verified by the local tri-scale gate
+    # fixture regenerations). The 5 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/ud2_explode_tokens — each shadowed by an in-window
+    # near-twin) lead the past-window tail for round 6, followed by
+    # r3-proven then r4-proven families (newest proof last). Everything
+    # past the window stays verified by the local tri-scale gate
     # (tests/test_oracle_parity.py, sf0.001/0.01/0.1).
-    # -- new or changed this round (1-5) --
+    # -- new or changed this round (1-6) --
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
-    "s13_merge_delete", "st10_cdf_follower",
-    # -- r2-vintage re-proof under round-5 fixtures (6-50) --
+    "s13_merge_delete", "s14_restore", "st10_cdf_follower",
+    # -- r2-vintage re-proof under round-5 fixtures (7-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
@@ -104,11 +104,10 @@ _PRIORITY = [
     "f8_array_suite",
     "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
     "w4_sliding_windows",
-    "ud2_explode_tokens",
     # -- past the ~50 window --
     # r2-vintage deferred to the round-6 window:
     "t3_sort_display", "u4_except_all", "a5_value_counts",
-    "p9_boolean_filter",
+    "p9_boolean_filter", "ud2_explode_tokens",
     # r3-proven:
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",

@@ -1009,6 +1009,129 @@ def delete_delta(
     return version
 
 
+def restore_delta(
+    spark: SparkSession,
+    table: str,
+    to_version: int,
+    change_data: bool = False,
+) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` on a real-format Delta
+    table: publish ONE commit whose net effect makes the latest
+    snapshot's file set equal ``to_version``'s — ``add`` actions for
+    files live then but not now, ``remove`` actions for files live now
+    but not then. Pure metadata: no data file is read or written (the
+    restored files are the originals still on disk), which is why Delta
+    RESTORE is O(|file-set diff|) regardless of table size. History is
+    preserved — RESTORE is a new commit on top, never a log rewind, so
+    time travel to the pre-restore state keeps working (the reference's
+    delta-rs tables get this contract from the same protocol,
+    collector.py:219-226 via ``deltalake~=0.13``).
+
+    Restored files that were VACUUMed away in the meantime cannot come
+    back; that is detected up front and refused loudly
+    (``DeltaProtocolError``), matching delta-spark's
+    ``missing files`` RESTORE error rather than publishing a commit
+    that can never be scanned.
+
+    ``change_data=True`` additionally captures the restore's CDF at
+    Delta's file granularity: rows of re-added files as ``insert``
+    change rows and rows of dropped files as ``delete`` preimages
+    (delta-spark computes RESTORE CDF from exactly this file diff).
+    O(|changed files|), not O(table).
+    """
+    cur = snapshot(table)
+    target = snapshot(table, to_version)
+    if target["schema"] != cur["schema"]:
+        raise DeltaProtocolError(
+            "RESTORE across a schema change is not supported: version "
+            f"{to_version} schema differs from latest"
+        )
+    version = cur["version"] + 1
+    cur_rel = {os.path.relpath(f, table) for f in cur["files"]}
+    target_rel = {os.path.relpath(f, table) for f in target["files"]}
+    to_add = sorted(target_rel - cur_rel)
+    to_remove = sorted(cur_rel - target_rel)
+    missing = [p for p in to_add if not os.path.exists(os.path.join(table, p))]
+    if missing:
+        raise DeltaProtocolError(
+            f"RESTORE to version {to_version} needs {len(missing)} data "
+            f"file(s) already removed by VACUUM (e.g. {missing[0]!r}); "
+            "the snapshot is unrecoverable"
+        )
+
+    def _pvals(rel: str) -> dict[str, str]:
+        rel_dir = os.path.dirname(rel)
+        if not rel_dir:
+            return {}
+        return dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        )
+
+    cdc_actions: list[dict] = []
+    if change_data and (to_add or to_remove):
+        pcols = cur["partition_cols"]
+        if pcols:
+            raise DeltaProtocolError(
+                "change-data capture on partitioned tables is not "
+                "supported (same restriction as merge_delta)"
+            )
+        full = T.StructType.fromJson(json.loads(cur["schema"]))
+        import pyspark.sql.functions as F
+
+        frames = []
+        if to_add:
+            frames.append(
+                spark.read.schema(full)
+                .parquet(*[os.path.join(table, p) for p in to_add])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if to_remove:
+            frames.append(
+                spark.read.schema(full)
+                .parquet(*[os.path.join(table, p) for p in to_remove])
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        changes = frames[0]
+        for fr in frames[1:]:
+            changes = changes.unionByName(fr)
+        cdc_actions = _write_change_data(table, changes, version, pcols)
+
+    now_ms = int(time.time() * 1000)
+    actions = cdc_actions + [
+        {
+            "add": {
+                "path": quote(p),
+                "partitionValues": _pvals(p),
+                "size": os.path.getsize(os.path.join(table, p)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in to_add
+    ] + [
+        {
+            "remove": {
+                "path": quote(p),
+                "deletionTimestamp": now_ms,
+                "partitionValues": _pvals(p),
+                "dataChange": True,
+            }
+        }
+        for p in to_remove
+    ] + [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": to_version},
+            }
+        }
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
 def read_delta_changes(
     spark: SparkSession,
     table: str,

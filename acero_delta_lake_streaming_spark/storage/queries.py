@@ -714,6 +714,71 @@ _S13_SQL = (
 )
 
 
+def s14_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — ``RESTORE TABLE ... TO VERSION AS OF`` on the REAL Delta
+    format (the undo for S13's erasure, completing the storage verb set:
+    append / merge / delete / optimize / vacuum / restore). Seed two
+    append commits of even-keyed orders, DELETE every key divisible by
+    10 (v2), then ``restore_delta`` back to version 1 (v3) — a pure
+    metadata commit re-adding the v2-removed files and dropping v2's
+    rewrites. The result certifies all three timelines at once from the
+    SAME log: 'final' (latest = restored state, the deleted rows are
+    back), 'pre_restore' (time travel to v2 still shows the erasure —
+    RESTORE never rewinds history), and 'v1' (time travel behind the
+    restore). Per (part, status) accounting; the oracle replays the
+    timelines from the fixtures. O(|file-set diff|) restore — no data
+    file read or written."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s14_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    pre_v = delta_compat.delete_delta(spark, table, doomed, ["o_orderkey"])
+    delta_compat.restore_delta(spark, table, to_version=1)
+    final = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("final")
+    )
+    pre = delta_compat.read_delta(spark, table, version=pre_v).withColumn(
+        "part", F.lit("pre_restore")
+    )
+    v1 = delta_compat.read_delta(spark, table, version=1).withColumn(
+        "part", F.lit("v1")
+    )
+    return (
+        final.unionByName(pre)
+        .unionByName(v1)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S14_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "u AS (SELECT 'final' AS part, o_orderkey, o_orderstatus, "
+    "o_totalprice FROM seed "
+    "UNION ALL SELECT 'pre_restore', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM seed WHERE o_orderkey % 10 <> 0 "
+    "UNION ALL SELECT 'v1', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM seed) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10 — the CDC follower driven end to end through the entry
     surface (VERDICT r4 item 7): a source deltalite table takes three
@@ -812,6 +877,7 @@ QUERIES = {
     "s12_change_feed": s12_change_feed,
     "s12b_incremental_consumer": s12b_incremental_consumer,
     "s13_merge_delete": s13_merge_delete,
+    "s14_restore": s14_restore,
     "st10_cdf_follower": st10_cdf_follower,
 }
 
@@ -830,5 +896,6 @@ ORACLES = {
     "s12_change_feed": _S12_SQL,
     "s12b_incremental_consumer": _S12B_SQL,
     "s13_merge_delete": _S13_SQL,
+    "s14_restore": _S14_SQL,
     "st10_cdf_follower": _ST10_SQL,
 }

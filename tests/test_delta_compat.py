@@ -999,3 +999,106 @@ def test_partitioned_append_cdf_carries_partition_cols(spark, tmp_path):
         for r in dc.read_delta_changes(spark, table, 0, 0).collect()
     }
     assert rows == {(1, "x", "a", "insert"), (2, "y", "b", "insert")}
+
+
+def _seed_then_delete(spark, table):
+    """Two single-file appends then a row-level DELETE of id=2: the
+    canonical restore fixture (v0 append, v1 append, v2 delete)."""
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    dc.append_delta(
+        spark.createDataFrame(
+            [(3, "c"), (4, "d")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    return dc.delete_delta(
+        spark, table, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+
+
+def _data_files(table):
+    out = set()
+    for dirpath, dirs, names in os.walk(table):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != "_delta_log"
+            and d != "_change_data"
+            and not d.startswith("_staging_")
+        ]
+        out |= {
+            os.path.join(dirpath, n)
+            for n in names
+            if n.endswith(".parquet")
+        }
+    return out
+
+
+def test_restore_delta_is_metadata_only_and_keeps_history(spark, tmp_path):
+    """RESTORE re-points the snapshot at an old file set without reading
+    or writing any data file, and history is append-only: time travel to
+    the pre-restore (deleted) state still works afterwards."""
+    table = str(tmp_path / "restore")
+    pre_v = _seed_then_delete(spark, table)  # v2: id=2 erased
+    files_on_disk = _data_files(table)
+    v1_files = set(dc.snapshot(table, 1)["files"])
+    v = dc.restore_delta(spark, table, to_version=1)
+    assert v == pre_v + 1
+    # metadata-only: not one data file appeared on disk
+    assert _data_files(table) == files_on_disk
+    # latest snapshot's file set IS v1's
+    assert set(dc.snapshot(table)["files"]) == v1_files
+    now = {r.id: r.v for r in dc.read_delta(spark, table).collect()}
+    assert now == {1: "a", 2: "b", 3: "c", 4: "d"}
+    # the erasure timeline is still reachable (no log rewind)
+    mid = {r.id for r in dc.read_delta(spark, table, version=pre_v).collect()}
+    assert mid == {1, 3, 4}
+    with open(dc._commit_path(table, v)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "RESTORE"
+        for a in actions
+    )
+    # uncaptured restore is a data-changing commit without change files
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    with pytest.raises(ChangeDataUnavailableError):
+        dc.read_delta_changes(spark, table, v, v)
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """Files the restore target needs that VACUUM already deleted make
+    the snapshot unrecoverable — refused loudly, no commit published."""
+    table = str(tmp_path / "restore_vac")
+    pre_v = _seed_then_delete(spark, table)
+    deleted = dc.vacuum_delta(table, keep_versions=0)
+    assert deleted  # v1's rewritten-away file is gone
+    with pytest.raises(dc.DeltaProtocolError, match="VACUUM"):
+        dc.restore_delta(spark, table, to_version=1)
+    assert dc.snapshot(table)["version"] == pre_v  # nothing published
+
+
+def test_restore_cdf_is_file_granular(spark, tmp_path):
+    """change_data=True captures Delta's RESTORE CDF shape: rows of
+    re-added files as inserts, rows of dropped rewrites as delete
+    preimages (file-diff granularity, O(|changed files|))."""
+    table = str(tmp_path / "restore_cdf")
+    _seed_then_delete(spark, table)
+    v = dc.restore_delta(spark, table, to_version=1, change_data=True)
+    got = {
+        (r._change_type, r.id, r.v)
+        for r in dc.read_delta_changes(spark, table, v, v).collect()
+    }
+    # file1 (ids 1,2) comes back whole; its id=1 survivor rewrite drops
+    assert got == {
+        ("insert", 1, "a"),
+        ("insert", 2, "b"),
+        ("delete", 1, "a"),
+    }
