@@ -121,7 +121,7 @@ def _apply_action(state: dict, action: dict) -> None:
         add = action["add"]
         if add.get("deletionVector"):
             raise DeltaProtocolError("deletion vectors are not supported")
-        state["files"][unquote(add["path"])] = True
+        state["files"][unquote(add["path"])] = add.get("stats")
     elif "remove" in action:
         state["files"].pop(unquote(action["remove"]["path"]), None)
     # txn / commitInfo / cdc / domainMetadata actions carry no scan state
@@ -150,7 +150,7 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
         if add and add.get("path"):
             if add.get("deletionVector"):
                 raise DeltaProtocolError("deletion vectors are not supported")
-            state["files"][unquote(add["path"])] = True
+            state["files"][unquote(add["path"])] = add.get("stats")
 
 
 def snapshot(table: str, version: int | None = None) -> dict:
@@ -195,19 +195,48 @@ def snapshot(table: str, version: int | None = None) -> dict:
         "schema": state["schema"],
         "partition_cols": state["partition_cols"],
         "version": resolved,
+        # per-file data-skipping stats (raw protocol JSON string or None)
+        "file_stats": {
+            os.path.join(table, p): s for p, s in state["files"].items()
+        },
     }
 
 
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip: tuple | None = None,
 ) -> DataFrame:
     """Lazy DataFrame over a real Delta table at ``version`` (latest if
     None). Partitioned tables must use the hive directory layout
     delta-spark/delta-rs write by default (``col=value/`` path
     segments); Spark then recovers partition columns via ``basePath``.
     Delta's schemaString IS Spark's StructType JSON — the log schema is
-    authoritative, not footer inference."""
+    authoritative, not footer inference.
+
+    ``skip=(col, lo, hi)`` applies Delta data skipping from the log's
+    per-add ``stats``: files whose recorded [min, max] for ``col``
+    cannot intersect [lo, hi] are dropped from the scan's file list
+    BEFORE Spark opens a single footer — the metadata-layer prune that
+    makes a point/range read on a 100 TB table touch only the files
+    that can match. Files without stats for the column are
+    conservatively kept, so skipping is always a pure optimization; the
+    caller still applies the row-level filter."""
     snap = snapshot(table, version)
+    if skip is not None and snap["files"]:
+        col, lo, hi = skip
+        kept = []
+        for f in snap["files"]:
+            raw = snap["file_stats"].get(f)
+            rng = None
+            if raw:
+                st = json.loads(raw)
+                if col in st.get("minValues", {}):
+                    rng = (st["minValues"][col], st["maxValues"][col])
+            if rng is None or not (hi < rng[0] or lo > rng[1]):
+                kept.append(f)
+        snap = dict(snap, files=kept)
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     if not snap["files"]:
         return spark.createDataFrame([], full)
@@ -358,6 +387,70 @@ def append_delta(
     return version
 
 
+def _file_stats(path: str) -> str | None:
+    """Delta data-skipping ``stats`` for one data file, computed from the
+    parquet FOOTER only (no row data touched): ``numRecords`` plus
+    per-column ``minValues``/``maxValues``/``nullCount`` for primitive
+    top-level columns, serialized as the protocol's JSON string on the
+    ``add`` action (delta-spark/delta-rs shape — the reference's tables
+    carry the same field via ``deltalake~=0.13``). Columns whose footer
+    stats are absent in any row group are omitted, and a skipping read
+    conservatively keeps files that lack stats for its column — stats
+    are an optimization of the scan, never a semantic filter."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    if meta.num_row_groups == 0:
+        return json.dumps(
+            {
+                "numRecords": 0,
+                "minValues": {},
+                "maxValues": {},
+                "nullCount": {},
+            }
+        )
+    rg0 = meta.row_group(0)
+    for i in range(meta.num_columns):
+        pth = rg0.column(i).path_in_schema
+        if "." in pth:  # nested leaf — out of top-level stats scope
+            continue
+        name = pth
+        lo_list, hi_list, nc = [], [], 0
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                lo_list, hi_list = [], []
+                break
+            lo_list.append(st.min)
+            hi_list.append(st.max)
+            nc += st.null_count or 0
+        if not lo_list:
+            continue
+        lo, hi = min(lo_list), max(hi_list)
+        if isinstance(lo, bytes):
+            lo = lo.decode("utf-8", "replace")
+            hi = hi.decode("utf-8", "replace")
+        if not isinstance(lo, (str, int, float, bool)):
+            lo, hi = str(lo), str(hi)  # dates/decimals: ISO/decimal text
+        mins[name] = lo
+        maxs[name] = hi
+        nulls[name] = nc
+    return json.dumps(
+        {
+            "numRecords": meta.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def _promote_staged(
     table: str,
     staging: str,
@@ -366,8 +459,9 @@ def _promote_staged(
     data_change: bool,
 ) -> list[dict]:
     """Move a staged (possibly hive-partitioned) parquet write into the
-    table root and return its ``add`` actions. Hive dir segments under
-    staging carry the partition values; the staging dir is removed."""
+    table root and return its ``add`` actions (each carrying footer
+    ``stats`` for data skipping). Hive dir segments under staging carry
+    the partition values; the staging dir is removed."""
     adds = []
     for dirpath, _dirs, names in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(dirpath, staging)
@@ -392,17 +486,17 @@ def _promote_staged(
                 exist_ok=True,
             )
             os.rename(os.path.join(dirpath, name), os.path.join(table, rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel),
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(os.path.join(table, rel)),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": data_change,
-                    }
-                }
-            )
+            add = {
+                "path": quote(rel),
+                "partitionValues": pvals,
+                "size": os.path.getsize(os.path.join(table, rel)),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": data_change,
+            }
+            stats = _file_stats(os.path.join(table, rel))
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     import shutil
 
     shutil.rmtree(staging)
@@ -567,6 +661,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -624,6 +719,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                     "size": add.get("size"),
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,  # checkpoint rows are state, not news
+                    "stats": add.get("stats"),
                 }
             }
         )

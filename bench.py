@@ -84,6 +84,8 @@ HEADLINE = [
     "x3d_ivf_topk",
     "s13_merge_delete",
     "st10_cdf_follower",
+    "s14_restore",
+    "s15_stats_skipping",
 ]
 
 

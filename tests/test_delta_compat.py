@@ -1102,3 +1102,107 @@ def test_restore_cdf_is_file_granular(spark, tmp_path):
         ("insert", 2, "b"),
         ("delete", 1, "a"),
     }
+
+
+def test_add_actions_carry_stats_and_skip_prunes_scan(spark, tmp_path):
+    """Every promoted add carries footer stats; read_delta(skip=...)
+    prunes non-intersecting files from the scan's file list (checked via
+    inputFiles, i.e. BEFORE Spark opens footers), and the skipped read
+    plus row filter returns exactly the filtered rows."""
+    table = str(tmp_path / "skip")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(i, "lo") for i in range(1, 101)], "id long, tag string"
+        ).coalesce(1),
+        table,
+    )
+    dc.append_delta(
+        spark.createDataFrame(
+            [(i, "hi") for i in range(1001, 1101)], "id long, tag string"
+        ).coalesce(1),
+        table,
+    )
+    with open(dc._commit_path(table, 0)) as f:
+        adds = [
+            json.loads(line)["add"]
+            for line in f
+            if line.strip() and "add" in json.loads(line)
+        ]
+    st = json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 100
+    assert st["minValues"]["id"] == 1 and st["maxValues"]["id"] == 100
+    assert st["minValues"]["tag"] == "lo"
+    assert st["nullCount"]["id"] == 0
+    full = dc.read_delta(spark, table)
+    pruned = dc.read_delta(spark, table, skip=("id", 1050, 1060))
+    assert len(full.inputFiles()) == 2
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(
+        r.id for r in pruned.filter("id BETWEEN 1050 AND 1060").collect()
+    )
+    assert got == list(range(1050, 1061))
+    # string-column skip prunes the same way
+    assert len(
+        dc.read_delta(spark, table, skip=("tag", "hi", "hi")).inputFiles()
+    ) == 1
+
+
+def test_skip_keeps_files_without_stats(spark, tmp_path):
+    """A hand-authored add action with no stats field (foreign writers
+    may omit it) is conservatively kept by a skipping read — skipping
+    never changes semantics, only cost."""
+    table = str(tmp_path / "skip_nostats")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    # strip the stats field from the published add, as a minimal
+    # delta-rs writer would
+    path0 = dc._commit_path(table, 0)
+    with open(path0) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    for a in actions:
+        a.get("add", {}).pop("stats", None)
+    with open(path0, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    pruned = dc.read_delta(spark, table, skip=("id", 500, 600))
+    assert len(pruned.inputFiles()) == 1  # kept despite no overlap proof
+    assert pruned.filter("id BETWEEN 500 AND 600").count() == 0
+
+
+def test_checkpoint_carries_stats_through(spark, tmp_path):
+    """Stats survive the checkpoint round trip: after enough commits
+    that snapshot() replays from the parquet checkpoint (JSON tail
+    hidden), a skipping read still prunes."""
+    table = str(tmp_path / "skip_ckpt")
+    for i in range(11):  # versions 0..10 — checkpoint lands at 10
+        dc.append_delta(
+            spark.createDataFrame(
+                [(i * 100 + j, f"b{i}") for j in range(5)],
+                "id long, v string",
+            ).coalesce(1),
+            table,
+        )
+    assert os.path.exists(
+        os.path.join(table, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    )
+    # hide the pre-checkpoint JSON commits: replay MUST come from the
+    # checkpoint (including its stats column)
+    for v in range(10):
+        os.rename(
+            dc._commit_path(table, v), dc._commit_path(table, v) + ".hidden"
+        )
+    try:
+        pruned = dc.read_delta(spark, table, skip=("id", 300, 303))
+        assert len(pruned.inputFiles()) == 1
+        assert {
+            r.id for r in pruned.filter("id BETWEEN 300 AND 303").collect()
+        } == {300, 301, 302, 303}
+    finally:
+        for v in range(10):
+            os.rename(
+                dc._commit_path(table, v) + ".hidden",
+                dc._commit_path(table, v),
+            )
