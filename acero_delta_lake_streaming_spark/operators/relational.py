@@ -350,6 +350,35 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a14_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10's scale twin (the dq1→dq1b pattern): exact percentiles over a
+    DETERMINISTIC 1/8 hash sample instead of the full table. The sample
+    predicate is the first hex digit of md5(orderkey-linenumber) ∈
+    {0,1} — a map-side filter both engines evaluate identically, so the
+    'sample' is a pure function of the data, reproducible across runs,
+    engines, and partitionings (what rand()-sampling can never give a
+    hash gate). Per-group sort cost drops 8×; at 100 TB you tune the
+    digit set (1/16 … 15/16) to bound per-group sample size and get
+    ±O(1/√n_sample) quantile error with full reproducibility, while
+    a10 stays the exact gate twin. n_sample is reported so consumers
+    can compute the error bar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    samp = li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1"))
+    return samp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias(
+            "p99_s"
+        ),
+    )
+
+
 def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT — customers with both finished and open orders. Spark
     plans it as a left-semi over distinct sides; one shuffle per side."""
@@ -608,6 +637,7 @@ QUERIES = {
     "u4_except_all": u4_except_all,
     "a9_rollup": a9_rollup,
     "a10_percentiles": a10_percentiles,
+    "a14_sampled_percentiles": a14_sampled_percentiles,
     "a12_cube": a12_cube,
     "a13_salted_hot_agg": a13_salted_hot_agg,
     "a11_pivot": a11_pivot,
@@ -763,6 +793,16 @@ ORACLES = {
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
         "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 "
         "FROM lineitem GROUP BY 1"
+    ),
+    "a14_sampled_percentiles": (
+        "WITH s AS (SELECT l_returnflag, l_extendedprice FROM lineitem "
+        "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')) "
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sample, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_s, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_s, "
+        "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_s "
+        "FROM s GROUP BY 1"
     ),
     "a11_pivot": (
         "SELECT o_orderpriority, "

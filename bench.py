@@ -86,6 +86,7 @@ HEADLINE = [
     "st10_cdf_follower",
     "s14_restore",
     "s15_stats_skipping",
+    "a14_sampled_percentiles",
 ]
 
 

@@ -82,3 +82,21 @@ def test_dedup_output_partition_invariant(spark, sf_dir):
         )
         results.append(sorted(map(tuple, out.collect())))
     assert results[0] == results[1]
+
+
+def test_sampled_percentiles_sample_rate_and_accuracy(spark, sf_dir):
+    """a14's md5-digit sample: rate lands near the designed 2/16, and
+    the sampled p50 tracks the exact p50 (deterministic, so a plain
+    tolerance works — no seeds, no flakes)."""
+    from acero_delta_lake_streaming_spark.operators.relational import (
+        a10_percentiles,
+        a14_sampled_percentiles,
+    )
+
+    total = load_table(spark, sf_dir, "lineitem").count()
+    samp = a14_sampled_percentiles(spark, sf_dir)
+    n_sample = sum(r.n_sample for r in samp.collect())
+    assert 0.08 < n_sample / total < 0.17  # designed rate 0.125
+    exact = {r.l_returnflag: r.p50 for r in a10_percentiles(spark, sf_dir).collect()}
+    for r in samp.collect():
+        assert abs(r.p50_s - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.10
