@@ -74,19 +74,19 @@ _PRIORITY = [
     # query's driver proof decays — no query's newest driver-green row
     # should be older than two rounds. Slots 1-5: queries new or changed
     # this round (x3d seed-selection rewrite; x3e/x21b/s13/st10 new).
-    # Slots 9-50: 42 of the 49 queries whose newest driver row is
+    # Slots 10-50: 41 of the 49 queries whose newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 7 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p3/a3/ud2_explode_tokens — each shadowed by an
+    # fixture regenerations). The 8 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/p3/a3/w4/ud2_explode_tokens — each shadowed by an
     # in-window near-twin) lead the past-window tail for round 6,
     # followed by r3-proven then r4-proven families (newest proof
     # last). Everything past the window stays verified by the local
     # tri-scale gate (tests/test_oracle_parity.py, sf0.001/0.01/0.1).
-    # -- new or changed this round (1-8) --
+    # -- new or changed this round (1-9) --
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
     "s13_merge_delete", "s14_restore", "s15_stats_skipping",
-    "st10_cdf_follower", "a14_sampled_percentiles",
-    # -- r2-vintage re-proof under round-5 fixtures (9-50) --
+    "s16_zorder_real", "st10_cdf_follower", "a14_sampled_percentiles",
+    # -- r2-vintage re-proof under round-5 fixtures (10-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
@@ -104,12 +104,11 @@ _PRIORITY = [
     "f_scalar_suite", "f6_json_extract", "f7_regexp_suite",
     "f8_array_suite",
     "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
-    "w4_sliding_windows",
     # -- past the ~50 window --
     # r2-vintage deferred to the round-6 window:
     "t3_sort_display", "u4_except_all", "a5_value_counts",
     "p9_boolean_filter", "p3_concat_text", "a3_filtered_count",
-    "ud2_explode_tokens",
+    "w4_sliding_windows", "ud2_explode_tokens",
     # r3-proven:
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",

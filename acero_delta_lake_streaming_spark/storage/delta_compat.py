@@ -746,16 +746,23 @@ def _compact_files(
     files: list[str],
     pvals: dict[str, str],
     target_partitions: int,
+    cluster=None,
 ) -> tuple[list[dict], list[dict]]:
     """Rewrite one file group (all of an unpartitioned table, or one
     hive partition directory) into ``target_partitions`` compacted
     files. Returns (removes, adds), all ``dataChange: false``. The scan
     reads the raw file list (data columns only — hive layout keeps
     partition values in the directory name, so the compacted file's
-    contents stay layout-identical)."""
+    contents stay layout-identical). ``cluster`` (DataFrame →
+    DataFrame) replaces the plain coalesce with a clustering layout,
+    e.g. Z-order."""
     segments = [f"{k}={quote(v)}" for k, v in pvals.items()]
     rel_dir = os.path.join(*segments) if segments else ""
-    df = spark.read.parquet(*files).coalesce(target_partitions)
+    df = spark.read.parquet(*files)
+    if cluster is not None:
+        df = cluster(df)
+    else:
+        df = df.coalesce(target_partitions)
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     adds = []
@@ -768,17 +775,20 @@ def _compact_files(
             os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True
         )
         os.rename(os.path.join(staging, name), os.path.join(table, rel))
-        adds.append(
-            {
-                "add": {
-                    "path": quote(rel),
-                    "partitionValues": pvals,
-                    "size": os.path.getsize(os.path.join(table, rel)),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": False,
-                }
-            }
-        )
+        add = {
+            "path": quote(rel),
+            "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(table, rel)),
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": False,
+        }
+        # compaction must not strip skipping stats — and after a
+        # z-order rewrite they're the whole point (tight on every
+        # clustered dimension at once)
+        stats = _file_stats(os.path.join(table, rel))
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
     import shutil
 
     shutil.rmtree(staging)
@@ -796,7 +806,10 @@ def _compact_files(
 
 
 def optimize_delta(
-    spark: SparkSession, table: str, target_partitions: int = 1
+    spark: SparkSession,
+    table: str,
+    target_partitions: int = 1,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for a real-format Delta table: rewrite the current
     snapshot into compacted files (``target_partitions`` per file
@@ -842,11 +855,26 @@ def optimize_delta(
     else:
         groups.append((snap["files"], {}))
 
+    cluster = None
+    if zorder_by:
+        # OPTIMIZE ZORDER BY: same commit shape, but the rewrite lays
+        # rows out along the interleaved-bit z-curve (deltalite's
+        # _zorder transform — engine-agnostic DataFrame → DataFrame),
+        # so the footer stats each compacted add records are tight on
+        # EVERY clustered dimension and read_delta(skip=...) prunes on
+        # any of them.
+        from acero_delta_lake_streaming_spark.storage.deltalite import (
+            _zorder,
+        )
+
+        zcols = list(zorder_by)
+        cluster = lambda df: _zorder(spark, df, zcols, target_partitions)  # noqa: E731
+
     removes: list[dict] = []
     adds: list[dict] = []
     for files, pvals in groups:
         r, a = _compact_files(
-            spark, table, version, files, pvals, target_partitions
+            spark, table, version, files, pvals, target_partitions, cluster
         )
         removes.extend(r)
         adds.extend(a)
@@ -856,7 +884,8 @@ def optimize_delta(
                 "timestamp": int(time.time() * 1000),
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetSize": str(target_partitions)
+                    "targetSize": str(target_partitions),
+                    "zOrderBy": json.dumps(zorder_by or []),
                 },
             }
         }

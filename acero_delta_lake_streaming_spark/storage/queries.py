@@ -827,6 +827,57 @@ _S15_SQL = (
 )
 
 
+def s16_zorder_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — OPTIMIZE ZORDER BY on the REAL Delta format, closing the
+    loop with s15's data skipping: orders land as two interleaved
+    appends (every file spans the full value range, stats useless), an
+    ``optimize_delta(zorder_by=["o_custkey", "o_totalprice"])`` commit
+    rewrites them along the z-curve (dataChange:false — streams see no
+    new data, time travel keeps the old layout), and the read then
+    prunes files on the TRAILING dimension through the log's per-add
+    stats — the multi-dimension clustering property on the protocol
+    format, exactly deltalite's s9 but producing a `_delta_log` any
+    Delta client replays. The exact row filter rides on the pruned
+    scan (skipping is a superset guarantee), so the result equals the
+    plain SQL filter regardless of layout; the pruning itself is
+    pinned by inputFiles() in tests/test_delta_compat.py."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s16_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 1"), table)
+    delta_compat.optimize_delta(
+        spark,
+        table,
+        target_partitions=8,
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    pruned = delta_compat.read_delta(
+        spark, table, skip=("o_totalprice", 0.0, 50000.0)
+    )
+    return (
+        pruned.filter("o_totalprice <= 50000.0")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S16_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_totalprice <= 50000.0 GROUP BY 1"
+)
+
+
 def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10 — the CDC follower driven end to end through the entry
     surface (VERDICT r4 item 7): a source deltalite table takes three
@@ -927,6 +978,7 @@ QUERIES = {
     "s13_merge_delete": s13_merge_delete,
     "s14_restore": s14_restore,
     "s15_stats_skipping": s15_stats_skipping,
+    "s16_zorder_real": s16_zorder_real,
     "st10_cdf_follower": st10_cdf_follower,
 }
 
@@ -947,5 +999,6 @@ ORACLES = {
     "s13_merge_delete": _S13_SQL,
     "s14_restore": _S14_SQL,
     "s15_stats_skipping": _S15_SQL,
+    "s16_zorder_real": _S16_SQL,
     "st10_cdf_follower": _ST10_SQL,
 }

@@ -87,6 +87,7 @@ HEADLINE = [
     "s14_restore",
     "s15_stats_skipping",
     "a14_sampled_percentiles",
+    "s16_zorder_real",
 ]
 
 

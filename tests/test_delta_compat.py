@@ -1206,3 +1206,35 @@ def test_checkpoint_carries_stats_through(spark, tmp_path):
                 dc._commit_path(table, v) + ".hidden",
                 dc._commit_path(table, v),
             )
+
+
+def test_optimize_zorder_real_prunes_trailing_dim(spark, tmp_path):
+    """Real-format OPTIMIZE ZORDER: the dataChange:false rewrite leaves
+    row content identical, compacted adds keep footer stats (compaction
+    must never strip them), and a skipping read prunes files on the
+    TRAILING z-dimension — the multi-dim property lexicographic sort
+    can't give."""
+    table = str(tmp_path / "zorder")
+    rows = [(i, i % 97, float((i * 31) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k long, val double")
+    dc.append_delta(df.filter("id % 2 = 0").repartition(4), table)
+    dc.append_delta(df.filter("id % 2 = 1").repartition(4), table)
+    v = dc.optimize_delta(
+        spark, table, target_partitions=8, zorder_by=["k", "val"]
+    )
+    assert v == 2
+    # identical content (dataChange:false commit)
+    assert dc.read_delta(spark, table).count() == 2000
+    got = {
+        (r.id, r.k, r.val) for r in dc.read_delta(spark, table).collect()
+    }
+    assert got == set(rows)
+    # every compacted add kept stats
+    snap = dc.snapshot(table)
+    assert all(snap["file_stats"][f] for f in snap["files"])
+    # trailing-dimension prune: a narrow val range hits < all files
+    pruned = dc.read_delta(spark, table, skip=("val", 0.0, 100.0))
+    assert 0 < len(pruned.inputFiles()) < len(snap["files"])
+    assert pruned.filter("val <= 100.0").count() == sum(
+        1 for _i, _k, v_ in rows if v_ <= 100.0
+    )
