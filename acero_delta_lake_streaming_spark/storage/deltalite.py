@@ -550,6 +550,59 @@ def delete_keys(
     return version
 
 
+def restore(table: str, to_version: int) -> int:
+    """RESTORE TO VERSION for deltalite (the twin of
+    ``delta_compat.restore_delta``, so both engines carry the full verb
+    set): publish ONE ``overwrite`` commit whose file list, schema, and
+    skipping stats are exactly ``to_version``'s resolved state. Pure
+    metadata — no data file is read or written; the restored files are
+    the originals still on disk. History is append-only (time travel to
+    the pre-restore state keeps working), and a restore whose files
+    VACUUM already deleted is refused loudly before anything publishes.
+    The commit carries no CDF (``read_changes`` raises its standard
+    uncaptured-overwrite error for it, like an uncaptured real-format
+    restore)."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no deltalite table at {table}")
+    if to_version > log[-1].version:
+        raise ValueError(
+            f"cannot restore {table} to future version {to_version}"
+        )
+    files: list[str] = []
+    stats: dict = {}
+    schema_json = log[0].schema_json
+    for c in log:
+        if c.version > to_version:
+            break
+        if c.action == "overwrite":
+            files = list(c.files)
+            stats = dict(c.stats or {})
+        else:
+            files.extend(c.files)
+            stats.update(c.stats or {})
+        schema_json = c.schema_json
+    missing = [f for f in files if not os.path.exists(os.path.join(table, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"RESTORE to version {to_version} needs {len(missing)} data "
+            f"file(s) already removed by vacuum (e.g. {missing[0]!r}); "
+            "the snapshot is unrecoverable"
+        )
+    version = log[-1].version + 1
+    _publish(
+        table,
+        Commit(
+            version=version,
+            action="overwrite",
+            files=tuple(files),
+            schema_json=schema_json,
+            stats={f: stats[f] for f in files if f in stats} or None,
+        ),
+    )
+    return version
+
+
 def snapshot_files(
     table: str,
     version: int | None = None,

@@ -538,3 +538,62 @@ def test_delete_keys_copy_on_write_and_cdf(spark, table):
     assert old == {1, 2, 3, 4}
     ch = deltalite.read_changes(spark, table, 2, 2).collect()
     assert {(r._change_type, r.id, r.v) for r in ch} == {("delete", 2, "b")}
+
+
+def test_restore_is_metadata_only_and_keeps_history(spark, tmp_path):
+    """deltalite RESTORE: latest state equals the target version's, no
+    data file is written, the pre-restore timeline stays reachable, and
+    a vacuumed-away target refuses loudly without publishing."""
+    table = str(tmp_path / "dl_restore")
+    deltalite.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+        "append",
+        stats_cols=["id"],
+    )
+    deltalite.write(
+        spark.createDataFrame(
+            [(3, "c"), (4, "d")], "id long, v string"
+        ).coalesce(1),
+        table,
+        "append",
+        stats_cols=["id"],
+    )
+    pre_v = deltalite.delete_keys(
+        spark, spark.createDataFrame([(2,)], "id long"), table, ["id"]
+    )
+
+    def data_files():
+        return {
+            os.path.join(dp, n)
+            for dp, ds, ns in os.walk(table)
+            for n in ns
+            if n.endswith(".parquet")
+        }
+
+    on_disk = data_files()
+    v1_files, _ = deltalite.snapshot_files(table, 1)
+    v = deltalite.restore(table, 1)
+    assert v == pre_v + 1
+    assert data_files() == on_disk  # metadata-only
+    now_files, _ = deltalite.snapshot_files(table)
+    assert set(now_files) == set(v1_files)
+    now = {r.id: r.v for r in deltalite.read(spark, table).collect()}
+    assert now == {1: "a", 2: "b", 3: "c", 4: "d"}
+    mid = {
+        r.id for r in deltalite.read(spark, table, version=pre_v).collect()
+    }
+    assert mid == {1, 3, 4}
+    # restored stats survive: a skipping read still prunes
+    pruned, _ = deltalite.snapshot_files(table, skip=("id", 3, 4))
+    assert len(pruned) < len(now_files)
+    # vacuum away the old rewrite, then restore to the erased state is
+    # still fine — but restore to a version whose files were GC'd fails
+    deltalite.vacuum(table, keep_versions=0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="vacuum"):
+        deltalite.restore(table, 2)
+    assert deltalite.latest_version(table) == v  # nothing published
