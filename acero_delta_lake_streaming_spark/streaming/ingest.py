@@ -281,3 +281,76 @@ def run_windowed_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "4 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session aggregation for a stream — `F.session_window`
+    with a watermark, the streaming form of x6's batch sessionization
+    (operators/sessionize.py; same 4h inactivity gap, same output
+    columns, so the same gaps-and-islands oracle pins both). Session
+    state merges as events arrive and is evicted once the watermark
+    passes session end + gap; works unchanged on a batch DataFrame
+    (watermark is a no-op there)."""
+    with_ts = events.withColumn(
+        "ts", F.expr("timestamp_micros(ts_ns DIV 1000)")
+    )
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("first_ts")).alias("start_ms"),
+            F.unix_millis(F.col("last_ts")).alias("end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str,
+    checkpoint_dir: str,
+    gap: str = "4 hours",
+    watermark: str = "1 hour",
+    app_id: str = "session-events",
+) -> None:
+    """Drain ``drop_dir`` through the streaming session aggregation into
+    a deltalite table, APPEND mode — Spark's only supported sink mode
+    for session-window streaming aggregations, and the honest one: a
+    session row emits exactly ONCE, after the watermark passes its end
+    + gap and the state store evicts it (st5's emit-once contract).
+    Sessions still open when the stream idles stay in state and emit
+    nothing — a caller that needs everything flushed advances the
+    watermark past the data (e.g. a far-future sentinel event, as
+    st11 does). Each epoch's emitted sessions land as one idempotent
+    deltalite append commit; at 100 TB state holds only open sessions
+    inside the watermark horizon."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(batch_df, out_table, mode="append",
+                        app_id=app_id, epoch=epoch_id)
+
+    events = spark.readStream.schema(EVENT_BATCH_SCHEMA).parquet(
+        os.path.join(drop_dir, "*.parquet")
+    )
+    q = (
+        sessionized_events(events, gap, watermark)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

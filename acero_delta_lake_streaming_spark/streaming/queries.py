@@ -23,6 +23,7 @@ from acero_delta_lake_streaming_spark.storage import deltalite
 from acero_delta_lake_streaming_spark.storage.queries import _scratch
 from acero_delta_lake_streaming_spark.streaming.ingest import (
     run_ingest,
+    run_session_stream,
     run_windowed_stream,
 )
 
@@ -449,6 +450,60 @@ _ST8_SQL = (
 )
 
 
+def st11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 — sessionization as a STREAM: the events fixture replays
+    through ``run_session_stream`` (session_window + watermark →
+    update-mode foreachBatch → keyed deltalite upsert), and the table
+    read back must equal x6's BATCH sessionization of the same data —
+    the streaming/batch unification Spark promises for session windows,
+    certified by the same gaps-and-islands oracle. Append mode emits a
+    session exactly once, AFTER the watermark finalizes it — so a
+    far-future sentinel event (user -1, year 2030) rides along to push
+    the watermark past every real session; the sentinel's own session
+    stays open in state and never emits. Session state is per-(user,
+    open session) and is evicted at watermark + gap."""
+    base = _scratch(sf_dir, "st11")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts_ns"), "user_id", "event_type", "value"
+    )
+    write_single_parquet(events, os.path.join(drop, "batch0.parquet"))
+    sentinel = spark.createDataFrame(
+        # 2030-01-01T00:00:00Z in epoch nanoseconds — later than any
+        # fixture event + watermark + gap, pure constant (no collect)
+        [(-1, 1893456000_000_000_000, -1, "sentinel", 0.0)],
+        "event_id long, ts_ns long, user_id long, "
+        "event_type string, value double",
+    )
+    write_single_parquet(sentinel, os.path.join(drop, "batch1.parquet"))
+    run_session_stream(spark, drop, out, cp)
+    return (
+        deltalite.read(spark, out)
+        .filter("user_id >= 0")
+        .select("user_id", "start_ms", "end_ms", "n_events", "sum_value")
+    )
+
+
+_ST11_SQL = (
+    "WITH flagged AS (SELECT user_id, ts, value, "
+    "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    ">= INTERVAL 4 HOUR OR lag(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s FROM events), "
+    "numbered AS (SELECT user_id, ts, value, "
+    "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+    "SELECT user_id, epoch_ms(min(ts)) AS start_ms, "
+    "epoch_ms(max(ts)) AS end_ms, count(*) AS n_events, "
+    "round(sum(value), 2) AS sum_value "
+    "FROM numbered GROUP BY user_id, sid"
+)
+
+
 def st9_streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST9: the EMA as RUNNING STATE — w10's integer recurrence carried
     across micro-batches by ``applyInPandasWithState``. Events split
@@ -542,6 +597,7 @@ QUERIES = {
     "st7_interval_join": st7_interval_join,
     "st8_stream_static_enrich": st8_stream_static_enrich,
     "st9_streaming_ema": st9_streaming_ema,
+    "st11_streaming_sessions": st11_streaming_sessions,
 }
 
 ORACLES = {
@@ -552,4 +608,5 @@ ORACLES = {
     "st7_interval_join": _ST7_SQL,
     "st8_stream_static_enrich": _ST8_SQL,
     "st9_streaming_ema": _ST9_SQL,
+    "st11_streaming_sessions": _ST11_SQL,
 }

@@ -88,6 +88,7 @@ HEADLINE = [
     "s15_stats_skipping",
     "a14_sampled_percentiles",
     "s16_zorder_real",
+    "st11_streaming_sessions",
 ]
 
 

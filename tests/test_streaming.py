@@ -517,3 +517,55 @@ def test_streaming_ema_state_carries_across_epochs(spark, sf_dir):
             ema = x if ema is None else (x + 4 * ema) // 5
         assert final[etype].ema_micros == ema
         assert final[etype].n_days == len(pairs)
+
+
+def test_run_session_stream_incremental_emit_once(spark, tmp_path):
+    """run_session_stream (st11's engine): append mode emits a session
+    only after the watermark finalizes it — the first drain holds every
+    in-horizon session in state, a sentinel drop flushes them exactly
+    once into the deltalite sink, and a third drain with no new files
+    is a clean no-op (checkpoint + idempotent epoch commits)."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        run_session_stream,
+    )
+
+    drop, out, cp = (
+        str(tmp_path / "drop"),
+        str(tmp_path / "out"),
+        str(tmp_path / "cp"),
+    )
+    os.makedirs(drop)
+    t0 = _ts_ns(2024, 1, 1)
+    h = 3600 * 1_000_000_000
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + h, 7, "view", 2.0),   # same session (gap 4h)
+        (3, t0 + 9 * h, 7, "click", 3.0),  # new session
+        (4, t0 + 9 * h, 8, "view", 4.0),
+    ]
+    write_single_parquet(
+        spark.createDataFrame(rows, EVENT_BATCH_SCHEMA),
+        os.path.join(drop, "b0.parquet"),
+    )
+    run_session_stream(spark, drop, out, cp)
+    # the watermark after the drain is t0+8h (max event - 1h): user 7's
+    # first session (ends t0+1h, +4h gap = t0+5h) is finalized and
+    # emitted; both t0+9h sessions are still open in state
+    assert {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in deltalite.read(spark, out).collect()
+    } == {(7, 2, 3.0)}
+    sentinel = [(5, t0 + 1000 * h, -1, "sentinel", 0.0)]
+    write_single_parquet(
+        spark.createDataFrame(sentinel, EVENT_BATCH_SCHEMA),
+        os.path.join(drop, "b1.parquet"),
+    )
+    run_session_stream(spark, drop, out, cp)
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in deltalite.read(spark, out).filter("user_id >= 0").collect()
+    }
+    assert got == {(7, 2, 3.0), (7, 1, 3.0), (8, 1, 4.0)}  # noqa: E501 — first session from drain 1, open ones flushed by the sentinel
+    # no new files -> no new rows (emit exactly once)
+    run_session_stream(spark, drop, out, cp)
+    assert deltalite.read(spark, out).filter("user_id >= 0").count() == 3
