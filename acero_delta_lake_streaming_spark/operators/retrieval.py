@@ -378,14 +378,144 @@ _X23_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x26 — unigram-surprise quality scoring (LM-perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+def x26_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filtering by language-model perplexity, with
+    the corpus itself as the unigram LM: per-token surprise is
+    ``ln(N_tokens / count(token))`` nats (the token's information
+    content under the corpus unigram distribution), a document's score
+    is its mean per-token surprise, and documents histogram into
+    0.5-nat bands — low bands are boilerplate/repetitive text, high
+    bands are rare-token noise; production keeps the middle, exactly
+    the CCNet head/middle/tail split.
+
+    Plan: explode → per-(doc, term) tf (map-side combinable), term
+    counts via ONE shuffle keyed by term (vocab-sized output,
+    |vocab| ≪ corpus by Heaps' law), join back on term, one-row corpus
+    total broadcast. ``ln`` is the portable range-reduction + atanh
+    construction shared with x21b (builtin ln differs by 1 ulp between
+    JVM and libm — measured), and each per-(doc, term) contribution
+    quantizes to e6 integers BEFORE any cross-row sum, so every
+    aggregate is order-independent integer math — fully hash-gated
+    production semantics."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
+    per_dt = scoped_persist(
+        docs.select("doc_id", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )  # reused by the cnts branch and the join — one explode, not two
+    cnts = per_dt.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("cnt")
+    )
+    total = (
+        cnts.agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+        .withColumn("k", F.lit(1))
+    )
+    per_doc = (
+        per_dt.join(cnts, "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .withColumn(
+            "lx", F.expr("CAST(n_tok AS DOUBLE) / CAST(cnt AS DOUBLE)")
+        )
+        .withColumn(
+            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
+        )
+        .withColumn(
+            "m0",
+            F.expr(
+                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "lnk",
+            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
+        )
+        .withColumn(
+            "lm",
+            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
+        )
+        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
+        .withColumn("ls", F.expr("lz * lz"))
+        .withColumn(
+            "srp",
+            F.expr(
+                f"CAST(lnk AS DOUBLE) * {_LN2} "
+                f"+ 2.0 * lz * {_ATANH_POLY}"
+            ),
+        )
+        .withColumn(
+            "contrib_e6",
+            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
+            F.sum("tf").cast("bigint").alias("n_tok_doc"),
+        )
+        .withColumn("avg_e6", F.expr("bits_e6 DIV n_tok_doc"))
+        .withColumn("band", F.expr("avg_e6 DIV 500000"))
+    )
+    return per_doc.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok_doc").cast("bigint").alias("tok_sum"),
+        F.sum("doc_id").cast("bigint").alias("ids_sum"),
+    )
+
+
+_X26_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(w) AS term FROM ("
+    f"SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)), "
+    "per_dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "cnts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt "
+    "FROM per_dt GROUP BY 1), "
+    "total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM cnts), "
+    "c0 AS (SELECT p.doc_id, p.tf, "
+    "CAST(t.n_tok AS DOUBLE) / CAST(c.cnt AS DOUBLE) AS lx "
+    "FROM per_dt p JOIN cnts c ON p.term = c.term CROSS JOIN total t), "
+    "c1 AS (SELECT *, "
+    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
+    "c2 AS (SELECT *, "
+    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
+    "c3 AS (SELECT *, "
+    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
+    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
+    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
+    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
+    "c6 AS (SELECT doc_id, tf, "
+    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS srp "
+    "FROM c5), "
+    "contrib AS (SELECT doc_id, "
+    "CAST(floor(srp * 1000000.0) AS BIGINT) * tf AS contrib_e6, tf "
+    "FROM c6), "
+    "per_doc AS (SELECT doc_id, "
+    "CAST(sum(contrib_e6) AS BIGINT) AS bits_e6, "
+    "CAST(sum(tf) AS BIGINT) AS n_tok_doc FROM contrib GROUP BY 1), "
+    "banded AS (SELECT doc_id, n_tok_doc, "
+    "(bits_e6 // n_tok_doc) // 500000 AS band FROM per_doc) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tok_doc) AS BIGINT) AS tok_sum, "
+    "CAST(sum(doc_id) AS BIGINT) AS ids_sum FROM banded GROUP BY 1"
+)
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
     "x23_fuzzy_linkage": x23_fuzzy_linkage,
+    "x26_unigram_surprise": x26_unigram_surprise,
 }
 
 ORACLES = {
     "x21_bm25_topk": _X21_SQL,
     "x21b_bm25_ln_topk": _X21B_SQL,
     "x23_fuzzy_linkage": _X23_SQL,
+    "x26_unigram_surprise": _X26_SQL,
 }

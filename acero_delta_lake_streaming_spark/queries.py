@@ -74,24 +74,24 @@ _PRIORITY = [
     # query's driver proof decays — no query's newest driver-green row
     # should be older than two rounds. Slots 1-5: queries new or changed
     # this round (x3d seed-selection rewrite; x3e/x21b/s13/st10 new).
-    # Slots 11-50: 40 of the 49 queries whose newest driver row is
+    # Slots 12-50: 39 of the 49 queries whose newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 9 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p3/a3/w4/p8/ud2_explode_tokens — each shadowed by an
-    # in-window near-twin) lead the past-window tail for round 6,
+    # fixture regenerations). The 10 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/p3/a3/w4/p8/q14/ud2_explode_tokens — each shadowed
+    # by an in-window near-twin) lead the past-window tail for round 6,
     # followed by r3-proven then r4-proven families (newest proof
     # last). Everything past the window stays verified by the local
     # tri-scale gate (tests/test_oracle_parity.py, sf0.001/0.01/0.1).
-    # -- new or changed this round (1-10) --
+    # -- new or changed this round (1-11) --
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
     "s13_merge_delete", "s14_restore", "s15_stats_skipping",
     "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
-    "a14_sampled_percentiles",
-    # -- r2-vintage re-proof under round-5 fixtures (11-50) --
+    "a14_sampled_percentiles", "x26_unigram_surprise",
+    # -- r2-vintage re-proof under round-5 fixtures (12-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
-    "q10_returned_revenue", "q14_promo_revenue_share",
+    "q10_returned_revenue",
     "q18_large_orders", "q19_brand_revenue",
     "p1_project", "p2_computed_columns",
     "p4_membership_filter", "p5_date_range_filter",
@@ -109,7 +109,8 @@ _PRIORITY = [
     # r2-vintage deferred to the round-6 window:
     "t3_sort_display", "u4_except_all", "a5_value_counts",
     "p9_boolean_filter", "p3_concat_text", "a3_filtered_count",
-    "w4_sliding_windows", "p8_null_default", "ud2_explode_tokens",
+    "w4_sliding_windows", "p8_null_default", "q14_promo_revenue_share",
+    "ud2_explode_tokens",
     # r3-proven:
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",

@@ -89,6 +89,7 @@ HEADLINE = [
     "a14_sampled_percentiles",
     "s16_zorder_real",
     "st11_streaming_sessions",
+    "x26_unigram_surprise",
 ]
 
 
