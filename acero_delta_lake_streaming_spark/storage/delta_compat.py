@@ -80,8 +80,39 @@ def _list_commit_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_files(table: str, version: int) -> list[str]:
+    """Resolve a checkpoint's parquet file set: the single-file form
+    this writer emits (``{v}.checkpoint.parquet``) or delta-spark's
+    multi-part form (``{v}.checkpoint.{i}.{n}.parquet`` — the state
+    split across n files when one part would be too large; reading is
+    simply the union of parts). Empty list if neither exists."""
+    single = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    import glob as _glob
+
+    parts = sorted(
+        _glob.glob(
+            os.path.join(
+                _log_dir(table), f"{version:020d}.checkpoint.*.parquet"
+            )
+        )
+    )
+    if parts:
+        # part names carry their total: .checkpoint.<i>.<n>.parquet —
+        # refuse an incomplete set rather than silently dropping state
+        n_expected = int(parts[0].rsplit(".", 2)[1])
+        if len(parts) != n_expected:
+            raise DeltaCorruptLogError(
+                f"multi-part checkpoint at version {version} has "
+                f"{len(parts)} of {n_expected} parts"
+            )
+    return parts
+
+
 def _checkpoint_version(table: str, max_version: int | None) -> int | None:
-    """Version of the newest usable single-file checkpoint, if any."""
+    """Version of the newest usable checkpoint (single- or multi-part),
+    if any."""
     try:
         with open(os.path.join(_log_dir(table), _LAST_CHECKPOINT)) as f:
             v = json.load(f)["version"]
@@ -90,8 +121,7 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
     if max_version is not None and v > max_version:
         # Time travel behind the checkpoint: replay JSON from scratch.
         return None
-    path = os.path.join(_log_dir(table), f"{v:020d}.checkpoint.parquet")
-    return v if os.path.exists(path) else None
+    return v if _checkpoint_files(table, v) else None
 
 
 def _check_protocol(action: dict) -> None:
@@ -128,14 +158,17 @@ def _apply_action(state: dict, action: dict) -> None:
 
 
 def _replay_checkpoint(table: str, version: int, state: dict) -> None:
-    """Seed replay state from a single-file parquet checkpoint. The
-    checkpoint is metadata (KBs-MBs); pyarrow reads it driver-side, the
-    same altitude as the JSON log itself."""
+    """Seed replay state from a parquet checkpoint — single-file or
+    delta-spark's multi-part set (parts are disjoint row groups of one
+    logical table; replay is their union, order-free because a
+    checkpoint is net-of-log). The checkpoint is metadata (KBs-MBs);
+    pyarrow reads it driver-side, the same altitude as the JSON log
+    itself."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
-    tbl = pq.read_table(path)
-    rows = tbl.to_pylist()
+    rows: list[dict] = []
+    for path in _checkpoint_files(table, version):
+        rows.extend(pq.read_table(path).to_pylist())
     for row in rows:
         if row.get("protocol"):
             _check_protocol({"protocol": row["protocol"]})

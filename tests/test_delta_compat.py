@@ -1238,3 +1238,63 @@ def test_optimize_zorder_real_prunes_trailing_dim(spark, tmp_path):
     assert pruned.filter("val <= 100.0").count() == sum(
         1 for _i, _k, v_ in rows if v_ <= 100.0
     )
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """delta-spark splits large checkpoints into N parts
+    (``{v}.checkpoint.{i}.{n}.parquet``); the reader must union the
+    parts, and must refuse an incomplete set instead of silently
+    dropping half the table's state."""
+    table = str(tmp_path / "mp_ckpt")
+    ddl = "id long, v string"
+    _write_parquet(spark, [(1, "a")], ddl, f"{table}/f1.parquet")
+    _write_parquet(spark, [(2, "b")], ddl, f"{table}/f2.parquet")
+    log = os.path.join(table, "_delta_log")
+    _commit(table, 0, [_PROTO, _meta(spark, ddl),
+                       {"add": {"path": "f1.parquet", "partitionValues": {},
+                                "size": 1, "modificationTime": 0,
+                                "dataChange": True}}])
+    _commit(table, 1, [{"add": {"path": "f2.parquet", "partitionValues": {},
+                                "size": 1, "modificationTime": 0,
+                                "dataChange": True}}])
+    meta = {
+        k: v
+        for k, v in _meta(spark, ddl)["metaData"].items()
+        if k != "configuration"
+    }
+    meta["format"] = {"provider": "parquet"}
+    part1 = [
+        {"protocol": _PROTO["protocol"], "metaData": None, "add": None},
+        {"protocol": None, "metaData": meta, "add": None},
+    ]
+    part2 = [
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f1.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f2.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    # parts may have differing inferred schemas; that's the foreign
+    # writer's prerogative — the reader unions row dicts, not schemas
+    pq.write_table(
+        pa.Table.from_pylist(part1),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(part2),
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 4, "parts": 2}, f)
+    # hide all JSON commits: replay MUST come from the two parts
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
+    assert got == [(1, "a"), (2, "b")]
+    # an incomplete part set is a corrupt log, not a silent half-table
+    os.remove(
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(dc.DeltaCorruptLogError, match="parts"):
+        dc.read_delta(spark, table)
