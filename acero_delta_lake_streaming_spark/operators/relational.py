@@ -175,6 +175,69 @@ def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom prefilter (j4): m bits / k hashes. 2^13 bits comfortably holds the
+# fixture key set; at scale size m ≈ 10 bits per build key for ~1% false
+# positives — still ~10× smaller than broadcasting the keys themselves.
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
+
+
+def _bloom_pos(key_expr: str, salt: int) -> str:
+    """13-bit bloom position from md5 — the repo's portable hash→int
+    derivation (4 hex digits → [0, 65536) → mod m). Pure Spark-side
+    (the oracle never sees the bloom; false positives are removed by
+    the exact join, so the final result is bloom-invariant)."""
+    h = f"md5(concat('{salt}:', cast({key_expr} as string)))"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        for p in range(4)
+    )
+    return f"CAST(({digits}) % {_BLOOM_BITS} AS INT)"
+
+
+def j4_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a bloom-filter prefilter — the shuffle-avoidance
+    pattern for a build side too large to broadcast as an exact hash
+    set. The urgent-order keys are folded into an m-bit bloom (k md5
+    hashes per key, one ~KB-scale array in a one-row broadcast); the
+    lineitem scan drops rows failing any of the k membership probes
+    BEFORE the exact semi join, so at 100 TB the shuffle carries only
+    |matches| + |false positives| ≈ |matches| × (1 + fp_rate) rows
+    instead of the whole fact table. No false negatives by
+    construction (every true key set all k of its bits), so the exact
+    join makes the result identical to a plain semi join — which is
+    exactly what the oracle runs. Spark's own runtime row-level
+    bloom (spark.sql.optimizer.runtimeFilter) automates this shape;
+    here it is explicit, deterministic, and plan-pinned
+    (pruning + no-false-negative contract measured in
+    tests/test_properties.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    positions = [_bloom_pos("o_orderkey", s) for s in range(_BLOOM_K)]
+    bloom = (
+        keys.selectExpr(f"explode(array({', '.join(positions)})) AS pos")
+        .groupBy()
+        .agg(F.collect_set("pos").alias("bloom"))
+    )
+    probes = [_bloom_pos("l_orderkey", s) for s in range(_BLOOM_K)]
+    passed = li.crossJoin(F.broadcast(bloom))
+    for p in probes:
+        passed = passed.filter(F.array_contains(F.col("bloom"), F.expr(p)))
+    return (
+        passed.join(keys, passed.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations (A1-A8 — visualizer.py:108-161,77-78)
 # --------------------------------------------------------------------------
@@ -621,6 +684,7 @@ QUERIES = {
     "j1_semi_join": j1_semi_join,
     "j2_left_outer_join": j2_left_outer_join,
     "j3_anti_join": j3_anti_join,
+    "j4_bloom_prefilter_join": j4_bloom_prefilter_join,
     "a1_count_star": a1_count_star,
     "a2_count_distinct": a2_count_distinct,
     "a3_filtered_count": a3_filtered_count,
@@ -707,6 +771,17 @@ ORACLES = {
         "SELECT c_custkey, c_name FROM customer "
         "WHERE NOT EXISTS (SELECT 1 FROM orders "
         "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
+    ),
+    # The bloom prefilter is transparent (no false negatives; false
+    # positives die in the exact join), so the oracle is the PLAIN semi
+    # join — the equivalence is the contract.
+    "j4_bloom_prefilter_join": (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+        "AS cents FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+        "GROUP BY 1"
     ),
     "a1_count_star": "SELECT count(*) AS n_rows FROM lineitem",
     "a2_count_distinct": (

@@ -961,6 +961,96 @@ _ST10_SQL = (
 )
 
 
+def st12_incremental_agg_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12 — incremental materialized-view maintenance from the Change
+    Data Feed. st10 replicates ROWS downstream; st12 maintains an
+    AGGREGATE mart (per-status count + revenue) without ever re-scanning
+    the source: SUM and COUNT are self-maintainable, so the mart refresh
+    is ``base ⊕ Σ sign(change) · contribution`` with sign +1 for
+    insert/update_postimage and −1 for update_preimage/delete — the
+    classic delta-aggregation identity of incremental view maintenance.
+
+    The source takes three commits (seed append v0, captured price-bump
+    MERGE + odd-key inserts v1, captured row-level DELETE v2); the base
+    aggregate is computed ONCE from the v0 snapshot, and everything
+    after folds ``read_changes(1, 2)`` — O(|changed rows| + |groups|)
+    per refresh, independent of table size. At 100 TB this is the
+    difference between an hourly full 100 TB re-aggregation and reading
+    only the hour's changes. Per-row cents are exact BIGINTs (2-dp
+    prices), so the signed fold is order-independent and the
+    incrementally-maintained mart is hash-identical to the oracle's
+    full recompute of the final state — that equivalence is the
+    contract."""
+    table = _scratch(sf_dir, "st12_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table, "append")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    base = (
+        deltalite.read(spark, table, version=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.sum(F.expr(cents)).cast("bigint").alias("c0"),
+        )
+    )
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    deltalite.upsert(
+        spark,
+        bump_p.unionByName(inserts),
+        table,
+        ["o_orderkey"],
+        change_data=True,
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    deltalite.delete_keys(spark, doomed, table, ["o_orderkey"], change_data=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        deltalite.read_changes(spark, table, 1, 2)
+        .withColumn("sign", sign)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("sign").cast("bigint").alias("dn"),
+            F.sum(F.col("sign") * F.expr(cents)).cast("bigint").alias("dc"),
+        )
+    )
+    return (
+        base.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .filter("n > 0")
+    )
+
+
+_ST12_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "bumped AS (SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice FROM seed), "
+    "merged AS (SELECT * FROM bumped UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "final AS (SELECT * FROM merged WHERE o_orderkey % 10 <> 0) "
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) "
+    "AS BIGINT) AS cents FROM final GROUP BY 1"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -980,6 +1070,7 @@ QUERIES = {
     "s15_stats_skipping": s15_stats_skipping,
     "s16_zorder_real": s16_zorder_real,
     "st10_cdf_follower": st10_cdf_follower,
+    "st12_incremental_agg_mart": st12_incremental_agg_mart,
 }
 
 ORACLES = {
@@ -1001,4 +1092,5 @@ ORACLES = {
     "s15_stats_skipping": _S15_SQL,
     "s16_zorder_real": _S16_SQL,
     "st10_cdf_follower": _ST10_SQL,
+    "st12_incremental_agg_mart": _ST12_SQL,
 }

@@ -100,3 +100,38 @@ def test_sampled_percentiles_sample_rate_and_accuracy(spark, sf_dir):
     exact = {r.l_returnflag: r.p50 for r in a10_percentiles(spark, sf_dir).collect()}
     for r in samp.collect():
         assert abs(r.p50_s - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.10
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
+    """j4's bloom stage must (a) pass EVERY true-match row — no false
+    negatives, the correctness half — and (b) actually prune, i.e. pass
+    far fewer rows than the full fact table (at 8192 bits / 3 hashes the
+    false-positive rate is small at fixture scale). Both checks are
+    deterministic: the bloom positions are md5-derived, no RNG."""
+    from acero_delta_lake_streaming_spark.operators.relational import (
+        _BLOOM_K,
+        _bloom_pos,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    positions = [_bloom_pos("o_orderkey", s) for s in range(_BLOOM_K)]
+    bloom = (
+        keys.selectExpr(f"explode(array({', '.join(positions)})) AS pos")
+        .groupBy()
+        .agg(F.collect_set("pos").alias("bloom"))
+    )
+    passed = li.crossJoin(F.broadcast(bloom))
+    for s in range(_BLOOM_K):
+        passed = passed.filter(
+            F.array_contains(F.col("bloom"), F.expr(_bloom_pos("l_orderkey", s)))
+        )
+    n_total = li.count()
+    n_passed = passed.count()
+    n_true = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
+    assert n_passed >= n_true  # no false negatives
+    # pruning is real: bloom-passed ≤ true matches + 25% fp headroom,
+    # and strictly below the unfiltered fact table
+    assert n_passed <= n_true + 0.25 * (n_total - n_true)
+    assert n_passed < n_total
