@@ -631,6 +631,61 @@ _W11_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w12 — retention cohort matrix
+# --------------------------------------------------------------------------
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the product-analytics staple: users
+    bucketed by first-active week (their cohort), then counted per
+    (cohort, week-offset) cell; cell (c, k) answers "of the users who
+    arrived in week c, how many were active k weeks later?".
+
+    Scale shape: ONE shuffle on user_id collects each user's distinct
+    active weeks into a per-user array (bounded by |calendar weeks|,
+    never the event count — collect_set dedups map-side), the cohort is
+    the array's min, and the explode + final aggregate lands on
+    |weeks|² cells. No per-event window, no self-join of the events
+    table. Parity: week starts are epoch-ms BIGINTs (both engines
+    truncate to ISO Monday), so offsets are exact integer divisions —
+    no date arithmetic floats."""
+    events = load_table(spark, sf_dir, "events")
+    week_ms = F.expr("unix_millis(date_trunc('WEEK', ts))")
+    per_user = (
+        events.select("user_id", week_ms.alias("week_ms"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("week_ms")).alias("weeks"))
+    )
+    return (
+        per_user.select(
+            F.element_at("weeks", 1).alias("cohort_ms"),
+            F.explode("weeks").alias("week_ms"),
+        )
+        .select(
+            F.col("cohort_ms").cast("bigint").alias("cohort_ms"),
+            F.expr(f"(week_ms - cohort_ms) DIV {_WEEK_MS}")
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_ms", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_W12_SQL = (
+    "WITH a AS (SELECT DISTINCT user_id, "
+    "epoch_ms(date_trunc('week', ts)) AS week_ms FROM events), "
+    "c AS (SELECT user_id, min(week_ms) AS cohort_ms FROM a GROUP BY 1) "
+    "SELECT CAST(c.cohort_ms AS BIGINT) AS cohort_ms, "
+    f"CAST((a.week_ms - c.cohort_ms) // {_WEEK_MS} AS BIGINT) "
+    "AS week_offset, CAST(count(*) AS BIGINT) AS n_users "
+    "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -643,6 +698,7 @@ QUERIES = {
     "w9_gap_fill": w9_gap_fill,
     "w10_ema": w10_ema,
     "w11_anomaly_zscore": w11_anomaly_zscore,
+    "w12_retention_cohorts": w12_retention_cohorts,
 }
 
 ORACLES = {
@@ -657,4 +713,5 @@ ORACLES = {
     "w9_gap_fill": _W9_SQL,
     "w10_ema": _W10_SQL,
     "w11_anomaly_zscore": _W11_SQL,
+    "w12_retention_cohorts": _W12_SQL,
 }
