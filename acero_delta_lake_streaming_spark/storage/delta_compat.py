@@ -23,8 +23,12 @@ real object store the ``rename`` publish becomes a conditional put —
 the same substitution deltalite documents.
 
 Scope (documented, checked, raised-on): unpartitioned and hive-layout
-partitioned tables; no deletion vectors, no column mapping, no
-generated columns. That covers every table the reference writes.
+partitioned tables; deletion vectors on unpartitioned tables (the
+``deletionVectors`` table feature — merge-on-read DELETE via
+``delete_delta_dv``, DV-subtracting reads, OPTIMIZE purge, vacuum/
+restore awareness; see ``dvcodec``); no column mapping, no generated
+columns. That covers every table the reference writes and the erasure
+path its tables would need at scale.
 """
 
 from __future__ import annotations
@@ -124,6 +128,11 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
     return v if _checkpoint_files(table, v) else None
 
 
+#: the one table feature this reader implements (see ``dvcodec``); any
+#: other advertised reader feature still refuses loudly.
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
     reader = p.get("minReaderVersion", 1)
@@ -133,8 +142,9 @@ def _check_protocol(action: dict) -> None:
             f"minReaderVersion={reader} requires reader features this "
             "implementation does not support"
         )
-    if features:  # table-features protocol: support exactly none
-        raise DeltaProtocolError(f"unsupported readerFeatures {features}")
+    unsupported = features - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise DeltaProtocolError(f"unsupported readerFeatures {unsupported}")
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -149,11 +159,17 @@ def _apply_action(state: dict, action: dict) -> None:
         state["partition_cols"] = md.get("partitionColumns") or []
     elif "add" in action:
         add = action["add"]
-        if add.get("deletionVector"):
-            raise DeltaProtocolError("deletion vectors are not supported")
-        state["files"][unquote(add["path"])] = add.get("stats")
+        path = unquote(add["path"])
+        state["files"][path] = add.get("stats")
+        dv = add.get("deletionVector")
+        if dv:
+            state["dvs"][path] = dv
+        else:
+            state["dvs"].pop(path, None)  # re-add without DV clears it
     elif "remove" in action:
-        state["files"].pop(unquote(action["remove"]["path"]), None)
+        path = unquote(action["remove"]["path"])
+        state["files"].pop(path, None)
+        state["dvs"].pop(path, None)
     # txn / commitInfo / cdc / domainMetadata actions carry no scan state
 
 
@@ -181,9 +197,11 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
             state["partition_cols"] = md.get("partitionColumns") or []
         add = row.get("add")
         if add and add.get("path"):
-            if add.get("deletionVector"):
-                raise DeltaProtocolError("deletion vectors are not supported")
-            state["files"][unquote(add["path"])] = add.get("stats")
+            path = unquote(add["path"])
+            state["files"][path] = add.get("stats")
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType"):
+                state["dvs"][path] = dv
 
 
 def snapshot(table: str, version: int | None = None) -> dict:
@@ -197,7 +215,7 @@ def snapshot(table: str, version: int | None = None) -> dict:
     versions = _list_commit_versions(table)
     if version is not None:
         versions = [v for v in versions if v <= version]
-    state: dict = {"files": {}, "schema": None, "partition_cols": []}
+    state: dict = {"files": {}, "dvs": {}, "schema": None, "partition_cols": []}
     ckpt = _checkpoint_version(table, version)
     start = 0
     if ckpt is not None:
@@ -231,6 +249,10 @@ def snapshot(table: str, version: int | None = None) -> dict:
         # per-file data-skipping stats (raw protocol JSON string or None)
         "file_stats": {
             os.path.join(table, p): s for p, s in state["files"].items()
+        },
+        # per-file deletionVector descriptors (absent key = no DV)
+        "file_dvs": {
+            os.path.join(table, p): d for p, d in state["dvs"].items()
         },
     }
 
@@ -273,6 +295,16 @@ def read_delta(
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     if not snap["files"]:
         return spark.createDataFrame([], full)
+    live_dvs = {
+        f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
+    }
+    if live_dvs:
+        if snap["partition_cols"]:
+            raise DeltaProtocolError(
+                "deletion vectors on hive-partitioned tables are not "
+                "supported by this reader"
+            )
+        return _read_with_dvs(spark, table, snap["files"], live_dvs, full)
     if snap["partition_cols"]:
         for p in snap["partition_cols"]:
             seg = f"{p}="
@@ -292,6 +324,48 @@ def read_delta(
             [f.name for f in full.fields]
         )
     return spark.read.schema(full).parquet(*snap["files"])
+
+
+def _read_with_dvs(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    dvs: dict[str, dict],
+    full: "T.StructType",
+) -> DataFrame:
+    """Scan ``files`` subtracting each file's deletion-vector rows: the
+    parquet source exposes ``_metadata.row_index``, and the decoded
+    (file, index) pairs anti-join it under a broadcast. The pair table
+    is O(|deleted rows in scan|) — the same payload Delta's own readers
+    materialize per file from the DV blobs (executors would fetch and
+    decode the bitmaps themselves on a cluster; building the pair set
+    driver-side is the local-mode rendering of the identical data
+    volume). No data file is rewritten anywhere on this path — that is
+    the merge-on-read contract."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
+    pairs = [
+        (os.path.abspath(f), int(pos))
+        for f, desc in dvs.items()
+        for pos in dvcodec.read_dv(table, desc)
+    ]
+    base = spark.read.schema(full).parquet(*files).select(
+        "*",
+        # _metadata.file_path is a URI ("file:///..."): normalize to the
+        # plain absolute path for the join key
+        F.expr(
+            "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    del_df = spark.createDataFrame(
+        pairs, "`_dv_file` STRING, `_dv_pos` BIGINT"
+    )
+    return base.join(
+        F.broadcast(del_df), ["_dv_file", "_dv_pos"], "left_anti"
+    ).select([f.name for f in full.fields])
 
 
 def streaming_sink(table: str, app_id: str):
@@ -670,7 +744,9 @@ def _write_checkpoint(table: str, version: int) -> None:
                 "protocol",
                 pa.struct(
                     [("minReaderVersion", pa.int32()),
-                     ("minWriterVersion", pa.int32())]
+                     ("minWriterVersion", pa.int32()),
+                     ("readerFeatures", pa.list_(pa.string())),
+                     ("writerFeatures", pa.list_(pa.string()))]
                 ),
             ),
             pa.field(
@@ -695,6 +771,20 @@ def _write_checkpoint(table: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # merge-on-read state: a checkpoint that dropped
+                        # this field would silently resurrect deleted rows
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -715,6 +805,8 @@ def _write_checkpoint(table: str, version: int) -> None:
             "protocol": {
                 "minReaderVersion": protocol.get("minReaderVersion", 1),
                 "minWriterVersion": protocol.get("minWriterVersion", 2),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
             }
         },
         {
@@ -742,6 +834,7 @@ def _write_checkpoint(table: str, version: int) -> None:
             }
         )
     for add in adds.values():
+        dv = add.get("deletionVector")
         rows.append(
             {
                 "add": {
@@ -753,6 +846,17 @@ def _write_checkpoint(table: str, version: int) -> None:
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,  # checkpoint rows are state, not news
                     "stats": add.get("stats"),
+                    "deletionVector": (
+                        {
+                            "storageType": dv.get("storageType"),
+                            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": dv.get("sizeInBytes"),
+                            "cardinality": dv.get("cardinality"),
+                        }
+                        if dv
+                        else None
+                    ),
                 }
             }
         )
@@ -780,6 +884,7 @@ def _compact_files(
     pvals: dict[str, str],
     target_partitions: int,
     cluster=None,
+    df_override: DataFrame | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Rewrite one file group (all of an unpartitioned table, or one
     hive partition directory) into ``target_partitions`` compacted
@@ -788,10 +893,12 @@ def _compact_files(
     partition values in the directory name, so the compacted file's
     contents stay layout-identical). ``cluster`` (DataFrame →
     DataFrame) replaces the plain coalesce with a clustering layout,
-    e.g. Z-order."""
+    e.g. Z-order. ``df_override`` replaces the raw scan (the DV-purge
+    path feeds the deletion-filtered view so compaction physically
+    applies the vectors)."""
     segments = [f"{k}={quote(v)}" for k, v in pvals.items()]
     rel_dir = os.path.join(*segments) if segments else ""
-    df = spark.read.parquet(*files)
+    df = df_override if df_override is not None else spark.read.parquet(*files)
     if cluster is not None:
         df = cluster(df)
     else:
@@ -865,6 +972,14 @@ def optimize_delta(
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
     version = snap["version"] + 1
     pcols = snap["partition_cols"]
+    live_dvs = {
+        f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
+    }
+    if live_dvs and pcols:
+        raise DeltaProtocolError(
+            "OPTIMIZE with deletion vectors on a partitioned table is "
+            "not supported (DV scope is unpartitioned)"
+        )
 
     groups: list[tuple[list[str], dict[str, str]]] = []
     if pcols:
@@ -906,8 +1021,20 @@ def optimize_delta(
     removes: list[dict] = []
     adds: list[dict] = []
     for files, pvals in groups:
+        df_override = None
+        if live_dvs:
+            # OPTIMIZE doubles as REORG/PURGE: compact through the
+            # DV-filtered view, so the rewrite physically drops the
+            # deleted rows and the compacted adds carry no descriptor —
+            # the vectors are applied exactly once, here, where the
+            # rewrite price is amortized across every delete since the
+            # last compaction. Logical content is unchanged, so
+            # dataChange stays false.
+            full = T.StructType.fromJson(json.loads(snap["schema"]))
+            df_override = _read_with_dvs(spark, table, files, live_dvs, full)
         r, a = _compact_files(
-            spark, table, version, files, pvals, target_partitions, cluster
+            spark, table, version, files, pvals, target_partitions, cluster,
+            df_override,
         )
         removes.extend(r)
         adds.extend(a)
@@ -956,6 +1083,7 @@ def merge_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
+    _refuse_live_dvs(snap, "merge_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     cur = read_delta(spark, table)
@@ -1061,6 +1189,21 @@ def merge_delta(
     return version
 
 
+def _refuse_live_dvs(snap: dict, op: str) -> None:
+    """Copy-on-write rewrites tag rows with ``input_file_name()``, which
+    is not reliable through the DV anti-join plan — and a raw-file
+    rewrite would resurrect DV-deleted rows. Until those paths are
+    DV-aware, refuse loudly: run ``optimize_delta`` (which applies and
+    purges DVs) first, or use :func:`delete_delta_dv` for deletes."""
+    live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
+    if live:
+        raise DeltaProtocolError(
+            f"{op} on a table with live deletion vectors is not "
+            f"supported ({len(live)} file(s) carry DVs); OPTIMIZE the "
+            "table to apply+purge them first"
+        )
+
+
 def delete_delta(
     spark: SparkSession,
     table: str,
@@ -1085,6 +1228,7 @@ def delete_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
+    _refuse_live_dvs(snap, "delete_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     cur = read_delta(spark, table)
@@ -1167,6 +1311,172 @@ def delete_delta(
     return version
 
 
+def delete_delta_dv(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    change_data: bool = False,
+) -> int:
+    """Row-level DELETE via deletion vectors — Delta's MERGE-ON-READ
+    erasure (``delta.enableDeletionVectors``): instead of rewriting the
+    files that contain matched rows (:func:`delete_delta`'s
+    copy-on-write), publish a bitmap of deleted row indexes per touched
+    file and re-add the SAME data file with a ``deletionVector``
+    descriptor. Zero data files are read-modified-written; the commit
+    writes O(|deleted rows|) bitmap bytes no matter how large the files
+    are — at 100 TB, erasing one user costs KBs instead of re-writing
+    every multi-GB file that holds one of their rows. Readers subtract
+    the positions during the scan (``_read_with_dvs``); OPTIMIZE later
+    applies + purges the vectors (compaction is when the rewrite price
+    is paid, amortized across all deletes since the last one).
+
+    A second delete on an already-vectorized file unions the new
+    positions into a fresh DV (descriptors are replaced whole, the
+    protocol's semantics). The commit upgrades the table protocol to
+    the ``deletionVectors`` reader/writer feature. Unpartitioned
+    tables only (matching this module's DV read scope).
+
+    ``change_data=True`` captures the deleted rows as ``delete``-typed
+    CDF preimages exactly like the COW path, so downstream consumers
+    cannot tell which deletion strategy produced the feed — that
+    equivalence is pinned by the s17 oracle."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
+    snap = snapshot(table)
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "deletion vectors on hive-partitioned tables are not supported"
+        )
+    version = snap["version"] + 1
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    files = snap["files"]
+    if not files:
+        return snap["version"]  # empty table: nothing to delete
+    dvs_abs = {
+        os.path.abspath(f): d
+        for f, d in snap["file_dvs"].items()
+        if f in set(files)
+    }
+    existing = {
+        f: dvcodec.read_dv(table, d) for f, d in dvs_abs.items()
+    }
+    base = spark.read.schema(full).parquet(*files).select(
+        "*",
+        F.expr(
+            "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    if existing:
+        # already-deleted rows are invisible: they must not re-match
+        old_pairs = [
+            (f, int(p)) for f, ps in existing.items() for p in ps
+        ]
+        base = base.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    old_pairs, "`_dv_file` STRING, `_dv_pos` BIGINT"
+                )
+            ),
+            ["_dv_file", "_dv_pos"],
+            "left_anti",
+        )
+    key_df = keys.select(*key_cols).distinct()
+    matched = base.join(F.broadcast(key_df), key_cols, "leftsemi")
+    per_file = (
+        matched.groupBy("_dv_file")
+        .agg(F.sort_array(F.collect_list("_dv_pos")).alias("positions"))
+        .collect()  # METADATA-altitude: one row per touched file; the
+        # positions payload is O(|deleted rows|), the exact bytes any
+        # Delta DV writer materializes driver-side to build the bitmaps
+    )
+    if not per_file:
+        return snap["version"]  # no key matched: nothing to commit
+    new_positions = {
+        r["_dv_file"]: sorted(
+            set(existing.get(r["_dv_file"], ())) | set(r["positions"])
+        )
+        for r in per_file
+    }
+    rel_by_abs = {os.path.abspath(f): os.path.relpath(f, table) for f in files}
+    _, descriptors = dvcodec.write_dv_file(
+        table, {rel_by_abs[f]: ps for f, ps in new_positions.items()}
+    )
+
+    cdc_actions: list[dict] = []
+    if change_data:
+        deleted = matched.select(
+            *[fld.name for fld in full.fields]
+        ).withColumn("_change_type", F.lit("delete"))
+        cdc_actions = _write_change_data(table, deleted, version, [])
+
+    now_ms = int(time.time() * 1000)
+    stats_abs = {
+        os.path.abspath(f): s for f, s in snap["file_stats"].items()
+    }
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for abs_f in sorted(new_positions):
+        rel = rel_by_abs[abs_f]
+        remove = {
+            "path": quote(rel),
+            "deletionTimestamp": now_ms,
+            "partitionValues": {},
+            "dataChange": True,
+        }
+        if abs_f in dvs_abs:
+            remove["deletionVector"] = dvs_abs[abs_f]
+        removes.append({"remove": remove})
+        add = {
+            "path": quote(rel),
+            "partitionValues": {},
+            "size": os.path.getsize(abs_f),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "deletionVector": descriptors[rel],
+        }
+        if stats_abs.get(abs_f):
+            # min/max/nullCount stay valid (DVs only hide rows —
+            # skipping is a superset guarantee); numRecords becomes an
+            # upper bound, which the protocol accepts alongside a DV
+            add["stats"] = stats_abs[abs_f]
+        adds.append({"add": add})
+    actions = (
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        + cdc_actions
+        + removes
+        + adds
+        + [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": " AND ".join(
+                            f"target.{k} = source.{k}" for k in key_cols
+                        ),
+                        "mode": "merge-on-read",
+                    },
+                }
+            }
+        ]
+    )
+    _publish_commit(table, version, actions)
+    return version
+
+
 def restore_delta(
     spark: SparkSession,
     table: str,
@@ -1205,11 +1515,44 @@ def restore_delta(
             f"{to_version} schema differs from latest"
         )
     version = cur["version"] + 1
-    cur_rel = {os.path.relpath(f, table) for f in cur["files"]}
-    target_rel = {os.path.relpath(f, table) for f in target["files"]}
-    to_add = sorted(target_rel - cur_rel)
-    to_remove = sorted(cur_rel - target_rel)
+
+    def _file_map(snap: dict) -> dict[str, dict | None]:
+        """rel path → deletionVector descriptor (None when the file has
+        no DV). The DV is part of file identity for the restore diff: a
+        file whose path survived but whose DV changed must be
+        remove+re-added with the TARGET's descriptor, or the restored
+        snapshot silently keeps the wrong deletion state."""
+        dvs = {os.path.abspath(f): d for f, d in snap["file_dvs"].items()}
+        return {
+            os.path.relpath(f, table): dvs.get(os.path.abspath(f))
+            for f in snap["files"]
+        }
+
+    cur_map = _file_map(cur)
+    target_map = _file_map(target)
+    _SENTINEL = object()
+    to_add = sorted(
+        p for p, dv in target_map.items() if cur_map.get(p, _SENTINEL) != dv
+    )
+    to_remove = sorted(
+        p
+        for p, dv in cur_map.items()
+        if target_map.get(p, _SENTINEL) != dv
+    )
+    dv_involved = any(target_map[p] for p in to_add) or any(
+        cur_map[p] for p in to_remove
+    )
     missing = [p for p in to_add if not os.path.exists(os.path.join(table, p))]
+    if not missing:
+        # the target's DV files must also still exist (VACUUM ages them
+        # out with their versions)
+        from acero_delta_lake_streaming_spark.storage import dvcodec
+
+        for p in to_add:
+            if target_map[p]:
+                rel = dvcodec.dv_relative_path(target_map[p])
+                if rel and not os.path.exists(os.path.join(table, rel)):
+                    missing.append(rel)
     if missing:
         raise DeltaProtocolError(
             f"RESTORE to version {to_version} needs {len(missing)} data "
@@ -1234,6 +1577,12 @@ def restore_delta(
                 "change-data capture on partitioned tables is not "
                 "supported (same restriction as merge_delta)"
             )
+        if dv_involved:
+            raise DeltaProtocolError(
+                "RESTORE change-data capture across deletion-vector "
+                "commits is not supported (the file-granular CDF would "
+                "ignore the vectors); restore without capture instead"
+            )
         full = T.StructType.fromJson(json.loads(cur["schema"]))
         import pyspark.sql.functions as F
 
@@ -1256,18 +1605,22 @@ def restore_delta(
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     now_ms = int(time.time() * 1000)
-    actions = cdc_actions + [
-        {
-            "add": {
-                "path": quote(p),
-                "partitionValues": _pvals(p),
-                "size": os.path.getsize(os.path.join(table, p)),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
+
+    def _restore_add(p: str) -> dict:
+        add = {
+            "path": quote(p),
+            "partitionValues": _pvals(p),
+            "size": os.path.getsize(os.path.join(table, p)),
+            "modificationTime": now_ms,
+            "dataChange": True,
         }
-        for p in to_add
-    ] + [
+        if target_map[p]:
+            add["deletionVector"] = target_map[p]
+        return add
+
+    # removes BEFORE adds: a path whose DV changed appears in both
+    # lists, and replay must net to the re-added (target) entry
+    actions = cdc_actions + [
         {
             "remove": {
                 "path": quote(p),
@@ -1277,6 +1630,8 @@ def restore_delta(
             }
         }
         for p in to_remove
+    ] + [
+        {"add": _restore_add(p)} for p in to_add
     ] + [
         {
             "commitInfo": {
@@ -1433,11 +1788,18 @@ def vacuum_delta(
     latest = snapshot(table)["version"]
     referenced: set[str] = set()
     retained_from = max(0, latest - keep_versions)
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
     for v in range(retained_from, latest + 1):
         try:
-            referenced.update(
-                os.path.abspath(f) for f in snapshot(table, v)["files"]
-            )
+            snap_v = snapshot(table, v)
+            referenced.update(os.path.abspath(f) for f in snap_v["files"])
+            # deletion-vector files of retained snapshots must survive:
+            # deleting one would resurrect rows on the next read
+            for desc in snap_v["file_dvs"].values():
+                rel = dvcodec.dv_relative_path(desc)
+                if rel:
+                    referenced.add(os.path.abspath(os.path.join(table, rel)))
         except DeltaCorruptLogError:
             continue  # pre-checkpoint version no longer reconstructable
         # cdc change files are never in any snapshot's file list
@@ -1470,7 +1832,10 @@ def vacuum_delta(
             if d != "_delta_log" and not d.startswith("_staging_")
         ]
         for name in names:
-            if not name.endswith(".parquet"):
+            is_dv = name.startswith("deletion_vector_") and name.endswith(
+                ".bin"
+            )
+            if not (name.endswith(".parquet") or is_dv):
                 continue
             path = os.path.join(dirpath, name)
             if os.path.abspath(path) in referenced:

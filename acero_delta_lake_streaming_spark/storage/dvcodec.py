@@ -1,0 +1,284 @@
+"""Deletion-vector codec for the real Delta format: 64-bit roaring
+bitmaps in the protocol's "portable" serialization, the on-disk DV blob
+framing (size + magic + bitmap + CRC-32), and the Base85 UUID path
+encoding of ``storageType: "u"`` descriptors.
+
+Deletion vectors are Delta's merge-on-read DELETE: instead of rewriting
+every data file that contains a matched row (copy-on-write,
+``delete_delta``), a commit attaches a bitmap of deleted row *indexes*
+to the untouched file — O(|deleted rows|) written bytes regardless of
+file sizes, which at 100 TB is the difference between rewriting
+terabytes to erase one user and writing a few KB. Readers subtract the
+bitmap positions during the scan.
+
+Byte layout implemented here, per the published Delta protocol
+(PROTOCOL.md "Deletion Vectors" / "Deletion Vector Format"):
+
+* DV file: 1 version byte (``1``), then per DV at its descriptor
+  ``offset``: 4-byte big-endian data size, the data itself, 4-byte
+  big-endian CRC-32 of the data.
+* DV data: 4-byte little-endian magic ``1681511377``, then the 64-bit
+  RoaringBitmapArray "portable" form — int64 LE bitmap count, then per
+  32-bit bitmap: int32 LE high-word key + standard roaring
+  serialization (cookies 12346/12347; array, bitmap and run
+  containers — this writer emits only array/bitmap, the reader accepts
+  all three).
+* ``pathOrInlineDv`` for ``storageType "u"``: the DV file's UUID as
+  20 chars of RFC 1924 Base85 (Python's ``base64.b85encode`` charset),
+  optionally preceded by a random path prefix; ``"i"`` inlines the DV
+  data itself as Base85.
+
+Round-trip fidelity is pinned by tests (including >4096-entry bitmap
+containers and run-container decode); interop with delta-spark/delta-rs
+readers follows the spec text but is untestable in this offline
+container, so descriptors written here should be treated as
+protocol-shaped, like the CDF actions.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+import uuid as uuidlib
+import zlib
+
+#: little-endian magic prefixing every serialized DV blob (protocol value)
+DV_MAGIC = 1681511377
+_COOKIE_RUN = 12347
+_COOKIE_NO_RUN = 12346
+_ARRAY_MAX = 4096  # > this many values in a 16-bit chunk → bitmap container
+_BITMAP_BYTES = 8192
+_NO_OFFSET_THRESHOLD = 4
+
+
+class DeletionVectorError(RuntimeError):
+    """Corrupt or out-of-spec deletion-vector bytes."""
+
+
+# --------------------------------------------------------------------------
+# 32-bit roaring bitmap (one high-word chunk of the 64-bit array)
+# --------------------------------------------------------------------------
+
+
+def _ser32(values: list[int]) -> bytes:
+    """Serialize sorted, distinct uint32 values as a standard roaring
+    bitmap (no-run cookie; array containers ≤4096 entries, bitmap
+    containers above)."""
+    chunks: dict[int, list[int]] = {}
+    for v in values:
+        chunks.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(chunks)
+    n = len(keys)
+    out = bytearray(struct.pack("<ii", _COOKIE_NO_RUN, n))
+    for k in keys:
+        out += struct.pack("<HH", k, len(chunks[k]) - 1)
+    bodies: list[bytes] = []
+    pos = 8 + 8 * n  # cookie+count, desc header, offset header follows
+    pos += 4 * n
+    offsets: list[int] = []
+    for k in keys:
+        vals = chunks[k]
+        if len(vals) <= _ARRAY_MAX:
+            body = struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(_BITMAP_BYTES)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            body = bytes(bits)
+        offsets.append(pos)
+        pos += len(body)
+        bodies.append(body)
+    for o in offsets:
+        out += struct.pack("<i", o)
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def _deser32(buf: bytes, base: int) -> tuple[list[int], int]:
+    """Parse one 32-bit roaring bitmap starting at ``base``; returns
+    (values, end offset). Containers are read sequentially in key
+    order, so the offset header (when present) is validated only by
+    construction, not required."""
+    (cookie,) = struct.unpack_from("<i", buf, base)
+    pos = base + 4
+    if cookie & 0xFFFF == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        run_bits = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        run_bits = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise DeletionVectorError(f"unknown roaring cookie {cookie}")
+    header = struct.unpack_from(f"<{2 * n}H", buf, pos)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # skip offset header; containers follow in order
+    values: list[int] = []
+    for i in range(n):
+        key, card_m1 = header[2 * i], header[2 * i + 1]
+        card = card_m1 + 1
+        hi = key << 16
+        if run_bits[i >> 3] & (1 << (i & 7)):
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(hi | v for v in range(start, start + length + 1))
+        elif card > _ARRAY_MAX:
+            words = buf[pos : pos + _BITMAP_BYTES]
+            pos += _BITMAP_BYTES
+            for byte_i, byte in enumerate(words):
+                while byte:
+                    bit = byte & -byte
+                    values.append(hi | (byte_i << 3) | bit.bit_length() - 1)
+                    byte ^= bit
+        else:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(hi | v for v in vals)
+    return values, pos
+
+
+# --------------------------------------------------------------------------
+# 64-bit RoaringBitmapArray, portable form
+# --------------------------------------------------------------------------
+
+
+def serialize_positions(positions: list[int]) -> bytes:
+    """Sorted distinct non-negative row indexes → portable 64-bit
+    RoaringBitmapArray bytes (without the magic prefix)."""
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        if p < 0:
+            raise DeletionVectorError(f"negative row index {p}")
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<q", len(by_high)))
+    for high in sorted(by_high):
+        out += struct.pack("<i", high)
+        out += _ser32(by_high[high])
+    return bytes(out)
+
+
+def deserialize_positions(data: bytes) -> list[int]:
+    """Inverse of :func:`serialize_positions`; accepts run containers."""
+    (n_maps,) = struct.unpack_from("<q", data, 0)
+    pos = 8
+    values: list[int] = []
+    for _ in range(n_maps):
+        (high,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        vals32, pos = _deser32(data, pos)
+        values.extend((high << 32) | v for v in vals32)
+    if pos != len(data):
+        raise DeletionVectorError(
+            f"trailing bytes after bitmap array ({len(data) - pos})"
+        )
+    return values
+
+
+def encode_dv_data(positions: list[int]) -> bytes:
+    """Magic-prefixed DV blob — the ``sizeInBytes`` unit of the
+    descriptor."""
+    return struct.pack("<i", DV_MAGIC) + serialize_positions(positions)
+
+
+def decode_dv_data(data: bytes) -> list[int]:
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != DV_MAGIC:
+        raise DeletionVectorError(f"bad DV magic {magic}")
+    return deserialize_positions(data[4:])
+
+
+# --------------------------------------------------------------------------
+# DV file framing + descriptors
+# --------------------------------------------------------------------------
+
+
+def write_dv_file(
+    table: str, positions_per_key: dict[str, list[int]]
+) -> tuple[str, dict[str, dict]]:
+    """Write ONE ``deletion_vector_<uuid>.bin`` holding every DV of a
+    commit (delta-spark packs a commit's DVs the same way). Returns
+    ``(relative file path, {key: descriptor})`` where each descriptor is
+    the protocol's ``deletionVector`` struct for an ``add`` action."""
+    dv_uuid = uuidlib.uuid4()
+    rel = f"deletion_vector_{dv_uuid}.bin"
+    encoded = base64.b85encode(dv_uuid.bytes).decode("ascii")
+    blob = bytearray(b"\x01")  # format version byte
+    descriptors: dict[str, dict] = {}
+    for key in sorted(positions_per_key):
+        positions = positions_per_key[key]
+        data = encode_dv_data(positions)
+        offset = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[key] = {
+            "storageType": "u",
+            "pathOrInlineDv": encoded,
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(set(positions)),
+        }
+    tmp = os.path.join(table, f"{rel}.tmp.{uuidlib.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(bytes(blob))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(table, rel))
+    return rel, descriptors
+
+
+def dv_relative_path(descriptor: dict) -> str | None:
+    """Table-relative path of a ``storageType "u"`` DV file (None for
+    inline DVs). The last 20 chars of ``pathOrInlineDv`` are the
+    Base85 UUID; anything before them is a path prefix."""
+    st = descriptor.get("storageType")
+    if st == "i":
+        return None
+    if st != "u":
+        raise DeletionVectorError(f"unsupported DV storageType {st!r}")
+    enc = descriptor["pathOrInlineDv"]
+    prefix, tail = enc[:-20], enc[-20:]
+    dv_uuid = uuidlib.UUID(bytes=base64.b85decode(tail))
+    name = f"deletion_vector_{dv_uuid}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def read_dv(table: str, descriptor: dict) -> list[int]:
+    """Materialize a descriptor's deleted row indexes, verifying size,
+    CRC-32, magic, and cardinality."""
+    if descriptor.get("storageType") == "i":
+        data = base64.b85decode(descriptor["pathOrInlineDv"])
+    else:
+        rel = dv_relative_path(descriptor)
+        path = os.path.join(table, rel)
+        with open(path, "rb") as f:
+            blob = f.read()
+        if not blob or blob[0] != 1:
+            raise DeletionVectorError(f"{rel}: bad DV file version byte")
+        off = descriptor["offset"]
+        (size,) = struct.unpack_from(">i", blob, off)
+        if size != descriptor["sizeInBytes"]:
+            raise DeletionVectorError(
+                f"{rel}@{off}: size {size} != descriptor "
+                f"sizeInBytes {descriptor['sizeInBytes']}"
+            )
+        data = blob[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise DeletionVectorError(f"{rel}@{off}: CRC mismatch")
+    positions = decode_dv_data(data)
+    card = descriptor.get("cardinality")
+    if card is not None and card != len(positions):
+        raise DeletionVectorError(
+            f"descriptor cardinality {card} != decoded {len(positions)}"
+        )
+    return positions

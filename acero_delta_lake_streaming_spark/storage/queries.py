@@ -878,6 +878,64 @@ _S16_SQL = (
 )
 
 
+def s17_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — DELETION-VECTOR (merge-on-read) row-level DELETE on the
+    real Delta format: the same GDPR erasure as s13, but instead of
+    copy-on-write rewriting every file that contains a matched row,
+    ``delete_delta_dv`` publishes a roaring bitmap of deleted row
+    indexes per file (``deletionVector`` add actions, ``dvcodec``) and
+    leaves every data file byte-identical — O(|deleted rows|) written
+    bytes regardless of file sizes, which at 100 TB turns
+    erase-one-user from a terabyte rewrite into a KB-scale commit.
+    The snapshot read subtracts the bitmaps during the scan
+    (``_metadata.row_index`` anti-join); OPTIMIZE later applies+purges.
+
+    The result certifies both sides exactly like s13: 'remaining' =
+    the DV-subtracting snapshot read, 'deleted' = the delete-typed CDF
+    preimages — and the oracle is IDENTICAL to s13's, because a
+    downstream consumer must not be able to tell which deletion
+    strategy ran. Zero-rewrite and bitmap round-trip contracts are
+    pinned in tests/test_delta_compat.py."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s17_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    v = delta_compat.delete_delta_dv(
+        spark, table, doomed, ["o_orderkey"], change_data=True
+    )
+    remaining = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("remaining")
+    )
+    deleted = (
+        delta_compat.read_delta_changes(spark, table, v, v)
+        .filter("_change_type = 'delete'")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("part", F.lit("deleted"))
+    )
+    return (
+        remaining.unionByName(deleted)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+# deliberately identical to _S13_SQL: COW and merge-on-read deletes
+# must be indistinguishable downstream
+_S17_SQL = _S13_SQL
+
+
 def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10 — the CDC follower driven end to end through the entry
     surface (VERDICT r4 item 7): a source deltalite table takes three
@@ -1069,6 +1127,7 @@ QUERIES = {
     "s14_restore": s14_restore,
     "s15_stats_skipping": s15_stats_skipping,
     "s16_zorder_real": s16_zorder_real,
+    "s17_dv_delete": s17_dv_delete,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
 }
@@ -1091,6 +1150,7 @@ ORACLES = {
     "s14_restore": _S14_SQL,
     "s15_stats_skipping": _S15_SQL,
     "s16_zorder_real": _S16_SQL,
+    "s17_dv_delete": _S17_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
 }

@@ -90,6 +90,13 @@ HEADLINE = [
     "s16_zorder_real",
     "st11_streaming_sessions",
     "x26_unigram_surprise",
+    # late round-5 additions: merge-on-read DELETE (deletion vectors),
+    # incremental aggregate mart from the CDF, bloom-prefilter join,
+    # retention cohorts
+    "s17_dv_delete",
+    "st12_incremental_agg_mart",
+    "j4_bloom_prefilter_join",
+    "w12_retention_cohorts",
 ]
 
 
