@@ -128,20 +128,24 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
     return v if _checkpoint_files(table, v) else None
 
 
-#: the one table feature this reader implements (see ``dvcodec``); any
-#: other advertised reader feature still refuses loudly.
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+#: table features this reader implements (see ``dvcodec`` and
+#: ``_column_mapping``); any other advertised reader feature still
+#: refuses loudly.
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 
 
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
     reader = p.get("minReaderVersion", 1)
     features = set(p.get("readerFeatures") or [])
-    if reader > 1 and not features:
+    if reader > 2 and not features:
         raise DeltaProtocolError(
             f"minReaderVersion={reader} requires reader features this "
             "implementation does not support"
         )
+    # reader version 2 without a feature list IS column mapping (the
+    # pre-table-features protocol); whether the declared mapping MODE is
+    # supported is checked where the metaData is applied.
     unsupported = features - _SUPPORTED_READER_FEATURES
     if unsupported:
         raise DeltaProtocolError(f"unsupported readerFeatures {unsupported}")
@@ -157,6 +161,7 @@ def _apply_action(state: dict, action: dict) -> None:
             raise DeltaProtocolError(f"unsupported format provider {fmt!r}")
         state["schema"] = md["schemaString"]
         state["partition_cols"] = md.get("partitionColumns") or []
+        state["configuration"] = md.get("configuration") or {}
     elif "add" in action:
         add = action["add"]
         path = unquote(add["path"])
@@ -195,6 +200,12 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
         if md and md.get("schemaString"):
             state["schema"] = md["schemaString"]
             state["partition_cols"] = md.get("partitionColumns") or []
+            cfg = md.get("configuration")
+            # checkpoint configuration may be a map-type column
+            # (list of (k, v) pairs from pyarrow) or a plain dict
+            if isinstance(cfg, list):
+                cfg = dict(cfg)
+            state["configuration"] = cfg or {}
         add = row.get("add")
         if add and add.get("path"):
             path = unquote(add["path"])
@@ -204,18 +215,68 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
                 state["dvs"][path] = dv
 
 
-def snapshot(table: str, version: int | None = None) -> dict:
+def _commit_timestamp_ms(table: str, version: int) -> int:
+    """Commit wall-clock for TIMESTAMP AS OF resolution: the
+    ``commitInfo.timestamp`` when present, else the commit file's
+    modification time — exactly delta-spark's fallback order."""
+    try:
+        with open(_commit_path(table, version)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                ci = action.get("commitInfo")
+                if ci and ci.get("timestamp") is not None:
+                    return int(ci["timestamp"])
+    except FileNotFoundError:
+        pass
+    return int(os.path.getmtime(_commit_path(table, version)) * 1000)
+
+
+def resolve_timestamp(table: str, timestamp_ms: int) -> int:
+    """``TIMESTAMP AS OF``: the latest commit version whose timestamp is
+    <= ``timestamp_ms`` (Delta's contract). Raises if the moment
+    precedes the table's first commit."""
+    best = None
+    for v in _list_commit_versions(table):
+        if _commit_timestamp_ms(table, v) <= timestamp_ms:
+            best = v
+    if best is None:
+        raise DeltaProtocolError(
+            f"timestamp {timestamp_ms} is before {table}'s first commit"
+        )
+    return best
+
+
+def snapshot(
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
     """Resolve the file list + schema for a Delta table snapshot.
 
     Returns ``{"files": [abs paths], "schema": StructType-json-str,
-    "partition_cols": [...], "version": int}``.
+    "partition_cols": [...], "version": int}``. ``timestamp_ms``
+    resolves to a version via :func:`resolve_timestamp` (mutually
+    exclusive with ``version``).
     """
     if not is_delta_table(table):
         raise DeltaCorruptLogError(f"{table} has no {_LOG_DIR} directory")
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = resolve_timestamp(table, timestamp_ms)
     versions = _list_commit_versions(table)
     if version is not None:
         versions = [v for v in versions if v <= version]
-    state: dict = {"files": {}, "dvs": {}, "schema": None, "partition_cols": []}
+    state: dict = {
+        "files": {},
+        "dvs": {},
+        "schema": None,
+        "partition_cols": [],
+        "configuration": {},
+    }
     ckpt = _checkpoint_version(table, version)
     start = 0
     if ckpt is not None:
@@ -254,7 +315,54 @@ def snapshot(table: str, version: int | None = None) -> dict:
         "file_dvs": {
             os.path.join(table, p): d for p, d in state["dvs"].items()
         },
+        # table properties from metaData (column mapping mode lives here)
+        "configuration": state["configuration"],
     }
+
+
+def _mapping_mode(snap: dict) -> str:
+    return snap["configuration"].get("delta.columnMapping.mode", "none")
+
+
+def _physical_renames(schema_json: str) -> list[tuple[str, str]]:
+    """(physical, logical) name pairs from a column-mapped schemaString —
+    delta-spark stores the physical parquet column name in each field's
+    ``delta.columnMapping.physicalName`` metadata. Top-level columns
+    only (the fixture scope); nested mapped structs would recurse."""
+    sch = json.loads(schema_json)
+    out = []
+    for f in sch["fields"]:
+        meta = f.get("metadata") or {}
+        out.append((meta.get("delta.columnMapping.physicalName", f["name"]),
+                    f["name"]))
+    return out
+
+
+def _read_with_mapping(
+    spark: SparkSession, files: list[str], schema_json: str
+) -> DataFrame:
+    """Scan a name-mapped table: read the PHYSICAL schema (the log's
+    types with each field's physicalName — parquet footers know only
+    those), then project back to logical names. Pure rename, no data
+    movement; pushdown still reaches the scan because the aliases are
+    a projection over the source."""
+    import pyspark.sql.functions as F
+
+    sch = json.loads(schema_json)
+    phys_fields = []
+    for f in sch["fields"]:
+        meta = f.get("metadata") or {}
+        pf = dict(f)
+        pf["name"] = meta.get("delta.columnMapping.physicalName", f["name"])
+        pf["metadata"] = {}
+        phys_fields.append(pf)
+    phys_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": phys_fields}
+    )
+    df = spark.read.schema(phys_schema).parquet(*files)
+    return df.select(
+        [F.col(p).alias(l) for p, l in _physical_renames(schema_json)]
+    )
 
 
 def read_delta(
@@ -262,6 +370,7 @@ def read_delta(
     table: str,
     version: int | None = None,
     skip: tuple | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Lazy DataFrame over a real Delta table at ``version`` (latest if
     None). Partitioned tables must use the hive directory layout
@@ -277,10 +386,28 @@ def read_delta(
     makes a point/range read on a 100 TB table touch only the files
     that can match. Files without stats for the column are
     conservatively kept, so skipping is always a pure optimization; the
-    caller still applies the row-level filter."""
-    snap = snapshot(table, version)
+    caller still applies the row-level filter.
+
+    ``timestamp_ms`` is ``TIMESTAMP AS OF``: the latest version
+    committed at or before that wall-clock moment. Column-mapped
+    tables (``delta.columnMapping.mode = name`` — what delta-spark
+    writes by default on new tables since 2.x when enabled) read
+    through the physical→logical rename; ``id`` mode (parquet field-id
+    matching) and mapped partitioned/DV tables refuse loudly."""
+    snap = snapshot(table, version, timestamp_ms)
+    mode = _mapping_mode(snap)
+    if mode not in ("none", "name"):
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} is not supported (only 'name')"
+        )
+    phys_of = (
+        {l: p for p, l in _physical_renames(snap["schema"])}
+        if mode == "name"
+        else {}
+    )
     if skip is not None and snap["files"]:
         col, lo, hi = skip
+        col = phys_of.get(col, col)  # stats JSON uses physical names
         kept = []
         for f in snap["files"]:
             raw = snap["file_stats"].get(f)
@@ -298,6 +425,13 @@ def read_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
+    if mode == "name":
+        if snap["partition_cols"] or live_dvs:
+            raise DeltaProtocolError(
+                "column mapping combined with hive partitioning or "
+                "deletion vectors is not supported by this reader"
+            )
+        return _read_with_mapping(spark, snap["files"], snap["schema"])
     if live_dvs:
         if snap["partition_cols"]:
             raise DeltaProtocolError(
@@ -444,7 +578,13 @@ def append_delta(
     versions = _list_commit_versions(table)
     version = (versions[-1] + 1) if versions else 0
     if version > 0:
-        existing = snapshot(table)["partition_cols"]
+        snap0 = snapshot(table)
+        if _mapping_mode(snap0) != "none":
+            raise DeltaProtocolError(
+                "appending to a column-mapped table is not supported "
+                "(this writer emits logical column names)"
+            )
+        existing = snap0["partition_cols"]
         if existing != partition_by:
             raise DeltaProtocolError(
                 f"table is partitioned by {existing}, append specified "
@@ -757,6 +897,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pv_type),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -819,6 +960,9 @@ def _write_checkpoint(table: str, version: int) -> None:
                 },
                 "schemaString": meta["schemaString"],
                 "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": list(
+                    (meta.get("configuration") or {}).items()
+                ),
                 "createdTime": meta.get("createdTime"),
             }
         },
@@ -979,6 +1123,12 @@ def optimize_delta(
         raise DeltaProtocolError(
             "OPTIMIZE with deletion vectors on a partitioned table is "
             "not supported (DV scope is unpartitioned)"
+        )
+    if zorder_by and _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "OPTIMIZE ZORDER BY on a column-mapped table is not "
+            "supported (clustering keys are logical names; the data "
+            "files carry physical ones)"
         )
 
     groups: list[tuple[list[str], dict[str, str]]] = []
@@ -1194,7 +1344,13 @@ def _refuse_live_dvs(snap: dict, op: str) -> None:
     is not reliable through the DV anti-join plan — and a raw-file
     rewrite would resurrect DV-deleted rows. Until those paths are
     DV-aware, refuse loudly: run ``optimize_delta`` (which applies and
-    purges DVs) first, or use :func:`delete_delta_dv` for deletes."""
+    purges DVs) first, or use :func:`delete_delta_dv` for deletes.
+    Column-mapped tables refuse for the same rewrite-fidelity reason
+    (this writer emits logical names)."""
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            f"{op} on a column-mapped table is not supported"
+        )
     live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
     if live:
         raise DeltaProtocolError(
@@ -1349,6 +1505,10 @@ def delete_delta_dv(
     if snap["partition_cols"]:
         raise DeltaProtocolError(
             "deletion vectors on hive-partitioned tables are not supported"
+        )
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "delete_delta_dv on a column-mapped table is not supported"
         )
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))

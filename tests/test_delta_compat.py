@@ -168,13 +168,16 @@ def test_url_encoded_paths(spark, tmp_path):
     assert [r.id for r in dc.read_delta(spark, table).collect()] == [9]
 
 
-def test_protocol_v2_rejected(spark, tmp_path):
-    table = str(tmp_path / "v2_tbl")
+def test_protocol_v3_without_features_rejected(spark, tmp_path):
+    """Reader version 2 is the legacy column-mapping protocol (now
+    supported); version 3+ MUST enumerate readerFeatures, and a log
+    that doesn't is refused rather than guessed at."""
+    table = str(tmp_path / "v3_tbl")
     _commit(
         table,
         0,
         [
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
             _meta(spark, "id long"),
         ],
     )
@@ -183,17 +186,17 @@ def test_protocol_v2_rejected(spark, tmp_path):
 
 
 def test_unknown_reader_feature_rejected(spark, tmp_path):
-    """deletionVectors is now supported; any OTHER advertised reader
-    feature (column mapping, v2 checkpoints, ...) still refuses loudly
-    rather than returning wrong rows."""
-    table = str(tmp_path / "cm_tbl")
+    """deletionVectors and columnMapping are now supported; any OTHER
+    advertised reader feature (v2 checkpoints, type widening, ...)
+    still refuses loudly rather than returning wrong rows."""
+    table = str(tmp_path / "v2ck_tbl")
     _commit(
         table,
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["columnMapping"],
-                          "writerFeatures": ["columnMapping"]}},
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
             _meta(spark, "id long"),
         ],
     )
@@ -1540,3 +1543,129 @@ def test_dv_checkpoint_carries_descriptors(spark, tmp_path):
             os.rename(
                 dc._commit_path(table, v) + ".hidden", dc._commit_path(table, v)
             )
+
+
+# --------------------------------------------------------------------------
+# Column mapping (name mode) + TIMESTAMP AS OF
+# --------------------------------------------------------------------------
+
+
+def _mapped_meta(mode="name"):
+    """metaData for a 2-column table whose logical names (k, v) map to
+    UUID-ish physical parquet columns — the layout delta-spark writes
+    with delta.columnMapping.mode=name."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa111"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb222"}},
+        ],
+    }
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000001",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "2"},
+        }
+    }
+
+
+_PROTO_CM = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+
+
+def _seed_mapped_table(spark, tmp_path, mode="name"):
+    table = str(tmp_path / "cm_name_tbl")
+    _write_parquet(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        "`col-aaa111` long, `col-bbb222` string",
+        os.path.join(table, "part-0.parquet"),
+    )
+    _commit(
+        table,
+        0,
+        [
+            _PROTO_CM,
+            _mapped_meta(mode),
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({
+                         "numRecords": 3,
+                         "minValues": {"col-aaa111": 1},
+                         "maxValues": {"col-aaa111": 3},
+                         "nullCount": {"col-aaa111": 0}})}},
+        ],
+    )
+    return table
+
+
+def test_column_mapping_name_read(spark, tmp_path):
+    """A name-mapped table reads back under LOGICAL column names with
+    the physical parquet columns resolved through the field metadata;
+    data skipping translates the logical skip column to the physical
+    stats key."""
+    table = _seed_mapped_table(spark, tmp_path)
+    df = dc.read_delta(spark, table)
+    assert df.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in df.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # logical-name skipping: a range that excludes the file prunes it
+    assert dc.read_delta(spark, table, skip=("k", 10, 20)).count() == 0
+    assert dc.read_delta(spark, table, skip=("k", 2, 2)).count() == 3
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    table = _seed_mapped_table(spark, tmp_path, mode="id")
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.read_delta(spark, table)
+
+
+def test_column_mapped_writes_refused(spark, tmp_path):
+    """This writer emits logical names; every mutating verb must refuse
+    a mapped table rather than corrupt it."""
+    import pyspark.sql.functions as F
+
+    table = _seed_mapped_table(spark, tmp_path)
+    df = spark.range(5).select(F.col("id").alias("k"),
+                               F.lit("x").alias("v"))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(df, table)
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.merge_delta(spark, table, df, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta_dv(spark, table, df.select("k"), ["k"])
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the latest commit at or before the
+    moment (commitInfo.timestamp authoritative), and a moment before
+    the first commit refuses."""
+    table = str(tmp_path / "ts_tbl")
+    for v, (lo, hi, ts) in enumerate([(0, 3, 1000), (3, 6, 2000),
+                                      (6, 9, 3000)]):
+        _write_parquet(
+            spark, [(i,) for i in range(lo, hi)], "id long",
+            os.path.join(table, f"f{v}.parquet"),
+        )
+        actions = []
+        if v == 0:
+            actions = [_PROTO, _meta(spark, "id long")]
+        actions += [
+            {"add": {"path": f"f{v}.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": ts, "dataChange": True}},
+            {"commitInfo": {"timestamp": ts, "operation": "WRITE"}},
+        ]
+        _commit(table, v, actions)
+    assert dc.resolve_timestamp(table, 2500) == 1
+    assert dc.read_delta(spark, table, timestamp_ms=2500).count() == 6
+    assert dc.read_delta(spark, table, timestamp_ms=3000).count() == 9
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.resolve_timestamp(table, 500)
