@@ -51,3 +51,46 @@ def interval_click_join(events: DataFrame, lookback_s: int = 3600) -> DataFrame:
         ),
         "inner",
     ).select("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")
+
+
+def interval_click_left_join(
+    events: DataFrame, lookback_s: int = 3600
+) -> DataFrame:
+    """ST13 — the LEFT OUTER form: every purchase emits, with nulls for
+    the click columns when no click preceded it within ``lookback``.
+
+    Outer stream-stream joins are strictly harder than inner ones: the
+    engine cannot know a purchase is unmatched until the watermark has
+    passed the end of its match window, so the null-augmented row is
+    emitted (exactly once, append mode) only at watermark + lookback —
+    state eviction and result emission are the same event. That delayed
+    certainty is the whole semantic difference from the inner join, and
+    why the streaming drive needs a sentinel to flush the tail (the
+    same emit-once contract st11's session stream pins)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.expr("timestamp_micros(ts_ns DIV 1000)").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{lookback_s} seconds")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.expr("timestamp_micros(ts_ns DIV 1000)").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{lookback_s} seconds")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id "
+            f"AND c_ts >= p_ts - INTERVAL {lookback_s} SECOND "
+            "AND c_ts < p_ts"
+        ),
+        "left_outer",
+    ).select("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")

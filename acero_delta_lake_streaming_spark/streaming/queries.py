@@ -375,6 +375,104 @@ _ST7_SQL = (
 )
 
 
+def st13_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13 — stream-stream LEFT OUTER interval join driven as a real
+    stream: st7's click-attribution join, but purchases with NO prior
+    click must also emit (click columns null → -1). The null-augmented
+    row can only be emitted once the watermark proves no click can
+    still arrive — emission and state eviction are the same event — so
+    a far-future sentinel purchase+click pair (negative ids, year 2030)
+    rides in a final micro-batch to push both watermarks past every
+    real purchase's window; the sentinels' own state stays open and
+    never emits. Events split chronologically (watermark correctness
+    across the epoch boundary, as in st7); the streamed result equals
+    the batch left join the oracle recomputes. Scale: state is bounded
+    by lookback on both sides — the outer emission adds no state, only
+    deferred output."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+    from acero_delta_lake_streaming_spark.streaming.joins import (
+        interval_click_left_join,
+    )
+
+    base = _scratch(sf_dir, "st13")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    split_ns = 1705363200 * 1_000_000_000  # 2024-01-16T00:00Z, mid-corpus
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    f2 = os.path.join(drop, "b2.parquet")
+    write_single_parquet(events.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(events.filter(F.col("ts_ns") >= split_ns), f1)
+    sentinels = spark.createDataFrame(
+        # 2030-01-01T00:00:00Z in epoch ns; one per side so BOTH
+        # watermarks advance past the corpus
+        [
+            (-1, 1893456000_000_000_000, -1, "purchase", 0.0),
+            (-2, 1893456000_000_000_000, -1, "click", 0.0),
+        ],
+        "event_id long, ts_ns long, user_id long, "
+        "event_type string, value double",
+    )
+    write_single_parquet(sentinels, f2)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+    os.utime(f2, (3_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(batch_df, out, app_id="st13", epoch=epoch_id)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        interval_click_left_join(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pairs = deltalite.read(spark, out).filter("p_event_id >= 0")
+    return pairs.select(
+        "p_event_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        F.coalesce("c_event_id", F.lit(-1)).cast("bigint").alias("c_event_id_f"),
+        F.coalesce(F.unix_millis("c_ts"), F.lit(-1))
+        .cast("bigint")
+        .alias("c_ts_ms"),
+    )
+
+
+_ST13_SQL = (
+    "WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT p.event_id AS p_event_id, p.user_id, "
+    "p.tus // 1000 AS p_ts_ms, "
+    "CAST(coalesce(c.event_id, -1) AS BIGINT) AS c_event_id_f, "
+    "CAST(coalesce(c.tus // 1000, -1) AS BIGINT) AS c_ts_ms "
+    "FROM p LEFT JOIN c ON c.user_id = p.user_id "
+    "AND c.tus >= p.tus - 3600000000 AND c.tus < p.tus"
+)
+
+
 def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST8: stream-static enrichment — each micro-batch broadcast-joins
     the static ``customer`` dimension (re-resolved per epoch, exactly
@@ -595,6 +693,7 @@ QUERIES = {
     "st2_stateful_totals": st2_stateful_totals,
     "st4_windowed_counts": st4_windowed_counts,
     "st7_interval_join": st7_interval_join,
+    "st13_left_outer_join": st13_left_outer_join,
     "st8_stream_static_enrich": st8_stream_static_enrich,
     "st9_streaming_ema": st9_streaming_ema,
     "st11_streaming_sessions": st11_streaming_sessions,
@@ -606,6 +705,7 @@ ORACLES = {
     "st2_stateful_totals": _ST2_SQL,
     "st4_windowed_counts": _ST4_SQL,
     "st7_interval_join": _ST7_SQL,
+    "st13_left_outer_join": _ST13_SQL,
     "st8_stream_static_enrich": _ST8_SQL,
     "st9_streaming_ema": _ST9_SQL,
     "st11_streaming_sessions": _ST11_SQL,
