@@ -450,12 +450,115 @@ _X17_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x27 — HyperLogLog distinct sketch
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (b = 8 bucket bits); std error ≈ 1.04/√m ≈ 6.5%
+
+
+def _hll_exprs(md5_expr: str, pos_fn: str) -> tuple[str, str]:
+    """(bucket, rank) SQL for one HLL observation from an md5 hex
+    string: bucket = first 2 hex digits (8 bits → 256 registers), rank
+    = leading-zero count of the NEXT 8 hex digits as a 32-bit word,
+    plus one. Pure digit arithmetic on the cross-engine hash — the
+    only float in the whole sketch is the final one-row estimate."""
+    d = "0123456789abcdef"
+    bucket = (
+        f"(({pos_fn}('{d}', substr({md5_expr}, 1, 1)) - 1) * 16 "
+        f"+ ({pos_fn}('{d}', substr({md5_expr}, 2, 1)) - 1))"
+    )
+    v = "(" + " + ".join(
+        f"({pos_fn}('{d}', substr({md5_expr}, {p + 3}, 1)) - 1)"
+        f" * CAST({16 ** (7 - p)} AS BIGINT)"
+        for p in range(8)
+    ) + ")"
+    # bitlength via length(bin(v)) — identical minimal-bits semantics in
+    # Spark and DuckDB (bin(0) = '0' needs the CASE)
+    rank = f"(CASE WHEN {v} = 0 THEN 33 ELSE 33 - length(bin({v})) END)"
+    return bucket, rank
+
+
+def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimate of distinct ``l_orderkey`` over lineitem —
+    the register-based approximate-distinct that completes the sketch
+    family (KMV = x13 keeps order statistics; HLL keeps 256 one-byte
+    registers and merges by element-wise max, which is exactly what the
+    ``groupBy(bucket).max(rank)`` does: the shuffle IS the merge, 256
+    rows total regardless of corpus size — the O(1)-state shape
+    ``approx_count_distinct`` uses internally, rebuilt here openly so
+    the oracle can replay it bit-for-bit).
+
+    Estimate = α·m²/Σ2^(−M_j); the harmonic sum is kept EXACT by
+    scaling to Σ2^(33−M_j) in BIGINT (every term a power of two —
+    order-independent integer addition), so both engines divide the
+    same two exact numbers in one identical final float expression.
+    No small-range correction branch: l_orderkey's cardinality is
+    ≫ 2.5·m at every fixture SF, and the raw components (register
+    count, scaled sum, zero registers) are emitted alongside so a
+    consumer can apply any correction policy. Accuracy vs exact
+    distinct is pinned in tests/test_sketch.py."""
+    bucket, rank = _hll_exprs("md5(cast(l_orderkey as string))", "instr")
+    regs = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(f"{bucket} AS bucket", f"{rank} AS r")
+        .groupBy("bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.expr("CAST(pow(2.0, 33 - m) AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_obs"),
+    )
+    return agg.selectExpr(
+        "n_obs AS n_registers",
+        f"CAST({_HLL_M} - n_obs AS BIGINT) AS zero_registers",
+        f"CAST(s_obs + ({_HLL_M} - n_obs) * CAST(pow(2.0, 33) AS BIGINT) "
+        "AS BIGINT) AS s_scaled",
+        # literals CAST to DOUBLE explicitly: Spark parses bare decimal
+        # literals as DECIMAL and its decimal division truncates
+        # differently from DuckDB's double promotion (measured: 5e-4
+        # drift at sf0.1)
+        "round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
+        "+ CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) "
+        "* CAST(65536.0 AS DOUBLE) * CAST(8589934592.0 AS DOUBLE) "
+        f"/ CAST(s_obs + ({_HLL_M} - n_obs) * CAST(pow(2.0, 33) AS BIGINT) "
+        "AS DOUBLE), 4) AS est_distinct",
+    )
+
+
+def _x27_sql() -> str:
+    bucket, rank = _hll_exprs("md5(cast(l_orderkey as varchar))", "strpos")
+    return (
+        f"WITH obs AS (SELECT {bucket} AS bucket, {rank} AS r "
+        "FROM lineitem), "
+        "regs AS (SELECT bucket, max(r) AS m FROM obs GROUP BY 1), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, "
+        "CAST(sum(CAST(pow(2.0, 33 - m) AS BIGINT)) AS BIGINT) AS s_obs "
+        "FROM regs) "
+        "SELECT n_obs AS n_registers, "
+        f"CAST({_HLL_M} - n_obs AS BIGINT) AS zero_registers, "
+        f"CAST(s_obs + ({_HLL_M} - n_obs) * CAST(pow(2.0, 33) AS BIGINT) "
+        "AS BIGINT) AS s_scaled, "
+        "round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
+        "+ CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) "
+        "* CAST(65536.0 AS DOUBLE) * CAST(8589934592.0 AS DOUBLE) "
+        f"/ CAST(s_obs + ({_HLL_M} - n_obs) * CAST(pow(2.0, 33) AS BIGINT) "
+        "AS DOUBLE), 4) AS est_distinct FROM a"
+    )
+
+
+_X27_SQL = _x27_sql()
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
     "dq1b_approx_profile": dq1b_approx_profile,
     "dq2_expectations": dq2_expectations,
     "x17_cms_heavy_hitters": x17_cms_heavy_hitters,
+    "x27_hll_distinct": x27_hll_distinct,
 }
 
 ORACLES = {
@@ -464,4 +567,5 @@ ORACLES = {
     "dq1b_approx_profile": _DQ1B_SQL,
     "dq2_expectations": _DQ2_SQL,
     "x17_cms_heavy_hitters": _X17_SQL,
+    "x27_hll_distinct": _X27_SQL,
 }

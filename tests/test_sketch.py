@@ -134,3 +134,22 @@ def test_scd2_event_conservation(spark, sf_dir):
         .count()
     )
     assert sum(r.n_events for r in rows) == n_sliced
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """x27's HLL estimate must land within ~3 standard errors of the
+    exact distinct count (σ ≈ 1.04/√256 ≈ 6.5%); deterministic — the
+    registers are md5-derived, no RNG."""
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        x27_hll_distinct,
+    )
+
+    row = x27_hll_distinct(spark, sf_dir).collect()[0]
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row["est_distinct"] - exact) / exact < 0.20
+    assert row["n_registers"] + row["zero_registers"] == 256
