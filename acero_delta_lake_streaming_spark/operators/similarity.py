@@ -1112,6 +1112,141 @@ _X24_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X28 — PageRank centrality over the similarity graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000
+
+
+def x28_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding-similarity graph: nodes = vectors,
+    edges = within-bucket pairs of the ADAPTIVE sign-LSH (x14's bucket
+    machinery — plane count derives from corpus size, so |edges| grows
+    ~linearly with N, measured in tests/test_scale_growth.py). A
+    corpus-centrality score like this ranks documents by how many
+    near-neighbors they have — the representativeness signal SemDeDup-
+    style curation uses to pick which duplicate cluster member to keep.
+
+    INTEGER PageRank: ranks live in parts-per-1e9 BIGINTs and every
+    step is integer arithmetic — contribution = rank DIV degree, damping
+    = (85·Σ) DIV 100 + (15·(1e9 DIV N)) DIV 100 — so the per-node sums
+    are order-independent (no float accumulation ordering) and the
+    DuckDB oracle, which unrolls the same three iterations as CTEs,
+    hash-matches exactly. Truncation loses <1e-9·deg of mass per node
+    per round (dangling/rounding leak — documented, identical both
+    engines; production PageRank redistributes it).
+
+    Scale shape: each iteration is one equi-join of edges against the
+    |N|-row rank vector plus one groupBy(dst) — the classic distributed
+    PageRank step; no all-pairs anywhere, the edge list reuses the
+    bucket equi-join, and three fixed iterations keep the lineage
+    shallow (unbounded iteration would localCheckpoint per round, the
+    x2d pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    buckets = _adaptive_sign_buckets(spark, emb)
+    ba = buckets.select(F.col("vec_id").alias("src"), "tbl", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("dst"), "tbl", "bucket")
+    pairs = (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
+    nodes = emb.select("vec_id").crossJoin(F.broadcast(ncnt))
+    ranks = nodes.select(
+        "vec_id", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(
+                ranks.select(F.col("vec_id").alias("src"), "rank"), "src"
+            )
+            .select(
+                F.col("dst").alias("vec_id"),
+                F.expr("rank DIV deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("vec_id").agg(
+            F.sum("c").cast("bigint").alias("s")
+        )
+        ranks = (
+            nodes.join(sums, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST((15 * ({_PR_SCALE} DIV n)) DIV 100 "
+                    "+ (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 "
+                    "AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.col("rank").alias("rank_e9"))
+    )
+
+
+def _x28_sql() -> str:
+    head = (
+        "WITH cnt AS (SELECT count(*) AS cnt FROM embeddings), "
+        f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt), "
+        "planes AS (SELECT p, "
+        "CAST(p // ppt AS INT) AS tbl, "
+        "CAST(p % ppt AS INT) AS bit, "
+        f"{_W_DUCK} AS warr "
+        f"FROM range(0, {_N_TABLES * (_SEM_MAX_PLANES + 1)}) t(p) "
+        f"CROSS JOIN pp WHERE p < ppt * {_N_TABLES}), "
+        "buckets AS (SELECT e.vec_id, pl.tbl, "
+        "sum(CASE WHEN "
+        f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+        "ELSE 0 END) AS bucket "
+        "FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl), "
+        "pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst "
+        "FROM buckets a JOIN buckets b "
+        "ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+        "edges AS (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst, src FROM pairs), "
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM embeddings), "
+        f"r0 AS (SELECT vec_id, CAST({_PR_SCALE} // n AS BIGINT) AS rank "
+        "FROM embeddings CROSS JOIN n)"
+    )
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f", r{i} AS (SELECT e0.vec_id, "
+            f"CAST((15 * ({_PR_SCALE} // n)) // 100 "
+            "+ (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank "
+            "FROM embeddings e0 CROSS JOIN n LEFT JOIN "
+            "(SELECT e.dst AS vec_id, SUM(r.rank // d.deg) AS s "
+            f"FROM edges e JOIN deg d ON d.src = e.src "
+            f"JOIN r{i - 1} r ON r.vec_id = e.src GROUP BY 1) agg "
+            "USING (vec_id))"
+        )
+    tail = (
+        f" SELECT vec_id, rank AS rank_e9 FROM r{_PR_ITERS} "
+        "ORDER BY rank DESC, vec_id ASC LIMIT 20"
+    )
+    return head + "".join(steps) + tail
+
+
+_X28_SQL = _x28_sql()
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -1121,6 +1256,7 @@ QUERIES = {
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
+    "x28_graph_pagerank": x28_graph_pagerank,
 }
 
 ORACLES = {
@@ -1132,4 +1268,5 @@ ORACLES = {
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,
+    "x28_graph_pagerank": _X28_SQL,
 }

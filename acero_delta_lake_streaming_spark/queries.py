@@ -74,23 +74,23 @@ _PRIORITY = [
     # query's driver proof decays — no query's newest driver-green row
     # should be older than two rounds. Slots 1-5: queries new or changed
     # this round (x3d seed-selection rewrite; x3e/x21b/s13/st10 new).
-    # Slots 18-50: 33 of the 49 queries whose newest driver row is
+    # Slots 19-50: 32 of the 49 queries whose newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 16 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p3/a3/w4/p8/q14/ud2_explode_tokens/f6/f7/f8/w1/w2/w3
-    # — each shadowed by an in-window near-twin) lead the past-window
-    # tail for round 6, followed by r3-proven then r4-proven families
-    # (newest proof last). Everything past the window stays verified by
-    # the local tri-scale gate (test_oracle_parity.py, sf0.001/.01/.1).
-    # -- new or changed this round (1-17) --
+    # fixture regenerations). The 17 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/p3/a3/w4/p8/q14/ud2_explode_tokens/u3/f6/f7/f8/
+    # w1/w2/w3 — each shadowed by an in-window near-twin) lead the
+    # past-window tail for round 6, followed by r3-proven then r4-proven
+    # families (newest proof last). Everything past the window stays
+    # verified by the local tri-scale gate (sf0.001/.01/.1).
+    # -- new or changed this round (1-18) --
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
     "s13_merge_delete", "s14_restore", "s15_stats_skipping",
     "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
     "a14_sampled_percentiles", "x26_unigram_surprise",
     "s17_dv_delete", "st12_incremental_agg_mart",
     "j4_bloom_prefilter_join", "w12_retention_cohorts",
-    "st13_left_outer_join", "x27_hll_distinct",
-    # -- r2-vintage re-proof under round-5 fixtures (18-50) --
+    "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
+    # -- r2-vintage re-proof under round-5 fixtures (19-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
@@ -104,11 +104,11 @@ _PRIORITY = [
     "a4_daily_counts", "a6_two_key_counts", "a7_min_max",
     "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
     "t1_topk", "t2_topk_breakdown",
-    "u1_union_discriminator", "u2_union_all", "u3_intersect",
+    "u1_union_discriminator", "u2_union_all",
     "f_scalar_suite",
     # -- past the ~50 window --
     # r2-vintage deferred to the round-6 window:
-    "f6_json_extract",
+    "u3_intersect", "f6_json_extract",
     "f7_regexp_suite", "f8_array_suite", "w1_daily_delta", "w2_moving_avg",
     "w3_rank_in_group",
     "t3_sort_display", "u4_except_all", "a5_value_counts",

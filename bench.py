@@ -97,6 +97,9 @@ HEADLINE = [
     "st12_incremental_agg_mart",
     "j4_bloom_prefilter_join",
     "w12_retention_cohorts",
+    "st13_left_outer_join",
+    "x27_hll_distinct",
+    "x28_graph_pagerank",
 ]
 
 
