@@ -162,6 +162,7 @@ def _apply_action(state: dict, action: dict) -> None:
         state["schema"] = md["schemaString"]
         state["partition_cols"] = md.get("partitionColumns") or []
         state["configuration"] = md.get("configuration") or {}
+        state["meta_id"] = md.get("id")
     elif "add" in action:
         add = action["add"]
         path = unquote(add["path"])
@@ -206,6 +207,7 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
             if isinstance(cfg, list):
                 cfg = dict(cfg)
             state["configuration"] = cfg or {}
+            state["meta_id"] = md.get("id")
         add = row.get("add")
         if add and add.get("path"):
             path = unquote(add["path"])
@@ -276,6 +278,7 @@ def snapshot(
         "schema": None,
         "partition_cols": [],
         "configuration": {},
+        "meta_id": None,
     }
     ckpt = _checkpoint_version(table, version)
     start = 0
@@ -317,6 +320,7 @@ def snapshot(
         },
         # table properties from metaData (column mapping mode lives here)
         "configuration": state["configuration"],
+        "meta_id": state["meta_id"],
     }
 
 
@@ -553,6 +557,7 @@ def append_delta(
     table: str,
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append-only Delta writer: distributed parquet write, then one
     driver-side JSON commit (protocol + metaData on create, adds
@@ -570,15 +575,28 @@ def append_delta(
     streaming sink is: if the log already holds a ``txn`` action for
     this app at >= epoch, the call is a no-op returning -1; otherwise
     the commit carries the ``txn`` action, so data + progress publish
-    atomically (a replayed epoch after a crash cannot double-append)."""
+    atomically (a replayed epoch after a crash cannot double-append).
+
+    ``merge_schema=True`` is Delta's additive schema evolution
+    (``option("mergeSchema", "true")``): new columns in ``df`` extend
+    the table schema as nullables via ONE new ``metaData`` action in
+    the same commit — no data file is rewritten, earlier files simply
+    read NULL for the new columns because the log schema (not footer
+    inference) drives the scan. Type changes and, without the flag,
+    any column-set drift refuse loudly — silent coercion is how lakes
+    corrupt, and delta-rs rejects the same way (the enforcement the
+    reference leans on at collector.py:219-226)."""
     if txn is not None and last_txn_version(table, txn[0]) >= txn[1]:
         return -1
     partition_by = list(partition_by or [])
     os.makedirs(_log_dir(table), exist_ok=True)
     versions = _list_commit_versions(table)
     version = (versions[-1] + 1) if versions else 0
+    evolved_schema_json: str | None = None
+    evolved_meta_id: str | None = None
     if version > 0:
         snap0 = snapshot(table)
+        evolved_meta_id = snap0.get("meta_id")
         if _mapping_mode(snap0) != "none":
             raise DeltaProtocolError(
                 "appending to a column-mapped table is not supported "
@@ -590,6 +608,35 @@ def append_delta(
                 f"table is partitioned by {existing}, append specified "
                 f"{partition_by}"
             )
+        table_schema = T.StructType.fromJson(json.loads(snap0["schema"]))
+        table_cols = {f.name for f in table_schema.fields}
+        df_cols = set(df.columns)
+        if df_cols != table_cols:
+            if not merge_schema:
+                raise DeltaProtocolError(
+                    f"append schema {sorted(df_cols)} does not match table "
+                    f"schema {sorted(table_cols)}; pass merge_schema=True "
+                    "for additive evolution"
+                )
+            if table_cols - df_cols:
+                raise DeltaProtocolError(
+                    "merge_schema append must carry every existing column "
+                    f"(missing {sorted(table_cols - df_cols)})"
+                )
+            from acero_delta_lake_streaming_spark.storage.deltalite import (
+                merge_schemas,
+            )
+
+            evolved_schema_json = merge_schemas(
+                table_schema, df.schema
+            ).json()
+        else:
+            # same column set: still refuse silent type drift
+            from acero_delta_lake_streaming_spark.storage.deltalite import (
+                merge_schemas,
+            )
+
+            merge_schemas(table_schema, df.schema)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -609,6 +656,20 @@ def append_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    if evolved_schema_json is not None:
+        # metaData.id is the TABLE id, stable across schema changes
+        actions.append(
+            {
+                "metaData": {
+                    "id": evolved_meta_id or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved_schema_json,
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),

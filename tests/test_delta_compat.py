@@ -1518,7 +1518,7 @@ def test_dv_checkpoint_carries_descriptors(spark, tmp_path):
     table = _seed_dv_table(spark, tmp_path)
     dc.delete_delta_dv(spark, table, _keys(spark, 10), ["k"])
     extra = spark.range(1000, 1010).select(
-        F.col("id").alias("k"), F.lit(0).alias("v")
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
     n = 360
     while dc.snapshot(table)["version"] % 10 != 0:
@@ -1669,3 +1669,61 @@ def test_timestamp_as_of(spark, tmp_path):
     assert dc.read_delta(spark, table, timestamp_ms=3000).count() == 9
     with pytest.raises(dc.DeltaProtocolError):
         dc.resolve_timestamp(table, 500)
+
+
+# --------------------------------------------------------------------------
+# Additive schema evolution on the real format (append_delta merge_schema)
+# --------------------------------------------------------------------------
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """mergeSchema append: the new column lands as ONE metaData action —
+    no data rewrite — and earlier files read NULL for it because the
+    log schema drives the scan; time travel to v0 keeps the old
+    schema."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "evo_tbl")
+    base = spark.range(0, 10).select(F.col("id").alias("k"))
+    dc.append_delta(base, table)
+    files_v0 = sorted(dc.snapshot(table)["files"])
+    wider = spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dc.append_delta(wider, table, merge_schema=True)
+    assert sorted(dc.snapshot(table)["files"])[: len(files_v0)] == files_v0
+    df = dc.read_delta(spark, table)
+    assert df.columns == ["k", "v"]
+    assert df.filter("k < 10 AND v IS NULL").count() == 10
+    assert df.filter("k >= 10 AND v = k * 2").count() == 10
+    old = dc.read_delta(spark, table, version=0)
+    assert old.columns == ["k"]
+    # table id stays stable across the evolution commit
+    assert dc.snapshot(table)["meta_id"] == dc.snapshot(table, 0)["meta_id"]
+
+
+def test_schema_drift_refused_without_flag(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "evo_refuse")
+    dc.append_delta(spark.range(5).select(F.col("id").alias("k")), table)
+    wider = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit(1).alias("v"))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(wider, table)  # no merge_schema
+    narrowed = spark.range(5).select(F.col("id").alias("other"))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(narrowed, table, merge_schema=True)  # drops k
+
+
+def test_schema_type_change_refused(spark, tmp_path):
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        SchemaMismatchError,
+    )
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "evo_type")
+    dc.append_delta(spark.range(5).select(F.col("id").alias("k")), table)
+    retyped = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(SchemaMismatchError):
+        dc.append_delta(retyped, table, merge_schema=True)

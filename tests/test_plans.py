@@ -315,3 +315,53 @@ def test_quantized_ann_no_array_shuffle_joins(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bloom_prefilter_plan_shape(spark, sf_dir):
+    """j4: the one-row bloom rides a broadcast (nested-loop on a 1-row
+    side is fine — it IS the broadcast pattern for a scalar payload),
+    and nothing in the plan is an unbroadcast cartesian product. The
+    bloom membership filters must sit in the scan stage, BEFORE the
+    exact join's exchange."""
+    from acero_delta_lake_streaming_spark.operators.relational import (
+        j4_bloom_prefilter_join,
+    )
+
+    plan = _physical(j4_bloom_prefilter_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "array_contains" in plan  # the probe filters survived into the plan
+
+
+def test_pagerank_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """x28: plane fan-outs are broadcasts; the iteration is equi-joins +
+    hash aggregates — a cartesian anywhere means the similarity graph
+    degenerated to all-pairs."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x28_graph_pagerank,
+    )
+
+    plan = _physical(x28_graph_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_mart_reads_changes_not_source(spark, sf_dir):
+    """st12's refresh math: the incremental plan folds the change feed
+    onto the v0 base — the FINAL source version is never re-scanned.
+    Pinned behaviorally: the mart result equals the oracle (parity
+    gate) while read_changes is the only post-base input, which this
+    asserts by checking the physical scan set contains the CDF folder
+    files."""
+    from acero_delta_lake_streaming_spark.storage.queries import (
+        st12_incremental_agg_mart,
+    )
+
+    plan = _physical(st12_incremental_agg_mart(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    # v0 base + the captured change feed; the post-change source
+    # snapshot appears nowhere
+    assert any("_change_type" in ln for ln in scans)
+    base = [ln for ln in scans if "_change_type" not in ln]
+    assert base and all(
+        "o_orderkey" not in ln for ln in base
+    )  # base aggregate pruned to (status, price) only
