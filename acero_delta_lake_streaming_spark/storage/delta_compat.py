@@ -691,8 +691,63 @@ def append_delta(
             }
         }
     )
-    _publish_commit(table, version, actions)
+    # Optimistic-concurrency rebase for the ONE commuting case: append
+    # vs append. The data files are already promoted into the table and
+    # version-independent; losing the version race only means another
+    # writer's actions landed first, and since neither commit removes
+    # or re-adds the other's files, replaying the SAME adds at the next
+    # free slot is exactly delta-spark's conflict-check outcome for
+    # blind appends. Anything non-commuting (the winner changed schema,
+    # partitioning, or mapping — or the loss was the table-creation
+    # commit itself) refuses instead of retrying.
+    for _attempt in range(5):
+        try:
+            _publish_commit(table, version, actions)
+            return version
+        except ConcurrentDeltaCommitError:
+            if version == 0 or evolved_schema_json is not None:
+                raise  # concurrent CREATE / schema change: not commuting
+            version = _rebase_append(table, version, partition_by)
+            actions = actions_for_retry(actions)
+    _publish_commit(table, version, actions)  # final attempt propagates
     return version
+
+
+def actions_for_retry(actions: list[dict]) -> list[dict]:
+    """The retried commit is the same adds with a fresh commitInfo
+    timestamp; protocol/metaData creation actions can only appear at
+    version 0, which has no concurrent writer to lose to (the log dir
+    claim is the table creation)."""
+    now_ms = int(time.time() * 1000)
+    out = []
+    for a in actions:
+        if "commitInfo" in a:
+            a = {"commitInfo": dict(a["commitInfo"], timestamp=now_ms)}
+        out.append(a)
+    return out
+
+
+def _rebase_append(table: str, lost_version: int, partition_by: list[str]) -> int:
+    """Find the next free commit slot after losing a version race, and
+    verify every commit that won in between commutes with a blind
+    append (no schema/partitioning/mapping change)."""
+    pre = snapshot(table, lost_version - 1) if lost_version > 0 else None
+    cur = snapshot(table)
+    if pre is not None and (
+        cur["schema"] != pre["schema"]
+        or cur["partition_cols"] != pre["partition_cols"]
+        or _mapping_mode(cur) != _mapping_mode(pre)
+    ):
+        raise ConcurrentDeltaCommitError(
+            f"append lost version {lost_version} to a commit that "
+            "changed the table schema/partitioning; not retryable"
+        )
+    if cur["partition_cols"] != partition_by:
+        raise ConcurrentDeltaCommitError(
+            "append lost its version race and the winner changed "
+            "partitioning; not retryable"
+        )
+    return cur["version"] + 1
 
 
 def _file_stats(path: str) -> str | None:

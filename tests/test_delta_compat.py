@@ -1727,3 +1727,58 @@ def test_schema_type_change_refused(spark, tmp_path):
     retyped = spark.range(5).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(SchemaMismatchError):
         dc.append_delta(retyped, table, merge_schema=True)
+
+
+# --------------------------------------------------------------------------
+# Optimistic-concurrency append rebase
+# --------------------------------------------------------------------------
+
+
+def _race_append(spark, tmp_path, monkeypatch, winner_actions, name):
+    """Simulate losing a commit race: append_delta computes its version
+    against a STALE log listing (first two listings patched), while the
+    'winner' commit already claimed that slot."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / name)
+    dc.append_delta(spark.range(5).select(F.col("id").alias("k")), table)
+    # the concurrent winner claims version 1
+    _commit(table, 1, winner_actions)
+    real = dc._list_commit_versions
+    calls = {"n": 0}
+
+    def stale(t):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            return [0]  # what the loser saw before the winner landed
+        return real(t)
+
+    monkeypatch.setattr(dc, "_list_commit_versions", stale)
+    return table, dc.append_delta(
+        spark.range(5, 10).select(F.col("id").alias("k")), table
+    )
+
+
+def test_append_race_rebases_and_lands(spark, tmp_path, monkeypatch):
+    """Blind appends commute: the loser re-publishes the SAME adds at
+    the next free version — no orphaned files, both writers' rows
+    visible, winner's commit untouched."""
+    table, v = _race_append(
+        spark,
+        tmp_path,
+        monkeypatch,
+        [{"commitInfo": {"timestamp": 0, "operation": "WRITE"}}],
+        "race_ok",
+    )
+    assert v == 2
+    assert dc.read_delta(spark, table).count() == 10
+
+
+def test_append_race_schema_change_refuses(spark, tmp_path, monkeypatch):
+    """If the winner changed the table schema, the lost append is NOT
+    retryable — replaying stale-schema adds would corrupt."""
+    new_meta = _meta(spark, "k long, extra string")
+    with pytest.raises(dc.ConcurrentDeltaCommitError):
+        _race_append(
+            spark, tmp_path, monkeypatch, [new_meta], "race_schema"
+        )
