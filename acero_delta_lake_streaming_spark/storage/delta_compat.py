@@ -1240,6 +1240,7 @@ def optimize_delta(
             "OPTIMIZE with deletion vectors on a partitioned table is "
             "not supported (DV scope is unpartitioned)"
         )
+    _refuse_external_files(snap, table, "optimize_delta")
     if zorder_by and _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "OPTIMIZE ZORDER BY on a column-mapped table is not "
@@ -1349,7 +1350,7 @@ def merge_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
-    _refuse_live_dvs(snap, "merge_delta")
+    _refuse_live_dvs(snap, table, "merge_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     cur = read_delta(spark, table)
@@ -1455,18 +1456,20 @@ def merge_delta(
     return version
 
 
-def _refuse_live_dvs(snap: dict, op: str) -> None:
+def _refuse_live_dvs(snap: dict, table: str, op: str) -> None:
     """Copy-on-write rewrites tag rows with ``input_file_name()``, which
     is not reliable through the DV anti-join plan — and a raw-file
     rewrite would resurrect DV-deleted rows. Until those paths are
     DV-aware, refuse loudly: run ``optimize_delta`` (which applies and
     purges DVs) first, or use :func:`delete_delta_dv` for deletes.
     Column-mapped tables refuse for the same rewrite-fidelity reason
-    (this writer emits logical names)."""
+    (this writer emits logical names), and shallow clones because their
+    remove actions would need the original absolute paths."""
     if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             f"{op} on a column-mapped table is not supported"
         )
+    _refuse_external_files(snap, table, op)
     live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
     if live:
         raise DeltaProtocolError(
@@ -1500,7 +1503,7 @@ def delete_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
-    _refuse_live_dvs(snap, "delete_delta")
+    _refuse_live_dvs(snap, table, "delete_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     cur = read_delta(spark, table)
@@ -1626,6 +1629,7 @@ def delete_delta_dv(
         raise DeltaProtocolError(
             "delete_delta_dv on a column-mapped table is not supported"
         )
+    _refuse_external_files(snap, table, "delete_delta_dv")
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     files = snap["files"]
@@ -1785,6 +1789,8 @@ def restore_delta(
     """
     cur = snapshot(table)
     target = snapshot(table, to_version)
+    _refuse_external_files(cur, table, "restore_delta")
+    _refuse_external_files(target, table, "restore_delta")
     if target["schema"] != cur["schema"]:
         raise DeltaProtocolError(
             "RESTORE across a schema change is not supported: version "
@@ -1919,6 +1925,113 @@ def restore_delta(
     ]
     _publish_commit(table, version, actions)
     return version
+
+
+def _has_external_files(snap: dict, table: str) -> bool:
+    """True if any live file lives OUTSIDE the table root — the shallow
+    clone case, where adds carry absolute paths into the source table."""
+    root = os.path.abspath(table) + os.sep
+    return any(not os.path.abspath(f).startswith(root) for f in snap["files"])
+
+
+def _refuse_external_files(snap: dict, table: str, op: str) -> None:
+    if _has_external_files(snap, table):
+        raise DeltaProtocolError(
+            f"{op} on a shallow clone (absolute-path file references) is "
+            "not supported; clones are read + append here — rewrite verbs "
+            "would need remove actions keyed by the original absolute "
+            "paths"
+        )
+
+
+def clone_delta(table: str, target: str) -> int:
+    """Shallow CLONE (``CREATE TABLE ... SHALLOW CLONE src``): create a
+    NEW Delta table whose version-0 log references the source's live
+    data files by ABSOLUTE path — zero data copied, O(|files|) metadata,
+    which is how a 100 TB table forks for an experiment in seconds. The
+    clone gets its own table id and its own history: appends land in the
+    clone's directory and diverge it; the source never sees them. VACUUM
+    on the clone walks only the clone's root, so source files are safe
+    by construction. Deletion vectors carry over as ``storageType "p"``
+    (absolute-path) descriptors pointing at the source's DV files.
+
+    delta-spark semantics notes: later changes to the SOURCE (vacuum
+    included) can break a shallow clone — same here, and exactly why
+    ``vacuum_delta`` on the source doesn't know about clones. Rewrite
+    verbs (MERGE/DELETE/OPTIMIZE/RESTORE) on a clone refuse loudly for
+    now (their remove actions are keyed by table-relative paths)."""
+    snap = snapshot(table)
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "shallow clone of a hive-partitioned table is not supported "
+            "(the partition-recovering read requires basePath to prefix "
+            "the data files, which absolute source paths cannot)"
+        )
+    if _has_external_files(snap, table):
+        raise DeltaProtocolError("cloning a clone is not supported")
+    if os.path.exists(_log_dir(target)):
+        raise DeltaProtocolError(f"clone target {target} already exists")
+    os.makedirs(_log_dir(target), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    dvs_abs = {os.path.abspath(f): d for f, d in snap["file_dvs"].items()}
+    has_dv = any(os.path.abspath(f) in dvs_abs for f in snap["files"])
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if has_dv
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    actions: list[dict] = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),  # a clone is a NEW table
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap["configuration"]),
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
+    for f in sorted(snap["files"]):
+        abs_f = os.path.abspath(f)
+        add = {
+            "path": quote(abs_f),
+            "partitionValues": {},
+            "size": os.path.getsize(abs_f),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        stats = snap["file_stats"].get(f)
+        if stats:
+            add["stats"] = stats
+        dv = dvs_abs.get(abs_f)
+        if dv:
+            rel = dvcodec.dv_relative_path(dv)
+            add["deletionVector"] = dict(
+                dv,
+                storageType="p",
+                pathOrInlineDv=os.path.abspath(os.path.join(table, rel)),
+            )
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {"source": os.path.abspath(table)},
+            }
+        }
+    )
+    _publish_commit(target, 0, actions)
+    return 0
 
 
 def read_delta_changes(

@@ -237,12 +237,17 @@ def write_dv_file(
 
 
 def dv_relative_path(descriptor: dict) -> str | None:
-    """Table-relative path of a ``storageType "u"`` DV file (None for
-    inline DVs). The last 20 chars of ``pathOrInlineDv`` are the
-    Base85 UUID; anything before them is a path prefix."""
+    """Table-relative path of a ``storageType "u"`` DV file, the
+    absolute path of a ``"p"`` one, or None for inline DVs. For "u",
+    the last 20 chars of ``pathOrInlineDv`` are the Base85 UUID;
+    anything before them is a path prefix. ``"p"`` (absolute path) is
+    what a shallow CLONE emits so the cloned log can reference the
+    source table's DV files in place."""
     st = descriptor.get("storageType")
     if st == "i":
         return None
+    if st == "p":
+        return descriptor["pathOrInlineDv"]
     if st != "u":
         raise DeletionVectorError(f"unsupported DV storageType {st!r}")
     enc = descriptor["pathOrInlineDv"]

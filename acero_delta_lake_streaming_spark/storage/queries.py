@@ -936,6 +936,61 @@ def s17_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S17_SQL = _S13_SQL
 
 
+def s18_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 — SHALLOW CLONE on the real Delta format: fork a table by
+    referencing its live data files ABSOLUTELY in a brand-new log —
+    zero bytes copied, O(|files|) metadata, how a 100 TB table forks
+    for an experiment in seconds. The clone then diverges: an append
+    of the odd 'O'-keyed orders lands only in the clone's directory.
+    The result certifies both sides at once: 'clone' = seed + appended
+    rows read through the clone's log, 'source' = still exactly the
+    seed (isolation — the fork never writes back). Oracle replays both
+    populations from the fixtures."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "s18_src")
+    dst = _scratch(sf_dir, "s18_clone")
+    shutil.rmtree(dst, ignore_errors=True)  # clone_delta wants no log
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), src)
+    delta_compat.clone_delta(src, dst)
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'"), dst
+    )
+    both = delta_compat.read_delta(spark, dst).withColumn(
+        "part", F.lit("clone")
+    ).unionByName(
+        delta_compat.read_delta(spark, src).withColumn(
+            "part", F.lit("source")
+        )
+    )
+    return both.groupBy("part", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+
+
+_S18_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "extra AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "u AS (SELECT 'clone' AS part, * FROM seed "
+    "UNION ALL SELECT 'clone', * FROM extra "
+    "UNION ALL SELECT 'source', * FROM seed) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10 — the CDC follower driven end to end through the entry
     surface (VERDICT r4 item 7): a source deltalite table takes three
@@ -1128,6 +1183,7 @@ QUERIES = {
     "s15_stats_skipping": s15_stats_skipping,
     "s16_zorder_real": s16_zorder_real,
     "s17_dv_delete": s17_dv_delete,
+    "s18_shallow_clone": s18_shallow_clone,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
 }
@@ -1151,6 +1207,7 @@ ORACLES = {
     "s15_stats_skipping": _S15_SQL,
     "s16_zorder_real": _S16_SQL,
     "s17_dv_delete": _S17_SQL,
+    "s18_shallow_clone": _S18_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
 }

@@ -473,6 +473,86 @@ _ST13_SQL = (
 )
 
 
+def st14_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 — bounded-state streaming dedup driven through the entry
+    surface: the events fixture rides in with planted exact duplicates
+    (every 7th event unioned back in), split chronologically into two
+    micro-batches, and ``dropDuplicatesWithinWatermark`` drops every
+    copy — each duplicate arrives inside its original's watermark
+    window by construction (identical timestamps), so the streamed
+    output equals plain exact dedup, which is what the oracle runs.
+    The point vs ``dropDuplicates``: state holds a key only while it
+    can still collide (watermark delay), not forever — the unbounded
+    ledger is the 100 TB trap, and the state-shrink behavior is pinned
+    separately in tests/test_streaming.py."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+
+    base = _scratch(sf_dir, "st14")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    dirty = events.unionByName(events.filter("event_id % 7 = 0"))
+    split_ns = 1705363200 * 1_000_000_000  # 2024-01-16T00:00Z, mid-corpus
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(dirty.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(dirty.filter(F.col("ts_ns") >= split_ns), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(
+            batch_df.drop("ts"), out, app_id="st14", epoch=epoch_id
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        deltalite.read(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 "
+                "AS BIGINT)"
+            ).alias("value_micros"),
+        )
+    )
+
+
+_ST14_SQL = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(event_id) AS BIGINT) AS id_sum, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) "
+    "AS value_micros FROM events GROUP BY 1"
+)
+
+
 def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST8: stream-static enrichment — each micro-batch broadcast-joins
     the static ``customer`` dimension (re-resolved per epoch, exactly
@@ -694,6 +774,7 @@ QUERIES = {
     "st4_windowed_counts": st4_windowed_counts,
     "st7_interval_join": st7_interval_join,
     "st13_left_outer_join": st13_left_outer_join,
+    "st14_watermark_dedup": st14_watermark_dedup,
     "st8_stream_static_enrich": st8_stream_static_enrich,
     "st9_streaming_ema": st9_streaming_ema,
     "st11_streaming_sessions": st11_streaming_sessions,
@@ -706,6 +787,7 @@ ORACLES = {
     "st4_windowed_counts": _ST4_SQL,
     "st7_interval_join": _ST7_SQL,
     "st13_left_outer_join": _ST13_SQL,
+    "st14_watermark_dedup": _ST14_SQL,
     "st8_stream_static_enrich": _ST8_SQL,
     "st9_streaming_ema": _ST9_SQL,
     "st11_streaming_sessions": _ST11_SQL,

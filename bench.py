@@ -100,6 +100,8 @@ HEADLINE = [
     "st13_left_outer_join",
     "x27_hll_distinct",
     "x28_graph_pagerank",
+    "s18_shallow_clone",
+    "st14_watermark_dedup",
 ]
 
 

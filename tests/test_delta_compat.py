@@ -295,30 +295,37 @@ def test_checkpoint_seeds_replay(spark, tmp_path):
 def test_concurrent_commit_is_rejected_not_overwritten(
     spark, tmp_path, monkeypatch
 ):
-    """Two writers racing for the same version: the loser must raise,
-    never silently replace the winner's commit (lost update). The race
-    window is list-versions → publish; simulate it by making the
-    loser's listing stale (the winner commits v1 after the loser
-    listed), so both target v1."""
+    """Two writers racing for the same version: the winner's commit is
+    NEVER silently replaced (lost update), and since blind appends
+    commute, the loser now rebases onto the next free version instead
+    of erroring (the optimistic-concurrency retry). The race window is
+    list-versions → publish; simulate it by making the loser's listing
+    stale (the winner commits v1 after the loser listed), so both
+    target v1."""
     table = str(tmp_path / "race")
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     dc.append_delta(df, table)
     winner = os.path.join(table, "_delta_log", f"{1:020d}.json")
     real_list = dc._list_commit_versions
+    fired = {"done": False}
 
     def stale_then_winner_commits(t):
-        versions = real_list(t)  # loser reads the log: only v0
-        with open(winner, "w") as f:  # winner lands v1 just after
-            f.write('{"commitInfo": {"operation": "WRITE"}}\n')
+        versions = real_list(t)
+        if not fired["done"]:  # loser's first listing: winner not yet in
+            fired["done"] = True
+            with open(winner, "w") as f:  # winner lands v1 just after
+                f.write('{"commitInfo": {"operation": "WRITE"}}\n')
+            return [v for v in versions if v == 0]
         return versions
 
     monkeypatch.setattr(dc, "_list_commit_versions", stale_then_winner_commits)
-    with pytest.raises(dc.ConcurrentDeltaCommitError):
-        dc.append_delta(df, table)
+    v = dc.append_delta(df, table)
     monkeypatch.undo()
+    assert v == 2  # rebased past the winner, not clobbering it
     assert (
         open(winner).read() == '{"commitInfo": {"operation": "WRITE"}}\n'
     ), "winner's commit was clobbered"
+    assert dc.read_delta(spark, table).count() == 2
 
 
 def test_txn_makes_epoch_replay_idempotent(spark, tmp_path):
@@ -1782,3 +1789,82 @@ def test_append_race_schema_change_refuses(spark, tmp_path, monkeypatch):
         _race_append(
             spark, tmp_path, monkeypatch, [new_meta], "race_schema"
         )
+
+
+# --------------------------------------------------------------------------
+# Shallow clone
+# --------------------------------------------------------------------------
+
+
+def test_shallow_clone_isolation_and_vacuum_safety(spark, tmp_path):
+    """Clone reads the source's files in place (zero copied bytes),
+    appends diverge only the clone, and VACUUM on the clone never
+    deletes source files (it walks only the clone root)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), src)
+    dc.clone_delta(src, dst)
+    assert not glob.glob(os.path.join(dst, "*.parquet"))  # no data copied
+    assert dc.read_delta(spark, dst).count() == 10
+    dc.append_delta(
+        spark.range(10, 15).select(F.col("id").alias("k")), dst
+    )
+    assert dc.read_delta(spark, dst).count() == 15
+    assert dc.read_delta(spark, src).count() == 10  # source untouched
+    src_files = set(glob.glob(os.path.join(src, "*.parquet")))
+    dc.vacuum_delta(dst, keep_versions=0)
+    assert set(glob.glob(os.path.join(src, "*.parquet"))) == src_files
+    assert dc.read_delta(spark, dst).count() == 15
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    """Cloning a DV table: descriptors convert to absolute-path ("p")
+    storage so the clone's log resolves the source's DV files; the
+    cloned read subtracts the same rows."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "clone_dv_src")
+    dst = str(tmp_path / "clone_dv_dst")
+    dc.append_delta(spark.range(100).select(F.col("id").alias("k")), src)
+    dc.delete_delta_dv(
+        spark, src, spark.range(0, 100, 10).select(F.col("id").alias("k")),
+        ["k"],
+    )
+    dc.clone_delta(src, dst)
+    assert dc.read_delta(spark, dst).count() == 90
+    descs = dc.snapshot(dst)["file_dvs"]
+    assert descs and all(d["storageType"] == "p" for d in descs.values())
+
+
+def test_clone_scope_refusals(spark, tmp_path):
+    """Rewrite verbs on a clone, clone-of-clone, and partitioned-source
+    clones all refuse loudly."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ref_src")
+    dst = str(tmp_path / "ref_dst")
+    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), src)
+    dc.clone_delta(src, dst)
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta(spark, dst, keys, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta_dv(spark, dst, keys, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.optimize_delta(spark, dst)
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.clone_delta(dst, str(tmp_path / "ref_dst2"))
+    part_src = str(tmp_path / "ref_part")
+    dc.append_delta(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        ),
+        part_src,
+        partition_by=["p"],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.clone_delta(part_src, str(tmp_path / "ref_part_clone"))
