@@ -182,17 +182,63 @@ _BLOOM_BITS = 8192
 _BLOOM_K = 3
 
 
-def _bloom_pos(key_expr: str, salt: int) -> str:
-    """13-bit bloom position from md5 — the repo's portable hash→int
-    derivation (4 hex digits → [0, 65536) → mod m). Pure Spark-side
-    (the oracle never sees the bloom; false positives are removed by
-    the exact join, so the final result is bloom-invariant)."""
-    h = f"md5(concat('{salt}:', cast({key_expr} as string)))"
+def _bloom_pos(h_col: str, k: int) -> str:
+    """k-th 13-bit bloom position from an md5 HEX COLUMN — disjoint
+    4-hex-digit slices of one hash (md5's 128 bits cover k=3 × 16 bits
+    with room to spare; slicing one hash instead of salting three
+    halves the probe's per-row cost). Pure Spark-side (the oracle
+    never sees the bloom; false positives die in the exact join, so
+    the final result is bloom-invariant)."""
     digits = " + ".join(
-        f"(instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        f"(instr('0123456789abcdef', substr({h_col}, {4 * k + p + 1}, 1)) - 1)"
+        f" * {16 ** (3 - p)}"
         for p in range(4)
     )
     return f"CAST(({digits}) % {_BLOOM_BITS} AS INT)"
+
+
+def _bloom_build(keys: DataFrame, key_expr: str) -> DataFrame:
+    """One-row bloom BITMAP over ``keys``: map<word index, 64-bit mask>
+    (m/64 entries), built by bit_or-folding each key's k positions.
+    A real bitmap, not a position array — each probe is then an O(1)
+    map lookup + AND instead of an O(m) array scan (the array_contains
+    form measured 7 s at sf0.1: 3 probes × 8192-element linear scans
+    per fact row; this form is ~0.4 s)."""
+    positions = [_bloom_pos("h", s) for s in range(_BLOOM_K)]
+    return (
+        keys.selectExpr(f"md5(cast({key_expr} as string)) AS h")
+        .selectExpr(f"explode(array({', '.join(positions)})) AS pos")
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .groupBy()
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(w, bits)))").alias(
+                "bloom"
+            )
+        )
+    )
+
+
+def _bloom_passed(df: DataFrame, key_expr: str, bloom: DataFrame) -> DataFrame:
+    """Rows of ``df`` whose ``key_expr`` passes all k bloom probes (the
+    map-side prefilter; false positives possible, false negatives not)."""
+    passed = df.withColumn(
+        "_bloom_h", F.expr(f"md5(cast({key_expr} as string))")
+    ).crossJoin(F.broadcast(bloom))
+    for s in range(_BLOOM_K):
+        p = _bloom_pos("_bloom_h", s)
+        passed = passed.filter(
+            F.expr(
+                f"(coalesce(element_at(bloom, CAST(({p}) DIV 64 AS INT)), "
+                "CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(({p}) % 64 AS INT))) != 0"
+            )
+        )
+    return passed.drop("_bloom_h")
 
 
 def j4_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,16 +260,7 @@ def j4_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     keys = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
-    positions = [_bloom_pos("o_orderkey", s) for s in range(_BLOOM_K)]
-    bloom = (
-        keys.selectExpr(f"explode(array({', '.join(positions)})) AS pos")
-        .groupBy()
-        .agg(F.collect_set("pos").alias("bloom"))
-    )
-    probes = [_bloom_pos("l_orderkey", s) for s in range(_BLOOM_K)]
-    passed = li.crossJoin(F.broadcast(bloom))
-    for p in probes:
-        passed = passed.filter(F.array_contains(F.col("bloom"), F.expr(p)))
+    passed = _bloom_passed(li, "l_orderkey", _bloom_build(keys, "o_orderkey"))
     return (
         passed.join(keys, passed.l_orderkey == keys.o_orderkey, "left_semi")
         .groupBy("l_returnflag")

@@ -498,9 +498,13 @@ def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, scaled sum, zero registers) are emitted alongside so a
     consumer can apply any correction policy. Accuracy vs exact
     distinct is pinned in tests/test_sketch.py."""
-    bucket, rank = _hll_exprs("md5(cast(l_orderkey as string))", "instr")
+    # md5 projected ONCE, then 10 digit extractions reference the column
+    # (inlining the hash into every digit term re-evaluated it 10x per
+    # row before subexpression elimination — measured ~2x slower)
+    bucket, rank = _hll_exprs("h", "instr")
     regs = (
         load_table(spark, sf_dir, "lineitem")
+        .selectExpr("md5(cast(l_orderkey as string)) AS h")
         .selectExpr(f"{bucket} AS bucket", f"{rank} AS r")
         .groupBy("bucket")
         .agg(F.max("r").alias("m"))
@@ -529,10 +533,10 @@ def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x27_sql() -> str:
-    bucket, rank = _hll_exprs("md5(cast(l_orderkey as varchar))", "strpos")
+    bucket, rank = _hll_exprs("h", "strpos")
     return (
         f"WITH obs AS (SELECT {bucket} AS bucket, {rank} AS r "
-        "FROM lineitem), "
+        "FROM (SELECT md5(cast(l_orderkey as varchar)) AS h FROM lineitem)), "
         "regs AS (SELECT bucket, max(r) AS m FROM obs GROUP BY 1), "
         "a AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, "
         "CAST(sum(CAST(pow(2.0, 33 - m) AS BIGINT)) AS BIGINT) AS s_obs "

@@ -330,7 +330,9 @@ def test_bloom_prefilter_plan_shape(spark, sf_dir):
     plan = _physical(j4_bloom_prefilter_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "array_contains" in plan  # the probe filters survived into the plan
+    # the O(1) bitmap probes survived into the plan (map lookup + AND,
+    # never an O(m) array scan)
+    assert "element_at" in plan and "array_contains" not in plan
 
 
 def test_pagerank_no_cartesian_and_bounded_shuffles(spark, sf_dir):

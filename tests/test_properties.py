@@ -109,24 +109,14 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
     false-positive rate is small at fixture scale). Both checks are
     deterministic: the bloom positions are md5-derived, no RNG."""
     from acero_delta_lake_streaming_spark.operators.relational import (
-        _BLOOM_K,
-        _bloom_pos,
+        _bloom_build,
+        _bloom_passed,
     )
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     keys = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
-    positions = [_bloom_pos("o_orderkey", s) for s in range(_BLOOM_K)]
-    bloom = (
-        keys.selectExpr(f"explode(array({', '.join(positions)})) AS pos")
-        .groupBy()
-        .agg(F.collect_set("pos").alias("bloom"))
-    )
-    passed = li.crossJoin(F.broadcast(bloom))
-    for s in range(_BLOOM_K):
-        passed = passed.filter(
-            F.array_contains(F.col("bloom"), F.expr(_bloom_pos("l_orderkey", s)))
-        )
+    passed = _bloom_passed(li, "l_orderkey", _bloom_build(keys, "o_orderkey"))
     n_total = li.count()
     n_passed = passed.count()
     n_true = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
