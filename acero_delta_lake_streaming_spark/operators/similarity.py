@@ -1156,6 +1156,11 @@ def x28_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # NOT persisted deliberately: the three iterations share the bucket
+    # construction's exchange, and Spark's ReusedExchange already
+    # serves it from shuffle files within the single action — a
+    # scoped_persist was measured SLOWER (2.3 -> 3.0 s at sf0.1, the
+    # cache materialization cost with no recompute to save).
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
