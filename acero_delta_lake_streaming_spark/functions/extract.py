@@ -203,8 +203,19 @@ class HttpExtractionProvider:
         from concurrent.futures import ThreadPoolExecutor
 
         def safe(text: str) -> str:
+            import urllib.error
+
             try:
                 return self._request_one(text)
+            except urllib.error.HTTPError as exc:
+                # rate limits and server-side failures are TRANSIENT —
+                # a RetryingProvider wrapper re-attempts them; client
+                # errors (bad request/auth) are final and quarantine
+                if exc.code == 429 or exc.code >= 500:
+                    return f"{TRANSIENT_MARKER} HTTP {exc.code}"
+                return f"ERROR: HTTP {exc.code}"
+            except (urllib.error.URLError, TimeoutError, OSError) as exc:
+                return f"{TRANSIENT_MARKER} {exc}"
             except Exception as exc:  # noqa: BLE001 — quarantine, not crash
                 return f"ERROR: {exc}"
 
@@ -215,6 +226,147 @@ class HttpExtractionProvider:
             max_workers=min(self.max_concurrency, len(items))
         ) as pool:
             return list(pool.map(safe, items))
+
+
+#: response prefix marking a retryable failure (rate limit, 5xx,
+#: transport) — anything else is final: valid JSON extracts, other
+#: ERROR strings quarantine (UD3's permanent-failure path)
+TRANSIENT_MARKER = "ERROR: transient"
+
+
+class RetryingProvider:
+    """UD4 — bounded retry with exponential backoff around any
+    :class:`ExtractionProvider`: responses starting with
+    ``TRANSIENT_MARKER`` (HTTP 429/5xx, transport errors) are re-sent —
+    ONLY those rows, up to ``max_retries`` more attempts — while
+    permanent errors (model refusals, 4xx) flow straight to the UD3
+    quarantine. This is the error taxonomy a production LLM pipeline
+    needs: retrying a refusal wastes tokens forever, quarantining a
+    rate limit throws away a recoverable row. Retries happen INSIDE the
+    Arrow batch on the executor (no row ever bounces back through the
+    driver), and the whole wrapper stays deterministic under a
+    deterministic inner provider — the property the ud4 hash gate
+    certifies."""
+
+    def __init__(
+        self,
+        inner: ExtractionProvider,
+        max_retries: int = 2,
+        backoff_s: float = 0.0,
+    ):
+        self.inner = inner
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def _call_inner(self, items: list, attempt: int) -> list[str]:
+        series = pd.Series(items, dtype=object)
+        # chaos doubles implement the attempt-aware form so their
+        # failure schedule is a pure function of (text, attempt) — no
+        # cross-call state, which would misfire on duplicate texts
+        fn = getattr(self.inner, "extract_batch_attempt", None)
+        if fn is not None:
+            return fn(series, attempt)
+        return self.inner.extract_batch(series)
+
+    def extract_batch_with_attempts(
+        self, texts: pd.Series
+    ) -> tuple[list[str], list[int]]:
+        import time as _time
+
+        items = list(texts)
+        out = self._call_inner(items, 0)
+        attempts = [1] * len(items)
+        for k in range(self.max_retries):
+            idx = [
+                i for i, r in enumerate(out) if r.startswith(TRANSIENT_MARKER)
+            ]
+            if not idx:
+                break
+            if self.backoff_s:
+                _time.sleep(self.backoff_s * (2**k))
+            retried = self._call_inner([items[i] for i in idx], k + 1)
+            for i, r in zip(idx, retried):
+                out[i] = r
+                attempts[i] += 1
+        return out, attempts
+
+    def extract_batch(self, texts: pd.Series) -> list[str]:
+        return self.extract_batch_with_attempts(texts)[0]
+
+
+class TransientFlakyProvider:
+    """Deterministic chaos double: attempt 0 for any text whose md5
+    third hex digit is < '8' (i.e. half the corpus) fails with a
+    transient marker; later attempts delegate to ``inner``. The failure
+    schedule is a pure function of (text, attempt) — md5-derived so the
+    DuckDB oracle replays exactly which rows needed a retry, and
+    STATELESS so duplicate texts each fail their own first attempt (a
+    seen-set keyed on text hash misfired on the corpus's planted
+    duplicate documents — found at sf0.1)."""
+
+    def __init__(self, inner: ExtractionProvider):
+        self.inner = inner
+
+    def extract_batch_attempt(
+        self, texts: pd.Series, attempt: int
+    ) -> list[str]:
+        if attempt == 0:
+            out = []
+            inner_out = self.inner.extract_batch(texts)
+            for text, r in zip(texts, inner_out):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                if h[2] < "8":
+                    out.append(f"{TRANSIENT_MARKER} 503 service overloaded")
+                else:
+                    out.append(r)
+            return out
+        return self.inner.extract_batch(texts)
+
+    def extract_batch(self, texts: pd.Series) -> list[str]:
+        return self.extract_batch_attempt(texts, 0)
+
+
+def extract_events_with_retry(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    provider: RetryingProvider | None = None,
+) -> DataFrame:
+    """UD4: like :func:`extract_events` but through a
+    :class:`RetryingProvider`, emitting an ``attempts`` column alongside
+    the parsed event — the per-row retry accounting an SLO dashboard
+    aggregates."""
+    provider = provider or RetryingProvider(
+        TransientFlakyProvider(MockExtractionProvider())
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, raw_response string, attempts int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw, attempts = provider.extract_batch_with_attempts(
+                pdf[text_col]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_response": raw,
+                    "attempts": pd.array(attempts, dtype="int32"),
+                }
+            )
+
+    narrow = df.select(id_col, text_col)
+    extracted = narrow.mapInPandas(run, schema=out_schema)
+    parsed = F.from_json("raw_response", EVENT_RESPONSE_SCHEMA)
+    return extracted.withColumn(
+        "event",
+        F.when(
+            parsed.getField("category").isNull()
+            & parsed.getField("main_actors").isNull()
+            & parsed.getField("other_actors").isNull(),
+            F.lit(None).cast(EVENT_RESPONSE_SCHEMA),
+        ).otherwise(parsed),
+    )
 
 
 def extract_events(
@@ -380,14 +532,61 @@ _UD3_SQL = (
 )
 
 
+def ud4_retry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4: transient-vs-permanent error taxonomy with bounded retries.
+    Half the corpus (md5-selected by the chaos double) fails its first
+    attempt with a transient 503; the RetryingProvider re-sends exactly
+    those rows inside the Arrow batch, so the FINAL result equals
+    ud1's clean run — while the ``attempts`` accounting shows the
+    retries happened. Per category (quarantined refusals included):
+    row count, rows that needed a retry, total attempts. The oracle
+    replays both the extraction rules and the deterministic failure
+    set; if the retry loop over- or under-retried, attempts diverge
+    and the hash gate fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    ext = extract_events_with_retry(docs)
+    return (
+        ext.groupBy(
+            F.coalesce(F.col("event.category"), F.lit("QUARANTINED")).alias(
+                "category"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("attempts") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retried"),
+            F.sum("attempts").cast("bigint").alias("total_attempts"),
+        )
+    )
+
+
+#: the chaos double's failure predicate, mirrored for the oracle:
+#: transient first failure iff md5(text)[2] < '8'
+_RETRY_PRED = "strpos('01234567', substr(md5(text), 3, 1)) > 0"
+
+_UD4_SQL = (
+    f"WITH base AS (SELECT CASE WHEN {_OK_PRED} THEN CASE {_CAT_CASE} END "
+    "ELSE 'QUARANTINED' END AS category, "
+    f"CASE WHEN {_RETRY_PRED} THEN 1 ELSE 0 END AS retried "
+    "FROM documents) "
+    "SELECT category, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(retried) AS BIGINT) AS n_retried, "
+    "CAST(sum(1 + retried) AS BIGINT) AS total_attempts "
+    "FROM base GROUP BY 1"
+)
+
+
 QUERIES = {
     "ud1_extract_categories": ud1_extract_categories,
     "ud2_flatten_actors": ud2_flatten_actors,
     "ud3_quarantine_stats": ud3_quarantine_stats,
+    "ud4_retry_stats": ud4_retry_stats,
 }
 
 ORACLES = {
     "ud1_extract_categories": _UD1_SQL,
     "ud2_flatten_actors": _UD2_SQL,
     "ud3_quarantine_stats": _UD3_SQL,
+    "ud4_retry_stats": _UD4_SQL,
 }

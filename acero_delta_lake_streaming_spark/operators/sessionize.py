@@ -91,12 +91,86 @@ _X6B_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x29 — behavioral sequence-pattern mining
+# --------------------------------------------------------------------------
+
+#: ordered event-type subsequences to count (adjacent, left-to-right)
+_PATTERNS = ["click>purchase", "view>click>purchase", "purchase>purchase"]
+
+
+def x29_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent event-sequence patterns per user — the
+    MATCH_RECOGNIZE-style question ("how many users go
+    view→click→purchase back-to-back?") answered without a pattern
+    engine: each user's chronologically-ordered event types collapse to
+    one delimited path string (ONE user_id shuffle; array_sort on a
+    (ts, id, type) struct makes the order total and deterministic), and
+    each pattern's occurrence count is pure string arithmetic —
+    (len(path) − len(replace(path, pat, ''))) / len(pat) — identical in
+    both engines. Emits per pattern: users matching at least once and
+    total occurrences.
+
+    Scale: the path is O(per-user activity) — bounded for normal users;
+    for power-user/bot tails, run it per SESSION (x6's output) instead
+    of per user, same code shape. Counting is non-overlapping
+    left-to-right, the `replace` semantics both engines share."""
+    events = load_table(spark, sf_dir, "events")
+    paths = events.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('>', transform(array_sort(collect_list("
+            "struct(ts_ns, event_id, event_type))), s -> s.event_type))"
+        ).alias("path")
+    )
+    occ_cols = [
+        F.expr(
+            f"CAST((length(path) - length(replace(path, '{p}', ''))) "
+            f"DIV {len(p)} AS BIGINT)"
+        ).alias(f"occ_{i}")
+        for i, p in enumerate(_PATTERNS)
+    ]
+    wide = paths.select(*occ_cols)
+    stack = ", ".join(
+        f"'{p}', occ_{i}" for i, p in enumerate(_PATTERNS)
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_PATTERNS)}, {stack}) AS (pattern, occ)"
+        )
+        .groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("occ") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+_X29_SQL = (
+    "WITH s AS (SELECT user_id, "
+    "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "FROM events GROUP BY 1), "
+    "p(pattern) AS (VALUES "
+    + ", ".join(f"('{p}')" for p in _PATTERNS)
+    + "), "
+    "occ AS (SELECT s.user_id, p.pattern, "
+    "(length(path) - length(replace(path, p.pattern, ''))) "
+    "// length(p.pattern) AS n FROM s CROSS JOIN p) "
+    "SELECT pattern, "
+    "CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_users, "
+    "CAST(sum(n) AS BIGINT) AS n_occurrences FROM occ GROUP BY 1"
+)
+
+
 QUERIES = {
     "x6_sessionize": x6_sessionize,
     "x6b_session_stats": x6b_session_stats,
+    "x29_sequence_patterns": x29_sequence_patterns,
 }
 
 ORACLES = {
     "x6_sessionize": _X6_SQL,
     "x6b_session_stats": _X6B_SQL,
+    "x29_sequence_patterns": _X29_SQL,
 }

@@ -102,6 +102,8 @@ HEADLINE = [
     "x28_graph_pagerank",
     "s18_shallow_clone",
     "st14_watermark_dedup",
+    "ud4_retry_stats",
+    "x29_sequence_patterns",
 ]
 
 
