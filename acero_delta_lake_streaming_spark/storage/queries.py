@@ -991,6 +991,79 @@ _S18_SQL = (
 )
 
 
+def dq3_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3 — data-quality DRIFT between table versions: the per-column
+    profile (rows, distincts, exact min/max cents) computed at VERSION
+    AS OF 0 and at latest, joined into one drift row per column — the
+    dashboard a warehouse owner watches to catch a bad upstream deploy
+    ("why did distinct statuses jump?", "why did max price double?").
+    Time travel makes the comparison exact and reproducible — no
+    'profile snapshot at 2am' side table to maintain; the profile of
+    ANY historical version is recomputable on demand. Cost: two scans
+    of metadata-selected file sets + two multi-aggregates; the drift
+    join is |columns| rows. The mutation history is s12's (price-bump
+    MERGE + inserts, then a row-level DELETE), so the oracle replays
+    both populations from the fixtures."""
+    table = _scratch(sf_dir, "dq3_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table, "append")
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    deltalite.upsert(
+        spark, bump_p.unionByName(inserts), table, ["o_orderkey"]
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    deltalite.delete_keys(spark, doomed, table, ["o_orderkey"])
+
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+
+    def prof(df: DataFrame, tag: str) -> DataFrame:
+        wide = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("nd_key"),
+            F.countDistinct("o_orderstatus").cast("bigint").alias("nd_status"),
+            F.expr(f"CAST(min({cents}) AS BIGINT)").alias("min_cents"),
+            F.expr(f"CAST(max({cents}) AS BIGINT)").alias("max_cents"),
+        )
+        return wide.select(F.lit(tag).alias("version"), "*")
+
+    v0 = prof(deltalite.read(spark, table, version=0), "v0")
+    latest = prof(deltalite.read(spark, table), "latest")
+    return v0.unionByName(latest)
+
+
+_DQ3_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "bumped AS (SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice FROM seed), "
+    "merged AS (SELECT * FROM bumped UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "final AS (SELECT * FROM merged WHERE o_orderkey % 10 <> 0), "
+    "p0 AS (SELECT 'v0' AS version, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key, "
+    "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status, "
+    "CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) "
+    "AS BIGINT) AS min_cents, "
+    "CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) "
+    "AS BIGINT) AS max_cents FROM seed), "
+    "p1 AS (SELECT 'latest', CAST(count(*) AS BIGINT), "
+    "CAST(count(DISTINCT o_orderkey) AS BIGINT), "
+    "CAST(count(DISTINCT o_orderstatus) AS BIGINT), "
+    "CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) "
+    "AS BIGINT), "
+    "CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) "
+    "AS BIGINT) FROM final) "
+    "SELECT * FROM p0 UNION ALL SELECT * FROM p1"
+)
+
+
 def st10_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10 — the CDC follower driven end to end through the entry
     surface (VERDICT r4 item 7): a source deltalite table takes three
@@ -1184,6 +1257,7 @@ QUERIES = {
     "s16_zorder_real": s16_zorder_real,
     "s17_dv_delete": s17_dv_delete,
     "s18_shallow_clone": s18_shallow_clone,
+    "dq3_profile_drift": dq3_profile_drift,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
 }
@@ -1208,6 +1282,7 @@ ORACLES = {
     "s16_zorder_real": _S16_SQL,
     "s17_dv_delete": _S17_SQL,
     "s18_shallow_clone": _S18_SQL,
+    "dq3_profile_drift": _DQ3_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
 }

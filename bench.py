@@ -104,6 +104,7 @@ HEADLINE = [
     "st14_watermark_dedup",
     "ud4_retry_stats",
     "x29_sequence_patterns",
+    "dq3_profile_drift",
 ]
 
 

@@ -1868,3 +1868,35 @@ def test_clone_scope_refusals(spark, tmp_path):
     )
     with pytest.raises(dc.DeltaProtocolError):
         dc.clone_delta(part_src, str(tmp_path / "ref_part_clone"))
+
+
+def test_corrupt_log_lines_never_return_wrong_data(spark, tmp_path):
+    """Fuzz the log reader: malformed JSON lines, truncated actions, and
+    unknown action types in a commit must either be ignored-by-spec
+    (unknown action OBJECTS are forward-compatible) or raise loudly —
+    NEVER silently change the file set. Malformed JSON raises; an
+    unknown action key is protocol-legal and ignored."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "fuzz_tbl")
+    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), table)
+    base = dc.read_delta(spark, table).count()
+
+    # unknown action object: forward-compatible, state unchanged
+    _commit(table, 1, [{"futureAction": {"x": 1}}, {"commitInfo": {}}])
+    assert dc.read_delta(spark, table).count() == base
+
+    # malformed JSON line: loud failure, never a partial replay
+    with open(os.path.join(table, "_delta_log", f"{2:020d}.json"), "w") as f:
+        f.write('{"add": {"path": "nope.parquet"\n')  # truncated JSON
+    with pytest.raises(Exception) as exc_info:
+        dc.snapshot(table)
+    assert not isinstance(exc_info.value, AssertionError)
+    os.remove(os.path.join(table, "_delta_log", f"{2:020d}.json"))
+
+    # a remove for a file that was never added: tolerated no-op (Delta
+    # replay semantics — removes of unknown paths are tombstones)
+    _commit(table, 2, [{"remove": {"path": "ghost.parquet",
+                                   "dataChange": True}},
+                       {"commitInfo": {}}])
+    assert dc.read_delta(spark, table).count() == base
