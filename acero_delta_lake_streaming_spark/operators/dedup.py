@@ -168,14 +168,7 @@ def _signatures_and_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(*sig_aggs, F.count(F.lit(1)).alias("n_sh"))
     )
 
-    stack_args = ", ".join(
-        f"{b}, concat_ws(':', s{b * _ROWS_PER_BAND}, "
-        f"s{b * _ROWS_PER_BAND + 1}, s{b * _ROWS_PER_BAND + 2})"
-        for b in range(_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id", F.expr(f"stack({_BANDS}, {stack_args}) AS (band, bkey)")
-    )
+    bands = _band_rows(sigs)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -189,6 +182,18 @@ def _signatures_and_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         .distinct()
     )
     return sigs, cand
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows from minhash signatures."""
+    stack_args = ", ".join(
+        f"{b}, concat_ws(':', s{b * _ROWS_PER_BAND}, "
+        f"s{b * _ROWS_PER_BAND + 1}, s{b * _ROWS_PER_BAND + 2})"
+        for b in range(_BANDS)
+    )
+    return sigs.select(
+        "doc_id", F.expr(f"stack({_BANDS}, {stack_args}) AS (band, bkey)")
+    )
 
 
 def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +270,146 @@ def _x2_sql() -> str:
         "JOIN counts ca ON ca.doc_id = i.doc_a "
         "JOIN counts cb ON cb.doc_id = i.doc_b "
         f"WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) >= {_JACCARD_THRESHOLD}"
+    )
+
+
+# --------------------------------------------------------------------------
+# X30 — incremental near-dup: dedup the DELTA against the corpus
+# --------------------------------------------------------------------------
+
+
+def _incremental_corpus(docs: DataFrame) -> tuple[DataFrame, int]:
+    """(base ∪ delta, delta id threshold): the delta batch contains
+    planted near-duplicates of base docs (%10, +3 words) AND genuinely
+    new content (%7==3, text reversed — shares no trigram with any
+    original), so the probe must both find the dups and pass the
+    novel docs through."""
+    base = docs.select("doc_id", "text")
+    dup_batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    return base.unionByName(dup_batch).unionByName(fresh), 1000000
+
+
+def x30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the production nightly-ingest
+    shape: dedup ONLY the day's delta against the corpus, never re-run
+    the whole-corpus pairwise pass. The delta's band rows PROBE the
+    band index (here recomputed; in production it is the materialized
+    table the full x2 run left behind, so the nightly cost is
+    O(|delta| + probed buckets), independent of corpus size), and the
+    delta side of the join is broadcast — a day's batch vs a 100 TB
+    index never shuffles the index. Candidate orientation doc_a <
+    doc_b with doc_b restricted to delta ids covers both old→new and
+    new→new duplicates exactly once; exact-Jaccard verification is
+    x2's, restricted to candidate docs. Planted dups are found (≈0.93
+    Jaccard), reversed-text novel docs sail through — both certified
+    by the oracle, which replays the same restriction."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, new_min = _incremental_corpus(docs)
+    sh = scoped_persist(_shingle_rows(corpus))
+    sig_aggs = [
+        F.min(F.expr(f"pmod(h1 + {s} * h2, 4294967296)")).alias(f"s{s}")
+        for s in range(_N_HASHES)
+    ]
+    sigs = (
+        sh.withColumn(
+            "h1", F.expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "h2", F.expr("CAST(conv(substr(md5(sh), 9, 8), 16, 10) AS BIGINT)")
+        )
+        .groupBy("doc_id")
+        .agg(*sig_aggs, F.count(F.lit(1)).alias("n_sh"))
+    )
+    bands = _band_rows(sigs)
+    bands_new = bands.filter(F.col("doc_id") >= new_min)
+    a, b = bands.alias("a"), bands_new.alias("b")
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    counts = sigs.select("doc_id", "n_sh")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_INCREMENTAL_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, text || ' xdup ydup zdup' FROM documents "
+    "WHERE doc_id % 10 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 3000000, reverse(text) FROM documents "
+    "WHERE doc_id % 7 = 3"
+)
+
+
+def _x30_sql() -> str:
+    sig_cols = ", ".join(
+        f"min((h1 + {s} * h2) % 4294967296) AS s{s}" for s in range(_N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(s{b * _ROWS_PER_BAND} AS VARCHAR) || ':' || "
+        f"CAST(s{b * _ROWS_PER_BAND + 1} AS VARCHAR) || ':' || "
+        f"CAST(s{b * _ROWS_PER_BAND + 2} AS VARCHAR) AS bkey FROM sigs"
+        for b in range(_BANDS)
+    )
+    return (
+        f"WITH corpus AS ({_INCREMENTAL_CORPUS_SQL}), "
+        f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
+        "hashed AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1, "
+        "CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2 "
+        "FROM dshingles), "
+        f"sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM bands a JOIN bands b "
+        "  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
+        "  WHERE b.doc_id >= 1000000), "
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM dshingles GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
+        "  FROM cand c "
+        "  JOIN dshingles sa ON sa.doc_id = c.doc_a "
+        "  JOIN dshingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
+        "  GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, "
+        "round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 4) AS jaccard "
+        "FROM inter i "
+        "JOIN counts ca ON ca.doc_id = i.doc_a "
+        "JOIN counts cb ON cb.doc_id = i.doc_b "
+        f"WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) "
+        f">= {_JACCARD_THRESHOLD}"
     )
 
 
@@ -575,6 +720,7 @@ _X19_SQL = (
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x2_minhash_near_dup": x2_minhash_near_dup,
+    "x30_incremental_neardup": x30_incremental_neardup,
     "x2b_simhash_groups": x2b_simhash_groups,
     "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
     "x2d_dup_clusters": x2d_dup_clusters,
@@ -584,6 +730,7 @@ QUERIES = {
 ORACLES = {
     "x1_exact_dedup": _X1_SQL,
     "x2_minhash_near_dup": _x2_sql(),
+    "x30_incremental_neardup": _x30_sql(),
     "x2b_simhash_groups": _x2b_sql(),
     "x2c_ngram_jaccard_pairs": _X2C_SQL,
     "x2d_dup_clusters": _x2d_sql(),

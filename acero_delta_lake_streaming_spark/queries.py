@@ -72,14 +72,14 @@ _PRIORITY = [
     # Window layout (the driver records ~the first 50). Round-5 rotation
     # rule (VERDICT r4 item 2): fixtures REGENERATE between rounds, so a
     # query's driver proof decays — no query's newest driver-green row
-    # should be older than two rounds. Slots 1-23: every query new or
-    # changed this round (x3d's seed-selection rewrite; the other 22
-    # are new operators). Slots 24-50: 27 of the 49 queries whose
+    # should be older than two rounds. Slots 1-24: every query new or
+    # changed this round (x3d's seed-selection rewrite; the other 23
+    # are new operators). Slots 25-50: 26 of the 49 queries whose
     # newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 22 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p2/p3/a3/w4/p8/q14/ud2_explode_tokens/a2/a6/t2/u2/
-    # u3/f6/f7/f8/w1/w2/w3 — each shadowed by an in-window near-twin, e.g.
+    # fixture regenerations). The 23 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/p2/p3/a3/w4/p8/q14/ud2_explode_tokens/a2/a6/a7/t2/
+    # u2/u3/f6/f7/f8/w1/w2/w3 — each shadowed by an in-window near-twin, e.g.
     # x27 covers distinct counting, t1 the top-k family) lead the
     # past-window tail for round 6, followed by r3-proven then r4-proven
     # families (newest proof last). Everything past the window stays
@@ -94,7 +94,8 @@ _PRIORITY = [
     "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
     "s18_shallow_clone", "st14_watermark_dedup",
     "ud4_retry_stats", "x29_sequence_patterns", "dq3_profile_drift",
-    # -- r2-vintage re-proof under round-5 fixtures (24-50) --
+    "x30_incremental_neardup",
+    # -- r2-vintage re-proof under round-5 fixtures (25-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
@@ -105,14 +106,15 @@ _PRIORITY = [
     "p6_anti_contains_filter", "p7_conjunctive_filter",
     "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
     "a1_count_star",
-    "a4_daily_counts", "a7_min_max",
+    "a4_daily_counts",
     "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
     "t1_topk",
     "u1_union_discriminator",
     "f_scalar_suite",
     # -- past the ~50 window --
     # r2-vintage deferred to the round-6 window:
-    "a6_two_key_counts", "p2_computed_columns", "t2_topk_breakdown",
+    "a6_two_key_counts", "a7_min_max", "p2_computed_columns",
+    "t2_topk_breakdown",
     "a2_count_distinct", "u2_union_all", "u3_intersect", "f6_json_extract",
     "f7_regexp_suite", "f8_array_suite", "w1_daily_delta", "w2_moving_avg",
     "w3_rank_in_group",

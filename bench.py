@@ -105,6 +105,7 @@ HEADLINE = [
     "ud4_retry_stats",
     "x29_sequence_patterns",
     "dq3_profile_drift",
+    "x30_incremental_neardup",
 ]
 
 
