@@ -28,6 +28,8 @@ sys.path.insert(0, "/root/repo")
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
+    _band_rows,
+    _incremental_corpus,
     _near_dup_corpus,
     _shingle_rows,
     _signatures_and_candidates,
@@ -150,9 +152,53 @@ def main() -> None:
         }
         print(f"semdedup_{tag}: {out[f'semdedup_{tag}']}", file=sys.stderr)
 
+    # Incremental near-dup (x30): a FIXED delta batch probes the band
+    # index of a 1x vs 10x corpus. MinHash band keys collide on
+    # SIMILARITY, not capacity (the key space is 3x32-bit tuples), so
+    # probe candidates must track the delta's true-match mass — the
+    # replicas' rotated shingles are disjoint, so growing the corpus
+    # 10x should leave the probe volume ~flat. That flatness is what
+    # makes nightly incremental dedup O(|delta|) at any corpus size.
+    delta = _incremental_corpus(docs)[0].filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+    )
+    for tag, base_corpus in (
+        ("x1", docs.select("doc_id", "text")),
+        ("x10", replicate_docs(docs, 10).repartition(32)),
+    ):
+        t0 = time.time()
+        corpus = base_corpus.unionByName(delta)
+        sh = scoped_persist(_shingle_rows(corpus))
+        sigs, _ = _signatures_and_candidates(sh)
+        bands = _band_rows(sigs)
+        bands_new = bands.filter(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+        )
+        a, b = bands.alias("a"), bands_new.alias("b")
+        probe_n = (
+            a.join(
+                F.broadcast(b),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        n = corpus.count()
+        release_scoped()
+        out[f"incremental_{tag}"] = {
+            "corpus": n,
+            "probe_candidates": probe_n,
+            "sec": round(time.time() - t0, 1),
+        }
+        print(f"incremental_{tag}: {out[f'incremental_{tag}']}", file=sys.stderr)
+
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
     a1, a10 = out["ann_x1"], out["ann_x10"]
     s1, s10 = out["semdedup_x1"], out["semdedup_x10"]
+    i1, i10 = out["incremental_x1"], out["incremental_x10"]
     out["growth"] = {
         "minhash_cand_ratio": round(m10["candidates"] / m1["candidates"], 2),
         "minhash_doc_ratio": round(m10["docs"] / m1["docs"], 2),
@@ -160,6 +206,10 @@ def main() -> None:
         "ann_vec_ratio": round(a10["vectors"] / a1["vectors"], 2),
         "semdedup_cand_ratio": round(s10["candidates"] / s1["candidates"], 2),
         "semdedup_vec_ratio": round(s10["vectors"] / s1["vectors"], 2),
+        "incremental_probe_ratio": round(
+            i10["probe_candidates"] / max(i1["probe_candidates"], 1), 2
+        ),
+        "incremental_corpus_ratio": round(i10["corpus"] / i1["corpus"], 2),
     }
     print(json.dumps(out))
 
