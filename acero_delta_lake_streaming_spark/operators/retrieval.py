@@ -506,11 +506,95 @@ _X26_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x31 — per-source TF-IDF keyword extraction (source fingerprinting)
+# --------------------------------------------------------------------------
+
+
+def x31_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per SOURCE by TF-IDF — the corpus
+    fingerprint ("what vocabulary distinguishes src3 from src7?") a
+    curation team reads before weighting a mixture. BM25 (x21) scores
+    DOCS against a QUERY; this scores TERMS against a SOURCE, the other
+    diagonal of the same term-statistics matrix, and reuses its integer
+    discipline: idf_ppm = (N·1e6) DIV (1+df) — rational idf, ranking-
+    preserving (the ln-based twin would follow x21b's portable ln) —
+    and score = tf·idf_ppm in exact BIGINTs with (term asc) tie-breaks.
+
+    Scale shape: one (source, term) aggregate and one per-term df
+    aggregate — both shuffle O(|vocab|)-keyed rows (Heaps' law keeps
+    vocab sublinear in the corpus); the ranking window partitions by
+    source, so no global sort; the corpus count rides a one-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "term"
+        ),
+    )
+    tf_src = words.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_t = (
+        words.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf_src.join(df_t, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("idf_ppm", F.expr("(n_docs * 1000000) DIV (1 + df)"))
+        .withColumn("score", F.expr("tf * idf_ppm"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            "tf",
+            "df",
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+_X31_SQL = (
+    "WITH words AS (SELECT doc_id, source, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+    "FROM documents), "
+    "tf_src AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM words GROUP BY 1, 2), "
+    "df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM "
+    "(SELECT DISTINCT term, doc_id FROM words) GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+    "scored AS (SELECT s.source, s.term, s.tf, d.df, "
+    "s.tf * ((n.n_docs * 1000000) // (1 + d.df)) AS score "
+    "FROM tf_src s JOIN df_t d ON d.term = s.term CROSS JOIN n), "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY source ORDER BY score DESC, term ASC) AS rk "
+    "FROM scored) "
+    "SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, df, "
+    "CAST(score AS BIGINT) AS score FROM ranked WHERE rk <= 5"
+)
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
     "x23_fuzzy_linkage": x23_fuzzy_linkage,
     "x26_unigram_surprise": x26_unigram_surprise,
+    "x31_source_keywords": x31_source_keywords,
 }
 
 ORACLES = {
@@ -518,4 +602,5 @@ ORACLES = {
     "x21b_bm25_ln_topk": _X21B_SQL,
     "x23_fuzzy_linkage": _X23_SQL,
     "x26_unigram_surprise": _X26_SQL,
+    "x31_source_keywords": _X31_SQL,
 }

@@ -72,14 +72,14 @@ _PRIORITY = [
     # Window layout (the driver records ~the first 50). Round-5 rotation
     # rule (VERDICT r4 item 2): fixtures REGENERATE between rounds, so a
     # query's driver proof decays — no query's newest driver-green row
-    # should be older than two rounds. Slots 1-24: every query new or
-    # changed this round (x3d's seed-selection rewrite; the other 23
-    # are new operators). Slots 25-50: 26 of the 49 queries whose
+    # should be older than two rounds. Slots 1-25: every query new or
+    # changed this round (x3d's seed-selection rewrite; the other 24
+    # are new operators). Slots 26-50: 25 of the 49 queries whose
     # newest driver row is
     # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 23 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p2/p3/a3/w4/p8/q14/ud2_explode_tokens/a2/a6/a7/t2/
-    # u2/u3/f6/f7/f8/w1/w2/w3 — each shadowed by an in-window near-twin, e.g.
+    # fixture regenerations). The 24 r2-vintage queries that don't fit
+    # (t3/u4/a5/p9/p2/p3/a3/w4/p8/q14/q19/ud2_explode_tokens/a2/a6/a7/
+    # t2/u2/u3/f6/f7/f8/w1/w2/w3 — each shadowed by an in-window near-twin, e.g.
     # x27 covers distinct counting, t1 the top-k family) lead the
     # past-window tail for round 6, followed by r3-proven then r4-proven
     # families (newest proof last). Everything past the window stays
@@ -94,13 +94,13 @@ _PRIORITY = [
     "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
     "s18_shallow_clone", "st14_watermark_dedup",
     "ud4_retry_stats", "x29_sequence_patterns", "dq3_profile_drift",
-    "x30_incremental_neardup",
-    # -- r2-vintage re-proof under round-5 fixtures (25-50) --
+    "x30_incremental_neardup", "x31_source_keywords",
+    # -- r2-vintage re-proof under round-5 fixtures (26-50) --
     "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
     "q10_returned_revenue",
-    "q18_large_orders", "q19_brand_revenue",
+    "q18_large_orders",
     "p1_project",
     "p4_membership_filter", "p5_date_range_filter",
     "p6_anti_contains_filter", "p7_conjunctive_filter",
@@ -113,6 +113,7 @@ _PRIORITY = [
     "f_scalar_suite",
     # -- past the ~50 window --
     # r2-vintage deferred to the round-6 window:
+    "q19_brand_revenue",
     "a6_two_key_counts", "a7_min_max", "p2_computed_columns",
     "t2_topk_breakdown",
     "a2_count_distinct", "u2_union_all", "u3_intersect", "f6_json_extract",

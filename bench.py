@@ -106,6 +106,7 @@ HEADLINE = [
     "x29_sequence_patterns",
     "dq3_profile_drift",
     "x30_incremental_neardup",
+    "x31_source_keywords",
 ]
 
 
