@@ -118,3 +118,62 @@ def test_ann_recall_and_linear_candidates(spark):
     (n1, c1), (n2, c2) = stats[SMALL], stats[LARGE]
     assert n2 > n1, "fixture corpora no longer differ — update SMALL/LARGE"
     assert c2 / c1 <= (n2 / n1) * GROWTH_SLACK, stats
+
+
+def test_incremental_probe_volume_corpus_invariant(spark):
+    """x30's scale claim, pinned: a FIXED delta batch probing a 1x vs 4x
+    corpus must produce (near-)identical candidate volume — MinHash band
+    keys collide on similarity, not capacity, and the replica corpus is
+    letter-rotated so its shingles are disjoint from the delta's. The
+    decade version of this measurement (x8.2 corpus, probe EXACTLY
+    flat at 596) lives in scale_probe.py / SCALING.md; this pins the
+    x4 step in the gate."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _band_rows,
+        _incremental_corpus,
+    )
+
+    docs = load_table(spark, SMALL, "documents")
+    delta = _incremental_corpus(docs)[0].filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+    )
+    rot = "etaoinshrd"
+    counts = {}
+    for times in (1, 4):
+        parts = []
+        for i in range(times):
+            r = rot[i:] + rot[:i]
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate("text", rot, r).alias("text"),
+                )
+            )
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+        corpus = base.unionByName(delta)
+        sh = _shingle_rows(corpus)
+        sigs, _ = _signatures_and_candidates(sh)
+        bands = _band_rows(sigs)
+        bands_new = bands.filter(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+        )
+        a, b = bands.alias("a"), bands_new.alias("b")
+        counts[times] = (
+            a.join(
+                F.broadcast(b),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+    # disjoint replicas must not add probe candidates (±10% slack for
+    # incidental collisions on short rotated words)
+    assert counts[4] <= counts[1] * 1.1, counts
+    assert counts[1] > 0
