@@ -153,21 +153,7 @@ def _signatures_and_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     One aggregation produces the 12 signature mins AND the shingle
     count — folding the count in saves a second full shuffle over the
     shingle set (it feeds the Jaccard denominator later)."""
-    sig_aggs = [
-        F.min(F.expr(f"pmod(h1 + {s} * h2, 4294967296)")).alias(f"s{s}")
-        for s in range(_N_HASHES)
-    ]
-    sigs = (
-        sh.withColumn(
-            "h1", F.expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
-        )
-        .withColumn(
-            "h2", F.expr("CAST(conv(substr(md5(sh), 9, 8), 16, 10) AS BIGINT)")
-        )
-        .groupBy("doc_id")
-        .agg(*sig_aggs, F.count(F.lit(1)).alias("n_sh"))
-    )
-
+    sigs = _signatures(sh)
     bands = _band_rows(sigs)
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -182,6 +168,27 @@ def _signatures_and_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         .distinct()
     )
     return sigs, cand
+
+
+def _signatures(sh: DataFrame) -> DataFrame:
+    """Carter-Wegman MinHash signatures + shingle counts per doc from
+    distinct (doc_id, sh) rows — shared by x2's full self-join and
+    x30's incremental probe, so the hash derivation can never
+    desynchronize between the materialized index and the probe."""
+    sig_aggs = [
+        F.min(F.expr(f"pmod(h1 + {s} * h2, 4294967296)")).alias(f"s{s}")
+        for s in range(_N_HASHES)
+    ]
+    return (
+        sh.withColumn(
+            "h1", F.expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "h2", F.expr("CAST(conv(substr(md5(sh), 9, 8), 16, 10) AS BIGINT)")
+        )
+        .groupBy("doc_id")
+        .agg(*sig_aggs, F.count(F.lit(1)).alias("n_sh"))
+    )
 
 
 def _band_rows(sigs: DataFrame) -> DataFrame:
@@ -313,20 +320,7 @@ def x30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus, new_min = _incremental_corpus(docs)
     sh = scoped_persist(_shingle_rows(corpus))
-    sig_aggs = [
-        F.min(F.expr(f"pmod(h1 + {s} * h2, 4294967296)")).alias(f"s{s}")
-        for s in range(_N_HASHES)
-    ]
-    sigs = (
-        sh.withColumn(
-            "h1", F.expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
-        )
-        .withColumn(
-            "h2", F.expr("CAST(conv(substr(md5(sh), 9, 8), 16, 10) AS BIGINT)")
-        )
-        .groupBy("doc_id")
-        .agg(*sig_aggs, F.count(F.lit(1)).alias("n_sh"))
-    )
+    sigs = _signatures(sh)
     bands = _band_rows(sigs)
     bands_new = bands.filter(F.col("doc_id") >= new_min)
     a, b = bands.alias("a"), bands_new.alias("b")

@@ -266,7 +266,12 @@ def j4_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            # decimal-first: CAST(double AS BIGINT) truncates in Spark
+            # but ROUNDS in DuckDB (CLAUDE.md gotcha) — integral today,
+            # a silent hash flip the day quantities gain a fraction
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT)"
+            ).alias("qty"),
             F.expr(
                 "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100 "
                 "AS BIGINT)"
@@ -814,7 +819,7 @@ ORACLES = {
     # join — the equivalence is the contract.
     "j4_bloom_prefilter_join": (
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
-        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty, "
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
         "AS cents FROM lineitem WHERE l_orderkey IN "
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "

@@ -532,9 +532,7 @@ def x31_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id",
         "source",
-        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-            "term"
-        ),
+        F.explode(F.expr(_WORDS_SPARK)).alias("term"),
     )
     tf_src = words.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
@@ -571,7 +569,7 @@ def x31_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X31_SQL = (
     "WITH words AS (SELECT doc_id, source, "
-    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+    f"unnest({_WORDS_DUCK}) AS term "
     "FROM documents), "
     "tf_src AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf "
     "FROM words GROUP BY 1, 2), "

@@ -84,7 +84,7 @@ _PRIORITY = [
     # past-window tail for round 6, followed by r3-proven then r4-proven
     # families (newest proof last). Everything past the window stays
     # verified by the local tri-scale gate (sf0.001/.01/.1).
-    # -- new or changed this round (1-23) --
+    # -- new or changed this round (1-25) --
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
     "s13_merge_delete", "s14_restore", "s15_stats_skipping",
     "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",

@@ -464,6 +464,17 @@ def read_delta(
     return spark.read.schema(full).parquet(*snap["files"])
 
 
+def _file_uri(abs_path: str) -> str:
+    """``abs_path`` in the exact form Spark's ``_metadata.file_path``
+    reports it: ``file:`` + single slash + the path with spaces and
+    other non-URI characters percent-encoded, ``/`` and ``+`` left
+    literal (measured against Spark's Hadoop-Path URI rendering —
+    a raw-string comparison against ``os.path.abspath`` silently
+    mismatched any file name with an encodable character, resurrecting
+    its deleted rows)."""
+    return "file:/" + quote(os.path.abspath(abs_path).lstrip("/"), safe="/+")
+
+
 def _read_with_dvs(
     spark: SparkSession,
     table: str,
@@ -485,16 +496,16 @@ def _read_with_dvs(
     from acero_delta_lake_streaming_spark.storage import dvcodec
 
     pairs = [
-        (os.path.abspath(f), int(pos))
+        (_file_uri(f), int(pos))
         for f, desc in dvs.items()
         for pos in dvcodec.read_dv(table, desc)
     ]
     base = spark.read.schema(full).parquet(*files).select(
         "*",
-        # _metadata.file_path is a URI ("file:///..."): normalize to the
-        # plain absolute path for the join key
+        # normalize the slash count only; the percent-encoding is
+        # matched by _file_uri on the driver side
         F.expr(
-            "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+            "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
         ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
@@ -594,9 +605,11 @@ def append_delta(
     version = (versions[-1] + 1) if versions else 0
     evolved_schema_json: str | None = None
     evolved_meta_id: str | None = None
+    evolved_config: dict | None = None
     if version > 0:
         snap0 = snapshot(table)
         evolved_meta_id = snap0.get("meta_id")
+        evolved_config = dict(snap0.get("configuration") or {})
         if _mapping_mode(snap0) != "none":
             raise DeltaProtocolError(
                 "appending to a column-mapped table is not supported "
@@ -663,7 +676,10 @@ def append_delta(
             }
         )
     if evolved_schema_json is not None:
-        # metaData.id is the TABLE id, stable across schema changes
+        # metaData.id is the TABLE id and configuration holds the
+        # table's properties (CDF flag, appendOnly, ...) — both are
+        # stable across schema changes; wiping either would strip a
+        # foreign table's settings
         actions.append(
             {
                 "metaData": {
@@ -671,7 +687,7 @@ def append_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved_schema_json,
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": evolved_config or {},
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -1635,18 +1651,18 @@ def delete_delta_dv(
     files = snap["files"]
     if not files:
         return snap["version"]  # empty table: nothing to delete
-    dvs_abs = {
-        os.path.abspath(f): d
+    dvs_uri = {
+        _file_uri(f): d
         for f, d in snap["file_dvs"].items()
         if f in set(files)
     }
     existing = {
-        f: dvcodec.read_dv(table, d) for f, d in dvs_abs.items()
+        f: dvcodec.read_dv(table, d) for f, d in dvs_uri.items()
     }
     base = spark.read.schema(full).parquet(*files).select(
         "*",
         F.expr(
-            "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+            "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
         ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
@@ -1681,9 +1697,12 @@ def delete_delta_dv(
         )
         for r in per_file
     }
-    rel_by_abs = {os.path.abspath(f): os.path.relpath(f, table) for f in files}
+    by_uri = {
+        _file_uri(f): (os.path.abspath(f), os.path.relpath(f, table))
+        for f in files
+    }
     _, descriptors = dvcodec.write_dv_file(
-        table, {rel_by_abs[f]: ps for f, ps in new_positions.items()}
+        table, {by_uri[f][1]: ps for f, ps in new_positions.items()}
     )
 
     cdc_actions: list[dict] = []
@@ -1694,21 +1713,21 @@ def delete_delta_dv(
         cdc_actions = _write_change_data(table, deleted, version, [])
 
     now_ms = int(time.time() * 1000)
-    stats_abs = {
-        os.path.abspath(f): s for f, s in snap["file_stats"].items()
+    stats_uri = {
+        _file_uri(f): s for f, s in snap["file_stats"].items()
     }
     removes: list[dict] = []
     adds: list[dict] = []
-    for abs_f in sorted(new_positions):
-        rel = rel_by_abs[abs_f]
+    for uri in sorted(new_positions):
+        abs_f, rel = by_uri[uri]
         remove = {
             "path": quote(rel),
             "deletionTimestamp": now_ms,
             "partitionValues": {},
             "dataChange": True,
         }
-        if abs_f in dvs_abs:
-            remove["deletionVector"] = dvs_abs[abs_f]
+        if uri in dvs_uri:
+            remove["deletionVector"] = dvs_uri[uri]
         removes.append({"remove": remove})
         add = {
             "path": quote(rel),
@@ -1718,11 +1737,11 @@ def delete_delta_dv(
             "dataChange": True,
             "deletionVector": descriptors[rel],
         }
-        if stats_abs.get(abs_f):
+        if stats_uri.get(uri):
             # min/max/nullCount stay valid (DVs only hide rows —
             # skipping is a superset guarantee); numRecords becomes an
             # upper bound, which the protocol accepts alongside a DV
-            add["stats"] = stats_abs[abs_f]
+            add["stats"] = stats_uri[uri]
         adds.append({"add": add})
     actions = (
         [

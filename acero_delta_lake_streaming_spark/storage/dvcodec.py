@@ -74,8 +74,9 @@ def _ser32(values: list[int]) -> bytes:
     for k in keys:
         out += struct.pack("<HH", k, len(chunks[k]) - 1)
     bodies: list[bytes] = []
-    pos = 8 + 8 * n  # cookie+count, desc header, offset header follows
-    pos += 4 * n
+    # container data starts after: cookie+count (8) + descriptive header
+    # (4 bytes/container) + offset header (4 bytes/container)
+    pos = 8 + 4 * n + 4 * n
     offsets: list[int] = []
     for k in keys:
         vals = chunks[k]
@@ -117,10 +118,20 @@ def _deser32(buf: bytes, base: int) -> tuple[list[int], int]:
         raise DeletionVectorError(f"unknown roaring cookie {cookie}")
     header = struct.unpack_from(f"<{2 * n}H", buf, pos)
     pos += 4 * n
+    offsets: tuple[int, ...] | None = None
     if has_offsets:
-        pos += 4 * n  # skip offset header; containers follow in order
+        offsets = struct.unpack_from(f"<{n}i", buf, pos)
+        pos += 4 * n
     values: list[int] = []
     for i in range(n):
+        if offsets is not None and offsets[i] != pos - base:
+            # containers are parsed sequentially; a disagreeing offset
+            # header means a corrupt (or mis-written) bitmap — refuse
+            # rather than decode garbage
+            raise DeletionVectorError(
+                f"roaring offset header mismatch: container {i} at "
+                f"{pos - base}, header says {offsets[i]}"
+            )
         key, card_m1 = header[2 * i], header[2 * i + 1]
         card = card_m1 + 1
         hi = key << 16

@@ -631,7 +631,7 @@ _ST8_SQL = (
 def st11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST11 — sessionization as a STREAM: the events fixture replays
     through ``run_session_stream`` (session_window + watermark →
-    update-mode foreachBatch → keyed deltalite upsert), and the table
+    append-mode foreachBatch → idempotent deltalite append), and the table
     read back must equal x6's BATCH sessionization of the same data —
     the streaming/batch unification Spark promises for session windows,
     certified by the same gaps-and-islands oracle. Append mode emits a

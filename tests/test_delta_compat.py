@@ -1900,3 +1900,69 @@ def test_corrupt_log_lines_never_return_wrong_data(spark, tmp_path):
                                    "dataChange": True}},
                        {"commitInfo": {}}])
     assert dc.read_delta(spark, table).count() == base
+
+
+def test_dv_delete_on_url_encoded_file_name(spark, tmp_path):
+    """Finding from the round-5 review: _metadata.file_path is a
+    percent-encoded URI (space -> %20, '+' literal), so DV matching on
+    the raw absolute path silently resurrected deleted rows for any
+    encodable file name. Pin the fix with a space+plus-named data
+    file seeded through a hand-authored log."""
+    from urllib.parse import quote
+
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "dv_enc_tbl")
+    _write_parquet(
+        spark,
+        [(i,) for i in range(20)],
+        "k long",
+        os.path.join(table, "part a+b.parquet"),
+    )
+    _commit(
+        table,
+        0,
+        [
+            _PROTO,
+            _meta(spark, "k long"),
+            {"add": {"path": quote("part a+b.parquet"),
+                     "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table).count() == 20
+    keys = spark.range(0, 20, 5).select(F.col("id").alias("k"))
+    dc.delete_delta_dv(spark, table, keys, ["k"])
+    got = {r["k"] for r in dc.read_delta(spark, table).collect()}
+    assert got == {k for k in range(20) if k % 5 != 0}, got
+
+
+def test_schema_evolution_preserves_configuration(spark, tmp_path):
+    """A merge_schema append must carry the table's configuration (CDF
+    flag, appendOnly, ...) through the new metaData action — wiping it
+    would silently strip a foreign table's properties."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "evo_cfg")
+    _write_parquet(
+        spark, [(1,)], "k long", os.path.join(table, "f0.parquet")
+    )
+    md = _meta(spark, "k long")
+    md["metaData"]["configuration"] = {
+        "delta.enableChangeDataFeed": "true"
+    }
+    _commit(
+        table,
+        0,
+        [
+            _PROTO,
+            md,
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    wider = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("v"))
+    dc.append_delta(wider, table, merge_schema=True)
+    cfg = dc.snapshot(table)["configuration"]
+    assert cfg.get("delta.enableChangeDataFeed") == "true", cfg
