@@ -686,6 +686,87 @@ _W12_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w13 — engagement stickiness (DAU/WAU/MAU)
+# --------------------------------------------------------------------------
+
+
+def w13_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day engagement stickiness: DAU, trailing-7-day WAU,
+    trailing-30-day MAU, and DAU/MAU in integer basis points — the
+    product-health ratio every growth dashboard tracks. The scale
+    rewrite mirrors w6: per-user FIRST/ALL active days collapse through
+    one user_id shuffle into (user, day) distinct rows, and the rolling
+    distinct-user windows are computed per DAY over that deduped set —
+    a trailing COUNT DISTINCT over raw events would re-scan the corpus
+    per day. Here the per-day frame re-counts distinct users over
+    day-grained rows (|users|·|active days| worst case, corpus-bounded
+    calendar slices); basis points use DIV so both engines agree
+    exactly."""
+    events = load_table(spark, sf_dir, "events")
+    ud = (
+        events.select(
+            "user_id",
+            F.expr("unix_millis(date_trunc('DAY', ts))").alias("day_ms"),
+        )
+        .distinct()
+    )
+    days = ud.select("day_ms").distinct()
+    day_ms = 86400000
+    # per (day, lookback) distinct users: join the day grid to the
+    # (user, day) rows in the trailing window, then count distinct —
+    # an equi-ish range join over day-grained rows, never raw events
+    d = days.alias("d")
+    u = ud.alias("u")
+    joined = d.join(
+        u,
+        (F.col("u.day_ms") <= F.col("d.day_ms"))
+        & (F.col("u.day_ms") > F.col("d.day_ms") - 30 * day_ms),
+    )
+    agg = joined.groupBy(F.col("d.day_ms").alias("day_ms")).agg(
+        F.countDistinct(
+            F.when(F.col("u.day_ms") == F.col("d.day_ms"), F.col("u.user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("u.day_ms") > F.col("d.day_ms") - 7 * day_ms,
+                F.col("u.user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("u.user_id").cast("bigint").alias("mau"),
+    )
+    return agg.select(
+        "day_ms",
+        "dau",
+        "wau",
+        "mau",
+        F.expr("(10000 * dau) DIV mau").cast("bigint").alias("stickiness_bp"),
+    )
+
+
+_W13_SQL = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "epoch_ms(date_trunc('day', ts)) AS day_ms FROM events), "
+    "days AS (SELECT DISTINCT day_ms FROM ud), "
+    "j AS (SELECT d.day_ms AS day_ms, u.user_id, u.day_ms AS u_day "
+    "FROM days d JOIN ud u ON u.day_ms <= d.day_ms "
+    "AND u.day_ms > d.day_ms - 2592000000) "
+    "SELECT day_ms, "
+    "CAST(count(DISTINCT CASE WHEN u_day = day_ms THEN user_id END) "
+    "AS BIGINT) AS dau, "
+    "CAST(count(DISTINCT CASE WHEN u_day > day_ms - 604800000 "
+    "THEN user_id END) AS BIGINT) AS wau, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS mau, "
+    "CAST((10000 * count(DISTINCT CASE WHEN u_day = day_ms THEN user_id "
+    "END)) // count(DISTINCT user_id) AS BIGINT) AS stickiness_bp "
+    "FROM j GROUP BY 1"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -699,6 +780,7 @@ QUERIES = {
     "w10_ema": w10_ema,
     "w11_anomaly_zscore": w11_anomaly_zscore,
     "w12_retention_cohorts": w12_retention_cohorts,
+    "w13_stickiness": w13_stickiness,
 }
 
 ORACLES = {
@@ -714,4 +796,5 @@ ORACLES = {
     "w10_ema": _W10_SQL,
     "w11_anomaly_zscore": _W11_SQL,
     "w12_retention_cohorts": _W12_SQL,
+    "w13_stickiness": _W13_SQL,
 }

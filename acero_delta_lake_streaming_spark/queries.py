@@ -112,6 +112,10 @@ _PRIORITY = [
     "u1_union_discriminator",
     "f_scalar_suite",
     # -- past the ~50 window --
+    # round-5 new but deliberately past-window (the 50 slots are
+    # frozen at 25 new + 25 r2-vintage re-proofs; local tri-scale
+    # gate covers these until the round-6 rotation):
+    "w13_stickiness",
     # r2-vintage deferred to the round-6 window:
     "q19_brand_revenue",
     "a6_two_key_counts", "a7_min_max", "p2_computed_columns",

@@ -107,6 +107,7 @@ HEADLINE = [
     "dq3_profile_drift",
     "x30_incremental_neardup",
     "x31_source_keywords",
+    "w13_stickiness",
 ]
 
 
