@@ -115,7 +115,7 @@ _PRIORITY = [
     # round-5 new but deliberately past-window (the 50 slots are
     # frozen at 25 new + 25 r2-vintage re-proofs; local tri-scale
     # gate covers these until the round-6 rotation):
-    "w13_stickiness",
+    "w13_stickiness", "s19_check_constraints",
     # r2-vintage deferred to the round-6 window:
     "q19_brand_revenue",
     "a6_two_key_counts", "a7_min_max", "p2_computed_columns",

@@ -650,6 +650,10 @@ def append_delta(
             )
 
             merge_schemas(table_schema, df.schema)
+        # CHECK constraints gate every append (one scan of the BATCH,
+        # not the table — the add-time full scan happened once in
+        # add_constraint)
+        _enforce_constraints(df, table_constraints(snap0))
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1467,6 +1471,95 @@ def merge_delta(
                 },
             }
         }
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
+class DeltaConstraintViolation(RuntimeError):
+    """An append contained rows violating a table CHECK constraint."""
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def table_constraints(snap: dict) -> dict[str, str]:
+    """name → SQL predicate for every CHECK constraint in the table
+    configuration (Delta's ``ALTER TABLE ADD CONSTRAINT`` stores them
+    as ``delta.constraints.<name>`` properties — the shape delta-spark
+    writes and enforces)."""
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in (snap.get("configuration") or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Refuse the write if any row violates any constraint — one scan
+    evaluating every predicate at once (a constraint is NULL-tolerant,
+    like Delta's: NULL predicate result does not violate)."""
+    if not constraints:
+        return
+    import pyspark.sql.functions as F
+
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(pred), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, pred in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]  # METADATA-altitude: one row of counts
+    bad = {name: int(row[name] or 0) for name in constraints}
+    bad = {k: v for k, v in bad.items() if v > 0}
+    if bad:
+        raise DeltaConstraintViolation(
+            "append violates CHECK constraint(s): "
+            + ", ".join(
+                f"{k} ({v} row(s), predicate {constraints[k]!r})"
+                for k, v in sorted(bad.items())
+            )
+        )
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, predicate: str
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (predicate)``: verify
+    the EXISTING data satisfies the predicate (one scan — exactly what
+    delta-spark does, and why adding a constraint to a 100 TB table is
+    a full-scan operation), then publish a metaData action whose
+    configuration carries ``delta.constraints.<name>``. Every later
+    append re-validates against it. Refuses if the name exists or
+    current rows violate."""
+    snap = snapshot(table)
+    if name in table_constraints(snap):
+        raise DeltaProtocolError(f"constraint {name!r} already exists")
+    _enforce_constraints(
+        read_delta(spark, table), {name: predicate}
+    )
+    version = snap["version"] + 1
+    cfg = dict(snap.get("configuration") or {})
+    cfg[_CONSTRAINT_PREFIX + name] = predicate
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": predicate},
+            }
+        },
     ]
     _publish_commit(table, version, actions)
     return version

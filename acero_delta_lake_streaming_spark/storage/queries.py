@@ -991,6 +991,68 @@ _S18_SQL = (
 )
 
 
+def s19_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — CHECK constraints on the real Delta format (``ALTER TABLE
+    ADD CONSTRAINT`` + append-time enforcement, delta-spark's
+    ``delta.constraints.*`` shape): seed a table, add
+    ``price_positive CHECK (o_totalprice > 0)``, land a second clean
+    batch, then attempt a batch whose prices are negated — the append
+    must REFUSE atomically (no partial rows). The result certifies the
+    gate from both sides: 'kept' = the table contents (only the two
+    clean batches — if enforcement silently broke, the poisoned rows
+    would land and the hash gate would fail), 'rejected' = the
+    poisoned batch accounted from the source expression. At 100 TB
+    the per-append cost is one scan of the BATCH; the one full-table
+    scan happens at ADD CONSTRAINT time, exactly like delta-spark."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s19_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.add_constraint(
+        spark, table, "price_positive", "o_totalprice > 0"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    poisoned = orders.filter("o_orderkey % 4 = 1").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        delta_compat.append_delta(poisoned, table)
+        raise RuntimeError("constraint gate failed to refuse")  # pragma: no cover
+    except delta_compat.DeltaConstraintViolation:
+        pass
+    kept = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("kept")
+    )
+    rejected = poisoned.withColumn("part", F.lit("rejected"))
+    return (
+        kept.unionByName(rejected)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S19_SQL = (
+    "WITH u AS ("
+    "SELECT 'kept' AS part, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey % 4 IN (0, 2) "
+    "UNION ALL "
+    "SELECT 'rejected', o_orderstatus, -o_totalprice FROM orders "
+    "WHERE o_orderkey % 4 = 1) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 def dq3_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ3 — data-quality DRIFT between table versions: the per-column
     profile (rows, distincts, exact min/max cents) computed at VERSION
@@ -1258,6 +1320,7 @@ QUERIES = {
     "s17_dv_delete": s17_dv_delete,
     "s18_shallow_clone": s18_shallow_clone,
     "dq3_profile_drift": dq3_profile_drift,
+    "s19_check_constraints": s19_check_constraints,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
 }
@@ -1283,6 +1346,7 @@ ORACLES = {
     "s17_dv_delete": _S17_SQL,
     "s18_shallow_clone": _S18_SQL,
     "dq3_profile_drift": _DQ3_SQL,
+    "s19_check_constraints": _S19_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
 }

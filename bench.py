@@ -108,6 +108,7 @@ HEADLINE = [
     "x30_incremental_neardup",
     "x31_source_keywords",
     "w13_stickiness",
+    "s19_check_constraints",
 ]
 
 

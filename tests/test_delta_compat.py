@@ -1966,3 +1966,47 @@ def test_schema_evolution_preserves_configuration(spark, tmp_path):
     dc.append_delta(wider, table, merge_schema=True)
     cfg = dc.snapshot(table)["configuration"]
     assert cfg.get("delta.enableChangeDataFeed") == "true", cfg
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints (ALTER TABLE ADD CONSTRAINT + append enforcement)
+# --------------------------------------------------------------------------
+
+
+def test_check_constraints_enforced_on_append(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data once, records the
+    predicate as a delta.constraints.* property (delta-spark's shape),
+    and every later append re-validates: clean batches land, violating
+    batches refuse loudly with the constraint name and row count, and
+    NULL predicate results do not violate (Delta's NULL tolerance)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ck_tbl")
+    dc.append_delta(
+        spark.range(1, 10).select(F.col("id").alias("k")), table
+    )
+    v = dc.add_constraint(spark, table, "k_positive", "k > 0")
+    assert dc.table_constraints(dc.snapshot(table)) == {
+        "k_positive": "k > 0"
+    }
+    dc.append_delta(
+        spark.range(10, 15).select(F.col("id").alias("k")), table
+    )
+    assert dc.read_delta(spark, table).count() == 14
+    with pytest.raises(dc.DeltaConstraintViolation) as exc_info:
+        dc.append_delta(
+            spark.range(-3, 2).select(F.col("id").alias("k")), table
+        )
+    assert "k_positive" in str(exc_info.value)
+    assert dc.read_delta(spark, table).count() == 14  # nothing landed
+    # NULL-tolerant: a NULL k does not violate k > 0
+    nulls = spark.createDataFrame([(None,)], "k long")
+    dc.append_delta(nulls, table)
+    assert dc.read_delta(spark, table).count() == 15
+    # adding a constraint the EXISTING data violates refuses up front
+    with pytest.raises(dc.DeltaConstraintViolation):
+        dc.add_constraint(spark, table, "k_small", "k < 12")
+    # duplicate name refuses; time travel before the constraint works
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.add_constraint(spark, table, "k_positive", "k > 1")
+    assert dc.read_delta(spark, table, version=v - 1).count() == 9
