@@ -116,6 +116,7 @@ _PRIORITY = [
     # frozen at 25 new + 25 r2-vintage re-proofs; local tri-scale
     # gate covers these until the round-6 rotation):
     "w13_stickiness", "s19_check_constraints",
+    "st15_delta_cdf_follower",
     # r2-vintage deferred to the round-6 window:
     "q19_brand_revenue",
     "a6_two_key_counts", "a7_min_max", "p2_computed_columns",

@@ -2269,6 +2269,50 @@ def read_delta_changes(
     return out
 
 
+def follow_delta_changes(
+    spark: SparkSession,
+    table: str,
+    apply_fn,
+    *,
+    start_version: int = 0,
+    max_cycles: int | None = None,
+    interval_s: float = 30.0,
+    sleep_fn=None,
+) -> int:
+    """CDC follower over a REAL-format Delta log — the delta_compat
+    twin of ``deltalite.follow_changes``: poll the commit log, hand
+    each batch of newly committed versions to ``apply_fn(changes_df,
+    from_v, to_v)`` exactly once in commit order, return the cursor
+    (next unapplied version). Ranges holding only metadata /
+    dataChange:false commits (OPTIMIZE, ADD CONSTRAINT) advance the
+    cursor without an apply — a follower must skip those, not error,
+    or it wedges behind every compaction."""
+    import time as _time
+
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    sleep_fn = sleep_fn or _time.sleep
+    cursor = start_version
+    cycle = 0
+    while True:
+        versions = _list_commit_versions(table)
+        latest = versions[-1] if versions else -1
+        if latest >= cursor:
+            try:
+                changes = read_delta_changes(spark, table, cursor, latest)
+                apply_fn(changes, cursor, latest)
+            except ChangeDataUnavailableError as exc:
+                if "no data-changing commits" not in str(exc):
+                    raise  # uncaptured data change: surface, don't skip
+            cursor = latest + 1
+        cycle += 1
+        if max_cycles is not None and cycle >= max_cycles:
+            return cursor
+        sleep_fn(interval_s)
+
+
 def vacuum_delta(
     table: str, keep_versions: int = 0, min_age_s: float = 0.0
 ) -> list[str]:

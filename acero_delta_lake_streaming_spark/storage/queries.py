@@ -1299,6 +1299,81 @@ _ST12_SQL = (
 )
 
 
+def st15_delta_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15 — the CDC follower over the REAL Delta format (st10's twin
+    with a `_delta_log` source): the source takes a seed append, a
+    captured price-bump MERGE, an OPTIMIZE (dataChange:false — the
+    follower must skip it, not wedge), and a captured row-level DELETE;
+    ``follow_delta_changes`` applies each version's feed into a
+    downstream deltalite mart exactly once, in commit order. The hash
+    gate certifies the full real-format replication chain: protocol
+    cdc actions → changes reader → follower → downstream state. Same
+    mutation recipe as st10, so the oracle is shared — a consumer must
+    not be able to tell which log format fed it."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "st15_src")
+    mart = _scratch(sf_dir, "st15_mart")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), src)
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    delta_compat.merge_delta(
+        spark, src, bump_p, ["o_orderkey"], change_data=True
+    )
+    delta_compat.optimize_delta(spark, src, target_partitions=1)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    delta_compat.delete_delta(
+        spark, src, doomed, ["o_orderkey"], change_data=True
+    )
+
+    def apply_batch(changes: DataFrame, from_v: int, to_v: int) -> None:
+        for ver in range(from_v, to_v + 1):
+            batch = changes.filter(F.col("_commit_version") == ver)
+            ups = batch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+            dels = batch.filter(F.col("_change_type") == "delete").select(
+                "o_orderkey"
+            )
+            if not ups.isEmpty():
+                if not deltalite.table_exists(mart):
+                    deltalite.write(ups, mart, "append")
+                else:
+                    deltalite.upsert(spark, ups, mart, ["o_orderkey"])
+            if deltalite.table_exists(mart) and not dels.isEmpty():
+                deltalite.delete_keys(spark, dels, mart, ["o_orderkey"])
+
+    delta_compat.follow_delta_changes(
+        spark,
+        src,
+        apply_batch,
+        start_version=0,
+        max_cycles=1,
+        sleep_fn=lambda _s: None,
+    )
+    return (
+        deltalite.read(spark, mart)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+# deliberately identical to _ST10_SQL: a CDC consumer must not be able
+# to tell whether deltalite or the real _delta_log format fed it
+_ST15_SQL = _ST10_SQL
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -1323,6 +1398,7 @@ QUERIES = {
     "s19_check_constraints": s19_check_constraints,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
+    "st15_delta_cdf_follower": st15_delta_cdf_follower,
 }
 
 ORACLES = {
@@ -1349,4 +1425,5 @@ ORACLES = {
     "s19_check_constraints": _S19_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
+    "st15_delta_cdf_follower": _ST15_SQL,
 }

@@ -109,6 +109,7 @@ HEADLINE = [
     "x31_source_keywords",
     "w13_stickiness",
     "s19_check_constraints",
+    "st15_delta_cdf_follower",
 ]
 
 
