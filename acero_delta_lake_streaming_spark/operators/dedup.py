@@ -285,22 +285,34 @@ def _x2_sql() -> str:
 # --------------------------------------------------------------------------
 
 
-def _incremental_corpus(docs: DataFrame) -> tuple[DataFrame, int]:
-    """(base ∪ delta, delta id threshold): the delta batch contains
+def _incremental_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base ∪ delta, one-row offset frame): the delta batch contains
     planted near-duplicates of base docs (%10, +3 words) AND genuinely
     new content (%7==3, text reversed — shares no trigram with any
     original), so the probe must both find the dups and pass the
-    novel docs through."""
+    novel docs through. Delta ids are namespaced at ``max(doc_id)+1``
+    (dups land in [off, 2·off), fresh in [2·off, 3·off)) — derived,
+    not a fixed constant, so base ids can never alias delta ids at any
+    corpus size."""
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
     base = docs.select("doc_id", "text")
-    dup_batch = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+    dup_batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+        )
     )
-    fresh = docs.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
+    fresh = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + 2 * F.col("off")).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"),
+        )
     )
-    return base.unionByName(dup_batch).unionByName(fresh), 1000000
+    return base.unionByName(dup_batch).unionByName(fresh), off
 
 
 def x30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,11 +330,15 @@ def x30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard), reversed-text novel docs sail through — both certified
     by the oracle, which replays the same restriction."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus, new_min = _incremental_corpus(docs)
+    corpus, off = _incremental_corpus(docs)
     sh = scoped_persist(_shingle_rows(corpus))
     sigs = _signatures(sh)
     bands = _band_rows(sigs)
-    bands_new = bands.filter(F.col("doc_id") >= new_min)
+    bands_new = (
+        bands.crossJoin(F.broadcast(off))
+        .filter(F.col("doc_id") >= F.col("off"))
+        .drop("off")
+    )
     a, b = bands.alias("a"), bands_new.alias("b")
     cand = (
         a.join(
@@ -356,13 +372,15 @@ def x30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X30_OFF_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
+
 _INCREMENTAL_CORPUS_SQL = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL "
-    "SELECT doc_id + 1000000, text || ' xdup ydup zdup' FROM documents "
-    "WHERE doc_id % 10 = 0 "
+    f"SELECT doc_id + {_X30_OFF_SQL}, text || ' xdup ydup zdup' "
+    "FROM documents WHERE doc_id % 10 = 0 "
     "UNION ALL "
-    "SELECT doc_id + 3000000, reverse(text) FROM documents "
+    f"SELECT doc_id + 2 * {_X30_OFF_SQL}, reverse(text) FROM documents "
     "WHERE doc_id % 7 = 3"
 )
 
@@ -390,7 +408,7 @@ def _x30_sql() -> str:
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "  FROM bands a JOIN bands b "
         "  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
-        "  WHERE b.doc_id >= 1000000), "
+        f"  WHERE b.doc_id >= {_X30_OFF_SQL}), "
         "counts AS (SELECT doc_id, count(*) AS n_sh FROM dshingles GROUP BY 1), "
         "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
         "  FROM cand c "

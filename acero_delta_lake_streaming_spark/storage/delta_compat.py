@@ -23,12 +23,15 @@ real object store the ``rename`` publish becomes a conditional put —
 the same substitution deltalite documents.
 
 Scope (documented, checked, raised-on): unpartitioned and hive-layout
-partitioned tables; deletion vectors on unpartitioned tables (the
-``deletionVectors`` table feature — merge-on-read DELETE via
-``delete_delta_dv``, DV-subtracting reads, OPTIMIZE purge, vacuum/
-restore awareness; see ``dvcodec``); no column mapping, no generated
-columns. That covers every table the reference writes and the erasure
-path its tables would need at scale.
+partitioned tables; deletion vectors on both (the ``deletionVectors``
+table feature — merge-on-read DELETE via ``delete_delta_dv``,
+DV-subtracting reads, OPTIMIZE purge, vacuum/restore awareness; see
+``dvcodec``); column mapping reads in ``name`` mode (physical→logical
+rename, ``_read_with_mapping``) and ``id`` mode (parquet field-id
+resolution); writes to mapped tables, generated/identity columns, and
+unknown writer features refuse loudly (``_check_writer_protocol``).
+That covers every table the reference writes and the erasure path its
+tables would need at scale.
 """
 
 from __future__ import annotations
@@ -151,9 +154,80 @@ def _check_protocol(action: dict) -> None:
         raise DeltaProtocolError(f"unsupported readerFeatures {unsupported}")
 
 
+#: writer features this module's mutating verbs implement. "invariants" /
+#: "appendOnly" are legacy (writer-version-2) features delta-spark lists
+#: on every table-features upgrade; they are safe to ACCEPT as flags
+#: because the hazards they name are gated on actual presence below
+#: (a declared column invariant refuses; delta.appendOnly=true refuses
+#: data-removing verbs). Everything else (generatedColumns,
+#: identityColumns, rowTracking, ...) refuses — the Delta protocol
+#: requires writers to reject writerFeatures they do not implement.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+}
+
+
+def _check_writer_protocol(
+    snap: dict, op: str, removes_data: bool = False
+) -> None:
+    """Writer-side twin of :func:`_check_protocol`: refuse to mutate a
+    foreign table whose protocol demands writer capabilities this module
+    lacks — appending past an unknown writerFeature silently violates the
+    table's contract (the reader-features gate alone does not cover this
+    once table-features protocols are admitted)."""
+    p = snap.get("protocol") or {}
+    writer = p.get("minWriterVersion", 2)
+    features = set(p.get("writerFeatures") or [])
+    if writer > 7:
+        raise DeltaProtocolError(
+            f"{op}: minWriterVersion={writer} is newer than this writer"
+        )
+    if writer == 7:
+        unsupported = features - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"{op}: unsupported writerFeatures {sorted(unsupported)}"
+            )
+    # Legacy versions 3-6 bundle implicit features (3: CHECK constraints,
+    # 4: CDF + generated columns, 5: column mapping, 6: identity
+    # columns). CHECK constraints and CDF are implemented; column-mapped
+    # writes refuse at the mapping-mode check in each verb; generated /
+    # identity columns are declared per-column — gate on actual presence
+    # so a version-bumped table WITHOUT them stays writable.
+    for f in json.loads(snap["schema"])["fields"]:
+        meta = f.get("metadata") or {}
+        if "delta.invariants" in meta:
+            raise DeltaProtocolError(
+                f"{op}: column {f['name']!r} declares a legacy invariant "
+                "this writer does not enforce"
+            )
+        if "delta.generationExpression" in meta:
+            raise DeltaProtocolError(
+                f"{op}: column {f['name']!r} is a generated column"
+            )
+        if any(k.startswith("delta.identity.") for k in meta):
+            raise DeltaProtocolError(
+                f"{op}: column {f['name']!r} is an identity column"
+            )
+    if removes_data and (
+        snap["configuration"].get("delta.appendOnly", "").lower() == "true"
+    ):
+        raise DeltaProtocolError(
+            f"{op}: table is delta.appendOnly=true; removing data is "
+            "forbidden"
+        )
+
+
 def _apply_action(state: dict, action: dict) -> None:
     if "protocol" in action:
         _check_protocol(action)
+        state["protocol"] = action["protocol"]
     elif "metaData" in action:
         md = action["metaData"]
         fmt = md.get("format", {}).get("provider", "parquet")
@@ -194,6 +268,11 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
     for row in rows:
         if row.get("protocol"):
             _check_protocol({"protocol": row["protocol"]})
+            # pyarrow renders absent optional fields as None; drop them
+            # so the stored protocol matches the JSON-log shape
+            state["protocol"] = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
     # A checkpoint is already net-of-log: removes appear only as
     # tombstones, so metaData + adds alone define the snapshot state.
     for row in rows:
@@ -279,6 +358,7 @@ def snapshot(
         "partition_cols": [],
         "configuration": {},
         "meta_id": None,
+        "protocol": None,
     }
     ckpt = _checkpoint_version(table, version)
     start = 0
@@ -321,6 +401,8 @@ def snapshot(
         # table properties from metaData (column mapping mode lives here)
         "configuration": state["configuration"],
         "meta_id": state["meta_id"],
+        # latest protocol action (writer gating reads writerFeatures)
+        "protocol": state["protocol"] or {},
     }
 
 
@@ -436,13 +518,6 @@ def read_delta(
                 "deletion vectors is not supported by this reader"
             )
         return _read_with_mapping(spark, snap["files"], snap["schema"])
-    if live_dvs:
-        if snap["partition_cols"]:
-            raise DeltaProtocolError(
-                "deletion vectors on hive-partitioned tables are not "
-                "supported by this reader"
-            )
-        return _read_with_dvs(spark, table, snap["files"], live_dvs, full)
     if snap["partition_cols"]:
         for p in snap["partition_cols"]:
             seg = f"{p}="
@@ -452,6 +527,12 @@ def read_delta(
                     "per-file partitionValues materialization is not "
                     "supported"
                 )
+    if live_dvs:
+        return _read_with_dvs(
+            spark, table, snap["files"], live_dvs, full,
+            snap["partition_cols"],
+        )
+    if snap["partition_cols"]:
         reader = spark.read.option("basePath", table)
         # data files carry only the non-partition columns; Spark
         # recovers partition columns from the directory names
@@ -481,6 +562,7 @@ def _read_with_dvs(
     files: list[str],
     dvs: dict[str, dict],
     full: "T.StructType",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Scan ``files`` subtracting each file's deletion-vector rows: the
     parquet source exposes ``_metadata.row_index``, and the decoded
@@ -500,7 +582,18 @@ def _read_with_dvs(
         for f, desc in dvs.items()
         for pos in dvcodec.read_dv(table, desc)
     ]
-    base = spark.read.schema(full).parquet(*files).select(
+    pcols = list(partition_cols or [])
+    if pcols:
+        # hive layout: data files carry only the non-partition columns;
+        # basePath recovers the partition columns from directory names
+        # (same read shape as the DV-free partitioned branch)
+        data_schema = T.StructType(
+            [f for f in full.fields if f.name not in pcols]
+        )
+        reader = spark.read.option("basePath", table).schema(data_schema)
+    else:
+        reader = spark.read.schema(full)
+    base = reader.parquet(*files).select(
         "*",
         # normalize the slash count only; the percent-encoding is
         # matched by _file_uri on the driver side
@@ -757,10 +850,17 @@ def _rebase_append(table: str, lost_version: int, partition_by: list[str]) -> in
         cur["schema"] != pre["schema"]
         or cur["partition_cols"] != pre["partition_cols"]
         or _mapping_mode(cur) != _mapping_mode(pre)
+        # configuration changes do not commute either: the winner may
+        # have added a CHECK constraint (delta.constraints.*) or flipped
+        # appendOnly — replaying the staged adds without re-validating
+        # would land rows the new contract forbids. delta-spark treats
+        # any concurrent metadata change as non-retryable; match that.
+        or cur["configuration"] != pre["configuration"]
     ):
         raise ConcurrentDeltaCommitError(
             f"append lost version {lost_version} to a commit that "
-            "changed the table schema/partitioning; not retryable"
+            "changed the table schema/partitioning/configuration; "
+            "not retryable"
         )
     if cur["partition_cols"] != partition_by:
         raise ConcurrentDeltaCommitError(
@@ -1248,6 +1348,7 @@ def optimize_delta(
     into one commit (or one commit per partition, as delta-spark's
     OPTIMIZE WHERE does) is a publish-policy choice, not a format one."""
     snap = snapshot(table)
+    _check_writer_protocol(snap, "OPTIMIZE")
     if not snap["files"]:
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
     version = snap["version"] + 1
@@ -1255,11 +1356,6 @@ def optimize_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
-    if live_dvs and pcols:
-        raise DeltaProtocolError(
-            "OPTIMIZE with deletion vectors on a partitioned table is "
-            "not supported (DV scope is unpartitioned)"
-        )
     _refuse_external_files(snap, table, "optimize_delta")
     if zorder_by and _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
@@ -1309,16 +1405,22 @@ def optimize_delta(
     adds: list[dict] = []
     for files, pvals in groups:
         df_override = None
-        if live_dvs:
+        group_dvs = {f: d for f, d in live_dvs.items() if f in set(files)}
+        if group_dvs:
             # OPTIMIZE doubles as REORG/PURGE: compact through the
             # DV-filtered view, so the rewrite physically drops the
             # deleted rows and the compacted adds carry no descriptor —
             # the vectors are applied exactly once, here, where the
             # rewrite price is amortized across every delete since the
             # last compaction. Logical content is unchanged, so
-            # dataChange stays false.
+            # dataChange stays false. On a partitioned table the
+            # partition columns come back out of the projection: the
+            # compacted file's CONTENTS must stay layout-identical
+            # (values live in the directory name, not the file).
             full = T.StructType.fromJson(json.loads(snap["schema"]))
-            df_override = _read_with_dvs(spark, table, files, live_dvs, full)
+            df_override = _read_with_dvs(
+                spark, table, files, group_dvs, full, pcols
+            ).select([f.name for f in full.fields if f.name not in pcols])
         r, a = _compact_files(
             spark, table, version, files, pvals, target_partitions, cluster,
             df_override,
@@ -1370,6 +1472,7 @@ def merge_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
+    _check_writer_protocol(snap, "MERGE", removes_data=True)
     _refuse_live_dvs(snap, table, "merge_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
@@ -1533,6 +1636,7 @@ def add_constraint(
     append re-validates against it. Refuses if the name exists or
     current rows violate."""
     snap = snapshot(table)
+    _check_writer_protocol(snap, "ALTER TABLE ADD CONSTRAINT")
     if name in table_constraints(snap):
         raise DeltaProtocolError(f"constraint {name!r} already exists")
     _enforce_constraints(
@@ -1612,6 +1716,7 @@ def delete_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
+    _check_writer_protocol(snap, "DELETE", removes_data=True)
     _refuse_live_dvs(snap, table, "delete_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
@@ -1718,8 +1823,12 @@ def delete_delta_dv(
     A second delete on an already-vectorized file unions the new
     positions into a fresh DV (descriptors are replaced whole, the
     protocol's semantics). The commit upgrades the table protocol to
-    the ``deletionVectors`` reader/writer feature. Unpartitioned
-    tables only (matching this module's DV read scope).
+    the ``deletionVectors`` reader/writer feature. Hive-partitioned
+    tables work the same way — the partition-pruned scan means a
+    partition-scoped predicate touches only that directory's files,
+    and each DV add/remove carries the file's ``partitionValues`` —
+    which is the production GDPR shape: erase one user from a 100 TB
+    date-partitioned table for KBs of bitmap, no file rewrites.
 
     ``change_data=True`` captures the deleted rows as ``delete``-typed
     CDF preimages exactly like the COW path, so downstream consumers
@@ -1730,10 +1839,8 @@ def delete_delta_dv(
     from acero_delta_lake_streaming_spark.storage import dvcodec
 
     snap = snapshot(table)
-    if snap["partition_cols"]:
-        raise DeltaProtocolError(
-            "deletion vectors on hive-partitioned tables are not supported"
-        )
+    _check_writer_protocol(snap, "DELETE (deletion vectors)",
+                           removes_data=True)
     if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "delete_delta_dv on a column-mapped table is not supported"
@@ -1744,6 +1851,15 @@ def delete_delta_dv(
     files = snap["files"]
     if not files:
         return snap["version"]  # empty table: nothing to delete
+    pcols = snap["partition_cols"]
+    if pcols:
+        for p in pcols:
+            seg = f"{p}="
+            if not all(seg in f for f in files):
+                raise DeltaProtocolError(
+                    "partitioned table without hive directory layout: "
+                    "delete_delta_dv cannot derive partitionValues"
+                )
     dvs_uri = {
         _file_uri(f): d
         for f, d in snap["file_dvs"].items()
@@ -1752,7 +1868,16 @@ def delete_delta_dv(
     existing = {
         f: dvcodec.read_dv(table, d) for f, d in dvs_uri.items()
     }
-    base = spark.read.schema(full).parquet(*files).select(
+    if pcols:
+        # hive layout: partition columns recovered from directory names
+        # (keys on partition columns then match like any other column)
+        data_schema = T.StructType(
+            [f for f in full.fields if f.name not in pcols]
+        )
+        reader = spark.read.option("basePath", table).schema(data_schema)
+    else:
+        reader = spark.read.schema(full)
+    base = reader.parquet(*files).select(
         "*",
         F.expr(
             "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
@@ -1803,12 +1928,21 @@ def delete_delta_dv(
         deleted = matched.select(
             *[fld.name for fld in full.fields]
         ).withColumn("_change_type", F.lit("delete"))
-        cdc_actions = _write_change_data(table, deleted, version, [])
+        cdc_actions = _write_change_data(table, deleted, version, pcols)
 
     now_ms = int(time.time() * 1000)
     stats_uri = {
         _file_uri(f): s for f, s in snap["file_stats"].items()
     }
+    def _pvals(rel: str) -> dict[str, str]:
+        rel_dir = os.path.dirname(rel)
+        if not rel_dir:
+            return {}
+        return dict(
+            (k, unquote(v))
+            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        )
+
     removes: list[dict] = []
     adds: list[dict] = []
     for uri in sorted(new_positions):
@@ -1816,7 +1950,7 @@ def delete_delta_dv(
         remove = {
             "path": quote(rel),
             "deletionTimestamp": now_ms,
-            "partitionValues": {},
+            "partitionValues": _pvals(rel),
             "dataChange": True,
         }
         if uri in dvs_uri:
@@ -1824,7 +1958,7 @@ def delete_delta_dv(
         removes.append({"remove": remove})
         add = {
             "path": quote(rel),
-            "partitionValues": {},
+            "partitionValues": _pvals(rel),
             "size": os.path.getsize(abs_f),
             "modificationTime": now_ms,
             "dataChange": True,
@@ -1900,6 +2034,7 @@ def restore_delta(
     O(|changed files|), not O(table).
     """
     cur = snapshot(table)
+    _check_writer_protocol(cur, "RESTORE", removes_data=True)
     target = snapshot(table, to_version)
     _refuse_external_files(cur, table, "restore_delta")
     _refuse_external_files(target, table, "restore_delta")
@@ -2127,11 +2262,17 @@ def clone_delta(table: str, target: str) -> int:
         dv = dvs_abs.get(abs_f)
         if dv:
             rel = dvcodec.dv_relative_path(dv)
-            add["deletionVector"] = dict(
-                dv,
-                storageType="p",
-                pathOrInlineDv=os.path.abspath(os.path.join(table, rel)),
-            )
+            if rel is None:
+                # inline descriptor (storageType 'i'): the bitmap lives
+                # in the descriptor itself, nothing to re-path — copy
+                # through unchanged
+                add["deletionVector"] = dict(dv)
+            else:
+                add["deletionVector"] = dict(
+                    dv,
+                    storageType="p",
+                    pathOrInlineDv=os.path.abspath(os.path.join(table, rel)),
+                )
         actions.append({"add": add})
     actions.append(
         {

@@ -105,7 +105,10 @@ def _deser32(buf: bytes, base: int) -> tuple[list[int], int]:
     (cookie,) = struct.unpack_from("<i", buf, base)
     pos = base + 4
     if cookie & 0xFFFF == _COOKIE_RUN:
-        n = (cookie >> 16) + 1
+        # container count is an UNSIGNED 16-bit field packed into a
+        # signed int32 cookie: mask before +1 or >=32768 containers in
+        # a foreign DV go negative and misparse
+        n = ((cookie >> 16) & 0xFFFF) + 1
         run_bits = buf[pos : pos + (n + 7) // 8]
         pos += (n + 7) // 8
         has_offsets = n >= _NO_OFFSET_THRESHOLD

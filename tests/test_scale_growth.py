@@ -136,8 +136,10 @@ def test_incremental_probe_volume_corpus_invariant(spark):
     )
 
     docs = load_table(spark, SMALL, "documents")
-    delta = _incremental_corpus(docs)[0].filter(
-        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+    corpus_all, off_df = _incremental_corpus(docs)
+    off = off_df.collect()[0]["off"]  # delta ids live in [off, 3*off)
+    delta = corpus_all.filter(
+        (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
     )
     rot = "etaoinshrd"
     counts = {}
@@ -159,7 +161,7 @@ def test_incremental_probe_volume_corpus_invariant(spark):
         sigs, _ = _signatures_and_candidates(sh)
         bands = _band_rows(sigs)
         bands_new = bands.filter(
-            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+            (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
         )
         a, b = bands.alias("a"), bands_new.alias("b")
         counts[times] = (
