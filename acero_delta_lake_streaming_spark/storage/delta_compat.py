@@ -52,6 +52,11 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 #: tables — at 10k commits that is the difference between reading one
 #: parquet file + <10 JSON commits and parsing 10k JSON files per read.
 _CHECKPOINT_INTERVAL = 10
+#: actions per checkpoint part: above this, _write_checkpoint emits the
+#: multi-part ``{v}.checkpoint.{i}.{n}.parquet`` form instead of one
+#: file (at a 100 TB table's add count a single-file checkpoint is the
+#: driver-memory wall). 50k actions ≈ a few MB per part.
+_CHECKPOINT_PART_ACTIONS = 50_000
 
 
 class DeltaProtocolError(RuntimeError):
@@ -424,22 +429,68 @@ def _physical_renames(schema_json: str) -> list[tuple[str, str]]:
     return out
 
 
+def _id_physical_names(schema_json: str, files: list[str]) -> dict[str, str]:
+    """``id``-mode resolution: logical name → physical parquet column
+    name, keyed by PARQUET FIELD ID (the mode's invariant — physical
+    names are free to drift between files; the ids are not). The log
+    schema carries each column's ``delta.columnMapping.id``; one
+    parquet FOOTER (driver-side metadata, same altitude as the log
+    itself) yields the id → physical-name map. A column whose id is
+    absent from the footer was added after the file was written — it
+    resolves to its ``physicalName`` metadata (or a never-matching
+    placeholder), so the scan reads NULL for it, exactly the
+    schema-evolution contract."""
+    import pyarrow.parquet as pq
+
+    sch = json.loads(schema_json)
+    footer_by_id: dict[int, str] = {}
+    if files:
+        footer = pq.read_schema(files[0])
+        for i, name in enumerate(footer.names):
+            meta = footer.field(i).metadata or {}
+            fid = meta.get(b"PARQUET:field_id")
+            if fid is not None:
+                footer_by_id[int(fid)] = name
+    out: dict[str, str] = {}
+    for f in sch["fields"]:
+        meta = f.get("metadata") or {}
+        fid = meta.get("delta.columnMapping.id")
+        if fid is None:
+            raise DeltaProtocolError(
+                f"column mapping mode 'id' but column {f['name']!r} "
+                "carries no delta.columnMapping.id"
+            )
+        out[f["name"]] = footer_by_id.get(
+            int(fid),
+            meta.get(
+                "delta.columnMapping.physicalName", f"__absent_{fid}__"
+            ),
+        )
+    return out
+
+
 def _read_with_mapping(
-    spark: SparkSession, files: list[str], schema_json: str
+    spark: SparkSession,
+    files: list[str],
+    schema_json: str,
+    phys_of: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Scan a name-mapped table: read the PHYSICAL schema (the log's
-    types with each field's physicalName — parquet footers know only
-    those), then project back to logical names. Pure rename, no data
-    movement; pushdown still reaches the scan because the aliases are
-    a projection over the source."""
+    """Scan a column-mapped table: read the PHYSICAL schema (the log's
+    types under the physical column names — parquet footers know only
+    those), then project back to logical names. ``phys_of`` overrides
+    the logical→physical map (id mode); default is name mode's
+    ``physicalName`` metadata. Pure rename, no data movement; pushdown
+    still reaches the scan because the aliases are a projection over
+    the source."""
     import pyspark.sql.functions as F
 
+    if phys_of is None:
+        phys_of = {l: p for p, l in _physical_renames(schema_json)}
     sch = json.loads(schema_json)
     phys_fields = []
     for f in sch["fields"]:
-        meta = f.get("metadata") or {}
         pf = dict(f)
-        pf["name"] = meta.get("delta.columnMapping.physicalName", f["name"])
+        pf["name"] = phys_of[f["name"]]
         pf["metadata"] = {}
         phys_fields.append(pf)
     phys_schema = T.StructType.fromJson(
@@ -447,7 +498,7 @@ def _read_with_mapping(
     )
     df = spark.read.schema(phys_schema).parquet(*files)
     return df.select(
-        [F.col(p).alias(l) for p, l in _physical_renames(schema_json)]
+        [F.col(phys_of[f["name"]]).alias(f["name"]) for f in sch["fields"]]
     )
 
 
@@ -476,21 +527,22 @@ def read_delta(
 
     ``timestamp_ms`` is ``TIMESTAMP AS OF``: the latest version
     committed at or before that wall-clock moment. Column-mapped
-    tables (``delta.columnMapping.mode = name`` — what delta-spark
-    writes by default on new tables since 2.x when enabled) read
-    through the physical→logical rename; ``id`` mode (parquet field-id
-    matching) and mapped partitioned/DV tables refuse loudly."""
+    tables read through the physical→logical rename — ``name`` mode
+    via each field's ``physicalName`` metadata, ``id`` mode via
+    parquet field-id resolution against the footer (what delta-spark
+    tables use after ``ALTER COLUMN`` renames); mapped partitioned/DV
+    tables refuse loudly."""
     snap = snapshot(table, version, timestamp_ms)
     mode = _mapping_mode(snap)
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            f"column mapping mode {mode!r} is not supported (only 'name')"
+            f"column mapping mode {mode!r} is not supported"
         )
-    phys_of = (
-        {l: p for p, l in _physical_renames(snap["schema"])}
-        if mode == "name"
-        else {}
-    )
+    phys_of: dict[str, str] = {}
+    if mode == "name":
+        phys_of = {l: p for p, l in _physical_renames(snap["schema"])}
+    elif mode == "id":
+        phys_of = _id_physical_names(snap["schema"], snap["files"])
     if skip is not None and snap["files"]:
         col, lo, hi = skip
         col = phys_of.get(col, col)  # stats JSON uses physical names
@@ -511,13 +563,15 @@ def read_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
-    if mode == "name":
+    if mode != "none":
         if snap["partition_cols"] or live_dvs:
             raise DeltaProtocolError(
                 "column mapping combined with hive partitioning or "
                 "deletion vectors is not supported by this reader"
             )
-        return _read_with_mapping(spark, snap["files"], snap["schema"])
+        return _read_with_mapping(
+            spark, snap["files"], snap["schema"], phys_of or None
+        )
     if snap["partition_cols"]:
         for p in snap["partition_cols"]:
             seg = f"{p}="
@@ -539,8 +593,18 @@ def read_delta(
         data_schema = T.StructType(
             [f for f in full.fields if f.name not in snap["partition_cols"]]
         )
+        import pyspark.sql.functions as F
+
+        # directory-name inference types numeric-looking partition
+        # values as ints; the LOG schema is authoritative — cast the
+        # recovered partition columns back to it
         return reader.schema(data_schema).parquet(*snap["files"]).select(
-            [f.name for f in full.fields]
+            [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in snap["partition_cols"]
+                else F.col(f.name)
+                for f in full.fields
+            ]
         )
     return spark.read.schema(full).parquet(*snap["files"])
 
@@ -548,12 +612,15 @@ def read_delta(
 def _file_uri(abs_path: str) -> str:
     """``abs_path`` in the exact form Spark's ``_metadata.file_path``
     reports it: ``file:`` + single slash + the path with spaces and
-    other non-URI characters percent-encoded, ``/`` and ``+`` left
-    literal (measured against Spark's Hadoop-Path URI rendering —
-    a raw-string comparison against ``os.path.abspath`` silently
-    mismatched any file name with an encodable character, resurrecting
-    its deleted rows)."""
-    return "file:/" + quote(os.path.abspath(abs_path).lstrip("/"), safe="/+")
+    other non-URI characters percent-encoded, RFC 3986 pchar kept
+    literal — ``/``, sub-delims (``!$&'()*+,;=`` — hive partition
+    dirs contain ``=``), ``:`` and ``@`` (measured against Spark's
+    Hadoop-Path / Java URI rendering — a raw-string comparison against
+    ``os.path.abspath`` silently mismatched any file name with an
+    encodable character, resurrecting its deleted rows)."""
+    return "file:/" + quote(
+        os.path.abspath(abs_path).lstrip("/"), safe="/!$&'()*+,;=:@"
+    )
 
 
 def _read_with_dvs(
@@ -607,7 +674,14 @@ def _read_with_dvs(
     )
     return base.join(
         F.broadcast(del_df), ["_dv_file", "_dv_pos"], "left_anti"
-    ).select([f.name for f in full.fields])
+    ).select(
+        [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in pcols
+            else F.col(f.name)
+            for f in full.fields
+        ]
+    )
 
 
 def streaming_sink(table: str, app_id: str):
@@ -701,6 +775,7 @@ def append_delta(
     evolved_config: dict | None = None
     if version > 0:
         snap0 = snapshot(table)
+        _check_writer_protocol(snap0, "append")
         evolved_meta_id = snap0.get("meta_id")
         evolved_config = dict(snap0.get("configuration") or {})
         if _mapping_mode(snap0) != "none":
@@ -1067,8 +1142,10 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
 
 
 def _write_checkpoint(table: str, version: int) -> None:
-    """Write a protocol-shaped single-file parquet checkpoint at
-    ``version`` plus the ``_last_checkpoint`` pointer — the standard
+    """Write a protocol-shaped parquet checkpoint at ``version``
+    (single-file up to ``_CHECKPOINT_PART_ACTIONS`` actions,
+    delta-spark's multi-part ``{v}.checkpoint.{i}.{n}.parquet`` form
+    above) plus the ``_last_checkpoint`` pointer — the standard
     Delta cadence delta-rs follows (the reference's collector inherits
     it via ``deltalake``, collector.py:219-226). The checkpoint is
     net-of-log state: protocol + metaData + one ``add`` row per LIVE
@@ -1240,17 +1317,48 @@ def _write_checkpoint(table: str, version: int) -> None:
                 }
             }
         )
-    tbl = pa.Table.from_pylist(rows, schema=schema)
-    ckpt_path = os.path.join(
-        _log_dir(table), f"{version:020d}.checkpoint.parquet"
-    )
-    tmp_ckpt = ckpt_path + f".tmp.{uuid.uuid4().hex}"
-    pq.write_table(tbl, tmp_ckpt)
-    os.rename(tmp_ckpt, ckpt_path)
+    ptr_extra: dict = {}
+    if len(rows) <= _CHECKPOINT_PART_ACTIONS:
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        ckpt_path = os.path.join(
+            _log_dir(table), f"{version:020d}.checkpoint.parquet"
+        )
+        tmp_ckpt = ckpt_path + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp_ckpt)
+        os.rename(tmp_ckpt, ckpt_path)
+    else:
+        # multi-part checkpoint (delta-spark's
+        # ``{v}.checkpoint.{i}.{n}.parquet`` form): above the action
+        # threshold a single file is the driver-memory wall — at a
+        # 100 TB table's add count, one parquet with tens of millions
+        # of rows must materialize in one arrow table; parts bound the
+        # working set and let a distributed reader fan the parts out.
+        # Parts are disjoint row slices; replay is their order-free
+        # union (_replay_checkpoint). Write all parts to temp names
+        # first, then publish with renames — the reader refuses an
+        # incomplete part set (_checkpoint_files), so a crash mid-
+        # publish leaves the previous checkpoint authoritative.
+        n_parts = -(-len(rows) // _CHECKPOINT_PART_ACTIONS)
+        per = -(-len(rows) // n_parts)
+        published: list[tuple[str, str]] = []
+        for i in range(n_parts):
+            part_rows = rows[i * per:(i + 1) * per]
+            tbl = pa.Table.from_pylist(part_rows, schema=schema)
+            part_path = os.path.join(
+                _log_dir(table),
+                f"{version:020d}.checkpoint."
+                f"{i + 1:010d}.{n_parts:010d}.parquet",
+            )
+            tmp = part_path + f".tmp.{uuid.uuid4().hex}"
+            pq.write_table(tbl, tmp)
+            published.append((tmp, part_path))
+        for tmp, part_path in published:
+            os.rename(tmp, part_path)
+        ptr_extra["parts"] = n_parts
     ptr = os.path.join(_log_dir(table), _LAST_CHECKPOINT)
     tmp_ptr = ptr + f".tmp.{uuid.uuid4().hex}"
     with open(tmp_ptr, "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
+        json.dump({"version": version, "size": len(rows), **ptr_extra}, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp_ptr, ptr)
@@ -1926,7 +2034,12 @@ def delete_delta_dv(
     cdc_actions: list[dict] = []
     if change_data:
         deleted = matched.select(
-            *[fld.name for fld in full.fields]
+            *[
+                F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                if fld.name in pcols
+                else F.col(fld.name)
+                for fld in full.fields
+            ]
         ).withColumn("_change_type", F.lit("delete"))
         cdc_actions = _write_change_data(table, deleted, version, pcols)
 

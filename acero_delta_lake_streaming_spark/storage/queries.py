@@ -936,6 +936,70 @@ def s17_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S17_SQL = _S13_SQL
 
 
+def s17b_dv_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17b — deletion-vector DELETE on a HIVE-PARTITIONED real Delta
+    table: the production GDPR shape. The engine's own medallion design
+    partitions its big tables by category/date (SURVEY §7.3), so
+    merge-on-read erasure must compose with partitioning: the scan
+    recovers partition columns from ``col=value/`` directory names,
+    every DV add/remove action carries its file's ``partitionValues``,
+    and the DV-subtracting read partition-prunes exactly like the plain
+    partitioned scan — erase one user from a 100 TB date-partitioned
+    table for KBs of bitmap, zero file rewrites, no partition
+    restriction on where the matched rows live.
+
+    Same certificate as s17: 'remaining' = the DV-subtracting
+    partitioned read, 'deleted' = the delete-typed CDF preimages
+    (written into the partition-mirroring ``_change_data/`` layout) —
+    and the oracle is still s13's, because COW, unpartitioned-DV and
+    partitioned-DV deletes must be indistinguishable downstream.
+    Lifecycle (repeat delete, OPTIMIZE purge per partition, vacuum,
+    restore) is pinned in tests/test_delta_compat.py."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s17b_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 2"), table,
+        partition_by=["o_orderstatus"],
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    v = delta_compat.delete_delta_dv(
+        spark, table, doomed, ["o_orderkey"], change_data=True
+    )
+    remaining = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("remaining")
+    )
+    deleted = (
+        delta_compat.read_delta_changes(spark, table, v, v)
+        .filter("_change_type = 'delete'")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("part", F.lit("deleted"))
+    )
+    return (
+        remaining.unionByName(deleted)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+# still _S13_SQL: partitioning must not change WHAT gets deleted
+_S17B_SQL = _S13_SQL
+
+
 def s18_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S18 — SHALLOW CLONE on the real Delta format: fork a table by
     referencing its live data files ABSOLUTELY in a brand-new log —
@@ -1393,6 +1457,7 @@ QUERIES = {
     "s15_stats_skipping": s15_stats_skipping,
     "s16_zorder_real": s16_zorder_real,
     "s17_dv_delete": s17_dv_delete,
+    "s17b_dv_delete_partitioned": s17b_dv_delete_partitioned,
     "s18_shallow_clone": s18_shallow_clone,
     "dq3_profile_drift": dq3_profile_drift,
     "s19_check_constraints": s19_check_constraints,
@@ -1420,6 +1485,7 @@ ORACLES = {
     "s15_stats_skipping": _S15_SQL,
     "s16_zorder_real": _S16_SQL,
     "s17_dv_delete": _S17_SQL,
+    "s17b_dv_delete_partitioned": _S17B_SQL,
     "s18_shallow_clone": _S18_SQL,
     "dq3_profile_drift": _DQ3_SQL,
     "s19_check_constraints": _S19_SQL,

@@ -1629,8 +1629,10 @@ def test_column_mapping_name_read(spark, tmp_path):
     assert dc.read_delta(spark, table, skip=("k", 2, 2)).count() == 3
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
-    table = _seed_mapped_table(spark, tmp_path, mode="id")
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
+    """name and id modes are implemented (see the round-6 id-mode tests
+    at the bottom of this file); anything else still refuses."""
+    table = _seed_mapped_table(spark, tmp_path, mode="something-new")
     with pytest.raises(dc.DeltaProtocolError):
         dc.read_delta(spark, table)
 
@@ -2010,3 +2012,415 @@ def test_check_constraints_enforced_on_append(spark, tmp_path):
     with pytest.raises(dc.DeltaProtocolError):
         dc.add_constraint(spark, table, "k_positive", "k > 1")
     assert dc.read_delta(spark, table, version=v - 1).count() == 9
+
+
+# --------------------------------------------------------------------------
+# Round 6: partitioned deletion vectors, writer protocol gate, multi-part
+# checkpoints, id-mode column mapping, inline-DV clone
+# --------------------------------------------------------------------------
+
+
+def _seed_partitioned_dv_table(spark, tmp_path, name="dv_part"):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / name)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), (F.col("id") % 4)).alias("p"),
+        (F.col("id") % 7).alias("v"),
+    )
+    dc.append_delta(df.filter("k < 200"), table, partition_by=["p"])
+    dc.append_delta(df.filter("k >= 200"), table, partition_by=["p"])
+    return table
+
+
+def test_dv_delete_partitioned_lifecycle(spark, tmp_path):
+    """Merge-on-read DELETE on a hive-partitioned table: data files stay
+    byte-identical, every DV add/remove carries its partitionValues, the
+    DV-subtracting read still recovers partition columns, repeat deletes
+    union, OPTIMIZE purges per partition, and RESTORE undoes it all."""
+    table = _seed_partitioned_dv_table(spark, tmp_path)
+    files_before = set(dc.snapshot(table)["files"])
+    sizes_before = {f: os.path.getsize(f) for f in files_before}
+
+    v = dc.delete_delta_dv(
+        spark, table, _keys(spark, 10), ["k"], change_data=True
+    )
+    snap = dc.snapshot(table)
+    assert set(snap["files"]) == files_before  # zero rewrites
+    assert {f: os.path.getsize(f) for f in files_before} == sizes_before
+    assert snap["file_dvs"]
+    with open(dc._commit_path(table, v)) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    for a in actions:
+        if "add" in a:
+            assert set(a["add"]["partitionValues"]) == {"p"}
+            assert a["add"]["deletionVector"]
+        if "remove" in a:
+            assert set(a["remove"]["partitionValues"]) == {"p"}
+
+    df = dc.read_delta(spark, table)
+    assert df.count() == 360
+    assert df.filter("k % 10 = 0").count() == 0
+    assert df.schema["p"].dataType.simpleString() == "string"
+    # k%10==0 ∧ k%4==0 ⇔ k%20==0: 20 of p0's 100 rows died
+    assert df.filter("p = 'p0'").count() == 80
+    deleted = dc.read_delta_changes(spark, table, v, v).filter(
+        "_change_type = 'delete'"
+    )
+    assert deleted.count() == 40
+    assert deleted.filter("p = 'p0'").count() == 20
+
+    # second delete unions into fresh descriptors
+    v2 = dc.delete_delta_dv(spark, table, _keys(spark, 25), ["k"])
+    assert dc.read_delta(spark, table).count() == 352
+
+    # OPTIMIZE applies + purges the vectors partition by partition
+    dc.optimize_delta(spark, table, 1)
+    snap = dc.snapshot(table)
+    assert not snap["file_dvs"]
+    assert dc.read_delta(spark, table).count() == 352
+    # p1 lost k ≡ 25 (mod 100): 25,125,225,325
+    assert dc.read_delta(spark, table).filter("p = 'p1'").count() == 96
+
+    # RESTORE to the pre-delete snapshot resurrects everything
+    dc.restore_delta(spark, table, 1)
+    assert dc.read_delta(spark, table).count() == 400
+    # vacuum now ages out the compacted files + stale DV files; the
+    # restored (original) files must survive
+    dc.vacuum_delta(table, keep_versions=0)
+    assert dc.read_delta(spark, table).count() == 400
+    # time travel to the DV versions is gone post-vacuum (files may be
+    # retained only if still referenced); the latest read is what counts
+    assert set(dc.snapshot(table)["files"]) == files_before
+
+
+def test_dv_delete_partitioned_oracle_equivalence(spark, tmp_path):
+    """Partitioned-DV delete must produce the same surviving rows as a
+    plain filter (the s17b contract, locally at test scale)."""
+    import pyspark.sql.functions as F
+
+    table = _seed_partitioned_dv_table(spark, tmp_path, "dv_part_eq")
+    dc.delete_delta_dv(spark, table, _keys(spark, 10), ["k"])
+    got = {
+        (r["k"], r["p"], r["v"])
+        for r in dc.read_delta(spark, table).collect()
+    }
+    want = {
+        (i, f"p{i % 4}", i % 7) for i in range(400) if i % 10 != 0
+    }
+    assert got == want
+
+
+def test_writer_unknown_feature_refused(spark, tmp_path):
+    """A foreign table advertising a writerFeature this writer does not
+    implement (rowTracking) must refuse every mutating verb, even though
+    its readerFeatures are all supported."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "wf_tbl")
+    _write_parquet(
+        spark, [(1,), (2,)], "k long", os.path.join(table, "a.parquet")
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["rowTracking"]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table).count() == 2  # reading is fine
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(df, table)
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta(spark, table, df, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.optimize_delta(spark, table)
+    # known-feature protocol (deletionVectors) still writable
+    ok = str(tmp_path / "wf_ok")
+    dc.append_delta(df, ok)
+    dc.delete_delta_dv(spark, ok, df.filter("k = 0"), ["k"])
+    dc.append_delta(df.select((F.col("k") + 10).alias("k")), ok)
+
+
+def test_writer_append_only_config(spark, tmp_path):
+    """delta.appendOnly=true: appends keep working, data-removing verbs
+    refuse (the protocol's appendOnly contract)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ao_tbl")
+    _write_parquet(
+        spark, [(1,), (2,)], "k long", os.path.join(table, "a.parquet")
+    )
+    meta = _meta(spark, "k long")
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    df = spark.range(10, 13).select(F.col("id").alias("k"))
+    dc.append_delta(df, table)  # appends are the point of appendOnly
+    assert dc.read_delta(spark, table).count() == 5
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta(spark, table, df, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.delete_delta_dv(spark, table, df, ["k"])
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.restore_delta(spark, table, 0)
+
+
+def test_writer_declared_invariant_refused(spark, tmp_path):
+    """A column carrying legacy delta.invariants metadata refuses writes:
+    this writer does not enforce invariants, and appending past one
+    silently violates the table contract."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "inv_tbl")
+    _write_parquet(
+        spark, [(1,), (2,)], "k long", os.path.join(table, "a.parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [{
+            "name": "k", "type": "long", "nullable": True,
+            "metadata": {"delta.invariants":
+                         '{"expression": {"expression": "k > 0"}}'},
+        }],
+    }
+    meta = _meta(spark, "k long")
+    meta["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table).count() == 2
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(
+            spark.range(3).select(F.col("id").alias("k")), table
+        )
+
+
+def test_append_race_config_change_refuses(spark, tmp_path, monkeypatch):
+    """If the winner changed table configuration (e.g. added a CHECK
+    constraint), the lost append is NOT retryable — replaying without
+    re-validating could land rows the new constraint forbids."""
+    new_meta = _meta(spark, "k long")
+    new_meta["metaData"]["configuration"] = {
+        "delta.constraints.k_pos": "k > 100"
+    }
+    with pytest.raises(dc.ConcurrentDeltaCommitError):
+        _race_append(
+            spark, tmp_path, monkeypatch, [new_meta], "race_config"
+        )
+
+
+def test_clone_inline_dv_passthrough(spark, tmp_path):
+    """Cloning a table whose DV descriptor is INLINE (storageType 'i')
+    copies the descriptor through unchanged — there is no file to
+    re-path, and the clone must subtract the same rows."""
+    import base64
+
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
+    table = str(tmp_path / "inline_src")
+    _write_parquet(
+        spark, [(i,) for i in range(6)], "k long",
+        os.path.join(table, "a.parquet"),
+    )
+    data = dvcodec.encode_dv_data([1, 3])
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(data).decode("ascii"),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc}},
+        ],
+    )
+    assert {r["k"] for r in dc.read_delta(spark, table).collect()} == {
+        0, 2, 4, 5
+    }
+    target = str(tmp_path / "inline_clone")
+    dc.clone_delta(table, target)
+    clone_dvs = dc.snapshot(target)["file_dvs"]
+    assert list(clone_dvs.values())[0]["storageType"] == "i"
+    assert {r["k"] for r in dc.read_delta(spark, target).collect()} == {
+        0, 2, 4, 5
+    }
+
+
+def test_dvcodec_run_cookie_unsigned_count():
+    """A foreign run-format roaring bitmap with >=32768 containers sets
+    the sign bit of the int32 cookie; the container count must decode
+    unsigned (regression: signed decode went negative and misparsed)."""
+    import struct
+
+    from acero_delta_lake_streaming_spark.storage.dvcodec import _deser32
+
+    n = 32769
+    buf = bytearray(struct.pack("<I", (12347 | ((n - 1) << 16)) & 0xFFFFFFFF))
+    buf += b"\xff" * ((n + 7) // 8)  # every container run-encoded
+    body_start = len(buf) + 4 * n + 4 * n
+    for k in range(n):
+        buf += struct.pack("<HH", k, 0)  # key, cardinality-1
+    for i in range(n):
+        buf += struct.pack("<i", body_start + 6 * i)
+    for _ in range(n):
+        buf += struct.pack("<HHH", 1, 0, 0)  # 1 run: [0, 0]
+    values, end = _deser32(bytes(buf), 0)
+    assert end == len(buf)
+    assert values == [k << 16 for k in range(n)]
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
+    """Above the action threshold the checkpoint writer emits the
+    multi-part {v}.checkpoint.{i}.{n}.parquet form; the reader unions
+    the parts (replay from checkpoint alone reproduces the snapshot)
+    and refuses an incomplete part set."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(dc, "_CHECKPOINT_PART_ACTIONS", 3)
+    table = str(tmp_path / "mp_tbl")
+    rows = 0
+    batch = 0
+    while True:
+        df = spark.range(batch * 5, batch * 5 + 5).select(
+            F.col("id").alias("k")
+        )
+        v = dc.append_delta(df, table)
+        rows += 5
+        batch += 1
+        if v > 0 and v % 10 == 0:
+            break
+    parts = glob.glob(
+        os.path.join(table, "_delta_log", "*.checkpoint.*.*.parquet")
+    )
+    assert len(parts) >= 2, parts
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint")) as fh:
+        ptr = json.load(fh)
+    assert ptr["parts"] == len(parts)
+    # hide the JSON log up to the checkpoint: replay must come from parts
+    ckpt_v = dc._checkpoint_version(table, None)
+    assert ckpt_v == v
+    for hv in range(ckpt_v):
+        os.rename(
+            dc._commit_path(table, hv), dc._commit_path(table, hv) + ".hid"
+        )
+    try:
+        assert dc.read_delta(spark, table).count() == rows
+        assert dc.snapshot(table)["version"] == v
+        # an incomplete part set must refuse, not silently drop state
+        os.rename(parts[0], parts[0] + ".gone")
+        try:
+            with pytest.raises(dc.DeltaCorruptLogError):
+                dc.snapshot(table)
+        finally:
+            os.rename(parts[0] + ".gone", parts[0])
+    finally:
+        for hv in range(ckpt_v):
+            os.rename(
+                dc._commit_path(table, hv) + ".hid", dc._commit_path(table, hv)
+            )
+    # appends continue normally past a multi-part checkpoint
+    dc.append_delta(
+        spark.range(1000, 1005).select(F.col("id").alias("k")), table
+    )
+    assert dc.read_delta(spark, table).count() == rows + 5
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """id-mode resolution goes through PARQUET FIELD IDS: the file's
+    physical column names deliberately disagree with the metadata's
+    physicalName (ids are the invariant after renames), and the read
+    must still land each logical column on the right data. Skipping
+    translates through the resolved physical name; writes refuse."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cm_id_tbl")
+    # physical file: columns named u1/u2 with field ids 1/2 — names
+    # drifted from the log's physicalName (col-aaa111/col-bbb222)
+    arrow_schema = pa.schema(
+        [
+            pa.field("u1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("u2", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(
+        pa.table({"u1": [1, 2, 3], "u2": ["a", "b", "c"]},
+                 schema=arrow_schema),
+        os.path.join(table, "part-0.parquet"),
+    )
+    _commit(
+        table,
+        0,
+        [
+            _PROTO_CM,
+            _mapped_meta("id"),
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({
+                         "numRecords": 3,
+                         "minValues": {"u1": 1},
+                         "maxValues": {"u1": 3},
+                         "nullCount": {"u1": 0}})}},
+        ],
+    )
+    df = dc.read_delta(spark, table)
+    assert df.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in df.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # skipping translated through the FOOTER-resolved physical name
+    assert dc.read_delta(spark, table, skip=("k", 10, 20)).count() == 0
+    assert dc.read_delta(spark, table, skip=("k", 2, 2)).count() == 3
+    # writes still refuse loudly on any mapped table
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(
+            spark.range(2).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("v")),
+            table,
+        )
+
+
+def test_column_mapping_id_mode_fallback_without_field_ids(spark, tmp_path):
+    """An id-mode table whose parquet files carry no field ids (some
+    writers strip them) falls back to physicalName metadata — the same
+    resolution delta-spark uses when ids are absent."""
+    table = _seed_mapped_table(spark, tmp_path, mode="id")
+    df = dc.read_delta(spark, table)
+    assert df.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in df.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
