@@ -481,7 +481,13 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_base_ctes() -> tuple[list[str], str]:
+    """The IVF oracle's shared CTE chain — corpus, md5-ordered seeds,
+    ``_IVF_ITERS`` Lloyd rounds (decimal-exact centroid sums), the final
+    assignment ``fa`` and per-query ``probes`` — reused verbatim by the
+    float search (x3d) and the IVF-SQ8 composition (x3f), so the two
+    oracles cannot drift on the coarse quantizer. Returns (ctes,
+    final-centroid CTE name)."""
     corpus = (
         "corpus AS (SELECT vec_id, embedding, "
         f"{_norm_duck('embedding')} AS nrm FROM embeddings)"
@@ -530,6 +536,11 @@ def _ivf_sql() -> str:
         f"FROM corpus q CROSS JOIN {cent} ct WHERE q.vec_id < {_N_QUERIES}) "
         f"WHERE rk <= {_IVF_NPROBE})"
     )
+    return ctes, cent
+
+
+def _ivf_sql() -> str:
+    ctes, _cent = _ivf_base_ctes()
     ctes.append(
         "queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
         f"nrm AS q_nrm FROM corpus WHERE vec_id < {_N_QUERIES})"
@@ -1021,6 +1032,264 @@ _X3E_SQL = (
 )
 
 
+def x3f_ivf_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 combined search — faiss's ``IndexIVFScalarQuantizer``
+    production composition (VERDICT r5 item 6): x3d's coarse quantizer
+    restricts the search to the probed cells' members, x3e's int8
+    scoring ranks ONLY those members, and the exact float re-rank
+    touches ≤``_SQ8_RERANK`` survivors per query. Candidate volume is
+    nprobe/k of the corpus (the IVF bound) scored at int8 cost (the SQ
+    bound) — the two levers multiply.
+
+    Plan contract (pinned in tests/test_plans.py): NO float/double
+    array ever crosses a hash-partitioned exchange. Seeds are a
+    distributed ``orderBy().limit()`` TakeOrderedAndProject (x3d's
+    fix); the Lloyd update posexplodes the corpus into scalar
+    (vec_id, dim, x) rows BEFORE joining the scalar assignment — x3d
+    joins arrays first and explodes second, which shuffles the array
+    payload; this operator keeps even the training stage
+    scalar-shuffled. Assignment and probe argmins fold against 8
+    broadcast centroids; the int8 stage and the float re-rank stream
+    the corpus through BroadcastHashJoins on (small by construction)
+    candidate/survivor lists. At 100 TB the assignment is a partition
+    column written at ingest and K grows ~√N, so the per-query-batch
+    candidate list stays broadcastable — exactly this plan's shape.
+
+    Hash-exact despite two approximation stages: the coarse quantizer
+    is deterministic decimal-exact k-means, the int8 codes are IEEE
+    doubles identical in DuckDB, so the survivor SET matches exactly
+    and the final cosine is the sequential-fold construction."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = scoped_persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+    )
+
+    # ---- coarse quantizer: x3d's deterministic k-means ----
+    seeds8 = (
+        corpus.select(
+            F.md5(F.col("vec_id").cast("string")).alias("sk"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("sk", "vec_id")
+        .limit(_IVF_K)
+    )
+    centroids = (
+        seeds8.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sk", "vec_id", "embedding"))
+            ).alias("ss")
+        )
+        .select(F.posexplode("ss").alias("cid", "s"))
+        .select(
+            "cid",
+            F.expr(
+                "transform(s.embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("carr"),
+        )
+    )
+
+    def assign(cents):
+        d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        return (
+            corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", d)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    # scalar element rows once; each Lloyd update joins the scalar
+    # assignment to THESE (never to the array column)
+    elems = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    for _ in range(_IVF_ITERS):
+        members = assign(centroids)
+        centroids = (
+            elems.join(members, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("v")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, v))), "
+                    "s -> s.v)"
+                ).alias("carr")
+            )
+        )
+
+    final_assign = assign(centroids)
+
+    q_probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("d"), F.asc("cid")
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
+        )
+        .withColumn("rk", F.row_number().over(q_probe_w))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+
+    # ---- stage 1: int8 scoring restricted to the probed cells ----
+    cand_ids = (
+        final_assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    deq = scoped_persist(
+        corpus.selectExpr(
+            "vec_id",
+            "nullif(array_max(transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma",
+            "embedding",
+        )
+        .filter("ma IS NOT NULL")
+        .selectExpr(
+            "vec_id",
+            "ma",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+            "127.0 / ma + 0.5) AS BIGINT)) AS qv",
+        )
+        .selectExpr(
+            "vec_id",
+            "transform(qv, q -> CAST(q AS DOUBLE) * ma / 127.0) AS demb",
+        )
+        .withColumn("dnrm", F.expr(_norm_spark("demb")))
+    )
+    qd = deq.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("demb").alias("q_demb"),
+        F.col("dnrm").alias("q_dnrm"),
+    )
+    ccos = (
+        F.expr(_dot_spark("demb", "q_demb"))
+        / (F.col("dnrm") * F.col("q_dnrm"))
+    ).alias("ccos")
+    coarse = (
+        deq.join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(qd), "query_id")
+        .select("query_id", "vec_id", ccos)
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("vec_id")
+    )
+    survivors = (
+        coarse.withColumn("rk", F.row_number().over(cw))
+        .filter(F.col("rk") <= _SQ8_RERANK)
+        .select("query_id", "vec_id")
+    )
+
+    # ---- stage 2: exact float re-rank of the survivors ----
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    exact = (
+        corpus.join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _ivf_sq_sql() -> str:
+    """x3f oracle: the shared IVF CTE chain (coarse quantizer + probes,
+    byte-identical to x3d's via ``_ivf_base_ctes``), then x3e's SQ8
+    stage-1 restricted to probed-cell members and the exact float
+    re-rank."""
+    ctes, _cent = _ivf_base_ctes()
+    ctes.append(
+        "quant AS (SELECT vec_id, ma, "
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        "127.0 / ma + 0.5) AS BIGINT)) AS qv FROM ("
+        "SELECT vec_id, embedding, "
+        "nullif(list_max(list_transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))), CAST(0.0 AS DOUBLE)) AS ma "
+        "FROM corpus) WHERE ma IS NOT NULL)"
+    )
+    ctes.append(
+        "dn AS (SELECT vec_id, demb, "
+        f"{_norm_duck('demb')} AS dnrm FROM ("
+        "SELECT vec_id, "
+        "list_transform(qv, q -> CAST(q AS DOUBLE) * ma / 127.0) AS demb "
+        "FROM quant))"
+    )
+    ctes.append(
+        "cand_ids AS (SELECT p.query_id, fa.vec_id "
+        "FROM fa JOIN probes p ON p.cid = fa.cid "
+        "WHERE fa.vec_id <> p.query_id)"
+    )
+    ctes.append(
+        "qd AS (SELECT vec_id AS query_id, demb AS q_demb, dnrm AS q_dnrm "
+        f"FROM dn WHERE vec_id < {_N_QUERIES})"
+    )
+    ctes.append(
+        "coarse AS (SELECT ci.query_id, ci.vec_id, "
+        f"{_dot_duck('c.demb', 'q.q_demb')} / (c.dnrm * q.q_dnrm) AS ccos "
+        "FROM cand_ids ci "
+        "JOIN dn c ON c.vec_id = ci.vec_id "
+        "JOIN qd q ON q.query_id = ci.query_id)"
+    )
+    ctes.append(
+        "survivors AS (SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY ccos DESC, vec_id ASC) AS rk "
+        f"FROM coarse) WHERE rk <= {_SQ8_RERANK})"
+    )
+    ctes.append(
+        "queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+        f"nrm AS q_nrm FROM corpus WHERE vec_id < {_N_QUERIES})"
+    )
+    ctes.append(
+        "exact AS (SELECT s.query_id, s.vec_id, "
+        f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) "
+        "AS cos FROM survivors s "
+        "JOIN corpus c ON c.vec_id = s.vec_id "
+        "JOIN queries q ON q.query_id = s.query_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ("
+        "SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+        "FROM exact) WHERE rk <= 5"
+    )
+
+
 # --------------------------------------------------------------------------
 # X24 — random-projection (JL) dimensionality reduction + energy audit
 # --------------------------------------------------------------------------
@@ -1258,6 +1527,7 @@ QUERIES = {
     "x3c_cosine_neardup": x3c_cosine_neardup,
     "x3d_ivf_topk": x3d_ivf_topk,
     "x3e_quantized_ann": x3e_quantized_ann,
+    "x3f_ivf_sq_ann": x3f_ivf_sq_ann,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
@@ -1270,6 +1540,7 @@ ORACLES = {
     "x3c_cosine_neardup": _X3C_SQL,
     "x3d_ivf_topk": _ivf_sql(),
     "x3e_quantized_ann": _X3E_SQL,
+    "x3f_ivf_sq_ann": _ivf_sq_sql(),
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,

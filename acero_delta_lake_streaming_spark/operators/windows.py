@@ -713,15 +713,33 @@ def w13_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = ud.select("day_ms").distinct()
     day_ms = 86400000
+    wnd = 30 * day_ms
     # per (day, lookback) distinct users: join the day grid to the
     # (user, day) rows in the trailing window, then count distinct —
-    # an equi-ish range join over day-grained rows, never raw events
-    d = days.alias("d")
-    u = ud.alias("u")
+    # over day-grained rows, never raw events. The join carries a
+    # 30-day-bucket EQUI-prekey: a day's trailing window spans at most
+    # bucket(d) and bucket(d)-1, so the small grid side explodes into
+    # those two bucket rows and the range predicate becomes a
+    # post-filter on a hash join. Without the prekey Spark plans a
+    # BroadcastNestedLoopJoin where every user-day row scans the whole
+    # broadcast day grid (~2,400 rows at a decade of days) to keep
+    # ≤30 — the prekey cuts the comparison constant ~100× and is
+    # plan-pinned (tests/test_plans.py: no BNLJ in w13).
+    d = days.select(
+        "day_ms",
+        F.explode(
+            F.array(
+                F.expr(f"day_ms DIV {wnd}"),
+                F.expr(f"day_ms DIV {wnd} - 1"),
+            )
+        ).alias("bucket"),
+    ).alias("d")
+    u = ud.withColumn("bucket", F.expr(f"day_ms DIV {wnd}")).alias("u")
     joined = d.join(
         u,
-        (F.col("u.day_ms") <= F.col("d.day_ms"))
-        & (F.col("u.day_ms") > F.col("d.day_ms") - 30 * day_ms),
+        (F.col("u.bucket") == F.col("d.bucket"))
+        & (F.col("u.day_ms") <= F.col("d.day_ms"))
+        & (F.col("u.day_ms") > F.col("d.day_ms") - wnd),
     )
     agg = joined.groupBy(F.col("d.day_ms").alias("day_ms")).agg(
         F.countDistinct(
