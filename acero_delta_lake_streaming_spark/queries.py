@@ -69,66 +69,35 @@ for _name in _OPTIONAL:
 # core family; the long relational/TPC-H tail (all driver-green in round
 # 2, CORRECTNESS_r02.json) fills the remainder.
 _PRIORITY = [
-    # Window layout (the driver records ~the first 50). Round-5 rotation
-    # rule (VERDICT r4 item 2): fixtures REGENERATE between rounds, so a
-    # query's driver proof decays — no query's newest driver-green row
-    # should be older than two rounds. Slots 1-25: every query new or
-    # changed this round (x3d's seed-selection rewrite; the other 24
-    # are new operators). Slots 26-50: 25 of the 49 queries whose
-    # newest driver row is
-    # round-2 vintage (the relational/TPC-H core, recorded before two
-    # fixture regenerations). The 24 r2-vintage queries that don't fit
-    # (t3/u4/a5/p9/p2/p3/a3/w4/p8/q14/q19/ud2_explode_tokens/a2/a6/a7/
-    # t2/u2/u3/f6/f7/f8/w1/w2/w3 — each shadowed by an in-window near-twin, e.g.
-    # x27 covers distinct counting, t1 the top-k family) lead the
-    # past-window tail for round 6, followed by r3-proven then r4-proven
-    # families (newest proof last). Everything past the window stays
-    # verified by the local tri-scale gate (sf0.001/.01/.1).
-    # -- new or changed this round (1-25) --
-    "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
-    "s13_merge_delete", "s14_restore", "s15_stats_skipping",
-    "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
-    "a14_sampled_percentiles", "x26_unigram_surprise",
-    "s17_dv_delete", "st12_incremental_agg_mart",
-    "j4_bloom_prefilter_join", "w12_retention_cohorts",
-    "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
-    "s18_shallow_clone", "st14_watermark_dedup",
-    "ud4_retry_stats", "x29_sequence_patterns", "dq3_profile_drift",
-    "x30_incremental_neardup", "x31_source_keywords",
-    # -- r2-vintage re-proof under round-5 fixtures (26-50) --
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q4_late_shipment_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "p1_project",
-    "p4_membership_filter", "p5_date_range_filter",
-    "p6_anti_contains_filter", "p7_conjunctive_filter",
-    "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
-    "a1_count_star",
-    "a4_daily_counts",
-    "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
-    "t1_topk",
-    "u1_union_discriminator",
-    "f_scalar_suite",
-    # -- past the ~50 window --
-    # round-5 new but deliberately past-window (the 50 slots are
-    # frozen at 25 new + 25 r2-vintage re-proofs; local tri-scale
-    # gate covers these until the round-6 rotation):
-    "w13_stickiness", "s19_check_constraints",
-    "st15_delta_cdf_follower",
-    # r2-vintage deferred to the round-6 window:
-    "q19_brand_revenue",
-    "a6_two_key_counts", "a7_min_max", "p2_computed_columns",
-    "t2_topk_breakdown",
-    "a2_count_distinct", "u2_union_all", "u3_intersect", "f6_json_extract",
-    "f7_regexp_suite", "f8_array_suite", "w1_daily_delta", "w2_moving_avg",
-    "w3_rank_in_group",
+    # Window layout (the driver records ~the first 50). Rotation rule
+    # (VERDICT r4 item 2, executed every round since): fixtures
+    # REGENERATE between rounds, so a query's driver proof decays — no
+    # query's newest driver-green row should be older than two rounds.
+    # Round-6 window: slots 1-7 are new or changed this round (s17b
+    # partitioned-DV delete, x3f IVF-SQ8, st16 full-outer stream join)
+    # plus the three never-driver-recorded round-5 stragglers
+    # (w13/s19/st15) and x30 (its delta-id namespace changed this
+    # round); slots 8-31 are the 24 r2-vintage re-proofs deferred from
+    # round 5 (this zeroes the r2-vintage backlog); slots 32-50 take 19
+    # of the 35 r3-proven queries (storage/streaming/dedup/ANN cores
+    # first — the 16 that don't fit lead the tail for round 7).
+    # Everything past the window stays verified by the local tri-scale
+    # gate (sf0.001/.01/.1).
+    # -- new or changed this round + never-recorded (1-7) --
+    "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
+    "st16_full_outer_join", "w13_stickiness",
+    "st15_delta_cdf_follower", "s19_check_constraints",
+    "x30_incremental_neardup",
+    # -- r2-vintage re-proof backlog, now complete (8-31) --
     "t3_sort_display", "u4_except_all", "a5_value_counts",
-    "p9_boolean_filter", "p3_concat_text", "a3_filtered_count",
-    "w4_sliding_windows", "p8_null_default", "q14_promo_revenue_share",
-    "ud2_explode_tokens",
-    # r3-proven:
+    "p9_boolean_filter", "p2_computed_columns", "p3_concat_text",
+    "a3_filtered_count", "w4_sliding_windows", "p8_null_default",
+    "q14_promo_revenue_share", "q19_brand_revenue", "ud2_explode_tokens",
+    "a2_count_distinct", "a6_two_key_counts", "a7_min_max",
+    "t2_topk_breakdown", "u2_union_all", "u3_intersect",
+    "f6_json_extract", "f7_regexp_suite", "f8_array_suite",
+    "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
+    # -- r3-vintage re-proofs (32-50) --
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
     "s5_medallion_fanout", "s6_cached_read",
@@ -137,6 +106,8 @@ _PRIORITY = [
     "st7_interval_join", "st8_stream_static_enrich",
     "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
     "x3b_ann_lsh", "x3c_cosine_neardup",
+    # -- past the ~50 window, oldest driver proof first --
+    # r3-proven remainder (leads the round-7 window):
     "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
     "x4e_bpe_token_stats", "x5b_decode_features", "x5c_frame_sample",
     "x6b_session_stats", "xj1_asof_prior_click",
@@ -144,7 +115,7 @@ _PRIORITY = [
     "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
     "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
     "x11_context_chunks",
-    # r4-proven (newest driver rows; least in need of a slot):
+    # r4-proven:
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
     "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
@@ -164,6 +135,27 @@ _PRIORITY = [
     "q15_top_supplier", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q20_excess_shippers",
     "q21_sole_supplier_orders", "q22_dormant_balances",
+    # r5-proven (newest driver rows; least in need of a slot):
+    "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
+    "s13_merge_delete", "s14_restore", "s15_stats_skipping",
+    "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
+    "a14_sampled_percentiles", "x26_unigram_surprise",
+    "s17_dv_delete", "st12_incremental_agg_mart",
+    "j4_bloom_prefilter_join", "w12_retention_cohorts",
+    "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
+    "s18_shallow_clone", "st14_watermark_dedup",
+    "ud4_retry_stats", "x29_sequence_patterns", "dq3_profile_drift",
+    "x31_source_keywords",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
+    "q10_returned_revenue", "q18_large_orders",
+    "p1_project", "p4_membership_filter", "p5_date_range_filter",
+    "p6_anti_contains_filter", "p7_conjunctive_filter",
+    "j1_semi_join", "j2_left_outer_join", "j3_anti_join",
+    "a1_count_star", "a4_daily_counts",
+    "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
+    "t1_topk", "u1_union_discriminator", "f_scalar_suite",
 ]
 
 

@@ -94,3 +94,51 @@ def interval_click_left_join(
         ),
         "left_outer",
     ).select("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")
+
+
+def interval_click_full_join(
+    events: DataFrame, lookback_s: int = 3600
+) -> DataFrame:
+    """ST16 — the FULL OUTER form, completing the stream-stream join
+    family (inner st7, left-outer st13): every purchase emits (nulls
+    for the click columns when none preceded it within ``lookback``)
+    AND every click emits (nulls for the purchase columns when no
+    purchase followed it within ``lookback``).
+
+    Symmetric deferred certainty: a purchase's null-augmented row can
+    emit only once the watermark passes the START of its match window
+    (no qualifying click can still arrive), and a click's only once it
+    passes the END of the click's forward window ``c_ts + lookback``
+    (no qualifying purchase can still arrive). Emission and state
+    eviction remain the same event on BOTH sides — state is still
+    bounded by the lookback; full-outer adds no state over the inner
+    join, only deferred output on each side."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.expr("timestamp_micros(ts_ns DIV 1000)").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{lookback_s} seconds")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.expr("timestamp_micros(ts_ns DIV 1000)").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{lookback_s} seconds")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id "
+            f"AND c_ts >= p_ts - INTERVAL {lookback_s} SECOND "
+            "AND c_ts < p_ts"
+        ),
+        "full_outer",
+    ).select(
+        "p_event_id", "user_id", "p_ts", "c_event_id", "c_user_id", "c_ts"
+    )

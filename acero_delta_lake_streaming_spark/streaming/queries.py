@@ -473,6 +473,111 @@ _ST13_SQL = (
 )
 
 
+def st16_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 — stream-stream FULL OUTER interval join driven as a real
+    stream: st13's click-attribution left join symmetrized — clicks
+    that attributed NO purchase within their forward hour also emit,
+    with null purchase columns (→ -1). Both sides' null-augmented rows
+    can only be emitted at watermark eviction (emission and eviction
+    are the same event on each side), so the far-future sentinel pair
+    pushes BOTH watermarks past every real row's window in a final
+    micro-batch; the sentinels' own open state never emits and is
+    filtered by id sign regardless. Events split chronologically
+    across micro-batches (watermark correctness across the epoch
+    boundary); the streamed result equals the batch full join the
+    oracle recomputes. Scale: state stays bounded by the lookback on
+    both sides — full outer adds deferred OUTPUT, not state."""
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+    from acero_delta_lake_streaming_spark.streaming.joins import (
+        interval_click_full_join,
+    )
+
+    base = _scratch(sf_dir, "st16")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    split_ns = 1705363200 * 1_000_000_000  # 2024-01-16T00:00Z, mid-corpus
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    f2 = os.path.join(drop, "b2.parquet")
+    write_single_parquet(events.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(events.filter(F.col("ts_ns") >= split_ns), f1)
+    sentinels = spark.createDataFrame(
+        [
+            (-1, 1893456000_000_000_000, -1, "purchase", 0.0),
+            (-2, 1893456000_000_000_000, -1, "click", 0.0),
+        ],
+        "event_id long, ts_ns long, user_id long, "
+        "event_type string, value double",
+    )
+    write_single_parquet(sentinels, f2)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+    os.utime(f2, (3_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(batch_df, out, app_id="st16", epoch=epoch_id)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        interval_click_full_join(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pairs = deltalite.read(spark, out).filter(
+        "coalesce(p_event_id, 0) >= 0 AND coalesce(c_event_id, 0) >= 0"
+    )
+    return pairs.select(
+        F.coalesce("p_event_id", F.lit(-1)).cast("bigint").alias(
+            "p_event_id_f"
+        ),
+        F.coalesce("user_id", "c_user_id").cast("bigint").alias("user_id_f"),
+        F.coalesce(F.unix_millis("p_ts"), F.lit(-1))
+        .cast("bigint")
+        .alias("p_ts_ms"),
+        F.coalesce("c_event_id", F.lit(-1)).cast("bigint").alias(
+            "c_event_id_f"
+        ),
+        F.coalesce(F.unix_millis("c_ts"), F.lit(-1))
+        .cast("bigint")
+        .alias("c_ts_ms"),
+    )
+
+
+_ST16_SQL = (
+    "WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus "
+    "FROM events WHERE event_type = 'click') "
+    "SELECT CAST(coalesce(p.event_id, -1) AS BIGINT) AS p_event_id_f, "
+    "CAST(coalesce(p.user_id, c.user_id) AS BIGINT) AS user_id_f, "
+    "CAST(coalesce(p.tus // 1000, -1) AS BIGINT) AS p_ts_ms, "
+    "CAST(coalesce(c.event_id, -1) AS BIGINT) AS c_event_id_f, "
+    "CAST(coalesce(c.tus // 1000, -1) AS BIGINT) AS c_ts_ms "
+    "FROM p FULL JOIN c ON c.user_id = p.user_id "
+    "AND c.tus >= p.tus - 3600000000 AND c.tus < p.tus"
+)
+
+
 def st14_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST14 — bounded-state streaming dedup driven through the entry
     surface: the events fixture rides in with planted exact duplicates
@@ -774,6 +879,7 @@ QUERIES = {
     "st4_windowed_counts": st4_windowed_counts,
     "st7_interval_join": st7_interval_join,
     "st13_left_outer_join": st13_left_outer_join,
+    "st16_full_outer_join": st16_full_outer_join,
     "st14_watermark_dedup": st14_watermark_dedup,
     "st8_stream_static_enrich": st8_stream_static_enrich,
     "st9_streaming_ema": st9_streaming_ema,
@@ -787,6 +893,7 @@ ORACLES = {
     "st4_windowed_counts": _ST4_SQL,
     "st7_interval_join": _ST7_SQL,
     "st13_left_outer_join": _ST13_SQL,
+    "st16_full_outer_join": _ST16_SQL,
     "st14_watermark_dedup": _ST14_SQL,
     "st8_stream_static_enrich": _ST8_SQL,
     "st9_streaming_ema": _ST9_SQL,

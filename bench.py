@@ -119,6 +119,11 @@ HEADLINE = [
     "w13_stickiness",
     "s19_check_constraints",
     "st15_delta_cdf_follower",
+    # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
+    # full-outer stream-stream interval join
+    "s17b_dv_delete_partitioned",
+    "x3f_ivf_sq_ann",
+    "st16_full_outer_join",
 ]
 
 

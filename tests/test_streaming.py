@@ -569,3 +569,74 @@ def test_run_session_stream_incremental_emit_once(spark, tmp_path):
     # no new files -> no new rows (emit exactly once)
     run_session_stream(spark, drop, out, cp)
     assert deltalite.read(spark, out).filter("user_id >= 0").count() == 3
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """ST16: both sides emit null-augmented rows at watermark eviction —
+    a purchase with no prior click AND a click that attributed nothing
+    both surface exactly once; matched pairs emit like the inner join.
+    A far-future sentinel pair flushes both watermarks so the tail's
+    unmatched state drains; batch equivalence cross-checks the full
+    semantics."""
+    from acero_delta_lake_streaming_spark.streaming.joins import (
+        interval_click_full_join,
+    )
+
+    t0 = _ts_ns(2024, 1, 1)
+    m = 60 * 1_000_000_000
+    rows0 = [
+        (1, t0 + 10 * m, 7, "click", 0.0),   # matched by purchase 4
+        (3, t0 + 20 * m, 8, "click", 0.0),   # no purchase for user 8
+    ]
+    rows1 = [
+        (4, t0 + 60 * m, 7, "purchase", 9.9),
+        (6, t0 + 95 * m, 9, "purchase", 9.9),  # no clicks for user 9
+    ]
+    sentinels = [
+        (-1, t0 + 10_000 * m, -1, "purchase", 0.0),
+        (-2, t0 + 10_000 * m, -1, "click", 0.0),
+    ]
+    drop, cp = str(tmp_path / "drop"), str(tmp_path / "cp")
+    os.makedirs(drop)
+    for i, rows in enumerate([rows0, rows1, sentinels]):
+        f = os.path.join(drop, f"b{i}.parquet")
+        write_single_parquet(spark.createDataFrame(rows, EVENT_BATCH_SCHEMA), f)
+        os.utime(f, ((i + 1) * 1_000_000,) * 2)
+
+    got = []
+
+    def collect(batch_df, epoch_id):
+        got.extend(
+            (r.p_event_id, r.c_event_id)
+            for r in batch_df.collect()
+            if (r.p_event_id is None or r.p_event_id >= 0)
+            and (r.c_event_id is None or r.c_event_id >= 0)
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        interval_click_full_join(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    key = lambda t: (t[0] if t[0] is not None else -1,
+                     t[1] if t[1] is not None else -1)
+    assert sorted(got, key=key) == sorted(
+        [(4, 1), (6, None), (None, 3)], key=key
+    )
+
+    batch = spark.createDataFrame(rows0 + rows1, EVENT_BATCH_SCHEMA)
+    batch_pairs = [
+        (r.p_event_id, r.c_event_id)
+        for r in interval_click_full_join(batch).collect()
+    ]
+    assert sorted(batch_pairs, key=key) == sorted(got, key=key)
