@@ -438,6 +438,117 @@ _X15_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x32 — weighted sampling without replacement (A-ES exponential keys)
+# --------------------------------------------------------------------------
+
+_WS_K = 200  # sample size
+
+
+def x32_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme that production data mixers use to
+    draw a quality/size-weighted subset in one distributed pass: each
+    doc gets key = u^(1/w) (u uniform, w its weight — here ``n_chars``,
+    content mass), and the global top-k by key IS an exact weighted
+    sample without replacement. Ranking by key is ranking by
+    ln(u)/w, so the irrational only enters through one ln evaluated by
+    x21b's portable construction (u = (h+1)/2^32 from md5(doc_id) →
+    1/u ≥ 1 → integer-exact range reduction + atanh Horner) — both
+    engines compute bit-identical doubles, no RNG, re-runs reproduce
+    the exact sample. The plan is one scan + TakeOrderedAndProject
+    (per-partition partial top-k, driver merges k-row heads): at
+    100 TB there is no shuffle at all, the same shape as t1.
+    Emitted keys are e12-floored integers (never raw doubles)."""
+    docs = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _ATANH_POLY,
+        _LN2,
+        _SQRT2,
+    )
+
+    keyed = (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), "
+                "16, 10) AS BIGINT)"
+            ),
+        )
+        # 1/u ≥ 1: the portable ln's domain; ln(u) = -ln(1/u)
+        .withColumn("lx", F.expr("4294967296.0 / (CAST(h AS DOUBLE) + 1.0)"))
+        .withColumn(
+            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
+        )
+        .withColumn(
+            "m0",
+            F.expr("lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"),
+        )
+        .withColumn(
+            "lnk", F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)")
+        )
+        .withColumn(
+            "lm", F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END")
+        )
+        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
+        .withColumn("ls", F.expr("lz * lz"))
+        .withColumn(
+            "lnu",
+            F.expr(f"-(CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY})"),
+        )
+        .withColumn(
+            "key_e12",
+            F.expr(
+                "CAST(floor(lnu / CAST(n_chars AS DOUBLE) "
+                "* 1000000000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        keyed.select("doc_id", "lang", "n_chars", "key_e12")
+        .orderBy(F.desc("key_e12"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )
+
+
+_X32_SQL = (
+    "WITH k0s AS (SELECT doc_id, lang, n_chars, "
+    "4294967296.0 / (CAST(CAST(('0x' || "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) "
+    "+ 1.0) AS lx "
+    "FROM documents WHERE n_chars > 0), "
+    "c1 AS (SELECT *, "
+    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM k0s), "
+    "c2 AS (SELECT *, "
+    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
+    "c3 AS (SELECT *, "
+    f"k0 + (CASE WHEN m0 > {{sqrt2}} THEN 1 ELSE 0 END) AS lnk, "
+    f"CASE WHEN m0 > {{sqrt2}} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
+    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
+    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
+    "c6 AS (SELECT doc_id, lang, n_chars, "
+    f"-(CAST(lnk AS DOUBLE) * {{ln2}} + 2.0 * lz * {{poly}}) AS lnu "
+    "FROM c5) "
+    "SELECT doc_id, lang, n_chars, "
+    "CAST(floor(lnu / CAST(n_chars AS DOUBLE) * 1000000000000.0) "
+    "AS BIGINT) AS key_e12 "
+    "FROM c6 ORDER BY key_e12 DESC, doc_id ASC LIMIT {k}"
+)
+
+
+def _x32_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _ATANH_POLY,
+        _LN2,
+        _SQRT2,
+    )
+
+    return _X32_SQL.format(
+        sqrt2=_SQRT2, ln2=_LN2, poly=_ATANH_POLY, k=_WS_K
+    )
+
+
 QUERIES = {
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
@@ -447,6 +558,7 @@ QUERIES = {
     "x12_repetition_quality": x12_repetition_quality,
     "x15_mixture_sample": x15_mixture_sample,
     "x20_curation_pipeline": x20_curation_pipeline,
+    "x32_weighted_sample": x32_weighted_sample,
 }
 
 ORACLES = {
@@ -528,5 +640,6 @@ ORACLES = {
         "(dup_3gram_bp < 6000 AND top_word_bp < 2000) AS keep FROM scored"
     ),
     "x15_mixture_sample": _X15_SQL,
+    "x32_weighted_sample": _x32_sql(),
     "x20_curation_pipeline": _x20_sql(),
 }

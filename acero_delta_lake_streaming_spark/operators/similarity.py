@@ -262,6 +262,97 @@ _X3B_SQL = (
 )
 
 
+def x3g_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the constraint every production
+    retrieval system carries: top-k nearest neighbors WITHIN a metadata
+    slice (tenant, language, domain — here each query's own ``label``).
+    The filter is pushed INTO the LSH bucket key: candidate generation
+    equi-joins on (table, bucket, label), so a query probes only its
+    slice's buckets instead of post-filtering a global candidate list
+    (post-filtering k·C candidates to find k in-slice survivors is the
+    classic filtered-ANN recall trap). The label ride-along is a scalar
+    join on vec_id — no array moves for it — and the exact cosine
+    re-rank is x3b's. At 100 TB the slice column doubles as the table's
+    partition key, so the probe reads only the slice's partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    buckets = _sign_buckets(spark, emb).join(labels, "vec_id")
+    q_buckets = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("label").alias("q_label"),
+    )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(q_buckets),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    cand = (
+        cand_ids.join(scored, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+_X3G_SQL = (
+    "WITH planes AS (SELECT p, "
+    f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
+    f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p)), "
+    "buckets AS (SELECT e.vec_id, e.label, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM embeddings e CROSS JOIN planes pl "
+    "GROUP BY e.vec_id, e.label, pl.tbl), "
+    "scored AS (SELECT vec_id, embedding, "
+    f"{_norm_duck('embedding')} AS nrm FROM embeddings), "
+    "q_buckets AS (SELECT vec_id AS query_id, tbl AS q_tbl, "
+    "bucket AS q_bucket, label AS q_label FROM buckets "
+    f"WHERE vec_id < {_N_QUERIES}), "
+    "cand_ids AS (SELECT DISTINCT q.query_id, b.vec_id "
+    "FROM buckets b JOIN q_buckets q "
+    "ON b.tbl = q.q_tbl AND b.bucket = q.q_bucket "
+    "AND b.label = q.q_label AND b.vec_id <> q.query_id), "
+    "queries AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+    f"nrm AS q_nrm FROM scored WHERE vec_id < {_N_QUERIES}), "
+    "cand AS (SELECT ci.query_id, ci.vec_id, "
+    f"{_dot_duck('c.embedding', 'q.q_embedding')} / (c.nrm * q.q_nrm) AS cos "
+    "FROM cand_ids ci "
+    "JOIN scored c ON c.vec_id = ci.vec_id "
+    "JOIN queries q ON q.query_id = ci.query_id), "
+    "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) "
+    "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 5"
+)
+
+
 # --------------------------------------------------------------------------
 # X3c — embedding-cosine near-duplicate pairs (blocked exact)
 # --------------------------------------------------------------------------
@@ -1528,6 +1619,7 @@ QUERIES = {
     "x3d_ivf_topk": x3d_ivf_topk,
     "x3e_quantized_ann": x3e_quantized_ann,
     "x3f_ivf_sq_ann": x3f_ivf_sq_ann,
+    "x3g_filtered_ann": x3g_filtered_ann,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
@@ -1541,6 +1633,7 @@ ORACLES = {
     "x3d_ivf_topk": _ivf_sql(),
     "x3e_quantized_ann": _X3E_SQL,
     "x3f_ivf_sq_ann": _ivf_sq_sql(),
+    "x3g_filtered_ann": _X3G_SQL,
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,

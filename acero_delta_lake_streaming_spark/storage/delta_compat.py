@@ -93,23 +93,33 @@ def _list_commit_versions(table: str) -> list[int]:
 
 
 def _checkpoint_files(table: str, version: int) -> list[str]:
-    """Resolve a checkpoint's parquet file set: the single-file form
-    this writer emits (``{v}.checkpoint.parquet``) or delta-spark's
-    multi-part form (``{v}.checkpoint.{i}.{n}.parquet`` — the state
-    split across n files when one part would be too large; reading is
-    simply the union of parts). Empty list if neither exists."""
+    """Resolve a checkpoint's file set: the single-file form this
+    writer emits (``{v}.checkpoint.parquet``), delta-spark's multi-part
+    form (``{v}.checkpoint.{i}.{n}.parquet`` — the state split across n
+    files when one part would be too large; reading is simply the union
+    of parts), or a V2-spec UUID-named manifest
+    (``{v}.checkpoint.{uuid}.{json|parquet}`` — the ``v2Checkpoint``
+    table feature; its ``sidecar`` actions are expanded during replay).
+    Empty list if none exists."""
+    import glob as _glob
+    import re as _re
+
     single = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return [single]
-    import glob as _glob
-
-    parts = sorted(
+    cands = sorted(
         _glob.glob(
-            os.path.join(
-                _log_dir(table), f"{version:020d}.checkpoint.*.parquet"
-            )
+            os.path.join(_log_dir(table), f"{version:020d}.checkpoint.*")
         )
     )
+    parts = [
+        p
+        for p in cands
+        if _re.fullmatch(
+            rf"{version:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet",
+            os.path.basename(p),
+        )
+    ]
     if parts:
         # part names carry their total: .checkpoint.<i>.<n>.parquet —
         # refuse an incomplete set rather than silently dropping state
@@ -119,7 +129,19 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
                 f"multi-part checkpoint at version {version} has "
                 f"{len(parts)} of {n_expected} parts"
             )
-    return parts
+        return parts
+    # V2 manifest: UUID-named, json or parquet; newest lexicographic
+    # pick is arbitrary-but-deterministic when several writers raced
+    # (each manifest is complete by construction)
+    v2 = [
+        p
+        for p in cands
+        if _re.fullmatch(
+            rf"{version:020d}\.checkpoint\.[0-9a-fA-F-]{{36}}\.(json|parquet)",
+            os.path.basename(p),
+        )
+    ]
+    return v2[-1:] if v2 else []
 
 
 def _checkpoint_version(table: str, max_version: int | None) -> int | None:
@@ -136,10 +158,17 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
     return v if _checkpoint_files(table, v) else None
 
 
-#: table features this reader implements (see ``dvcodec`` and
-#: ``_column_mapping``); any other advertised reader feature still
-#: refuses loudly.
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+#: table features this reader implements (see ``dvcodec``,
+#: ``_read_with_mapping`` and the V2 manifest/sidecar replay in
+#: ``_replay_checkpoint``); any other advertised reader feature still
+#: refuses loudly. v2Checkpoint is READ-ONLY here: it is deliberately
+#: absent from ``_SUPPORTED_WRITER_FEATURES`` because a writer on such
+#: a table must emit V2 checkpoints, which this writer does not.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 
 def _check_protocol(action: dict) -> None:
@@ -258,18 +287,49 @@ def _apply_action(state: dict, action: dict) -> None:
     # txn / commitInfo / cdc / domainMetadata actions carry no scan state
 
 
-def _replay_checkpoint(table: str, version: int, state: dict) -> None:
-    """Seed replay state from a parquet checkpoint — single-file or
-    delta-spark's multi-part set (parts are disjoint row groups of one
-    logical table; replay is their union, order-free because a
-    checkpoint is net-of-log). The checkpoint is metadata (KBs-MBs);
-    pyarrow reads it driver-side, the same altitude as the JSON log
-    itself."""
+def _checkpoint_rows(path: str) -> list[dict]:
+    """Action rows of one checkpoint file: parquet (classic and V2
+    manifests/sidecars) or newline-JSON (V2 manifests delta-kernel
+    writes)."""
+    if path.endswith(".json"):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+        return rows
     import pyarrow.parquet as pq
 
+    return pq.read_table(path).to_pylist()
+
+
+def _replay_checkpoint(table: str, version: int, state: dict) -> None:
+    """Seed replay state from a checkpoint — single-file, delta-spark's
+    multi-part set (parts are disjoint row groups of one logical table;
+    replay is their union, order-free because a checkpoint is
+    net-of-log), or a V2-spec manifest whose ``sidecar`` actions
+    reference the add/remove payload files under
+    ``_delta_log/_sidecars/``. The checkpoint is metadata (KBs-MBs);
+    pyarrow reads it driver-side, the same altitude as the JSON log
+    itself."""
     rows: list[dict] = []
     for path in _checkpoint_files(table, version):
-        rows.extend(pq.read_table(path).to_pylist())
+        rows.extend(_checkpoint_rows(path))
+    # V2 sidecar expansion: each sidecar action names a parquet file
+    # holding this checkpoint's file actions; a missing sidecar must
+    # refuse (silently dropping it would resurrect/removed state)
+    sidecars = [r["sidecar"] for r in rows if r.get("sidecar")]
+    for sc in sidecars:
+        sc_path = os.path.join(
+            _log_dir(table), "_sidecars", unquote(sc["path"])
+        )
+        if not os.path.exists(sc_path):
+            raise DeltaCorruptLogError(
+                f"v2 checkpoint at version {version} references missing "
+                f"sidecar {sc['path']!r}"
+            )
+        rows.extend(_checkpoint_rows(sc_path))
     for row in rows:
         if row.get("protocol"):
             _check_protocol({"protocol": row["protocol"]})

@@ -120,10 +120,13 @@ HEADLINE = [
     "s19_check_constraints",
     "st15_delta_cdf_follower",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
-    # full-outer stream-stream interval join
+    # full-outer stream-stream interval join, filtered ANN, v2
+    # checkpoints read, A-ES weighted sampling
     "s17b_dv_delete_partitioned",
     "x3f_ivf_sq_ann",
     "st16_full_outer_join",
+    "x3g_filtered_ann",
+    "x32_weighted_sample",
 ]
 
 

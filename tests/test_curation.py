@@ -153,3 +153,30 @@ def test_x12_scores_in_range_and_keep_consistent(spark, sf_dir):
         assert 0 <= r.dup_3gram_bp <= 10000
         assert 0 < r.top_word_bp <= 10000
         assert r.keep == (r.dup_3gram_bp < 6000 and r.top_word_bp < 2000)
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """x32's A-ES keys must actually implement weighted sampling: the
+    sampled docs' mean weight (n_chars) sits well above the corpus mean
+    (probability ∝ content mass), and the sample is deterministic."""
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        x32_weighted_sample,
+    )
+    from acero_delta_lake_streaming_spark.catalog import load_table
+
+    sample = x32_weighted_sample(spark, sf_dir).toPandas()
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter("n_chars > 0")
+        .selectExpr("avg(n_chars) AS m")
+        .collect()[0]["m"]
+    )
+    assert len(sample) == min(200, 500)
+    # sampling 200 of ~500 docs whose weights span only ~1 order of
+    # magnitude can't bias arbitrarily hard; ≥10% lift is the
+    # theory-consistent signal (measured 1.145x at sf0.001)
+    assert sample["n_chars"].mean() > corpus * 1.10, (
+        sample["n_chars"].mean(), corpus
+    )
+    again = x32_weighted_sample(spark, sf_dir).toPandas()
+    assert list(sample["doc_id"]) == list(again["doc_id"])

@@ -186,17 +186,17 @@ def test_protocol_v3_without_features_rejected(spark, tmp_path):
 
 
 def test_unknown_reader_feature_rejected(spark, tmp_path):
-    """deletionVectors and columnMapping are now supported; any OTHER
-    advertised reader feature (v2 checkpoints, type widening, ...)
-    still refuses loudly rather than returning wrong rows."""
-    table = str(tmp_path / "v2ck_tbl")
+    """deletionVectors, columnMapping and v2Checkpoint are supported;
+    any OTHER advertised reader feature (type widening, ...) still
+    refuses loudly rather than returning wrong rows."""
+    table = str(tmp_path / "tw_tbl")
     _commit(
         table,
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["v2Checkpoint"],
-                          "writerFeatures": ["v2Checkpoint"]}},
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
             _meta(spark, "id long"),
         ],
     )
@@ -2424,3 +2424,153 @@ def test_column_mapping_id_mode_fallback_without_field_ids(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in df.collect()} == {
         (1, "a"), (2, "b"), (3, "c")
     }
+
+
+def _seed_v2_checkpoint_table(spark, tmp_path, manifest_format="parquet"):
+    """Hand-author a ``v2Checkpoint``-feature table: two data files over
+    two commits, then a V2 UUID-named checkpoint manifest at version 1
+    whose ``sidecar`` action references the add payload under
+    ``_delta_log/_sidecars/``."""
+    import uuid as uuidlib
+
+    table = str(tmp_path / f"v2ck_{manifest_format}")
+    _write_parquet(
+        spark, [(i,) for i in range(5)], "k long",
+        os.path.join(table, "a.parquet"),
+    )
+    _write_parquet(
+        spark, [(i,) for i in range(5, 10)], "k long",
+        os.path.join(table, "b.parquet"),
+    )
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}}
+    meta = _meta(spark, "k long")
+
+    def _add(path):
+        return {"path": path, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    _commit(table, 0, [proto, meta, {"add": _add("a.parquet")}])
+    _commit(table, 1, [{"add": _add("b.parquet")}])
+
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    sc_name = f"{uuidlib.uuid4()}.parquet"
+    sc_schema = pa.schema([
+        pa.field("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"add": dict(_add(p), partitionValues=[], dataChange=False,
+                          stats=None)}
+             for p in ("a.parquet", "b.parquet")],
+            schema=sc_schema,
+        ),
+        os.path.join(sc_dir, sc_name),
+    )
+    manifest_rows = [
+        proto,
+        {"metaData": meta["metaData"]},
+        {"checkpointMetadata": {"version": 1}},
+        {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                     "modificationTime": 0}},
+    ]
+    manifest = os.path.join(
+        log, f"{1:020d}.checkpoint.{uuidlib.uuid4()}.{manifest_format}"
+    )
+    if manifest_format == "json":
+        with open(manifest, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in manifest_rows) + "\n")
+    else:
+        m_schema = pa.schema([
+            pa.field("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ])),
+            pa.field("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+            ])),
+            pa.field("checkpointMetadata", pa.struct([
+                ("version", pa.int64()),
+            ])),
+            pa.field("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        flat = []
+        for r in manifest_rows:
+            row = {k: None for k in
+                   ("protocol", "metaData", "checkpointMetadata", "sidecar")}
+            for k, v in r.items():
+                if k == "metaData":
+                    v = dict(v)
+                    v["partitionColumns"] = v.get("partitionColumns") or []
+                    v["configuration"] = list(
+                        (v.get("configuration") or {}).items()
+                    )
+                    v["format"] = {"provider":
+                                   v.get("format", {}).get("provider",
+                                                           "parquet")}
+                    v = {kk: v.get(kk) for kk in
+                         ("id", "format", "schemaString",
+                          "partitionColumns", "configuration")}
+                row[k] = v
+            flat.append(row)
+        pq.write_table(pa.Table.from_pylist(flat, schema=m_schema), manifest)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(manifest_rows)}, f)
+    return table, manifest, os.path.join(sc_dir, sc_name)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_read(spark, tmp_path, fmt):
+    """A v2Checkpoint-feature table reads through its UUID-named
+    manifest + sidecar payload — including when the pre-checkpoint JSON
+    log is gone (replay MUST come from the manifest). Writes refuse:
+    this writer does not emit V2 checkpoints, which the feature
+    requires of writers."""
+    import pyspark.sql.functions as F
+
+    table, _manifest, _sc = _seed_v2_checkpoint_table(spark, tmp_path, fmt)
+    assert {r["k"] for r in dc.read_delta(spark, table).collect()} == set(
+        range(10)
+    )
+    # hide the JSON tail: state must come from manifest + sidecar
+    for v in (0, 1):
+        os.rename(dc._commit_path(table, v), dc._commit_path(table, v) + ".h")
+    try:
+        snap = dc.snapshot(table)
+        assert snap["version"] == 1
+        assert {r["k"] for r in dc.read_delta(spark, table).collect()} == set(
+            range(10)
+        )
+    finally:
+        for v in (0, 1):
+            os.rename(dc._commit_path(table, v) + ".h",
+                      dc._commit_path(table, v))
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(spark.range(3).select(F.col("id").alias("k")), table)
+
+
+def test_v2_checkpoint_missing_sidecar_refused(spark, tmp_path):
+    table, _manifest, sc = _seed_v2_checkpoint_table(spark, tmp_path)
+    os.remove(sc)
+    with pytest.raises(dc.DeltaCorruptLogError):
+        dc.snapshot(table)

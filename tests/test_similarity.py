@@ -126,3 +126,23 @@ def test_jl_projection_energy_ratio_is_plausible(spark, sf_dir):
     for r in rows:
         assert r.mse_e9 >= 0 if hasattr(r, "mse_e9") else True
         assert r.input_e9 > 0 and r.projected_e9 > 0
+
+
+def test_filtered_ann_respects_slice(spark, sf_dir):
+    """x3g: every returned neighbor carries the SAME label as its query
+    — the filter is part of candidate generation, not a post-filter."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3g_filtered_ann,
+    )
+    from acero_delta_lake_streaming_spark.catalog import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    out = x3g_filtered_ann(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert labels[r["vec_id"]] == labels[r["query_id"]], r
