@@ -193,9 +193,9 @@ def _check_protocol(action: dict) -> None:
 #: on every table-features upgrade; they are safe to ACCEPT as flags
 #: because the hazards they name are gated on actual presence below
 #: (a declared column invariant refuses; delta.appendOnly=true refuses
-#: data-removing verbs). Everything else (generatedColumns,
-#: identityColumns, rowTracking, ...) refuses — the Delta protocol
-#: requires writers to reject writerFeatures they do not implement.
+#: data-removing verbs). Everything else (identityColumns, rowTracking,
+#: v2Checkpoint, ...) refuses — the Delta protocol requires writers to
+#: reject writerFeatures they do not implement.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -204,6 +204,10 @@ _SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
+    # enforced: writes that introduce rows validate every value against
+    # its generation expression (_enforce_generated); all other verbs
+    # preserve row values, which satisfies the expressions trivially
+    "generatedColumns",
 }
 
 
@@ -230,20 +234,18 @@ def _check_writer_protocol(
             )
     # Legacy versions 3-6 bundle implicit features (3: CHECK constraints,
     # 4: CDF + generated columns, 5: column mapping, 6: identity
-    # columns). CHECK constraints and CDF are implemented; column-mapped
-    # writes refuse at the mapping-mode check in each verb; generated /
-    # identity columns are declared per-column — gate on actual presence
-    # so a version-bumped table WITHOUT them stays writable.
+    # columns). CHECK constraints, CDF and generated columns are
+    # implemented (row-introducing writes validate via
+    # _enforce_generated); column-mapped writes refuse at the
+    # mapping-mode check in each verb; identity columns are declared
+    # per-column — gate on actual presence so a version-bumped table
+    # WITHOUT them stays writable.
     for f in json.loads(snap["schema"])["fields"]:
         meta = f.get("metadata") or {}
         if "delta.invariants" in meta:
             raise DeltaProtocolError(
                 f"{op}: column {f['name']!r} declares a legacy invariant "
                 "this writer does not enforce"
-            )
-        if "delta.generationExpression" in meta:
-            raise DeltaProtocolError(
-                f"{op}: column {f['name']!r} is a generated column"
             )
         if any(k.startswith("delta.identity.") for k in meta):
             raise DeltaProtocolError(
@@ -882,6 +884,8 @@ def append_delta(
         # not the table — the add-time full scan happened once in
         # add_constraint)
         _enforce_constraints(df, table_constraints(snap0))
+        # generated columns: new rows must equal their expressions
+        _enforce_generated(df, table_generated_columns(snap0))
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1650,6 +1654,11 @@ def merge_delta(
             f"merge source columns {sorted(source.columns)} do not match "
             f"table columns {sorted(cur.columns)}"
         )
+    # MERGE introduces the source's rows: they must satisfy CHECK
+    # constraints and generated-column expressions like any append
+    # (survivors re-written unchanged satisfy both trivially)
+    _enforce_constraints(source, table_constraints(snap))
+    _enforce_generated(source, table_generated_columns(snap))
     keys = source.select(*key_cols).distinct()
     tagged = cur.withColumn("_src_file", F.input_file_name())
     touched_uris = [
@@ -1788,6 +1797,49 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
             "append violates CHECK constraint(s): "
             + ", ".join(
                 f"{k} ({v} row(s), predicate {constraints[k]!r})"
+                for k, v in sorted(bad.items())
+            )
+        )
+
+
+def table_generated_columns(snap: dict) -> dict[str, str]:
+    """column → generation expression for every generated column in the
+    table schema (delta-spark stores the Spark-SQL expression in each
+    field's ``delta.generationExpression`` metadata)."""
+    out: dict[str, str] = {}
+    for f in json.loads(snap["schema"])["fields"]:
+        meta = f.get("metadata") or {}
+        expr = meta.get("delta.generationExpression")
+        if expr is not None:
+            out[f["name"]] = expr
+    return out
+
+
+def _enforce_generated(df: DataFrame, gencols: dict[str, str]) -> None:
+    """Generated-column enforcement for writes that introduce NEW rows:
+    the protocol requires every written value to equal its generation
+    expression (our appends carry every column, so this is validation,
+    not computation — delta-spark enforces the same equality when a
+    generated column is explicitly provided). One scan evaluating every
+    column at once; null-safe equality so a NULL source producing a
+    NULL value satisfies."""
+    if not gencols:
+        return
+    import pyspark.sql.functions as F
+
+    aggs = [
+        F.sum(
+            F.when(~F.col(name).eqNullSafe(F.expr(expr)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in gencols.items()
+    ]
+    row = df.agg(*aggs).collect()[0]  # METADATA-altitude: one count row
+    bad = {k: int(row[k] or 0) for k in gencols if int(row[k] or 0) > 0}
+    if bad:
+        raise DeltaConstraintViolation(
+            "write violates generated column(s): "
+            + ", ".join(
+                f"{k} ({v} row(s) != {gencols[k]!r})"
                 for k, v in sorted(bad.items())
             )
         )

@@ -193,10 +193,18 @@ def main() -> int:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     # Driver-facing single line, hard-capped under the 2000-char tail
-    # capture. 2-decimal values; drop fastest entries first on overflow
-    # (failures, value -1, sort first and are never dropped).
-    EMIT_BUDGET = 1800
+    # capture (r5 lesson: 2106 chars -> parsed:null). 2-decimal values;
+    # on overflow drop fastest entries first, protecting the current
+    # driver verification window (those are the queries whose fresh
+    # timings the record needs most) and failures (value -1).
+    EMIT_BUDGET = 1900
     emitted = {n: (round(t, 2) if t >= 0 else -1.0) for n, t in timings.items()}
+    try:
+        from acero_delta_lake_streaming_spark.queries import _PRIORITY
+
+        protected = set(_PRIORITY[:50])
+    except Exception:
+        protected = set()
 
     def _line() -> str:
         return json.dumps(
@@ -213,7 +221,7 @@ def main() -> int:
 
     droppable = sorted(
         (n for n, t in emitted.items() if t >= 0),
-        key=lambda n: (emitted[n], n),
+        key=lambda n: (n in protected, emitted[n], n),
     )
     while len(_line()) > EMIT_BUDGET and droppable:
         del emitted[droppable.pop(0)]

@@ -2574,3 +2574,82 @@ def test_v2_checkpoint_missing_sidecar_refused(spark, tmp_path):
     os.remove(sc)
     with pytest.raises(dc.DeltaCorruptLogError):
         dc.snapshot(table)
+
+
+def test_generated_columns_enforced_on_row_writes(spark, tmp_path):
+    """generatedColumns is a SUPPORTED writer feature: writes that
+    introduce rows (append, merge source) validate every value against
+    its generation expression; conforming writes land, violating ones
+    refuse. Identity columns still refuse entirely."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "gen_tbl")
+    _write_parquet(
+        spark, [(1, 2), (2, 4)], "k long, k2 long",
+        os.path.join(table, "a.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "k2", "type": "long", "nullable": True,
+             "metadata": {"delta.generationExpression": "k * 2"}},
+        ],
+    }
+    meta = _meta(spark, "k long, k2 long")
+    meta["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["generatedColumns"]}},
+            meta,
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    good = spark.createDataFrame([(5, 10), (6, 12)], "k long, k2 long")
+    dc.append_delta(good, table)
+    assert dc.read_delta(spark, table).count() == 4
+    bad = spark.createDataFrame([(7, 99)], "k long, k2 long")
+    with pytest.raises(dc.DeltaConstraintViolation):
+        dc.append_delta(bad, table)
+    assert dc.read_delta(spark, table).count() == 4
+    # NULL source → NULL generated value satisfies (null-safe equality)
+    nulls = spark.createDataFrame([(None, None)], "k long, k2 long")
+    dc.append_delta(nulls, table)
+    assert dc.read_delta(spark, table).count() == 5
+    # merge: conforming source lands, violating source refuses
+    dc.merge_delta(spark, table,
+                   spark.createDataFrame([(1, 2), (8, 16)],
+                                         "k long, k2 long"), ["k"])
+    assert dc.read_delta(spark, table).count() == 6
+    with pytest.raises(dc.DeltaConstraintViolation):
+        dc.merge_delta(spark, table,
+                       spark.createDataFrame([(9, 1)], "k long, k2 long"),
+                       ["k"])
+    # identity columns remain out of scope
+    table2 = str(tmp_path / "ident_tbl")
+    _write_parquet(
+        spark, [(1,)], "k long", os.path.join(table2, "a.parquet")
+    )
+    schema2 = {
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {"delta.identity.start": 1,
+                                 "delta.identity.step": 1,
+                                 "delta.identity.allowExplicitInsert": False}}],
+    }
+    meta2 = _meta(spark, "k long")
+    meta2["metaData"]["schemaString"] = json.dumps(schema2)
+    _commit(
+        table2, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+         meta2,
+         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(spark.range(3).select(F.col("id").alias("k")),
+                        table2)
