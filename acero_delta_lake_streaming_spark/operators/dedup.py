@@ -30,7 +30,7 @@ these operators are the content-level generalization its pipeline lacks.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
@@ -631,6 +631,75 @@ def _x2d_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# X33 — canonical selection: keep-best-per-cluster dedup decisions
+# --------------------------------------------------------------------------
+
+
+def x33_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal step — turn near-dup clusters into
+    KEEP/DROP decisions with a QUALITY-aware canonical: within each
+    connected component the longest text wins (tie → min doc_id), every
+    other member drops. Production dedup never keeps "min doc_id" — it
+    keeps the best-quality variant (the fuller page, the non-truncated
+    crawl), which is exactly what length-ranking encodes here (the
+    planted near-dups are base+3 words, so the operator must PREFER the
+    planted copy over the original — a real discrimination, pinned by
+    the oracle).
+
+    Scale shape: clusters are unions of small cliques (bounded by the
+    Jaccard threshold), so the per-component window ranks tiny groups;
+    the only corpus-sized shuffles are the MinHash pipeline's own. The
+    component labels come from the fixed-iteration min-label propagation
+    (``connected_components``), same as x2d."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus(docs)
+    pairs = scoped_persist(
+        x2_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    quality = corpus.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    members = comp.join(
+        quality, comp["node"] == quality["doc_id"]
+    ).select("component", "doc_id", "text_len")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("text_len"), F.asc("doc_id")
+    )
+    return members.select(
+        "component",
+        "doc_id",
+        "text_len",
+        F.when(F.row_number().over(w) == 1, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
+    )
+
+
+def _x33_sql() -> str:
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + _x2_sql()
+        + ")), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, label) AS ("
+        "  SELECT u, u FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node), "
+        "comp AS (SELECT node, min(label) AS component FROM reach "
+        "GROUP BY 1), "
+        f"q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len "
+        f"FROM ({_NEAR_DUP_CORPUS_SQL})) "
+        "SELECT component, doc_id, text_len, "
+        "CASE WHEN row_number() OVER (PARTITION BY component "
+        "ORDER BY text_len DESC, doc_id ASC) = 1 "
+        "THEN 'keep' ELSE 'drop' END AS decision "
+        "FROM comp JOIN q ON q.doc_id = comp.node"
+    )
+
+
+# --------------------------------------------------------------------------
 # X19 — corpus-level line dedup (boilerplate removal)
 # --------------------------------------------------------------------------
 
@@ -736,6 +805,7 @@ QUERIES = {
     "x2b_simhash_groups": x2b_simhash_groups,
     "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
     "x2d_dup_clusters": x2d_dup_clusters,
+    "x33_canonical_dedup": x33_canonical_dedup,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -746,5 +816,6 @@ ORACLES = {
     "x2b_simhash_groups": _x2b_sql(),
     "x2c_ngram_jaccard_pairs": _X2C_SQL,
     "x2d_dup_clusters": _x2d_sql(),
+    "x33_canonical_dedup": _x33_sql(),
     "x19_line_dedup": _X19_SQL,
 }

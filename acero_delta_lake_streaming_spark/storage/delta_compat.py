@@ -364,9 +364,12 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
 
 
 def _commit_timestamp_ms(table: str, version: int) -> int:
-    """Commit wall-clock for TIMESTAMP AS OF resolution: the
-    ``commitInfo.timestamp`` when present, else the commit file's
-    modification time — exactly delta-spark's fallback order."""
+    """Commit wall-clock for TIMESTAMP AS OF resolution:
+    ``commitInfo.inCommitTimestamp`` when the table writes in-commit
+    timestamps (the ``inCommitTimestamp`` writer feature — monotonic by
+    protocol, immune to file-mtime drift from copies/restores), else
+    ``commitInfo.timestamp``, else the commit file's modification
+    time — exactly delta-spark's fallback order."""
     try:
         with open(_commit_path(table, version)) as f:
             for line in f:
@@ -375,6 +378,8 @@ def _commit_timestamp_ms(table: str, version: int) -> int:
                     continue
                 action = json.loads(line)
                 ci = action.get("commitInfo")
+                if ci and ci.get("inCommitTimestamp") is not None:
+                    return int(ci["inCommitTimestamp"])
                 if ci and ci.get("timestamp") is not None:
                     return int(ci["timestamp"])
     except FileNotFoundError:

@@ -127,6 +127,7 @@ HEADLINE = [
     "st16_full_outer_join",
     "x3g_filtered_ann",
     "x32_weighted_sample",
+    "x33_canonical_dedup",
 ]
 
 

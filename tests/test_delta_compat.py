@@ -2653,3 +2653,45 @@ def test_generated_columns_enforced_on_row_writes(spark, tmp_path):
     with pytest.raises(dc.DeltaProtocolError):
         dc.append_delta(spark.range(3).select(F.col("id").alias("k")),
                         table2)
+
+
+def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
+    """A table with the inCommitTimestamp writer feature resolves
+    TIMESTAMP AS OF from commitInfo.inCommitTimestamp (monotonic by
+    protocol) in preference to the legacy timestamp field; reading such
+    tables needs no reader feature, while mutating them refuses."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ict_tbl")
+    for v, (lo, hi) in enumerate([(0, 3), (3, 6)]):
+        _write_parquet(
+            spark, [(i,) for i in range(lo, hi)], "k long",
+            os.path.join(table, f"f{v}.parquet"),
+        )
+    _commit(
+        table, 0,
+        [
+            # legacy timestamp deliberately DISAGREES (mtime-drifted)
+            {"commitInfo": {"timestamp": 999999, "inCommitTimestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["inCommitTimestamp"]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _commit(
+        table, 1,
+        [
+            {"commitInfo": {"timestamp": 5, "inCommitTimestamp": 2000}},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table, timestamp_ms=1500).count() == 3
+    assert dc.read_delta(spark, table, timestamp_ms=2000).count() == 6
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.read_delta(spark, table, timestamp_ms=999)
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(spark.range(2).select(F.col("id").alias("k")),
+                        table)
