@@ -159,8 +159,10 @@ def main() -> None:
     # replicas' rotated shingles are disjoint, so growing the corpus
     # 10x should leave the probe volume ~flat. That flatness is what
     # makes nightly incremental dedup O(|delta|) at any corpus size.
-    delta = _incremental_corpus(docs)[0].filter(
-        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+    corpus_all, off_df = _incremental_corpus(docs)
+    off = off_df.collect()[0]["off"]  # delta ids live in [off, 3*off)
+    delta = corpus_all.filter(
+        (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
     )
     for tag, base_corpus in (
         ("x1", docs.select("doc_id", "text")),
@@ -172,7 +174,7 @@ def main() -> None:
         sigs, _ = _signatures_and_candidates(sh)
         bands = _band_rows(sigs)
         bands_new = bands.filter(
-            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 10_000_000)
+            (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
         )
         a, b = bands.alias("a"), bands_new.alias("b")
         probe_n = (
