@@ -145,17 +145,37 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
 
 
 def _checkpoint_version(table: str, max_version: int | None) -> int | None:
-    """Version of the newest usable checkpoint (single- or multi-part),
-    if any."""
+    """Version of the newest usable checkpoint (single-, multi-part or
+    V2) at or below ``max_version``. The ``_last_checkpoint`` pointer
+    is the fast path; when it overshoots a time-travel bound the log
+    directory is scanned for an OLDER on-disk checkpoint — without that
+    fallback, time travel behind the newest checkpoint would force a
+    from-zero JSON replay, which after ``cleanup_log`` aged those
+    commits out would fail entirely."""
     try:
         with open(os.path.join(_log_dir(table), _LAST_CHECKPOINT)) as f:
             v = json.load(f)["version"]
     except (FileNotFoundError, KeyError, ValueError):
-        return None
-    if max_version is not None and v > max_version:
-        # Time travel behind the checkpoint: replay JSON from scratch.
-        return None
-    return v if _checkpoint_files(table, v) else None
+        v = None
+    if v is not None and (max_version is None or v <= max_version):
+        if _checkpoint_files(table, v):
+            return v
+    if max_version is None and v is not None:
+        return None  # pointer names a missing/incomplete checkpoint
+    import glob as _glob
+    import re as _re
+
+    best = None
+    for p in _glob.glob(os.path.join(_log_dir(table), "*.checkpoint.*")):
+        m = _re.match(r"(\d{20})\.checkpoint\.", os.path.basename(p))
+        if not m:
+            continue
+        ver = int(m.group(1))
+        if max_version is not None and ver > max_version:
+            continue
+        if (best is None or ver > best) and _checkpoint_files(table, ver):
+            best = ver
+    return best
 
 
 #: table features this reader implements (see ``dvcodec``,
@@ -1507,6 +1527,7 @@ def optimize_delta(
     table: str,
     target_partitions: int = 1,
     zorder_by: list[str] | None = None,
+    where: dict[str, str] | None = None,
 ) -> int:
     """OPTIMIZE for a real-format Delta table: rewrite the current
     snapshot into compacted files (``target_partitions`` per file
@@ -1523,7 +1544,15 @@ def optimize_delta(
     a reader never sees a half-compacted table. At warehouse scale the
     per-partition rewrites are independent jobs; batching their actions
     into one commit (or one commit per partition, as delta-spark's
-    OPTIMIZE WHERE does) is a publish-policy choice, not a format one."""
+    OPTIMIZE WHERE does) is a publish-policy choice, not a format one.
+
+    ``where`` is delta-spark's ``OPTIMIZE ... WHERE`` partition
+    predicate as {partition column: value}: only matching partition
+    directories rewrite, everything else stays untouched — on a 100 TB
+    date-partitioned table the nightly compaction job targets
+    yesterday's partition, not the table. Only exact partition-value
+    equality is supported (the protocol restricts OPTIMIZE predicates
+    to partition columns anyway); non-partition keys refuse."""
     snap = snapshot(table)
     _check_writer_protocol(snap, "OPTIMIZE")
     if not snap["files"]:
@@ -1562,6 +1591,20 @@ def optimize_delta(
             groups.append((sorted(files), pvals))
     else:
         groups.append((snap["files"], {}))
+
+    if where:
+        if not set(where) <= set(pcols):
+            raise DeltaProtocolError(
+                f"OPTIMIZE WHERE keys {sorted(where)} must be partition "
+                f"columns {pcols}"
+            )
+        groups = [
+            (files, pvals)
+            for files, pvals in groups
+            if all(pvals.get(k) == v for k, v in where.items())
+        ]
+        if not groups:
+            return snap["version"]  # no matching partition: no-op
 
     cluster = None
     if zorder_by:
@@ -1612,6 +1655,11 @@ def optimize_delta(
                 "operationParameters": {
                     "targetSize": str(target_partitions),
                     "zOrderBy": json.dumps(zorder_by or []),
+                    "predicate": json.dumps(
+                        [f"{k} = {v!r}" for k, v in sorted(
+                            (where or {}).items()
+                        )]
+                    ),
                 },
             }
         }
@@ -2685,7 +2733,10 @@ def follow_delta_changes(
 
 
 def vacuum_delta(
-    table: str, keep_versions: int = 0, min_age_s: float = 0.0
+    table: str,
+    keep_versions: int = 0,
+    min_age_s: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """VACUUM for a real-format Delta table: delete data files that are
     referenced ONLY by snapshots older than ``latest - keep_versions``
@@ -2758,6 +2809,42 @@ def vacuum_delta(
                 continue
             if now - os.path.getmtime(path) < min_age_s:
                 continue
-            os.remove(path)
+            if not dry_run:
+                os.remove(path)
             deleted.append(os.path.relpath(path, table))
     return sorted(deleted)
+
+
+def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
+    """Delta's metadata-retention twin of VACUUM
+    (``delta.logRetentionDuration``): delete JSON commit files OLDER
+    than the newest checkpoint that still covers the retained window —
+    the checkpoint replaces them for replay, so snapshot reconstruction
+    of every retained version keeps working while the log directory
+    stops growing without bound (at one commit per minute a year is
+    ~500k JSON files; the checkpoint + a bounded tail is the steady
+    state delta-spark maintains).
+
+    ``keep_versions`` retains time travel to ``latest - keep_versions``
+    (a commit is deletable only if some checkpoint at or before the
+    retention floor supersedes it). Never deletes checkpoints, the
+    ``_last_checkpoint`` pointer, or any commit at/after the floor, and
+    refuses nothing: with no qualifying checkpoint it is a no-op.
+    Returns the deleted file names."""
+    latest = snapshot(table)["version"]
+    floor = max(0, latest - keep_versions)
+    # newest checkpoint at or below the retention floor: versions < it
+    # are reconstructable from it, so their JSON may go
+    ckpt = None
+    for v in range(floor, -1, -1):
+        if _checkpoint_files(table, v):
+            ckpt = v
+            break
+    if ckpt is None:
+        return []
+    deleted = []
+    for v in _list_commit_versions(table):
+        if v < ckpt:
+            os.remove(_commit_path(table, v))
+            deleted.append(f"{v:020d}.json")
+    return deleted

@@ -2695,3 +2695,85 @@ def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
     with pytest.raises(dc.DeltaProtocolError):
         dc.append_delta(spark.range(2).select(F.col("id").alias("k")),
                         table)
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only the matching partition
+    directories; other partitions' files stay byte-identical, content
+    is unchanged, and non-partition predicates refuse."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ow_tbl")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), (F.col("id") % 2)).alias("p"),
+    )
+    for lo in (0, 100, 200, 300):
+        dc.append_delta(
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 100)),
+            table, partition_by=["p"],
+        )
+    before = set(dc.snapshot(table)["files"])
+    p1_before = {f for f in before if "p=p1" in f}
+    dc.optimize_delta(spark, table, 1, where={"p": "p0"})
+    after = set(dc.snapshot(table)["files"])
+    assert {f for f in after if "p=p1" in f} == p1_before  # untouched
+    assert len([f for f in after if "p=p0" in f]) == 1  # compacted
+    got = {(r["k"], r["p"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(i, f"p{i % 2}") for i in range(400)}
+    # no matching partition: clean no-op at the same version
+    v = dc.snapshot(table)["version"]
+    assert dc.optimize_delta(spark, table, 1, where={"p": "nope"}) == v
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.optimize_delta(spark, table, 1, where={"k": "3"})
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "vdr_tbl")
+    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), table)
+    dc.delete_delta(spark, table, 
+                    spark.range(3).select(F.col("id").alias("k")), ["k"])
+    would = dc.vacuum_delta(table, keep_versions=0, dry_run=True)
+    assert would  # the pre-delete files are aged out
+    for rel in would:
+        assert os.path.exists(os.path.join(table, rel))  # still there
+    assert dc.read_delta(spark, table, version=0).count() == 10  # intact
+    really = dc.vacuum_delta(table, keep_versions=0)
+    assert really == would
+
+
+def test_cleanup_log_retains_reconstructable_window(spark, tmp_path):
+    """cleanup_log deletes JSON commits superseded by a checkpoint; the
+    latest snapshot AND time travel into the retained window keep
+    working — including to versions BEHIND the newest checkpoint, which
+    resolve through an older on-disk checkpoint."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "clog_tbl")
+    v = -1
+    rows = 0
+    batch = 0
+    while v < 21:  # force checkpoints at v10 and v20
+        v = dc.append_delta(
+            spark.range(batch * 3, batch * 3 + 3).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+        rows += 3
+        batch += 1
+    deleted = dc.cleanup_log(table, keep_versions=v - 12)  # floor=12
+    # newest checkpoint at/below 12 is v10: commits 0..9 age out
+    assert deleted == [f"{i:020d}.json" for i in range(10)]
+    assert dc.read_delta(spark, table).count() == rows
+    # retained window: v12 is BEHIND the newest checkpoint (v20) but
+    # ahead of v10 — must reconstruct via the older checkpoint
+    assert dc.read_delta(spark, table, version=12).count() == 13 * 3
+    assert dc.read_delta(spark, table, version=10).count() == 11 * 3
+    # behind the kept checkpoint: unreconstructable, refuses loudly
+    with pytest.raises(dc.DeltaCorruptLogError):
+        dc.snapshot(table, 5)
+    # with no qualifying checkpoint the call is a no-op
+    assert dc.cleanup_log(table, keep_versions=v) == []
