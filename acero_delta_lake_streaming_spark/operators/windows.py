@@ -785,6 +785,88 @@ _W13_SQL = (
 )
 
 
+def w14_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — the classic growth/CRM rollup: per user,
+    Recency (days since last purchase, vs the corpus's latest purchase
+    day), Frequency (purchase count) and Monetary (lifetime cents),
+    each banded into business-threshold scores 1–3, then one row per
+    (r, f, m) segment with user count and revenue. Fixed integer
+    thresholds instead of ntile quantiles ON PURPOSE: global ntile is a
+    global sort (the one window shape that cannot survive 100 TB), and
+    production RFM bands are business-defined constants anyway. Shape:
+    one user_id shuffle (the per-user rollup) + one 27-ary segment
+    aggregate; the corpus reference day is a broadcast scalar. Money
+    accumulates in DECIMAL cents (order-independent; the CLAUDE.md
+    double-sum rule)."""
+    events = load_table(spark, sf_dir, "events")
+    day_ms = 86400000
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_millis(date_trunc('DAY', ts))").alias("d"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n_purch"),
+        F.sum("cents").alias("cents"),
+    )
+    ref = per_user.agg(F.max("last_d").alias("ref_d"))
+    scored = (
+        per_user.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days", F.expr(f"(ref_d - last_d) DIV {day_ms}")
+        )
+        .withColumn(
+            "r",
+            F.expr(
+                "CASE WHEN recency_days <= 2 THEN 3 "
+                "WHEN recency_days <= 7 THEN 2 ELSE 1 END"
+            ),
+        )
+        .withColumn(
+            "f",
+            F.expr(
+                "CASE WHEN n_purch >= 15 THEN 3 "
+                "WHEN n_purch >= 8 THEN 2 ELSE 1 END"
+            ),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                "CASE WHEN cents >= 80000 THEN 3 "
+                "WHEN cents >= 40000 THEN 2 ELSE 1 END"
+            ),
+        )
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("segment_cents"),
+    )
+
+
+_W14_SQL = (
+    "WITH p AS (SELECT user_id, epoch_ms(date_trunc('day', ts)) AS d, "
+    "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "pu AS (SELECT user_id, max(d) AS last_d, count(*) AS n_purch, "
+    "sum(cents) AS cents FROM p GROUP BY 1), "
+    "ref AS (SELECT max(last_d) AS ref_d FROM pu), "
+    "s AS (SELECT pu.*, (ref_d - last_d) // 86400000 AS recency_days "
+    "FROM pu CROSS JOIN ref) "
+    "SELECT CASE WHEN recency_days <= 2 THEN 3 "
+    "WHEN recency_days <= 7 THEN 2 ELSE 1 END AS r, "
+    "CASE WHEN n_purch >= 15 THEN 3 "
+    "WHEN n_purch >= 8 THEN 2 ELSE 1 END AS f, "
+    "CASE WHEN cents >= 80000 THEN 3 "
+    "WHEN cents >= 40000 THEN 2 ELSE 1 END AS m, "
+    "CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(cents) AS BIGINT) AS segment_cents "
+    "FROM s GROUP BY 1, 2, 3"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -799,6 +881,7 @@ QUERIES = {
     "w11_anomaly_zscore": w11_anomaly_zscore,
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_stickiness": w13_stickiness,
+    "w14_rfm_segments": w14_rfm_segments,
 }
 
 ORACLES = {
@@ -815,4 +898,5 @@ ORACLES = {
     "w11_anomaly_zscore": _W11_SQL,
     "w12_retention_cohorts": _W12_SQL,
     "w13_stickiness": _W13_SQL,
+    "w14_rfm_segments": _W14_SQL,
 }
