@@ -796,14 +796,23 @@ def last_txn_version(table: str, app_id: str) -> int:
     """Highest ``txn`` action version committed for ``app_id`` (-1 if
     none) — Delta's exactly-once handshake for streaming sinks: a
     restarted writer checks this before re-appending an epoch. Scans
-    the retained JSON log, which our writer never deletes (checkpoints
-    accelerate snapshot replay but the JSON history stays); reading a
-    foreign table whose JSON tail was truncated at a checkpoint would
-    extend this to the checkpoint's ``txn`` rows, which our own
-    checkpoints already carry."""
+    the retained JSON log PLUS the newest checkpoint's ``txn`` rows
+    when the JSON no longer starts at 0 (``cleanup_log`` / a foreign
+    table's metadata retention truncated it) — without the checkpoint
+    fallback, truncating the log would amnesia the handshake and a
+    replayed epoch would double-append."""
     if not is_delta_table(table):
         return -1
     latest = -1
+    versions = _list_commit_versions(table)
+    if versions and versions[0] != 0:
+        ckpt = _checkpoint_version(table, None)
+        if ckpt is not None:
+            for path in _checkpoint_files(table, ckpt):
+                for row in _checkpoint_rows(path):
+                    t = row.get("txn")
+                    if t and t.get("appId") == app_id:
+                        latest = max(latest, t.get("version") or -1)
     for v in _list_commit_versions(table):
         with open(_commit_path(table, v)) as f:
             for line in f:

@@ -2777,3 +2777,35 @@ def test_cleanup_log_retains_reconstructable_window(spark, tmp_path):
         dc.snapshot(table, 5)
     # with no qualifying checkpoint the call is a no-op
     assert dc.cleanup_log(table, keep_versions=v) == []
+
+
+def test_txn_handshake_survives_log_cleanup(spark, tmp_path):
+    """The exactly-once txn handshake must survive cleanup_log: after
+    metadata retention truncates the JSON commits carrying an app's txn
+    actions, last_txn_version resolves them from the checkpoint and a
+    replayed epoch stays a no-op instead of double-appending."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "txn_clog")
+    v = -1
+    epoch = 0
+    while v < 11:  # epochs 0..N, checkpoint lands at v10
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table, txn=("app", epoch),
+        )
+        epoch += 1
+    n = dc.read_delta(spark, table).count()
+    last_epoch = epoch - 1
+    assert dc.last_txn_version(table, "app") == last_epoch
+    deleted = dc.cleanup_log(table, keep_versions=0)
+    assert deleted  # the pre-checkpoint commits (with txn rows) are gone
+    assert dc.last_txn_version(table, "app") == last_epoch
+    # replaying an old epoch is still a no-op
+    assert dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")),
+        table, txn=("app", 3),
+    ) == -1
+    assert dc.read_delta(spark, table).count() == n
