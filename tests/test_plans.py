@@ -472,3 +472,33 @@ def test_ivf_sq_candidates_bounded_by_probes(spark, sf_dir):
             assert row["n"] <= n * frac * 3.0, (row["query_id"], row["n"], n)
     finally:
         release_scoped()
+
+
+def test_round6_addition_plan_shapes(spark, sf_dir):
+    """x32 is a pure TakeOrderedAndProject over one scan (zero
+    shuffles); x3g and w14 are broadcast/hash shapes with no cartesian
+    products and no nested-loop joins."""
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        x32_weighted_sample,
+    )
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3g_filtered_ann,
+    )
+    from acero_delta_lake_streaming_spark.operators.windows import (
+        w14_rfm_segments,
+    )
+
+    plan = _physical(x32_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan  # no shuffle at all
+
+    # x3g: the only nested-loop is the 12-row broadcast-planes fan-out
+    # (x3b's accepted pattern); candidate and re-rank joins hash
+    plan = _physical(x3g_filtered_ann(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _physical(w14_rfm_segments(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the scalar reference day rides a broadcast (1-row side)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
