@@ -441,32 +441,26 @@ def _sqdist_duck(a: str, b: str) -> str:
     )
 
 
-def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: a deterministic k-means coarse quantizer (8 centroids,
-    2 Lloyd iterations, seeds = the 8 vectors with smallest
-    md5(vec_id)), then probed search over the 2 nearest cells per query.
+def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(final_assign, probes): the deterministic k-means coarse
+    quantizer SHARED by x3d and x3f — the Spark twin of the oracle's
+    ``_ivf_base_ctes``, factored for the same reason (the two
+    operators' quantizers must not drift; a tweak to one that missed
+    the other would fail the hash gate for a non-obvious reason).
 
-    Everything is DataFrame ops: assignment is a fold against 8
-    broadcast centroids (no shuffle of the corpus), the centroid update
-    is one posexplode + two hash aggs per iteration, and search scores
-    only the probed cells' members. At 100 TB the cell assignment is
-    computed once at ingest and stored as a partition column — the query
-    path then reads nprobe/k of the corpus. Iterative refinement happens
-    entirely in the engine, which is the point: k-means is a join+agg
-    loop, not a special system."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
-    )
-
-    # Seed selection must be a distributed top-k, not a global window:
-    # orderBy().limit() plans TakeOrderedAndProject (per-partition partial
-    # top-8 then a driver-side merge of 8-row heads), while
-    # row_number().over(Window.orderBy(...)) would sort the WHOLE corpus
-    # into one task to keep 8 rows — the one plan shape that cannot
-    # survive 100 TB. cid assignment over the 8 survivors is a windowless
-    # array_sort(collect_list) fold (struct sort key = (md5, vec_id),
-    # identical ordering semantics to the oracle's row_number).
+    Seed selection must be a distributed top-k, not a global window:
+    orderBy().limit() plans TakeOrderedAndProject (per-partition
+    partial top-8 then a driver-side merge of 8-row heads), while
+    row_number().over(Window.orderBy(...)) would sort the WHOLE corpus
+    into one task to keep 8 rows — the one plan shape that cannot
+    survive 100 TB. cid assignment over the 8 survivors is a windowless
+    array_sort(collect_list) fold (struct sort key = (md5, vec_id),
+    identical ordering semantics to the oracle's row_number). The
+    Lloyd update explodes the corpus to scalar (vec_id, dim, x) rows
+    BEFORE joining the scalar assignment, so no array crosses a
+    hash-partitioned exchange even in training (x3f's plan guard
+    walks every ShuffleExchange to pin this). ``corpus`` must carry
+    (vec_id, embedding, ...)."""
     seeds8 = (
         corpus.select(
             F.md5(F.col("vec_id").cast("string")).alias("sk"),
@@ -503,11 +497,11 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cid")
         )
 
+    elems = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
     for _ in range(_IVF_ITERS):
-        members = assign(centroids).join(emb, "vec_id")
-        elems = members.select(
-            "cid", F.posexplode("embedding").alias("dim", "x")
-        )
+        members = assign(centroids)
         # Centroid coordinates accumulate in decimal(18,6): exact and
         # order-independent, so the downstream argmin cell assignment
         # cannot flip on partial-agg ordering (double-sum ULP drift
@@ -515,7 +509,8 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal-accumulation invariant). Cast back to double only for
         # the final per-cell mean.
         centroids = (
-            elems.groupBy("cid", "dim")
+            elems.join(members, "vec_id")
+            .groupBy("cid", "dim")
             .agg(
                 (
                     F.sum(
@@ -534,12 +529,15 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     final_assign = assign(centroids)
-    scored = corpus.join(final_assign, "vec_id")
-
-    q_probe_w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cid"))
+    q_probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("d"), F.asc("cid")
+    )
     probes = (
         corpus.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
         .crossJoin(F.broadcast(centroids))
         .select(
             "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
@@ -548,6 +546,28 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVF_NPROBE)
         .select("query_id", "cid")
     )
+    return final_assign, probes
+
+
+def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a deterministic k-means coarse quantizer (8 centroids,
+    2 Lloyd iterations, seeds = the 8 vectors with smallest
+    md5(vec_id)), then probed search over the 2 nearest cells per query.
+
+    Everything is DataFrame ops (``_ivf_coarse``): assignment is a fold
+    against 8 broadcast centroids (no shuffle of the corpus), the
+    centroid update is one posexplode + two hash aggs per iteration,
+    and search scores only the probed cells' members. At 100 TB the
+    cell assignment is computed once at ingest and stored as a
+    partition column — the query path then reads nprobe/k of the
+    corpus. Iterative refinement happens entirely in the engine, which
+    is the point: k-means is a join+agg loop, not a special system."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    final_assign, probes = _ivf_coarse(corpus)
+    scored = corpus.join(final_assign, "vec_id")
 
     queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1133,18 +1153,14 @@ def x3f_ivf_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound) — the two levers multiply.
 
     Plan contract (pinned in tests/test_plans.py): NO float/double
-    array ever crosses a hash-partitioned exchange. Seeds are a
-    distributed ``orderBy().limit()`` TakeOrderedAndProject (x3d's
-    fix); the Lloyd update posexplodes the corpus into scalar
-    (vec_id, dim, x) rows BEFORE joining the scalar assignment — x3d
-    joins arrays first and explodes second, which shuffles the array
-    payload; this operator keeps even the training stage
-    scalar-shuffled. Assignment and probe argmins fold against 8
-    broadcast centroids; the int8 stage and the float re-rank stream
-    the corpus through BroadcastHashJoins on (small by construction)
-    candidate/survivor lists. At 100 TB the assignment is a partition
-    column written at ingest and K grows ~√N, so the per-query-batch
-    candidate list stays broadcastable — exactly this plan's shape.
+    array ever crosses a hash-partitioned exchange — ``_ivf_coarse``
+    (shared with x3d, so the two quantizers cannot drift) keeps even
+    the training stage scalar-shuffled, and the int8 stage and the
+    float re-rank stream the corpus through BroadcastHashJoins on
+    (small by construction) candidate/survivor lists. At 100 TB the
+    assignment is a partition column written at ingest and K grows
+    ~√N, so the per-query-batch candidate list stays broadcastable —
+    exactly this plan's shape.
 
     Hash-exact despite two approximation stages: the coarse quantizer
     is deterministic decimal-exact k-means, the int8 codes are IEEE
@@ -1160,90 +1176,7 @@ def x3f_ivf_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_norm_spark("embedding")).alias("nrm"),
         )
     )
-
-    # ---- coarse quantizer: x3d's deterministic k-means ----
-    seeds8 = (
-        corpus.select(
-            F.md5(F.col("vec_id").cast("string")).alias("sk"),
-            "vec_id",
-            "embedding",
-        )
-        .orderBy("sk", "vec_id")
-        .limit(_IVF_K)
-    )
-    centroids = (
-        seeds8.groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sk", "vec_id", "embedding"))
-            ).alias("ss")
-        )
-        .select(F.posexplode("ss").alias("cid", "s"))
-        .select(
-            "cid",
-            F.expr(
-                "transform(s.embedding, x -> CAST(x AS DOUBLE))"
-            ).alias("carr"),
-        )
-    )
-
-    def assign(cents):
-        d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-        return (
-            corpus.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", d)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid")
-        )
-
-    # scalar element rows once; each Lloyd update joins the scalar
-    # assignment to THESE (never to the array column)
-    elems = corpus.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    )
-    for _ in range(_IVF_ITERS):
-        members = assign(centroids)
-        centroids = (
-            elems.join(members, "vec_id")
-            .groupBy("cid", "dim")
-            .agg(
-                (
-                    F.sum(
-                        F.col("x").cast("double").cast("decimal(18,6)")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("v")
-            )
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, v))), "
-                    "s -> s.v)"
-                ).alias("carr")
-            )
-        )
-
-    final_assign = assign(centroids)
-
-    q_probe_w = Window.partitionBy("query_id").orderBy(
-        F.asc("d"), F.asc("cid")
-    )
-    probes = (
-        corpus.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-        )
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
-        )
-        .withColumn("rk", F.row_number().over(q_probe_w))
-        .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("query_id", "cid")
-    )
+    final_assign, probes = _ivf_coarse(corpus)
 
     # ---- stage 1: int8 scoring restricted to the probed cells ----
     cand_ids = (

@@ -147,21 +147,24 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
 def _checkpoint_version(table: str, max_version: int | None) -> int | None:
     """Version of the newest usable checkpoint (single-, multi-part or
     V2) at or below ``max_version``. The ``_last_checkpoint`` pointer
-    is the fast path; when it overshoots a time-travel bound the log
-    directory is scanned for an OLDER on-disk checkpoint — without that
-    fallback, time travel behind the newest checkpoint would force a
-    from-zero JSON replay, which after ``cleanup_log`` aged those
-    commits out would fail entirely."""
+    is the fast path; when it overshoots a time-travel bound, names a
+    missing checkpoint, or names the incomplete part set of a crashed
+    multi-part publish, the log directory is scanned for an OLDER
+    usable on-disk checkpoint instead — the previous checkpoint (plus
+    the JSON tail) stays authoritative rather than wedging every read,
+    and time travel behind the newest checkpoint keeps working after
+    ``cleanup_log`` aged the early JSON out."""
     try:
         with open(os.path.join(_log_dir(table), _LAST_CHECKPOINT)) as f:
             v = json.load(f)["version"]
     except (FileNotFoundError, KeyError, ValueError):
         v = None
     if v is not None and (max_version is None or v <= max_version):
-        if _checkpoint_files(table, v):
-            return v
-    if max_version is None and v is not None:
-        return None  # pointer names a missing/incomplete checkpoint
+        try:
+            if _checkpoint_files(table, v):
+                return v
+        except DeltaCorruptLogError:
+            pass  # incomplete part set: fall through to the scan
     import glob as _glob
     import re as _re
 
@@ -173,7 +176,16 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
         ver = int(m.group(1))
         if max_version is not None and ver > max_version:
             continue
-        if (best is None or ver > best) and _checkpoint_files(table, ver):
+        if best is not None and ver <= best:
+            continue
+        try:
+            usable = bool(_checkpoint_files(table, ver))
+        except DeltaCorruptLogError:
+            # a crashed multi-part publish left an incomplete set at
+            # this version — skip it; an older complete checkpoint (or
+            # the JSON log) stays authoritative
+            usable = False
+        if usable:
             best = ver
     return best
 
@@ -520,24 +532,48 @@ def _id_physical_names(schema_json: str, files: list[str]) -> dict[str, str]:
     """``id``-mode resolution: logical name → physical parquet column
     name, keyed by PARQUET FIELD ID (the mode's invariant — physical
     names are free to drift between files; the ids are not). The log
-    schema carries each column's ``delta.columnMapping.id``; one
-    parquet FOOTER (driver-side metadata, same altitude as the log
-    itself) yields the id → physical-name map. A column whose id is
-    absent from the footer was added after the file was written — it
-    resolves to its ``physicalName`` metadata (or a never-matching
+    schema carries each column's ``delta.columnMapping.id``; the
+    parquet FOOTERS (driver-side metadata, the altitude where Delta
+    readers already resolve ids) yield the id → physical-name map.
+
+    Because the scan applies ONE physical schema to every file, EVERY
+    footer is checked: files whose footers map the same field id to
+    different physical names refuse loudly (a single-schema scan would
+    silently read NULLs from the drifted files — worse than an error),
+    as does a mix of id-bearing and id-less files. A column whose id is
+    absent from every footer was added after the files were written —
+    it resolves to its ``physicalName`` metadata (or a never-matching
     placeholder), so the scan reads NULL for it, exactly the
     schema-evolution contract."""
     import pyarrow.parquet as pq
 
     sch = json.loads(schema_json)
     footer_by_id: dict[int, str] = {}
-    if files:
-        footer = pq.read_schema(files[0])
+    n_with_ids = 0
+    for fpath in files:
+        footer = pq.read_schema(fpath)
+        fmap: dict[int, str] = {}
         for i, name in enumerate(footer.names):
             meta = footer.field(i).metadata or {}
             fid = meta.get(b"PARQUET:field_id")
             if fid is not None:
-                footer_by_id[int(fid)] = name
+                fmap[int(fid)] = name
+        if fmap:
+            n_with_ids += 1
+        for fid, name in fmap.items():
+            prev = footer_by_id.setdefault(fid, name)
+            if prev != name:
+                raise DeltaProtocolError(
+                    f"id-mode physical-name drift: field id {fid} is "
+                    f"{prev!r} in one file and {name!r} in "
+                    f"{os.path.basename(fpath)!r}; a single-schema scan "
+                    "would silently read NULLs"
+                )
+    if footer_by_id and n_with_ids != len(files):
+        raise DeltaProtocolError(
+            "id-mode table mixes files with and without parquet field "
+            "ids; resolution for the id-less files would be ambiguous"
+        )
     out: dict[str, str] = {}
     for f in sch["fields"]:
         meta = f.get("metadata") or {}
@@ -686,14 +722,38 @@ def read_delta(
         # values as ints; the LOG schema is authoritative — cast the
         # recovered partition columns back to it
         return reader.schema(data_schema).parquet(*snap["files"]).select(
-            [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in snap["partition_cols"]
-                else F.col(f.name)
-                for f in full.fields
-            ]
+            _pcol_cast_cols(full, snap["partition_cols"])
         )
     return spark.read.schema(full).parquet(*snap["files"])
+
+
+def _hive_pvals(rel_dir: str) -> dict[str, str]:
+    """Partition column → raw value from a hive ``col=value/...``
+    RELATIVE DIRECTORY ('' or '.' → unpartitioned). The ONE parser
+    every commit-building verb uses, so partitionValues can never
+    drift between OPTIMIZE, the DELETE strategies, RESTORE and the
+    CDF writer."""
+    if not rel_dir or rel_dir == ".":
+        return {}
+    return dict(
+        (k, unquote(v))
+        for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+    )
+
+
+def _pcol_cast_cols(full: "T.StructType", pcols: list[str]) -> list:
+    """Projection casting directory-recovered partition columns back to
+    the LOG schema's types (directory inference types numeric-looking
+    values as ints); data columns pass through untouched. Shared by
+    every partition-recovering read."""
+    import pyspark.sql.functions as F
+
+    return [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in pcols
+        else F.col(f.name)
+        for f in full.fields
+    ]
 
 
 def _file_uri(abs_path: str) -> str:
@@ -761,14 +821,7 @@ def _read_with_dvs(
     )
     return base.join(
         F.broadcast(del_df), ["_dv_file", "_dv_pos"], "left_anti"
-    ).select(
-        [
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in pcols
-            else F.col(f.name)
-            for f in full.fields
-        ]
-    )
+    ).select(_pcol_cast_cols(full, pcols))
 
 
 def streaming_sink(table: str, app_id: str):
@@ -812,7 +865,9 @@ def last_txn_version(table: str, app_id: str) -> int:
                 for row in _checkpoint_rows(path):
                     t = row.get("txn")
                     if t and t.get("appId") == app_id:
-                        latest = max(latest, t.get("version") or -1)
+                        # version 0 is a legitimate epoch — no falsy `or`
+                        tv = t.get("version")
+                        latest = max(latest, -1 if tv is None else int(tv))
     for v in _list_commit_versions(table):
         with open(_commit_path(table, v)) as f:
             for line in f:
@@ -1029,6 +1084,10 @@ def _rebase_append(table: str, lost_version: int, partition_by: list[str]) -> in
         # would land rows the new contract forbids. delta-spark treats
         # any concurrent metadata change as non-retryable; match that.
         or cur["configuration"] != pre["configuration"]
+        # ... and neither do protocol upgrades: losing to a commit that
+        # added a writerFeature (rowTracking, ...) must re-run the
+        # writer gate, which a blind replay would skip
+        or cur["protocol"] != pre["protocol"]
     ):
         raise ConcurrentDeltaCommitError(
             f"append lost version {lost_version} to a commit that "
@@ -1122,10 +1181,7 @@ def _promote_staged(
     for dirpath, _dirs, names in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(dirpath, staging)
         segments = [] if rel_dir == "." else rel_dir.split(os.sep)
-        pvals = dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in segments)
-        )
+        pvals = _hive_pvals(rel_dir)
         if set(pvals) != set(partition_by):
             if any(n.endswith(".parquet") for n in names):
                 raise DeltaCorruptLogError(
@@ -1181,10 +1237,7 @@ def _write_change_data(
     for dirpath, _dirs, names in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(dirpath, staging)
         segments = [] if rel_dir == "." else rel_dir.split(os.sep)
-        pvals = dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in segments)
-        )
+        pvals = _hive_pvals(rel_dir)
         if set(pvals) != set(pcols):
             if any(n.endswith(".parquet") for n in names):
                 raise DeltaCorruptLogError(
@@ -1586,12 +1639,7 @@ def optimize_delta(
             by_dir.setdefault(os.path.dirname(f), []).append(f)
         for dirpath, files in sorted(by_dir.items()):
             rel_dir = os.path.relpath(dirpath, table)
-            pvals = dict(
-                (k, unquote(v))
-                for k, v in (
-                    seg.split("=", 1) for seg in rel_dir.split(os.sep)
-                )
-            )
+            pvals = _hive_pvals(rel_dir)
             if set(pvals) != set(pcols):
                 raise DeltaProtocolError(
                     f"partition directory {rel_dir!r} does not match "
@@ -1781,12 +1829,8 @@ def merge_delta(
     adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
-        rel_dir = os.path.relpath(os.path.dirname(path), table)
-        if rel_dir == ".":
-            return {}
-        return dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        return _hive_pvals(
+            os.path.relpath(os.path.dirname(path), table)
         )
 
     removes = [
@@ -2045,12 +2089,8 @@ def delete_delta(
         adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
-        rel_dir = os.path.relpath(os.path.dirname(path), table)
-        if rel_dir == ".":
-            return {}
-        return dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
+        return _hive_pvals(
+            os.path.relpath(os.path.dirname(path), table)
         )
 
     removes = [
@@ -2208,12 +2248,7 @@ def delete_delta_dv(
     cdc_actions: list[dict] = []
     if change_data:
         deleted = matched.select(
-            *[
-                F.col(fld.name).cast(fld.dataType).alias(fld.name)
-                if fld.name in pcols
-                else F.col(fld.name)
-                for fld in full.fields
-            ]
+            *_pcol_cast_cols(full, pcols)
         ).withColumn("_change_type", F.lit("delete"))
         cdc_actions = _write_change_data(table, deleted, version, pcols)
 
@@ -2222,13 +2257,7 @@ def delete_delta_dv(
         _file_uri(f): s for f, s in snap["file_stats"].items()
     }
     def _pvals(rel: str) -> dict[str, str]:
-        rel_dir = os.path.dirname(rel)
-        if not rel_dir:
-            return {}
-        return dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
-        )
+        return _hive_pvals(os.path.dirname(rel))
 
     removes: list[dict] = []
     adds: list[dict] = []
@@ -2377,13 +2406,7 @@ def restore_delta(
         )
 
     def _pvals(rel: str) -> dict[str, str]:
-        rel_dir = os.path.dirname(rel)
-        if not rel_dir:
-            return {}
-        return dict(
-            (k, unquote(v))
-            for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
-        )
+        return _hive_pvals(os.path.dirname(rel))
 
     cdc_actions: list[dict] = []
     if change_data and (to_add or to_remove):
@@ -2846,9 +2869,12 @@ def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
     # are reconstructable from it, so their JSON may go
     ckpt = None
     for v in range(floor, -1, -1):
-        if _checkpoint_files(table, v):
-            ckpt = v
-            break
+        try:
+            if _checkpoint_files(table, v):
+                ckpt = v
+                break
+        except DeltaCorruptLogError:
+            continue  # incomplete part set from a crashed publish
     if ckpt is None:
         return []
     deleted = []

@@ -161,8 +161,12 @@ def main() -> None:
     # makes nightly incremental dedup O(|delta|) at any corpus size.
     corpus_all, off_df = _incremental_corpus(docs)
     off = off_df.collect()[0]["off"]  # delta ids live in [off, 3*off)
+    # replicas offset by 10M below; a corpus big enough for the delta
+    # namespace to reach that would alias replica ids — refuse loudly
+    # rather than silently truncate the probe
+    assert 3 * off <= 10_000_000, f"corpus too large for replica ids ({off=})"
     delta = corpus_all.filter(
-        (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
+        (F.col("doc_id") >= off) & (F.col("doc_id") < 3 * off)
     )
     for tag, base_corpus in (
         ("x1", docs.select("doc_id", "text")),
@@ -174,7 +178,7 @@ def main() -> None:
         sigs, _ = _signatures_and_candidates(sh)
         bands = _band_rows(sigs)
         bands_new = bands.filter(
-            (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
+            (F.col("doc_id") >= off) & (F.col("doc_id") < 3 * off)
         )
         a, b = bands.alias("a"), bands_new.alias("b")
         probe_n = (

@@ -1337,11 +1337,14 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     got = sorted((r.id, r.v) for r in dc.read_delta(spark, table).collect())
     assert got == [(1, "a"), (2, "b")]
-    # an incomplete part set is a corrupt log, not a silent half-table
+    # an incomplete part set is a corrupt log, not a silent half-table:
+    # with no other checkpoint and no JSON the read refuses loudly
+    # (the incomplete set is SKIPPED, never half-read — round 6 made
+    # the skip fall back to older checkpoints/JSON when those exist)
     os.remove(
         os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
     )
-    with pytest.raises(dc.DeltaCorruptLogError, match="parts"):
+    with pytest.raises(dc.DeltaCorruptLogError):
         dc.read_delta(spark, table)
 
 
@@ -2809,3 +2812,113 @@ def test_txn_handshake_survives_log_cleanup(spark, tmp_path):
         table, txn=("app", 3),
     ) == -1
     assert dc.read_delta(spark, table).count() == n
+
+
+def test_txn_epoch_zero_survives_cleanup(spark, tmp_path, monkeypatch):
+    """Regression: the checkpoint txn fallback must not lose epoch 0 to
+    a falsy `or` — an app whose ONLY txn is version 0 still no-ops its
+    replay after the JSON log is truncated."""
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(dc, "_CHECKPOINT_INTERVAL", 10)
+    table = str(tmp_path / "txn0_tbl")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table,
+                    txn=("app0", 0))
+    v = 0
+    while v % 10 != 0 or v == 0:
+        v = dc.append_delta(
+            spark.range(v * 2, v * 2 + 2).select(F.col("id").alias("k")),
+            table,
+        )
+    n = dc.read_delta(spark, table).count()
+    assert dc.cleanup_log(table, keep_versions=0)
+    assert dc.last_txn_version(table, "app0") == 0
+    assert dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")), table,
+        txn=("app0", 0),
+    ) == -1
+    assert dc.read_delta(spark, table).count() == n
+
+
+def test_append_race_protocol_upgrade_refuses(spark, tmp_path, monkeypatch):
+    """Losing the version race to a PURE protocol upgrade (writer
+    feature added, no metaData change) must refuse the rebase — the
+    staged adds were validated under the old protocol."""
+    winner = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking"]}},
+        {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+    ]
+    with pytest.raises(dc.ConcurrentDeltaCommitError):
+        _race_append(spark, tmp_path, monkeypatch, winner, "race_proto")
+
+
+def test_incomplete_multipart_does_not_wedge_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed multi-part publish (partial part set, stale pointer)
+    must not wedge cleanup_log or the checkpoint scan: the partial
+    version is skipped and an older complete checkpoint stays
+    authoritative."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(dc, "_CHECKPOINT_PART_ACTIONS", 3)
+    table = str(tmp_path / "wedge_tbl")
+    v = -1
+    batch = 0
+    while v < 20:  # checkpoints at 10 and 20 (both multi-part)
+        v = dc.append_delta(
+            spark.range(batch * 2, batch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+        batch += 1
+    n = dc.read_delta(spark, table).count()
+    parts20 = sorted(glob.glob(os.path.join(
+        table, "_delta_log", f"{20:020d}.checkpoint.*.parquet")))
+    assert len(parts20) >= 2
+    os.remove(parts20[0])  # simulate the crashed publish
+    # pointer (v20) names an incomplete set: reads fall back to the
+    # complete v10 checkpoint + the JSON tail and stay correct
+    assert dc.read_delta(spark, table).count() == n
+    # cleanup_log likewise falls back to the complete v10 checkpoint
+    deleted = dc.cleanup_log(table, keep_versions=v - 10)
+    assert deleted == [f"{i:020d}.json" for i in range(10)]
+    assert dc.read_delta(spark, table).count() == n
+
+
+def test_column_mapping_id_mode_drift_refused(spark, tmp_path):
+    """Two id-mode files whose footers map the SAME field id to
+    DIFFERENT physical names must refuse the read — a single-schema
+    scan would silently return NULLs for the drifted file."""
+    table = str(tmp_path / "cm_drift_tbl")
+    os.makedirs(table, exist_ok=True)
+    for fname, cols in (("part-0.parquet", ("u1", "u2")),
+                        ("part-1.parquet", ("col-9x", "u2"))):
+        sch = pa.schema([
+            pa.field(cols[0], pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(cols[1], pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        pq.write_table(
+            pa.table({cols[0]: [1], cols[1]: ["a"]}, schema=sch),
+            os.path.join(table, fname),
+        )
+    _commit(
+        table,
+        0,
+        [
+            _PROTO_CM,
+            _mapped_meta("id"),
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "part-1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.read_delta(spark, table)

@@ -138,8 +138,9 @@ def test_incremental_probe_volume_corpus_invariant(spark):
     docs = load_table(spark, SMALL, "documents")
     corpus_all, off_df = _incremental_corpus(docs)
     off = off_df.collect()[0]["off"]  # delta ids live in [off, 3*off)
+    assert 3 * off <= 10_000_000  # replicas offset by 10M below
     delta = corpus_all.filter(
-        (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
+        (F.col("doc_id") >= off) & (F.col("doc_id") < 3 * off)
     )
     rot = "etaoinshrd"
     counts = {}
@@ -161,7 +162,7 @@ def test_incremental_probe_volume_corpus_invariant(spark):
         sigs, _ = _signatures_and_candidates(sh)
         bands = _band_rows(sigs)
         bands_new = bands.filter(
-            (F.col("doc_id") >= off) & (F.col("doc_id") < 10_000_000)
+            (F.col("doc_id") >= off) & (F.col("doc_id") < 3 * off)
         )
         a, b = bands.alias("a"), bands_new.alias("b")
         counts[times] = (
