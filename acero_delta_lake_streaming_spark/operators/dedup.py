@@ -700,6 +700,121 @@ def _x33_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# X34 — cross-document substring duplication (ExactSubstr-style pass)
+# --------------------------------------------------------------------------
+
+_X34_WIN = 8  # window length in words (Lee et al. use 50 tokens; the
+# fixture docs are short — the mechanics are length-independent)
+
+_WIN8_SPARK = (
+    "CASE WHEN size(w) >= 8 THEN "
+    "transform(sequence(0, size(w)-8), i -> concat_ws(' ', "
+    "w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7])) "
+    "ELSE array() END"
+)
+_WIN8_DUCK = (
+    "CASE WHEN len(w) >= 8 THEN "
+    "list_transform(range(1, len(w)-6), i -> "
+    "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || "
+    "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]) "
+    "ELSE [] END"
+)
+
+
+def x34_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SUBSTRING duplication — the ExactSubstr-style
+    pass of Lee et al.'s training-data dedup (arXiv:2107.06499): a span
+    copied between documents is invisible to document-level MinHash
+    (the rest of the texts differ) and to line dedup (the span needn't
+    be a whole line), but every 8-word window inside it collides. Per
+    document: total windows, windows shared with ANY other doc, and the
+    duplicated fraction in basis points — the signal production
+    pipelines use to cut or trim quoting/boilerplate spans.
+
+    Planted discrimination: every 9th doc gets a synthetic "quoting"
+    twin embedding its first 12 words inside fresh text — the pass must
+    flag exactly the 5 shared windows on both sides while pure-fresh
+    text sails through. Quote ids derive from max(doc_id)+1 (no fixed
+    offsets — the x30 lesson).
+
+    Scale shape: x19's count-join-filter lifted from lines to sliding
+    windows — ONE shuffle keyed on md5(window) (32-byte keys, never
+    window text), one doc_id rollup. Window volume is |words| per doc
+    (each word starts one window), so the pass is linear in corpus
+    tokens; never all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
+    quotes = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.concat(
+                F.lit("quoted passage follows here "),
+                F.array_join(
+                    F.slice(F.expr(_WORDS_SPARK), 1, 12), " "
+                ),
+                F.lit(" end of quote trailing fresh words"),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(quotes)
+    wins = (
+        corpus.withColumn("w", F.expr(_WORDS_SPARK))
+        .select("doc_id", F.explode(F.expr(_WIN8_SPARK)).alias("win"))
+        .select("doc_id", F.md5("win").alias("h"))
+        .distinct()
+    )
+    df_counts = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        wins.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+    )
+    return per_doc.filter(F.col("n_dup_windows") > 0).select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.expr("(10000 * n_dup_windows) DIV n_windows")
+        .cast("bigint")
+        .alias("dup_bp"),
+    )
+
+
+_X34_OFF_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
+
+_X34_SQL = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id + {_X34_OFF_SQL}, "
+    "'quoted passage follows here ' || "
+    f"list_aggr(list_slice({_WORDS_DUCK}, 1, 12), 'string_agg', ' ') || "
+    "' end of quote trailing fresh words' "
+    "FROM documents WHERE doc_id % 9 = 0), "
+    "wins AS (SELECT DISTINCT doc_id, md5(win) AS h FROM ("
+    f"SELECT doc_id, unnest({{win8}}) AS win FROM ("
+    f"SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus))), "
+    "dfc AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM wins "
+    "GROUP BY 1), "
+    "per_doc AS (SELECT w.doc_id, "
+    "CAST(count(*) AS BIGINT) AS n_windows, "
+    "CAST(sum(CASE WHEN dfc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_windows "
+    "FROM wins w JOIN dfc ON dfc.h = w.h GROUP BY 1) "
+    "SELECT doc_id, n_windows, n_dup_windows, "
+    "CAST((10000 * n_dup_windows) // n_windows AS BIGINT) AS dup_bp "
+    "FROM per_doc WHERE n_dup_windows > 0"
+).format(win8=_WIN8_DUCK)
+
+
+# --------------------------------------------------------------------------
 # X19 — corpus-level line dedup (boilerplate removal)
 # --------------------------------------------------------------------------
 
@@ -806,6 +921,7 @@ QUERIES = {
     "x2c_ngram_jaccard_pairs": x2c_ngram_jaccard_pairs,
     "x2d_dup_clusters": x2d_dup_clusters,
     "x33_canonical_dedup": x33_canonical_dedup,
+    "x34_substring_dedup": x34_substring_dedup,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -817,5 +933,6 @@ ORACLES = {
     "x2c_ngram_jaccard_pairs": _X2C_SQL,
     "x2d_dup_clusters": _x2d_sql(),
     "x33_canonical_dedup": _x33_sql(),
+    "x34_substring_dedup": _X34_SQL,
     "x19_line_dedup": _X19_SQL,
 }

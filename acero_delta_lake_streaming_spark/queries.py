@@ -73,21 +73,23 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-6 window: slots 1-11 are new or changed this round (s17b
+    # Round-6 window: slots 1-12 are new or changed this round (s17b
     # partitioned-DV delete, x3f IVF-SQ8, st16 full-outer stream join,
-    # x3g filtered ANN, x32 weighted sample, x33 canonical dedup, w14
-    # RFM segments) plus the three never-driver-recorded round-5
-    # stragglers (w13/s19/st15) and x30 (its delta-id namespace changed
-    # this round); slots 12-35 are the 24 r2-vintage re-proofs deferred
-    # from round 5 (this zeroes the r2-vintage backlog); slots 36-50
-    # take 15 of the 35 r3-proven queries (storage/streaming/dedup
-    # cores first — the 20 that don't fit lead the tail for round 7).
+    # x3g filtered ANN, x32 weighted sample, x33 canonical dedup, x34
+    # substring dedup, w14 RFM segments) plus the three never-driver-
+    # recorded round-5 stragglers (w13/s19/st15) and x30 (its delta-id
+    # namespace changed this round); slots 13-36 are the 24 r2-vintage
+    # re-proofs deferred from round 5 (this zeroes the r2-vintage
+    # backlog); slots 37-50 take 14 of the 35 r3-proven queries
+    # (storage/streaming cores first — the 21 that don't fit lead the
+    # tail for round 7).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
     # -- new or changed this round + never-recorded (1-11) --
     "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
     "st16_full_outer_join", "x3g_filtered_ann",
-    "x32_weighted_sample", "x33_canonical_dedup", "w14_rfm_segments",
+    "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
+    "w14_rfm_segments",
     "w13_stickiness",
     "st15_delta_cdf_follower", "s19_check_constraints",
     "x30_incremental_neardup",
@@ -107,10 +109,9 @@ _PRIORITY = [
     "s7_upsert_merge", "s8_delta_format_roundtrip", "s9_zorder_skipping",
     "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
     "st7_interval_join", "st8_stream_static_enrich",
-    "x2b_simhash_groups",
     # -- past the ~50 window, oldest driver proof first --
     # r3-proven remainder (leads the round-7 window):
-    "x2c_ngram_jaccard_pairs",
+    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs",
     "x2d_dup_clusters", "x3b_ann_lsh", "x3c_cosine_neardup",
     "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
     "x4e_bpe_token_stats", "x5b_decode_features", "x5c_frame_sample",

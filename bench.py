@@ -128,6 +128,7 @@ HEADLINE = [
     "x3g_filtered_ann",
     "x32_weighted_sample",
     "x33_canonical_dedup",
+    "x34_substring_dedup",
     "w14_rfm_segments",
 ]
 
