@@ -61,7 +61,14 @@ _JACCARD_THRESHOLD = 0.8
 
 def _near_dup_corpus(docs: DataFrame) -> DataFrame:
     """Fixture corpus + planted near-duplicates (docs ending in 0 get a
-    copy with 3 appended words → trigram Jaccard ≈ 0.93)."""
+    copy with 3 appended words → trigram Jaccard ≈ 0.93).
+
+    The fixed +1e6 id namespace is a FIXTURE device (valid while the
+    fixture corpus stays < 1M docs; the shipped SFs top out at 55k) —
+    it only names the planted rows, no operator filter keys on it.
+    Where an id threshold IS operator semantics (x30's delta probe,
+    x34's quote twins), the namespace derives from max(doc_id)+1
+    instead."""
     base = docs.select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
