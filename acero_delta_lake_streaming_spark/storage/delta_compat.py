@@ -824,23 +824,30 @@ def _read_with_dvs(
     ).select(_pcol_cast_cols(full, pcols))
 
 
-def streaming_sink(table: str, app_id: str):
+def streaming_sink(
+    table: str, app_id: str, partition_by: list[str] | None = None
+):
     """``foreachBatch`` function writing a stream into a REAL Delta
     table exactly-once: each epoch appends with ``txn=(app_id,
     epoch)``, so a crash-replayed micro-batch no-ops instead of
     double-appending — the interop twin of the deltalite medallion
     sink, for pipelines whose downstream readers are delta-rs /
-    delta-spark. Usage::
+    delta-spark. ``partition_by`` lands the stream in hive layout
+    (fixed at table creation, like any append). Usage::
 
         stream.writeStream.foreachBatch(
-            delta_compat.streaming_sink(path, "my-app")
+            delta_compat.streaming_sink(path, "my-app",
+                                        partition_by=["day"])
         )
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_delta(batch_df, table, txn=(app_id, epoch_id))
+        append_delta(
+            batch_df, table, txn=(app_id, epoch_id),
+            partition_by=partition_by,
+        )
 
     return write_batch
 

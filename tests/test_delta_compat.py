@@ -2922,3 +2922,26 @@ def test_column_mapping_id_mode_drift_refused(spark, tmp_path):
     )
     with pytest.raises(dc.DeltaProtocolError):
         dc.read_delta(spark, table)
+
+
+def test_streaming_sink_partitioned(spark, tmp_path):
+    """streaming_sink(partition_by=...) lands each epoch in hive layout
+    with the same exactly-once txn handshake; the partitioned read
+    recovers the partition column."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ssp_tbl")
+    sink = dc.streaming_sink(table, "ssp-app", partition_by=["p"])
+    df = spark.range(6).select(
+        F.col("id").alias("k"), F.concat(F.lit("p"), F.col("id") % 2).alias("p")
+    )
+    sink(df, 0)
+    sink(df, 0)  # replayed epoch: no-op
+    sink(spark.range(6, 9).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), F.col("id") % 2).alias("p")), 1)
+    out = dc.read_delta(spark, table)
+    assert out.count() == 9
+    assert out.filter("p = 'p0'").count() == 5
+    assert {os.path.basename(os.path.dirname(f))
+            for f in dc.snapshot(table)["files"]} == {"p=p0", "p=p1"}
