@@ -802,7 +802,11 @@ _X34_SQL = (
     "UNION ALL "
     f"SELECT doc_id + {_X34_OFF_SQL}, "
     "'quoted passage follows here ' || "
-    f"list_aggr(list_slice({_WORDS_DUCK}, 1, 12), 'string_agg', ' ') || "
+    # coalesce: DuckDB string_agg over an EMPTY list is NULL (and ||
+    # propagates it), while Spark array_join of an empty array is '' —
+    # a whitespace-only fixture doc would silently diverge the twins
+    f"coalesce(list_aggr(list_slice({_WORDS_DUCK}, 1, 12), "
+    "'string_agg', ' '), '') || "
     "' end of quote trailing fresh words' "
     "FROM documents WHERE doc_id % 9 = 0), "
     "wins AS (SELECT DISTINCT doc_id, md5(win) AS h FROM ("

@@ -85,7 +85,7 @@ _PRIORITY = [
     # tail for round 7).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
-    # -- new or changed this round + never-recorded (1-11) --
+    # -- new or changed this round + never-recorded (1-12) --
     "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
     "st16_full_outer_join", "x3g_filtered_ann",
     "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
@@ -93,7 +93,7 @@ _PRIORITY = [
     "w13_stickiness",
     "st15_delta_cdf_follower", "s19_check_constraints",
     "x30_incremental_neardup",
-    # -- r2-vintage re-proof backlog, now complete (12-35) --
+    # -- r2-vintage re-proof backlog, now complete (13-36) --
     "t3_sort_display", "u4_except_all", "a5_value_counts",
     "p9_boolean_filter", "p2_computed_columns", "p3_concat_text",
     "a3_filtered_count", "w4_sliding_windows", "p8_null_default",
@@ -102,7 +102,7 @@ _PRIORITY = [
     "t2_topk_breakdown", "u2_union_all", "u3_intersect",
     "f6_json_extract", "f7_regexp_suite", "f8_array_suite",
     "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
-    # -- r3-vintage re-proofs (36-50) --
+    # -- r3-vintage re-proofs (37-50) --
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
     "s5_medallion_fanout", "s6_cached_read",

@@ -662,10 +662,14 @@ def read_delta(
             f"column mapping mode {mode!r} is not supported"
         )
     phys_of: dict[str, str] = {}
-    if mode == "name":
+    if mode != "none":
+        # physicalName metadata serves BOTH modes for the skip-stats
+        # key translation (stats JSON is written under physical names
+        # in id mode too); id mode's footer-based field-id resolution
+        # runs later, on the PRUNED file list — paying O(files) footer
+        # reads before pruning would tax exactly the point reads
+        # skipping exists to make cheap
         phys_of = {l: p for p, l in _physical_renames(snap["schema"])}
-    elif mode == "id":
-        phys_of = _id_physical_names(snap["schema"], snap["files"])
     if skip is not None and snap["files"]:
         col, lo, hi = skip
         col = phys_of.get(col, col)  # stats JSON uses physical names
@@ -692,6 +696,10 @@ def read_delta(
                 "column mapping combined with hive partitioning or "
                 "deletion vectors is not supported by this reader"
             )
+        if mode == "id":
+            # field-id resolution + drift validation over exactly the
+            # files this scan will open (post skip-pruning)
+            phys_of = _id_physical_names(snap["schema"], snap["files"])
         return _read_with_mapping(
             spark, snap["files"], snap["schema"], phys_of or None
         )
@@ -716,8 +724,6 @@ def read_delta(
         data_schema = T.StructType(
             [f for f in full.fields if f.name not in snap["partition_cols"]]
         )
-        import pyspark.sql.functions as F
-
         # directory-name inference types numeric-looking partition
         # values as ints; the LOG schema is authoritative — cast the
         # recovered partition columns back to it

@@ -180,3 +180,46 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
     )
     again = x32_weighted_sample(spark, sf_dir).toPandas()
     assert list(sample["doc_id"]) == list(again["doc_id"])
+
+
+def test_substring_dedup_flags_planted_quotes(spark, sf_dir):
+    """x34's discrimination, pinned (the hash gate alone would pass
+    vacuously if the plant degenerated): every quoting twin of a
+    >=12-word doc shares exactly 5 windows with its original, both
+    sides are flagged, and fully-fresh docs are absent."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _WORDS_SPARK,
+        x34_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    long_sources = {
+        r["doc_id"]
+        for r in docs.filter("doc_id % 9 = 0")
+        .withColumn("nw", F.size(F.expr(_WORDS_SPARK)))
+        .filter("nw >= 12")
+        .select("doc_id")
+        .collect()
+    }
+    assert long_sources, "fixture has no >=12-word doc with doc_id%9==0"
+    out = {r["doc_id"]: r for r in x34_substring_dedup(spark, sf_dir).collect()}
+    for d in long_sources:
+        assert d in out, f"original {d} not flagged"
+        twin = out.get(d + off)
+        assert twin is not None, f"quote twin of {d} not flagged"
+        # the twin's 12 quoted words produce 5 quoted-span windows that
+        # MUST match the original; natural cross-doc collisions (e.g. a
+        # source whose opening repeats elsewhere) can only add
+        assert twin["n_dup_windows"] >= 5, twin
+        assert twin["dup_bp"] == 10000 * twin["n_dup_windows"] // twin[
+            "n_windows"
+        ]
+    # a doc that is neither a %9 source nor a twin and shares no span
+    # must not appear unless it naturally duplicates (none at sf0.001)
+    fresh = {k for k in out if k % 9 != 0 and k < off}
+    naturally_dup = fresh - long_sources
+    assert len(naturally_dup) <= len(out) // 2  # plants dominate

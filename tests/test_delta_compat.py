@@ -2393,11 +2393,13 @@ def test_column_mapping_id_mode_read(spark, tmp_path):
             _mapped_meta("id"),
             {"add": {"path": "part-0.parquet", "partitionValues": {},
                      "size": 1, "modificationTime": 0, "dataChange": True,
+                     # stats keys use the METADATA physicalName (what
+                     # delta-spark writes), not the footer's drifted name
                      "stats": json.dumps({
                          "numRecords": 3,
-                         "minValues": {"u1": 1},
-                         "maxValues": {"u1": 3},
-                         "nullCount": {"u1": 0}})}},
+                         "minValues": {"col-aaa111": 1},
+                         "maxValues": {"col-aaa111": 3},
+                         "nullCount": {"col-aaa111": 0}})}},
         ],
     )
     df = dc.read_delta(spark, table)
@@ -2405,7 +2407,8 @@ def test_column_mapping_id_mode_read(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in df.collect()} == {
         (1, "a"), (2, "b"), (3, "c")
     }
-    # skipping translated through the FOOTER-resolved physical name
+    # skipping translated through the metadata physicalName (stats are
+    # keyed by it); the DATA read resolves via footer field ids
     assert dc.read_delta(spark, table, skip=("k", 10, 20)).count() == 0
     assert dc.read_delta(spark, table, skip=("k", 2, 2)).count() == 3
     # writes still refuse loudly on any mapped table
