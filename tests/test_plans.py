@@ -502,3 +502,33 @@ def test_round6_addition_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the scalar reference day rides a broadcast (1-row side)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_dv_read_partition_prunes(spark, tmp_path):
+    """s17b's scale claim, plan-pinned: a partition predicate over the
+    DV-subtracting read reaches the parquet scan as a PartitionFilter —
+    merge-on-read must not cost the partition pruning that makes a
+    scoped read on a 100 TB table cheap."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage import delta_compat as dc
+
+    table = str(tmp_path / "dv_prune")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), (F.col("id") % 4)).alias("p"),
+    )
+    dc.append_delta(df, table, partition_by=["p"])
+    dc.delete_delta_dv(
+        spark, table,
+        spark.range(0, 200, 10).select(F.col("id").alias("k")), ["k"],
+    )
+    out = dc.read_delta(spark, table).filter("p = 'p1'")
+    plan = _physical(out)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and any(
+        "PartitionFilters" in ln and "p1" in ln for ln in scan
+    ), plan
+    assert out.count() == 50  # deleted keys are even; p1 holds odd k
