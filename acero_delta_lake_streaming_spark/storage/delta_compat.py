@@ -28,10 +28,13 @@ table feature — merge-on-read DELETE via ``delete_delta_dv``,
 DV-subtracting reads, OPTIMIZE purge, vacuum/restore awareness; see
 ``dvcodec``); column mapping reads in ``name`` mode (physical→logical
 rename, ``_read_with_mapping``) and ``id`` mode (parquet field-id
-resolution); writes to mapped tables, generated/identity columns, and
-unknown writer features refuse loudly (``_check_writer_protocol``).
-That covers every table the reference writes and the erasure path its
-tables would need at scale.
+resolution); column mapping WRITES on unpartitioned tables — the
+``name``-mode upgrade (``enable_column_mapping``), metadata-only
+``rename_column``, and mapped appends that land physical column names
+plus parquet field ids (so the table stays readable in BOTH modes);
+generated/identity columns and unknown writer features refuse loudly
+(``_check_writer_protocol``). That covers every table the reference
+writes and the erasure path its tables would need at scale.
 """
 
 from __future__ import annotations
@@ -268,8 +271,9 @@ def _check_writer_protocol(
     # 4: CDF + generated columns, 5: column mapping, 6: identity
     # columns). CHECK constraints, CDF and generated columns are
     # implemented (row-introducing writes validate via
-    # _enforce_generated); column-mapped writes refuse at the
-    # mapping-mode check in each verb; identity columns are declared
+    # _enforce_generated); column-mapped appends write physical names
+    # (rewriting verbs refuse at their mapping-mode checks); identity
+    # columns are declared
     # per-column — gate on actual presence so a version-bumped table
     # WITHOUT them stays writable.
     for f in json.loads(snap["schema"])["fields"]:
@@ -937,16 +941,27 @@ def append_delta(
     evolved_schema_json: str | None = None
     evolved_meta_id: str | None = None
     evolved_config: dict | None = None
+    mapping_mode = "none"
+    mapped_schema_json: str | None = None
     if version > 0:
         snap0 = snapshot(table)
         _check_writer_protocol(snap0, "append")
         evolved_meta_id = snap0.get("meta_id")
         evolved_config = dict(snap0.get("configuration") or {})
-        if _mapping_mode(snap0) != "none":
+        mapping_mode = _mapping_mode(snap0)
+        if mapping_mode not in ("none", "name"):
+            # id-mode resolution is per-footer field ids; this reader
+            # applies ONE physical schema across the file set, so an
+            # append into an id-mode table whose existing footers
+            # drifted from the metadata physicalName would make the
+            # table unreadable (id→name conflict). delta-spark only
+            # produces id mode outside the upgrade path anyway — writes
+            # stay scoped to name mode, reads cover both.
             raise DeltaProtocolError(
-                "appending to a column-mapped table is not supported "
-                "(this writer emits logical column names)"
+                f"appending to a column mapping mode {mapping_mode!r} "
+                "table is not supported (name-mode appends are)"
             )
+        mapped_schema_json = snap0["schema"]
         existing = snap0["partition_cols"]
         if existing != partition_by:
             raise DeltaProtocolError(
@@ -975,6 +990,15 @@ def append_delta(
             evolved_schema_json = merge_schemas(
                 table_schema, df.schema
             ).json()
+            if mapping_mode != "none":
+                # columns added to a mapped table get fresh ids from
+                # maxColumnId and col-<uuid> physical names (delta-spark's
+                # assignment) — a reused logical name must never collide
+                # with an old physical column in earlier files
+                evolved_schema_json, evolved_config = _assign_mapping_ids(
+                    evolved_schema_json, evolved_config
+                )
+            mapped_schema_json = evolved_schema_json
         else:
             # same column set: still refuse silent type drift
             from acero_delta_lake_streaming_spark.storage.deltalite import (
@@ -989,6 +1013,12 @@ def append_delta(
         # generated columns: new rows must equal their expressions
         _enforce_generated(df, table_generated_columns(snap0))
 
+    if mapping_mode != "none":
+        # the data files of a mapped table carry PHYSICAL column names
+        # (and the mapping id as parquet field id, so id-mode readers
+        # resolve too); everything above — schema checks, constraints,
+        # generated columns — ran on logical names, the user's surface
+        df = _to_physical(df, mapped_schema_json)
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -1065,6 +1095,54 @@ def append_delta(
             actions = actions_for_retry(actions)
     _publish_commit(table, version, actions)  # final attempt propagates
     return version
+
+
+def _assign_mapping_ids(schema_json: str, config: dict) -> tuple[str, dict]:
+    """Give every field lacking column-mapping metadata a fresh id
+    (continuing from ``delta.columnMapping.maxColumnId``) and a
+    ``col-<uuid>`` physical name — delta-spark's assignment for columns
+    added to a mapped table. Returns (schemaString, configuration) with
+    maxColumnId advanced."""
+    sch = json.loads(schema_json)
+    cfg = dict(config or {})
+    next_id = int(cfg.get("delta.columnMapping.maxColumnId", "0")) + 1
+    fields = []
+    for f in sch["fields"]:
+        meta = dict(f.get("metadata") or {})
+        if "delta.columnMapping.id" not in meta:
+            meta["delta.columnMapping.id"] = next_id
+            meta["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+            next_id += 1
+            f = dict(f, metadata=meta)
+        fields.append(f)
+    cfg["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+    return json.dumps({"type": "struct", "fields": fields}), cfg
+
+
+def _to_physical(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project a logical-named frame to the PHYSICAL column names a
+    mapped table's parquet files must carry. Each alias also attaches
+    the field's mapping id as ``parquet.field.id`` metadata — Spark
+    writes it into the footer (``spark.sql.parquet.fieldId.write.
+    enabled`` defaults on), so the emitted files satisfy name-mode AND
+    id-mode resolution. A pure projection: pushdown, partitioning and
+    the write plan are untouched."""
+    import pyspark.sql.functions as F
+
+    sch = json.loads(schema_json)
+    meta_of = {f["name"]: (f.get("metadata") or {}) for f in sch["fields"]}
+    cols = []
+    for c in df.columns:
+        m = meta_of[c]
+        cols.append(
+            F.col(c).alias(
+                m.get("delta.columnMapping.physicalName", c),
+                metadata={
+                    "parquet.field.id": int(m["delta.columnMapping.id"])
+                },
+            )
+        )
+    return df.select(cols)
 
 
 def actions_for_retry(actions: list[dict]) -> list[dict]:
@@ -1644,6 +1722,13 @@ def optimize_delta(
             "supported (clustering keys are logical names; the data "
             "files carry physical ones)"
         )
+    if _mapping_mode(snap) == "id":
+        raise DeltaProtocolError(
+            "OPTIMIZE on an id-mode column-mapped table is not "
+            "supported (a plain rewrite strips the parquet field ids "
+            "id-mode resolution depends on); name-mode tables compact "
+            "fine — physical names survive a raw-file rewrite"
+        )
 
     groups: list[tuple[list[str], dict[str, str]]] = []
     if pcols:
@@ -2004,6 +2089,190 @@ def add_constraint(
             }
         },
     ]
+    _publish_commit(table, version, actions)
+    return version
+
+
+def enable_column_mapping(table: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.columnMapping.mode' = 'name')`` — upgrade a table to
+    column mapping IN PLACE with one metadata-only commit, delta-spark's
+    only supported upgrade path (``id`` mode exists solely at creation
+    time in delta-spark; same here: upgrades produce ``name`` mode).
+
+    Every existing field gets ``delta.columnMapping.id`` (1..n, recorded
+    as ``delta.columnMapping.maxColumnId`` in the configuration) and
+    ``delta.columnMapping.physicalName`` = its CURRENT name — the
+    pre-upgrade data files were written under logical names, and pinning
+    physical = logical is exactly how delta-spark keeps them readable
+    without rewriting a byte (on a 100 TB table the upgrade stays
+    O(|schema|) metadata). Columns added or renamed afterwards get
+    ``col-<uuid>`` physical names, so future parquet files never collide
+    with a reused logical name.
+
+    The protocol is raised to what mapping demands: legacy tables move
+    to (minReader 2, minWriter 5); table-features protocols add the
+    ``columnMapping`` feature to both lists. Partitioned tables and
+    tables with live deletion vectors refuse (this module's mapped
+    reader scopes them out — an unreadable table must not be written)."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "enable_column_mapping")
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "column mapping is already enabled on this table"
+        )
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "enable_column_mapping on a partitioned table is not "
+            "supported (the mapped reader scopes out partitioned tables)"
+        )
+    if any(f in set(snap["files"]) for f in snap["file_dvs"]):
+        raise DeltaProtocolError(
+            "enable_column_mapping with live deletion vectors is not "
+            "supported; OPTIMIZE the table to apply+purge them first"
+        )
+    sch = json.loads(snap["schema"])
+    fields = []
+    for i, f in enumerate(sch["fields"], start=1):
+        nf = dict(f)
+        meta = dict(nf.get("metadata") or {})
+        meta["delta.columnMapping.id"] = i
+        meta["delta.columnMapping.physicalName"] = f["name"]
+        nf["metadata"] = meta
+        fields.append(nf)
+    cfg = dict(snap.get("configuration") or {})
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
+    p = snap.get("protocol") or {}
+    r = p.get("minReaderVersion", 1)
+    w = p.get("minWriterVersion", 2)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if w == 7 or r == 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(p.get("readerFeatures") or [])
+                        | {"columnMapping"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(p.get("writerFeatures") or [])
+                        | {"columnMapping"}
+                    ),
+                }
+            }
+        )
+    elif r < 2 or w < 5:
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.columnMapping.mode": "name"}
+                    )
+                },
+            }
+        }
+    )
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` — the operation
+    column mapping exists for: one metadata-only commit changes the
+    LOGICAL name while ``delta.columnMapping.physicalName`` (what the
+    parquet files actually store) and the field id stay fixed, so zero
+    data files rewrite and every earlier version still time-travels
+    under its old schema. O(|schema|) driver metadata at any table size.
+
+    Refuses on unmapped tables (without mapping, a rename would orphan
+    every file's columns — delta-spark refuses identically), on logical
+    name collisions, and when the old name is referenced by stored SQL
+    text the engine enforces (CHECK constraints, generation
+    expressions) — delta-spark's dependency rule, since the stored
+    expression text would silently stop matching rows."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "rename_column")
+    if _mapping_mode(snap) == "none":
+        raise DeltaProtocolError(
+            "rename_column requires column mapping; run "
+            "enable_column_mapping first"
+        )
+    sch = json.loads(snap["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if old not in names:
+        raise DeltaProtocolError(f"no such column {old!r}")
+    if new in names:
+        raise DeltaProtocolError(f"column {new!r} already exists")
+    if old in (snap["partition_cols"] or []):
+        raise DeltaProtocolError(
+            f"cannot rename partition column {old!r}"
+        )
+    import re as _re
+
+    ref = _re.compile(rf"\b{_re.escape(old)}\b", _re.IGNORECASE)
+    for cname, expr in table_constraints(snap).items():
+        if ref.search(expr):
+            raise DeltaProtocolError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r}; drop the constraint first"
+            )
+    for col, expr in table_generated_columns(snap).items():
+        if col == old or ref.search(expr):
+            raise DeltaProtocolError(
+                f"column {old!r} participates in the generation "
+                f"expression of {col!r}"
+            )
+    fields = [
+        dict(f, name=new) if f["name"] == old else f for f in sch["fields"]
+    ]
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+            }
+        },
+    ]
+    version = snap["version"] + 1
     _publish_commit(table, version, actions)
     return version
 

@@ -1117,6 +1117,89 @@ _S19_SQL = (
 )
 
 
+def s20_column_mapping_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 — the COLUMN MAPPING write lifecycle on the real Delta
+    format: seed a plain table, upgrade it in place
+    (``enable_column_mapping`` — delta-spark's
+    ``'delta.columnMapping.mode' = 'name'`` TBLPROPERTIES flip, one
+    metadata commit, zero files rewritten), ``RENAME COLUMN
+    o_totalprice TO price`` (metadata-only — the reason mapping exists:
+    on a 100 TB table a rename must not touch a byte of data), append a
+    second batch under the NEW logical name (the files land under the
+    original PHYSICAL name + parquet field ids), then evolve the schema
+    with a third batch adding ``o_orderpriority`` (fresh mapping id,
+    ``col-<uuid>`` physical name).
+
+    The result certifies the whole ladder at once: part ``final`` reads
+    the latest snapshot (all three batches under the renamed column,
+    priority null-filled for pre-evolution files), part ``v1``
+    time-travels to the post-upgrade/pre-rename version, proving the
+    old logical schema (and only the seed rows) are still what that
+    version serves. The oracle replays both populations from the
+    fixtures — column mapping must be invisible to the VALUES a reader
+    gets, at every version."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s20_orders_mapped")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 0").drop("o_orderpriority"), table
+    )
+    v1 = delta_compat.enable_column_mapping(table)
+    delta_compat.rename_column(table, "o_totalprice", "price")
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 1")
+        .drop("o_orderpriority")
+        .withColumnRenamed("o_totalprice", "price"),
+        table,
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 2")
+        .withColumnRenamed("o_totalprice", "price"),
+        table,
+        merge_schema=True,
+    )
+
+    def _agg(df):
+        return df.groupBy("part", "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.count("o_orderpriority").cast("bigint").alias("npri"),
+        )
+
+    final = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("final")
+    )
+    pre_rename = (
+        delta_compat.read_delta(spark, table, version=v1)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("o_orderpriority", F.lit(None).cast("string"))
+        .withColumn("part", F.lit("v1"))
+    )
+    return _agg(final).unionByName(_agg(pre_rename))
+
+
+_S20_SQL = (
+    "WITH fin AS ("
+    "SELECT 'final' AS part, o_orderstatus, o_orderkey, o_totalprice, "
+    "CASE WHEN o_orderkey % 3 = 2 THEN o_orderpriority END AS pri "
+    "FROM orders "
+    "UNION ALL SELECT 'v1', o_orderstatus, o_orderkey, o_totalprice, "
+    "NULL FROM orders WHERE o_orderkey % 3 = 0) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents, CAST(count(pri) AS BIGINT) AS npri "
+    "FROM fin GROUP BY 1, 2"
+)
+
+
 def dq3_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ3 — data-quality DRIFT between table versions: the per-column
     profile (rows, distincts, exact min/max cents) computed at VERSION
@@ -1461,6 +1544,7 @@ QUERIES = {
     "s18_shallow_clone": s18_shallow_clone,
     "dq3_profile_drift": dq3_profile_drift,
     "s19_check_constraints": s19_check_constraints,
+    "s20_column_mapping_writes": s20_column_mapping_writes,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1489,6 +1573,7 @@ ORACLES = {
     "s18_shallow_clone": _S18_SQL,
     "dq3_profile_drift": _DQ3_SQL,
     "s19_check_constraints": _S19_SQL,
+    "s20_column_mapping_writes": _S20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -1640,20 +1640,23 @@ def test_column_mapping_unknown_mode_refused(spark, tmp_path):
         dc.read_delta(spark, table)
 
 
-def test_column_mapped_writes_refused(spark, tmp_path):
-    """This writer emits logical names; every mutating verb must refuse
-    a mapped table rather than corrupt it."""
+def test_column_mapped_rewrites_refused_appends_work(spark, tmp_path):
+    """Rewriting verbs (MERGE, DV delete) still refuse a mapped table —
+    they tag rows by input_file_name and would emit logical-named
+    files. APPENDS are supported since round 6: the append lands under
+    the table's PHYSICAL names and the read keeps resolving."""
     import pyspark.sql.functions as F
 
     table = _seed_mapped_table(spark, tmp_path)
-    df = spark.range(5).select(F.col("id").alias("k"),
-                               F.lit("x").alias("v"))
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.append_delta(df, table)
+    df = spark.range(7, 9).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("v"))
     with pytest.raises(dc.DeltaProtocolError):
         dc.merge_delta(spark, table, df, ["k"])
     with pytest.raises(dc.DeltaProtocolError):
         dc.delete_delta_dv(spark, table, df.select("k"), ["k"])
+    dc.append_delta(df, table)
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (7, "x"), (8, "x")}
 
 
 def test_timestamp_as_of(spark, tmp_path):
@@ -2948,3 +2951,235 @@ def test_streaming_sink_partitioned(spark, tmp_path):
     assert out.filter("p = 'p0'").count() == 5
     assert {os.path.basename(os.path.dirname(f))
             for f in dc.snapshot(table)["files"]} == {"p=p0", "p=p1"}
+
+
+# --------------------------------------------------------------------------
+# round 6: column-mapping WRITES — upgrade, rename, mapped appends
+# --------------------------------------------------------------------------
+
+
+def _fresh_kv_table(spark, tmp_path, name="cmw_tbl"):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / name)
+    dc.append_delta(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        table,
+    )
+    return table
+
+
+def test_enable_column_mapping_metadata_only_upgrade(spark, tmp_path):
+    """enable_column_mapping is one metadata commit: protocol rises to
+    (2, 5), every field gets id + physicalName = its CURRENT name (the
+    delta-spark upgrade rule that keeps pre-upgrade files readable with
+    zero rewrites), maxColumnId lands in the configuration, and the
+    data file set is byte-identical."""
+    table = _fresh_kv_table(spark, tmp_path)
+    files_before = sorted(dc.snapshot(table)["files"])
+    v = dc.enable_column_mapping(table)
+    snap = dc.snapshot(table)
+    assert v == snap["version"] == 1
+    assert sorted(snap["files"]) == files_before
+    assert snap["protocol"] == {"minReaderVersion": 2,
+                                "minWriterVersion": 5}
+    cfg = snap["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    assert cfg["delta.columnMapping.maxColumnId"] == "2"
+    fields = json.loads(snap["schema"])["fields"]
+    assert [f["metadata"]["delta.columnMapping.physicalName"]
+            for f in fields] == ["k", "v"]
+    assert [f["metadata"]["delta.columnMapping.id"] for f in fields] == [1, 2]
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(i, i * 10) for i in range(5)}
+
+
+def test_enable_column_mapping_refusals(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    with pytest.raises(dc.DeltaProtocolError, match="already enabled"):
+        dc.enable_column_mapping(table)
+    ptable = str(tmp_path / "cmw_part")
+    dc.append_delta(
+        spark.range(4).select(F.col("id").alias("k"),
+                              (F.col("id") % 2).cast("string").alias("p")),
+        ptable, partition_by=["p"],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
+        dc.enable_column_mapping(ptable)
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    """RENAME COLUMN changes the logical name in one commit — no data
+    file touched — and time travel before the rename still reads the
+    OLD logical schema (each version's metaData is authoritative)."""
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    files_before = sorted(dc.snapshot(table)["files"])
+    v = dc.rename_column(table, "v", "value")
+    assert sorted(dc.snapshot(table)["files"]) == files_before
+    now = dc.read_delta(spark, table)
+    assert now.columns == ["k", "value"]
+    assert {(r["k"], r["value"]) for r in now.collect()} == {
+        (i, i * 10) for i in range(5)
+    }
+    old = dc.read_delta(spark, table, version=v - 1)
+    assert old.columns == ["k", "v"]
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    table = _fresh_kv_table(spark, tmp_path)
+    with pytest.raises(dc.DeltaProtocolError, match="requires column"):
+        dc.rename_column(table, "v", "value")
+    dc.enable_column_mapping(table)
+    with pytest.raises(dc.DeltaProtocolError, match="already exists"):
+        dc.rename_column(table, "v", "k")
+    with pytest.raises(dc.DeltaProtocolError, match="no such column"):
+        dc.rename_column(table, "zz", "value")
+    dc.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(dc.DeltaProtocolError, match="CHECK constraint"):
+        dc.rename_column(table, "v", "value")
+    # a column NOT referenced by the constraint still renames
+    dc.rename_column(table, "k", "key")
+    assert dc.read_delta(spark, table).columns == ["key", "v"]
+
+
+def test_mapped_append_physical_names_and_field_ids(spark, tmp_path):
+    """An append after a rename lands files whose footers carry the
+    ORIGINAL physical column names plus parquet field ids — so the
+    table keeps reading in name mode (and would resolve under id-mode
+    field-id rules too), and data skipping on the renamed logical
+    column translates to the physical stats key."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "value")
+    v = dc.append_delta(
+        spark.range(5, 8).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("value")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    new_files = [f for f in snap["files"]
+                 if os.path.basename(f).startswith(f"part-{v:05d}")]
+    assert new_files
+    for f in new_files:
+        sch = pq.read_schema(f)
+        assert sch.names == ["k", "v"]  # physical names, not logical
+        ids = {sch.field(i).name:
+               (sch.field(i).metadata or {}).get(b"PARQUET:field_id")
+               for i in range(len(sch.names))}
+        assert ids == {"k": b"1", "v": b"2"}
+        # stats keyed by the PHYSICAL name (empty split parts carry
+        # empty stats — nothing to key)
+        st = json.loads(snap["file_stats"][f])
+        if st["numRecords"]:
+            assert "v" in st["minValues"]
+            assert "value" not in st["minValues"]
+    got = {(r["k"], r["value"])
+           for r in dc.read_delta(spark, table).collect()}
+    assert got == {(i, i * 10) for i in range(8)}
+    # logical-name skipping through the rename: value ∈ [0, 20] keeps
+    # only the first file's range
+    kept = dc.read_delta(spark, table, skip=("value", 50, 70))
+    assert {r["k"] for r in kept.collect()} == {5, 6, 7}
+
+
+def test_mapped_append_schema_evolution_assigns_fresh_ids(spark, tmp_path):
+    """merge_schema on a mapped table gives the NEW column the next
+    mapping id and a col-<uuid> physical name (never the logical name —
+    a later rename could otherwise collide with old footers), bumps
+    maxColumnId, and earlier files read NULL for it."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.append_delta(
+        spark.range(5, 7).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("v"),
+                                 F.lit("x").alias("tag")),
+        table, merge_schema=True,
+    )
+    snap = dc.snapshot(table)
+    assert snap["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    tag = [f for f in json.loads(snap["schema"])["fields"]
+           if f["name"] == "tag"][0]
+    assert tag["metadata"]["delta.columnMapping.id"] == 3
+    assert tag["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    rows = {(r["k"], r["tag"])
+            for r in dc.read_delta(spark, table).collect()}
+    assert rows == {(i, None) for i in range(5)} | {(5, "x"), (6, "x")}
+    # and the evolved column renames like any other
+    dc.rename_column(table, "tag", "label")
+    assert dc.read_delta(spark, table).columns == ["k", "v", "label"]
+
+
+def test_mapped_append_id_mode_refused(spark, tmp_path):
+    """id-mode resolution is per-footer; a single-schema append into a
+    drifted id-mode table would corrupt readability — refuse."""
+    import pyspark.sql.functions as F
+
+    table = _seed_mapped_table(spark, tmp_path, mode="id")
+    with pytest.raises(dc.DeltaProtocolError, match="'id'"):
+        dc.append_delta(
+            spark.range(2).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("v")),
+            table,
+        )
+
+
+def test_mapped_table_compaction_preserves_physical_names(spark, tmp_path):
+    """Plain OPTIMIZE on a name-mapped table is safe — the raw-file
+    rewrite keeps physical column names, stats re-key physically, and
+    the mapped read stays identical; id-mode compaction refuses (the
+    rewrite would strip field ids)."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "value")
+    dc.append_delta(
+        spark.range(5, 8).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("value")),
+        table,
+    )
+    before = {(r["k"], r["value"])
+              for r in dc.read_delta(spark, table).collect()}
+    dc.optimize_delta(spark, table)
+    snap = dc.snapshot(table)
+    assert len(snap["files"]) == 1
+    assert pq.read_schema(snap["files"][0]).names == ["k", "v"]
+    after = {(r["k"], r["value"])
+             for r in dc.read_delta(spark, table).collect()}
+    assert after == before
+    id_table = _seed_mapped_table(spark, tmp_path, mode="id")
+    with pytest.raises(dc.DeltaProtocolError, match="id-mode"):
+        dc.optimize_delta(spark, id_table)
+
+
+def test_mapped_append_constraint_enforced_on_logical_names(spark, tmp_path):
+    """CHECK constraints written against LOGICAL names keep gating
+    mapped appends — enforcement runs before the physical projection."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(dc.DeltaConstraintViolation):
+        dc.append_delta(
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.lit(-5).cast("long").alias("v")),
+            table,
+        )
+    dc.append_delta(
+        spark.range(9, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("v")),
+        table,
+    )
+    assert dc.read_delta(spark, table).count() == 6
