@@ -2277,6 +2277,81 @@ def rename_column(table: str, old: str, new: str) -> int:
     return version
 
 
+def drop_column(table: str, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` — metadata-only, like rename
+    (and like rename it REQUIRES column mapping: without it the scan
+    schema is the parquet footer schema and a drop would need a data
+    rewrite). The field leaves the logical schema in one commit; its
+    physical column stays in every data file, invisible to readers
+    (this module's mapped scan projects exactly the log schema's
+    fields), and time travel before the drop still serves it.
+
+    Because ``delta.columnMapping.maxColumnId`` never decrements, a
+    column later re-added under the SAME logical name gets a fresh id
+    and a ``col-<uuid>`` physical name — the old values do NOT
+    resurrect. That non-resurrection rule is the whole reason dropped
+    physical names are never reused, and it is what the s20b oracle
+    certifies. Refuses on the last remaining column, partition columns,
+    and names referenced by CHECK constraints or generation
+    expressions (delta-spark's dependency rule)."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "drop_column")
+    if _mapping_mode(snap) == "none":
+        raise DeltaProtocolError(
+            "drop_column requires column mapping; run "
+            "enable_column_mapping first"
+        )
+    sch = json.loads(snap["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if col not in names:
+        raise DeltaProtocolError(f"no such column {col!r}")
+    if len(names) == 1:
+        raise DeltaProtocolError("cannot drop the last column")
+    if col in (snap["partition_cols"] or []):
+        raise DeltaProtocolError(f"cannot drop partition column {col!r}")
+    import re as _re
+
+    ref = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    for cname, expr in table_constraints(snap).items():
+        if ref.search(expr):
+            raise DeltaProtocolError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{cname!r}; drop the constraint first"
+            )
+    for gcol, expr in table_generated_columns(snap).items():
+        if gcol == col or ref.search(expr):
+            raise DeltaProtocolError(
+                f"column {col!r} participates in the generation "
+                f"expression of {gcol!r}"
+            )
+    fields = [f for f in sch["fields"] if f["name"] != col]
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": json.dumps([col])},
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
 def _refuse_live_dvs(snap: dict, table: str, op: str) -> None:
     """Copy-on-write rewrites tag rows with ``input_file_name()``, which
     is not reliable through the DV anti-join plan — and a raw-file

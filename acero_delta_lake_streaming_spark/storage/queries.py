@@ -1200,6 +1200,68 @@ _S20_SQL = (
 )
 
 
+def s20b_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20b — DROP COLUMN without data rewrite, and the
+    NON-RESURRECTION rule: seed a 4-column table, upgrade to column
+    mapping, ``DROP COLUMN o_orderpriority`` (metadata-only — the
+    physical column stays in every file, invisible), then re-add the
+    SAME logical name via a merge_schema append of the odd-keyed half.
+
+    The re-added column gets a fresh mapping id and a ``col-<uuid>``
+    physical name, so the seed rows MUST read NULL for it — if the old
+    physical column leaked back, ``npri`` for the seed half would jump
+    from 0 to n and the hash gate would catch it. Part ``pre_drop``
+    time-travels to the post-upgrade version where the original
+    priorities are still served. Metadata verbs at 100 TB: the drop and
+    the re-add each touch O(|schema|) bytes of log, never a data file."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s20b_orders_dropcol")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    v1 = delta_compat.enable_column_mapping(table)
+    delta_compat.drop_column(table, "o_orderpriority")
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1"), table, merge_schema=True
+    )
+
+    def _agg(df):
+        return df.groupBy("part", "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.count("o_orderpriority").cast("bigint").alias("npri"),
+        )
+
+    final = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("final")
+    )
+    pre_drop = delta_compat.read_delta(spark, table, version=v1).withColumn(
+        "part", F.lit("pre_drop")
+    )
+    return _agg(final).unionByName(_agg(pre_drop))
+
+
+_S20B_SQL = (
+    "WITH u AS ("
+    "SELECT 'final' AS part, o_orderstatus, o_orderkey, o_totalprice, "
+    "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri "
+    "FROM orders "
+    "UNION ALL SELECT 'pre_drop', o_orderstatus, o_orderkey, "
+    "o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents, CAST(count(pri) AS BIGINT) AS npri "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 def dq3_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ3 — data-quality DRIFT between table versions: the per-column
     profile (rows, distincts, exact min/max cents) computed at VERSION
@@ -1545,6 +1607,7 @@ QUERIES = {
     "dq3_profile_drift": dq3_profile_drift,
     "s19_check_constraints": s19_check_constraints,
     "s20_column_mapping_writes": s20_column_mapping_writes,
+    "s20b_drop_column": s20b_drop_column,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1574,6 +1637,7 @@ ORACLES = {
     "dq3_profile_drift": _DQ3_SQL,
     "s19_check_constraints": _S19_SQL,
     "s20_column_mapping_writes": _S20_SQL,
+    "s20b_drop_column": _S20B_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

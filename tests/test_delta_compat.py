@@ -3183,3 +3183,53 @@ def test_mapped_append_constraint_enforced_on_logical_names(spark, tmp_path):
         table,
     )
     assert dc.read_delta(spark, table).count() == 6
+
+
+def test_drop_column_metadata_only_no_resurrection(spark, tmp_path):
+    """DROP COLUMN is one metadata commit (file set untouched); a
+    column re-added under the same logical name maps to a FRESH
+    physical name, so the dropped values never resurrect — the seed
+    rows read NULL while pre-drop time travel still serves them."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    v_up = dc.enable_column_mapping(table)
+    files_before = sorted(dc.snapshot(table)["files"])
+    dc.drop_column(table, "v")
+    assert sorted(dc.snapshot(table)["files"]) == files_before
+    assert dc.read_delta(spark, table).columns == ["k"]
+    # re-add logical 'v' via evolution: fresh id, col-<uuid> physical
+    dc.append_delta(
+        spark.range(5, 7).select(F.col("id").alias("k"),
+                                 (F.col("id") * 100).alias("v")),
+        table, merge_schema=True,
+    )
+    snap = dc.snapshot(table)
+    vf = [f for f in json.loads(snap["schema"])["fields"]
+          if f["name"] == "v"][0]
+    assert vf["metadata"]["delta.columnMapping.id"] == 3
+    assert vf["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    rows = {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()}
+    assert rows == {(i, None) for i in range(5)} | {(5, 500), (6, 600)}
+    old = dc.read_delta(spark, table, version=v_up)
+    assert {(r["k"], r["v"]) for r in old.collect()} == {
+        (i, i * 10) for i in range(5)
+    }
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    table = _fresh_kv_table(spark, tmp_path)
+    with pytest.raises(dc.DeltaProtocolError, match="requires column"):
+        dc.drop_column(table, "v")
+    dc.enable_column_mapping(table)
+    with pytest.raises(dc.DeltaProtocolError, match="no such column"):
+        dc.drop_column(table, "zz")
+    dc.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(dc.DeltaProtocolError, match="CHECK constraint"):
+        dc.drop_column(table, "v")
+    dc.drop_column(table, "k")  # unreferenced column drops fine
+    with pytest.raises(dc.DeltaProtocolError, match="last column"):
+        dc.drop_column(table, "v")
