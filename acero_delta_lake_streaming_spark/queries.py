@@ -73,24 +73,25 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-6 window: slots 1-14 are new or changed this round (s17b
+    # Round-6 window: slots 1-15 are new or changed this round (s17b
     # partitioned-DV delete, x3f IVF-SQ8, st16 full-outer stream join,
     # x3g filtered ANN, x32 weighted sample, x33 canonical dedup, x34
     # substring dedup, w14 RFM segments, s20/s20b column-mapping
-    # writes + DROP COLUMN) plus the three never-driver-recorded
-    # round-5 stragglers (w13/s19/st15) and x30 (its delta-id
-    # namespace changed this round); slots 15-38 are the 24 r2-vintage
-    # re-proofs deferred from round 5 (this zeroes the r2-vintage
-    # backlog); slots 39-50 take 12 of the 35 r3-proven queries
-    # (storage/streaming cores first — the 23 that don't fit lead the
-    # tail for round 7).
+    # writes + DROP COLUMN, s21 v2-checkpoint writer) plus the three
+    # never-driver-recorded round-5 stragglers (w13/s19/st15) and x30
+    # (its delta-id namespace changed this round); slots 16-39 are the
+    # 24 r2-vintage re-proofs deferred from round 5 (this zeroes the
+    # r2-vintage backlog); slots 40-50 take 11 of the 35 r3-proven
+    # queries (storage/streaming cores first — the 24 that don't fit
+    # lead the tail for round 7).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
-    # -- new or changed this round + never-recorded (1-14) --
+    # -- new or changed this round + never-recorded (1-15) --
     "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
     "st16_full_outer_join", "x3g_filtered_ann",
     "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
     "w14_rfm_segments", "s20_column_mapping_writes", "s20b_drop_column",
+    "s21_v2_checkpoint",
     "w13_stickiness",
     "st15_delta_cdf_follower", "s19_check_constraints",
     "x30_incremental_neardup",

@@ -196,9 +196,10 @@ def _checkpoint_version(table: str, max_version: int | None) -> int | None:
 #: table features this reader implements (see ``dvcodec``,
 #: ``_read_with_mapping`` and the V2 manifest/sidecar replay in
 #: ``_replay_checkpoint``); any other advertised reader feature still
-#: refuses loudly. v2Checkpoint is READ-ONLY here: it is deliberately
-#: absent from ``_SUPPORTED_WRITER_FEATURES`` because a writer on such
-#: a table must emit V2 checkpoints, which this writer does not.
+#: refuses loudly. v2Checkpoint is read AND written since round 6:
+#: ``_write_checkpoint`` emits the UUID-named manifest + sidecar form
+#: whenever the table's protocol advertises the feature (the spec's
+#: obligation on writers), so v2 tables are writable here.
 _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
@@ -229,8 +230,8 @@ def _check_protocol(action: dict) -> None:
 #: because the hazards they name are gated on actual presence below
 #: (a declared column invariant refuses; delta.appendOnly=true refuses
 #: data-removing verbs). Everything else (identityColumns, rowTracking,
-#: v2Checkpoint, ...) refuses — the Delta protocol requires writers to
-#: reject writerFeatures they do not implement.
+#: ...) refuses — the Delta protocol requires writers to reject
+#: writerFeatures they do not implement.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -243,6 +244,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # its generation expression (_enforce_generated); all other verbs
     # preserve row values, which satisfies the expressions trivially
     "generatedColumns",
+    # honored: on v2Checkpoint tables _write_checkpoint emits the
+    # UUID-named manifest + sidecar form the feature obliges writers to
+    "v2Checkpoint",
 }
 
 
@@ -1560,7 +1564,14 @@ def _write_checkpoint(table: str, version: int) -> None:
             }
         )
     ptr_extra: dict = {}
-    if len(rows) <= _CHECKPOINT_PART_ACTIONS:
+    feats = set((protocol or {}).get("readerFeatures") or []) | set(
+        (protocol or {}).get("writerFeatures") or []
+    )
+    if "v2Checkpoint" in feats:
+        # the feature OBLIGES writers to emit the V2 form — a classic
+        # checkpoint on a v2 table would violate the table's contract
+        _publish_v2_checkpoint(table, version, rows, schema)
+    elif len(rows) <= _CHECKPOINT_PART_ACTIONS:
         tbl = pa.Table.from_pylist(rows, schema=schema)
         ckpt_path = os.path.join(
             _log_dir(table), f"{version:020d}.checkpoint.parquet"
@@ -1604,6 +1615,159 @@ def _write_checkpoint(table: str, version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp_ptr, ptr)
+
+
+def _publish_v2_checkpoint(
+    table: str, version: int, rows: list[dict], schema
+) -> None:
+    """V2-spec checkpoint publish: the file actions land in one or more
+    sidecar parquet files under ``_delta_log/_sidecars/`` (chunked at
+    ``_CHECKPOINT_PART_ACTIONS`` — the same driver-memory bound as the
+    classic multi-part form) and a UUID-named manifest
+    (``{v}.checkpoint.{uuid}.parquet``) carries protocol/metaData/txn
+    plus ``checkpointMetadata`` and the ``sidecar`` references.
+    Sidecars publish BEFORE the manifest: the reader refuses a manifest
+    whose sidecar is missing, so a crash between the two leaves the
+    previous checkpoint authoritative — the same durability contract as
+    the multi-part rename publish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    top_rows = [r for r in rows if "add" not in r]
+    add_rows = [r for r in rows if "add" in r]
+    sc_dir = os.path.join(_log_dir(table), "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    sc_schema = pa.schema([schema.field("add")])
+    n_parts = max(1, -(-len(add_rows) // _CHECKPOINT_PART_ACTIONS))
+    per = -(-len(add_rows) // n_parts) if add_rows else 1
+    sidecar_names: list[str] = []
+    staged: list[tuple[str, str]] = []
+    for i in range(n_parts):
+        part = add_rows[i * per:(i + 1) * per]
+        name = f"{uuid.uuid4()}.parquet"
+        path = os.path.join(sc_dir, name)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(part, schema=sc_schema), tmp)
+        staged.append((tmp, path))
+        sidecar_names.append(name)
+    for tmp, path in staged:
+        os.rename(tmp, path)
+    m_schema = pa.schema(
+        [
+            schema.field("protocol"),
+            schema.field("metaData"),
+            schema.field("txn"),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    m_rows = list(top_rows)
+    m_rows.append({"checkpointMetadata": {"version": version}})
+    for name in sidecar_names:
+        full = os.path.join(sc_dir, name)
+        m_rows.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(full),
+                    "modificationTime": int(
+                        os.path.getmtime(full) * 1000
+                    ),
+                }
+            }
+        )
+    manifest = os.path.join(
+        _log_dir(table),
+        f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+    )
+    tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(m_rows, schema=m_schema), tmp)
+    os.rename(tmp, manifest)
+
+
+def enable_v2_checkpoints(table: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` protocol upgrade to the
+    ``v2Checkpoint`` table feature: one protocol commit moving the
+    table to (minReader 3, minWriter 7) with the feature in BOTH lists.
+    Legacy-implied features ride along (the Delta rule for
+    table-features upgrades: a version-5 table's implicit capabilities
+    — appendOnly, invariants, checkConstraints, changeDataFeed,
+    generatedColumns, columnMapping — become explicit flags, so no
+    capability is silently dropped). From the next checkpoint on,
+    ``_write_checkpoint`` emits the manifest + sidecar form."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "enable_v2_checkpoints")
+    p = snap.get("protocol") or {}
+    r = p.get("minReaderVersion", 1)
+    w = p.get("minWriterVersion", 2)
+    rf = set(p.get("readerFeatures") or [])
+    wf = set(p.get("writerFeatures") or [])
+    if "v2Checkpoint" in rf and "v2Checkpoint" in wf:
+        raise DeltaProtocolError(
+            "v2 checkpoints are already enabled on this table"
+        )
+    if w < 7:
+        wf |= {"appendOnly", "invariants"}
+        if w >= 3:
+            wf.add("checkConstraints")
+        if w >= 4:
+            wf |= {"changeDataFeed", "generatedColumns"}
+        if w >= 5:
+            wf.add("columnMapping")
+    if r == 2:
+        rf.add("columnMapping")
+    rf.add("v2Checkpoint")
+    wf.add("v2Checkpoint")
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf),
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPGRADE PROTOCOL",
+                "operationParameters": {
+                    "newProtocol": json.dumps(
+                        {"minReaderVersion": 3, "minWriterVersion": 7}
+                    )
+                },
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+def checkpoint_delta(table: str) -> int:
+    """Explicit checkpoint at the latest version (delta-rs
+    ``create_checkpoint`` / delta-spark ``checkpoint()``): same emission
+    as the every-``_CHECKPOINT_INTERVAL`` cadence — classic single-file,
+    multi-part above the action threshold, or the V2 manifest + sidecar
+    form when the table advertises ``v2Checkpoint``. Returns the
+    checkpointed version."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "checkpoint")
+    _write_checkpoint(table, snap["version"])
+    return snap["version"]
 
 
 def _compact_files(

@@ -1262,6 +1262,65 @@ _S20B_SQL = (
 )
 
 
+def s21_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 — V2 checkpoints, written and replayed: seed a table,
+    upgrade it to the ``v2Checkpoint`` table feature (protocol →
+    (3, 7), feature in both lists), append a second batch, publish an
+    explicit checkpoint — which on a v2 table MUST take the UUID-named
+    manifest + ``_sidecars/`` form, the layout that lets a 100 TB
+    table's checkpoint split its file actions across bounded-size
+    sidecar parquet files while the manifest stays KBs — then land a
+    third batch in the JSON tail.
+
+    Part ``final`` reads the latest snapshot, whose replay is manifest
+    + sidecar + tail (the production read path after the upgrade);
+    part ``at_ck`` pins TIME TRAVEL to the checkpointed version. The
+    oracle recomputes both populations from the fixtures: checkpoint
+    format must be invisible to every value a reader sees."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s21_orders_v2ck")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 0"), table)
+    delta_compat.enable_v2_checkpoints(table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 1"), table)
+    ck_v = delta_compat.checkpoint_delta(table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 2"), table)
+
+    def _agg(df):
+        return df.groupBy("part", "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+
+    final = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("final")
+    )
+    at_ck = delta_compat.read_delta(spark, table, version=ck_v).withColumn(
+        "part", F.lit("at_ck")
+    )
+    return _agg(final).unionByName(_agg(at_ck))
+
+
+_S21_SQL = (
+    "WITH u AS ("
+    "SELECT 'final' AS part, o_orderstatus, o_orderkey, o_totalprice "
+    "FROM orders "
+    "UNION ALL SELECT 'at_ck', o_orderstatus, o_orderkey, o_totalprice "
+    "FROM orders WHERE o_orderkey % 3 IN (0, 1)) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 def dq3_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ3 — data-quality DRIFT between table versions: the per-column
     profile (rows, distincts, exact min/max cents) computed at VERSION
@@ -1608,6 +1667,7 @@ QUERIES = {
     "s19_check_constraints": s19_check_constraints,
     "s20_column_mapping_writes": s20_column_mapping_writes,
     "s20b_drop_column": s20b_drop_column,
+    "s21_v2_checkpoint": s21_v2_checkpoint,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1638,6 +1698,7 @@ ORACLES = {
     "s19_check_constraints": _S19_SQL,
     "s20_column_mapping_writes": _S20_SQL,
     "s20b_drop_column": _S20B_SQL,
+    "s21_v2_checkpoint": _S21_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -130,6 +130,9 @@ HEADLINE = [
     "x33_canonical_dedup",
     "x34_substring_dedup",
     "w14_rfm_segments",
+    "s20_column_mapping_writes",
+    "s20b_drop_column",
+    "s21_v2_checkpoint",
 ]
 
 

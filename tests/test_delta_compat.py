@@ -2552,9 +2552,9 @@ def _seed_v2_checkpoint_table(spark, tmp_path, manifest_format="parquet"):
 def test_v2_checkpoint_read(spark, tmp_path, fmt):
     """A v2Checkpoint-feature table reads through its UUID-named
     manifest + sidecar payload — including when the pre-checkpoint JSON
-    log is gone (replay MUST come from the manifest). Writes refuse:
-    this writer does not emit V2 checkpoints, which the feature
-    requires of writers."""
+    log is gone (replay MUST come from the manifest). Appends work
+    since round 6 (the writer honors the feature by emitting V2
+    checkpoints — see the writer tests below)."""
     import pyspark.sql.functions as F
 
     table, _manifest, _sc = _seed_v2_checkpoint_table(spark, tmp_path, fmt)
@@ -2574,8 +2574,12 @@ def test_v2_checkpoint_read(spark, tmp_path, fmt):
         for v in (0, 1):
             os.rename(dc._commit_path(table, v) + ".h",
                       dc._commit_path(table, v))
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.append_delta(spark.range(3).select(F.col("id").alias("k")), table)
+    dc.append_delta(
+        spark.range(10, 13).select(F.col("id").alias("k")), table
+    )
+    assert {r["k"] for r in dc.read_delta(spark, table).collect()} == set(
+        range(13)
+    )
 
 
 def test_v2_checkpoint_missing_sidecar_refused(spark, tmp_path):
@@ -3233,3 +3237,118 @@ def test_drop_column_refusals(spark, tmp_path):
     dc.drop_column(table, "k")  # unreferenced column drops fine
     with pytest.raises(dc.DeltaProtocolError, match="last column"):
         dc.drop_column(table, "v")
+
+
+# --------------------------------------------------------------------------
+# round 6: V2 checkpoint WRITER — manifest + sidecar emission
+# --------------------------------------------------------------------------
+
+
+def test_v2_checkpoint_writer_roundtrip(spark, tmp_path):
+    """enable_v2_checkpoints upgrades the protocol to (3, 7) with the
+    feature in both lists (legacy-implied features ride along), and the
+    next checkpoint publishes the V2 form: UUID-named manifest +
+    sidecar payload. State must reconstruct from manifest + sidecar
+    alone (JSON tail hidden), and time travel behind the checkpoint
+    still replays the restored JSON."""
+    import glob
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2w_tbl")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), table)
+    v_up = dc.enable_v2_checkpoints(table)
+    proto = dc.snapshot(table)["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    dc.append_delta(spark.range(3, 6).select(F.col("id").alias("k")), table)
+    ck_v = dc.checkpoint_delta(table)
+    log = os.path.join(table, "_delta_log")
+    manifests = glob.glob(
+        os.path.join(log, f"{ck_v:020d}.checkpoint.*.parquet")
+    )
+    assert len(manifests) == 1
+    # UUID-named (not classic, not multi-part)
+    base = os.path.basename(manifests[0])
+    mid = base.split(".checkpoint.")[1].removesuffix(".parquet")
+    assert len(mid) == 36 and mid.count("-") == 4
+    sidecars = glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sidecars) == 1
+    # manifest carries NO add rows; the sidecar carries them all
+    m_rows = dc._checkpoint_rows(manifests[0])
+    assert not any(r.get("add") and r["add"].get("path") for r in m_rows)
+    assert any(r.get("sidecar") and r["sidecar"].get("path")
+               for r in m_rows)
+    # post-checkpoint append lands in the JSON tail
+    dc.append_delta(spark.range(6, 8).select(F.col("id").alias("k")), table)
+    # hide the pre-checkpoint JSON: replay must come from the V2 set
+    hidden = list(range(ck_v + 1))
+    for v in hidden:
+        os.rename(dc._commit_path(table, v), dc._commit_path(table, v) + ".h")
+    try:
+        got = {r["k"] for r in dc.read_delta(spark, table).collect()}
+        assert got == set(range(8))
+    finally:
+        for v in hidden:
+            os.rename(dc._commit_path(table, v) + ".h",
+                      dc._commit_path(table, v))
+    # time travel behind the checkpoint (needs the JSON back)
+    assert {r["k"]
+            for r in dc.read_delta(spark, table, version=v_up).collect()
+            } == {0, 1, 2}
+
+
+def test_v2_checkpoint_writer_multi_sidecar(spark, tmp_path, monkeypatch):
+    """Above the action threshold the add rows split across sidecars —
+    the V2 twin of the multi-part driver-memory bound."""
+    import glob
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2w_multi")
+    dc.append_delta(
+        spark.range(12).select(F.col("id").alias("k")).repartition(6),
+        table,
+    )
+    dc.enable_v2_checkpoints(table)
+    monkeypatch.setattr(dc, "_CHECKPOINT_PART_ACTIONS", 2)
+    ck_v = dc.checkpoint_delta(table)
+    sidecars = glob.glob(
+        os.path.join(table, "_delta_log", "_sidecars", "*.parquet")
+    )
+    assert len(sidecars) >= 2
+    hidden = list(range(ck_v + 1))
+    for v in hidden:
+        os.rename(dc._commit_path(table, v), dc._commit_path(table, v) + ".h")
+    try:
+        assert {r["k"] for r in dc.read_delta(spark, table).collect()} == set(
+            range(12)
+        )
+    finally:
+        for v in hidden:
+            os.rename(dc._commit_path(table, v) + ".h",
+                      dc._commit_path(table, v))
+
+
+def test_v2_checkpoint_cadence_emits_v2_form(spark, tmp_path):
+    """The every-N-commits cadence on a v2 table emits the V2 form
+    automatically — no classic checkpoint may ever appear (the feature
+    forbids it)."""
+    import glob
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2w_cadence")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    dc.enable_v2_checkpoints(table)
+    for i in range(9):
+        dc.append_delta(
+            spark.range(2 + i, 3 + i).select(F.col("id").alias("k")), table
+        )
+    log = os.path.join(table, "_delta_log")
+    classic = glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    assert classic == []
+    v2 = [p for p in glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+          if len(os.path.basename(p).split(".checkpoint.")[1]) == 36 + 8]
+    assert v2, "cadence should have produced a V2 checkpoint"
+    assert dc.read_delta(spark, table).count() == 11
