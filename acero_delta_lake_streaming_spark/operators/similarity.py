@@ -1545,6 +1545,92 @@ def _x28_sql() -> str:
 _X28_SQL = _x28_sql()
 
 
+# --------------------------------------------------------------------------
+# X35 — domain-centroid assignment (mixture routing / separability audit)
+# --------------------------------------------------------------------------
+
+
+def x35_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised domain-centroid classifier over the embedding corpus —
+    the mixture-routing primitive of a training-data pipeline: each
+    domain (``label``) gets a centroid (per-dimension mean), every
+    vector routes to its nearest centroid, and the (true, assigned)
+    confusion matrix is the separability audit that tells you whether
+    domain labels carry geometric signal before you reweight a mixture
+    by them (the DoReMi-style domain-balancing setup; the reference has
+    no embedding ops — this extends visualizer.py:116-188's per-feed
+    counting to embedding space).
+
+    100 TB shape: centroid build is ONE bounded-key shuffle
+    (|labels|·64 keys) with decimal(18,6) accumulation (order-
+    independent — double partial-agg ULP drift is the cross-engine
+    failure mode); assignment is a per-row fold against ONE broadcast
+    row carrying all centroids — ``array_min`` over (distance, cid)
+    structs gives the argmin with the cid tie-break for free, and the
+    corpus NEVER shuffles (tighter than x3d's windowed assign, which
+    re-keys N·K rows by vec_id); the confusion aggregate is |labels|²
+    rows. Total: one metadata-sized shuffle + one map-side fold + one
+    tiny agg, at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cents = (
+        elems.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, v))), "
+                "s -> s.v)"
+            ).alias("carr")
+        )
+        .select(F.col("label").cast("int").alias("cid"), "carr")
+    )
+    cent_row = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias("cents")
+    )
+    pick = F.expr(
+        "array_min(transform(cents, c -> struct("
+        + _sqdist_spark("embedding", "c.carr")
+        + " AS d, c.cid AS cid)))"
+    ).alias("pick")
+    assigned = emb.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "label", pick
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("pick.cid").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_X35_SQL = (
+    "WITH cents AS ("
+    "SELECT CAST(label AS INT) AS cid, list(v ORDER BY dim) AS carr FROM ("
+    "SELECT e.label, t.dim, "
+    "CAST(sum(CAST(CAST(e.embedding[t.dim + 1] AS DOUBLE) "
+    "AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v "
+    "FROM embeddings e "
+    f"CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS dim) t "
+    "GROUP BY e.label, t.dim) GROUP BY label), "
+    "assigned AS (SELECT vec_id, label, cid FROM ("
+    "SELECT e.vec_id, e.label, c.cid, row_number() OVER ("
+    "PARTITION BY e.vec_id ORDER BY "
+    f"{_sqdist_duck('e.embedding', 'c.carr')} ASC, c.cid ASC) AS rk "
+    "FROM embeddings e CROSS JOIN cents c) WHERE rk = 1) "
+    "SELECT CAST(label AS INT) AS true_label, cid AS assigned_label, "
+    "CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -1557,6 +1643,7 @@ QUERIES = {
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
     "x28_graph_pagerank": x28_graph_pagerank,
+    "x35_domain_centroids": x35_domain_centroids,
 }
 
 ORACLES = {
@@ -1571,4 +1658,5 @@ ORACLES = {
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,
     "x28_graph_pagerank": _X28_SQL,
+    "x35_domain_centroids": _X35_SQL,
 }

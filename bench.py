@@ -133,6 +133,7 @@ HEADLINE = [
     "s20_column_mapping_writes",
     "s20b_drop_column",
     "s21_v2_checkpoint",
+    "x35_domain_centroids",
 ]
 
 

@@ -504,6 +504,38 @@ def test_round6_addition_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_x35_corpus_never_shuffles(spark, sf_dir):
+    """x35's assignment is a map-side fold against ONE broadcast
+    centroid row: the partial confusion count happens BEFORE the only
+    corpus-derived exchange, so no exchange in the plan ever carries
+    per-vector rows — the hash exchanges move (label, dim) centroid
+    keys and |labels|² confusion cells only. The corpus scan must also
+    prune to exactly (embedding, label)."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x35_domain_centroids,
+    )
+
+    plan = _physical(x35_domain_centroids(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # assignment side: broadcast 1-row build (IdentityBroadcastMode),
+    # never a shuffled join of the corpus against centroids
+    assert "IdentityBroadcastMode" in plan
+    # the embeddings scan feeding the fold reads only the two columns
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "embeddings.parquet" in ln]
+    assert scans
+    assert any(
+        "ReadSchema: struct<embedding:array<float>,label:int>" in ln
+        for ln in scans
+    )
+    # no exchange carries vec_id (a per-vector shuffle would name it in
+    # its partitioning or child output); bounded-key exchanges only
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "vec_id" not in m.group(1), m.group(0)
+
+
 def test_partitioned_dv_read_partition_prunes(spark, tmp_path):
     """s17b's scale claim, plan-pinned: a partition predicate over the
     DV-subtracting read reaches the parquet scan as a PartitionFilter —
