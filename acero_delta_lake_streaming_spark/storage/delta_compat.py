@@ -1396,12 +1396,18 @@ def _write_checkpoint(table: str, version: int) -> None:
     it via ``deltalake``, collector.py:219-226). The checkpoint is
     net-of-log state: protocol + metaData + one ``add`` row per LIVE
     file + the latest ``txn`` row per appId. Replay for the state is
-    O(commits) once every ``_CHECKPOINT_INTERVAL`` commits — amortized
-    O(1) per write — and every subsequent ``snapshot()`` reads the
-    checkpoint + the JSON tail only (``_replay_checkpoint``,
-    ``_checkpoint_version``). Checkpointing is an optimization of the
-    log, never a mutation of it: all JSON commits stay, so time travel
-    behind the checkpoint still replays from version 0."""
+    O(tail) once every ``_CHECKPOINT_INTERVAL`` commits — the state is
+    seeded from the NEWEST PRIOR CHECKPOINT when one exists, then only
+    the JSON tail replays (on a long-lived table that is the
+    difference between reading ~10 JSON files and every commit since
+    0; it is also what keeps checkpointing alive after ``cleanup_log``
+    aged the early JSON out — without the seed, the first cadence
+    checkpoint after a cleanup would crash on the missing commits).
+    Every subsequent ``snapshot()`` reads the checkpoint + the JSON
+    tail only (``_replay_checkpoint``, ``_checkpoint_version``).
+    Checkpointing is an optimization of the log, never a mutation of
+    it: retained JSON commits stay, so time travel into the retained
+    window keeps working."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1409,7 +1415,54 @@ def _write_checkpoint(table: str, version: int) -> None:
     meta: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, dict] = {}
-    for v in range(version + 1):
+    start = 0
+    prior = _checkpoint_version(table, version)
+    if prior is not None and prior < version:
+        rows: list[dict] = []
+        for path in _checkpoint_files(table, prior):
+            rows.extend(_checkpoint_rows(path))
+        for sc in [r["sidecar"] for r in rows if r.get("sidecar")]:
+            if sc.get("path"):
+                rows.extend(
+                    _checkpoint_rows(
+                        os.path.join(
+                            _log_dir(table), "_sidecars",
+                            unquote(sc["path"]),
+                        )
+                    )
+                )
+        for row in rows:
+            p = row.get("protocol")
+            if p and p.get("minReaderVersion") is not None:
+                protocol = {k: v for k, v in p.items() if v is not None}
+            md = row.get("metaData")
+            if md and md.get("schemaString"):
+                cfg = md.get("configuration")
+                if isinstance(cfg, list):
+                    cfg = dict(cfg)
+                meta = dict(md, configuration=cfg or {},
+                            partitionColumns=md.get("partitionColumns")
+                            or [])
+            add = row.get("add")
+            if add and add.get("path"):
+                pv = add.get("partitionValues")
+                if isinstance(pv, list):
+                    pv = dict(pv)
+                dv = add.get("deletionVector")
+                if dv and not dv.get("storageType"):
+                    dv = None  # pyarrow all-None struct = absent
+                adds[add["path"]] = dict(
+                    add, partitionValues=pv or {}, deletionVector=dv
+                )
+            t = row.get("txn")
+            if t and t.get("appId"):
+                prev = txns.get(t["appId"])
+                if prev is None or (t.get("version") or 0) >= (
+                    prev.get("version") or 0
+                ):
+                    txns[t["appId"]] = t
+        start = prior + 1
+    for v in range(start, version + 1):
         with open(_commit_path(table, v)) as f:
             for line in f:
                 line = line.strip()

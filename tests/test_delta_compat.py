@@ -3352,3 +3352,131 @@ def test_v2_checkpoint_cadence_emits_v2_form(spark, tmp_path):
           if len(os.path.basename(p).split(".checkpoint.")[1]) == 36 + 8]
     assert v2, "cadence should have produced a V2 checkpoint"
     assert dc.read_delta(spark, table).count() == 11
+
+
+def test_v2_txn_handshake_survives_log_cleanup(spark, tmp_path):
+    """The V2 twin of the txn-survives-cleanup contract: a streaming
+    app appending to a v2Checkpoint table gets its exactly-once
+    handshake resolved from the V2 MANIFEST's txn rows (sidecars carry
+    only file actions) after cleanup_log truncates the JSON — a
+    replayed epoch stays a no-op."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2_txn_clog")
+    dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")),
+        table, txn=("app", 0),
+    )
+    dc.enable_v2_checkpoints(table)
+    v = 1
+    epoch = 1
+    while v < 11:  # cadence checkpoint at v10 — must be the V2 form
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table, txn=("app", epoch),
+        )
+        epoch += 1
+    n = dc.read_delta(spark, table).count()
+    last_epoch = epoch - 1
+    deleted = dc.cleanup_log(table, keep_versions=0)
+    assert deleted
+    assert dc.last_txn_version(table, "app") == last_epoch
+    assert dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")),
+        table, txn=("app", 2),
+    ) == -1
+    assert dc.read_delta(spark, table).count() == n
+
+
+def test_checkpoint_write_survives_log_cleanup(spark, tmp_path):
+    """The checkpoint WRITER seeds from the newest prior checkpoint and
+    replays only the JSON tail — so the first cadence checkpoint after
+    cleanup_log aged out the early commits must succeed (it used to
+    need every commit since 0), and the state it captures must be
+    complete: full row count, txn handshake, time travel into the
+    retained window."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ckpt_after_cleanup")
+    v = -1
+    epoch = 0
+    while v < 11:  # checkpoint lands at v10
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table, txn=("app", epoch),
+        )
+        epoch += 1
+    assert dc.cleanup_log(table, keep_versions=0)
+    # drive to the NEXT cadence checkpoint (v20) — the write must seed
+    # from the v10 checkpoint since commits 0..9 are gone
+    while v < 21:
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table, txn=("app", epoch),
+        )
+        epoch += 1
+    ck = dc._checkpoint_version(table, None)
+    assert ck is not None and ck >= 20
+    n_expected = epoch * 2
+    assert dc.read_delta(spark, table).count() == n_expected
+    assert dc.last_txn_version(table, "app") == epoch - 1
+    # the new checkpoint alone must reconstruct state: hide all JSON
+    hidden = [u for u in dc._list_commit_versions(table) if u <= ck]
+    for u in hidden:
+        os.rename(dc._commit_path(table, u), dc._commit_path(table, u) + ".h")
+    try:
+        assert dc.read_delta(spark, table).count() == n_expected
+        assert dc.last_txn_version(table, "app") == epoch - 1
+    finally:
+        for u in hidden:
+            os.rename(dc._commit_path(table, u) + ".h",
+                      dc._commit_path(table, u))
+    # explicit re-checkpoint after cleanup also works
+    dc.checkpoint_delta(table)
+
+
+def test_v2_checkpoint_write_survives_log_cleanup(spark, tmp_path):
+    """Same contract through the V2 path: the next V2 checkpoint after
+    a cleanup seeds from the prior manifest + sidecars."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2ckpt_after_cleanup")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    dc.enable_v2_checkpoints(table)
+    v, epoch = 1, 1
+    while v < 11:
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+        epoch += 1
+    assert dc.cleanup_log(table, keep_versions=0)
+    while v < 21:
+        v = dc.append_delta(
+            spark.range(epoch * 2, epoch * 2 + 2).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+        epoch += 1
+    ck = dc._checkpoint_version(table, None)
+    assert ck is not None and ck >= 20
+    assert dc.read_delta(spark, table).count() == epoch * 2
+    # state from the new V2 set alone
+    hidden = [u for u in dc._list_commit_versions(table) if u <= ck]
+    for u in hidden:
+        os.rename(dc._commit_path(table, u), dc._commit_path(table, u) + ".h")
+    try:
+        assert dc.read_delta(spark, table).count() == epoch * 2
+    finally:
+        for u in hidden:
+            os.rename(dc._commit_path(table, u) + ".h",
+                      dc._commit_path(table, u))
