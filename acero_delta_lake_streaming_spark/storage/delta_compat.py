@@ -247,6 +247,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: on v2Checkpoint tables _write_checkpoint emits the
     # UUID-named manifest + sidecar form the feature obliges writers to
     "v2Checkpoint",
+    # accepted as a FLAG like invariants: a table that merely LISTS the
+    # feature (every enable_v2_checkpoints upgrade of a w6 table does)
+    # stays writable; a column actually declaring delta.identity.*
+    # still refuses at the per-column check below
+    "identityColumns",
 }
 
 
@@ -346,23 +351,18 @@ def _checkpoint_rows(path: str) -> list[dict]:
     return pq.read_table(path).to_pylist()
 
 
-def _replay_checkpoint(table: str, version: int, state: dict) -> None:
-    """Seed replay state from a checkpoint — single-file, delta-spark's
-    multi-part set (parts are disjoint row groups of one logical table;
-    replay is their union, order-free because a checkpoint is
-    net-of-log), or a V2-spec manifest whose ``sidecar`` actions
-    reference the add/remove payload files under
-    ``_delta_log/_sidecars/``. The checkpoint is metadata (KBs-MBs);
-    pyarrow reads it driver-side, the same altitude as the JSON log
-    itself."""
+def _checkpoint_action_rows(table: str, version: int) -> list[dict]:
+    """All action rows of the checkpoint at ``version`` — the
+    single-file / multi-part union, with V2 ``sidecar`` references
+    expanded (each names a parquet file of file actions under
+    ``_delta_log/_sidecars/``; a missing sidecar REFUSES — silently
+    dropping one would resurrect removed state). Shared by snapshot
+    replay and the checkpoint writer's seed path so the expansion and
+    its refusal cannot drift."""
     rows: list[dict] = []
     for path in _checkpoint_files(table, version):
         rows.extend(_checkpoint_rows(path))
-    # V2 sidecar expansion: each sidecar action names a parquet file
-    # holding this checkpoint's file actions; a missing sidecar must
-    # refuse (silently dropping it would resurrect/removed state)
-    sidecars = [r["sidecar"] for r in rows if r.get("sidecar")]
-    for sc in sidecars:
+    for sc in [r["sidecar"] for r in rows if r.get("sidecar")]:
         sc_path = os.path.join(
             _log_dir(table), "_sidecars", unquote(sc["path"])
         )
@@ -372,6 +372,19 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
                 f"sidecar {sc['path']!r}"
             )
         rows.extend(_checkpoint_rows(sc_path))
+    return rows
+
+
+def _replay_checkpoint(table: str, version: int, state: dict) -> None:
+    """Seed replay state from a checkpoint — single-file, delta-spark's
+    multi-part set (parts are disjoint row groups of one logical table;
+    replay is their union, order-free because a checkpoint is
+    net-of-log), or a V2-spec manifest whose ``sidecar`` actions
+    reference the add/remove payload files under
+    ``_delta_log/_sidecars/``. The checkpoint is metadata (KBs-MBs);
+    pyarrow reads it driver-side, the same altitude as the JSON log
+    itself."""
+    rows = _checkpoint_action_rows(table, version)
     for row in rows:
         if row.get("protocol"):
             _check_protocol({"protocol": row["protocol"]})
@@ -965,6 +978,14 @@ def append_delta(
                 f"appending to a column mapping mode {mapping_mode!r} "
                 "table is not supported (name-mode appends are)"
             )
+        if mapping_mode != "none" and snap0["partition_cols"]:
+            # the mapped reader scopes out partitioned tables — an
+            # unreadable table must not be written (symmetric with
+            # enable_column_mapping's partitioned refusal)
+            raise DeltaProtocolError(
+                "appending to a partitioned column-mapped table is not "
+                "supported (the mapped reader scopes out partitioning)"
+            )
         mapped_schema_json = snap0["schema"]
         existing = snap0["partition_cols"]
         if existing != partition_by:
@@ -1109,7 +1130,23 @@ def _assign_mapping_ids(schema_json: str, config: dict) -> tuple[str, dict]:
     maxColumnId advanced."""
     sch = json.loads(schema_json)
     cfg = dict(config or {})
-    next_id = int(cfg.get("delta.columnMapping.maxColumnId", "0")) + 1
+    # a foreign table may lack (or carry a stale) maxColumnId — a fresh
+    # id colliding with an existing field id would make the table
+    # unresolvable, so the floor is the max of the config value and the
+    # ids actually present in the schema (delta-spark's derivation)
+    present = [
+        int((f.get("metadata") or {}).get("delta.columnMapping.id"))
+        for f in sch["fields"]
+        if (f.get("metadata") or {}).get("delta.columnMapping.id")
+        is not None
+    ]
+    next_id = (
+        max(
+            int(cfg.get("delta.columnMapping.maxColumnId", "0")),
+            max(present, default=0),
+        )
+        + 1
+    )
     fields = []
     for f in sch["fields"]:
         meta = dict(f.get("metadata") or {})
@@ -1417,20 +1454,11 @@ def _write_checkpoint(table: str, version: int) -> None:
     txns: dict[str, dict] = {}
     start = 0
     prior = _checkpoint_version(table, version)
-    if prior is not None and prior < version:
-        rows: list[dict] = []
-        for path in _checkpoint_files(table, prior):
-            rows.extend(_checkpoint_rows(path))
-        for sc in [r["sidecar"] for r in rows if r.get("sidecar")]:
-            if sc.get("path"):
-                rows.extend(
-                    _checkpoint_rows(
-                        os.path.join(
-                            _log_dir(table), "_sidecars",
-                            unquote(sc["path"]),
-                        )
-                    )
-                )
+    if prior is not None and prior <= version:
+        # prior == version re-emits the same state (explicit
+        # checkpoint_delta at an already-checkpointed version after a
+        # cleanup must not crash replaying vanished commits)
+        rows = _checkpoint_action_rows(table, prior)
         for row in rows:
             p = row.get("protocol")
             if p and p.get("minReaderVersion") is not None:
@@ -1456,10 +1484,13 @@ def _write_checkpoint(table: str, version: int) -> None:
                 )
             t = row.get("txn")
             if t and t.get("appId"):
+                # normalize a null version to -1 ONCE here, so the tail
+                # loop's >= compare never meets None (and epoch 0 is
+                # never swallowed by a falsy `or`)
+                tv = t.get("version")
+                t = dict(t, version=-1 if tv is None else int(tv))
                 prev = txns.get(t["appId"])
-                if prev is None or (t.get("version") or 0) >= (
-                    prev.get("version") or 0
-                ):
+                if prev is None or t["version"] >= prev["version"]:
                     txns[t["appId"]] = t
         start = prior + 1
     for v in range(start, version + 1):
@@ -1479,9 +1510,12 @@ def _write_checkpoint(table: str, version: int) -> None:
                     adds.pop(action["remove"]["path"], None)
                 elif "txn" in action:
                     t = action["txn"]
+                    tv = t.get("version")
+                    t = dict(t, version=-1 if tv is None else int(tv))
                     prev = txns.get(t["appId"])
-                    if prev is None or t.get("version", -1) >= prev.get(
-                        "version", -1
+                    if prev is None or t["version"] >= (
+                        -1 if prev.get("version") is None
+                        else prev["version"]
                     ):
                         txns[t["appId"]] = t
     if protocol is None or meta is None:
@@ -1779,6 +1813,11 @@ def enable_v2_checkpoints(table: str) -> int:
             wf |= {"changeDataFeed", "generatedColumns"}
         if w >= 5:
             wf.add("columnMapping")
+        if w >= 6:
+            # implied by writer version 6; accepted as a FLAG like
+            # invariants — actual identity columns still refuse at the
+            # per-column schema check in _check_writer_protocol
+            wf.add("identityColumns")
     if r == 2:
         rf.add("columnMapping")
     rf.add("v2Checkpoint")
@@ -1832,20 +1871,31 @@ def _compact_files(
     target_partitions: int,
     cluster=None,
     df_override: DataFrame | None = None,
+    read_schema: "T.StructType | None" = None,
 ) -> tuple[list[dict], list[dict]]:
     """Rewrite one file group (all of an unpartitioned table, or one
     hive partition directory) into ``target_partitions`` compacted
     files. Returns (removes, adds), all ``dataChange: false``. The scan
     reads the raw file list (data columns only — hive layout keeps
     partition values in the directory name, so the compacted file's
-    contents stay layout-identical). ``cluster`` (DataFrame →
-    DataFrame) replaces the plain coalesce with a clustering layout,
-    e.g. Z-order. ``df_override`` replaces the raw scan (the DV-purge
-    path feeds the deletion-filtered view so compaction physically
-    applies the vectors)."""
+    contents stay layout-identical) under ``read_schema`` — the LOG
+    schema, never single-footer inference: on an evolved table the
+    older files lack the newer columns, and inference from one of them
+    would silently drop that column's data from the rewrite (the
+    compacted file null-fills instead, which is exactly what those
+    rows already read as). ``cluster`` (DataFrame → DataFrame)
+    replaces the plain coalesce with a clustering layout, e.g.
+    Z-order. ``df_override`` replaces the raw scan (the DV-purge path
+    feeds the deletion-filtered view so compaction physically applies
+    the vectors)."""
     segments = [f"{k}={quote(v)}" for k, v in pvals.items()]
     rel_dir = os.path.join(*segments) if segments else ""
-    df = df_override if df_override is not None else spark.read.parquet(*files)
+    if df_override is not None:
+        df = df_override
+    elif read_schema is not None:
+        df = spark.read.schema(read_schema).parquet(*files)
+    else:
+        df = spark.read.parquet(*files)
     if cluster is not None:
         df = cluster(df)
     else:
@@ -1978,6 +2028,27 @@ def optimize_delta(
         if not groups:
             return snap["version"]  # no matching partition: no-op
 
+    # Explicit scan schema for the raw-file rewrite: log schema minus
+    # partition columns, under PHYSICAL names when mapped. Never infer
+    # from footers — an evolved table's older files lack the newer
+    # columns and inference from one would silently drop their data.
+    _phys_of = (
+        {l: p for p, l in _physical_renames(snap["schema"])}
+        if _mapping_mode(snap) != "none"
+        else {}
+    )
+    read_schema = T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                dict(f, name=_phys_of.get(f["name"], f["name"]),
+                     metadata={})
+                for f in json.loads(snap["schema"])["fields"]
+                if f["name"] not in pcols
+            ],
+        }
+    )
+
     cluster = None
     if zorder_by:
         # OPTIMIZE ZORDER BY: same commit shape, but the rewrite lays
@@ -2015,7 +2086,7 @@ def optimize_delta(
             ).select([f.name for f in full.fields if f.name not in pcols])
         r, a = _compact_files(
             spark, table, version, files, pvals, target_partitions, cluster,
-            df_override,
+            df_override, read_schema,
         )
         removes.extend(r)
         adds.extend(a)
@@ -2343,7 +2414,8 @@ def enable_column_mapping(table: str) -> int:
             "enable_column_mapping on a partitioned table is not "
             "supported (the mapped reader scopes out partitioned tables)"
         )
-    if any(f in set(snap["files"]) for f in snap["file_dvs"]):
+    live_files = set(snap["files"])
+    if any(f in live_files for f in snap["file_dvs"]):
         raise DeltaProtocolError(
             "enable_column_mapping with live deletion vectors is not "
             "supported; OPTIMIZE the table to apply+purge them first"

@@ -3480,3 +3480,160 @@ def test_v2_checkpoint_write_survives_log_cleanup(spark, tmp_path):
         for u in hidden:
             os.rename(dc._commit_path(table, u) + ".h",
                       dc._commit_path(table, u))
+
+
+# --------------------------------------------------------------------------
+# round 6: adversarial-review regression pins (checkpoint seed, mapped
+# OPTIMIZE schema, partitioned-mapped append, foreign maxColumnId)
+# --------------------------------------------------------------------------
+
+
+def test_checkpoint_delta_same_version_after_cleanup(spark, tmp_path):
+    """Explicit checkpoint_delta at an ALREADY-checkpointed version
+    whose pre-checkpoint JSON was cleaned must seed from the existing
+    checkpoint (empty tail), not crash replaying vanished commits."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ckpt_same_v")
+    v, i = -1, 0
+    while v < 11:
+        v = dc.append_delta(
+            spark.range(i * 2, i * 2 + 2).select(F.col("id").alias("k")),
+            table,
+        )
+        i += 1
+    assert dc.cleanup_log(table, keep_versions=0)
+    ck = dc.checkpoint_delta(table)  # no commits since the cadence ckpt
+    assert ck == dc.snapshot(table)["version"]
+    assert dc.read_delta(spark, table).count() == i * 2
+
+
+def test_optimize_preserves_evolved_column(spark, tmp_path):
+    """Compaction must scan under the LOG schema, not single-footer
+    inference: after schema evolution the older files lack the new
+    column, and an inferred scan could silently drop its data from the
+    rewrite. Pinned for a plain table AND a mapped one (whose evolved
+    column lives under a col-<uuid> physical name)."""
+    import pyspark.sql.functions as F
+
+    # plain table
+    t1 = str(tmp_path / "opt_evolved_plain")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), t1)
+    dc.append_delta(
+        spark.range(3, 5).select(F.col("id").alias("k"),
+                                 (F.col("id") * 7).alias("extra")),
+        t1, merge_schema=True,
+    )
+    before = {(r["k"], r["extra"])
+              for r in dc.read_delta(spark, t1).collect()}
+    assert (3, 21) in before and (0, None) in before
+    dc.optimize_delta(spark, t1)
+    after = {(r["k"], r["extra"]) for r in dc.read_delta(spark, t1).collect()}
+    assert after == before
+
+    # mapped table with an evolved col-<uuid> physical column
+    t2 = str(tmp_path / "opt_evolved_mapped")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), t2)
+    dc.enable_column_mapping(t2)
+    dc.append_delta(
+        spark.range(3, 5).select(F.col("id").alias("k"),
+                                 (F.col("id") * 7).alias("extra")),
+        t2, merge_schema=True,
+    )
+    before = {(r["k"], r["extra"])
+              for r in dc.read_delta(spark, t2).collect()}
+    dc.optimize_delta(spark, t2)
+    snap = dc.snapshot(t2)
+    assert len(snap["files"]) == 1
+    after = {(r["k"], r["extra"]) for r in dc.read_delta(spark, t2).collect()}
+    assert after == before
+
+
+def test_mapped_append_partitioned_refused(spark, tmp_path):
+    """A foreign name-mapped PARTITIONED table refuses appends — the
+    mapped reader scopes out partitioning, and an unreadable table must
+    not be written (symmetric with enable_column_mapping's refusal)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cm_part_tbl")
+    _write_parquet(
+        spark, [(1, "a")], "`col-aaa111` long, `col-bbb222` string",
+        os.path.join(table, "p=x", "part-0.parquet"),
+    )
+    md = _mapped_meta("name")
+    md["metaData"]["partitionColumns"] = ["p"]
+    schema = json.loads(md["metaData"]["schemaString"])
+    schema["fields"].append(
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "p"}}
+    )
+    md["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(
+        table, 0,
+        [_PROTO_CM, md,
+         {"add": {"path": "p=x/part-0.parquet", "partitionValues":
+                  {"p": "x"}, "size": 1, "modificationTime": 0,
+                  "dataChange": True}}],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
+        dc.append_delta(
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.lit("y").alias("v"),
+                                  F.lit("x").alias("p")),
+            table, partition_by=["p"],
+        )
+
+
+def test_assign_mapping_ids_foreign_table_without_max_column_id(spark,
+                                                                tmp_path):
+    """A foreign mapped table missing delta.columnMapping.maxColumnId
+    must not hand an evolved column a colliding id: the floor is the
+    max id present in the schema."""
+    import pyspark.sql.functions as F
+
+    table = _seed_mapped_table(spark, tmp_path)  # ids 1, 2 in schema
+    # simulate the foreign table: strip maxColumnId from configuration
+    snap = dc.snapshot(table)
+    cfg = dict(snap["configuration"])
+    cfg.pop("delta.columnMapping.maxColumnId", None)
+    now = 0
+    _commit(
+        table, snap["version"] + 1,
+        [{"metaData": {
+            "id": snap["meta_id"], "format": {"provider": "parquet",
+                                              "options": {}},
+            "schemaString": snap["schema"], "partitionColumns": [],
+            "configuration": cfg, "createdTime": now}}],
+    )
+    dc.append_delta(
+        spark.range(7, 9).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("v"),
+                                 F.lit("t").alias("tag")),
+        table, merge_schema=True,
+    )
+    snap2 = dc.snapshot(table)
+    ids = [f["metadata"]["delta.columnMapping.id"]
+           for f in json.loads(snap2["schema"])["fields"]]
+    assert len(ids) == len(set(ids)), ids  # no collision
+    assert max(ids) == 3
+    assert snap2["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+
+
+def test_enable_v2_on_w6_table_rides_identity_flag(spark, tmp_path):
+    """Upgrading a minWriterVersion-6 table lists identityColumns in
+    writerFeatures (no capability silently dropped) and the table stays
+    writable — the flag gates on actual delta.identity.* presence."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "w6_v2")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    # raise the protocol to legacy (1, 6) by hand
+    snap = dc.snapshot(table)
+    _commit(table, snap["version"] + 1,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}])
+    dc.enable_v2_checkpoints(table)
+    proto = dc.snapshot(table)["protocol"]
+    assert "identityColumns" in proto["writerFeatures"]
+    dc.append_delta(spark.range(2, 4).select(F.col("id").alias("k")), table)
+    assert dc.read_delta(spark, table).count() == 4
