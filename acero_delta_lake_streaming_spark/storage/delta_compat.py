@@ -252,7 +252,27 @@ _SUPPORTED_WRITER_FEATURES = {
     # stays writable; a column actually declaring delta.identity.*
     # still refuses at the per-column check below
     "identityColumns",
+    # honored: _publish_commit stamps a monotonic
+    # commitInfo.inCommitTimestamp on every commit once the chain is
+    # live (enable_in_commit_timestamps)
+    "inCommitTimestamp",
 }
+
+
+def _legacy_writer_features(w: int) -> set[str]:
+    """Features implied by a legacy writer version — the Delta rule for
+    table-features upgrades: what version ``w`` granted implicitly must
+    become explicit flags, so no capability is silently dropped."""
+    out = {"appendOnly", "invariants"}
+    if w >= 3:
+        out.add("checkConstraints")
+    if w >= 4:
+        out |= {"changeDataFeed", "generatedColumns"}
+    if w >= 5:
+        out.add("columnMapping")
+    if w >= 6:
+        out.add("identityColumns")
+    return out
 
 
 def _check_writer_protocol(
@@ -1195,7 +1215,12 @@ def actions_for_retry(actions: list[dict]) -> list[dict]:
     out = []
     for a in actions:
         if "commitInfo" in a:
-            a = {"commitInfo": dict(a["commitInfo"], timestamp=now_ms)}
+            ci = dict(a["commitInfo"], timestamp=now_ms)
+            # a stale in-commit timestamp from the lost attempt could
+            # undercut the race winner's — drop it so _publish_commit
+            # re-stamps against the NEW previous commit
+            ci.pop("inCommitTimestamp", None)
+            a = {"commitInfo": ci}
         out.append(a)
     return out
 
@@ -1401,11 +1426,53 @@ def _write_change_data(
     return actions
 
 
+def _prev_in_commit_ts(table: str, version: int) -> int | None:
+    """In-commit timestamp of the newest commit before ``version``
+    (None when the table does not write them). Chain presence
+    propagates: every commit after enablement carries the field, so ONE
+    small JSON read decides both whether to stamp this commit and its
+    monotonic floor — no snapshot replay on the commit path."""
+    versions = [v for v in _list_commit_versions(table) if v < version]
+    if not versions:
+        return None
+    try:
+        with open(_commit_path(table, versions[-1])) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("inCommitTimestamp") is not None:
+                    return int(ci["inCommitTimestamp"])
+    except FileNotFoundError:
+        pass
+    return None
+
+
 def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
     """Atomic claim of the version slot: os.link fails iff the commit
     file already exists (rename would silently overwrite a concurrent
     writer's commit — a lost update). Same protocol as deltalite's
-    _publish; on an object store this is the conditional put."""
+    _publish; on an object store this is the conditional put.
+
+    On tables writing IN-COMMIT TIMESTAMPS the chain is stamped here:
+    ``max(now, prev_ict + 1)`` into this commit's commitInfo —
+    monotonic by construction, immune to file-mtime drift, exactly the
+    ``inCommitTimestamp`` writer-feature contract. Only the enablement
+    commit pre-sets its own value (the chain's anchor)."""
+    prev_ict = _prev_in_commit_ts(table, version)
+    if prev_ict is not None:
+        ict = max(int(time.time() * 1000), prev_ict + 1)
+        if any("commitInfo" in a for a in actions):
+            for a in actions:
+                ci = a.get("commitInfo")
+                if ci is not None and ci.get("inCommitTimestamp") is None:
+                    ci["inCommitTimestamp"] = ict
+        else:
+            actions = actions + [
+                {"commitInfo": {"timestamp": ict,
+                                "inCommitTimestamp": ict}}
+            ]
     tmp = _commit_path(table, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
@@ -1806,18 +1873,7 @@ def enable_v2_checkpoints(table: str) -> int:
             "v2 checkpoints are already enabled on this table"
         )
     if w < 7:
-        wf |= {"appendOnly", "invariants"}
-        if w >= 3:
-            wf.add("checkConstraints")
-        if w >= 4:
-            wf |= {"changeDataFeed", "generatedColumns"}
-        if w >= 5:
-            wf.add("columnMapping")
-        if w >= 6:
-            # implied by writer version 6; accepted as a FLAG like
-            # invariants — actual identity columns still refuse at the
-            # per-column schema check in _check_writer_protocol
-            wf.add("identityColumns")
+        wf |= _legacy_writer_features(w)
     if r == 2:
         rf.add("columnMapping")
     rf.add("v2Checkpoint")
@@ -1860,6 +1916,82 @@ def checkpoint_delta(table: str) -> int:
     _check_writer_protocol(snap, "checkpoint")
     _write_checkpoint(table, snap["version"])
     return snap["version"]
+
+
+def enable_in_commit_timestamps(table: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableInCommitTimestamps' = 'true')`` — the
+    ``inCommitTimestamp`` writer feature: from this commit on, every
+    commit's wall-clock lives INSIDE the commit
+    (``commitInfo.inCommitTimestamp``, monotonic ``max(now, prev+1)``),
+    so ``TIMESTAMP AS OF`` survives what file mtimes do not — log
+    copies, restores, storage migrations, clock skew between writers.
+    The resolution side (``_commit_timestamp_ms``) already prefers the
+    field; this call anchors the chain, which ``_publish_commit`` then
+    extends on every subsequent commit by reading ONE small JSON file
+    (the newest prior commit) — O(1) on the commit path at any table
+    size. The enablement version/timestamp land in the configuration
+    (``delta.inCommitTimestampEnablement{Version,Timestamp}``,
+    delta-spark's bookkeeping for timestamp resolution across the
+    boundary). Protocol rises to writer-features (7) with legacy
+    capabilities made explicit; the reader version is untouched —
+    in-commit timestamps are writer-side only."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "enable_in_commit_timestamps")
+    cfg = dict(snap.get("configuration") or {})
+    if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        raise DeltaProtocolError(
+            "in-commit timestamps are already enabled on this table"
+        )
+    p = snap.get("protocol") or {}
+    r = p.get("minReaderVersion", 1)
+    w = p.get("minWriterVersion", 2)
+    wf = set(p.get("writerFeatures") or [])
+    if w < 7:
+        wf |= _legacy_writer_features(w)
+    wf.add("inCommitTimestamp")
+    proto: dict = {
+        "minReaderVersion": r,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if r >= 3:
+        proto["readerFeatures"] = sorted(
+            set(p.get("readerFeatures") or [])
+        )
+    version = snap["version"] + 1
+    now_ms = int(time.time() * 1000)
+    ict = max(now_ms, _commit_timestamp_ms(table, snap["version"]) + 1)
+    cfg["delta.enableInCommitTimestamps"] = "true"
+    cfg["delta.inCommitTimestampEnablementVersion"] = str(version)
+    cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    actions = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "inCommitTimestamp": ict,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.enableInCommitTimestamps": "true"}
+                    )
+                },
+            }
+        },
+    ]
+    _publish_commit(table, version, actions)
+    return version
 
 
 def _compact_files(

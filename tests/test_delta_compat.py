@@ -2672,7 +2672,8 @@ def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
     """A table with the inCommitTimestamp writer feature resolves
     TIMESTAMP AS OF from commitInfo.inCommitTimestamp (monotonic by
     protocol) in preference to the legacy timestamp field; reading such
-    tables needs no reader feature, while mutating them refuses."""
+    tables needs no reader feature, and appends (supported since the
+    round-6 ICT writer) must extend the chain monotonically."""
     import pyspark.sql.functions as F
 
     table = str(tmp_path / "ict_tbl")
@@ -2705,9 +2706,10 @@ def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
     assert dc.read_delta(spark, table, timestamp_ms=2000).count() == 6
     with pytest.raises(dc.DeltaProtocolError):
         dc.read_delta(spark, table, timestamp_ms=999)
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.append_delta(spark.range(2).select(F.col("id").alias("k")),
+    v = dc.append_delta(spark.range(6, 8).select(F.col("id").alias("k")),
                         table)
+    assert dc._commit_timestamp_ms(table, v) > 2000  # chain extended
+    assert dc.read_delta(spark, table).count() == 8
 
 
 def test_optimize_where_partition_scoped(spark, tmp_path):
@@ -3637,3 +3639,65 @@ def test_enable_v2_on_w6_table_rides_identity_flag(spark, tmp_path):
     assert "identityColumns" in proto["writerFeatures"]
     dc.append_delta(spark.range(2, 4).select(F.col("id").alias("k")), table)
     assert dc.read_delta(spark, table).count() == 4
+
+
+def test_in_commit_timestamps_written_and_monotonic(spark, tmp_path):
+    """enable_in_commit_timestamps anchors the chain; every later
+    commit carries commitInfo.inCommitTimestamp = max(now, prev+1).
+    With a backdated-clock simulation (a hand commit stamped far in the
+    future) the next append must land at prev+1, not wall-clock — the
+    monotonicity the feature exists for. TIMESTAMP AS OF resolves
+    through the chain."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ict_tbl")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    v_en = dc.enable_in_commit_timestamps(table)
+    cfg = dc.snapshot(table)["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    proto = dc.snapshot(table)["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert proto["minReaderVersion"] == 1  # writer-side feature only
+
+    v1 = dc.append_delta(spark.range(2, 4).select(F.col("id").alias("k")),
+                         table)
+    v2 = dc.append_delta(spark.range(4, 6).select(F.col("id").alias("k")),
+                         table)
+    icts = {v: dc._commit_timestamp_ms(table, v) for v in (v_en, v1, v2)}
+    assert icts[v_en] < icts[v1] < icts[v2]
+
+    # clock-skew simulation: a commit stamped far in the future — the
+    # chain must continue at prev+1, never dip back to wall-clock
+    future = icts[v2] + 10**9
+    snap = dc.snapshot(table)
+    dc._publish_commit(  # hand-anchored future commit
+        table, snap["version"] + 1,
+        [{"commitInfo": {"timestamp": future,
+                         "inCommitTimestamp": future}}],
+    )
+    v3 = dc.append_delta(spark.range(6, 8).select(F.col("id").alias("k")),
+                         table)
+    assert dc._commit_timestamp_ms(table, v3) == future + 1
+
+    # TIMESTAMP AS OF rides the in-commit chain
+    assert dc.resolve_timestamp(table, icts[v1]) == v1
+    assert dc.resolve_timestamp(table, icts[v2] - 1) == v1
+    assert {r["k"] for r in dc.read_delta(
+        spark, table, timestamp_ms=icts[v1]).collect()} == set(range(4))
+
+
+def test_ict_double_enable_refused_and_retry_strips_stale(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ict_tbl2")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    dc.enable_in_commit_timestamps(table)
+    with pytest.raises(dc.DeltaProtocolError, match="already enabled"):
+        dc.enable_in_commit_timestamps(table)
+    # actions_for_retry must drop a stale stamp so the rebased commit
+    # re-anchors against the race winner
+    acts = [{"commitInfo": {"timestamp": 1, "inCommitTimestamp": 123}}]
+    out = dc.actions_for_retry(acts)
+    assert "inCommitTimestamp" not in out[0]["commitInfo"]
