@@ -1889,6 +1889,21 @@ def enable_v2_checkpoints(table: str) -> int:
             }
         },
         {
+            # delta-spark records the policy flip alongside the feature
+            # (the spec ties v2Checkpoint to checkpointPolicy=v2)
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(
+                    snap.get("configuration") or {},
+                    **{"delta.checkpointPolicy": "v2"},
+                ),
+                "createdTime": now_ms,
+            }
+        },
+        {
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "UPGRADE PROTOCOL",

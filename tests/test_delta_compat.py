@@ -3265,6 +3265,8 @@ def test_v2_checkpoint_writer_roundtrip(spark, tmp_path):
     assert "v2Checkpoint" in proto["readerFeatures"]
     assert "v2Checkpoint" in proto["writerFeatures"]
     assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    cfg = dc.snapshot(table)["configuration"]
+    assert cfg["delta.checkpointPolicy"] == "v2"
     dc.append_delta(spark.range(3, 6).select(F.col("id").alias("k")), table)
     ck_v = dc.checkpoint_delta(table)
     log = os.path.join(table, "_delta_log")
@@ -3701,3 +3703,25 @@ def test_ict_double_enable_refused_and_retry_strips_stale(spark, tmp_path):
     acts = [{"commitInfo": {"timestamp": 1, "inCommitTimestamp": 123}}]
     out = dc.actions_for_retry(acts)
     assert "inCommitTimestamp" not in out[0]["commitInfo"]
+
+
+def test_streaming_sink_into_mapped_table(spark, tmp_path):
+    """The foreachBatch sink rides append_delta, so a stream lands in a
+    name-mapped table (physical names + field ids) with the same
+    exactly-once txn handshake — logical column names at the surface,
+    mapped layout on disk."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path, "cmw_sink")
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "value")
+    sink = dc.streaming_sink(table, "cm-app")
+    batch = spark.range(5, 8).select(F.col("id").alias("k"),
+                                     (F.col("id") * 10).alias("value"))
+    sink(batch, 0)
+    sink(batch, 0)  # replayed epoch: no-op
+    sink(spark.range(8, 9).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("value")), 1)
+    got = {(r["k"], r["value"])
+           for r in dc.read_delta(spark, table).collect()}
+    assert got == {(i, i * 10) for i in range(9)}
