@@ -867,6 +867,111 @@ _W14_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# w15 — multi-touch attribution (first-touch vs last-touch)
+# --------------------------------------------------------------------------
+
+_W15_LOOKBACK_NS = 7 * 24 * 3600 * 1_000_000_000  # 7-day lookback
+
+
+def w15_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase is
+    credited to the user's FIRST and LAST touch (view/click/signup)
+    inside a 7-day lookback strictly before the purchase, and revenue
+    rolls up per (model, touch_type) — the two bookend models every
+    attribution report starts with (extends the reference's per-feed
+    counting, visualizer.py:116-188, to revenue-weighted credit).
+
+    Scale shape: touches join purchases on user_id only (one user-keyed
+    shuffle; pair volume is bounded by per-user activity in the 7-day
+    window, the same contract as w8/xj2 — never a cross of the event
+    corpus), the per-purchase bookends are one row_number window over
+    those pairs keyed by purchase id, and the final rollup is a
+    |models|x|touch_types| aggregate. Revenue accumulates as
+    decimal(18,6) cents — order-independent, no float drift. Ties on
+    touch timestamp break by event_type then event_id, identically in
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts_ns").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id",
+        F.col("ts_ns").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("t_id"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.lit(_W15_LOOKBACK_NS))
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.asc("t_ts"), F.asc("touch_type"), F.asc("t_id")
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.asc("touch_type"), F.asc("t_id")
+    )
+    ranked = pairs.select(
+        "p_id",
+        "revenue",
+        "touch_type",
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    first = ranked.filter("rk_first = 1").select(
+        F.lit("first_touch").alias("model"), "touch_type", "revenue"
+    )
+    last = ranked.filter("rk_last = 1").select(
+        F.lit("last_touch").alias("model"), "touch_type", "revenue"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("conversions"),
+            F.expr(
+                "CAST(sum(CAST(revenue AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+_W15_SQL = (
+    "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, "
+    "event_type, value FROM events), "
+    "p AS (SELECT event_id AS p_id, user_id, tns AS p_ts, "
+    "value AS revenue FROM e WHERE event_type = 'purchase'), "
+    "t AS (SELECT user_id, tns AS t_ts, event_type AS touch_type, "
+    "event_id AS t_id FROM e "
+    "WHERE event_type IN ('view', 'click', 'signup')), "
+    "pairs AS (SELECT p.p_id, p.revenue, t.touch_type, t.t_ts, t.t_id "
+    "FROM p JOIN t ON p.user_id = t.user_id "
+    "AND t.t_ts < p.p_ts "
+    f"AND t.t_ts >= p.p_ts - {_W15_LOOKBACK_NS}), "
+    "ranked AS (SELECT p_id, revenue, touch_type, "
+    "row_number() OVER (PARTITION BY p_id "
+    "ORDER BY t_ts ASC, touch_type ASC, t_id ASC) AS rk_first, "
+    "row_number() OVER (PARTITION BY p_id "
+    "ORDER BY t_ts DESC, touch_type ASC, t_id ASC) AS rk_last "
+    "FROM pairs), "
+    "u AS (SELECT 'first_touch' AS model, touch_type, revenue "
+    "FROM ranked WHERE rk_first = 1 "
+    "UNION ALL SELECT 'last_touch', touch_type, revenue "
+    "FROM ranked WHERE rk_last = 1) "
+    "SELECT model, touch_type, CAST(count(*) AS BIGINT) AS conversions, "
+    "CAST(sum(CAST(revenue AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS revenue_cents FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -882,6 +987,7 @@ QUERIES = {
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_stickiness": w13_stickiness,
     "w14_rfm_segments": w14_rfm_segments,
+    "w15_attribution": w15_attribution,
 }
 
 ORACLES = {
@@ -899,4 +1005,5 @@ ORACLES = {
     "w12_retention_cohorts": _W12_SQL,
     "w13_stickiness": _W13_SQL,
     "w14_rfm_segments": _W14_SQL,
+    "w15_attribution": _W15_SQL,
 }

@@ -134,6 +134,7 @@ HEADLINE = [
     "s20b_drop_column",
     "s21_v2_checkpoint",
     "x35_domain_centroids",
+    "w15_attribution",
 ]
 
 
