@@ -587,12 +587,160 @@ _X31_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x36 — bigram surprise (the next rung of LM-based quality above x26)
+# --------------------------------------------------------------------------
+
+
+def x36_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per-bigram surprise is
+    ``ln(c1(w1) / c(w1 w2))`` nats — the information content of seeing
+    ``w2`` after ``w1`` under the corpus bigram model (the conditional
+    twin of x26's unigram score; CCNet's actual filter is a 5-gram LM,
+    and the unigram→bigram step is where word-ORDER quality signal
+    first appears: shuffled boilerplate scores low on x26 but high
+    here). Documents band into 0.5-nat bins exactly like x26, so the
+    two histograms are directly comparable.
+
+    Plan: bigrams build INSIDE the token array (a per-row transform —
+    adjacency never needs a shuffle or a self-join), then the same
+    funnel as x26: per-(doc, bigram) tf, bigram counts via ONE
+    vocab-keyed shuffle, left-context counts derived from the bigram
+    counts (a second, smaller agg — never a corpus re-scan), join
+    back, portable-ln, e6 integer quantization BEFORE every cross-row
+    sum. lx = c1/cbg >= 1 by construction, the portable ln's domain.
+    Docs with fewer than two tokens have no bigrams and drop out in
+    both engines (Spark ``sequence(1, 0)`` would DESCEND — the filter
+    guards it; DuckDB ``range(1, 1)`` is empty)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
+        .filter(F.expr("size(w) >= 2"))
+    )
+    per_db = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> "
+                    "struct(w[i - 1] AS w1, "
+                    "concat(w[i - 1], ' ', w[i]) AS bg))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.bg")
+        .groupBy("doc_id", "w1", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnts = scoped_persist(
+        per_db.groupBy("w1", "bg").agg(
+            F.sum("tf").cast("bigint").alias("cbg")
+        )
+    )
+    lefts = cnts.groupBy("w1").agg(
+        F.sum("cbg").cast("bigint").alias("c1")
+    )
+    per_doc = (
+        per_db.join(cnts, ["w1", "bg"])
+        .join(lefts, "w1")
+        .withColumn(
+            "lx", F.expr("CAST(c1 AS DOUBLE) / CAST(cbg AS DOUBLE)")
+        )
+        .withColumn(
+            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
+        )
+        .withColumn(
+            "m0",
+            F.expr(
+                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "lnk",
+            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
+        )
+        .withColumn(
+            "lm",
+            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
+        )
+        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
+        .withColumn("ls", F.expr("lz * lz"))
+        .withColumn(
+            "srp",
+            F.expr(
+                f"CAST(lnk AS DOUBLE) * {_LN2} "
+                f"+ 2.0 * lz * {_ATANH_POLY}"
+            ),
+        )
+        .withColumn(
+            "contrib_e6",
+            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
+            F.sum("tf").cast("bigint").alias("n_bg_doc"),
+        )
+        .withColumn("avg_e6", F.expr("bits_e6 DIV n_bg_doc"))
+        .withColumn("band", F.expr("avg_e6 DIV 500000"))
+    )
+    return per_doc.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bg_doc").cast("bigint").alias("bg_sum"),
+        F.sum("doc_id").cast("bigint").alias("ids_sum"),
+    )
+
+
+_X36_SQL = (
+    "WITH docs AS (SELECT doc_id, w FROM ("
+    f"SELECT doc_id, {_WORDS_DUCK} AS w FROM documents) "
+    "WHERE len(w) >= 2), "
+    "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+    "i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS b "
+    "FROM docs), "
+    "per_db AS (SELECT doc_id, b.w1 AS w1, b.bg AS bg, "
+    "CAST(count(*) AS BIGINT) AS tf FROM bgs GROUP BY 1, 2, 3), "
+    "cnts AS (SELECT w1, bg, CAST(sum(tf) AS BIGINT) AS cbg "
+    "FROM per_db GROUP BY 1, 2), "
+    "lefts AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS c1 "
+    "FROM cnts GROUP BY 1), "
+    "c0 AS (SELECT p.doc_id, p.tf, "
+    "CAST(l.c1 AS DOUBLE) / CAST(c.cbg AS DOUBLE) AS lx "
+    "FROM per_db p JOIN cnts c ON p.w1 = c.w1 AND p.bg = c.bg "
+    "JOIN lefts l ON p.w1 = l.w1), "
+    "c1_ AS (SELECT *, "
+    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
+    "c2 AS (SELECT *, "
+    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1_), "
+    "c3 AS (SELECT *, "
+    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
+    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
+    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
+    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
+    "c6 AS (SELECT doc_id, tf, "
+    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS srp "
+    "FROM c5), "
+    "contrib AS (SELECT doc_id, "
+    "CAST(floor(srp * 1000000.0) AS BIGINT) * tf AS contrib_e6, tf "
+    "FROM c6), "
+    "per_doc AS (SELECT doc_id, "
+    "CAST(sum(contrib_e6) AS BIGINT) AS bits_e6, "
+    "CAST(sum(tf) AS BIGINT) AS n_bg_doc FROM contrib GROUP BY 1), "
+    "banded AS (SELECT doc_id, n_bg_doc, "
+    "(bits_e6 // n_bg_doc) // 500000 AS band FROM per_doc) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_bg_doc) AS BIGINT) AS bg_sum, "
+    "CAST(sum(doc_id) AS BIGINT) AS ids_sum FROM banded GROUP BY 1"
+)
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
     "x23_fuzzy_linkage": x23_fuzzy_linkage,
     "x26_unigram_surprise": x26_unigram_surprise,
     "x31_source_keywords": x31_source_keywords,
+    "x36_bigram_surprise": x36_bigram_surprise,
 }
 
 ORACLES = {
@@ -601,4 +749,5 @@ ORACLES = {
     "x23_fuzzy_linkage": _X23_SQL,
     "x26_unigram_surprise": _X26_SQL,
     "x31_source_keywords": _X31_SQL,
+    "x36_bigram_surprise": _X36_SQL,
 }

@@ -135,6 +135,7 @@ HEADLINE = [
     "s21_v2_checkpoint",
     "x35_domain_centroids",
     "w15_attribution",
+    "x36_bigram_surprise",
 ]
 
 
