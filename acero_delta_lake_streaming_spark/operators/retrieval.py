@@ -195,6 +195,72 @@ _ATANH_POLY = (
     "(0.06666666666666667 + ls * (0.058823529411764705 + ls * "
     "(0.05263157894736842 + ls * 0.047619047619047616))))))))))"
 )
+
+
+def _portable_ln(df: DataFrame, out: str) -> DataFrame:
+    """Append ``out`` = ln(lx) via the cross-engine-stable construction
+    (CLAUDE.md invariant; builtin ln differs by 1 ulp between JVM and
+    DuckDB libm — measured round 5): integer-exact range reduction
+    (floor/bin/shiftleft), sqrt2 fold, then the atanh Horner series —
+    an identical IEEE op sequence in both engines, <1e-12 vs math.log.
+    Expects a DOUBLE column ``lx`` >= 1. This helper is the SINGLE
+    source of the Spark-side sequence; ``_portable_ln_ctes`` is its SQL
+    twin — a change to one without the other diverges every hash that
+    rides a logarithm. Intermediates (k0..ls) stay for the caller's
+    next projection to drop."""
+    return (
+        df.withColumn(
+            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
+        )
+        .withColumn(
+            "m0",
+            F.expr(
+                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "lnk",
+            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
+        )
+        .withColumn(
+            "lm",
+            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
+        )
+        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
+        .withColumn("ls", F.expr("lz * lz"))
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST(lnk AS DOUBLE) * {_LN2} "
+                f"+ 2.0 * lz * {_ATANH_POLY}"
+            ),
+        )
+    )
+
+
+def _portable_ln_ctes(src: str, prefix: str, final_select: str,
+                      out: str) -> str:
+    """The DuckDB twin of :func:`_portable_ln`: a CTE chain
+    ``{prefix}1..{prefix}6`` computing ``out`` = ln(lx) over CTE
+    ``src``; ``{prefix}6`` projects ``final_select`` plus ``out``."""
+    return (
+        f"{prefix}1 AS (SELECT *, "
+        f"length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM {src}), "
+        f"{prefix}2 AS (SELECT *, "
+        f"lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 "
+        f"FROM {prefix}1), "
+        f"{prefix}3 AS (SELECT *, "
+        f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
+        f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm "
+        f"FROM {prefix}2), "
+        f"{prefix}4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz "
+        f"FROM {prefix}3), "
+        f"{prefix}5 AS (SELECT *, lz * lz AS ls FROM {prefix}4), "
+        f"{prefix}6 AS (SELECT {final_select}, "
+        f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} "
+        f"AS {out} FROM {prefix}5)"
+    )
+
 _LN_SAT = (
     "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) "
     "+ 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
@@ -243,32 +309,7 @@ def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "/ (CAST(df AS DOUBLE) + 0.5)"
             ),
         )
-        .withColumn(
-            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
-        )
-        .withColumn(
-            "m0",
-            F.expr(
-                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
-            ),
-        )
-        .withColumn(
-            "lnk",
-            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
-        )
-        .withColumn(
-            "lm",
-            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
-        )
-        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
-        .withColumn("ls", F.expr("lz * lz"))
-        .withColumn(
-            "idf",
-            F.expr(
-                f"CAST(lnk AS DOUBLE) * {_LN2} "
-                f"+ 2.0 * lz * {_ATANH_POLY}"
-            ),
-        )
+        .transform(_portable_ln, "idf")
         .withColumn(
             "contrib_e9",
             F.expr(
@@ -297,18 +338,8 @@ _X21B_SQL = (
     "1.0 + (CAST(s.n_docs - dfs.df AS DOUBLE) + 0.5) "
     "/ (CAST(dfs.df AS DOUBLE) + 0.5) AS lx "
     "FROM t JOIN dfs ON t.term = dfs.term CROSS JOIN stats s), "
-    "c1 AS (SELECT *, "
-    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
-    "c2 AS (SELECT *, "
-    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
-    "c3 AS (SELECT *, "
-    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
-    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
-    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
-    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
-    "c6 AS (SELECT doc_id, tf, dl, avgdl, "
-    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS idf "
-    "FROM c5), "
+    + _portable_ln_ctes("c0", "c", "doc_id, tf, dl, avgdl", "idf")
+    + ", "
     "c AS (SELECT doc_id, CAST(floor("
     f"idf * {_LN_SAT} * 1000000000.0) AS BIGINT) AS contrib_e9 FROM c6), "
     "scored AS (SELECT doc_id, "
@@ -424,32 +455,7 @@ def x26_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "lx", F.expr("CAST(n_tok AS DOUBLE) / CAST(cnt AS DOUBLE)")
         )
-        .withColumn(
-            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
-        )
-        .withColumn(
-            "m0",
-            F.expr(
-                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
-            ),
-        )
-        .withColumn(
-            "lnk",
-            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
-        )
-        .withColumn(
-            "lm",
-            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
-        )
-        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
-        .withColumn("ls", F.expr("lz * lz"))
-        .withColumn(
-            "srp",
-            F.expr(
-                f"CAST(lnk AS DOUBLE) * {_LN2} "
-                f"+ 2.0 * lz * {_ATANH_POLY}"
-            ),
-        )
+        .transform(_portable_ln, "srp")
         .withColumn(
             "contrib_e6",
             F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
@@ -480,18 +486,8 @@ _X26_SQL = (
     "c0 AS (SELECT p.doc_id, p.tf, "
     "CAST(t.n_tok AS DOUBLE) / CAST(c.cnt AS DOUBLE) AS lx "
     "FROM per_dt p JOIN cnts c ON p.term = c.term CROSS JOIN total t), "
-    "c1 AS (SELECT *, "
-    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
-    "c2 AS (SELECT *, "
-    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
-    "c3 AS (SELECT *, "
-    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
-    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
-    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
-    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
-    "c6 AS (SELECT doc_id, tf, "
-    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS srp "
-    "FROM c5), "
+    + _portable_ln_ctes("c0", "c", "doc_id, tf", "srp")
+    + ", "
     "contrib AS (SELECT doc_id, "
     "CAST(floor(srp * 1000000.0) AS BIGINT) * tf AS contrib_e6, tf "
     "FROM c6), "
@@ -646,32 +642,7 @@ def x36_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "lx", F.expr("CAST(c1 AS DOUBLE) / CAST(cbg AS DOUBLE)")
         )
-        .withColumn(
-            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
-        )
-        .withColumn(
-            "m0",
-            F.expr(
-                "lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"
-            ),
-        )
-        .withColumn(
-            "lnk",
-            F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)"),
-        )
-        .withColumn(
-            "lm",
-            F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END"),
-        )
-        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
-        .withColumn("ls", F.expr("lz * lz"))
-        .withColumn(
-            "srp",
-            F.expr(
-                f"CAST(lnk AS DOUBLE) * {_LN2} "
-                f"+ 2.0 * lz * {_ATANH_POLY}"
-            ),
-        )
+        .transform(_portable_ln, "srp")
         .withColumn(
             "contrib_e6",
             F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
@@ -708,21 +679,11 @@ _X36_SQL = (
     "CAST(l.c1 AS DOUBLE) / CAST(c.cbg AS DOUBLE) AS lx "
     "FROM per_db p JOIN cnts c ON p.w1 = c.w1 AND p.bg = c.bg "
     "JOIN lefts l ON p.w1 = l.w1), "
-    "c1_ AS (SELECT *, "
-    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM c0), "
-    "c2 AS (SELECT *, "
-    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1_), "
-    "c3 AS (SELECT *, "
-    f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END) AS lnk, "
-    f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
-    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
-    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
-    "c6 AS (SELECT doc_id, tf, "
-    f"CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY} AS srp "
-    "FROM c5), "
+    + _portable_ln_ctes("c0", "b", "doc_id, tf", "srp")
+    + ", "
     "contrib AS (SELECT doc_id, "
     "CAST(floor(srp * 1000000.0) AS BIGINT) * tf AS contrib_e6, tf "
-    "FROM c6), "
+    "FROM b6), "
     "per_doc AS (SELECT doc_id, "
     "CAST(sum(contrib_e6) AS BIGINT) AS bits_e6, "
     "CAST(sum(tf) AS BIGINT) AS n_bg_doc FROM contrib GROUP BY 1), "

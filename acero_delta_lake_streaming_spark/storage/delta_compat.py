@@ -1427,17 +1427,23 @@ def _write_change_data(
 
 
 def _prev_in_commit_ts(table: str, version: int) -> int | None:
-    """In-commit timestamp of the newest commit before ``version``
-    (None when the table does not write them). Chain presence
-    propagates: every commit after enablement carries the field, so ONE
-    small JSON read decides both whether to stamp this commit and its
-    monotonic floor — no snapshot replay on the commit path."""
-    versions = [v for v in _list_commit_versions(table) if v < version]
-    if not versions:
+    """In-commit timestamp of the commit before ``version`` (None when
+    the table does not write them). Chain presence propagates: every
+    commit after enablement carries the field, so ONE file open decides
+    both whether to stamp this commit and its monotonic floor. Version
+    slots are claimed contiguously and cleanup_log never deletes the
+    newest commit, so the previous commit is exactly ``version - 1`` —
+    no directory listing on the commit path. Lines are substring-
+    prefiltered before json.loads: an append commit writes commitInfo
+    LAST, and parsing 50k add actions to find one field would put the
+    cost back."""
+    if version <= 0:
         return None
     try:
-        with open(_commit_path(table, versions[-1])) as f:
+        with open(_commit_path(table, version - 1)) as f:
             for line in f:
+                if '"commitInfo"' not in line:
+                    continue
                 line = line.strip()
                 if not line:
                     continue
@@ -1464,10 +1470,19 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
     if prev_ict is not None:
         ict = max(int(time.time() * 1000), prev_ict + 1)
         if any("commitInfo" in a for a in actions):
-            for a in actions:
-                ci = a.get("commitInfo")
-                if ci is not None and ci.get("inCommitTimestamp") is None:
-                    ci["inCommitTimestamp"] = ict
+            # stamp into COPIES — mutating the caller's dicts would
+            # leave a stale (race-losing) stamp in caller-owned state
+            # if this publish fails and the actions are reused
+            actions = [
+                (
+                    {"commitInfo": dict(a["commitInfo"],
+                                        inCommitTimestamp=ict)}
+                    if "commitInfo" in a
+                    and a["commitInfo"].get("inCommitTimestamp") is None
+                    else a
+                )
+                for a in actions
+            ]
         else:
             actions = actions + [
                 {"commitInfo": {"timestamp": ict,
@@ -3325,16 +3340,48 @@ def clone_delta(table: str, target: str) -> int:
     now_ms = int(time.time() * 1000)
     dvs_abs = {os.path.abspath(f): d for f, d in snap["file_dvs"].items()}
     has_dv = any(os.path.abspath(f) in dvs_abs for f in snap["files"])
-    protocol = (
-        {
+    # The clone CARRIES the source protocol — feature-bound
+    # configuration (delta.checkpointPolicy=v2, in-commit timestamps,
+    # column mapping) copied without its features would produce a
+    # self-inconsistent table whose guarantees silently die. A
+    # DV-bearing file set additionally forces the feature form.
+    src_proto = snap.get("protocol") or {}
+    r = src_proto.get("minReaderVersion", 1)
+    w = src_proto.get("minWriterVersion", 2)
+    if has_dv or w == 7 or r == 3:
+        rf = set(src_proto.get("readerFeatures") or [])
+        wf = set(src_proto.get("writerFeatures") or [])
+        if w < 7:
+            wf |= _legacy_writer_features(w)
+        if r == 2:
+            rf.add("columnMapping")
+        if has_dv:
+            rf.add("deletionVectors")
+            wf.add("deletionVectors")
+        protocol = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
         }
-        if has_dv
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
+    elif src_proto:
+        protocol = dict(src_proto)
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    cfg = dict(snap["configuration"])
+    clone_ci: dict = {
+        "timestamp": now_ms,
+        "operation": "CLONE",
+        "operationParameters": {"source": os.path.abspath(table)},
+    }
+    if cfg.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        # the clone is a NEW table: its timestamp chain anchors HERE,
+        # and the enablement bookkeeping re-points at the clone's own
+        # version 0 (source-relative versions would be meaningless)
+        ict = max(now_ms, _commit_timestamp_ms(table, snap["version"]) + 1)
+        clone_ci["inCommitTimestamp"] = ict
+        cfg["delta.inCommitTimestampEnablementVersion"] = "0"
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
     actions: list[dict] = [
         {"protocol": protocol},
         {
@@ -3343,7 +3390,7 @@ def clone_delta(table: str, target: str) -> int:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap["schema"],
                 "partitionColumns": snap["partition_cols"],
-                "configuration": dict(snap["configuration"]),
+                "configuration": cfg,
                 "createdTime": now_ms,
             }
         },
@@ -3377,15 +3424,7 @@ def clone_delta(table: str, target: str) -> int:
                     pathOrInlineDv=os.path.abspath(os.path.join(table, rel)),
                 )
         actions.append({"add": add})
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "CLONE",
-                "operationParameters": {"source": os.path.abspath(table)},
-            }
-        }
-    )
+    actions.append({"commitInfo": clone_ci})
     _publish_commit(target, 0, actions)
     return 0
 

@@ -3725,3 +3725,39 @@ def test_streaming_sink_into_mapped_table(spark, tmp_path):
     got = {(r["k"], r["value"])
            for r in dc.read_delta(spark, table).collect()}
     assert got == {(i, i * 10) for i in range(9)}
+
+
+def test_clone_carries_features_and_restarts_ict_chain(spark, tmp_path):
+    """A shallow clone of an ICT-enabled v2-checkpoint table must stay
+    self-consistent: the protocol features ride along with the
+    feature-bound configuration, the clone's commit 0 anchors a FRESH
+    timestamp chain (enablement bookkeeping re-pointed at version 0),
+    and appends to the clone keep stamping."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ict_src")
+    cl = str(tmp_path / "ict_cl")
+    dc.append_delta(spark.range(4).select(F.col("id").alias("k")), src)
+    dc.enable_in_commit_timestamps(src)
+    dc.enable_v2_checkpoints(src)
+    dc.clone_delta(src, cl)
+    snap = dc.snapshot(cl)
+    proto = snap["protocol"]
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    cfg = snap["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "0"
+    ict0 = dc._commit_timestamp_ms(cl, 0)
+    assert ict0 > dc._commit_timestamp_ms(src, dc.snapshot(src)["version"]) - 1
+    v1 = dc.append_delta(spark.range(4, 6).select(F.col("id").alias("k")),
+                         cl)
+    assert dc._commit_timestamp_ms(cl, v1) > ict0  # chain alive
+    # plain-source clone still gets the minimal legacy protocol
+    src2 = str(tmp_path / "plain_src")
+    cl2 = str(tmp_path / "plain_cl")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), src2)
+    dc.clone_delta(src2, cl2)
+    assert dc.snapshot(cl2)["protocol"] == {"minReaderVersion": 1,
+                                            "minWriterVersion": 2}
