@@ -432,6 +432,61 @@ def _x30_sql() -> str:
     )
 
 
+def _neardup_round_sql(corpus_cte: str, delta_pred: str, p: str) -> str:
+    """One incremental near-dup round as a reusable CTE chain (the SQL
+    twin of the probe x30 and st17 run per delta/micro-batch): over
+    ``corpus_cte`` rows (doc_id, text) — corpus AND delta together —
+    emit ``{p}dups`` = the delta doc_ids (rows satisfying
+    ``delta_pred``, written against alias ``b``) that are near-dups
+    (band-bucket candidates verified at exact Jaccard >=
+    ``_JACCARD_THRESHOLD``) of ANY earlier doc. Chained by st17's
+    oracle once per epoch so the corpus a later epoch dedups against
+    includes the earlier epochs' admissions — the evolving-corpus
+    semantics the streaming operator must reproduce."""
+    sig_cols = ", ".join(
+        f"min((h1 + {s} * h2) % 4294967296) AS s{s}"
+        for s in range(_N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(s{b * _ROWS_PER_BAND} AS VARCHAR) || ':' || "
+        f"CAST(s{b * _ROWS_PER_BAND + 1} AS VARCHAR) || ':' || "
+        f"CAST(s{b * _ROWS_PER_BAND + 2} AS VARCHAR) AS bkey "
+        f"FROM {p}sigs"
+        for b in range(_BANDS)
+    )
+    shingles = _SHINGLE_ROWS_SQL.replace(
+        "FROM corpus)", f"FROM {corpus_cte})"
+    )
+    return (
+        f"{p}sh AS ({shingles}), "
+        f"{p}hashed AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1, "
+        "CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2 "
+        f"FROM {p}sh), "
+        f"{p}sigs AS (SELECT doc_id, {sig_cols} FROM {p}hashed "
+        "GROUP BY doc_id), "
+        f"{p}bands AS ({band_selects}), "
+        f"{p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, "
+        f"b.doc_id AS doc_b FROM {p}bands a JOIN {p}bands b "
+        "ON a.band = b.band AND a.bkey = b.bkey "
+        f"AND a.doc_id < b.doc_id WHERE {delta_pred}), "
+        f"{p}counts AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh "
+        "GROUP BY 1), "
+        f"{p}inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
+        f"FROM {p}cand c "
+        f"JOIN {p}sh sa ON sa.doc_id = c.doc_a "
+        f"JOIN {p}sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
+        "GROUP BY 1, 2), "
+        f"{p}dups AS (SELECT DISTINCT i.doc_b AS doc_id "
+        f"FROM {p}inter i "
+        f"JOIN {p}counts ca ON ca.doc_id = i.doc_a "
+        f"JOIN {p}counts cb ON cb.doc_id = i.doc_b "
+        "WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) "
+        f">= {_JACCARD_THRESHOLD})"
+    )
+
+
 # --------------------------------------------------------------------------
 # X2b — SimHash candidate groups
 # --------------------------------------------------------------------------

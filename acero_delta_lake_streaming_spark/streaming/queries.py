@@ -872,6 +872,217 @@ _ST9_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# ST17 — streaming incremental near-dup against an EVOLVING corpus
+# --------------------------------------------------------------------------
+
+
+def st17_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 — continuous-ingest near-dedup, the streaming twin of x30:
+    the documents corpus seeds a transactional table, then two
+    micro-batches arrive as file drops — epoch 0 carries char-reversed
+    novel docs, epoch 1 carries (a) near-dups of the ORIGINAL corpus,
+    (b) near-dups of docs ADMITTED IN EPOCH 0, and (c) word-reversed
+    fresh docs. Each micro-batch MinHash-bands itself against the
+    corpus AS OF ITS ARRIVAL (corpus ∪ batch bands, candidates
+    restricted to batch ids, exact-Jaccard verification at x2's
+    threshold) and appends only the novel docs with an idempotent
+    ``(app_id, epoch)`` commit.
+
+    Class (b) is the discriminating case: those docs are near-dups of
+    nothing in the ORIGINAL corpus — they are only dropped because
+    epoch 0's admissions joined the dedup corpus before epoch 1 ran.
+    An engine that dedups against a frozen snapshot (or loses epoch
+    ordering, or double-appends on replay) flips their bucket and
+    fails the hash. At scale the per-batch band recompute is the
+    materialized band index x30 documents (the nightly probe is
+    O(|batch| + probed buckets)); what the stream adds is exactly-once
+    corpus evolution, which the deltalite txn ledger provides."""
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _band_rows,
+        _shingle_rows,
+        _signatures,
+    )
+
+    base = _scratch(sf_dir, "st17")
+    drop, corpus_tbl, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "corpus"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(
+        (F.max("doc_id") + F.lit(1)).cast("bigint").alias("o")
+    )
+    e0 = (
+        docs.filter("doc_id % 7 = 3")
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("o")).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
+    )
+    e1 = (
+        docs.filter("doc_id % 10 = 0")
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + 2 * F.col("o")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+        )
+        .unionByName(
+            docs.filter("doc_id % 14 = 3")
+            .crossJoin(F.broadcast(off))
+            .select(
+                (F.col("doc_id") + 3 * F.col("o")).alias("doc_id"),
+                F.concat(
+                    F.reverse("text"), F.lit(" qdup wdup vdup")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 11 = 5")
+            .crossJoin(F.broadcast(off))
+            .select(
+                (F.col("doc_id") + 4 * F.col("o")).alias("doc_id"),
+                F.array_join(
+                    F.reverse(F.split("text", " ")), " "
+                ).alias("text"),
+            )
+        )
+    )
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(e0, f0)
+    write_single_parquet(e1, f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+    deltalite.write(docs, corpus_tbl, app_id="st17-seed", epoch=0)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus = deltalite.read(spark, corpus_tbl).select("doc_id", "text")
+        union = corpus.unionByName(batch_df)
+        sh = union.transform(_shingle_rows).persist()
+        try:
+            bands = _band_rows(_signatures(sh))
+            batch_ids = batch_df.select("doc_id")
+            bands_new = bands.join(F.broadcast(batch_ids), "doc_id")
+            a, b = bands.alias("a"), bands_new.alias("b")
+            cand = (
+                a.join(
+                    F.broadcast(b),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            counts = sh.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_sh")
+            )
+            sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+            sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+            inter = (
+                cand.join(sa, "doc_a")
+                .join(sb, ["doc_b", "sh"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            na = counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            )
+            nb = counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            )
+            jac = F.col("inter") / (
+                F.col("na") + F.col("nb") - F.col("inter")
+            )
+            dups = (
+                inter.join(na, "doc_a")
+                .join(nb, "doc_b")
+                .filter(jac >= _JACCARD_THRESHOLD)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            novel = batch_df.join(dups, "doc_id", "left_anti")
+            deltalite.write(
+                novel, corpus_tbl, app_id="st17", epoch=epoch_id
+            )
+        finally:
+            sh.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        deltalite.read(spark, corpus_tbl)
+        .crossJoin(F.broadcast(off))
+        .groupBy(
+            F.expr("CAST(doc_id DIV o AS INT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+def _st17_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _neardup_round_sql,
+    )
+
+    o = "(SELECT max(doc_id) + 1 FROM documents)"
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents), "
+        f"e0 AS (SELECT doc_id + {o} AS doc_id, reverse(text) AS text "
+        "FROM documents WHERE doc_id % 7 = 3), "
+        f"e1 AS (SELECT doc_id + 2 * {o} AS doc_id, "
+        "text || ' xdup ydup zdup' AS text FROM documents "
+        "WHERE doc_id % 10 = 0 "
+        f"UNION ALL SELECT doc_id + 3 * {o}, "
+        "reverse(text) || ' qdup wdup vdup' FROM documents "
+        "WHERE doc_id % 14 = 3 "
+        f"UNION ALL SELECT doc_id + 4 * {o}, "
+        "array_to_string(list_reverse(string_split(text, ' ')), ' ') "
+        "FROM documents WHERE doc_id % 11 = 5), "
+        "c0 AS (SELECT * FROM base UNION ALL SELECT * FROM e0), "
+        + _neardup_round_sql("c0", f"b.doc_id >= {o}", "r0")
+        + ", "
+        "n0 AS (SELECT * FROM e0 WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM r0dups)), "
+        "c1 AS (SELECT * FROM base UNION ALL SELECT * FROM n0 "
+        "UNION ALL SELECT * FROM e1), "
+        + _neardup_round_sql("c1", f"b.doc_id >= 2 * {o}", "r1")
+        + ", "
+        "n1 AS (SELECT * FROM e1 WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM r1dups)), "
+        "fin AS (SELECT doc_id FROM base "
+        "UNION ALL SELECT doc_id FROM n0 "
+        "UNION ALL SELECT doc_id FROM n1) "
+        f"SELECT CAST(doc_id // {o} AS INT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM fin GROUP BY 1"
+    )
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -884,6 +1095,7 @@ QUERIES = {
     "st8_stream_static_enrich": st8_stream_static_enrich,
     "st9_streaming_ema": st9_streaming_ema,
     "st11_streaming_sessions": st11_streaming_sessions,
+    "st17_streaming_neardup": st17_streaming_neardup,
 }
 
 ORACLES = {
@@ -898,4 +1110,5 @@ ORACLES = {
     "st8_stream_static_enrich": _ST8_SQL,
     "st9_streaming_ema": _ST9_SQL,
     "st11_streaming_sessions": _ST11_SQL,
+    "st17_streaming_neardup": _st17_sql(),
 }
