@@ -3761,3 +3761,102 @@ def test_clone_carries_features_and_restarts_ict_chain(spark, tmp_path):
     dc.clone_delta(src2, cl2)
     assert dc.snapshot(cl2)["protocol"] == {"minReaderVersion": 1,
                                             "minWriterVersion": 2}
+
+
+def test_mapping_lifecycle_property(spark, tmp_path):
+    """Model-based lifecycle check: random sequences of rename / drop /
+    append / evolve-append applied to a mapped table must always read
+    back exactly what a plain dict-of-rows model predicts — the
+    non-resurrection, fresh-id, and physical-name invariants hold under
+    COMPOSITION, not just in the single-step tests."""
+    import uuid as uuidlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    step = st.tuples(
+        st.sampled_from(["rename", "drop", "append", "evolve"]),
+        st.integers(min_value=0, max_value=7),      # choice index
+        st.integers(min_value=100, max_value=9999),  # value base
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(step, min_size=3, max_size=6))
+    def run(ops):
+        table = str(tmp_path / f"prop_{uuidlib.uuid4().hex}")
+        dc.append_delta(
+            spark.range(3).select(
+                F.col("id").alias("c0"), (F.col("id") * 10).alias("c1")
+            ),
+            table,
+        )
+        dc.enable_column_mapping(table)
+        model = [{"c0": i, "c1": i * 10} for i in range(3)]
+        cols = ["c0", "c1"]
+        next_col = 2
+        for o, idx, base in ops:
+            if o == "rename" and cols:
+                old = cols[idx % len(cols)]
+                new = f"c{next_col}"
+                next_col += 1
+                dc.rename_column(table, old, new)
+                cols[cols.index(old)] = new
+                for row in model:
+                    row[new] = row.pop(old)
+            elif o == "drop" and len(cols) > 1:
+                victim = cols[idx % len(cols)]
+                dc.drop_column(table, victim)
+                cols.remove(victim)
+                for row in model:
+                    row.pop(victim)
+            elif o == "append":
+                batch = [
+                    {c: base + j * 7 + k for k, c in enumerate(cols)}
+                    for j in range(2)
+                ]
+                dc.append_delta(
+                    spark.createDataFrame(
+                        [tuple(r[c] for c in cols) for r in batch],
+                        ", ".join(f"`{c}` long" for c in cols),
+                    ),
+                    table,
+                )
+                model.extend(batch)
+            elif o == "evolve":
+                new = f"c{next_col}"
+                next_col += 1
+                batch = [
+                    {c: base + j * 7 + k
+                     for k, c in enumerate(cols + [new])}
+                    for j in range(2)
+                ]
+                dc.append_delta(
+                    spark.createDataFrame(
+                        [tuple(r[c] for c in cols + [new]) for r in batch],
+                        ", ".join(f"`{c}` long" for c in cols + [new]),
+                    ),
+                    table, merge_schema=True,
+                )
+                for row in model:
+                    row[new] = None
+                model.extend(batch)
+                cols.append(new)
+        got = dc.read_delta(spark, table)
+        assert sorted(got.columns) == sorted(cols)
+        got_rows = sorted(
+            tuple(r[c] for c in sorted(cols)) for r in got.collect()
+        )
+        want_rows = sorted(
+            tuple(r[c] for c in sorted(cols)) for r in model
+        )
+        assert got_rows == want_rows
+        # mapping ids stay unique (non-resurrection invariant)
+        ids = [
+            f["metadata"]["delta.columnMapping.id"]
+            for f in json.loads(dc.snapshot(table)["schema"])["fields"]
+        ]
+        assert len(ids) == len(set(ids))
+
+    run()

@@ -564,3 +564,28 @@ def test_partitioned_dv_read_partition_prunes(spark, tmp_path):
         "PartitionFilters" in ln and "p1" in ln for ln in scan
     ), plan
     assert out.count() == 50  # deleted keys are even; p1 holds odd k
+
+
+def test_session2_addition_plan_shapes(spark, sf_dir):
+    """w15: user-keyed hash join (never a nested loop over events) and
+    the final rollup is the only post-window aggregate; x36: one corpus
+    scan feeding both the counts branch and the join (persisted reuse),
+    no cartesian products anywhere."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        x36_bigram_surprise,
+    )
+    from acero_delta_lake_streaming_spark.operators.windows import (
+        w15_attribution,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    plan = _physical(w15_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" in plan  # the per-purchase bookend window
+
+    plan = _physical(x36_bigram_surprise(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # per_db is persisted and read twice (counts branch + join back)
+    assert plan.count("InMemoryTableScan") >= 2
+    release_scoped()
