@@ -1546,6 +1546,69 @@ _X28_SQL = _x28_sql()
 
 
 # --------------------------------------------------------------------------
+# X37 — cluster-balanced subsampling (diversity-preserving downsample)
+# --------------------------------------------------------------------------
+
+_X37_QUOTA = 40
+
+
+def x37_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus downsampling: assign every embedding to
+    a k-means cell via the SHARED IVF coarse quantizer (``_ivf_coarse``
+    — x3d/x3f's, so the partition geometry cannot drift between
+    search and curation), then keep at most ``_X37_QUOTA`` vectors per
+    cell by deterministic md5 rank. This is the coverage-preserving
+    step of a training-mix pipeline — uniform sampling lets the
+    dominant mode flood the budget, per-cluster quotas keep the tail
+    modes represented (the cluster-balancing idea behind SemDeDup-style
+    diversity curation and DoReMi-ish domain capping, applied at
+    embedding granularity).
+
+    Scale shape: the quantizer is the audited x3d plan (broadcast
+    centroids, decimal-exact Lloyd updates, TakeOrderedAndProject
+    seeds); ranking is one row_number window PARTITIONED BY CELL —
+    with K ≈ √N cells a partition sorts ~√N rows (3M at 100 TB-scale
+    counts, inside one executor's sort budget), and the md5 rank makes
+    re-runs and both engines pick the SAME survivors, so the sample is
+    reproducible by construction. Output certifies assignment AND
+    quota: per-cell totals, kept counts, and the kept-id checksum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    final_assign, _probes = _ivf_coarse(corpus)
+    w = Window.partitionBy("cid").orderBy(F.asc("sk"), F.asc("vec_id"))
+    ranked = (
+        final_assign.withColumn(
+            "sk", F.md5(F.col("vec_id").cast("string"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.col("rk") <= _X37_QUOTA, 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("rk") <= _X37_QUOTA, F.col("vec_id"))
+        ).cast("bigint").alias("kept_id_sum"),
+    )
+
+
+def _x37_sql() -> str:
+    ctes, _cent = _ivf_base_ctes()
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        "ranked AS (SELECT cid, vec_id, row_number() OVER ("
+        "PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        "vec_id) AS rk FROM fa) "
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n_total, "
+        f"CAST(sum(CASE WHEN rk <= {_X37_QUOTA} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_kept, "
+        f"CAST(sum(CASE WHEN rk <= {_X37_QUOTA} THEN vec_id END) "
+        "AS BIGINT) AS kept_id_sum FROM ranked GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
 # X35 — domain-centroid assignment (mixture routing / separability audit)
 # --------------------------------------------------------------------------
 
@@ -1644,6 +1707,7 @@ QUERIES = {
     "x24_jl_projection": x24_jl_projection,
     "x28_graph_pagerank": x28_graph_pagerank,
     "x35_domain_centroids": x35_domain_centroids,
+    "x37_cluster_balanced_sample": x37_cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -1659,4 +1723,5 @@ ORACLES = {
     "x24_jl_projection": _X24_SQL,
     "x28_graph_pagerank": _X28_SQL,
     "x35_domain_centroids": _X35_SQL,
+    "x37_cluster_balanced_sample": _x37_sql(),
 }
