@@ -3845,11 +3845,16 @@ def test_mapping_lifecycle_property(spark, tmp_path):
                 cols.append(new)
         got = dc.read_delta(spark, table)
         assert sorted(got.columns) == sorted(cols)
+        def _key(t):
+            # evolved columns null-fill older rows; None isn't orderable
+            return tuple((v is None, v if v is not None else 0) for v in t)
+
         got_rows = sorted(
-            tuple(r[c] for c in sorted(cols)) for r in got.collect()
+            (tuple(r[c] for c in sorted(cols)) for r in got.collect()),
+            key=_key,
         )
         want_rows = sorted(
-            tuple(r[c] for c in sorted(cols)) for r in model
+            (tuple(r[c] for c in sorted(cols)) for r in model), key=_key
         )
         assert got_rows == want_rows
         # mapping ids stay unique (non-resurrection invariant)
