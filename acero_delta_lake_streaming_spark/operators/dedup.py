@@ -393,41 +393,22 @@ _INCREMENTAL_CORPUS_SQL = (
 
 
 def _x30_sql() -> str:
-    sig_cols = ", ".join(
-        f"min((h1 + {s} * h2) % 4294967296) AS s{s}" for s in range(_N_HASHES)
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"CAST(s{b * _ROWS_PER_BAND} AS VARCHAR) || ':' || "
-        f"CAST(s{b * _ROWS_PER_BAND + 1} AS VARCHAR) || ':' || "
-        f"CAST(s{b * _ROWS_PER_BAND + 2} AS VARCHAR) AS bkey FROM sigs"
-        for b in range(_BANDS)
-    )
+    """x30's oracle rides the SAME parameterized round as st17's
+    epochs (``_neardup_round_sql``) — one source of the probe SQL, so
+    the batch-nightly and streaming shapes cannot drift — and projects
+    the verified pairs with their Jaccard instead of the round's
+    distinct-dups set."""
     return (
         f"WITH corpus AS ({_INCREMENTAL_CORPUS_SQL}), "
-        f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
-        "hashed AS (SELECT doc_id, "
-        "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1, "
-        "CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2 "
-        "FROM dshingles), "
-        f"sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id), "
-        f"bands AS ({band_selects}), "
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "  FROM bands a JOIN bands b "
-        "  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
-        f"  WHERE b.doc_id >= {_X30_OFF_SQL}), "
-        "counts AS (SELECT doc_id, count(*) AS n_sh FROM dshingles GROUP BY 1), "
-        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
-        "  FROM cand c "
-        "  JOIN dshingles sa ON sa.doc_id = c.doc_a "
-        "  JOIN dshingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
-        "  GROUP BY 1, 2) "
+        + _neardup_round_sql("corpus", f"b.doc_id >= {_X30_OFF_SQL}", "r")
+        + " "
         "SELECT i.doc_a, i.doc_b, "
-        "round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 4) AS jaccard "
-        "FROM inter i "
-        "JOIN counts ca ON ca.doc_id = i.doc_a "
-        "JOIN counts cb ON cb.doc_id = i.doc_b "
-        f"WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) "
+        "round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 4) "
+        "AS jaccard "
+        "FROM rinter i "
+        "JOIN rcounts ca ON ca.doc_id = i.doc_a "
+        "JOIN rcounts cb ON cb.doc_id = i.doc_b "
+        "WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) "
         f">= {_JACCARD_THRESHOLD}"
     )
 

@@ -1469,7 +1469,9 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
     prev_ict = _prev_in_commit_ts(table, version)
     if prev_ict is not None:
         ict = max(int(time.time() * 1000), prev_ict + 1)
-        if any("commitInfo" in a for a in actions):
+        # a null-valued commitInfo (foreign logs emit them) counts as
+        # absent — stamping must neither crash on it nor rely on it
+        if any(isinstance(a.get("commitInfo"), dict) for a in actions):
             # stamp into COPIES — mutating the caller's dicts would
             # leave a stale (race-losing) stamp in caller-owned state
             # if this publish fails and the actions are reused
@@ -1477,7 +1479,7 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
                 (
                     {"commitInfo": dict(a["commitInfo"],
                                         inCommitTimestamp=ict)}
-                    if "commitInfo" in a
+                    if isinstance(a.get("commitInfo"), dict)
                     and a["commitInfo"].get("inCommitTimestamp") is None
                     else a
                 )
@@ -3359,11 +3361,18 @@ def clone_delta(table: str, target: str) -> int:
             rf.add("deletionVectors")
             wf.add("deletionVectors")
         protocol = {
-            "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": sorted(rf),
             "writerFeatures": sorted(wf),
         }
+        if rf:
+            # reader version 3 only when a reader feature is actually
+            # demanded — r=3 with an EMPTY feature list is rejected by
+            # _check_protocol (a writer-features-only source, e.g. an
+            # ICT table, must stay readable at its legacy reader level)
+            protocol["minReaderVersion"] = 3
+            protocol["readerFeatures"] = sorted(rf)
+        else:
+            protocol["minReaderVersion"] = min(r, 2)
     elif src_proto:
         protocol = dict(src_proto)
     else:

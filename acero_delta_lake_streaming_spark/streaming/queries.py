@@ -967,7 +967,8 @@ def st17_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         union = corpus.unionByName(batch_df)
         sh = union.transform(_shingle_rows).persist()
         try:
-            bands = _band_rows(_signatures(sh))
+            sigs = _signatures(sh)
+            bands = _band_rows(sigs)
             batch_ids = batch_df.select("doc_id")
             bands_new = bands.join(F.broadcast(batch_ids), "doc_id")
             a, b = bands.alias("a"), bands_new.alias("b")
@@ -984,9 +985,10 @@ def st17_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .distinct()
             )
-            counts = sh.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_sh")
-            )
+            # n_sh folds into the signature aggregation (x30's shape) —
+            # a second groupBy over the shingle set would re-shuffle
+            # the hottest intermediate for a count _signatures has
+            counts = sigs.select("doc_id", "n_sh")
             sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
             sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
             inter = (

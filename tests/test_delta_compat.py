@@ -3865,3 +3865,26 @@ def test_mapping_lifecycle_property(spark, tmp_path):
         assert len(ids) == len(set(ids))
 
     run()
+
+
+def test_clone_of_writer_features_only_source_stays_readable(spark,
+                                                             tmp_path):
+    """A source whose protocol is writer-features-only (ICT enabled, no
+    reader feature — minReader stays 1) must clone to a table this
+    module can read back: minReaderVersion 3 with an EMPTY feature list
+    is a protocol violation _check_protocol rejects."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "wfo_src")
+    cl = str(tmp_path / "wfo_cl")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), src)
+    dc.enable_in_commit_timestamps(src)
+    dc.clone_delta(src, cl)
+    proto = dc.snapshot(cl)["protocol"]
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert "readerFeatures" not in proto
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert dc.read_delta(spark, cl).count() == 3
+    dc.append_delta(spark.range(3, 5).select(F.col("id").alias("k")), cl)
+    assert dc.read_delta(spark, cl).count() == 5

@@ -579,13 +579,15 @@ def test_session2_addition_plan_shapes(spark, sf_dir):
     )
     from acero_delta_lake_streaming_spark.plans.cache import release_scoped
 
-    plan = _physical(w15_attribution(spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "row_number" in plan  # the per-purchase bookend window
+    try:
+        plan = _physical(w15_attribution(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "row_number" in plan  # the per-purchase bookend window
 
-    plan = _physical(x36_bigram_surprise(spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    # per_db is persisted and read twice (counts branch + join back)
-    assert plan.count("InMemoryTableScan") >= 2
-    release_scoped()
+        plan = _physical(x36_bigram_surprise(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # per_db is persisted and read twice (counts branch + join back)
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        release_scoped()
