@@ -695,6 +695,137 @@ _X36_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x38 — DSIR-style importance scoring (target-vs-source likelihood ratio)
+# --------------------------------------------------------------------------
+
+
+def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    unigram form: score every document by the log-likelihood ratio of
+    its tokens under the TARGET language model (here the ``lang='en'``
+    slice — the distribution you want more of) vs the SOURCE model
+    (everything else), with add-1 smoothing over the joint vocabulary.
+    High scores = raw docs that look like the target — the selection
+    signal behind targeted pretraining mixes; the per-class band
+    histogram certifies the separation (target docs must mass in the
+    high bands for the method to mean anything).
+
+    Plan: ONE corpus tokenization feeds everything (persisted per-doc
+    tf), the two LMs are one |vocab|-keyed aggregate with conditional
+    sums, totals ride a one-row broadcast, and both logarithms are the
+    portable-ln on ratios >= 1 by construction (ln p = −ln((N+V)/(c+1))
+    — smoothing guarantees the domain). Per-(doc, term) contributions
+    quantize to e6 integers BEFORE any cross-row sum; the per-token
+    mean shifts by +1000 nats before its integer divisions so every
+    DIV sees non-negative operands — Spark DIV truncates while DuckDB
+    ``//`` floors, and they only agree above zero (CLAUDE.md's
+    negative-division trap, dodged structurally)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(lang = 'en' AS INT)").alias("is_t"),
+        F.expr(_WORDS_SPARK).alias("w"),
+    )
+    per_dt = scoped_persist(
+        docs.select("doc_id", "is_t", F.explode("w").alias("term"))
+        .groupBy("doc_id", "is_t", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnts = per_dt.groupBy("term").agg(
+        F.sum(F.expr("CASE WHEN is_t = 1 THEN tf ELSE 0 END"))
+        .cast("bigint").alias("ct"),
+        F.sum(F.expr("CASE WHEN is_t = 0 THEN tf ELSE 0 END"))
+        .cast("bigint").alias("cs"),
+    )
+    stats = (
+        cnts.agg(
+            F.sum("ct").cast("bigint").alias("nt"),
+            F.sum("cs").cast("bigint").alias("ns"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+        .withColumn("k", F.lit(1))
+    )
+    per_doc = (
+        per_dt.join(cnts, "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+        .withColumn(
+            "lx",
+            F.expr("CAST(nt + v AS DOUBLE) / CAST(ct + 1 AS DOUBLE)"),
+        )
+        .withColumn(
+            "ls_lx",
+            F.expr("CAST(ns + v AS DOUBLE) / CAST(cs + 1 AS DOUBLE)"),
+        )
+        .transform(_portable_ln, "ln_t")
+        .withColumn("lx", F.col("ls_lx"))
+        .transform(_portable_ln, "ln_s")
+        .withColumn(
+            "contrib_e6",
+            F.expr(
+                "CAST(floor((ln_s - ln_t) * 1000000.0) AS BIGINT) * tf"
+            ),
+        )
+        .groupBy("doc_id", "is_t")
+        .agg(
+            F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
+            F.sum("tf").cast("bigint").alias("n_tok"),
+        )
+        .withColumn(
+            "band",
+            F.expr(
+                "((bits_e6 + n_tok * 1000000000) DIV n_tok) DIV 100000"
+            ),
+        )
+    )
+    return per_doc.groupBy(
+        F.col("is_t").alias("is_target"), "band"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("ids_sum"),
+    )
+
+
+def _x38_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t, "
+        f"{_WORDS_DUCK} AS w FROM documents), "
+        "toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM d), "
+        "per_dt AS (SELECT doc_id, is_t, term, "
+        "CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2, 3), "
+        "cnts AS (SELECT term, "
+        "CAST(sum(CASE WHEN is_t = 1 THEN tf ELSE 0 END) AS BIGINT) "
+        "AS ct, "
+        "CAST(sum(CASE WHEN is_t = 0 THEN tf ELSE 0 END) AS BIGINT) "
+        "AS cs FROM per_dt GROUP BY 1), "
+        "stats AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, "
+        "CAST(sum(cs) AS BIGINT) AS ns, "
+        "CAST(count(*) AS BIGINT) AS v FROM cnts), "
+        "c0 AS (SELECT p.doc_id, p.is_t, p.tf, "
+        "CAST(s.nt + s.v AS DOUBLE) / CAST(c.ct + 1 AS DOUBLE) AS lx, "
+        "CAST(s.ns + s.v AS DOUBLE) / CAST(c.cs + 1 AS DOUBLE) AS ls_lx "
+        "FROM per_dt p JOIN cnts c ON p.term = c.term "
+        "CROSS JOIN stats s), "
+        + _portable_ln_ctes("c0", "t", "doc_id, is_t, tf, ls_lx", "ln_t")
+        + ", "
+        "u0 AS (SELECT doc_id, is_t, tf, ln_t, ls_lx AS lx FROM t6), "
+        + _portable_ln_ctes("u0", "u", "doc_id, is_t, tf, ln_t", "ln_s")
+        + ", "
+        "contrib AS (SELECT doc_id, is_t, "
+        "CAST(floor((ln_s - ln_t) * 1000000.0) AS BIGINT) * tf AS c6, "
+        "tf FROM u6), "
+        "per_doc AS (SELECT doc_id, is_t, "
+        "CAST(sum(c6) AS BIGINT) AS bits_e6, "
+        "CAST(sum(tf) AS BIGINT) AS n_tok FROM contrib GROUP BY 1, 2), "
+        "banded AS (SELECT doc_id, is_t, "
+        "((bits_e6 + n_tok * 1000000000) // n_tok) // 100000 AS band "
+        "FROM per_doc) "
+        "SELECT is_t AS is_target, band, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS ids_sum FROM banded GROUP BY 1, 2"
+    )
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
@@ -702,6 +833,7 @@ QUERIES = {
     "x26_unigram_surprise": x26_unigram_surprise,
     "x31_source_keywords": x31_source_keywords,
     "x36_bigram_surprise": x36_bigram_surprise,
+    "x38_dsir_importance": x38_dsir_importance,
 }
 
 ORACLES = {
@@ -711,4 +843,5 @@ ORACLES = {
     "x26_unigram_surprise": _X26_SQL,
     "x31_source_keywords": _X31_SQL,
     "x36_bigram_surprise": _X36_SQL,
+    "x38_dsir_importance": _x38_sql(),
 }

@@ -73,33 +73,34 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-6 window: slots 1-20 are new or changed this round (s17b
+    # Round-6 window: slots 1-21 are new or changed this round (s17b
     # partitioned-DV delete, x3f IVF-SQ8, st16 full-outer stream join,
     # x3g filtered ANN, x32 weighted sample, x33 canonical dedup, x34
     # substring dedup, w14 RFM segments, s20/s20b column-mapping
     # writes + DROP COLUMN, s21 v2-checkpoint writer, x35 domain
     # centroids, w15 attribution, x36 bigram surprise, st17 streaming
-    # near-dup, x37 cluster-balanced sample) plus the three
+    # near-dup, x37 cluster-balanced sample, x38 DSIR importance) plus
+    # the three
     # never-driver-recorded round-5 stragglers (w13/s19/st15) and x30
-    # (its delta-id namespace changed this round); slots 21-44 are the
+    # (its delta-id namespace changed this round); slots 22-45 are the
     # 24 r2-vintage re-proofs deferred from round 5 (this zeroes the
-    # r2-vintage backlog); slots 45-50 take 6 of the 35 r3-proven
-    # queries (storage/streaming cores first — the 29 that don't fit
+    # r2-vintage backlog); slots 46-50 take 5 of the 35 r3-proven
+    # queries (storage/streaming cores first — the 30 that don't fit
     # lead the tail for round 7).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
-    # -- new or changed this round + never-recorded (1-20) --
+    # -- new or changed this round + never-recorded (1-21) --
     "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
     "st16_full_outer_join", "x3g_filtered_ann",
     "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
     "w14_rfm_segments", "s20_column_mapping_writes", "s20b_drop_column",
     "s21_v2_checkpoint", "x35_domain_centroids", "w15_attribution",
     "x36_bigram_surprise", "st17_streaming_neardup",
-    "x37_cluster_balanced_sample",
+    "x37_cluster_balanced_sample", "x38_dsir_importance",
     "w13_stickiness",
     "st15_delta_cdf_follower", "s19_check_constraints",
     "x30_incremental_neardup",
-    # -- r2-vintage re-proof backlog, now complete (21-44) --
+    # -- r2-vintage re-proof backlog, now complete (22-45) --
     "t3_sort_display", "u4_except_all", "a5_value_counts",
     "p9_boolean_filter", "p2_computed_columns", "p3_concat_text",
     "a3_filtered_count", "w4_sliding_windows", "p8_null_default",
@@ -108,7 +109,7 @@ _PRIORITY = [
     "t2_topk_breakdown", "u2_union_all", "u3_intersect",
     "f6_json_extract", "f7_regexp_suite", "f8_array_suite",
     "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
-    # -- r3-vintage re-proofs (45-50; the remainder of this block
+    # -- r3-vintage re-proofs (46-50; the remainder of this block
     #    spills just past the window and leads round 7) --
     "flagship_breakdown",
     "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",

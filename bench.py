@@ -137,6 +137,7 @@ HEADLINE = [
     "w15_attribution",
     "x36_bigram_surprise",
     "x37_cluster_balanced_sample",
+    "x38_dsir_importance",
     # st17_streaming_neardup is deliberately NOT in the headline: its
     # two full MinHash passes over an sf0.1-scale corpus measure ~17 s,
     # which would double the bench wall-clock for one query; the driver
