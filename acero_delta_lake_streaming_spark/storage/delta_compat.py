@@ -1214,7 +1214,10 @@ def actions_for_retry(actions: list[dict]) -> list[dict]:
     now_ms = int(time.time() * 1000)
     out = []
     for a in actions:
-        if "commitInfo" in a:
+        # null-valued commitInfo counts as absent here exactly as it
+        # does in _publish_commit's stamping — the same foreign-log
+        # input class must not crash one function away
+        if isinstance(a.get("commitInfo"), dict):
             ci = dict(a["commitInfo"], timestamp=now_ms)
             # a stale in-commit timestamp from the lost attempt could
             # undercut the race winner's — drop it so _publish_commit
