@@ -462,9 +462,7 @@ def x32_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted keys are e12-floored integers (never raw doubles)."""
     docs = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
     from acero_delta_lake_streaming_spark.operators.retrieval import (
-        _ATANH_POLY,
-        _LN2,
-        _SQRT2,
+        _portable_ln,
     )
 
     keyed = (
@@ -478,25 +476,8 @@ def x32_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # 1/u ≥ 1: the portable ln's domain; ln(u) = -ln(1/u)
         .withColumn("lx", F.expr("4294967296.0 / (CAST(h AS DOUBLE) + 1.0)"))
-        .withColumn(
-            "k0", F.expr("length(bin(CAST(floor(lx) AS BIGINT))) - 1")
-        )
-        .withColumn(
-            "m0",
-            F.expr("lx / CAST(shiftleft(CAST(1 AS BIGINT), k0) AS DOUBLE)"),
-        )
-        .withColumn(
-            "lnk", F.expr(f"k0 + (CASE WHEN m0 > {_SQRT2} THEN 1 ELSE 0 END)")
-        )
-        .withColumn(
-            "lm", F.expr(f"CASE WHEN m0 > {_SQRT2} THEN m0 * 0.5 ELSE m0 END")
-        )
-        .withColumn("lz", F.expr("(lm - 1.0) / (lm + 1.0)"))
-        .withColumn("ls", F.expr("lz * lz"))
-        .withColumn(
-            "lnu",
-            F.expr(f"-(CAST(lnk AS DOUBLE) * {_LN2} + 2.0 * lz * {_ATANH_POLY})"),
-        )
+        .transform(_portable_ln, "lnx")
+        .withColumn("lnu", F.expr("-lnx"))
         .withColumn(
             "key_e12",
             F.expr(
@@ -512,40 +493,22 @@ def x32_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X32_SQL = (
-    "WITH k0s AS (SELECT doc_id, lang, n_chars, "
-    "4294967296.0 / (CAST(CAST(('0x' || "
-    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) "
-    "+ 1.0) AS lx "
-    "FROM documents WHERE n_chars > 0), "
-    "c1 AS (SELECT *, "
-    "length(bin(CAST(floor(lx) AS BIGINT))) - 1 AS k0 FROM k0s), "
-    "c2 AS (SELECT *, "
-    "lx / CAST((CAST(1 AS BIGINT) << k0) AS DOUBLE) AS m0 FROM c1), "
-    "c3 AS (SELECT *, "
-    f"k0 + (CASE WHEN m0 > {{sqrt2}} THEN 1 ELSE 0 END) AS lnk, "
-    f"CASE WHEN m0 > {{sqrt2}} THEN m0 * 0.5 ELSE m0 END AS lm FROM c2), "
-    "c4 AS (SELECT *, (lm - 1.0) / (lm + 1.0) AS lz FROM c3), "
-    "c5 AS (SELECT *, lz * lz AS ls FROM c4), "
-    "c6 AS (SELECT doc_id, lang, n_chars, "
-    f"-(CAST(lnk AS DOUBLE) * {{ln2}} + 2.0 * lz * {{poly}}) AS lnu "
-    "FROM c5) "
-    "SELECT doc_id, lang, n_chars, "
-    "CAST(floor(lnu / CAST(n_chars AS DOUBLE) * 1000000000000.0) "
-    "AS BIGINT) AS key_e12 "
-    "FROM c6 ORDER BY key_e12 DESC, doc_id ASC LIMIT {k}"
-)
-
-
 def _x32_sql() -> str:
     from acero_delta_lake_streaming_spark.operators.retrieval import (
-        _ATANH_POLY,
-        _LN2,
-        _SQRT2,
+        _portable_ln_ctes,
     )
 
-    return _X32_SQL.format(
-        sqrt2=_SQRT2, ln2=_LN2, poly=_ATANH_POLY, k=_WS_K
+    return (
+        "WITH k0s AS (SELECT doc_id, lang, n_chars, "
+        "4294967296.0 / (CAST(CAST(('0x' || "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) "
+        "+ 1.0) AS lx "
+        "FROM documents WHERE n_chars > 0), "
+        + _portable_ln_ctes("k0s", "c", "doc_id, lang, n_chars", "lnx")
+        + " SELECT doc_id, lang, n_chars, "
+        "CAST(floor(-lnx / CAST(n_chars AS DOUBLE) * 1000000000000.0) "
+        "AS BIGINT) AS key_e12 "
+        f"FROM c6 ORDER BY key_e12 DESC, doc_id ASC LIMIT {_WS_K}"
     )
 
 

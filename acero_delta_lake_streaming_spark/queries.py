@@ -73,52 +73,17 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-6 window: slots 1-21 are new or changed this round (s17b
-    # partitioned-DV delete, x3f IVF-SQ8, st16 full-outer stream join,
-    # x3g filtered ANN, x32 weighted sample, x33 canonical dedup, x34
-    # substring dedup, w14 RFM segments, s20/s20b column-mapping
-    # writes + DROP COLUMN, s21 v2-checkpoint writer, x35 domain
-    # centroids, w15 attribution, x36 bigram surprise, st17 streaming
-    # near-dup, x37 cluster-balanced sample, x38 DSIR importance) plus
-    # the three
-    # never-driver-recorded round-5 stragglers (w13/s19/st15) and x30
-    # (its delta-id namespace changed this round); slots 22-45 are the
-    # 24 r2-vintage re-proofs deferred from round 5 (this zeroes the
-    # r2-vintage backlog); slots 46-50 take 5 of the 35 r3-proven
-    # queries (storage/streaming cores first — the 30 that don't fit
-    # lead the tail for round 7).
+    # Round-7 window: new-this-round queries lead (s22 mapped COW
+    # merge/delete, s23 merge through live DVs, plus later round-7
+    # additions slotted here as they land); then the 30 r3-proven
+    # queries deferred from round 6 (this zeroes the r3-vintage
+    # backlog); the remaining slots start on the r4-proven backlog
+    # (~18 of 39 — the rest lead round 8).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
-    # -- new or changed this round + never-recorded (1-21) --
-    "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
-    "st16_full_outer_join", "x3g_filtered_ann",
-    "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
-    "w14_rfm_segments", "s20_column_mapping_writes", "s20b_drop_column",
-    "s21_v2_checkpoint", "x35_domain_centroids", "w15_attribution",
-    "x36_bigram_surprise", "st17_streaming_neardup",
-    "x37_cluster_balanced_sample", "x38_dsir_importance",
-    "w13_stickiness",
-    "st15_delta_cdf_follower", "s19_check_constraints",
-    "x30_incremental_neardup",
-    # -- r2-vintage re-proof backlog, now complete (22-45) --
-    "t3_sort_display", "u4_except_all", "a5_value_counts",
-    "p9_boolean_filter", "p2_computed_columns", "p3_concat_text",
-    "a3_filtered_count", "w4_sliding_windows", "p8_null_default",
-    "q14_promo_revenue_share", "q19_brand_revenue", "ud2_explode_tokens",
-    "a2_count_distinct", "a6_two_key_counts", "a7_min_max",
-    "t2_topk_breakdown", "u2_union_all", "u3_intersect",
-    "f6_json_extract", "f7_regexp_suite", "f8_array_suite",
-    "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
-    # -- r3-vintage re-proofs (46-50; the remainder of this block
-    #    spills just past the window and leads round 7) --
-    "flagship_breakdown",
-    "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
-    "s5_medallion_fanout", "s6_cached_read",
-    "s7_upsert_merge", "s8_delta_format_roundtrip", "s9_zorder_skipping",
-    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
-    "st7_interval_join", "st8_stream_static_enrich",
-    # -- past the ~50 window, oldest driver proof first --
-    # r3-proven remainder (leads the round-7 window):
+    # -- new this round (driver has never recorded them) --
+    "s22_mapped_merge_delete", "s23_dv_merge",
+    # -- r3-vintage re-proof backlog, now complete --
     "x2b_simhash_groups", "x2c_ngram_jaccard_pairs",
     "x2d_dup_clusters", "x3b_ann_lsh", "x3c_cosine_neardup",
     "x4b_lang_profile", "x4c_fingerprint", "x4d_langid_ngram",
@@ -128,14 +93,19 @@ _PRIORITY = [
     "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
     "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
     "x11_context_chunks",
-    # r4-proven:
+    "s6_cached_read", "s7_upsert_merge", "s8_delta_format_roundtrip",
+    "s9_zorder_skipping",
+    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
+    "st7_interval_join", "st8_stream_static_enrich",
+    # -- r4-proven backlog, first slice (the rest lead round 8) --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
     "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
     "x14_semdedup", "x15_mixture_sample", "x16_pii_redaction",
-    "x17_cms_heavy_hitters", "x19_line_dedup", "x20_curation_pipeline",
-    "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
-    "x24_jl_projection",
+    "x17_cms_heavy_hitters", "x19_line_dedup",
+    # -- past the ~50 window: r4-proven remainder (leads round 8) --
+    "x20_curation_pipeline", "x21_bm25_topk", "x22_quantize_error",
+    "x23_fuzzy_linkage", "x24_jl_projection",
     "ud1_extract_categories", "ud2_flatten_actors", "ud3_quarantine_stats",
     "dq1_column_profile", "dq1b_approx_profile", "dq2_expectations",
     "a11_pivot", "a12_cube", "a13_salted_hot_agg",
@@ -148,7 +118,7 @@ _PRIORITY = [
     "q15_top_supplier", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q20_excess_shippers",
     "q21_sole_supplier_orders", "q22_dormant_balances",
-    # r5-proven (newest driver rows; least in need of a slot):
+    # r5-proven:
     "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
     "s13_merge_delete", "s14_restore", "s15_stats_skipping",
     "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
@@ -169,6 +139,28 @@ _PRIORITY = [
     "a1_count_star", "a4_daily_counts",
     "a8_grouped_total_order", "a9_rollup", "a10_percentiles",
     "t1_topk", "u1_union_discriminator", "f_scalar_suite",
+    # r6-proven (newest driver rows; least in need of a slot):
+    "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
+    "st16_full_outer_join", "x3g_filtered_ann",
+    "x32_weighted_sample", "x33_canonical_dedup", "x34_substring_dedup",
+    "w14_rfm_segments", "s20_column_mapping_writes", "s20b_drop_column",
+    "s21_v2_checkpoint", "x35_domain_centroids", "w15_attribution",
+    "x36_bigram_surprise", "st17_streaming_neardup",
+    "x37_cluster_balanced_sample", "x38_dsir_importance",
+    "w13_stickiness",
+    "st15_delta_cdf_follower", "s19_check_constraints",
+    "x30_incremental_neardup",
+    "t3_sort_display", "u4_except_all", "a5_value_counts",
+    "p9_boolean_filter", "p2_computed_columns", "p3_concat_text",
+    "a3_filtered_count", "w4_sliding_windows", "p8_null_default",
+    "q14_promo_revenue_share", "q19_brand_revenue", "ud2_explode_tokens",
+    "a2_count_distinct", "a6_two_key_counts", "a7_min_max",
+    "t2_topk_breakdown", "u2_union_all", "u3_intersect",
+    "f6_json_extract", "f7_regexp_suite", "f8_array_suite",
+    "w1_daily_delta", "w2_moving_avg", "w3_rank_in_group",
+    "flagship_breakdown",
+    "s3_delta_append_scan", "s3b_skipping_scan", "s4_time_travel",
+    "s5_medallion_fanout",
 ]
 
 

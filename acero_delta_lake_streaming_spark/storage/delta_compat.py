@@ -824,6 +824,7 @@ def _read_with_dvs(
     dvs: dict[str, dict],
     full: "T.StructType",
     partition_cols: list[str] | None = None,
+    keep_file_col: str | None = None,
 ) -> DataFrame:
     """Scan ``files`` subtracting each file's deletion-vector rows: the
     parquet source exposes ``_metadata.row_index``, and the decoded
@@ -866,9 +867,16 @@ def _read_with_dvs(
     del_df = spark.createDataFrame(
         pairs, "`_dv_file` STRING, `_dv_pos` BIGINT"
     )
-    return base.join(
+    alive = base.join(
         F.broadcast(del_df), ["_dv_file", "_dv_pos"], "left_anti"
-    ).select(_pcol_cast_cols(full, pcols))
+    )
+    out_cols = _pcol_cast_cols(full, pcols)
+    if keep_file_col is not None:
+        # the COW rewrite verbs tag rows by source file; input_file_name
+        # is unreliable after the anti-join, so they keep the scan's own
+        # file column instead (same URI normalization as the pair table)
+        out_cols = out_cols + [F.col("_dv_file").alias(keep_file_col)]
+    return alive.select(out_cols)
 
 
 def streaming_sink(
@@ -1180,20 +1188,28 @@ def _assign_mapping_ids(schema_json: str, config: dict) -> tuple[str, dict]:
     return json.dumps({"type": "struct", "fields": fields}), cfg
 
 
-def _to_physical(df: DataFrame, schema_json: str) -> DataFrame:
+def _to_physical(
+    df: DataFrame, schema_json: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Project a logical-named frame to the PHYSICAL column names a
     mapped table's parquet files must carry. Each alias also attaches
     the field's mapping id as ``parquet.field.id`` metadata — Spark
     writes it into the footer (``spark.sql.parquet.fieldId.write.
     enabled`` defaults on), so the emitted files satisfy name-mode AND
     id-mode resolution. A pure projection: pushdown, partitioning and
-    the write plan are untouched."""
+    the write plan are untouched. ``extra`` names columns outside the
+    table schema passed through unchanged (CDF's ``_change_type`` —
+    delta-spark stores it literally in mapped change files too); any
+    other unknown column still KeyErrors, the append-time contract."""
     import pyspark.sql.functions as F
 
     sch = json.loads(schema_json)
     meta_of = {f["name"]: (f.get("metadata") or {}) for f in sch["fields"]}
     cols = []
     for c in df.columns:
+        if c in extra:
+            cols.append(F.col(c))
+            continue
         m = meta_of[c]
         cols.append(
             F.col(c).alias(
@@ -1811,7 +1827,24 @@ def _publish_v2_checkpoint(
     add_rows = [r for r in rows if "add" in r]
     sc_dir = os.path.join(_log_dir(table), "_sidecars")
     os.makedirs(sc_dir, exist_ok=True)
-    sc_schema = pa.schema([schema.field("add")])
+    # the v2 spec has sidecars carry add AND remove file actions; this
+    # writer's checkpoints are net-of-log (no tombstones), but a foreign
+    # reader projecting the `remove` column must find it — null-valued
+    sc_schema = pa.schema(
+        [
+            schema.field("add"),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
     n_parts = max(1, -(-len(add_rows) // _CHECKPOINT_PART_ACTIONS))
     per = -(-len(add_rows) // n_parts) if add_rows else 1
     sidecar_names: list[str] = []
@@ -2308,14 +2341,15 @@ def merge_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "MERGE", removes_data=True)
-    _refuse_live_dvs(snap, table, "merge_delta")
+    _refuse_cow_unsupported(snap, table, "merge_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
-    cur = read_delta(spark, table)
-    if set(source.columns) != set(cur.columns):
+    tagged = _cow_scan(spark, table, snap)
+    cur_cols = [c for c in tagged.columns if c != "_src_file"]
+    if set(source.columns) != set(cur_cols):
         raise DeltaProtocolError(
             f"merge source columns {sorted(source.columns)} do not match "
-            f"table columns {sorted(cur.columns)}"
+            f"table columns {sorted(cur_cols)}"
         )
     # MERGE introduces the source's rows: they must satisfy CHECK
     # constraints and generated-column expressions like any append
@@ -2323,7 +2357,6 @@ def merge_delta(
     _enforce_constraints(source, table_constraints(snap))
     _enforce_generated(source, table_generated_columns(snap))
     keys = source.select(*key_cols).distinct()
-    tagged = cur.withColumn("_src_file", F.input_file_name())
     touched_uris = [
         r["_src_file"]
         for r in tagged.join(F.broadcast(keys), key_cols, "leftsemi")
@@ -2341,8 +2374,8 @@ def merge_delta(
         .join(F.broadcast(keys), key_cols, "left_anti")
         .drop("_src_file")
     )
-    new_data = survivors.select(*cur.columns).unionByName(
-        source.select(*cur.columns)
+    new_data = survivors.select(*cur_cols).unionByName(
+        source.select(*cur_cols)
     )
 
     cdc_actions: list[dict] = []
@@ -2362,20 +2395,31 @@ def merge_delta(
         changes = (
             preimage.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                source.select(*cur.columns)
+                source.select(*cur_cols)
                 .join(F.broadcast(old_keys), key_cols, "leftsemi")
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
             .unionByName(
-                source.select(*cur.columns)
+                source.select(*cur_cols)
                 .join(F.broadcast(old_keys), key_cols, "leftanti")
                 .withColumn("_change_type", F.lit("insert"))
             )
         )
+        if _mapping_mode(snap) != "none":
+            # mapped change files carry physical names too (delta-spark
+            # does the same); _change_type stays literal
+            changes = _to_physical(
+                changes, snap["schema"], extra=("_change_type",)
+            )
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    writer = new_data.write.mode("overwrite")
+    out_data = (
+        _to_physical(new_data, snap["schema"])
+        if _mapping_mode(snap) != "none"
+        else new_data
+    )
+    writer = out_data.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
@@ -2622,8 +2666,17 @@ def enable_column_mapping(table: str) -> int:
             }
         )
     elif r < 2 or w < 5:
+        # never DOWNGRADE a foreign table's protocol: a legacy table at
+        # (1, 6) must move to (2, 6), not (2, 5) — the spec forbids
+        # writers lowering either version, and a later replay would take
+        # the lowered protocol as latest
         actions.append(
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            {
+                "protocol": {
+                    "minReaderVersion": max(r, 2),
+                    "minWriterVersion": max(w, 5),
+                }
+            }
         )
     actions.append(
         {
@@ -2808,27 +2861,70 @@ def drop_column(table: str, col: str) -> int:
     return version
 
 
-def _refuse_live_dvs(snap: dict, table: str, op: str) -> None:
-    """Copy-on-write rewrites tag rows with ``input_file_name()``, which
-    is not reliable through the DV anti-join plan — and a raw-file
-    rewrite would resurrect DV-deleted rows. Until those paths are
-    DV-aware, refuse loudly: run ``optimize_delta`` (which applies and
-    purges DVs) first, or use :func:`delete_delta_dv` for deletes.
-    Column-mapped tables refuse for the same rewrite-fidelity reason
-    (this writer emits logical names), and shallow clones because their
-    remove actions would need the original absolute paths."""
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            f"{op} on a column-mapped table is not supported"
-        )
+def _refuse_cow_unsupported(snap: dict, table: str, op: str) -> None:
+    """Scope gate for the COW rewrite verbs (merge/delete). Name-mapped
+    tables and tables with live deletion vectors rewrite fine since
+    round 7 (``_cow_scan`` tags rows reliably through both shapes);
+    what still refuses: shallow clones (their remove actions would need
+    the original absolute paths), ``id``-mode mapping (a rewrite's
+    footer field ids could drift from the per-file resolution the mode
+    depends on — same scope as append_delta), and the mapped+DV
+    combination (the mapped reader scopes out DVs, so the rewrite scan
+    itself has no defined shape)."""
     _refuse_external_files(snap, table, op)
-    live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
-    if live:
+    mode = _mapping_mode(snap)
+    if mode not in ("none", "name"):
         raise DeltaProtocolError(
-            f"{op} on a table with live deletion vectors is not "
-            f"supported ({len(live)} file(s) carry DVs); OPTIMIZE the "
-            "table to apply+purge them first"
+            f"{op} on a column mapping mode {mode!r} table is not "
+            "supported (name-mode rewrites are)"
         )
+    live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
+    if mode != "none" and live:
+        raise DeltaProtocolError(
+            f"{op} on a column-mapped table with live deletion vectors "
+            "is not supported"
+        )
+
+
+def _cow_scan(spark: SparkSession, table: str, snap: dict) -> DataFrame:
+    """The snapshot scan the COW rewrite verbs share: logical columns
+    plus ``_src_file``, a per-row data-file URI that stays reliable in
+    every supported table shape. Plain tables tag with
+    ``input_file_name()``; name-mapped tables tag on top of the
+    physical→logical projection (still a pure scan, so the tag holds);
+    live-DV tables ride ``_read_with_dvs`` keeping its own file column,
+    which both subtracts the deleted rows BEFORE key matching (a
+    DV-deleted row must neither match a merge key nor count as a
+    survivor) and sidesteps ``input_file_name()``'s undefined value
+    after the anti-join."""
+    import pyspark.sql.functions as F
+
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    live_dvs = {
+        f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
+    }
+    mode = _mapping_mode(snap)
+    if not snap["files"]:
+        return spark.createDataFrame([], full).withColumn(
+            "_src_file", F.lit(None).cast("string")
+        )
+    if live_dvs:
+        return _read_with_dvs(
+            spark, table, snap["files"], live_dvs, full,
+            snap["partition_cols"], keep_file_col="_src_file",
+        )
+    if mode != "none":
+        phys_of = (
+            _id_physical_names(snap["schema"], snap["files"])
+            if mode == "id"
+            else None
+        )
+        return _read_with_mapping(
+            spark, snap["files"], snap["schema"], phys_of
+        ).withColumn("_src_file", F.input_file_name())
+    return read_delta(spark, table, version=snap["version"]).withColumn(
+        "_src_file", F.input_file_name()
+    )
 
 
 def delete_delta(
@@ -2856,12 +2952,12 @@ def delete_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "DELETE", removes_data=True)
-    _refuse_live_dvs(snap, table, "delete_delta")
+    _refuse_cow_unsupported(snap, table, "delete_delta")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
-    cur = read_delta(spark, table)
     key_df = keys.select(*key_cols).distinct()
-    tagged = cur.withColumn("_src_file", F.input_file_name())
+    tagged = _cow_scan(spark, table, snap)
+    cur_cols = [c for c in tagged.columns if c != "_src_file"]
     touched_uris = [
         r["_src_file"]
         for r in tagged.join(F.broadcast(key_df), key_cols, "leftsemi")
@@ -2878,7 +2974,7 @@ def delete_delta(
         tagged.filter(F.col("_src_file").isin(touched_uris))
         .join(F.broadcast(key_df), key_cols, "left_anti")
         .drop("_src_file")
-        .select(*cur.columns)
+        .select(*cur_cols)
     )
 
     cdc_actions: list[dict] = []
@@ -2887,15 +2983,24 @@ def delete_delta(
             tagged.filter(F.col("_src_file").isin(touched_uris))
             .join(F.broadcast(key_df), key_cols, "leftsemi")
             .drop("_src_file")
-            .select(*cur.columns)
+            .select(*cur_cols)
             .withColumn("_change_type", F.lit("delete"))
         )
+        if _mapping_mode(snap) != "none":
+            deleted = _to_physical(
+                deleted, snap["schema"], extra=("_change_type",)
+            )
         cdc_actions = _write_change_data(table, deleted, version, pcols)
 
     adds: list[dict] = []
     if touched_abs:
         staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-        writer = survivors.write.mode("overwrite")
+        out_rows = (
+            _to_physical(survivors, snap["schema"])
+            if _mapping_mode(snap) != "none"
+            else survivors
+        )
+        writer = out_rows.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging)
@@ -3501,7 +3606,33 @@ def read_delta_changes(
             pcols = snap_v["partition_cols"]
             files = [os.path.join(table, p) for p in cdc_paths]
             ct_field = T.StructField("_change_type", T.StringType())
-            if pcols:
+            if _mapping_mode(snap_v) != "none":
+                # mapped change files carry PHYSICAL data columns plus
+                # a literal _change_type; project back to logical names
+                # exactly like the table scan (mapped tables are never
+                # partitioned in this module's scope)
+                phys_of = {
+                    l: p for p, l in _physical_renames(snap_v["schema"])
+                }
+                phys_fields = [
+                    dict(f, name=phys_of[f["name"]], metadata={})
+                    for f in json.loads(snap_v["schema"])["fields"]
+                ]
+                cdc_schema = T.StructType.fromJson(
+                    {"type": "struct", "fields": phys_fields}
+                ).add(ct_field)
+                part = (
+                    spark.read.schema(cdc_schema)
+                    .parquet(*files)
+                    .select(
+                        [
+                            F.col(phys_of[f.name]).alias(f.name)
+                            for f in full.fields
+                        ]
+                        + [F.col("_change_type")]
+                    )
+                )
+            elif pcols:
                 cdc_schema = T.StructType(
                     [f for f in full.fields if f.name not in pcols]
                     + [ct_field]
@@ -3535,7 +3666,16 @@ def read_delta_changes(
             full = T.StructType.fromJson(json.loads(snap_v["schema"]))
             pcols = snap_v["partition_cols"]
             files = [os.path.join(table, p) for p in add_paths]
-            if pcols:
+            if _mapping_mode(snap_v) != "none":
+                # mapped appends wrote physical names; synthesize the
+                # inserts through the same physical→logical projection
+                part = _read_with_mapping(
+                    spark, files, snap_v["schema"],
+                    _id_physical_names(snap_v["schema"], files)
+                    if _mapping_mode(snap_v) == "id"
+                    else None,
+                )
+            elif pcols:
                 data_schema = T.StructType(
                     [f for f in full.fields if f.name not in pcols]
                 )

@@ -1642,6 +1642,169 @@ def st15_delta_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST15_SQL = _ST10_SQL
 
 
+def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
+    item 1): the everyday rename-then-upsert / rename-then-erase
+    sequence that round 6's writer still refused. Seed even-keyed
+    orders as two appends, upgrade to column mapping, ``RENAME COLUMN
+    o_totalprice TO price`` (metadata-only), then MERGE a source of
+    every key divisible by 3 (evens update in place, odds insert) with
+    CDF capture, and DELETE every key divisible by 10 with CDF capture.
+    The rewrites land under the table's PHYSICAL parquet names + field
+    ids, so the mapped read — and any foreign name-mode reader — keeps
+    resolving; the change feed surfaces LOGICAL names.
+
+    Result certifies all three surfaces per (part, status): 'remaining'
+    (the post-merge-post-delete snapshot), 'deleted' (the delete's CDF
+    preimages), and 'merged' (the merge commit's postimage+insert CDF
+    rows). Mapping must be invisible to every value — the oracle
+    replays the sequence from the fixtures with no idea mapping
+    exists."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s22_orders_mapped_cow")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    delta_compat.enable_column_mapping(table)
+    delta_compat.rename_column(table, "o_totalprice", "price")
+    source = (
+        orders.filter("o_orderkey % 3 = 0")
+        .withColumn("price", F.expr("o_totalprice + 1.0"))
+        .drop("o_totalprice")
+    )
+    mv = delta_compat.merge_delta(
+        spark, table, source, ["o_orderkey"], change_data=True
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    dv = delta_compat.delete_delta(
+        spark, table, doomed, ["o_orderkey"], change_data=True
+    )
+
+    remaining = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("remaining")
+    )
+    merged = (
+        delta_compat.read_delta_changes(spark, table, mv, mv)
+        .filter("_change_type IN ('update_postimage', 'insert')")
+        .select("o_orderkey", "o_orderstatus", "price")
+        .withColumn("part", F.lit("merged"))
+    )
+    deleted = (
+        delta_compat.read_delta_changes(spark, table, dv, dv)
+        .filter("_change_type = 'delete'")
+        .select("o_orderkey", "o_orderstatus", "price")
+        .withColumn("part", F.lit("deleted"))
+    )
+    return (
+        remaining.unionByName(merged)
+        .unionByName(deleted)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S22_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "src AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 1.0 AS price FROM orders WHERE o_orderkey % 3 = 0), "
+    "after_merge AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice AS price FROM seed WHERE o_orderkey % 3 <> 0 "
+    "UNION ALL SELECT * FROM src), "
+    "u AS (SELECT 'remaining' AS part, o_orderkey, o_orderstatus, price "
+    "FROM after_merge WHERE o_orderkey % 10 <> 0 "
+    "UNION ALL SELECT 'deleted', o_orderkey, o_orderstatus, price "
+    "FROM after_merge WHERE o_orderkey % 10 = 0 "
+    "UNION ALL SELECT 'merged', o_orderkey, o_orderstatus, price "
+    "FROM src) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM u GROUP BY 1, 2"
+)
+
+
+def s23_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 — MERGE through live deletion vectors (VERDICT r6 item 3):
+    the upsert-after-DV-erasure sequence that round 6 refused with
+    'OPTIMIZE first'. Seed even-keyed orders, DV-DELETE every key
+    divisible by 10 (merge-on-read — zero files rewritten, bitmaps
+    published), then MERGE a source of every key divisible by 6
+    WITHOUT compacting: the rewrite read folds the DV anti-join in, so
+    a DV-deleted row neither matches as an update nor survives the
+    rewrite — keys divisible by 30 re-enter as fresh INSERTS with the
+    source's values, exactly what a COW-only table would produce.
+
+    Result: post-merge snapshot plus time travel to the post-DV-delete
+    version ('pre_merge' — proving the vectors still hide their rows
+    behind the merge commit), per (part, status). The oracle replays
+    delete-then-merge on the fixtures with no idea which deletion
+    strategy ran — that indistinguishability IS the contract."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s23_orders_dv_merge")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    pre_v = delta_compat.delete_delta_dv(
+        spark, table, doomed, ["o_orderkey"]
+    )
+    source = orders.filter("o_orderkey % 6 = 0").withColumn(
+        "o_totalprice", F.expr("o_totalprice + 1.0")
+    )
+    delta_compat.merge_delta(spark, table, source, ["o_orderkey"])
+    final = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("final")
+    )
+    pre = delta_compat.read_delta(spark, table, version=pre_v).withColumn(
+        "part", F.lit("pre_merge")
+    )
+    return (
+        final.unionByName(pre)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S23_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "after_del AS (SELECT * FROM seed WHERE o_orderkey % 10 <> 0), "
+    "src AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 1.0 AS o_totalprice FROM orders "
+    "WHERE o_orderkey % 6 = 0), "
+    "u AS (SELECT 'final' AS part, o_orderkey, o_orderstatus, "
+    "o_totalprice FROM after_del WHERE o_orderkey % 6 <> 0 "
+    "UNION ALL SELECT 'final', * FROM src "
+    "UNION ALL SELECT 'pre_merge', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM after_del) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -1668,6 +1831,8 @@ QUERIES = {
     "s20_column_mapping_writes": s20_column_mapping_writes,
     "s20b_drop_column": s20b_drop_column,
     "s21_v2_checkpoint": s21_v2_checkpoint,
+    "s22_mapped_merge_delete": s22_mapped_merge_delete,
+    "s23_dv_merge": s23_dv_merge,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1699,6 +1864,8 @@ ORACLES = {
     "s20_column_mapping_writes": _S20_SQL,
     "s20b_drop_column": _S20B_SQL,
     "s21_v2_checkpoint": _S21_SQL,
+    "s22_mapped_merge_delete": _S22_SQL,
+    "s23_dv_merge": _S23_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -1437,20 +1437,34 @@ def test_dv_second_delete_unions(spark, tmp_path):
     assert got == newly
 
 
-def test_dv_cow_paths_refuse_live_dvs(spark, tmp_path):
-    """input_file_name-based copy-on-write is not DV-aware; merge and
-    COW-delete must refuse rather than resurrect deleted rows."""
+def test_dv_cow_paths_are_dv_aware(spark, tmp_path):
+    """MERGE and COW-DELETE on a table with live deletion vectors fold
+    the DV anti-join into the rewrite read (round 7; previously
+    refused): a DV-deleted row neither matches a merge key as an
+    update nor survives the rewrite — and a merge whose key equals a
+    DV-deleted row INSERTS it fresh instead of resurrecting the old
+    values."""
     import pyspark.sql.functions as F
 
     table = _seed_dv_table(spark, tmp_path)
     dc.delete_delta_dv(spark, table, _keys(spark, 10), ["k"])
+    # k=0 is DV-deleted; merging keys 0..4 must re-insert it with the
+    # SOURCE values, leave every other DV-deleted key invisible
     src = spark.range(0, 5).select(
         F.col("id").alias("k"), F.lit(99).alias("v")
     )
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.merge_delta(spark, table, src, ["k"])
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.delete_delta(spark, table, _keys(spark, 4), ["k"])
+    dc.merge_delta(spark, table, src, ["k"])
+    r = dc.read_delta(spark, table)
+    assert r.count() == 361  # 360 alive + re-inserted k=0
+    assert r.filter("v = 99").count() == 5
+    assert r.filter("k % 10 = 0 AND k > 0").count() == 0
+    # COW delete through the remaining DVs: rewritten files must not
+    # resurrect, untouched files keep their vectors
+    dc.delete_delta(spark, table, _keys(spark, 8), ["k"])
+    alive = {k for k in range(400) if k % 10 != 0 or k == 0}
+    alive -= set(range(0, 400, 8))
+    got = {x["k"] for x in dc.read_delta(spark, table).collect()}
+    assert got == alive
 
 
 def test_dv_uncaptured_changes_refused(spark, tmp_path):
@@ -1640,23 +1654,72 @@ def test_column_mapping_unknown_mode_refused(spark, tmp_path):
         dc.read_delta(spark, table)
 
 
-def test_column_mapped_rewrites_refused_appends_work(spark, tmp_path):
-    """Rewriting verbs (MERGE, DV delete) still refuse a mapped table —
-    they tag rows by input_file_name and would emit logical-named
-    files. APPENDS are supported since round 6: the append lands under
-    the table's PHYSICAL names and the read keeps resolving."""
+def test_column_mapped_cow_merge_delete(spark, tmp_path):
+    """Name-mapped tables take the full COW verb set since round 7:
+    MERGE rewrites land under the table's PHYSICAL names (footer field
+    ids included), so the mapped read keeps resolving and a foreign
+    name-mode reader sees the same files. DV deletes still refuse
+    (the mapped reader scopes out DVs)."""
     import pyspark.sql.functions as F
 
     table = _seed_mapped_table(spark, tmp_path)
-    df = spark.range(7, 9).select(F.col("id").alias("k"),
+    df = spark.range(2, 5).select(F.col("id").alias("k"),
                                   F.lit("x").alias("v"))
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.merge_delta(spark, table, df, ["k"])
+    dc.merge_delta(spark, table, df, ["k"])
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(1, "a"), (2, "x"), (3, "x"), (4, "x")}
+    # the rewritten files carry physical names: raw footers never show
+    # a logical column
+    import pyarrow.parquet as pq
+
+    for f in dc.snapshot(table)["files"]:
+        names = set(pq.read_schema(f).names)
+        assert names == {"col-aaa111", "col-bbb222"}, names
+    dc.delete_delta(spark, table, spark.createDataFrame([(1,), (3,)],
+                                                        "k long"), ["k"])
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(2, "x"), (4, "x")}
     with pytest.raises(dc.DeltaProtocolError):
         dc.delete_delta_dv(spark, table, df.select("k"), ["k"])
-    dc.append_delta(df, table)
-    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
-    assert got == {(1, "a"), (2, "b"), (3, "c"), (7, "x"), (8, "x")}
+
+
+def test_mapped_rename_merge_cdf_lifecycle(spark, tmp_path):
+    """The everyday lakehouse sequence column mapping exists for:
+    upgrade → RENAME COLUMN → MERGE with CDF capture → erase with CDF —
+    all on the renamed table; the change feed surfaces LOGICAL names,
+    time travel across the rename keeps each version's own schema, and
+    an empty post-delete-all mapped snapshot reads as an empty frame
+    (not a zero-path parquet scan error)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "mapped_lifecycle")
+    dc.append_delta(
+        spark.range(0, 20).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v")),
+        table,
+    )
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "val")
+    src = spark.range(10, 25).select(F.col("id").alias("k"),
+                                     F.lit(-1).alias("val"))
+    mv = dc.merge_delta(spark, table, src, ["k"], change_data=True)
+    ch = dc.read_delta_changes(spark, table, mv, mv)
+    assert set(ch.columns) == {"k", "val", "_change_type",
+                               "_commit_version"}
+    assert ch.filter("_change_type = 'update_postimage'").count() == 10
+    assert ch.filter("_change_type = 'insert'").count() == 5
+    # time travel: v0 predates mapping and keeps the original name
+    assert dc.read_delta(spark, table, version=0).columns == ["k", "v"]
+    # erase everything; the mapped empty snapshot must read cleanly
+    ev = dc.delete_delta(
+        spark, table,
+        spark.range(0, 25).select(F.col("id").alias("k")), ["k"],
+        change_data=True,
+    )
+    assert dc.read_delta(spark, table).count() == 0
+    assert dc.read_delta(spark, table).columns == ["k", "val"]
+    deleted = dc.read_delta_changes(spark, table, ev, ev)
+    assert deleted.filter("_change_type = 'delete'").count() == 25
 
 
 def test_timestamp_as_of(spark, tmp_path):
