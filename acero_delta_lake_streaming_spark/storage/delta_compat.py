@@ -994,17 +994,10 @@ def append_delta(
         evolved_meta_id = snap0.get("meta_id")
         evolved_config = dict(snap0.get("configuration") or {})
         mapping_mode = _mapping_mode(snap0)
-        if mapping_mode not in ("none", "name"):
-            # id-mode resolution is per-footer field ids; this reader
-            # applies ONE physical schema across the file set, so an
-            # append into an id-mode table whose existing footers
-            # drifted from the metadata physicalName would make the
-            # table unreadable (id→name conflict). delta-spark only
-            # produces id mode outside the upgrade path anyway — writes
-            # stay scoped to name mode, reads cover both.
+        if mapping_mode not in ("none", "name", "id"):
             raise DeltaProtocolError(
                 f"appending to a column mapping mode {mapping_mode!r} "
-                "table is not supported (name-mode appends are)"
+                "table is not supported"
             )
         if mapping_mode != "none" and snap0["partition_cols"]:
             # the mapped reader scopes out partitioned tables — an
@@ -1070,8 +1063,13 @@ def append_delta(
         # the data files of a mapped table carry PHYSICAL column names
         # (and the mapping id as parquet field id, so id-mode readers
         # resolve too); everything above — schema checks, constraints,
-        # generated columns — ran on logical names, the user's surface
-        df = _to_physical(df, mapped_schema_json)
+        # generated columns — ran on logical names, the user's surface.
+        # id mode additionally pins each written name to the live
+        # footers' id→name binding (drift-safe append)
+        _pof, _ids = _mapped_write_plan(snap0, mapped_schema_json)
+        df = _to_physical(
+            df, mapped_schema_json, phys_of=_pof, attach_ids=_ids
+        )
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -1189,7 +1187,11 @@ def _assign_mapping_ids(schema_json: str, config: dict) -> tuple[str, dict]:
 
 
 def _to_physical(
-    df: DataFrame, schema_json: str, extra: tuple[str, ...] = ()
+    df: DataFrame,
+    schema_json: str,
+    extra: tuple[str, ...] = (),
+    phys_of: dict[str, str] | None = None,
+    attach_ids: bool = True,
 ) -> DataFrame:
     """Project a logical-named frame to the PHYSICAL column names a
     mapped table's parquet files must carry. Each alias also attaches
@@ -1200,7 +1202,14 @@ def _to_physical(
     the write plan are untouched. ``extra`` names columns outside the
     table schema passed through unchanged (CDF's ``_change_type`` —
     delta-spark stores it literally in mapped change files too); any
-    other unknown column still KeyErrors, the append-time contract."""
+    other unknown column still KeyErrors, the append-time contract.
+    ``phys_of`` overrides the logical→physical names (id mode writes
+    footer-resolved names so a new file never drifts from the existing
+    per-file resolution); default is the metadata ``physicalName``.
+    ``attach_ids=False`` suppresses the field-id metadata — for writes
+    into an id-mode table whose live files carry no ids (the reader
+    refuses a with/without mix, so the write must match the file set it
+    joins)."""
     import pyspark.sql.functions as F
 
     sch = json.loads(schema_json)
@@ -1211,15 +1220,51 @@ def _to_physical(
             cols.append(F.col(c))
             continue
         m = meta_of[c]
-        cols.append(
-            F.col(c).alias(
-                m.get("delta.columnMapping.physicalName", c),
-                metadata={
-                    "parquet.field.id": int(m["delta.columnMapping.id"])
-                },
-            )
+        phys = (phys_of or {}).get(
+            c, m.get("delta.columnMapping.physicalName", c)
         )
+        meta = (
+            {"parquet.field.id": int(m["delta.columnMapping.id"])}
+            if attach_ids
+            else {}
+        )
+        cols.append(F.col(c).alias(phys, metadata=meta))
     return df.select(cols)
+
+
+def _mapped_write_plan(
+    snap: dict, schema_json: str | None = None
+) -> tuple[dict[str, str] | None, bool]:
+    """(phys_of override, attach field ids) for files WRITTEN into a
+    mapped table alongside its existing files. Name mode: (None, True)
+    — ``_to_physical``'s metadata ``physicalName`` default is the
+    invariant there, and field ids are a free upgrade. Id mode resolves
+    names from the LIVE FILES' parquet footers (``_id_physical_names``,
+    which also validates id→name consistency): id-mode reads trust
+    footer field ids over metadata, so a new file must reuse the names
+    the footers already bind to each id — writing the metadata
+    physicalName into a table whose footers drifted would make the very
+    next scan refuse on id→name conflict. Ids present in no live footer
+    (fresh columns, empty table) fall back to metadata physicalName,
+    matching the reader's fallback. ``attach ids`` mirrors the live
+    file set: an id-mode table whose files carry no field ids (some
+    writers strip them) must keep its new files id-less too, or the
+    reader's with/without-mix check bricks the table."""
+    if _mapping_mode(snap) != "id":
+        return None, True
+    files = snap["files"]
+    phys = _id_physical_names(schema_json or snap["schema"], files)
+    if not files:
+        return phys, True
+    import pyarrow.parquet as pq
+
+    # _id_physical_names enforced all-or-none: one footer decides
+    first = pq.read_schema(files[0])
+    has_ids = any(
+        (first.field(i).metadata or {}).get(b"PARQUET:field_id") is not None
+        for i in range(len(first.names))
+    )
+    return phys, has_ids
 
 
 def actions_for_retry(actions: list[dict]) -> list[dict]:
@@ -2189,14 +2234,6 @@ def optimize_delta(
             "supported (clustering keys are logical names; the data "
             "files carry physical ones)"
         )
-    if _mapping_mode(snap) == "id":
-        raise DeltaProtocolError(
-            "OPTIMIZE on an id-mode column-mapped table is not "
-            "supported (a plain rewrite strips the parquet field ids "
-            "id-mode resolution depends on); name-mode tables compact "
-            "fine — physical names survive a raw-file rewrite"
-        )
-
     groups: list[tuple[list[str], dict[str, str]]] = []
     if pcols:
         by_dir: dict[str, list[str]] = {}
@@ -2229,12 +2266,17 @@ def optimize_delta(
             return snap["version"]  # no matching partition: no-op
 
     # Explicit scan schema for the raw-file rewrite: log schema minus
-    # partition columns, under PHYSICAL names when mapped. Never infer
-    # from footers — an evolved table's older files lack the newer
-    # columns and inference from one would silently drop their data.
+    # partition columns, under PHYSICAL names when mapped (id mode
+    # resolves + validates the names from the live files' footers, the
+    # binding the mode trusts over metadata). Never infer from footers —
+    # an evolved table's older files lack the newer columns and
+    # inference from one would silently drop their data.
+    _mode = _mapping_mode(snap)
     _phys_of = (
-        {l: p for p, l in _physical_renames(snap["schema"])}
-        if _mapping_mode(snap) != "none"
+        _id_physical_names(snap["schema"], snap["files"])
+        if _mode == "id"
+        else {l: p for p, l in _physical_renames(snap["schema"])}
+        if _mode != "none"
         else {}
     )
     read_schema = T.StructType.fromJson(
@@ -2248,6 +2290,35 @@ def optimize_delta(
             ],
         }
     )
+
+    mapped_override = None
+    if _mode != "none":
+        # a plain staging rewrite would strip the parquet field ids the
+        # mapped files carry (and id-mode resolution depends on): re-read
+        # under the physical schema and re-attach each column's mapping
+        # id via alias metadata, so compacted files stay resolvable in
+        # BOTH modes. Mapped tables are unpartitioned and DV-free (the
+        # reader scopes those combinations out), so this single frame
+        # covers the one file group below.
+        import pyspark.sql.functions as F
+
+        _id_of = {
+            f["name"]: int(
+                (f.get("metadata") or {})["delta.columnMapping.id"]
+            )
+            for f in json.loads(snap["schema"])["fields"]
+        }
+        _log_of = {p: l for l, p in _phys_of.items()}
+        mapped_override = spark.read.schema(read_schema).parquet(
+            *snap["files"]
+        ).select(
+            [
+                F.col(p).alias(
+                    p, metadata={"parquet.field.id": _id_of[_log_of[p]]}
+                )
+                for p in read_schema.names
+            ]
+        )
 
     cluster = None
     if zorder_by:
@@ -2267,7 +2338,7 @@ def optimize_delta(
     removes: list[dict] = []
     adds: list[dict] = []
     for files, pvals in groups:
-        df_override = None
+        df_override = mapped_override
         group_dvs = {f: d for f, d in live_dvs.items() if f in set(files)}
         if group_dvs:
             # OPTIMIZE doubles as REORG/PURGE: compact through the
@@ -2408,17 +2479,21 @@ def merge_delta(
         if _mapping_mode(snap) != "none":
             # mapped change files carry physical names too (delta-spark
             # does the same); _change_type stays literal
+            _pof, _ids = _mapped_write_plan(snap)
             changes = _to_physical(
-                changes, snap["schema"], extra=("_change_type",)
+                changes, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
             )
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    out_data = (
-        _to_physical(new_data, snap["schema"])
-        if _mapping_mode(snap) != "none"
-        else new_data
-    )
+    if _mapping_mode(snap) != "none":
+        _pof, _ids = _mapped_write_plan(snap)
+        out_data = _to_physical(
+            new_data, snap["schema"], phys_of=_pof, attach_ids=_ids
+        )
+    else:
+        out_data = new_data
     writer = out_data.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
@@ -2592,12 +2667,16 @@ def add_constraint(
     return version
 
 
-def enable_column_mapping(table: str) -> int:
+def enable_column_mapping(table: str, mode: str = "name") -> int:
     """``ALTER TABLE ... SET TBLPROPERTIES
     ('delta.columnMapping.mode' = 'name')`` — upgrade a table to
     column mapping IN PLACE with one metadata-only commit, delta-spark's
-    only supported upgrade path (``id`` mode exists solely at creation
-    time in delta-spark; same here: upgrades produce ``name`` mode).
+    only supported upgrade path. ``mode="id"`` additionally marks the
+    table id-resolved — delta-spark only produces id mode at table
+    creation, but the resulting state is identical: every field carries
+    a mapping id, resolution prefers parquet footer field ids and falls
+    back to ``physicalName`` metadata for the pre-upgrade files (which
+    carry no ids; later OPTIMIZE rewrites attach them).
 
     Every existing field gets ``delta.columnMapping.id`` (1..n, recorded
     as ``delta.columnMapping.maxColumnId`` in the configuration) and
@@ -2614,6 +2693,10 @@ def enable_column_mapping(table: str) -> int:
     ``columnMapping`` feature to both lists. Partitioned tables and
     tables with live deletion vectors refuse (this module's mapped
     reader scopes them out — an unreadable table must not be written)."""
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} is not supported"
+        )
     snap = snapshot(table)
     _check_writer_protocol(snap, "enable_column_mapping")
     if _mapping_mode(snap) != "none":
@@ -2641,7 +2724,7 @@ def enable_column_mapping(table: str) -> int:
         nf["metadata"] = meta
         fields.append(nf)
     cfg = dict(snap.get("configuration") or {})
-    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.mode"] = mode
     cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
     p = snap.get("protocol") or {}
     r = p.get("minReaderVersion", 1)
@@ -2699,7 +2782,7 @@ def enable_column_mapping(table: str) -> int:
                 "operation": "SET TBLPROPERTIES",
                 "operationParameters": {
                     "properties": json.dumps(
-                        {"delta.columnMapping.mode": "name"}
+                        {"delta.columnMapping.mode": mode}
                     )
                 },
             }
@@ -2862,21 +2945,21 @@ def drop_column(table: str, col: str) -> int:
 
 
 def _refuse_cow_unsupported(snap: dict, table: str, op: str) -> None:
-    """Scope gate for the COW rewrite verbs (merge/delete). Name-mapped
-    tables and tables with live deletion vectors rewrite fine since
-    round 7 (``_cow_scan`` tags rows reliably through both shapes);
+    """Scope gate for the COW rewrite verbs (merge/delete). Mapped
+    tables (name AND id mode) and tables with live deletion vectors
+    rewrite fine since round 7 (``_cow_scan`` tags rows reliably
+    through all three shapes; mapped rewrites emit physical names +
+    field ids, id mode pinned to the live footers' id→name binding);
     what still refuses: shallow clones (their remove actions would need
-    the original absolute paths), ``id``-mode mapping (a rewrite's
-    footer field ids could drift from the per-file resolution the mode
-    depends on — same scope as append_delta), and the mapped+DV
-    combination (the mapped reader scopes out DVs, so the rewrite scan
-    itself has no defined shape)."""
+    the original absolute paths) and the mapped+DV combination (the
+    mapped reader scopes out DVs, so the rewrite scan itself has no
+    defined shape)."""
     _refuse_external_files(snap, table, op)
     mode = _mapping_mode(snap)
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
             f"{op} on a column mapping mode {mode!r} table is not "
-            "supported (name-mode rewrites are)"
+            "supported"
         )
     live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
     if mode != "none" and live:
@@ -2987,19 +3070,23 @@ def delete_delta(
             .withColumn("_change_type", F.lit("delete"))
         )
         if _mapping_mode(snap) != "none":
+            _pof, _ids = _mapped_write_plan(snap)
             deleted = _to_physical(
-                deleted, snap["schema"], extra=("_change_type",)
+                deleted, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
             )
         cdc_actions = _write_change_data(table, deleted, version, pcols)
 
     adds: list[dict] = []
     if touched_abs:
         staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-        out_rows = (
-            _to_physical(survivors, snap["schema"])
-            if _mapping_mode(snap) != "none"
-            else survivors
-        )
+        if _mapping_mode(snap) != "none":
+            _pof, _ids = _mapped_write_plan(snap)
+            out_rows = _to_physical(
+                survivors, snap["schema"], phys_of=_pof, attach_ids=_ids
+            )
+        else:
+            out_rows = survivors
         writer = out_rows.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -3610,10 +3697,17 @@ def read_delta_changes(
                 # mapped change files carry PHYSICAL data columns plus
                 # a literal _change_type; project back to logical names
                 # exactly like the table scan (mapped tables are never
-                # partitioned in this module's scope)
-                phys_of = {
-                    l: p for p, l in _physical_renames(snap_v["schema"])
-                }
+                # partitioned in this module's scope). id mode resolves
+                # from the change files' own footers — they were written
+                # with the table's footer-resolved names, which may
+                # legitimately differ from the metadata physicalName
+                phys_of = (
+                    _id_physical_names(snap_v["schema"], files)
+                    if _mapping_mode(snap_v) == "id"
+                    else {
+                        l: p for p, l in _physical_renames(snap_v["schema"])
+                    }
+                )
                 phys_fields = [
                     dict(f, name=phys_of[f["name"]], metadata={})
                     for f in json.loads(snap_v["schema"])["fields"]

@@ -1805,6 +1805,104 @@ _S23_SQL = (
 )
 
 
+def s24_id_mode_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24 — the full write surface of an ID-MODE column-mapped table
+    (VERDICT r6 item 5): the mapping mode delta-spark emits at creation
+    on newer protocol versions, where resolution trusts parquet footer
+    FIELD IDS over metadata names. Lifecycle: seed appends → upgrade to
+    id mapping → ``RENAME COLUMN o_totalprice TO price`` → id-mode
+    APPEND (kept id-less to match the pre-upgrade footers — the reader
+    refuses a with/without-ids mix) → OPTIMIZE (replaces every file,
+    attaching field ids, so the table becomes footer-resolvable) →
+    MERGE with CDF capture → DELETE with CDF capture. The unit suite
+    pins the footer-level claims (ids attached, drift-safe names); this
+    query certifies every VALUE surface against an oracle that replays
+    the sequence with no idea mapping exists.
+
+    Same three-part shape as s22 (mapping must be invisible downstream):
+    'remaining' snapshot, 'merged' postimage+insert CDF rows, 'deleted'
+    CDF preimages, per (part, status)."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s24_orders_id_mode")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), table)
+    delta_compat.enable_column_mapping(table, mode="id")
+    delta_compat.rename_column(table, "o_totalprice", "price")
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 1").withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        table,
+    )
+    delta_compat.optimize_delta(spark, table)
+    source = (
+        orders.filter("o_orderkey % 3 = 0")
+        .withColumn("price", F.expr("o_totalprice + 1.0"))
+        .drop("o_totalprice")
+    )
+    mv = delta_compat.merge_delta(
+        spark, table, source, ["o_orderkey"], change_data=True
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    dv = delta_compat.delete_delta(
+        spark, table, doomed, ["o_orderkey"], change_data=True
+    )
+
+    remaining = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("remaining")
+    )
+    merged = (
+        delta_compat.read_delta_changes(spark, table, mv, mv)
+        .filter("_change_type IN ('update_postimage', 'insert')")
+        .select("o_orderkey", "o_orderstatus", "price")
+        .withColumn("part", F.lit("merged"))
+    )
+    deleted = (
+        delta_compat.read_delta_changes(spark, table, dv, dv)
+        .filter("_change_type = 'delete'")
+        .select("o_orderkey", "o_orderstatus", "price")
+        .withColumn("part", F.lit("deleted"))
+    )
+    return (
+        remaining.unionByName(merged)
+        .unionByName(deleted)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S24_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 4 <> 3), "
+    "src AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 1.0 AS price FROM orders WHERE o_orderkey % 3 = 0), "
+    "after_merge AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice AS price FROM seed WHERE o_orderkey % 3 <> 0 "
+    "UNION ALL SELECT * FROM src), "
+    "u AS (SELECT 'remaining' AS part, o_orderkey, o_orderstatus, price "
+    "FROM after_merge WHERE o_orderkey % 10 <> 0 "
+    "UNION ALL SELECT 'deleted', o_orderkey, o_orderstatus, price "
+    "FROM after_merge WHERE o_orderkey % 10 = 0 "
+    "UNION ALL SELECT 'merged', o_orderkey, o_orderstatus, price "
+    "FROM src) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -1833,6 +1931,7 @@ QUERIES = {
     "s21_v2_checkpoint": s21_v2_checkpoint,
     "s22_mapped_merge_delete": s22_mapped_merge_delete,
     "s23_dv_merge": s23_dv_merge,
+    "s24_id_mode_writes": s24_id_mode_writes,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1866,6 +1965,7 @@ ORACLES = {
     "s21_v2_checkpoint": _S21_SQL,
     "s22_mapped_merge_delete": _S22_SQL,
     "s23_dv_merge": _S23_SQL,
+    "s24_id_mode_writes": _S24_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

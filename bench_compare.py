@@ -70,6 +70,17 @@ def main(argv: list[str]) -> int:
     new_q = {k: v for k, v in new["queries"].items() if v >= 0}
 
     print(f"# bench delta: {old_path} -> {new_path} (flag > {THRESHOLD}x)")
+    # Host-load context travels in the record since round 7 (absent in
+    # older rounds). A noisy side makes per-query flags advisory: the
+    # ratio measures tenancy, not code.
+    noisy_side = False
+    for tag, rec in (("old", old), ("new", new)):
+        if "load" in rec or "noisy" in rec:
+            print(f"# {tag}: pre-JVM load={rec.get('load')} "
+                  f"noisy={rec.get('noisy')}")
+            noisy_side = noisy_side or bool(rec.get("noisy"))
+        else:
+            print(f"# {tag}: no host-load context (pre-round-7 record)")
     print(f"{'query':32} {'old s':>8} {'new s':>8} {'ratio':>7}")
     flagged = []
     for name in sorted(set(old_q) | set(new_q)):
@@ -88,6 +99,13 @@ def main(argv: list[str]) -> int:
     if ot and nt:
         print(f"{'TOTAL':32} {ot:8.3f} {nt:8.3f} {nt / ot:6.2f}x")
     if flagged:
+        if noisy_side:
+            print(
+                f"\n{len(flagged)} flag(s) over {THRESHOLD}x, but a side "
+                "ran under external load (noisy=true) — advisory only",
+                file=sys.stderr,
+            )
+            return 0
         print(f"\n{len(flagged)} regression(s) over {THRESHOLD}x", file=sys.stderr)
         return 1
     return 0

@@ -2477,13 +2477,22 @@ def test_column_mapping_id_mode_read(spark, tmp_path):
     # keyed by it); the DATA read resolves via footer field ids
     assert dc.read_delta(spark, table, skip=("k", 10, 20)).count() == 0
     assert dc.read_delta(spark, table, skip=("k", 2, 2)).count() == 3
-    # writes still refuse loudly on any mapped table
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.append_delta(
-            spark.range(2).select(F.col("id").alias("k"),
-                                  F.lit("x").alias("v")),
-            table,
-        )
+    # appends write DRIFT-SAFE: the new file reuses the footers'
+    # id→name binding (u1/u2), NOT the metadata physicalName — writing
+    # col-aaa111 would make the next scan refuse on id→name conflict
+    dc.append_delta(
+        spark.createDataFrame([(4, "d")], "k long, v string"), table
+    )
+    snap = dc.snapshot(table)
+    new_file = [f for f in snap["files"]
+                if not f.endswith("part-0.parquet")][0]
+    footer = pq.read_schema(new_file)
+    assert footer.names == ["u1", "u2"]
+    assert footer.field(0).metadata[b"PARQUET:field_id"] == b"1"
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    }
 
 
 def test_column_mapping_id_mode_fallback_without_field_ids(spark, tmp_path):
@@ -3189,25 +3198,100 @@ def test_mapped_append_schema_evolution_assigns_fresh_ids(spark, tmp_path):
     assert dc.read_delta(spark, table).columns == ["k", "v", "label"]
 
 
-def test_mapped_append_id_mode_refused(spark, tmp_path):
-    """id-mode resolution is per-footer; a single-schema append into a
-    drifted id-mode table would corrupt readability — refuse."""
+def test_mapped_append_id_mode_idless_files(spark, tmp_path):
+    """Appending to an id-mode table whose live files carry NO parquet
+    field ids (some writers strip them) must keep the new file id-less
+    too — the reader refuses a with/without-ids mix, so attaching ids
+    here would brick the very table the append just extended."""
     import pyspark.sql.functions as F
 
     table = _seed_mapped_table(spark, tmp_path, mode="id")
-    with pytest.raises(dc.DeltaProtocolError, match="'id'"):
-        dc.append_delta(
-            spark.range(2).select(F.col("id").alias("k"),
-                                  F.lit("x").alias("v")),
-            table,
-        )
+    dc.append_delta(
+        spark.range(4, 6).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("v")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    new_file = [f for f in snap["files"]
+                if not f.endswith("part-0.parquet")][0]
+    footer = pq.read_schema(new_file)
+    # physicalName resolution fallback names, no field ids (mix guard)
+    assert set(footer.names) == {"col-aaa111", "col-bbb222"}
+    assert all(
+        (footer.field(i).metadata or {}).get(b"PARQUET:field_id") is None
+        for i in range(len(footer.names))
+    )
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "x"), (5, "x")
+    }
+
+
+def test_id_mode_merge_delete_lifecycle(spark, tmp_path):
+    """COW MERGE then DELETE on a DRIFTED id-mode table: rewrites keep
+    the footers' id→name binding and field ids, so resolution stays
+    footer-driven end to end and results match the plain-table verbs."""
+    table = str(tmp_path / "cm_id_cow")
+    arrow_schema = pa.schema(
+        [
+            pa.field("u1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("u2", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(
+        pa.table({"u1": [1, 2, 3], "u2": ["a", "b", "c"]},
+                 schema=arrow_schema),
+        os.path.join(table, "part-0.parquet"),
+    )
+    _commit(
+        table, 0,
+        [
+            _PROTO_CM,
+            _mapped_meta("id"),
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+    )
+    src = spark.createDataFrame([(2, "B"), (9, "I")], "k long, v string")
+    dc.merge_delta(spark, table, src, ["k"])
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (9, "I")
+    }
+    # every rewritten file binds the same footer names + ids
+    for f in dc.snapshot(table)["files"]:
+        footer = pq.read_schema(f)
+        assert footer.names == ["u1", "u2"]
+        assert footer.field(0).metadata[b"PARQUET:field_id"] == b"1"
+    dc.delete_delta(
+        spark, table, spark.createDataFrame([(1,), (9,)], "k long"), ["k"]
+    )
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()} == {
+        (2, "B"), (3, "c")
+    }
+    # and the compaction path keeps ids too
+    dc.optimize_delta(spark, table)
+    snap = dc.snapshot(table)
+    assert len(snap["files"]) == 1
+    footer = pq.read_schema(snap["files"][0])
+    assert footer.names == ["u1", "u2"]
+    assert footer.field(1).metadata[b"PARQUET:field_id"] == b"2"
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, table).collect()} == {
+        (2, "B"), (3, "c")
+    }
 
 
 def test_mapped_table_compaction_preserves_physical_names(spark, tmp_path):
-    """Plain OPTIMIZE on a name-mapped table is safe — the raw-file
-    rewrite keeps physical column names, stats re-key physically, and
-    the mapped read stays identical; id-mode compaction refuses (the
-    rewrite would strip field ids)."""
+    """Plain OPTIMIZE on a name-mapped table is safe — the rewrite
+    keeps physical column names, stats re-key physically, and the
+    mapped read stays identical; id-mode compaction re-attaches field
+    ids (all files are replaced, so the id-less fallback upgrades)."""
     import pyspark.sql.functions as F
 
     table = _fresh_kv_table(spark, tmp_path)
@@ -3228,8 +3312,21 @@ def test_mapped_table_compaction_preserves_physical_names(spark, tmp_path):
              for r in dc.read_delta(spark, table).collect()}
     assert after == before
     id_table = _seed_mapped_table(spark, tmp_path, mode="id")
-    with pytest.raises(dc.DeltaProtocolError, match="id-mode"):
-        dc.optimize_delta(spark, id_table)
+    before_id = {(r["k"], r["v"])
+                 for r in dc.read_delta(spark, id_table).collect()}
+    dc.optimize_delta(spark, id_table)
+    snap_id = dc.snapshot(id_table)
+    assert len(snap_id["files"]) == 1
+    footer = pq.read_schema(snap_id["files"][0])
+    # compaction re-attaches field ids — the full file set is replaced,
+    # so the previously id-less table upgrades to footer-resolvable
+    assert set(footer.names) == {"col-aaa111", "col-bbb222"}
+    assert {
+        int((footer.field(i).metadata or {})[b"PARQUET:field_id"])
+        for i in range(len(footer.names))
+    } == {1, 2}
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, id_table).collect()} == before_id
 
 
 def test_mapped_append_constraint_enforced_on_logical_names(spark, tmp_path):
