@@ -256,6 +256,20 @@ _SUPPORTED_WRITER_FEATURES = {
     # commitInfo.inCommitTimestamp on every commit once the chain is
     # live (enable_in_commit_timestamps)
     "inCommitTimestamp",
+    # honored: domainMetadata actions replay into snapshot state and
+    # survive checkpoints (rowTracking's high-water mark lives in one)
+    "domainMetadata",
+    # honored when LISTED (delta-spark 3.x lists it by default on new
+    # tables): every fresh add is stamped baseRowId (fresh ids from the
+    # delta.rowTracking rowIdHighWaterMark domain, advanced in the same
+    # commit) + defaultRowCommitVersion; DV re-adds and RESTORE re-adds
+    # PRESERVE their original assignment. When the table additionally
+    # sets delta.enableRowTracking=true (stable ids promised to
+    # readers), the rewrite verbs refuse — preserving ids through a
+    # rewrite needs materialized row-id columns, which this writer does
+    # not emit; appends and DV deletes keep the guarantee trivially
+    # (files and their row ids survive byte-identical).
+    "rowTracking",
 }
 
 
@@ -347,11 +361,27 @@ def _apply_action(state: dict, action: dict) -> None:
             state["dvs"][path] = dv
         else:
             state["dvs"].pop(path, None)  # re-add without DV clears it
+        if add.get("baseRowId") is not None:
+            state["row_meta"][path] = {
+                "baseRowId": int(add["baseRowId"]),
+                "defaultRowCommitVersion": add.get(
+                    "defaultRowCommitVersion"
+                ),
+            }
+        else:
+            state["row_meta"].pop(path, None)
     elif "remove" in action:
         path = unquote(action["remove"]["path"])
         state["files"].pop(path, None)
         state["dvs"].pop(path, None)
-    # txn / commitInfo / cdc / domainMetadata actions carry no scan state
+        state["row_meta"].pop(path, None)
+    elif "domainMetadata" in action:
+        dm = action["domainMetadata"]
+        if dm.get("removed"):
+            state["domains"].pop(dm.get("domain"), None)
+        elif dm.get("domain"):
+            state["domains"][dm["domain"]] = dm.get("configuration")
+    # txn / commitInfo / cdc actions carry no scan state
 
 
 def _checkpoint_rows(path: str) -> list[dict]:
@@ -434,6 +464,18 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
             dv = add.get("deletionVector")
             if dv and dv.get("storageType"):
                 state["dvs"][path] = dv
+            if add.get("baseRowId") is not None:
+                state["row_meta"][path] = {
+                    "baseRowId": int(add["baseRowId"]),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
+                    ),
+                }
+        dm = row.get("domainMetadata")
+        if dm and dm.get("domain"):
+            # checkpoints carry only LIVE domains (removed ones are
+            # dropped at write time, matching net-of-log adds)
+            state["domains"][dm["domain"]] = dm.get("configuration")
 
 
 def _commit_timestamp_ms(table: str, version: int) -> int:
@@ -504,6 +546,8 @@ def snapshot(
         "configuration": {},
         "meta_id": None,
         "protocol": None,
+        "domains": {},
+        "row_meta": {},
     }
     ckpt = _checkpoint_version(table, version)
     start = 0
@@ -548,6 +592,13 @@ def snapshot(
         "meta_id": state["meta_id"],
         # latest protocol action (writer gating reads writerFeatures)
         "protocol": state["protocol"] or {},
+        # live domainMetadata state (rowTracking's high-water mark)
+        "domain_metadata": state["domains"],
+        # per-file rowTracking assignment (baseRowId, dcv) for re-adds
+        "file_row_meta": {
+            os.path.join(table, p): m
+            for p, m in state["row_meta"].items()
+        },
     }
 
 
@@ -1126,6 +1177,8 @@ def append_delta(
             }
         }
     )
+    if version > 0:
+        actions = _stamp_row_tracking(snap0, version, actions)
     # Optimistic-concurrency rebase for the ONE commuting case: append
     # vs append. The data files are already promoted into the table and
     # version-independent; losing the version race only means another
@@ -1134,7 +1187,9 @@ def append_delta(
     # free slot is exactly delta-spark's conflict-check outcome for
     # blind appends. Anything non-commuting (the winner changed schema,
     # partitioning, or mapping — or the loss was the table-creation
-    # commit itself) refuses instead of retrying.
+    # commit itself) refuses instead of retrying. A rowTracking table
+    # re-assigns its row ids against the fresh snapshot (the winner may
+    # have advanced the high-water mark — a blind replay would collide).
     for _attempt in range(5):
         try:
             _publish_commit(table, version, actions)
@@ -1143,7 +1198,10 @@ def append_delta(
             if version == 0 or evolved_schema_json is not None:
                 raise  # concurrent CREATE / schema change: not commuting
             version = _rebase_append(table, version, partition_by)
-            actions = actions_for_retry(actions)
+            actions = actions_for_retry(_strip_row_tracking(actions))
+            actions = _stamp_row_tracking(
+                snapshot(table), version, actions
+            )
     _publish_commit(table, version, actions)  # final attempt propagates
     return version
 
@@ -1265,6 +1323,183 @@ def _mapped_write_plan(
         for i in range(len(first.names))
     )
     return phys, has_ids
+
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_supported(snap: dict) -> bool:
+    return "rowTracking" in set(
+        (snap.get("protocol") or {}).get("writerFeatures") or []
+    )
+
+
+def row_id_high_water_mark(snap: dict) -> int:
+    """Highest assigned fresh row id (-1 when none): the
+    ``rowIdHighWaterMark`` of the ``delta.rowTracking`` domainMetadata,
+    where the protocol keeps it."""
+    raw = (snap.get("domain_metadata") or {}).get(_ROW_TRACKING_DOMAIN)
+    if raw:
+        try:
+            return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            pass
+    return -1
+
+
+def _stamp_row_tracking(
+    snap: dict, version: int, actions: list[dict]
+) -> list[dict]:
+    """The rowTracking writer obligation, applied to a commit's action
+    list when the table lists the feature: every NEW add is stamped
+    ``baseRowId`` (fresh ids ``hwm+1 .. hwm+numRecords``, disjoint
+    across files) and ``defaultRowCommitVersion = version``; adds that
+    already carry a baseRowId (DV re-adds, RESTORE re-adds — the same
+    physical file re-entering the snapshot) keep their original
+    assignment; the advanced high-water mark publishes as the
+    ``delta.rowTracking`` domainMetadata action IN THE SAME COMMIT, so
+    assignment and bookkeeping are atomic. No-op on tables without the
+    feature."""
+    if not _row_tracking_supported(snap):
+        return actions
+    hwm = row_id_high_water_mark(snap)
+    out: list[dict] = []
+    advanced = False
+    for a in actions:
+        if "add" in a and a["add"].get("baseRowId") is None:
+            add = dict(a["add"])
+            n = None
+            if add.get("stats"):
+                try:
+                    n = int(json.loads(add["stats"])["numRecords"])
+                except (ValueError, TypeError, KeyError):
+                    n = None
+            if n is None:
+                raise DeltaProtocolError(
+                    "rowTracking needs numRecords stats to assign "
+                    f"baseRowId for {add.get('path')!r}"
+                )
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = version
+            hwm += max(n, 1)  # an empty file still claims one id slot
+            advanced = True
+            a = {"add": add}
+        out.append(a)
+    if advanced:
+        out.append(
+            {
+                "domainMetadata": {
+                    "domain": _ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    return out
+
+
+def _strip_row_tracking(actions: list[dict]) -> list[dict]:
+    """Undo :func:`_stamp_row_tracking` on a commit that lost its
+    version race: the winner may have advanced the high-water mark, so
+    the replay must re-assign against the fresh snapshot instead of
+    re-publishing colliding row ids."""
+    out: list[dict] = []
+    for a in actions:
+        if "add" in a and a["add"].get("baseRowId") is not None:
+            add = dict(a["add"])
+            add.pop("baseRowId", None)
+            add.pop("defaultRowCommitVersion", None)
+            a = {"add": add}
+        elif (
+            a.get("domainMetadata", {}).get("domain")
+            == _ROW_TRACKING_DOMAIN
+        ):
+            continue
+        out.append(a)
+    return out
+
+
+def _refuse_stable_row_id_rewrite(snap: dict, op: str) -> None:
+    """``delta.enableRowTracking=true`` promises READERS stable row ids
+    across rewrites; keeping that promise through a COW rewrite needs
+    materialized row-id columns this writer does not emit. Appends and
+    DV deletes maintain the guarantee trivially (files survive
+    byte-identical), so only the rewrite verbs refuse."""
+    cfg = snap.get("configuration") or {}
+    if cfg.get("delta.enableRowTracking", "").lower() == "true":
+        raise DeltaProtocolError(
+            f"{op}: delta.enableRowTracking=true tables cannot be "
+            "rewritten by this writer (stable row ids would break "
+            "without materialized row-id columns); use DV deletes and "
+            "appends, or disable the property first"
+        )
+
+
+def enable_row_tracking(table: str, enabled: bool = False) -> int:
+    """Upgrade a table to the ``rowTracking`` writer feature (plus its
+    ``domainMetadata`` prerequisite) with one metadata commit: protocol
+    moves to writer-features form (minWriter 7, legacy-implied features
+    made explicit — the Delta upgrade rule), and every later add gets a
+    fresh ``baseRowId``/``defaultRowCommitVersion``. ``enabled=True``
+    additionally sets ``delta.enableRowTracking=true`` (delta-spark's
+    default on new tables), which promises stable row ids to readers —
+    this writer then refuses the rewrite verbs (see
+    :func:`_refuse_stable_row_id_rewrite`)."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "enable_row_tracking")
+    p = snap.get("protocol") or {}
+    w = p.get("minWriterVersion", 2)
+    feats = set(p.get("writerFeatures") or [])
+    if w < 7 and not feats:
+        feats = _legacy_writer_features(w)
+    feats |= {"rowTracking", "domainMetadata"}
+    now_ms = int(time.time() * 1000)
+    cfg = dict(snap.get("configuration") or {})
+    if enabled:
+        cfg["delta.enableRowTracking"] = "true"
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": p.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": sorted(
+                        set(p.get("readerFeatures") or [])
+                    )}
+                    if p.get("minReaderVersion", 1) >= 3
+                    else {}
+                ),
+                "writerFeatures": sorted(feats),
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.rowTracking": "supported",
+                         "delta.enableRowTracking": str(enabled).lower()}
+                    )
+                },
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
 
 
 def actions_for_retry(actions: list[dict]) -> list[dict]:
@@ -1600,6 +1835,7 @@ def _write_checkpoint(table: str, version: int) -> None:
     meta: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, dict] = {}
+    domains: dict[str, str | None] = {}
     start = 0
     prior = _checkpoint_version(table, version)
     if prior is not None and prior <= version:
@@ -1640,6 +1876,9 @@ def _write_checkpoint(table: str, version: int) -> None:
                 prev = txns.get(t["appId"])
                 if prev is None or t["version"] >= prev["version"]:
                     txns[t["appId"]] = t
+            dm = row.get("domainMetadata")
+            if dm and dm.get("domain"):
+                domains[dm["domain"]] = dm.get("configuration")
         start = prior + 1
     for v in range(start, version + 1):
         with open(_commit_path(table, v)) as f:
@@ -1666,6 +1905,12 @@ def _write_checkpoint(table: str, version: int) -> None:
                         else prev["version"]
                     ):
                         txns[t["appId"]] = t
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm.get("domain"), None)
+                    elif dm.get("domain"):
+                        domains[dm["domain"]] = dm.get("configuration")
     if protocol is None or meta is None:
         raise DeltaCorruptLogError(
             f"{table}: cannot checkpoint without protocol/metaData actions"
@@ -1720,6 +1965,11 @@ def _write_checkpoint(table: str, version: int) -> None:
                                 ]
                             ),
                         ),
+                        # rowTracking assignment: dropping these from a
+                        # checkpoint would reset every file's fresh row
+                        # ids at the next replay
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1730,6 +1980,16 @@ def _write_checkpoint(table: str, version: int) -> None:
                         ("appId", pa.string()),
                         ("version", pa.int64()),
                         ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -1771,6 +2031,18 @@ def _write_checkpoint(table: str, version: int) -> None:
                 }
             }
         )
+    for dom, cfg in sorted(domains.items()):
+        # live domains only — a removed domain simply has no row, the
+        # net-of-log shape adds already use
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+        )
     for add in adds.values():
         dv = add.get("deletionVector")
         rows.append(
@@ -1794,6 +2066,10 @@ def _write_checkpoint(table: str, version: int) -> None:
                         }
                         if dv
                         else None
+                    ),
+                    "baseRowId": add.get("baseRowId"),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
                     ),
                 }
             }
@@ -2220,6 +2496,7 @@ def optimize_delta(
     to partition columns anyway); non-partition keys refuse."""
     snap = snapshot(table)
     _check_writer_protocol(snap, "OPTIMIZE")
+    _refuse_stable_row_id_rewrite(snap, "OPTIMIZE")
     if not snap["files"]:
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
     version = snap["version"] + 1
@@ -2361,7 +2638,7 @@ def optimize_delta(
         )
         removes.extend(r)
         adds.extend(a)
-    actions = removes + adds + [
+    actions = _stamp_row_tracking(snap, version, removes + adds) + [
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
@@ -2413,6 +2690,7 @@ def merge_delta(
     snap = snapshot(table)
     _check_writer_protocol(snap, "MERGE", removes_data=True)
     _refuse_cow_unsupported(snap, table, "merge_delta")
+    _refuse_stable_row_id_rewrite(snap, "MERGE")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     tagged = _cow_scan(spark, table, snap)
@@ -2530,6 +2808,7 @@ def merge_delta(
             }
         }
     ]
+    actions = _stamp_row_tracking(snap, version, actions)
     _publish_commit(table, version, actions)
     return version
 
@@ -3036,6 +3315,7 @@ def delete_delta(
     snap = snapshot(table)
     _check_writer_protocol(snap, "DELETE", removes_data=True)
     _refuse_cow_unsupported(snap, table, "delete_delta")
+    _refuse_stable_row_id_rewrite(snap, "DELETE (copy-on-write)")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     key_df = keys.select(*key_cols).distinct()
@@ -3123,6 +3403,7 @@ def delete_delta(
             }
         }
     ]
+    actions = _stamp_row_tracking(snap, version, actions)
     _publish_commit(table, version, actions)
     return version
 
@@ -3261,6 +3542,9 @@ def delete_delta_dv(
     stats_uri = {
         _file_uri(f): s for f, s in snap["file_stats"].items()
     }
+    rowmeta_uri = {
+        _file_uri(f): m for f, m in snap["file_row_meta"].items()
+    }
     def _pvals(rel: str) -> dict[str, str]:
         return _hive_pvals(os.path.dirname(rel))
 
@@ -3290,21 +3574,45 @@ def delete_delta_dv(
             # skipping is a superset guarantee); numRecords becomes an
             # upper bound, which the protocol accepts alongside a DV
             add["stats"] = stats_uri[uri]
+        rm = rowmeta_uri.get(uri)
+        if rm and rm.get("baseRowId") is not None:
+            # the SAME physical file re-enters the snapshot: its row
+            # ids survive (the rowTracking preservation rule) — only
+            # never-stamped files fall through to fresh assignment
+            add["baseRowId"] = rm["baseRowId"]
+            add["defaultRowCommitVersion"] = rm.get(
+                "defaultRowCommitVersion"
+            )
         adds.append({"add": add})
+    p = snap.get("protocol") or {}
+    # feature upgrade must MERGE with what the table already lists —
+    # clobbering would strip rowTracking/inCommitTimestamp/... from a
+    # feature-bearing table
+    proto_action = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                set(p.get("readerFeatures") or [])
+                | {"deletionVectors"}
+            ),
+            "writerFeatures": sorted(
+                set(p.get("writerFeatures") or [])
+                | {"deletionVectors"}
+                | (
+                    _legacy_writer_features(p.get("minWriterVersion", 2))
+                    if p.get("minWriterVersion", 2) < 7
+                    and not p.get("writerFeatures")
+                    else set()
+                )
+            ),
+        }
+    }
     actions = (
-        [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
-        ]
+        [proto_action]
         + cdc_actions
         + removes
-        + adds
+        + _stamp_row_tracking(snap, version, adds)
         + [
             {
                 "commitInfo": {
@@ -3451,15 +3759,27 @@ def restore_delta(
     now_ms = int(time.time() * 1000)
 
     def _restore_add(p: str) -> dict:
+        abs_p = os.path.join(table, p)
         add = {
             "path": quote(p),
             "partitionValues": _pvals(p),
-            "size": os.path.getsize(os.path.join(table, p)),
+            "size": os.path.getsize(abs_p),
             "modificationTime": now_ms,
             "dataChange": True,
         }
+        stats = target["file_stats"].get(abs_p)
+        if stats:
+            add["stats"] = stats
         if target_map[p]:
             add["deletionVector"] = target_map[p]
+        rm = (target.get("file_row_meta") or {}).get(abs_p)
+        if rm and rm.get("baseRowId") is not None:
+            # a restored file is the SAME bytes coming back: its row
+            # ids come back with it (never re-assigned)
+            add["baseRowId"] = rm["baseRowId"]
+            add["defaultRowCommitVersion"] = rm.get(
+                "defaultRowCommitVersion"
+            )
         return add
 
     # removes BEFORE adds: a path whose DV changed appears in both
@@ -3474,9 +3794,9 @@ def restore_delta(
             }
         }
         for p in to_remove
-    ] + [
-        {"add": _restore_add(p)} for p in to_add
-    ] + [
+    ] + _stamp_row_tracking(
+        cur, version, [{"add": _restore_add(p)} for p in to_add]
+    ) + [
         {
             "commitInfo": {
                 "timestamp": now_ms,

@@ -1903,6 +1903,96 @@ _S24_SQL = (
 )
 
 
+def s25_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25 — rowTracking writer support (VERDICT r6 item 6): the
+    feature delta-spark 3.x lists by default on new tables, which the
+    round-6 writer gate refused outright. Lifecycle: two seed appends →
+    ``enable_row_tracking`` (protocol → writer-features with
+    rowTracking+domainMetadata) → stamped append (baseRowId 0..) →
+    DV DELETE (re-adds stamped fresh for never-stamped files, preserved
+    for stamped ones) → OPTIMIZE (new file, fresh ids above the mark,
+    purges the vectors).
+
+    The row-id bookkeeping is DETERMINISTIC from the fixture counts
+    (single-file appends via coalesce(1)), so the oracle can replay it
+    blind: after the DV delete every live row id 0..n1+n0+n2-1 is
+    assigned; OPTIMIZE assigns L fresh ids starting one past the mark.
+    Result: the usual per-status 'remaining' aggregate (row tracking
+    must be invisible to values) plus one 'row_ids' bookkeeping row —
+    n = live file count, key_sum = rowIdHighWaterMark, cents = the
+    compacted file's baseRowId."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s25_orders_row_tracking")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 0").coalesce(1), table
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 2").coalesce(1), table
+    )
+    delta_compat.enable_row_tracking(table)
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 1").coalesce(1), table
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    delta_compat.optimize_delta(spark, table)
+
+    snap = delta_compat.snapshot(table)
+    hwm = delta_compat.row_id_high_water_mark(snap)
+    metas = list(snap["file_row_meta"].values())
+    base = min(m["baseRowId"] for m in metas) if metas else -1
+    bookkeeping = spark.createDataFrame(
+        [("row_ids", "_", len(snap["files"]), hwm, base)],
+        "part string, o_orderstatus string, n bigint, key_sum bigint, "
+        "cents bigint",
+    )
+    remaining = (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn("part", F.lit("remaining"))
+        .select("part", "o_orderstatus", "n", "key_sum", "cents")
+    )
+    return remaining.unionByName(bookkeeping)
+
+
+# counts (single-file appends): n1 = |%4=1|, n0 = |%4=0|, n2 = |%4=2|,
+# L = live rows after deleting %10=0 from the %4<>3 seed. After the DV
+# delete every id 0..n1+n0+n2-1 is assigned (append stamped 0..n1-1;
+# the two never-stamped re-adds claim n1.. in either order — the mark
+# is order-free); OPTIMIZE's one compacted file starts at n1+n0+n2 and
+# advances the mark by L.
+_S25_SQL = (
+    "WITH c AS (SELECT "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 4 = 1) AS BIGINT) AS n1, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT) AS n0, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 4 = 2) AS BIGINT) AS n2, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 4 <> 3 "
+    "AND o_orderkey % 10 <> 0) AS BIGINT) AS live FROM orders) "
+    "SELECT 'remaining' AS part, o_orderstatus, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders "
+    "WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0 "
+    "GROUP BY o_orderstatus "
+    "UNION ALL "
+    "SELECT 'row_ids', '_', CAST(1 AS BIGINT), "
+    "n1 + n0 + n2 + live - 1, n1 + n0 + n2 FROM c"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -1932,6 +2022,7 @@ QUERIES = {
     "s22_mapped_merge_delete": s22_mapped_merge_delete,
     "s23_dv_merge": s23_dv_merge,
     "s24_id_mode_writes": s24_id_mode_writes,
+    "s25_row_tracking": s25_row_tracking,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -1966,6 +2057,7 @@ ORACLES = {
     "s22_mapped_merge_delete": _S22_SQL,
     "s23_dv_merge": _S23_SQL,
     "s24_id_mode_writes": _S24_SQL,
+    "s25_row_tracking": _S25_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -143,9 +143,11 @@ HEADLINE = [
     # which would double the bench wall-clock for one query; the driver
     # correctness gate still runs it at sf0.01 (top of _PRIORITY).
     # round-7 additions: COW MERGE/DELETE on column-mapped tables and
-    # through live deletion vectors
+    # through live deletion vectors, id-mode writes, rowTracking
     "s22_mapped_merge_delete",
     "s23_dv_merge",
+    "s24_id_mode_writes",
+    "s25_row_tracking",
 ]
 
 

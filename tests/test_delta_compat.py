@@ -2183,8 +2183,9 @@ def test_dv_delete_partitioned_oracle_equivalence(spark, tmp_path):
 
 def test_writer_unknown_feature_refused(spark, tmp_path):
     """A foreign table advertising a writerFeature this writer does not
-    implement (rowTracking) must refuse every mutating verb, even though
-    its readerFeatures are all supported."""
+    implement must refuse every mutating verb, even though its
+    readerFeatures are all supported. (rowTracking moved to the
+    honored list in round 7 — see the rowTracking lifecycle tests.)"""
     import pyspark.sql.functions as F
 
     table = str(tmp_path / "wf_tbl")
@@ -2196,7 +2197,7 @@ def test_writer_unknown_feature_refused(spark, tmp_path):
         0,
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                          "writerFeatures": ["rowTracking"]}},
+                          "writerFeatures": ["icebergCompatV2"]}},
             _meta(spark, "k long"),
             {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                      "modificationTime": 0, "dataChange": True}},
@@ -2215,6 +2216,165 @@ def test_writer_unknown_feature_refused(spark, tmp_path):
     dc.append_delta(df, ok)
     dc.delete_delta_dv(spark, ok, df.filter("k = 0"), ["k"])
     dc.append_delta(df.select((F.col("k") + 10).alias("k")), ok)
+
+
+def _last_commit_actions(table):
+    vs = dc._list_commit_versions(table)
+    out = []
+    with open(dc._commit_path(table, vs[-1])) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def test_row_tracking_append_assigns_base_row_ids(spark, tmp_path):
+    """Appends into a rowTracking table stamp each fresh add with
+    disjoint baseRowId ranges + defaultRowCommitVersion and advance the
+    delta.rowTracking high-water mark in the SAME commit."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_tbl")
+    dc.append_delta(
+        spark.range(5).coalesce(1).select(F.col("id").alias("k")), table
+    )
+    dc.enable_row_tracking(table)
+    snap = dc.snapshot(table)
+    assert "rowTracking" in snap["protocol"]["writerFeatures"]
+    assert "domainMetadata" in snap["protocol"]["writerFeatures"]
+    assert dc.row_id_high_water_mark(snap) == -1  # nothing stamped yet
+    v = dc.append_delta(
+        spark.range(5, 12).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    assert dc.row_id_high_water_mark(snap) == 6  # ids 0..6 assigned
+    metas = [m for m in snap["file_row_meta"].values()]
+    assert metas == [{"baseRowId": 0, "defaultRowCommitVersion": v}]
+    # a second append continues from the mark, never reusing ids
+    v2 = dc.append_delta(
+        spark.range(12, 15).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    assert dc.row_id_high_water_mark(snap) == 9
+    bases = sorted(
+        m["baseRowId"] for m in snap["file_row_meta"].values()
+    )
+    assert bases == [0, 7]
+    assert dc.read_delta(spark, table).count() == 15
+
+
+def test_row_tracking_dv_delete_preserves_optimize_reassigns(
+    spark, tmp_path
+):
+    """A DV delete re-adds the SAME file — its baseRowId must survive
+    (the preservation rule); OPTIMIZE writes new files, which get fresh
+    ids above the mark, never reused ones."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_dv_tbl")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k")), table
+    )
+    dc.enable_row_tracking(table)
+    dc.append_delta(
+        spark.range(10, 20).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    hwm0 = dc.row_id_high_water_mark(snap)
+    assert hwm0 == 9  # the post-enable append's 10 rows
+    stamped = {
+        f: m for f, m in snap["file_row_meta"].items()
+    }
+    assert len(stamped) == 1
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(12,)], "k long"), ["k"]
+    )
+    snap = dc.snapshot(table)
+    # same file, same baseRowId, mark unmoved for the stamped file; the
+    # NEVER-stamped pre-enable file gets fresh ids when its DV re-add
+    # passes through (it contained no match here, so it is untouched)
+    assert [m["baseRowId"] for m in snap["file_row_meta"].values()] == [0]
+    assert dc.row_id_high_water_mark(snap) == hwm0
+    dc.optimize_delta(spark, table)
+    snap = dc.snapshot(table)
+    assert len(snap["files"]) == 1
+    meta = list(snap["file_row_meta"].values())[0]
+    # fresh assignment above the mark (19 live rows → mark advances)
+    assert meta["baseRowId"] == hwm0 + 1
+    assert dc.row_id_high_water_mark(snap) == hwm0 + 19
+    assert dc.read_delta(spark, table).count() == 19
+
+
+def test_row_tracking_hwm_survives_checkpoint(spark, tmp_path):
+    """The high-water mark and per-file baseRowIds live in
+    domainMetadata/add actions — a checkpoint that dropped them would
+    reset assignment and duplicate row ids after replay."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_ckpt_tbl")
+    dc.append_delta(
+        spark.range(3).coalesce(1).select(F.col("id").alias("k")), table
+    )
+    dc.enable_row_tracking(table)
+    v = dc.append_delta(
+        spark.range(3, 8).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    dc.checkpoint_delta(table)
+    # hide the JSON log: state must come from the checkpoint alone
+    for hv in range(v + 1):
+        os.rename(
+            dc._commit_path(table, hv), dc._commit_path(table, hv) + ".hid"
+        )
+    try:
+        snap = dc.snapshot(table)
+        assert dc.row_id_high_water_mark(snap) == 4
+        assert sorted(
+            m["baseRowId"] for m in snap["file_row_meta"].values()
+        ) == [0]
+    finally:
+        for hv in range(v + 1):
+            os.rename(
+                dc._commit_path(table, hv) + ".hid",
+                dc._commit_path(table, hv),
+            )
+    # and appends continue correctly from checkpoint-replayed state
+    dc.append_delta(
+        spark.range(8, 10).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    assert dc.row_id_high_water_mark(dc.snapshot(table)) == 6
+
+
+def test_enable_row_tracking_enabled_refuses_rewrites(spark, tmp_path):
+    """delta.enableRowTracking=true promises readers STABLE row ids;
+    this writer cannot preserve them through a rewrite, so the rewrite
+    verbs refuse while appends and DV deletes (file-preserving) keep
+    working."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_stable_tbl")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k")), table
+    )
+    dc.enable_row_tracking(table, enabled=True)
+    dc.append_delta(
+        spark.range(10, 12).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    keys = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
+        dc.delete_delta(spark, table, keys, ["k"])
+    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
+        dc.merge_delta(spark, table, keys, ["k"])
+    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
+        dc.optimize_delta(spark, table)
+    dc.delete_delta_dv(spark, table, keys, ["k"])
+    assert dc.read_delta(spark, table).count() == 11
 
 
 def test_writer_append_only_config(spark, tmp_path):
