@@ -764,6 +764,29 @@ _WIN8_DUCK = (
 )
 
 
+def _x34_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus the planted "quoting" twins shared by x34/x34b:
+    every 9th doc gets a synthetic twin embedding its first 12 words
+    inside fresh text, ids derived from max(doc_id)+1."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
+    quotes = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.concat(
+                F.lit("quoted passage follows here "),
+                F.array_join(
+                    F.slice(F.expr(_WORDS_SPARK), 1, 12), " "
+                ),
+                F.lit(" end of quote trailing fresh words"),
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(quotes)
+
+
 def x34_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document SUBSTRING duplication — the ExactSubstr-style
     pass of Lee et al.'s training-data dedup (arXiv:2107.06499): a span
@@ -785,23 +808,7 @@ def x34_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window text), one doc_id rollup. Window volume is |words| per doc
     (each word starts one window), so the pass is linear in corpus
     tokens; never all-pairs anything."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
-    quotes = (
-        docs.filter(F.col("doc_id") % 9 == 0)
-        .crossJoin(F.broadcast(off))
-        .select(
-            (F.col("doc_id") + F.col("off")).alias("doc_id"),
-            F.concat(
-                F.lit("quoted passage follows here "),
-                F.array_join(
-                    F.slice(F.expr(_WORDS_SPARK), 1, 12), " "
-                ),
-                F.lit(" end of quote trailing fresh words"),
-            ).alias("text"),
-        )
-    )
-    corpus = docs.unionByName(quotes)
+    corpus = _x34_corpus(spark, sf_dir)
     wins = (
         corpus.withColumn("w", F.expr(_WORDS_SPARK))
         .select("doc_id", F.explode(F.expr(_WIN8_SPARK)).alias("win"))
@@ -833,8 +840,8 @@ def x34_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X34_OFF_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
 
-_X34_SQL = (
-    "WITH corpus AS (SELECT doc_id, text FROM documents "
+_X34_CORPUS_SQL = (
+    "corpus AS (SELECT doc_id, text FROM documents "
     "UNION ALL "
     f"SELECT doc_id + {_X34_OFF_SQL}, "
     "'quoted passage follows here ' || "
@@ -844,7 +851,11 @@ _X34_SQL = (
     f"coalesce(list_aggr(list_slice({_WORDS_DUCK}, 1, 12), "
     "'string_agg', ' '), '') || "
     "' end of quote trailing fresh words' "
-    "FROM documents WHERE doc_id % 9 = 0), "
+    "FROM documents WHERE doc_id % 9 = 0)"
+)
+
+_X34_SQL = (
+    f"WITH {_X34_CORPUS_SQL}, "
     "wins AS (SELECT DISTINCT doc_id, md5(win) AS h FROM ("
     f"SELECT doc_id, unnest({{win8}}) AS win FROM ("
     f"SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus))), "
@@ -858,6 +869,112 @@ _X34_SQL = (
     "SELECT doc_id, n_windows, n_dup_windows, "
     "CAST((10000 * n_dup_windows) // n_windows AS BIGINT) AS dup_bp "
     "FROM per_doc WHERE n_dup_windows > 0"
+).format(win8=_WIN8_DUCK)
+
+
+def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span TRIMMING — the production half of Lee et al.'s
+    substring pass (arXiv:2107.06499) that x34 only FLAGS: adjacent
+    duplicated windows merge into spans (the union of their covered
+    word positions) and those spans are cut from each document, keeping
+    the fresh remainder. Per trimmed doc: word count before, words
+    kept, and the md5 checksum of the retained text — a value-level
+    certificate that both engines cut EXACTLY the same spans (an
+    off-by-one in window→position coverage flips the hash).
+
+    Same corpus and duplication criterion as x34 (windows shared by ≥2
+    docs; the planted quoting twins discriminate). Scale shape: the
+    md5(window) shuffle is x34's; coverage is one explode of ≤8
+    positions per duplicated window + a distinct, and the retained-text
+    rebuild is one per-doc sort-aggregate over word positions — linear
+    in corpus tokens end to end, no all-pairs step anywhere."""
+    corpus = _x34_corpus(spark, sf_dir)
+    winpos = (
+        corpus.withColumn("w", F.expr(_WORDS_SPARK))
+        .select(
+            "doc_id", F.posexplode(F.expr(_WIN8_SPARK)).alias("p", "win")
+        )
+        .select("doc_id", "p", F.md5("win").alias("h"))
+    )
+    dup_h = (
+        winpos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    covered = (
+        winpos.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.col("p") + F.lit(_X34_WIN - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    wordpos = corpus.withColumn("w", F.expr(_WORDS_SPARK)).select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    )
+    totals = wordpos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    )
+    kept = (
+        wordpos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, word))), s -> s.word), ' ')"
+            ).alias("rt"),
+        )
+    )
+    return (
+        covered.select("doc_id")
+        .distinct()
+        .join(totals, "doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce("rt", F.lit(""))).alias("retained_md5"),
+        )
+    )
+
+
+_X34B_SQL = (
+    f"WITH {_X34_CORPUS_SQL}, "
+    f"ww AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM corpus), "
+    "winpos AS (SELECT doc_id, u['p'] AS p, md5(u['win']) AS h FROM ("
+    "SELECT doc_id, unnest(list_transform({win8}, "
+    "(x, i) -> {{'p': i - 1, 'win': x}})) AS u FROM ww)), "
+    "dup_h AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS n_docs "
+    "FROM (SELECT DISTINCT doc_id, h FROM winpos) GROUP BY 1) "
+    "WHERE n_docs >= 2), "
+    "covered AS (SELECT DISTINCT doc_id, pos FROM ("
+    "SELECT wp.doc_id, unnest(range(wp.p, wp.p + 8)) AS pos "
+    "FROM winpos wp JOIN dup_h ON dup_h.h = wp.h)), "
+    "wordpos AS (SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM ("
+    "SELECT doc_id, unnest(list_transform(w, "
+    "(x, i) -> {{'pos': i - 1, 'word': x}})) AS u FROM ww)), "
+    "totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words "
+    "FROM wordpos GROUP BY 1), "
+    "kept AS (SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+    "string_agg(wp.word, ' ' ORDER BY wp.pos) AS rt "
+    "FROM wordpos wp LEFT JOIN covered c "
+    "ON c.doc_id = wp.doc_id AND c.pos = wp.pos "
+    "WHERE c.doc_id IS NULL GROUP BY 1) "
+    "SELECT t.doc_id, t.n_words, "
+    "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, "
+    "md5(COALESCE(k.rt, '')) AS retained_md5 "
+    "FROM (SELECT DISTINCT doc_id FROM covered) d "
+    "JOIN totals t ON t.doc_id = d.doc_id "
+    "LEFT JOIN kept k ON k.doc_id = t.doc_id"
 ).format(win8=_WIN8_DUCK)
 
 
@@ -969,6 +1086,7 @@ QUERIES = {
     "x2d_dup_clusters": x2d_dup_clusters,
     "x33_canonical_dedup": x33_canonical_dedup,
     "x34_substring_dedup": x34_substring_dedup,
+    "x34b_substring_trim": x34b_substring_trim,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -981,5 +1099,6 @@ ORACLES = {
     "x2d_dup_clusters": _x2d_sql(),
     "x33_canonical_dedup": _x33_sql(),
     "x34_substring_dedup": _X34_SQL,
+    "x34b_substring_trim": _X34B_SQL,
     "x19_line_dedup": _X19_SQL,
 }

@@ -461,6 +461,51 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     hash-partitioned exchange even in training (x3f's plan guard
     walks every ShuffleExchange to pin this). ``corpus`` must carry
     (vec_id, embedding, ...)."""
+    centroids = _ivf_centroids(corpus)
+    final_assign = _ivf_assign(corpus, centroids)
+    q_probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("d"), F.asc("cid")
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
+        )
+        .withColumn("rk", F.row_number().over(q_probe_w))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    return final_assign, probes
+
+
+def _ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of ``vectors`` (vec_id, embedding)
+    against a small ``centroids`` frame (cid, carr): a broadcast fold —
+    the corpus NEVER shuffles, only the per-vec_id argmin window runs,
+    partitioned on vec_id. Ties break (distance, cid), the oracle's
+    row_number order."""
+    d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cid", d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _ivf_centroids(corpus: DataFrame) -> DataFrame:
+    """The trained coarse-quantizer centroids (cid, carr) — md5-seeded,
+    ``_IVF_ITERS`` Lloyd rounds, decimal-exact coordinate sums. Split
+    from :func:`_ivf_coarse` so streaming ingest (st18) can TRAIN ONCE,
+    store this frame, and assign micro-batches against it without
+    retraining — the production shape SCALING.md argues for."""
     seeds8 = (
         corpus.select(
             F.md5(F.col("vec_id").cast("string")).alias("sk"),
@@ -486,22 +531,11 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
 
-    def assign(cents):
-        d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-        return (
-            corpus.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", d)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid")
-        )
-
     elems = corpus.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     )
     for _ in range(_IVF_ITERS):
-        members = assign(centroids)
+        members = _ivf_assign(corpus, centroids)
         # Centroid coordinates accumulate in decimal(18,6): exact and
         # order-independent, so the downstream argmin cell assignment
         # cannot flip on partial-agg ordering (double-sum ULP drift
@@ -528,25 +562,7 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         )
 
-    final_assign = assign(centroids)
-    q_probe_w = Window.partitionBy("query_id").orderBy(
-        F.asc("d"), F.asc("cid")
-    )
-    probes = (
-        corpus.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-        )
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id", "cid", F.expr(_sqdist_spark("qe", "carr")).alias("d")
-        )
-        .withColumn("rk", F.row_number().over(q_probe_w))
-        .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("query_id", "cid")
-    )
-    return final_assign, probes
+    return centroids
 
 
 def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1085,6 +1085,150 @@ def _st17_sql() -> str:
     )
 
 
+def st18_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18 — streaming IVF assignment maintenance (VERDICT r6 item 7):
+    makes SCALING.md's claim real that x3d/x3f's k-means training is
+    INGEST-TIME state at production. The quantizer is trained ONCE on
+    the seed embeddings corpus (``_ivf_centroids`` — the exact frame
+    x3d's in-bench training produces) and STORED as a deltalite table;
+    the seed corpus's assignment lands as epoch 0 of an assignment
+    table. Then two micro-batches of genuinely new vectors arrive as
+    file drops — epoch 0: dimension-REVERSED copies of the %5=2 slice
+    (new ids past the corpus), epoch 1: NEGATED copies of the %7=3
+    slice — and each batch assigns itself against the STORED quantizer
+    (broadcast of 8 rows, the corpus never reshuffles, no retraining)
+    and appends (vec_id, cid) exactly-once via the ``(app_id, epoch)``
+    ledger.
+
+    The oracle replays the same construction blind: train on the seed,
+    assign seed ∪ both epochs against the final centroids. An engine
+    that retrains per-batch (centroids drift with the new vectors),
+    loses an epoch, or double-appends on replay flips cells or counts
+    and fails the hash. At 100 TB this is the search-side write path:
+    train rarely, assign per-batch against stored state — O(|batch| ×
+    k) work per micro-batch."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_centroids,
+    )
+
+    base = _scratch(sf_dir, "st18")
+    drop, cent_tbl, assign_tbl, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "centroids"),
+        os.path.join(base, "assign"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = emb.agg((F.max("vec_id") + 1).cast("bigint").alias("o"))
+
+    # train once; the stored table IS the quantizer state
+    deltalite.write(
+        _ivf_centroids(emb), cent_tbl, app_id="st18-train", epoch=0
+    )
+    stored = deltalite.read(spark, cent_tbl).select("cid", "carr")
+    deltalite.write(
+        _ivf_assign(emb, stored), assign_tbl, app_id="st18-seed", epoch=0
+    )
+
+    e0 = emb.filter("vec_id % 5 = 2").crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + F.col("o")).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    e1 = emb.filter("vec_id % 7 = 3").crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + 2 * F.col("o")).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(e0, f0)
+    write_single_parquet(e1, f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents = deltalite.read(spark, cent_tbl).select("cid", "carr")
+        deltalite.write(
+            _ivf_assign(batch_df, cents),
+            assign_tbl,
+            app_id="st18",
+            epoch=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        deltalite.read(spark, assign_tbl)
+        .crossJoin(F.broadcast(off))
+        .groupBy(
+            F.expr("CAST(vec_id DIV o AS INT)").alias("bucket"),
+            F.col("cid").cast("int").alias("cid"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+def _st18_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _ivf_base_ctes,
+        _sqdist_duck,
+    )
+
+    ctes, cent = _ivf_base_ctes()
+    o = "(SELECT max(vec_id) + 1 FROM embeddings)"
+    ctes.append(
+        f"e0 AS (SELECT vec_id + {o} AS vec_id, "
+        "list_reverse(embedding) AS embedding FROM embeddings "
+        "WHERE vec_id % 5 = 2)"
+    )
+    ctes.append(
+        f"e1 AS (SELECT vec_id + 2 * {o} AS vec_id, "
+        "list_transform(embedding, x -> -x) AS embedding FROM embeddings "
+        "WHERE vec_id % 7 = 3)"
+    )
+    ctes.append(
+        "newv AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)"
+    )
+    ctes.append(
+        "na AS (SELECT vec_id, cid FROM ("
+        "SELECT v.vec_id, ct.cid, row_number() OVER ("
+        "PARTITION BY v.vec_id ORDER BY "
+        f"{_sqdist_duck('v.embedding', 'ct.carr')} ASC, ct.cid ASC) AS rk "
+        f"FROM newv v CROSS JOIN {cent} ct) WHERE rk = 1)"
+    )
+    ctes.append(
+        "allasg AS (SELECT vec_id, cid FROM fa "
+        "UNION ALL SELECT vec_id, cid FROM na)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT CAST(vec_id // {o} AS INT) AS bucket, "
+        "CAST(cid AS INT) AS cid, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(vec_id) AS BIGINT) AS id_sum "
+        "FROM allasg GROUP BY 1, 2"
+    )
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -1098,6 +1242,7 @@ QUERIES = {
     "st9_streaming_ema": st9_streaming_ema,
     "st11_streaming_sessions": st11_streaming_sessions,
     "st17_streaming_neardup": st17_streaming_neardup,
+    "st18_streaming_ivf_assign": st18_streaming_ivf_assign,
 }
 
 ORACLES = {
@@ -1113,4 +1258,5 @@ ORACLES = {
     "st9_streaming_ema": _ST9_SQL,
     "st11_streaming_sessions": _ST11_SQL,
     "st17_streaming_neardup": _st17_sql(),
+    "st18_streaming_ivf_assign": _st18_sql(),
 }

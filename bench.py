@@ -148,6 +148,8 @@ HEADLINE = [
     "s23_dv_merge",
     "s24_id_mode_writes",
     "s25_row_tracking",
+    "st18_streaming_ivf_assign",
+    "x34b_substring_trim",
 ]
 
 
