@@ -2453,7 +2453,7 @@ def _compact_files(
     removes = [
         {
             "remove": {
-                "path": quote(os.path.relpath(f, table)),
+                "path": _log_path(table, f),
                 "deletionTimestamp": int(time.time() * 1000),
                 "dataChange": False,
             }
@@ -2504,7 +2504,6 @@ def optimize_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
-    _refuse_external_files(snap, table, "optimize_delta")
     if zorder_by and _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "OPTIMIZE ZORDER BY on a column-mapped table is not "
@@ -2779,6 +2778,9 @@ def merge_delta(
     adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
+        a = os.path.abspath(path)
+        if not a.startswith(os.path.abspath(table) + os.sep):
+            return {}  # clone external reference; clones are unpartitioned
         return _hive_pvals(
             os.path.relpath(os.path.dirname(path), table)
         )
@@ -2786,7 +2788,7 @@ def merge_delta(
     removes = [
         {
             "remove": {
-                "path": quote(os.path.relpath(f, table)),
+                "path": _log_path(table, f),
                 "deletionTimestamp": int(time.time() * 1000),
                 "partitionValues": _pvals(f),
                 "dataChange": True,
@@ -3229,11 +3231,11 @@ def _refuse_cow_unsupported(snap: dict, table: str, op: str) -> None:
     rewrite fine since round 7 (``_cow_scan`` tags rows reliably
     through all three shapes; mapped rewrites emit physical names +
     field ids, id mode pinned to the live footers' id→name binding);
-    what still refuses: shallow clones (their remove actions would need
-    the original absolute paths) and the mapped+DV combination (the
-    mapped reader scopes out DVs, so the rewrite scan itself has no
-    defined shape)."""
-    _refuse_external_files(snap, table, op)
+    what still refuses: the mapped+DV combination (the mapped reader
+    scopes out DVs, so the rewrite scan itself has no defined shape).
+    Shallow clones rewrite fine since round 7 — removes key the
+    original absolute paths via ``_log_path`` and rewritten files land
+    under the clone root."""
     mode = _mapping_mode(snap)
     if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
@@ -3374,6 +3376,9 @@ def delete_delta(
         adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
+        a = os.path.abspath(path)
+        if not a.startswith(os.path.abspath(table) + os.sep):
+            return {}  # clone external reference; clones are unpartitioned
         return _hive_pvals(
             os.path.relpath(os.path.dirname(path), table)
         )
@@ -3381,7 +3386,7 @@ def delete_delta(
     removes = [
         {
             "remove": {
-                "path": quote(os.path.relpath(f, table)),
+                "path": _log_path(table, f),
                 "deletionTimestamp": int(time.time() * 1000),
                 "partitionValues": _pvals(f),
                 "dataChange": True,
@@ -3816,13 +3821,32 @@ def _has_external_files(snap: dict, table: str) -> bool:
     return any(not os.path.abspath(f).startswith(root) for f in snap["files"])
 
 
+def _log_path(table: str, f: str) -> str:
+    """The quoted ``path`` string an add/remove action must carry for
+    file ``f`` of ``table``: relative for files under the table root,
+    the ABSOLUTE path for a shallow clone's external references (Delta
+    allows absolute paths; a remove only nets out the clone's add if it
+    keys EXACTLY the string the add used — clone_delta writes
+    quote(abspath), so this does too)."""
+    a = os.path.abspath(f)
+    root = os.path.abspath(table) + os.sep
+    if a.startswith(root):
+        return quote(os.path.relpath(f, table))
+    return quote(a)
+
+
 def _refuse_external_files(snap: dict, table: str, op: str) -> None:
+    """Scope gate for the verbs that still cannot run on a shallow
+    clone (RESTORE's file diff and DV-delete's descriptor bookkeeping
+    are keyed table-relative). The COW rewrite verbs — MERGE, DELETE,
+    OPTIMIZE — work on clones since round 7: their removes key the
+    original absolute paths (``_log_path``) and their rewritten files
+    land under the clone root, progressively localizing it."""
     if _has_external_files(snap, table):
         raise DeltaProtocolError(
             f"{op} on a shallow clone (absolute-path file references) is "
-            "not supported; clones are read + append here — rewrite verbs "
-            "would need remove actions keyed by the original absolute "
-            "paths"
+            "not supported; clones support read, append, and the COW "
+            "rewrite verbs (MERGE/DELETE/OPTIMIZE)"
         )
 
 

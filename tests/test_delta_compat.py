@@ -1912,8 +1912,9 @@ def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
 
 
 def test_clone_scope_refusals(spark, tmp_path):
-    """Rewrite verbs on a clone, clone-of-clone, and partitioned-source
-    clones all refuse loudly."""
+    """DV-delete on a clone, clone-of-clone, and partitioned-source
+    clones all refuse loudly (COW rewrites work since round 7 — see
+    the clone COW lifecycle test)."""
     import pyspark.sql.functions as F
 
     src = str(tmp_path / "ref_src")
@@ -1922,11 +1923,7 @@ def test_clone_scope_refusals(spark, tmp_path):
     dc.clone_delta(src, dst)
     keys = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(dc.DeltaProtocolError):
-        dc.delete_delta(spark, dst, keys, ["k"])
-    with pytest.raises(dc.DeltaProtocolError):
         dc.delete_delta_dv(spark, dst, keys, ["k"])
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.optimize_delta(spark, dst)
     with pytest.raises(dc.DeltaProtocolError):
         dc.clone_delta(dst, str(tmp_path / "ref_dst2"))
     part_src = str(tmp_path / "ref_part")
@@ -1939,6 +1936,86 @@ def test_clone_scope_refusals(spark, tmp_path):
     )
     with pytest.raises(dc.DeltaProtocolError):
         dc.clone_delta(part_src, str(tmp_path / "ref_part_clone"))
+
+
+def test_clone_cow_rewrite_lifecycle(spark, tmp_path):
+    """MERGE, DELETE and OPTIMIZE on a shallow clone: removes key the
+    source's ABSOLUTE paths (netting out the clone's v0 adds), the
+    rewritten files land under the CLONE root, the source table never
+    changes, time travel to the clone's v0 still resolves the external
+    references, and clone VACUUM never deletes a source file."""
+    import glob as globmod
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "cow_src")
+    dst = str(tmp_path / "cow_dst")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k"),
+                                           (F.col("id") % 3).alias("v")),
+        src,
+    )
+    dc.clone_delta(src, dst)
+    # MERGE: update evens, insert 20/21
+    source = spark.createDataFrame(
+        [(k, 99) for k in range(0, 10, 2)] + [(20, 7), (21, 7)],
+        "k long, v long",
+    )
+    dc.merge_delta(spark, dst, source, ["k"])
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, dst).collect()}
+    want = {(k, 99) for k in range(0, 10, 2)} | {
+        (k, k % 3) for k in range(1, 10, 2)
+    } | {(20, 7), (21, 7)}
+    assert got == want
+    # all live files are now LOCAL (the single source file was touched)
+    snap = dc.snapshot(dst)
+    root = os.path.abspath(dst) + os.sep
+    assert all(os.path.abspath(f).startswith(root) for f in snap["files"])
+    # the source never changed
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, src).collect()} == {
+        (k, k % 3) for k in range(10)
+    }
+    # time travel to the clone's v0 still reads through the externals
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, dst, version=0).collect()} == {
+        (k, k % 3) for k in range(10)
+    }
+    # DELETE + OPTIMIZE keep working on the now-localized clone
+    dc.delete_delta(
+        spark, dst, spark.createDataFrame([(20,), (21,)], "k long"), ["k"]
+    )
+    dc.optimize_delta(spark, dst)
+    got2 = {(r["k"], r["v"]) for r in dc.read_delta(spark, dst).collect()}
+    assert got2 == want - {(20, 7), (21, 7)}
+    # clone vacuum never touches source bytes
+    n_src_before = len(globmod.glob(os.path.join(src, "*.parquet")))
+    dc.vacuum_delta(dst)
+    assert len(globmod.glob(os.path.join(src, "*.parquet"))) == n_src_before
+    assert {(r["k"], r["v"])
+            for r in dc.read_delta(spark, src).collect()} == {
+        (k, k % 3) for k in range(10)
+    }
+
+
+def test_clone_dv_source_cow_merge(spark, tmp_path):
+    """A clone of a DV-bearing source MERGEs through the carried-over
+    absolute-path vectors: DV-hidden rows neither match nor survive,
+    and the rewrite lands local."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "cowdv_src")
+    dst = str(tmp_path / "cowdv_dst")
+    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), src)
+    dc.delete_delta_dv(
+        spark, src, spark.createDataFrame([(3,), (4,)], "k long"), ["k"]
+    )
+    dc.clone_delta(src, dst)
+    source = spark.createDataFrame([(4, ), (11,)], "k long")
+    dc.merge_delta(spark, dst, source, ["k"])
+    got = {r["k"] for r in dc.read_delta(spark, dst).collect()}
+    # 3 stays deleted; 4 re-enters as an INSERT; 11 inserts
+    assert got == {0, 1, 2, 4, 5, 6, 7, 8, 9, 11}
 
 
 def test_corrupt_log_lines_never_return_wrong_data(spark, tmp_path):
