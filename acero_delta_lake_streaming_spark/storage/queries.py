@@ -1993,6 +1993,82 @@ _S25_SQL = (
 )
 
 
+def s26_clone_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26 — COW rewrites on a SHALLOW CLONE (the round-6 scope gap:
+    clone-then-modify is the main reason people clone). Seed a source
+    table from even-keyed orders, shallow-clone it (zero bytes copied,
+    absolute-path references), then diverge the CLONE only: MERGE every
+    key divisible by 3 (price+1) and DELETE every key divisible by 10.
+    The rewrites' removes key the source's absolute paths; new files
+    land under the clone root.
+
+    Result certifies both isolation directions per (part, status):
+    'clone' (the rewritten clone), 'source' (must equal the original
+    seed — a rewrite that leaked into the source flips this part's
+    hash), and 'clone_v0' (time travel to the clone's creation — the
+    external references must still resolve after the rewrites)."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "s26_orders_clone_src")
+    dst = _scratch(sf_dir, "s26_orders_clone_dst")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 0"), src)
+    delta_compat.append_delta(orders.filter("o_orderkey % 4 = 2"), src)
+    delta_compat.clone_delta(src, dst)
+    source = orders.filter("o_orderkey % 3 = 0").withColumn(
+        "o_totalprice", F.expr("o_totalprice + 1.0")
+    )
+    delta_compat.merge_delta(spark, dst, source, ["o_orderkey"])
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    delta_compat.delete_delta(spark, dst, doomed, ["o_orderkey"])
+
+    clone = delta_compat.read_delta(spark, dst).withColumn(
+        "part", F.lit("clone")
+    )
+    source_now = delta_compat.read_delta(spark, src).withColumn(
+        "part", F.lit("source")
+    )
+    clone_v0 = delta_compat.read_delta(spark, dst, version=0).withColumn(
+        "part", F.lit("clone_v0")
+    )
+    return (
+        clone.unionByName(source_now)
+        .unionByName(clone_v0)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S26_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "src AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 1.0 AS o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 0), "
+    "after_merge AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM seed WHERE o_orderkey % 3 <> 0 UNION ALL SELECT * FROM src), "
+    "u AS (SELECT 'clone' AS part, o_orderkey, o_orderstatus, "
+    "o_totalprice FROM after_merge WHERE o_orderkey % 10 <> 0 "
+    "UNION ALL SELECT 'source', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM seed "
+    "UNION ALL SELECT 'clone_v0', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM seed) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2023,6 +2099,7 @@ QUERIES = {
     "s23_dv_merge": s23_dv_merge,
     "s24_id_mode_writes": s24_id_mode_writes,
     "s25_row_tracking": s25_row_tracking,
+    "s26_clone_rewrite": s26_clone_rewrite,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2058,6 +2135,7 @@ ORACLES = {
     "s23_dv_merge": _S23_SQL,
     "s24_id_mode_writes": _S24_SQL,
     "s25_row_tracking": _S25_SQL,
+    "s26_clone_rewrite": _S26_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

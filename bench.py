@@ -150,6 +150,7 @@ HEADLINE = [
     "s25_row_tracking",
     "st18_streaming_ivf_assign",
     "x34b_substring_trim",
+    "s26_clone_rewrite",
 ]
 
 
