@@ -204,7 +204,42 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    # honored: the LOG schema is already authoritative for every scan
+    # in this module, and Spark's parquet reader upcasts the narrower
+    # physical types natively for the integer-family and float→double
+    # widenings; each field's delta.typeChanges metadata is validated
+    # at snapshot time and UNSUPPORTED changes (→decimal,
+    # date→timestamp-ntz) refuse loudly (_check_type_changes)
+    "typeWidening",
+    "typeWidening-preview",
 }
+
+#: (fromType, toType) pairs this reader can scan through: the parquet
+#: physical type upcasts Spark's vectorized reader performs natively
+#: (probed on this runtime: int32→int64, int32→float64, float→double,
+#: int16/int8 family). decimal targets and date→timestamp-ntz are NOT
+#: native scan upcasts here — tables carrying those changes refuse.
+_WIDENING_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def _check_type_changes(schema_json: str) -> None:
+    """Validate every ``delta.typeChanges`` entry (the typeWidening
+    feature's per-field record of {fromType, toType, tableVersion})
+    against the widenings this reader's scans actually perform."""
+    for f in json.loads(schema_json)["fields"]:
+        for ch in (f.get("metadata") or {}).get("delta.typeChanges") or []:
+            pair = (ch.get("fromType"), ch.get("toType"))
+            if pair not in _WIDENING_OK:
+                raise DeltaProtocolError(
+                    f"type widening {pair[0]!r} -> {pair[1]!r} on column "
+                    f"{f['name']!r} is not supported (integer-family and "
+                    "float->double widenings are)"
+                )
 
 
 def _check_protocol(action: dict) -> None:
@@ -259,6 +294,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: domainMetadata actions replay into snapshot state and
     # survive checkpoints (rowTracking's high-water mark lives in one)
     "domainMetadata",
+    # honored: every mutating verb here writes data under the CURRENT
+    # log schema (the widened types) and passes metaData — including
+    # each field's delta.typeChanges record — through untouched, which
+    # is exactly the feature's writer obligation; widen_column_type is
+    # the ALTER that records a new change
+    "typeWidening",
+    "typeWidening-preview",
     # honored when LISTED (delta-spark 3.x lists it by default on new
     # tables): every fresh add is stamped baseRowId (fresh ids from the
     # delta.rowTracking rowIdHighWaterMark domain, advanced in the same
@@ -573,6 +615,7 @@ def snapshot(
                     _apply_action(state, json.loads(line))
     if state["schema"] is None:
         raise DeltaCorruptLogError("no metaData action found in log")
+    _check_type_changes(state["schema"])
     resolved = versions[-1] if versions else (ckpt if ckpt is not None else -1)
     return {
         "files": [os.path.join(table, p) for p in state["files"]],
@@ -3070,6 +3113,87 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
         }
     )
     version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+def widen_column_type(table: str, col: str, new_type: str) -> int:
+    """``ALTER TABLE ... ALTER COLUMN col TYPE new_type`` under the
+    ``typeWidening`` table feature: ONE metadata commit flips the log
+    schema to the wider type and appends a ``delta.typeChanges`` record
+    ({fromType, toType, tableVersion}) to the field — zero data files
+    rewritten; existing files keep the narrower physical type and every
+    scan upcasts through the authoritative log schema (on a 100 TB
+    table this is what makes an int→long migration O(|schema|) instead
+    of a full rewrite). Only the widenings this module's scans perform
+    natively are accepted (``_WIDENING_OK``); the protocol moves to the
+    table-features form with ``typeWidening`` in both lists."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "ALTER COLUMN TYPE")
+    sch = json.loads(snap["schema"])
+    field = next((f for f in sch["fields"] if f["name"] == col), None)
+    if field is None:
+        raise DeltaProtocolError(f"no column {col!r} to widen")
+    old_type = field["type"]
+    if (old_type, new_type) not in _WIDENING_OK:
+        raise DeltaProtocolError(
+            f"type widening {old_type!r} -> {new_type!r} is not "
+            "supported (integer-family and float->double widenings are)"
+        )
+    version = snap["version"] + 1
+    meta = dict(field.get("metadata") or {})
+    meta["delta.typeChanges"] = list(meta.get("delta.typeChanges") or []) + [
+        {"fromType": old_type, "toType": new_type,
+         "tableVersion": version}
+    ]
+    fields = [
+        dict(f, type=new_type, metadata=meta) if f["name"] == col else f
+        for f in sch["fields"]
+    ]
+    p = snap.get("protocol") or {}
+    r, w = p.get("minReaderVersion", 1), p.get("minWriterVersion", 2)
+    rf = set(p.get("readerFeatures") or [])
+    wf = set(p.get("writerFeatures") or [])
+    if w < 7 and not wf:
+        wf = _legacy_writer_features(w)
+    if r == 2:
+        rf.add("columnMapping")
+    rf.add("typeWidening")
+    wf.add("typeWidening")
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf),
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {
+                    "column": col,
+                    "fromType": old_type,
+                    "toType": new_type,
+                },
+            }
+        },
+    ]
     _publish_commit(table, version, actions)
     return version
 

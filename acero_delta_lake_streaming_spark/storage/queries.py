@@ -2069,6 +2069,88 @@ _S26_SQL = (
 )
 
 
+def s27_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27 — typeWidening end to end: seed NARROW (int key, float
+    price) files, ``ALTER COLUMN TYPE`` both columns wider (one
+    metadata commit each — zero files rewritten, the 100 TB migration
+    shape), append genuinely wide rows, and scan: the old int32/float32
+    parquet pages upcast through the authoritative log schema.
+    Time travel to the pre-widen version must still read the NARROW
+    types (the schema is versioned with the log).
+
+    Result per (part, status): 'wide' = the post-widen table (seed
+    rows upcast + appended wide rows), 'pre' = the pre-widen time
+    travel. Cents use floor(price*100) — floor is the one
+    double→integer path both engines share bit-for-bit (CAST rounds in
+    DuckDB, truncates in Spark)."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s27_orders_widen")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 0").select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("float").alias("price"),
+        ),
+        table,
+    )
+    pre_v = delta_compat.snapshot(table)["version"]
+    delta_compat.widen_column_type(table, "o_orderkey", "long")
+    delta_compat.widen_column_type(table, "price", "double")
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 4 = 1").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+        ),
+        table,
+    )
+    wide = delta_compat.read_delta(spark, table).withColumn(
+        "part", F.lit("wide")
+    )
+    pre = (
+        delta_compat.read_delta(spark, table, version=pre_v)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("price").cast("double").alias("price"),
+        )
+        .withColumn("part", F.lit("pre"))
+    )
+    return (
+        wide.unionByName(pre)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(F.expr("CAST(floor(price * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+_S27_SQL = (
+    "WITH seed AS (SELECT CAST(o_orderkey AS INT) AS k, o_orderstatus, "
+    "CAST(o_totalprice AS FLOAT) AS price FROM orders "
+    "WHERE o_orderkey % 2 = 0), "
+    "wide AS (SELECT CAST(k AS BIGINT) AS k, o_orderstatus, "
+    "CAST(price AS DOUBLE) AS price FROM seed "
+    "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 4 = 1), "
+    "u AS (SELECT 'wide' AS part, k, o_orderstatus, price FROM wide "
+    "UNION ALL SELECT 'pre', CAST(k AS BIGINT), o_orderstatus, "
+    "CAST(price AS DOUBLE) FROM seed) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2100,6 +2182,7 @@ QUERIES = {
     "s24_id_mode_writes": s24_id_mode_writes,
     "s25_row_tracking": s25_row_tracking,
     "s26_clone_rewrite": s26_clone_rewrite,
+    "s27_type_widening": s27_type_widening,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2136,6 +2219,7 @@ ORACLES = {
     "s24_id_mode_writes": _S24_SQL,
     "s25_row_tracking": _S25_SQL,
     "s26_clone_rewrite": _S26_SQL,
+    "s27_type_widening": _S27_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -151,6 +151,7 @@ HEADLINE = [
     "st18_streaming_ivf_assign",
     "x34b_substring_trim",
     "s26_clone_rewrite",
+    "s27_type_widening",
 ]
 
 

@@ -186,22 +186,89 @@ def test_protocol_v3_without_features_rejected(spark, tmp_path):
 
 
 def test_unknown_reader_feature_rejected(spark, tmp_path):
-    """deletionVectors, columnMapping and v2Checkpoint are supported;
-    any OTHER advertised reader feature (type widening, ...) still
-    refuses loudly rather than returning wrong rows."""
+    """deletionVectors, columnMapping, v2Checkpoint and typeWidening
+    are supported; any OTHER advertised reader feature still refuses
+    loudly rather than returning wrong rows."""
     table = str(tmp_path / "tw_tbl")
     _commit(
         table,
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["typeWidening"],
-                          "writerFeatures": ["typeWidening"]}},
+                          "readerFeatures": ["variantType-preview"],
+                          "writerFeatures": ["variantType-preview"]}},
             _meta(spark, "id long"),
         ],
     )
     with pytest.raises(dc.DeltaProtocolError):
         dc.snapshot(table)
+
+
+def test_type_widening_lifecycle(spark, tmp_path):
+    """ALTER COLUMN TYPE widening: int files stay on disk, the log
+    schema flips to long, scans upcast through it, later appends land
+    wide, and time travel to the pre-widen version reads the old
+    type. A foreign table recording an UNSUPPORTED change (→decimal)
+    refuses at snapshot."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "widen_tbl")
+    dc.append_delta(
+        spark.range(5).coalesce(1).select(F.col("id").cast("int").alias("k")),
+        table,
+    )
+    v_narrow = dc.snapshot(table)["version"]
+    dc.widen_column_type(table, "k", "long")
+    snap = dc.snapshot(table)
+    assert "typeWidening" in snap["protocol"]["readerFeatures"]
+    fld = json.loads(snap["schema"])["fields"][0]
+    assert fld["type"] == "long"
+    assert fld["metadata"]["delta.typeChanges"][0]["fromType"] == "integer"
+    # the old int32 file reads back as longs through the log schema
+    df = dc.read_delta(spark, table)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert {r["k"] for r in df.collect()} == set(range(5))
+    # appends land under the widened schema
+    dc.append_delta(
+        spark.createDataFrame([(5_000_000_000,)], "k long"), table
+    )
+    assert {r["k"] for r in dc.read_delta(spark, table).collect()} == (
+        set(range(5)) | {5_000_000_000}
+    )
+    # time travel to the pre-widen version keeps the narrow type
+    old = dc.read_delta(spark, table, version=v_narrow)
+    assert dict(old.dtypes)["k"] == "int"
+    # COW rewrite through the widened schema stays correct
+    dc.delete_delta(
+        spark, table, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    assert {r["k"] for r in dc.read_delta(spark, table).collect()} == (
+        {0, 2, 3, 4, 5_000_000_000}
+    )
+    # unsupported recorded change refuses loudly
+    with pytest.raises(dc.DeltaProtocolError, match="not supported"):
+        dc.widen_column_type(table, "k", "decimal(20,0)")
+    bad = str(tmp_path / "widen_bad")
+    meta = _meta(spark, "d decimal(10,2)")
+    sch = json.loads(meta["metaData"]["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.typeChanges": [
+            {"fromType": "integer", "toType": "decimal(10,2)",
+             "tableVersion": 0}
+        ]
+    }
+    meta["metaData"]["schemaString"] = json.dumps(sch)
+    _commit(
+        bad, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            meta,
+        ],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="decimal"):
+        dc.snapshot(bad)
 
 
 def test_dv_unsupported_storage_type_refused(spark, tmp_path):
