@@ -184,6 +184,113 @@ def x10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x10b_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with span TRIMMING — the production follow-on to
+    x10's flagging: instead of dropping every document that overlaps
+    the held-out benchmark, cut ONLY the contaminated spans (the union
+    of word positions covered by benchmark-matching 5-grams) and keep
+    the fresh remainder — the difference between losing a whole
+    Wikipedia-quoting document and losing one quoted sentence. Per
+    trimmed doc: words before, words kept, and the md5 checksum of the
+    retained text (value-level proof both engines cut identical spans).
+
+    Scale shape: the benchmark gram set broadcasts (eval sets are MBs
+    against a 100 TB corpus), coverage is one ≤5-position explode per
+    matching gram + a distinct, and the retained-text rebuild is one
+    per-doc sort-aggregate — linear in corpus tokens, the x34b
+    machinery pointed at a reference set instead of the corpus
+    itself."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .withColumn("w", F.expr(_WORDS_SPARK))
+    )
+    train = docs.filter(F.col("bucket") < 15)
+    bench = (
+        docs.filter(F.col("bucket") == 15)
+        .select(
+            F.explode(F.array_distinct(F.expr(_GRAMS5_SPARK))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    grampos = train.select(
+        "doc_id", F.posexplode(F.expr(_GRAMS5_SPARK)).alias("p", "gram")
+    )
+    covered = (
+        grampos.join(F.broadcast(bench), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(4))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    wordpos = train.select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    )
+    totals = wordpos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    )
+    kept = (
+        wordpos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, word))), s -> s.word), ' ')"
+            ).alias("rt"),
+        )
+    )
+    return (
+        covered.select("doc_id")
+        .distinct()
+        .join(totals, "doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce("rt", F.lit(""))).alias("retained_md5"),
+        )
+    )
+
+
+_X10B_SQL = (
+    f"WITH base AS (SELECT doc_id, {_BUCKET_DUCK} AS bucket, "
+    f"{_WORDS_DUCK} AS w FROM documents), "
+    "bench AS (SELECT DISTINCT unnest(list_distinct({g5})) AS gram "
+    "FROM base WHERE bucket = 15), "
+    "grampos AS (SELECT doc_id, u['p'] AS p, u['gram'] AS gram FROM ("
+    "SELECT doc_id, unnest(list_transform({g5}, "
+    "(x, i) -> {{'p': i - 1, 'gram': x}})) AS u FROM base "
+    "WHERE bucket < 15)), "
+    "covered AS (SELECT DISTINCT doc_id, pos FROM ("
+    "SELECT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos "
+    "FROM grampos g JOIN bench b ON b.gram = g.gram)), "
+    "wordpos AS (SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM ("
+    "SELECT doc_id, unnest(list_transform(w, "
+    "(x, i) -> {{'pos': i - 1, 'word': x}})) AS u FROM base "
+    "WHERE bucket < 15)), "
+    "totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words "
+    "FROM wordpos GROUP BY 1), "
+    "kept AS (SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+    "string_agg(wp.word, ' ' ORDER BY wp.pos) AS rt "
+    "FROM wordpos wp LEFT JOIN covered c "
+    "ON c.doc_id = wp.doc_id AND c.pos = wp.pos "
+    "WHERE c.doc_id IS NULL GROUP BY 1) "
+    "SELECT t.doc_id, t.n_words, "
+    "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, "
+    "md5(COALESCE(k.rt, '')) AS retained_md5 "
+    "FROM (SELECT DISTINCT doc_id FROM covered) d "
+    "JOIN totals t ON t.doc_id = d.doc_id "
+    "LEFT JOIN kept k ON k.doc_id = t.doc_id"
+).format(g5=_GRAMS5_DUCK)
+
+
 # --------------------------------------------------------------------------
 # x11 — context-window chunking (1→N expansion with overlap)
 # --------------------------------------------------------------------------
@@ -517,6 +624,7 @@ QUERIES = {
     "x8_dataset_split": x8_dataset_split,
     "x9_stratified_sample": x9_stratified_sample,
     "x10_contamination_check": x10_contamination_check,
+    "x10b_decontaminate_trim": x10b_decontaminate_trim,
     "x11_context_chunks": x11_context_chunks,
     "x12_repetition_quality": x12_repetition_quality,
     "x15_mixture_sample": x15_mixture_sample,
@@ -568,6 +676,7 @@ ORACLES = {
         "AS contamination_bp "
         "FROM probe GROUP BY 1, 2 HAVING SUM(hit) > 0"
     ),
+    "x10b_decontaminate_trim": _X10B_SQL,
     "x11_context_chunks": (
         f"WITH d AS (SELECT doc_id, source, {_WORDS_DUCK} AS w "
         "FROM documents), "

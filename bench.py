@@ -152,6 +152,7 @@ HEADLINE = [
     "x34b_substring_trim",
     "s26_clone_rewrite",
     "s27_type_widening",
+    "x10b_decontaminate_trim",
 ]
 
 
