@@ -3582,7 +3582,6 @@ def delete_delta_dv(
         raise DeltaProtocolError(
             "delete_delta_dv on a column-mapped table is not supported"
         )
-    _refuse_external_files(snap, table, "delete_delta_dv")
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     files = snap["files"]
@@ -3652,9 +3651,17 @@ def delete_delta_dv(
         )
         for r in per_file
     }
+    # the log-path string for each file: relative under the table root,
+    # the clone's absolute reference otherwise (must match the original
+    # add's string exactly, or the remove cannot net it out). The DV
+    # BIN file itself always lands under THIS table's root — erasing
+    # from a clone never writes a byte into the source.
+    root = os.path.abspath(table) + os.sep
+    def _lp(f: str) -> str:
+        a = os.path.abspath(f)
+        return os.path.relpath(f, table) if a.startswith(root) else a
     by_uri = {
-        _file_uri(f): (os.path.abspath(f), os.path.relpath(f, table))
-        for f in files
+        _file_uri(f): (os.path.abspath(f), _lp(f)) for f in files
     }
     _, descriptors = dvcodec.write_dv_file(
         table, {by_uri[f][1]: ps for f, ps in new_positions.items()}
@@ -3675,6 +3682,8 @@ def delete_delta_dv(
         _file_uri(f): m for f, m in snap["file_row_meta"].items()
     }
     def _pvals(rel: str) -> dict[str, str]:
+        if os.path.isabs(rel):
+            return {}  # clone external reference; clones are unpartitioned
         return _hive_pvals(os.path.dirname(rel))
 
     removes: list[dict] = []
@@ -3960,17 +3969,17 @@ def _log_path(table: str, f: str) -> str:
 
 
 def _refuse_external_files(snap: dict, table: str, op: str) -> None:
-    """Scope gate for the verbs that still cannot run on a shallow
-    clone (RESTORE's file diff and DV-delete's descriptor bookkeeping
-    are keyed table-relative). The COW rewrite verbs — MERGE, DELETE,
-    OPTIMIZE — work on clones since round 7: their removes key the
-    original absolute paths (``_log_path``) and their rewritten files
-    land under the clone root, progressively localizing it."""
+    """Scope gate for the one verb that still cannot run on a shallow
+    clone (RESTORE — its file diff is keyed table-relative). The COW
+    rewrite verbs and DV deletes work on clones since round 7: removes
+    and DV re-adds key the original absolute paths (``_log_path`` /
+    the DV path helper), rewritten files and DV bitmaps land under the
+    clone root, and the source is never written."""
     if _has_external_files(snap, table):
         raise DeltaProtocolError(
             f"{op} on a shallow clone (absolute-path file references) is "
-            "not supported; clones support read, append, and the COW "
-            "rewrite verbs (MERGE/DELETE/OPTIMIZE)"
+            "not supported; clones support read, append, COW rewrites "
+            "(MERGE/DELETE/OPTIMIZE) and DV deletes"
         )
 
 

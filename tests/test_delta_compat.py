@@ -1979,18 +1979,15 @@ def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
 
 
 def test_clone_scope_refusals(spark, tmp_path):
-    """DV-delete on a clone, clone-of-clone, and partitioned-source
-    clones all refuse loudly (COW rewrites work since round 7 — see
-    the clone COW lifecycle test)."""
+    """Clone-of-clone and partitioned-source clones refuse loudly
+    (COW rewrites and DV deletes on clones work since round 7 — see
+    the clone COW lifecycle and clone DV-delete tests)."""
     import pyspark.sql.functions as F
 
     src = str(tmp_path / "ref_src")
     dst = str(tmp_path / "ref_dst")
     dc.append_delta(spark.range(10).select(F.col("id").alias("k")), src)
     dc.clone_delta(src, dst)
-    keys = spark.range(3).select(F.col("id").alias("k"))
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.delete_delta_dv(spark, dst, keys, ["k"])
     with pytest.raises(dc.DeltaProtocolError):
         dc.clone_delta(dst, str(tmp_path / "ref_dst2"))
     part_src = str(tmp_path / "ref_part")
@@ -2063,6 +2060,55 @@ def test_clone_cow_rewrite_lifecycle(spark, tmp_path):
             for r in dc.read_delta(spark, src).collect()} == {
         (k, k % 3) for k in range(10)
     }
+
+
+def test_clone_dv_delete_gdpr_shape(spark, tmp_path):
+    """DV-DELETE on a shallow clone — the GDPR-erase-the-experiment
+    shape: the bitmap file lands under the CLONE root, the re-add keys
+    the source's absolute path, zero bytes are written into the
+    source, and a second delete unions into the carried state.
+    OPTIMIZE afterwards purges the vectors and fully localizes."""
+    import glob as globmod
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "gdpr_src")
+    dst = str(tmp_path / "gdpr_dst")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k")), src
+    )
+    src_files = set(globmod.glob(os.path.join(src, "*")))
+    dc.clone_delta(src, dst)
+    dc.delete_delta_dv(
+        spark, dst, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == (
+        set(range(10)) - {2}
+    )
+    # source untouched, byte for byte the same file set
+    assert set(globmod.glob(os.path.join(src, "*"))) == src_files
+    assert dc.read_delta(spark, src).count() == 10
+    # the DV bin lives in the CLONE; the data file stays external
+    snap = dc.snapshot(dst)
+    assert len(snap["file_dvs"]) == 1
+    ext = list(snap["file_dvs"])[0]
+    assert os.path.abspath(ext).startswith(os.path.abspath(src) + os.sep)
+    # second delete unions
+    dc.delete_delta_dv(
+        spark, dst, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == (
+        set(range(10)) - {2, 5}
+    )
+    # OPTIMIZE purges + localizes
+    dc.optimize_delta(spark, dst)
+    snap = dc.snapshot(dst)
+    assert not snap["file_dvs"]
+    root = os.path.abspath(dst) + os.sep
+    assert all(os.path.abspath(f).startswith(root) for f in snap["files"])
+    assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == (
+        set(range(10)) - {2, 5}
+    )
 
 
 def test_clone_dv_source_cow_merge(spark, tmp_path):
