@@ -3803,8 +3803,6 @@ def restore_delta(
     cur = snapshot(table)
     _check_writer_protocol(cur, "RESTORE", removes_data=True)
     target = snapshot(table, to_version)
-    _refuse_external_files(cur, table, "restore_delta")
-    _refuse_external_files(target, table, "restore_delta")
     if target["schema"] != cur["schema"]:
         raise DeltaProtocolError(
             "RESTORE across a schema change is not supported: version "
@@ -3813,14 +3811,22 @@ def restore_delta(
     version = cur["version"] + 1
 
     def _file_map(snap: dict) -> dict[str, dict | None]:
-        """rel path → deletionVector descriptor (None when the file has
+        """log path → deletionVector descriptor (None when the file has
         no DV). The DV is part of file identity for the restore diff: a
         file whose path survived but whose DV changed must be
         remove+re-added with the TARGET's descriptor, or the restored
-        snapshot silently keeps the wrong deletion state."""
+        snapshot silently keeps the wrong deletion state. Keys are the
+        LOG path strings (relative under the root, a clone's absolute
+        references verbatim), so the diff nets correctly on clones and
+        ``os.path.join(table, key)`` resolves either form."""
+        root = os.path.abspath(table) + os.sep
         dvs = {os.path.abspath(f): d for f, d in snap["file_dvs"].items()}
         return {
-            os.path.relpath(f, table): dvs.get(os.path.abspath(f))
+            (
+                os.path.relpath(f, table)
+                if os.path.abspath(f).startswith(root)
+                else os.path.abspath(f)
+            ): dvs.get(os.path.abspath(f))
             for f in snap["files"]
         }
 
@@ -3857,6 +3863,8 @@ def restore_delta(
         )
 
     def _pvals(rel: str) -> dict[str, str]:
+        if os.path.isabs(rel):
+            return {}  # clone external reference; clones are unpartitioned
         return _hive_pvals(os.path.dirname(rel))
 
     cdc_actions: list[dict] = []
@@ -3966,21 +3974,6 @@ def _log_path(table: str, f: str) -> str:
     if a.startswith(root):
         return quote(os.path.relpath(f, table))
     return quote(a)
-
-
-def _refuse_external_files(snap: dict, table: str, op: str) -> None:
-    """Scope gate for the one verb that still cannot run on a shallow
-    clone (RESTORE — its file diff is keyed table-relative). The COW
-    rewrite verbs and DV deletes work on clones since round 7: removes
-    and DV re-adds key the original absolute paths (``_log_path`` /
-    the DV path helper), rewritten files and DV bitmaps land under the
-    clone root, and the source is never written."""
-    if _has_external_files(snap, table):
-        raise DeltaProtocolError(
-            f"{op} on a shallow clone (absolute-path file references) is "
-            "not supported; clones support read, append, COW rewrites "
-            "(MERGE/DELETE/OPTIMIZE) and DV deletes"
-        )
 
 
 def clone_delta(table: str, target: str) -> int:

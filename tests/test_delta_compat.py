@@ -2111,6 +2111,38 @@ def test_clone_dv_delete_gdpr_shape(spark, tmp_path):
     )
 
 
+def test_clone_restore_round_trip(spark, tmp_path):
+    """RESTORE on a shallow clone: diverge the clone with a MERGE, then
+    RESTORE to its version 0 — the re-adds key the source's absolute
+    paths (the clone's original references coming back), the clone
+    reads the seed again, and the source is untouched throughout."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "rst_src")
+    dst = str(tmp_path / "rst_dst")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k")), src
+    )
+    dc.clone_delta(src, dst)
+    dc.merge_delta(
+        spark, dst, spark.createDataFrame([(3,), (42,)], "k long"), ["k"]
+    )
+    assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == (
+        set(range(10)) | {42}
+    )
+    dc.restore_delta(spark, dst, 0)
+    assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == set(
+        range(10)
+    )
+    # the restored live set is the original external reference again
+    snap = dc.snapshot(dst)
+    assert all(
+        os.path.abspath(f).startswith(os.path.abspath(src) + os.sep)
+        for f in snap["files"]
+    )
+    assert dc.read_delta(spark, src).count() == 10
+
+
 def test_clone_dv_source_cow_merge(spark, tmp_path):
     """A clone of a DV-bearing source MERGEs through the carried-over
     absolute-path vectors: DV-hidden rows neither match nor survive,
