@@ -727,6 +727,31 @@ def _id_physical_names(schema_json: str, files: list[str]) -> dict[str, str]:
     return out
 
 
+def _phys_struct(schema_json: str, phys_of: dict[str, str]) -> "T.StructType":
+    """The log schema's types under PHYSICAL column names — what a
+    mapped table's parquet footers actually carry."""
+    sch = json.loads(schema_json)
+    return T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                dict(f, name=phys_of[f["name"]], metadata={})
+                for f in sch["fields"]
+            ],
+        }
+    )
+
+
+def _logical_cols(schema_json: str, phys_of: dict[str, str]) -> list:
+    """The physical→logical rename projection for a mapped scan."""
+    import pyspark.sql.functions as F
+
+    return [
+        F.col(phys_of[f["name"]]).alias(f["name"])
+        for f in json.loads(schema_json)["fields"]
+    ]
+
+
 def _read_with_mapping(
     spark: SparkSession,
     files: list[str],
@@ -740,24 +765,12 @@ def _read_with_mapping(
     ``physicalName`` metadata. Pure rename, no data movement; pushdown
     still reaches the scan because the aliases are a projection over
     the source."""
-    import pyspark.sql.functions as F
-
     if phys_of is None:
         phys_of = {l: p for p, l in _physical_renames(schema_json)}
-    sch = json.loads(schema_json)
-    phys_fields = []
-    for f in sch["fields"]:
-        pf = dict(f)
-        pf["name"] = phys_of[f["name"]]
-        pf["metadata"] = {}
-        phys_fields.append(pf)
-    phys_schema = T.StructType.fromJson(
-        {"type": "struct", "fields": phys_fields}
+    df = spark.read.schema(_phys_struct(schema_json, phys_of)).parquet(
+        *files
     )
-    df = spark.read.schema(phys_schema).parquet(*files)
-    return df.select(
-        [F.col(phys_of[f["name"]]).alias(f["name"]) for f in sch["fields"]]
-    )
+    return df.select(_logical_cols(schema_json, phys_of))
 
 
 def read_delta(
@@ -826,15 +839,23 @@ def read_delta(
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
     if mode != "none":
-        if snap["partition_cols"] or live_dvs:
+        if snap["partition_cols"]:
             raise DeltaProtocolError(
-                "column mapping combined with hive partitioning or "
-                "deletion vectors is not supported by this reader"
+                "column mapping combined with hive partitioning is not "
+                "supported by this reader"
             )
         if mode == "id":
             # field-id resolution + drift validation over exactly the
             # files this scan will open (post skip-pruning)
             phys_of = _id_physical_names(snap["schema"], snap["files"])
+        if live_dvs:
+            # the DV subtraction is name-agnostic (file URI + row
+            # index); scan under the PHYSICAL schema, subtract, then
+            # rename — mapping and merge-on-read compose
+            return _read_with_dvs(
+                spark, table, snap["files"], live_dvs,
+                _phys_struct(snap["schema"], phys_of), [],
+            ).select(_logical_cols(snap["schema"], phys_of))
         return _read_with_mapping(
             spark, snap["files"], snap["schema"], phys_of or None
         )
@@ -2611,14 +2632,15 @@ def optimize_delta(
     )
 
     mapped_override = None
+    _attach_ids = None
     if _mode != "none":
         # a plain staging rewrite would strip the parquet field ids the
         # mapped files carry (and id-mode resolution depends on): re-read
         # under the physical schema and re-attach each column's mapping
         # id via alias metadata, so compacted files stay resolvable in
-        # BOTH modes. Mapped tables are unpartitioned and DV-free (the
-        # reader scopes those combinations out), so this single frame
-        # covers the one file group below.
+        # BOTH modes. Mapped tables are unpartitioned in this module's
+        # scope, so this single frame covers the one file group below
+        # (the DV branch rebuilds it through the subtracting scan).
         import pyspark.sql.functions as F
 
         _id_of = {
@@ -2628,15 +2650,20 @@ def optimize_delta(
             for f in json.loads(snap["schema"])["fields"]
         }
         _log_of = {p: l for l, p in _phys_of.items()}
-        mapped_override = spark.read.schema(read_schema).parquet(
-            *snap["files"]
-        ).select(
-            [
-                F.col(p).alias(
-                    p, metadata={"parquet.field.id": _id_of[_log_of[p]]}
-                )
-                for p in read_schema.names
-            ]
+
+        def _attach_ids(df):
+            return df.select(
+                [
+                    F.col(p).alias(
+                        p,
+                        metadata={"parquet.field.id": _id_of[_log_of[p]]},
+                    )
+                    for p in read_schema.names
+                ]
+            )
+
+        mapped_override = _attach_ids(
+            spark.read.schema(read_schema).parquet(*snap["files"])
         )
 
     cluster = None
@@ -2670,10 +2697,21 @@ def optimize_delta(
             # partition columns come back out of the projection: the
             # compacted file's CONTENTS must stay layout-identical
             # (values live in the directory name, not the file).
-            full = T.StructType.fromJson(json.loads(snap["schema"]))
-            df_override = _read_with_dvs(
-                spark, table, files, group_dvs, full, pcols
-            ).select([f.name for f in full.fields if f.name not in pcols])
+            if _mode != "none":
+                # mapped + DV: subtract under the PHYSICAL schema and
+                # re-attach the field ids (unpartitioned scope)
+                df_override = _attach_ids(
+                    _read_with_dvs(
+                        spark, table, files, group_dvs, read_schema, []
+                    )
+                )
+            else:
+                full = T.StructType.fromJson(json.loads(snap["schema"]))
+                df_override = _read_with_dvs(
+                    spark, table, files, group_dvs, full, pcols
+                ).select(
+                    [f.name for f in full.fields if f.name not in pcols]
+                )
         r, a = _compact_files(
             spark, table, version, files, pvals, target_partitions, cluster,
             df_override, read_schema,
@@ -3014,9 +3052,10 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
 
     The protocol is raised to what mapping demands: legacy tables move
     to (minReader 2, minWriter 5); table-features protocols add the
-    ``columnMapping`` feature to both lists. Partitioned tables and
-    tables with live deletion vectors refuse (this module's mapped
-    reader scopes them out — an unreadable table must not be written)."""
+    ``columnMapping`` feature to both lists. Partitioned tables refuse
+    (this module's mapped reader scopes them out — an unreadable table
+    must not be written); live deletion vectors compose fine since
+    round 7 (the mapped scan subtracts under the physical schema)."""
     if mode not in ("name", "id"):
         raise DeltaProtocolError(
             f"column mapping mode {mode!r} is not supported"
@@ -3031,12 +3070,6 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
         raise DeltaProtocolError(
             "enable_column_mapping on a partitioned table is not "
             "supported (the mapped reader scopes out partitioned tables)"
-        )
-    live_files = set(snap["files"])
-    if any(f in live_files for f in snap["file_dvs"]):
-        raise DeltaProtocolError(
-            "enable_column_mapping with live deletion vectors is not "
-            "supported; OPTIMIZE the table to apply+purge them first"
         )
     sch = json.loads(snap["schema"])
     fields = []
@@ -3350,27 +3383,18 @@ def drop_column(table: str, col: str) -> int:
 
 
 def _refuse_cow_unsupported(snap: dict, table: str, op: str) -> None:
-    """Scope gate for the COW rewrite verbs (merge/delete). Mapped
-    tables (name AND id mode) and tables with live deletion vectors
-    rewrite fine since round 7 (``_cow_scan`` tags rows reliably
-    through all three shapes; mapped rewrites emit physical names +
-    field ids, id mode pinned to the live footers' id→name binding);
-    what still refuses: the mapped+DV combination (the mapped reader
-    scopes out DVs, so the rewrite scan itself has no defined shape).
-    Shallow clones rewrite fine since round 7 — removes key the
-    original absolute paths via ``_log_path`` and rewritten files land
-    under the clone root."""
+    """Scope gate for the COW rewrite verbs (merge/delete). Since
+    round 7 every supported table shape rewrites: mapped tables (name
+    AND id mode), live deletion vectors, their COMBINATION
+    (``_cow_scan`` subtracts under the physical schema then renames),
+    and shallow clones (removes key the original absolute paths via
+    ``_log_path``; rewritten files land under the clone root). Only an
+    unknown mapping mode refuses."""
     mode = _mapping_mode(snap)
     if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
             f"{op} on a column mapping mode {mode!r} table is not "
             "supported"
-        )
-    live = {f for f in snap["file_dvs"] if f in set(snap["files"])}
-    if mode != "none" and live:
-        raise DeltaProtocolError(
-            f"{op} on a column-mapped table with live deletion vectors "
-            "is not supported"
         )
 
 
@@ -3395,6 +3419,22 @@ def _cow_scan(spark: SparkSession, table: str, snap: dict) -> DataFrame:
     if not snap["files"]:
         return spark.createDataFrame([], full).withColumn(
             "_src_file", F.lit(None).cast("string")
+        )
+    if live_dvs and mode != "none":
+        # mapped + merge-on-read: subtract under the PHYSICAL schema,
+        # rename, keep the scan's own file tag (mapped tables are
+        # unpartitioned in this module's scope)
+        phys_of = (
+            _id_physical_names(snap["schema"], snap["files"])
+            if mode == "id"
+            else {l: p for p, l in _physical_renames(snap["schema"])}
+        )
+        return _read_with_dvs(
+            spark, table, snap["files"], live_dvs,
+            _phys_struct(snap["schema"], phys_of), [],
+            keep_file_col="_src_file",
+        ).select(
+            _logical_cols(snap["schema"], phys_of) + [F.col("_src_file")]
         )
     if live_dvs:
         return _read_with_dvs(
@@ -3578,10 +3618,6 @@ def delete_delta_dv(
     snap = snapshot(table)
     _check_writer_protocol(snap, "DELETE (deletion vectors)",
                            removes_data=True)
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "delete_delta_dv on a column-mapped table is not supported"
-        )
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     files = snap["files"]
@@ -3604,22 +3640,47 @@ def delete_delta_dv(
     existing = {
         f: dvcodec.read_dv(table, d) for f, d in dvs_uri.items()
     }
-    if pcols:
-        # hive layout: partition columns recovered from directory names
-        # (keys on partition columns then match like any other column)
-        data_schema = T.StructType(
-            [f for f in full.fields if f.name not in pcols]
+    mode = _mapping_mode(snap)
+    if mode != "none":
+        # mapped data files carry PHYSICAL names; the key matching
+        # below runs on logical names, so scan physical and rename
+        # (mapped tables are unpartitioned in this module's scope)
+        phys_of = (
+            _id_physical_names(snap["schema"], files)
+            if mode == "id"
+            else {l: p for p, l in _physical_renames(snap["schema"])}
         )
-        reader = spark.read.option("basePath", table).schema(data_schema)
+        base = spark.read.schema(
+            _phys_struct(snap["schema"], phys_of)
+        ).parquet(*files).select(
+            _logical_cols(snap["schema"], phys_of)
+            + [
+                F.expr(
+                    "regexp_replace(_metadata.file_path, "
+                    "'^file:/+', 'file:/')"
+                ).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+        )
     else:
-        reader = spark.read.schema(full)
-    base = reader.parquet(*files).select(
-        "*",
-        F.expr(
-            "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
-        ).alias("_dv_file"),
-        F.col("_metadata.row_index").alias("_dv_pos"),
-    )
+        if pcols:
+            # hive layout: partition columns recovered from directory
+            # names (keys on them then match like any other column)
+            data_schema = T.StructType(
+                [f for f in full.fields if f.name not in pcols]
+            )
+            reader = spark.read.option("basePath", table).schema(
+                data_schema
+            )
+        else:
+            reader = spark.read.schema(full)
+        base = reader.parquet(*files).select(
+            "*",
+            F.expr(
+                "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
     if existing:
         # already-deleted rows are invisible: they must not re-match
         old_pairs = [
@@ -3672,6 +3733,14 @@ def delete_delta_dv(
         deleted = matched.select(
             *_pcol_cast_cols(full, pcols)
         ).withColumn("_change_type", F.lit("delete"))
+        if mode != "none":
+            # mapped change files carry physical names like every
+            # other mapped write; _change_type stays literal
+            _pof, _ids = _mapped_write_plan(snap)
+            deleted = _to_physical(
+                deleted, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
+            )
         cdc_actions = _write_change_data(table, deleted, version, pcols)
 
     now_ms = int(time.time() * 1000)

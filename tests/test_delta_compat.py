@@ -1746,8 +1746,13 @@ def test_column_mapped_cow_merge_delete(spark, tmp_path):
                                                         "k long"), ["k"])
     got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
     assert got == {(2, "x"), (4, "x")}
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.delete_delta_dv(spark, table, df.select("k"), ["k"])
+    # DV delete on the mapped table works since round 7 (see
+    # test_mapped_dv_full_lifecycle for the composition suite)
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(4,)], "k long"), ["k"]
+    )
+    got = {(r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()}
+    assert got == {(2, "x")}
 
 
 def test_mapped_rename_merge_cdf_lifecycle(spark, tmp_path):
@@ -2109,6 +2114,64 @@ def test_clone_dv_delete_gdpr_shape(spark, tmp_path):
     assert {r["k"] for r in dc.read_delta(spark, dst).collect()} == (
         set(range(10)) - {2, 5}
     )
+
+
+def test_mapped_dv_full_lifecycle(spark, tmp_path):
+    """Column mapping and deletion vectors COMPOSE since round 7: a
+    renamed table DV-deletes (bitmaps under the root, files untouched),
+    reads subtract under the physical schema, MERGE rewrites through
+    the live vectors, and OPTIMIZE purges them — the verb set a real
+    lakehouse table accumulates in one lifetime."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "value")
+    dc.append_delta(
+        spark.range(5, 10).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("value")
+        ),
+        table,
+    )
+    # DV delete on the mapped table
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(2,), (7,)], "k long"), ["k"]
+    )
+    got = {(r["k"], r["value"])
+           for r in dc.read_delta(spark, table).collect()}
+    assert {k for k, _ in got} == {0, 1, 3, 4, 5, 6, 8, 9}
+    # MERGE through the live vectors: 2 re-enters as an INSERT
+    src = spark.createDataFrame([(2, 999), (8, 888)], "k long, value long")
+    dc.merge_delta(spark, table, src, ["k"])
+    got = {(r["k"], r["value"])
+           for r in dc.read_delta(spark, table).collect()}
+    assert (2, 999) in got and (8, 888) in got
+    assert {k for k, _ in got} == {0, 1, 2, 3, 4, 5, 6, 8, 9}
+    # second DV delete + OPTIMIZE purge
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    dc.optimize_delta(spark, table)
+    snap = dc.snapshot(table)
+    assert not snap["file_dvs"]
+    assert len(snap["files"]) == 1
+    assert pq.read_schema(snap["files"][0]).names == ["k", "v"]
+    got = {(r["k"], r["value"])
+           for r in dc.read_delta(spark, table).collect()}
+    assert {k for k, _ in got} == {1, 2, 3, 4, 5, 6, 8, 9}
+    # enable mapping ON a DV-bearing table works too
+    t2 = str(tmp_path / "dv_then_map")
+    dc.append_delta(
+        spark.range(6).coalesce(1).select(F.col("id").alias("k")), t2
+    )
+    dc.delete_delta_dv(
+        spark, t2, spark.createDataFrame([(4,)], "k long"), ["k"]
+    )
+    dc.enable_column_mapping(t2)
+    dc.rename_column(t2, "k", "key")
+    df2 = dc.read_delta(spark, t2)
+    assert df2.columns == ["key"]
+    assert {r["key"] for r in df2.collect()} == {0, 1, 2, 3, 5}
 
 
 def test_clone_restore_round_trip(spark, tmp_path):
