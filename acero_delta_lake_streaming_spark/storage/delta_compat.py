@@ -773,6 +773,66 @@ def _read_with_mapping(
     return df.select(_logical_cols(schema_json, phys_of))
 
 
+def _read_mapped_partitioned(
+    spark: SparkSession, table: str, snap: dict, phys_of: dict[str, str]
+) -> DataFrame:
+    """Scan a column-mapped HIVE-PARTITIONED table (the protocol keys
+    ``partitionColumns``, ``partitionValues`` AND the ``phys=value/``
+    directory names by PHYSICAL names when mapping is on — what
+    delta-spark writes): basePath-recover the physically-named
+    partition columns, read the data columns under the physical
+    schema, cast the recovered partition values back to the LOG types,
+    and rename everything to logical names. id-mode field-id
+    resolution runs over the data files exactly like the unpartitioned
+    path."""
+    import pyspark.sql.functions as F
+
+    ppcols = set(snap["partition_cols"])  # PHYSICAL names
+    for p in snap["partition_cols"]:
+        seg = f"{p}="
+        if not all(seg in f for f in snap["files"]):
+            raise DeltaProtocolError(
+                "mapped partitioned table without hive directory "
+                "layout (physical-name col=value/ segments) is not "
+                "supported"
+            )
+    if _mapping_mode(snap) == "id":
+        phys_of = _id_physical_names(snap["schema"], snap["files"])
+        # partition values never live in the data files, so footer
+        # resolution cannot bind their ids — fall back to metadata
+        # physicalName for exactly the partition columns
+        meta_of = {l: p for p, l in _physical_renames(snap["schema"])}
+        phys_of = {
+            l: (meta_of[l] if meta_of[l] in ppcols else p)
+            for l, p in phys_of.items()
+        }
+    sch = json.loads(snap["schema"])
+    data_fields = [
+        dict(f, name=phys_of[f["name"]], metadata={})
+        for f in sch["fields"]
+        if phys_of[f["name"]] not in ppcols
+    ]
+    data_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": data_fields}
+    )
+    df = spark.read.option("basePath", table).schema(data_schema).parquet(
+        *snap["files"]
+    )
+    cols = []
+    for f in sch["fields"]:
+        phys = phys_of[f["name"]]
+        c = F.col(phys)
+        if phys in ppcols:
+            # directory-name inference typed it; the LOG type rules
+            c = c.cast(
+                T.StructType.fromJson(
+                    {"type": "struct", "fields": [dict(f, metadata={})]}
+                ).fields[0].dataType
+            )
+        cols.append(c.alias(f["name"]))
+    return df.select(cols)
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
@@ -840,10 +900,12 @@ def read_delta(
     }
     if mode != "none":
         if snap["partition_cols"]:
-            raise DeltaProtocolError(
-                "column mapping combined with hive partitioning is not "
-                "supported by this reader"
-            )
+            if live_dvs:
+                raise DeltaProtocolError(
+                    "column mapping + hive partitioning + deletion "
+                    "vectors combined is not supported by this reader"
+                )
+            return _read_mapped_partitioned(spark, table, snap, phys_of)
         if mode == "id":
             # field-id resolution + drift validation over exactly the
             # files this scan will open (post skip-pruning)

@@ -2116,6 +2116,65 @@ def test_clone_dv_delete_gdpr_shape(spark, tmp_path):
     )
 
 
+def test_mapped_partitioned_read(spark, tmp_path):
+    """A column-mapped HIVE-PARTITIONED table (delta-spark keys the
+    directory names, partitionColumns AND partitionValues by PHYSICAL
+    names) reads back under logical names with the partition column
+    typed by the log schema."""
+    table = str(tmp_path / "cm_part_read")
+    for pv, rows in (("x", [(1, "a"), (2, "b")]), ("y", [(3, "c")])):
+        _write_parquet(
+            spark, rows, "`col-aaa111` long, `col-bbb222` string",
+            os.path.join(table, f"col-ppp333={pv}", f"part-{pv}.parquet"),
+        )
+    md = _mapped_meta("name")
+    schema = json.loads(md["metaData"]["schemaString"])
+    schema["fields"].append(
+        {"name": "region", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ppp333"}}
+    )
+    md["metaData"]["schemaString"] = json.dumps(schema)
+    md["metaData"]["partitionColumns"] = ["col-ppp333"]  # PHYSICAL
+    _commit(
+        table, 0,
+        [_PROTO_CM, md,
+         {"add": {"path": "col-ppp333=x/part-x.parquet",
+                  "partitionValues": {"col-ppp333": "x"}, "size": 1,
+                  "modificationTime": 0, "dataChange": True,
+                  "stats": json.dumps({
+                      "numRecords": 2,
+                      "minValues": {"col-aaa111": 1},
+                      "maxValues": {"col-aaa111": 2},
+                      "nullCount": {"col-aaa111": 0}})}},
+         {"add": {"path": "col-ppp333=y/part-y.parquet",
+                  "partitionValues": {"col-ppp333": "y"}, "size": 1,
+                  "modificationTime": 0, "dataChange": True,
+                  "stats": json.dumps({
+                      "numRecords": 1,
+                      "minValues": {"col-aaa111": 3},
+                      "maxValues": {"col-aaa111": 3},
+                      "nullCount": {"col-aaa111": 0}})}}],
+    )
+    df = dc.read_delta(spark, table)
+    assert df.columns == ["k", "v", "region"]
+    assert {(r["k"], r["v"], r["region"]) for r in df.collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
+    # logical-name data skipping prunes through the physical stats keys
+    assert dc.read_delta(spark, table, skip=("k", 3, 9)).count() == 1
+    # id mode resolves data columns via footers... these files carry no
+    # ids, so the metadata fallback applies — same rows either way
+    md_id = json.loads(json.dumps(md))
+    md_id["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(dc._commit_path(table, 1), "w") as fh:
+        fh.write(json.dumps(md_id) + "\n")
+    df2 = dc.read_delta(spark, table)
+    assert {(r["k"], r["v"], r["region"]) for r in df2.collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
+
+
 def test_mapped_dv_full_lifecycle(spark, tmp_path):
     """Column mapping and deletion vectors COMPOSE since round 7: a
     renamed table DV-deletes (bitmaps under the root, files untouched),
