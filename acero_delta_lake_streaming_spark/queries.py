@@ -73,12 +73,13 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-7 window: new-this-round queries lead (s22 mapped COW
-    # merge/delete, s23 merge through live DVs, plus later round-7
-    # additions slotted here as they land); then the 30 r3-proven
-    # queries deferred from round 6 (this zeroes the r3-vintage
-    # backlog); the remaining slots start on the r4-proven backlog
-    # (~18 of 39 — the rest lead round 8).
+    # Round-7 window: the NINE new-this-round queries lead (s22 mapped
+    # COW merge/delete, s23 merge through live DVs, s24 id-mode writes,
+    # s25 rowTracking, st18 streaming IVF assignment, x34b substring
+    # trimming, s26 clone rewrites, s27 type widening, x10b
+    # decontamination trimming); then the 30 r3-proven queries deferred
+    # from round 6 (this zeroes the r3-vintage backlog); the remaining
+    # ~11 slots start on the r4-proven backlog (the rest lead round 8).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
     # -- new this round (driver has never recorded them) --
