@@ -196,10 +196,11 @@ def x10b_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark gram set broadcasts (eval sets are MBs
     against a 100 TB corpus), coverage is one ≤5-position explode per
-    matching gram + a distinct, and the retained-text rebuild is one
-    per-doc sort-aggregate — linear in corpus tokens, the x34b
-    machinery pointed at a reference set instead of the corpus
-    itself."""
+    matching gram folded to a per-doc sorted position array, and the
+    retained text is a map-side ``filter(w, (x, i) -> ...)`` over each
+    doc's own word array — corpus words never explode or shuffle;
+    linear in corpus tokens, the x34b machinery pointed at a reference
+    set instead of the corpus itself."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .withColumn("bucket", F.expr(_BUCKET_SPARK))
@@ -227,34 +228,20 @@ def x10b_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
-    )
-    wordpos = train.select(
-        "doc_id", F.posexplode("w").alias("pos", "word")
-    )
-    totals = wordpos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words")
-    )
-    kept = (
-        wordpos.join(covered, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(pos, word))), s -> s.word), ' ')"
-            ).alias("rt"),
-        )
+        .agg(F.array_sort(F.collect_list("pos")).alias("cov"))
     )
     return (
-        covered.select("doc_id")
-        .distinct()
-        .join(totals, "doc_id")
-        .join(kept, "doc_id", "left")
+        train.join(covered, "doc_id")
+        .withColumn(
+            "kept_w",
+            F.expr("filter(w, (x, i) -> NOT array_contains(cov, i))"),
+        )
         .select(
             "doc_id",
-            "n_words",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.md5(F.coalesce("rt", F.lit(""))).alias("retained_md5"),
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size("kept_w").cast("bigint").alias("n_kept"),
+            F.md5(F.array_join("kept_w", " ")).alias("retained_md5"),
         )
     )
 

@@ -885,9 +885,12 @@ def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same corpus and duplication criterion as x34 (windows shared by ≥2
     docs; the planted quoting twins discriminate). Scale shape: the
     md5(window) shuffle is x34's; coverage is one explode of ≤8
-    positions per duplicated window + a distinct, and the retained-text
-    rebuild is one per-doc sort-aggregate over word positions — linear
-    in corpus tokens end to end, no all-pairs step anywhere."""
+    positions per duplicated window folded to a per-doc SORTED POSITION
+    ARRAY, and the retained text is a map-side ``filter(w, (x, i) ->
+    ...)`` over each doc's own word array — the corpus words are never
+    exploded or re-shuffled, only the (doc_id, covered-positions) pairs
+    are (bounded by duplicated-window volume). Linear in corpus tokens,
+    no all-pairs step anywhere."""
     corpus = _x34_corpus(spark, sf_dir)
     winpos = (
         corpus.withColumn("w", F.expr(_WORDS_SPARK))
@@ -915,34 +918,23 @@ def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
-    )
-    wordpos = corpus.withColumn("w", F.expr(_WORDS_SPARK)).select(
-        "doc_id", F.posexplode("w").alias("pos", "word")
-    )
-    totals = wordpos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words")
-    )
-    kept = (
-        wordpos.join(covered, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(pos, word))), s -> s.word), ' ')"
-            ).alias("rt"),
-        )
+        .agg(F.array_sort(F.collect_list("pos")).alias("cov"))
     )
     return (
-        covered.select("doc_id")
-        .distinct()
-        .join(totals, "doc_id")
-        .join(kept, "doc_id", "left")
+        corpus.withColumn("w", F.expr(_WORDS_SPARK))
+        .join(covered, "doc_id")
+        .withColumn(
+            "kept_w",
+            F.expr(
+                "filter(w, (x, i) -> NOT array_contains(cov, i))"
+            ),
+        )
         .select(
             "doc_id",
-            "n_words",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.md5(F.coalesce("rt", F.lit(""))).alias("retained_md5"),
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size("kept_w").cast("bigint").alias("n_kept"),
+            F.md5(F.array_join("kept_w", " ")).alias("retained_md5"),
         )
     )
 
