@@ -583,6 +583,106 @@ _X31_SQL = (
 )
 
 
+def x39_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per EMBEDDING CLUSTER — "what is each
+    k-means cell about?", the label a curation team reads before
+    deciding which clusters to upsample, drop, or route (x37 balances
+    cluster SIZES; this names their CONTENT). Documents join their
+    vectors' IVF cell assignment (the SHARED coarse quantizer of
+    x3d/x3f/x35/x37 — search, curation and topics agree on partition
+    geometry), then x31's integer TF-IDF discipline runs keyed by cid
+    instead of source: idf_ppm = (N·1e6) DIV (1+df), score = tf·idf_ppm
+    in exact BIGINTs, (term asc) tie-breaks.
+
+    Scale shape: the assignment is a broadcast fold (corpus never
+    reshuffles for it; at production it is ingest-time state — st18),
+    then one (cid, term) aggregate and one per-term df aggregate, both
+    O(|vocab|)-keyed; the ranking window partitions by cid (k groups,
+    never global)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_centroids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assign = _ivf_assign(emb, _ivf_centroids(emb)).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    words = (
+        docs.join(assign, "doc_id")
+        .select("doc_id", "cid", F.explode(F.expr(_WORDS_SPARK)).alias("term"))
+    )
+    tf_c = words.groupBy("cid", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_t = (
+        words.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf_c.join(df_t, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("idf_ppm", F.expr("(n_docs * 1000000) DIV (1 + df)"))
+        .withColumn("score", F.expr("tf * idf_ppm"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            "tf",
+            "df",
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+def _x39_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _ivf_base_ctes,
+    )
+
+    ctes, _cent = _ivf_base_ctes()
+    ctes.append(
+        "dwords AS (SELECT d.doc_id, fa.cid, "
+        f"unnest({_WORDS_DUCK}) AS term "
+        "FROM documents d JOIN fa ON fa.vec_id = d.doc_id)"
+    )
+    ctes.append(
+        "tf_c AS (SELECT cid, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM dwords GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM "
+        "(SELECT DISTINCT term, doc_id FROM dwords) GROUP BY 1)"
+    )
+    ctes.append(
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)"
+    )
+    ctes.append(
+        "cscored AS (SELECT s.cid, s.term, s.tf, d.df, "
+        "s.tf * ((n.n_docs * 1000000) // (1 + d.df)) AS score "
+        "FROM tf_c s JOIN df_t d ON d.term = s.term CROSS JOIN n)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(cid AS INT) AS cid, CAST(rk AS BIGINT) AS rk, "
+        "term, tf, df, CAST(score AS BIGINT) AS score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY cid "
+        "ORDER BY score DESC, term ASC) AS rk FROM cscored) "
+        "WHERE rk <= 5"
+    )
+
+
 # --------------------------------------------------------------------------
 # x36 — bigram surprise (the next rung of LM-based quality above x26)
 # --------------------------------------------------------------------------
@@ -832,6 +932,7 @@ QUERIES = {
     "x23_fuzzy_linkage": x23_fuzzy_linkage,
     "x26_unigram_surprise": x26_unigram_surprise,
     "x31_source_keywords": x31_source_keywords,
+    "x39_cluster_topics": x39_cluster_topics,
     "x36_bigram_surprise": x36_bigram_surprise,
     "x38_dsir_importance": x38_dsir_importance,
 }
@@ -842,6 +943,7 @@ ORACLES = {
     "x23_fuzzy_linkage": _X23_SQL,
     "x26_unigram_surprise": _X26_SQL,
     "x31_source_keywords": _X31_SQL,
+    "x39_cluster_topics": _x39_sql(),
     "x36_bigram_surprise": _X36_SQL,
     "x38_dsir_importance": _x38_sql(),
 }

@@ -153,6 +153,7 @@ HEADLINE = [
     "s26_clone_rewrite",
     "s27_type_widening",
     "x10b_decontaminate_trim",
+    "x39_cluster_topics",
 ]
 
 
