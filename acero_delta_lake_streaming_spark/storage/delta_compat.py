@@ -212,6 +212,10 @@ _SUPPORTED_READER_FEATURES = {
     # date→timestamp-ntz) refuse loudly (_check_type_changes)
     "typeWidening",
     "typeWidening-preview",
+    # the feature's whole point is an obligation on VACUUM (check the
+    # full protocol before deleting) — vacuum_delta does; reads are
+    # unaffected
+    "vacuumProtocolCheck",
 }
 
 #: (fromType, toType) pairs this reader can scan through: the parquet
@@ -294,6 +298,16 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: domainMetadata actions replay into snapshot state and
     # survive checkpoints (rowTracking's high-water mark lives in one)
     "domainMetadata",
+    # honored: liquid-clustered tables (delta-spark 3.x's CLUSTER BY).
+    # Clustering is a physical-layout hint invisible to correctness;
+    # the spec's writer obligation is to PRESERVE the delta.clustering
+    # domain metadata, which this module's domain replay + checkpoint
+    # persistence already do — appends simply don't re-cluster
+    # (OPTIMIZE ZORDER is the explicit clustering verb here)
+    "clustering",
+    # honored: VACUUM runs the full protocol gate before deleting any
+    # file (vacuum_delta), which is this feature's exact obligation
+    "vacuumProtocolCheck",
     # honored: every mutating verb here writes data under the CURRENT
     # log schema (the widened types) and passes metaData — including
     # each field's delta.typeChanges record — through untouched, which
@@ -4463,6 +4477,12 @@ def vacuum_delta(
     (``read_delta_changes`` keeps working for retained versions), while
     change files of vacuumed-away versions age out with their data —
     Delta's CDF retention contract."""
+    # the vacuumProtocolCheck feature's exact obligation: VACUUM must
+    # run the full reader+writer protocol gate before deleting a byte
+    # (a vacuum that ignores an unknown feature could delete files the
+    # feature makes load-bearing); running it unconditionally is
+    # correct for non-feature tables too
+    _check_writer_protocol(snapshot(table), "VACUUM")
     latest = snapshot(table)["version"]
     referenced: set[str] = set()
     retained_from = max(0, latest - keep_versions)

@@ -2116,6 +2116,83 @@ def test_clone_dv_delete_gdpr_shape(spark, tmp_path):
     )
 
 
+def test_clustering_and_vacuum_protocol_check_features(spark, tmp_path):
+    """delta-spark 3.x/4.x default features: a liquid-clustered table
+    (``clustering`` + ``domainMetadata`` writer features, clustering
+    state in the ``delta.clustering`` domain) stays readable AND
+    appendable — the domain metadata survives appends and checkpoints;
+    ``vacuumProtocolCheck`` tables vacuum fine here (the gate runs) but
+    an UNKNOWN feature beside it makes vacuum refuse before deleting."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "liquid_tbl")
+    _write_parquet(
+        spark, [(1,), (2,)], "k long", os.path.join(table, "a.parquet")
+    )
+    dom = {"domainMetadata": {
+        "domain": "delta.clustering",
+        "configuration": json.dumps({"clusteringColumns": [["k"]]}),
+        "removed": False}}
+    _commit(
+        table, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": [
+                              "clustering", "domainMetadata",
+                              "vacuumProtocolCheck"]}},
+            _meta(spark, "k long"),
+            dom,
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table).count() == 2
+    dc.append_delta(
+        spark.range(5, 8).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    snap = dc.snapshot(table)
+    assert dc.read_delta(spark, table).count() == 5
+    # clustering state preserved through the append
+    assert "delta.clustering" in snap["domain_metadata"]
+    # ... and through a checkpoint
+    dc.checkpoint_delta(table)
+    v = snap["version"]
+    for hv in range(v + 1):
+        os.rename(
+            dc._commit_path(table, hv), dc._commit_path(table, hv) + ".hid"
+        )
+    try:
+        assert "delta.clustering" in dc.snapshot(table)["domain_metadata"]
+    finally:
+        for hv in range(v + 1):
+            os.rename(
+                dc._commit_path(table, hv) + ".hid",
+                dc._commit_path(table, hv),
+            )
+    # vacuum runs (protocol gate passes on this feature set)
+    dc.vacuum_delta(table)
+    assert dc.read_delta(spark, table).count() == 5
+    # an unknown writer feature makes VACUUM refuse BEFORE deleting
+    bad = str(tmp_path / "vpc_bad")
+    _write_parquet(
+        spark, [(1,)], "k long", os.path.join(bad, "a.parquet")
+    )
+    _commit(
+        bad, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": [
+                              "vacuumProtocolCheck", "icebergCompatV2"]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.vacuum_delta(bad)
+
+
 def test_mapped_partitioned_read(spark, tmp_path):
     """A column-mapped HIVE-PARTITIONED table (delta-spark keys the
     directory names, partitionColumns AND partitionValues by PHYSICAL
