@@ -536,6 +536,32 @@ def test_x35_corpus_never_shuffles(spark, sf_dir):
         assert "vec_id" not in m.group(1), m.group(0)
 
 
+def test_trim_operators_never_shuffle_words(spark, sf_dir):
+    """x34b/x10b's scale shape, plan-pinned: the retained-text rebuild
+    is a map-side ``filter(w, (x, i) -> ...)`` over each doc's own word
+    array — corpus WORD rows never cross an exchange. Only md5 window
+    keys and (doc_id, covered-position) pairs shuffle; a regression to
+    the explode-words + per-doc sort-aggregate shape would name `word`
+    or `pos`+`word` in an exchange's partitioning or output."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        x10b_decontaminate_trim,
+    )
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x34b_substring_trim,
+    )
+
+    for fn in (x34b_substring_trim, x10b_decontaminate_trim):
+        plan = _physical(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            keys = m.group(1)
+            assert "word" not in keys, (fn.__name__, m.group(0))
+
+
 def test_partitioned_dv_read_partition_prunes(spark, tmp_path):
     """s17b's scale claim, plan-pinned: a partition predicate over the
     DV-subtracting read reaches the parquet scan as a PartitionFilter —
