@@ -4629,3 +4629,94 @@ def test_clone_of_writer_features_only_source_stays_readable(spark,
     assert dc.read_delta(spark, cl).count() == 3
     dc.append_delta(spark.range(3, 5).select(F.col("id").alias("k")), cl)
     assert dc.read_delta(spark, cl).count() == 5
+
+
+def test_row_tracking_lifecycle_property(spark, tmp_path):
+    """Model-based rowTracking check: random sequences of append /
+    DV-delete / OPTIMIZE / RESTORE on a tracked table keep the
+    invariants under COMPOSITION, not just in single-step tests — live
+    files' fresh-id ranges [baseRowId, baseRowId + numRecords) stay
+    pairwise disjoint, the high-water mark never decreases (even across
+    a RESTORE, whose domainMetadata stays at its latest value), and the
+    logical content always matches a plain set model."""
+    import uuid as uuidlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    step = st.tuples(
+        st.sampled_from(["append", "dvdel", "optimize", "restore"]),
+        st.integers(min_value=0, max_value=9),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(step, min_size=3, max_size=6))
+    def run(ops):
+        table = str(tmp_path / f"rtprop_{uuidlib.uuid4().hex}")
+        dc.append_delta(
+            spark.range(6).coalesce(1).select(F.col("id").alias("k")),
+            table,
+        )
+        dc.enable_row_tracking(table)
+        model: set[int] = set(range(6))
+        nxt = 100
+        snap = dc.snapshot(table)
+        hwm_prev = dc.row_id_high_water_mark(snap)
+        states: dict[int, frozenset] = {snap["version"]: frozenset(model)}
+
+        def check_and_record():
+            nonlocal hwm_prev
+            snap = dc.snapshot(table)
+            hwm = dc.row_id_high_water_mark(snap)
+            assert hwm >= hwm_prev, (hwm, hwm_prev)
+            hwm_prev = hwm
+            ranges = []
+            for f, m in snap["file_row_meta"].items():
+                stats = snap["file_stats"].get(f)
+                n = json.loads(stats)["numRecords"] if stats else 1
+                ranges.append(
+                    (m["baseRowId"], m["baseRowId"] + max(int(n), 1))
+                )
+            ranges.sort()
+            for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
+                assert b1 <= a2, ranges
+            if ranges:
+                assert hwm >= ranges[-1][1] - 1, (hwm, ranges)
+            got = {r["k"] for r in dc.read_delta(spark, table).collect()}
+            assert got == model, (got, model)
+            states[snap["version"]] = frozenset(model)
+
+        for o, idx in ops:
+            if o == "append":
+                vals = list(range(nxt, nxt + 3))
+                nxt += 3
+                dc.append_delta(
+                    spark.createDataFrame(
+                        [(v,) for v in vals], "k long"
+                    ).coalesce(1),
+                    table,
+                )
+                model |= set(vals)
+            elif o == "dvdel":
+                if not model:
+                    continue
+                victim = sorted(model)[idx % len(model)]
+                dc.delete_delta_dv(
+                    spark, table,
+                    spark.createDataFrame([(victim,)], "k long"), ["k"],
+                )
+                model.discard(victim)
+            elif o == "optimize":
+                if not dc.snapshot(table)["files"]:
+                    continue
+                dc.optimize_delta(spark, table)
+            elif o == "restore":
+                vs = sorted(states)
+                target = vs[idx % len(vs)]
+                dc.restore_delta(spark, table, target)
+                model = set(states[target])
+            check_and_record()
+
+    run()
