@@ -872,6 +872,67 @@ _X34_SQL = (
 ).format(win8=_WIN8_DUCK)
 
 
+def x40_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup — the pass that runs BEFORE
+    hashing in every production pipeline (CCNet, RefinedWeb, Dolma):
+    case-fold, collapse whitespace runs, trim, THEN group by content
+    hash, so re-crawls and mirrors that differ only in casing or
+    spacing collapse onto one canonical doc that byte-exact dedup (x1)
+    is blind to. Planted discrimination: every 11th doc gets a twin
+    that is its UPPERCASED text with doubled/trailing whitespace — raw
+    hashes differ, normalized hashes collide, and the per-source
+    collapsed count is exactly the twin count.
+
+    Scale shape: normalization is a map-side expression chain (lower +
+    one regexp + trim, whole-stage codegen), the distinct groups on
+    md5(normalized) — 32-byte keys, never text — and the rollup is
+    |sources|-keyed. One O(|docs|) shuffle total."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
+    twins = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            "source",
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(twins)
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    ).alias("h")
+    return (
+        corpus.select("source", h)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_norm_distinct"),
+        )
+        .withColumn(
+            "n_collapsed",
+            (F.col("n_docs") - F.col("n_norm_distinct")).cast("bigint"),
+        )
+    )
+
+
+_X40_SQL = (
+    "WITH corpus AS (SELECT doc_id, source, text FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id + {_X34_OFF_SQL}, source, upper(text) || '  ' "
+    "FROM documents WHERE doc_id % 11 = 0), "
+    "n AS (SELECT source, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM corpus) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT h) AS BIGINT) AS n_norm_distinct, "
+    "CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_collapsed "
+    "FROM n GROUP BY 1"
+)
+
+
 def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span TRIMMING — the production half of Lee et al.'s
     substring pass (arXiv:2107.06499) that x34 only FLAGS: adjacent
@@ -1079,6 +1140,7 @@ QUERIES = {
     "x33_canonical_dedup": x33_canonical_dedup,
     "x34_substring_dedup": x34_substring_dedup,
     "x34b_substring_trim": x34b_substring_trim,
+    "x40_normalized_dedup": x40_normalized_dedup,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1092,5 +1154,6 @@ ORACLES = {
     "x33_canonical_dedup": _x33_sql(),
     "x34_substring_dedup": _X34_SQL,
     "x34b_substring_trim": _X34B_SQL,
+    "x40_normalized_dedup": _X40_SQL,
     "x19_line_dedup": _X19_SQL,
 }

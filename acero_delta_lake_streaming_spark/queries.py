@@ -87,6 +87,7 @@ _PRIORITY = [
     "s25_row_tracking", "st18_streaming_ivf_assign",
     "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",
     "x10b_decontaminate_trim", "x39_cluster_topics",
+    "x40_normalized_dedup",
     # -- r3-vintage re-proof backlog, now complete --
     "x2b_simhash_groups", "x2c_ngram_jaccard_pairs",
     "x2d_dup_clusters", "x3b_ann_lsh", "x3c_cosine_neardup",

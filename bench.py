@@ -154,6 +154,7 @@ HEADLINE = [
     "s27_type_widening",
     "x10b_decontaminate_trim",
     "x39_cluster_topics",
+    "x40_normalized_dedup",
 ]
 
 
