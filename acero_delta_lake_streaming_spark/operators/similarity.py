@@ -486,17 +486,26 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of ``vectors`` (vec_id, embedding)
     against a small ``centroids`` frame (cid, carr): a broadcast fold —
-    the corpus NEVER shuffles, only the per-vec_id argmin window runs,
-    partitioned on vec_id. Ties break (distance, cid), the oracle's
-    row_number order."""
-    d = F.expr(_sqdist_spark("embedding", "carr")).alias("d")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "cid", d)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid")
+    the vectors NEVER shuffle: the k centroids collapse to ONE
+    broadcast row and the argmin is a per-row ``array_min`` over
+    (distance, cid) structs — the x35 fold shape, which replaced the
+    original per-vec_id row_number window (that window hash-partitioned
+    k·N scored rows on vec_id, a full corpus shuffle that existed only
+    to pick a minimum each row can pick locally). Struct ordering
+    compares field-by-field, so ties still break (distance, cid) — the
+    oracle's row_number order, hash-identical."""
+    cents_row = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias(
+            "cents"
+        )
+    )
+    pick = (
+        "array_min(transform(cents, c -> struct("
+        + _sqdist_spark("embedding", "c.carr")
+        + " AS d, c.cid AS cid))).cid"
+    )
+    return vectors.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", F.expr(pick).alias("cid")
     )
 
 
