@@ -82,7 +82,10 @@ _PRIORITY = [
     # ~11 slots start on the r4-proven backlog (the rest lead round 8).
     # Everything past the window stays verified by the local tri-scale
     # gate (sf0.001/.01/.1).
-    # -- new this round (driver has never recorded them) --
+    # -- new round 8 (driver has never recorded them) --
+    "s28_replace_where",
+    # -- new round 7 (CORRECTNESS_r07.json was never written, so these
+    # still have no driver proof; they keep the lead until one exists) --
     "s22_mapped_merge_delete", "s23_dv_merge", "s24_id_mode_writes",
     "s25_row_tracking", "st18_streaming_ivf_assign",
     "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",

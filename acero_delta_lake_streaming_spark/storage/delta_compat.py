@@ -2644,12 +2644,14 @@ def optimize_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
-    if zorder_by and _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "OPTIMIZE ZORDER BY on a column-mapped table is not "
-            "supported (clustering keys are logical names; the data "
-            "files carry physical ones)"
-        )
+    if zorder_by:
+        logical = {f["name"] for f in json.loads(snap["schema"])["fields"]}
+        unknown = set(zorder_by) - logical
+        if unknown:
+            raise DeltaProtocolError(
+                f"OPTIMIZE ZORDER BY: {sorted(unknown)} are not columns "
+                "of the table schema"
+            )
     groups: list[tuple[list[str], dict[str, str]]] = []
     if pcols:
         by_dir: dict[str, list[str]] = {}
@@ -2754,7 +2756,11 @@ def optimize_delta(
             _zorder,
         )
 
-        zcols = list(zorder_by)
+        # clustering keys arrive as LOGICAL names; a mapped table's
+        # rewrite frame carries PHYSICAL ones — translate through the
+        # same binding the rewrite read itself uses (id mode: the live
+        # footers), so rename-then-recluster works like any other verb
+        zcols = [_phys_of.get(c, c) for c in zorder_by]
         cluster = lambda df: _zorder(spark, df, zcols, target_partitions)  # noqa: E731
 
     removes: list[dict] = []
@@ -3644,6 +3650,149 @@ def delete_delta(
                     "predicate": " AND ".join(
                         f"target.{k} = source.{k}" for k in key_cols
                     )
+                },
+            }
+        }
+    ]
+    actions = _stamp_row_tracking(snap, version, actions)
+    _publish_commit(table, version, actions)
+    return version
+
+
+def replace_where_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    where: dict[str, str],
+    change_data: bool = False,
+) -> int:
+    """Atomic partition overwrite — delta-spark's
+    ``write.mode("overwrite").option("replaceWhere", ...)`` restricted
+    to partition-column equality predicates, the only form that stays
+    O(|replaced partitions|) at any table size: the nightly
+    reprocess-yesterday shape on a 100 TB date-partitioned table swaps
+    ONE directory's files and touches nothing else (the reference's
+    collector rewrites its whole table on re-ingest,
+    collector.py:219-226; this is the predicate-scoped rendering of
+    that overwrite).
+
+    Every row of ``df`` must satisfy the predicate — delta-spark's
+    "data written out does not match replaceWhere" check — enforced
+    with one narrow aggregate on the BATCH before anything stages.
+    Matching files remove and the new files add in ONE
+    ``dataChange:true`` commit: a reader sees the old partition state
+    or the new one, never a mix, and time travel to the pre-overwrite
+    version still resolves the old files. A matching file with a live
+    deletion vector is replaced wholesale (its DV dies with it — the
+    DV-masked rows were already logically gone). An EMPTY ``df``
+    legitimately deletes the partition's content.
+
+    ``change_data=True`` captures the overwrite for the CDF: replaced
+    rows (DV-subtracted — an already-erased row must not resurface as
+    a preimage) publish as ``delete`` preimages and the new batch as
+    ``insert`` rows in the partition-mirroring ``_change_data/``
+    layout, keeping ``read_delta_changes`` consumers O(changed rows)
+    across the overwrite instead of hitting the uncaptured-overwrite
+    refusal."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "WRITE (replaceWhere)", removes_data=True)
+    _refuse_stable_row_id_rewrite(snap, "replaceWhere overwrite")
+    pcols = snap["partition_cols"]
+    if not pcols:
+        raise DeltaProtocolError(
+            "replaceWhere requires a partitioned table (the predicate "
+            "must prune at the metadata layer, or the overwrite is a "
+            "full-table rewrite in disguise)"
+        )
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "replaceWhere on a column-mapped table is not supported "
+            "(partitioned mapped writes are out of scope, symmetric "
+            "with append_delta)"
+        )
+    if not where:
+        raise DeltaProtocolError("replaceWhere predicate must be non-empty")
+    bad = set(where) - set(pcols)
+    if bad:
+        raise DeltaProtocolError(
+            "replaceWhere supports partition-column equality only; "
+            f"{sorted(bad)} are not partition columns of {pcols}"
+        )
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    table_cols = {f.name for f in full.fields}
+    if set(df.columns) != table_cols:
+        raise DeltaProtocolError(
+            f"replaceWhere batch schema {sorted(df.columns)} does not "
+            f"match table schema {sorted(table_cols)}"
+        )
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        merge_schemas,
+    )
+
+    merge_schemas(full, df.schema)  # refuse silent type drift
+    _enforce_constraints(df, table_constraints(snap))
+    _enforce_generated(df, table_generated_columns(snap))
+    pred = None
+    for k, v in sorted(where.items()):
+        clause = F.col(k).cast("string").eqNullSafe(F.lit(str(v)))
+        pred = clause if pred is None else pred & clause
+    if df.filter(~pred).limit(1).count():
+        raise DeltaProtocolError(
+            f"replaceWhere: batch contains rows outside the predicate "
+            f"{where} (delta-spark refuses the same write)"
+        )
+    version = snap["version"] + 1
+
+    def _pvals(f: str) -> dict[str, str]:
+        return _hive_pvals(os.path.relpath(os.path.dirname(f), table))
+
+    matching = [
+        f
+        for f in snap["files"]
+        if all(_pvals(f).get(k) == str(v) for k, v in where.items())
+    ]
+
+    cdc_actions: list[dict] = []
+    if change_data:
+        live_dvs = {
+            f: d for f, d in snap["file_dvs"].items() if f in set(matching)
+        }
+        old_rows = (
+            _read_with_dvs(spark, table, matching, live_dvs, full, pcols)
+            if matching
+            else spark.createDataFrame([], full)
+        )
+        changes = old_rows.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(df.withColumn("_change_type", F.lit("insert")))
+        cdc_actions = _write_change_data(table, changes, version, pcols)
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    adds = _promote_staged(table, staging, version, pcols, True)
+    removes = [
+        {
+            "remove": {
+                "path": _log_path(table, f),
+                "deletionTimestamp": int(time.time() * 1000),
+                "partitionValues": _pvals(f),
+                "dataChange": True,
+            }
+        }
+        for f in matching
+    ]
+    actions = cdc_actions + removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "predicate": " AND ".join(
+                        f"{k} = '{v}'" for k, v in sorted(where.items())
+                    ),
                 },
             }
         }

@@ -2151,6 +2151,106 @@ _S27_SQL = (
 )
 
 
+def s28_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28 — ``replaceWhere`` partition overwrite on a hive-partitioned
+    real-format Delta table: the nightly reprocess shape. Seed across
+    two appends (files interleave within partitions), DV-erase a few
+    'P' rows (merge-on-read), then atomically REPLACE partition 'P'
+    with a recomputed batch (keys %3!=0, price +10 — dropped keys
+    prove it's an overwrite, not an append) with CDF capture.
+
+    Certificate parts: 'latest' = post-overwrite table (F/O untouched,
+    P = the batch), 'pre_p' = time travel to just before the overwrite
+    restricted to P (the DV-subtracted live set — old files must still
+    resolve), 'cdf_delete' = the capture's preimages (must equal the
+    live set, NOT the raw files — a DV-deleted row must not resurface),
+    'cdf_insert' = the capture's inserts (= the batch). The oracle
+    replays the sequence storage-blind."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s28_orders_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1"), table,
+        partition_by=["o_orderstatus"],
+    )
+    doomed = orders.filter(
+        "o_orderstatus = 'P' AND o_orderkey % 5 = 0"
+    ).select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    batch = orders.filter(
+        "o_orderstatus = 'P' AND o_orderkey % 3 != 0"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    v = delta_compat.replace_where_delta(
+        spark, batch, table, {"o_orderstatus": "P"}, change_data=True
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    latest = (
+        delta_compat.read_delta(spark, table)
+        .select(*cols)
+        .withColumn("part", F.lit("latest"))
+    )
+    pre_p = (
+        delta_compat.read_delta(spark, table, version=v - 1)
+        .filter("o_orderstatus = 'P'")
+        .select(*cols)
+        .withColumn("part", F.lit("pre_p"))
+    )
+    feed = (
+        delta_compat.read_delta_changes(spark, table, v, v)
+        .select(
+            *cols,
+            F.concat(F.lit("cdf_"), F.col("_change_type")).alias("part"),
+        )
+    )
+    return (
+        latest.unionByName(pre_p)
+        .unionByName(feed)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S28_SQL = (
+    "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders), "
+    "p_live AS (SELECT * FROM base "
+    "WHERE o_orderstatus = 'P' AND o_orderkey % 5 != 0), "
+    "batch AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 10.0 AS o_totalprice FROM base "
+    "WHERE o_orderstatus = 'P' AND o_orderkey % 3 != 0), "
+    "parts AS ("
+    "SELECT 'latest' AS part, o_orderkey, o_orderstatus, o_totalprice "
+    "FROM base WHERE o_orderstatus <> 'P' "
+    "UNION ALL SELECT 'latest', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM batch "
+    "UNION ALL SELECT 'pre_p', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM p_live "
+    "UNION ALL SELECT 'cdf_delete', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM p_live "
+    "UNION ALL SELECT 'cdf_insert', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM batch) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents "
+    "FROM parts GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2183,6 +2283,7 @@ QUERIES = {
     "s25_row_tracking": s25_row_tracking,
     "s26_clone_rewrite": s26_clone_rewrite,
     "s27_type_widening": s27_type_widening,
+    "s28_replace_where": s28_replace_where,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2220,6 +2321,7 @@ ORACLES = {
     "s25_row_tracking": _S25_SQL,
     "s26_clone_rewrite": _S26_SQL,
     "s27_type_widening": _S27_SQL,
+    "s28_replace_where": _S28_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -4720,3 +4720,139 @@ def test_row_tracking_lifecycle_property(spark, tmp_path):
             check_and_record()
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere partition overwrite
+# ---------------------------------------------------------------------------
+
+
+_RW_DDL = "id long, part string, val double"
+
+
+def _seed_rw(spark, tmp_path):
+    table = str(tmp_path / "rw")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+            _RW_DDL,
+        ),
+        table,
+        partition_by=["part"],
+    )
+    return table
+
+
+def test_replace_where_swaps_only_matching_partition(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    pre_files = set(dc.snapshot(table)["files"])
+    batch = spark.createDataFrame([(9, "b", 99.0)], _RW_DDL)
+    v = dc.replace_where_delta(spark, batch, table, {"part": "b"})
+    got = sorted(
+        (r.id, r.part, r.val) for r in dc.read_delta(spark, table).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)]
+    # the untouched partition's files survive IN PLACE (file-granular
+    # overwrite: a is pure metadata carry-over)
+    post = set(dc.snapshot(table)["files"])
+    assert {f for f in pre_files if "part=a" in f} <= post
+    assert not any(f in post for f in pre_files if "part=b" in f)
+    # time travel to the pre-overwrite version still reads the old rows
+    old = sorted(r.id for r in dc.read_delta(spark, table, version=v - 1).collect())
+    assert old == [1, 2, 3, 4]
+
+
+def test_replace_where_empty_batch_clears_partition(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    empty = spark.createDataFrame([], _RW_DDL)
+    dc.replace_where_delta(spark, empty, table, {"part": "a"})
+    got = sorted(r.id for r in dc.read_delta(spark, table).collect())
+    assert got == [3, 4]
+
+
+def test_replace_where_refusals(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    stray = spark.createDataFrame([(9, "a", 9.0)], _RW_DDL)
+    with pytest.raises(dc.DeltaProtocolError, match="outside the predicate"):
+        dc.replace_where_delta(spark, stray, table, {"part": "b"})
+    with pytest.raises(dc.DeltaProtocolError, match="partition column"):
+        dc.replace_where_delta(spark, stray, table, {"id": "1"})
+    with pytest.raises(dc.DeltaProtocolError, match="non-empty"):
+        dc.replace_where_delta(spark, stray, table, {})
+    flat = str(tmp_path / "flat")
+    dc.append_delta(spark.createDataFrame([(1, "a", 1.0)], _RW_DDL), flat)
+    with pytest.raises(dc.DeltaProtocolError, match="partitioned table"):
+        dc.replace_where_delta(
+            spark, stray.filter("part = 'a'"), flat, {"part": "a"}
+        )
+    # the refused writes must not have committed anything
+    assert dc.snapshot(table)["version"] == 0
+    assert dc.snapshot(flat)["version"] == 0
+
+
+def test_replace_where_cdf_subtracts_dvs(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    batch = spark.createDataFrame([(9, "b", 99.0)], _RW_DDL)
+    v = dc.replace_where_delta(
+        spark, batch, table, {"part": "b"}, change_data=True
+    )
+    feed = dc.read_delta_changes(spark, table, v, v)
+    deletes = sorted(
+        (r.id, r.val)
+        for r in feed.filter("_change_type = 'delete'").collect()
+    )
+    inserts = sorted(
+        (r.id, r.val)
+        for r in feed.filter("_change_type = 'insert'").collect()
+    )
+    # id=3 was already DV-erased: it must NOT resurface as a preimage
+    assert deletes == [(4, 40.0)]
+    assert inserts == [(9, 99.0)]
+
+
+def test_replace_where_uncaptured_overwrite_refuses_cdf_read(spark, tmp_path):
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    table = _seed_rw(spark, tmp_path)
+    batch = spark.createDataFrame([(9, "b", 99.0)], _RW_DDL)
+    v = dc.replace_where_delta(spark, batch, table, {"part": "b"})
+    with pytest.raises(ChangeDataUnavailableError):
+        dc.read_delta_changes(spark, table, v, v).collect()
+
+
+def test_mapped_zorder_clusters_on_logical_keys(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on a column-mapped table: clustering keys are
+    LOGICAL names (incl. renamed ones); the rewrite translates them to
+    the physical columns, keeps the physical names + field ids in the
+    compacted files, and logical-key data skipping prunes the z-ordered
+    output."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_kv_table(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "v", "value")
+    dc.append_delta(
+        spark.range(5, 40).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("value")),
+        table,
+    )
+    before = {(r["k"], r["value"])
+              for r in dc.read_delta(spark, table).collect()}
+    dc.optimize_delta(spark, table, target_partitions=4,
+                      zorder_by=["k", "value"])
+    snap = dc.snapshot(table)
+    assert all(pq.read_schema(f).names == ["k", "v"] for f in snap["files"])
+    after = {(r["k"], r["value"])
+             for r in dc.read_delta(spark, table).collect()}
+    assert after == before
+    # logical-key skipping prunes most z-ordered files but never rows
+    got = {r["k"] for r in dc.read_delta(
+        spark, table, skip=("value", 0, 90)).filter("value <= 90").collect()}
+    assert got == set(range(10))
+    with pytest.raises(dc.DeltaProtocolError, match="not columns"):
+        dc.optimize_delta(spark, table, zorder_by=["nope"])
