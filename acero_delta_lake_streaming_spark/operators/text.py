@@ -260,12 +260,176 @@ _X4E_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X41 — distributed BPE merge TRAINING (tokenizer fitting)
+# --------------------------------------------------------------------------
+
+#: Adjacent symbol pairs of a split symbol array. element_at is 1-BASED
+#: in BOTH engines (never use Spark's 0-based `[]` / DuckDB's 1-based
+#: `[]` directly — the aligned indexing gotcha). Spark's sequence(1, n)
+#: DESCENDS when n < 1 while DuckDB's range is empty, so sub-2-symbol
+#: words guard with CASE on both sides.
+_BPE_PAIRS_SPARK = (
+    "CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE transform(sequence(1, size(syms) - 1), "
+    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) END"
+)
+_BPE_PAIRS_DUCK = (
+    "CASE WHEN len(syms) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(syms)), "
+    "i -> list_extract(syms, i) || ' ' || list_extract(syms, i + 1)) END"
+)
+
+
+def _bpe_merge(col: str, pat: str) -> str:
+    """The bounded two-pass merge: non-overlapping left-to-right
+    ``replace`` of ``' a b '`` with ``' ab '`` run TWICE. One pass
+    misses every occurrence that shares its leading space with the
+    previous match ("a b a b" merges 1st and skips 2nd); after pass
+    one each survivor is flanked by already-merged symbols, so its
+    spaces are its own and pass two catches it — two passes merge
+    every mergeable occurrence for any run length. Within an odd
+    repetition run the kept boundary can differ from reference BPE's
+    strictly-greedy choice by one position; the convention is
+    deterministic and, because ``replace``/``concat`` have identical
+    semantics in Spark and DuckDB, engine-identical — which is the
+    contract the hash gate certifies. Same expression text runs on
+    both engines."""
+    one = (
+        f"replace({col}, concat(' ', {pat}, ' '), "
+        f"concat(' ', replace({pat}, ' ', ''), ' '))"
+    )
+    return (
+        f"replace({one}, concat(' ', {pat}, ' '), "
+        f"concat(' ', replace({pat}, ' ', ''), ' '))"
+    )
+
+
+def x41_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 — byte-pair-encoding merge TRAINING, distributed: the
+    tokenizer-fitting step of an LLM data pipeline (Sennrich et al.
+    2016), three unrolled merge rounds. x4e counts with a FIXED
+    pre-tokenizer; this learns the merge table itself.
+
+    Plan shape: ONE corpus shuffle (word → count) reduces everything
+    to the vocabulary, which Heaps' law keeps sublinear in corpus
+    size; each round is then a vocab-sized map (symbol split + pair
+    build), a pair-keyed aggregate (bounded by vocab × avg word
+    length), a 1-row top-pair TakeOrderedAndProject broadcast back,
+    and a map-side 2-pass merge. Nothing corpus-sized moves after the
+    first aggregate — the exact structure of distributed BPE trainers
+    (e.g. Hugging Face tokenizers' chunked pair counting), and at
+    100 TB the three rounds cost three vocab shuffles, not three
+    corpus passes. Ties break (count DESC, pair ASC) so the learned
+    table is reproducible.
+
+    Certificate: the three learned merges with their pair counts plus
+    the post-merge corpus accounting (weighted symbol total and
+    distinct symbol count) — a wrong merge anywhere in the corpus
+    flips the accounting rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The one corpus pass, materialized EAGERLY (x2d's localCheckpoint
+    # pattern): every later round consumes it through three concurrent
+    # broadcast subplans, which would otherwise race a lazy cache and
+    # each recompute the corpus aggregate (measured 16 s → 7 s at
+    # sf0.1). The checkpointed frame is vocab-sized.
+    words = (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    cur = words.select(
+        F.expr("concat(' ', regexp_replace(word, '(.)', '$1 '))").alias(
+            "sym"
+        ),
+        "wt",
+    )
+    learned = []
+    for k in (1, 2, 3):
+        pairs = (
+            cur.select(
+                F.expr("filter(split(sym, ' '), x -> x != '')").alias(
+                    "syms"
+                ),
+                "wt",
+            )
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"), "wt")
+            .groupBy("pair")
+            .agg(F.sum("wt").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        learned.append(
+            top.select(F.lit(k).alias("step"), "pair", "cnt")
+        )
+        cur = cur.crossJoin(
+            F.broadcast(top.select(F.col("pair").alias("_p")))
+        ).select(F.expr(_bpe_merge("sym", "_p")).alias("sym"), "wt")
+    fin = cur.select(
+        F.expr("filter(split(sym, ' '), x -> x != '')").alias("syms"), "wt"
+    )
+    vocab = (
+        fin.select(F.explode("syms").alias("s"))
+        .agg(F.countDistinct("s").cast("long").alias("cnt"))
+        .select(
+            F.lit(0).alias("step"), F.lit("__vocab__").alias("pair"), "cnt"
+        )
+    )
+    total = fin.agg(
+        F.sum(F.size("syms") * F.col("wt")).cast("long").alias("cnt")
+    ).select(
+        F.lit(0).alias("step"), F.lit("__tokens__").alias("pair"), "cnt"
+    )
+    out = learned[0]
+    for part in learned[1:] + [vocab, total]:
+        out = out.unionByName(part)
+    return out
+
+
+def _x41_round_ctes(prev: str, k: int) -> str:
+    """One BPE round as DuckDB CTEs: pair counts from ``prev``, the
+    deterministic top pair, and the merged symbol strings. The merge
+    expression is the SAME text the Spark side compiles."""
+    return (
+        f"p{k} AS (SELECT pair, CAST(sum(wt) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest({_BPE_PAIRS_DUCK}) AS pair, wt FROM ("
+        f"SELECT list_filter(string_split(sym, ' '), x -> x <> '') "
+        f"AS syms, wt FROM {prev})) GROUP BY 1), "
+        f"t{k} AS (SELECT pair, cnt FROM p{k} "
+        f"ORDER BY cnt DESC, pair LIMIT 1), "
+        f"m{k} AS (SELECT {_bpe_merge('sym', f't{k}.pair')} AS sym, wt "
+        f"FROM {prev}, t{k})"
+    )
+
+
+_X41_SQL = (
+    "WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wt "
+    f"FROM (SELECT unnest({_WORDS_DUCK}) AS w FROM documents) "
+    "GROUP BY 1), "
+    "s0 AS (SELECT concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) "
+    "AS sym, wt FROM words), "
+    + _x41_round_ctes("s0", 1) + ", "
+    + _x41_round_ctes("m1", 2) + ", "
+    + _x41_round_ctes("m2", 3) + ", "
+    "fin AS (SELECT list_filter(string_split(sym, ' '), x -> x <> '') "
+    "AS syms, wt FROM m3) "
+    "SELECT 1 AS step, pair, cnt FROM t1 "
+    "UNION ALL SELECT 2, pair, cnt FROM t2 "
+    "UNION ALL SELECT 3, pair, cnt FROM t3 "
+    "UNION ALL SELECT 0, '__vocab__', CAST(count(DISTINCT s) AS BIGINT) "
+    "FROM (SELECT unnest(syms) AS s FROM fin) "
+    "UNION ALL SELECT 0, '__tokens__', "
+    "CAST(sum(len(syms) * wt) AS BIGINT) FROM fin"
+)
+
+
 QUERIES = {
     "x4_doc_stats": x4_doc_stats,
     "x4b_lang_profile": x4b_lang_profile,
     "x4c_fingerprint": x4c_fingerprint,
     "x4d_langid_ngram": x4d_langid_ngram,
     "x4e_bpe_token_stats": x4e_bpe_token_stats,
+    "x41_bpe_train": x41_bpe_train,
 }
 
 ORACLES = {
@@ -274,4 +438,5 @@ ORACLES = {
     "x4c_fingerprint": _X4C_SQL,
     "x4d_langid_ngram": _X4D_SQL,
     "x4e_bpe_token_stats": _X4E_SQL,
+    "x41_bpe_train": _X41_SQL,
 }
