@@ -1229,6 +1229,103 @@ def _st18_sql() -> str:
     )
 
 
+def st19_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19 — streaming heavy hitters: the count-min sketch maintained
+    INCREMENTALLY across micro-batches (x17's streaming twin). Each
+    epoch sketches only its own batch map-side and appends the
+    ≤1024-cell partial exactly-once via the ``(app_id, epoch)`` ledger;
+    the stored table holds one partial sketch per epoch and the merge
+    is a 1024-row SUM. Sketch additivity is the whole point: per-epoch
+    state is O(d·w) — never O(distinct keys) — a replayed epoch cannot
+    double-count (the txn ledger refuses it), and at 100 TB the
+    "which users are hot TODAY" question reads a few-KB table instead
+    of re-scanning the stream's history.
+
+    The probe/top-20 certificate is x17's and the ORACLE IS X17's SQL —
+    the stream/batch unification: a consumer must not be able to tell
+    whether the sketch was built in one pass or merged from epoch
+    partials. A lost epoch under-counts (est < exact, one-sidedness
+    breaks), a double-applied epoch over-counts the top ranks — either
+    flips the hash."""
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        _CMS_D,
+        _CMS_MD5_SPARK,
+        _hex2_int,
+        cms_sketch,
+    )
+
+    base = _scratch(sf_dir, "st19")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "sketch"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    for k in range(3):
+        f = os.path.join(drop, f"b{k}.parquet")
+        write_single_parquet(events.filter(F.col("event_id") % 3 == k), f)
+        os.utime(f, ((k + 1) * 1_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(
+            cms_sketch(batch_df, "user_id"), out,
+            app_id="st19", epoch=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        deltalite.read(spark, out)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probe = (
+        events.select("user_id")
+        .distinct()
+        .withColumn(
+            "j", F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)]))
+        )
+        .withColumn("bucket", F.expr(_hex2_int(_CMS_MD5_SPARK, "instr")))
+    )
+    est = (
+        probe.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est"), "user_id")
+        .limit(20)
+    )
+
+
+def _st19_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.sketch import _X17_SQL
+
+    # stream/batch unification: the epoch-merged sketch must be
+    # indistinguishable from x17's one-pass build
+    return _X17_SQL
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -1243,6 +1340,7 @@ QUERIES = {
     "st11_streaming_sessions": st11_streaming_sessions,
     "st17_streaming_neardup": st17_streaming_neardup,
     "st18_streaming_ivf_assign": st18_streaming_ivf_assign,
+    "st19_streaming_heavy_hitters": st19_streaming_heavy_hitters,
 }
 
 ORACLES = {
@@ -1259,4 +1357,5 @@ ORACLES = {
     "st11_streaming_sessions": _ST11_SQL,
     "st17_streaming_neardup": _st17_sql(),
     "st18_streaming_ivf_assign": _st18_sql(),
+    "st19_streaming_heavy_hitters": _st19_sql(),
 }
