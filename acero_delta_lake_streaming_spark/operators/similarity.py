@@ -1340,6 +1340,312 @@ def _ivf_sq_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# X3h — product quantization (PQ) ANN with ADC scoring
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces: 64 dims -> 8 sub-vectors of 8
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 8  # codes per subspace (3-bit codes; faiss would use 256)
+_PQ_RERANK = 32  # ADC survivors per query handed to the float re-rank
+
+
+def _pq_subvec(arr: str, m: str) -> str:
+    """The ``m``-th 8-dim sub-vector of ``arr`` as doubles (Spark)."""
+    return (
+        f"transform(slice({arr}, {m} * {_PQ_SUB} + 1, {_PQ_SUB}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _pq_subvec_duck(arr: str, m: str) -> str:
+    return (
+        f"list_transform(list_slice({arr}, {m} * {_PQ_SUB} + 1, "
+        f"{m} * {_PQ_SUB} + {_PQ_SUB}), x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _pq_codes(vectors: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ encoding as a broadcast fold: the whole codebook (≤ M·K = 64
+    rows of 8 doubles) collapses to ONE broadcast row and every vector
+    picks its per-subspace nearest code with a map-side ``array_min``
+    struct fold — the ``_ivf_assign`` shape, so the corpus never
+    shuffles an array to get encoded. Ties break (distance, code),
+    identical to the oracle's row_number order."""
+    cb_row = (
+        cb.groupBy("m")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("code", "carr"))).alias(
+                "cs"
+            )
+        )
+        .groupBy()
+        .agg(
+            # nested array indexed BY subspace: element_at(cbm, m + 1)
+            # replaces a per-m filter over the flat codebook (measured
+            # ~30% off the encode stage; ordering semantics unchanged)
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cs))), "
+                "s -> s.cs)"
+            ).alias("cbm")
+        )
+    )
+    pick = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        "array_min(transform(element_at(cbm, m + 1), c -> struct("
+        + _sqdist_spark(_pq_subvec("embedding", "m"), "c.carr")
+        + " AS d, c.code AS code))).code)"
+    )
+    return vectors.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id", F.expr(pick).alias("codes")
+    )
+
+
+def x3h_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h — product-quantization ANN (Jégou et al. 2011), the third
+    faiss compression pillar next to SQ8 (x3e) and IVF-SQ (x3f): the
+    64-dim vectors are cut into ``_PQ_M`` = 8 sub-vectors, each
+    subspace trains its own tiny k-means codebook (md5-seeded, one
+    Lloyd round, decimal-exact coordinate means — the x3d discipline
+    per subspace), and every vector compresses to 8 code ids. Search
+    is asymmetric distance computation (ADC): each query precomputes a
+    64-entry distance table (query sub-vector → every centroid of
+    every subspace), the approximate distance of a corpus vector is
+    then Σ_m table[m][code_m] — table LOOKUPS, the float arrays are
+    never touched until the exact re-rank of ≤``_PQ_RERANK``
+    survivors.
+
+    Plan shape at 100 TB: training explodes the corpus to SCALAR
+    (vec_id, subspace, dim, x) rows before any join (no array crosses
+    a hash exchange — the x3f guard walks this plan too); encoding is
+    a map-side broadcast fold; ADC scoring joins the scalar code rows
+    to the BROADCAST distance tables and partial-aggregates to one
+    (query, vec) scalar row per pair before the shuffle. The per-pair
+    ADC contributions are e6-quantized BIGINTs (floor on a
+    sequential-fold double — bit-identical both engines), so the
+    cross-subspace sum is order-independent and the survivor SET is
+    exact — which is what lets the hash gate certify an approximate
+    index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    seeds = (
+        corpus.select(
+            F.md5(F.col("vec_id").cast("string")).alias("sk"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("sk", "vec_id")
+        .limit(_PQ_K)
+    )
+    cb0 = (
+        seeds.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sk", "vec_id", "embedding"))
+            ).alias("ss")
+        )
+        .select(F.posexplode("ss").alias("code", "s"))
+        .select(
+            "code",
+            F.explode(
+                F.array(*[F.lit(m) for m in range(_PQ_M)])
+            ).alias("m"),
+            "s",
+        )
+        .select(
+            "m",
+            "code",
+            F.expr(_pq_subvec("s.embedding", "m")).alias("carr"),
+        )
+    )
+    # one Lloyd round per subspace: scalar explode BEFORE the join, so
+    # only (vec_id, m, sd, x) scalars shuffle; decimal-exact means
+    elems = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.expr(f"CAST(dim DIV {_PQ_SUB} AS INT)").alias("m"),
+        F.expr(f"CAST(dim % {_PQ_SUB} AS INT)").alias("sd"),
+        "x",
+    )
+    members0 = _pq_codes(corpus, cb0).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    cb1 = (
+        elems.join(members0, ["vec_id", "m"])
+        .groupBy("m", "code", "sd")
+        .agg(
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sd, v))), "
+                "s -> s.v)"
+            ).alias("carr")
+        )
+        # ≤64 rows; BOTH the encoding branch and the ADC-table branch
+        # consume it, and without materialization each would replay the
+        # full Lloyd lineage (x41's broadcast-race lesson)
+        .localCheckpoint(eager=True)
+    )
+    codes = _pq_codes(corpus, cb1).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    # ADC distance tables: 5 queries x 64 codebook rows, broadcast
+    dq = (
+        "CAST(floor("
+        + _sqdist_spark(_pq_subvec("qe", "m"), "carr")
+        + " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    dt = (
+        corpus.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .crossJoin(F.broadcast(cb1))
+        .select("query_id", "m", "code", F.expr(dq).alias("dq"))
+    )
+    approx = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").cast("bigint").alias("approx"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.asc("approx"), F.asc("vec_id")
+    )
+    survivors = (
+        approx.withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") <= _PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    scored = emb.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    exact = (
+        scored.join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _pq_sql() -> str:
+    """x3h oracle: the same construction as DuckDB CTEs — md5-ordered
+    seeds sliced per subspace, one decimal-exact Lloyd round, code
+    assignment and ADC tables via row_number argmins, e6-quantized
+    integer ADC sums, float re-rank."""
+    sub_c = _pq_subvec_duck("c.embedding", "cb.m")
+    sub_q = _pq_subvec_duck("q.qe", "cb.m")
+    assign = (
+        "(SELECT vec_id, m, code FROM ("
+        "SELECT c.vec_id, cb.m, cb.code, row_number() OVER ("
+        "PARTITION BY c.vec_id, cb.m ORDER BY "
+        + _sqdist_duck(sub_c, "cb.carr")
+        + " ASC, cb.code ASC) AS rk "
+        "FROM corpus c CROSS JOIN {cb} cb) WHERE rk = 1)"
+    )
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding FROM embeddings)",
+        (
+            "seeds AS (SELECT CAST(rk - 1 AS INT) AS code, embedding "
+            "FROM (SELECT vec_id, embedding, row_number() OVER ("
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk "
+            f"FROM corpus) WHERE rk <= {_PQ_K})"
+        ),
+        (
+            "ms AS (SELECT CAST(unnest(range(0, "
+            f"{_PQ_M})) AS INT) AS m)"
+        ),
+        (
+            "cb0 AS (SELECT ms.m, s.code, "
+            + _pq_subvec_duck("s.embedding", "ms.m")
+            + " AS carr FROM seeds s CROSS JOIN ms)"
+        ),
+        "a0 AS " + assign.format(cb="cb0"),
+        (
+            "cb1 AS (SELECT m, code, list(v ORDER BY sd) AS carr FROM ("
+            "SELECT a.m, a.code, t.sd, "
+            "CAST(sum(CAST(CAST(list_extract(e.embedding, "
+            f"a.m * {_PQ_SUB} + t.sd + 1) AS DOUBLE) AS DECIMAL(18,6))) "
+            "AS DOUBLE) / count(*) AS v "
+            "FROM a0 a JOIN corpus e ON e.vec_id = a.vec_id "
+            f"CROSS JOIN (SELECT CAST(unnest(range(0, {_PQ_SUB})) AS INT) "
+            "AS sd) t "
+            "GROUP BY a.m, a.code, t.sd) GROUP BY m, code)"
+        ),
+        "codes AS " + assign.format(cb="cb1"),
+        (
+            "qs AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM corpus WHERE vec_id < {_N_QUERIES})"
+        ),
+        (
+            "dt AS (SELECT q.query_id, cb.m, cb.code, "
+            "CAST(floor("
+            + _sqdist_duck(sub_q, "cb.carr")
+            + " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dq "
+            "FROM qs q CROSS JOIN cb1 cb)"
+        ),
+        (
+            "approx AS (SELECT d.query_id, c.vec_id, "
+            "CAST(sum(d.dq) AS BIGINT) AS approx "
+            "FROM codes c JOIN dt d ON d.m = c.m AND d.code = c.code "
+            "WHERE c.vec_id <> d.query_id GROUP BY 1, 2)"
+        ),
+        (
+            "survivors AS (SELECT query_id, vec_id FROM ("
+            "SELECT query_id, vec_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY approx ASC, vec_id ASC) AS rk "
+            f"FROM approx) WHERE rk <= {_PQ_RERANK})"
+        ),
+        (
+            "scored AS (SELECT vec_id, embedding, "
+            + _norm_duck("embedding")
+            + " AS nrm FROM corpus)"
+        ),
+        (
+            "queries AS (SELECT vec_id AS query_id, "
+            "embedding AS q_embedding, nrm AS q_nrm FROM scored "
+            f"WHERE vec_id < {_N_QUERIES})"
+        ),
+        (
+            "exact AS (SELECT s.query_id, s.vec_id, "
+            + _dot_duck("c.embedding", "q.q_embedding")
+            + " / (c.nrm * q.q_nrm) AS cos FROM survivors s "
+            "JOIN scored c ON c.vec_id = s.vec_id "
+            "JOIN queries q ON q.query_id = s.query_id)"
+        ),
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ("
+        "SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+        "FROM exact) WHERE rk <= 5"
+    )
+
+
+# --------------------------------------------------------------------------
 # X24 — random-projection (JL) dimensionality reduction + energy audit
 # --------------------------------------------------------------------------
 
@@ -1727,6 +2033,7 @@ QUERIES = {
     "x3e_quantized_ann": x3e_quantized_ann,
     "x3f_ivf_sq_ann": x3f_ivf_sq_ann,
     "x3g_filtered_ann": x3g_filtered_ann,
+    "x3h_pq_ann": x3h_pq_ann,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
@@ -1743,6 +2050,7 @@ ORACLES = {
     "x3e_quantized_ann": _X3E_SQL,
     "x3f_ivf_sq_ann": _ivf_sq_sql(),
     "x3g_filtered_ann": _X3G_SQL,
+    "x3h_pq_ann": _pq_sql(),
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,

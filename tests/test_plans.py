@@ -617,3 +617,30 @@ def test_session2_addition_plan_shapes(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2
     finally:
         release_scoped()
+
+
+def test_pq_ann_no_array_crosses_hash_exchange(spark, sf_dir):
+    """x3h's scale contract (the x3f guard applied to PQ): every
+    hash-partitioned exchange moves scalars only — the Lloyd update is
+    scalar-exploded before its join, encoding is a map-side broadcast
+    fold, ADC scoring joins scalar code rows to broadcast distance
+    tables, and the float re-rank streams through broadcasts. The
+    8-row seed top-k stays a distributed TakeOrderedAndProject."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3h_pq_ann,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        df = x3h_pq_ann(spark, sf_dir)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        # (the seed top-k's TakeOrderedAndProject lives behind the
+        # codebook's localCheckpoint and is invisible here; the shared
+        # construction is pinned by test_ivf_seed_selection_distributed)
+        for partitioning, types in _shuffle_exchange_outputs(df):
+            if "SinglePartition" in partitioning:
+                continue  # bounded codebook merges (<= M*K rows)
+            assert not any("array" in t for t in types), (partitioning, types)
+    finally:
+        release_scoped()
