@@ -346,13 +346,23 @@ def _legacy_writer_features(w: int) -> set[str]:
 
 
 def _check_writer_protocol(
-    snap: dict, op: str, removes_data: bool = False
+    snap: dict, op: str, removes_data: bool = False,
+    identity_ok: bool = False,
 ) -> None:
     """Writer-side twin of :func:`_check_protocol`: refuse to mutate a
     foreign table whose protocol demands writer capabilities this module
     lacks — appending past an unknown writerFeature silently violates the
     table's contract (the reader-features gate alone does not cover this
-    once table-features protocols are admitted)."""
+    once table-features protocols are admitted).
+
+    ``identity_ok``: verbs that either MINT identity values correctly
+    (append, since round 8) or provably cannot disturb them (OPTIMIZE /
+    DELETE / RESTORE / VACUUM — they only move or drop whole rows, so
+    assigned values and the high-water mark stay valid) pass True;
+    row-introducing verbs that take caller-supplied rows (MERGE,
+    replaceWhere) and the schema-altering verbs keep refusing — a
+    caller-chosen value under GENERATED ALWAYS, or a rename/drop of
+    the identity column, would break the column's contract."""
     p = snap.get("protocol") or {}
     writer = p.get("minWriterVersion", 2)
     features = set(p.get("writerFeatures") or [])
@@ -382,9 +392,12 @@ def _check_writer_protocol(
                 f"{op}: column {f['name']!r} declares a legacy invariant "
                 "this writer does not enforce"
             )
-        if any(k.startswith("delta.identity.") for k in meta):
+        if not identity_ok and any(
+            k.startswith("delta.identity.") for k in meta
+        ):
             raise DeltaProtocolError(
-                f"{op}: column {f['name']!r} is an identity column"
+                f"{op}: column {f['name']!r} is an identity column "
+                "(this verb cannot maintain its assignment contract)"
             )
     if removes_data and (
         snap["configuration"].get("delta.appendOnly", "").lower() == "true"
@@ -1134,12 +1147,101 @@ def last_txn_version(table: str, app_id: str) -> int:
     return latest
 
 
+def table_identity_columns(schema_json: str) -> dict[str, dict]:
+    """Identity-column specs from the log schema: name →
+    {start, step, hwm, allow_explicit}. ``hwm`` is None until the first
+    value is minted (the protocol omits ``highWaterMark`` on a fresh
+    column)."""
+    out: dict[str, dict] = {}
+    for f in json.loads(schema_json)["fields"]:
+        meta = f.get("metadata") or {}
+        if any(k.startswith("delta.identity.") for k in meta):
+            out[f["name"]] = {
+                "start": int(meta.get("delta.identity.start", 1)),
+                "step": int(meta.get("delta.identity.step", 1)),
+                "hwm": (
+                    int(meta["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in meta
+                    else None
+                ),
+                "allow_explicit": bool(
+                    meta.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _patch_identity_hwm(schema_json: str, col: str, hwm: int) -> str:
+    """The schema with ``col``'s ``delta.identity.highWaterMark``
+    advanced to ``hwm`` — the metaData update the protocol requires in
+    the SAME commit as any value-minting write."""
+    sch = json.loads(schema_json)
+    for f in sch["fields"]:
+        if f["name"] == col:
+            meta = dict(f.get("metadata") or {})
+            meta["delta.identity.highWaterMark"] = hwm
+            f["metadata"] = meta
+    return json.dumps(sch)
+
+
+def _mint_identity(
+    df: DataFrame, col: str, base: int, step: int
+) -> tuple[DataFrame, int]:
+    """Assign ``col`` = the contiguous range base, base+step, … across
+    ``df`` in an arbitrary partition-layout permutation — delta-spark's
+    per-task identity block allocation made CONTIGUOUS, so the range
+    accounting (count/min/max/sum) is exact and oracle-checkable while
+    the assignment itself never globally sorts: the batch pins via
+    localCheckpoint, per-partition counts become prefix offsets (one
+    driver row per partition), and each row takes base + step ×
+    (offset + local rank) under a PER-PARTITION window. Returns
+    (df_with_ids, row_count)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = df.localCheckpoint(eager=True)
+    tagged = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in tagged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # METADATA only: one row per partition
+    )
+    offs, acc = [], 0
+    for pid, n in counts:
+        offs.append((pid, acc))
+        acc += n
+    if not acc:
+        return (
+            df.withColumn(col, F.lit(None).cast("long")),
+            0,
+        )
+    off_df = df.sparkSession.createDataFrame(
+        offs, "`_pid` INT, `_off` BIGINT"
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    out = (
+        tagged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            col,
+            F.lit(base).cast("long")
+            + F.lit(step).cast("long")
+            * (F.col("_off") + F.row_number().over(w) - 1),
+        )
+        .drop("_pid", "_mid", "_off")
+    )
+    return out, acc
+
+
 def append_delta(
     df: DataFrame,
     table: str,
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    identity: dict | None = None,
 ) -> int:
     """Append-only Delta writer: distributed parquet write, then one
     driver-side JSON commit (protocol + metaData on create, adds
@@ -1167,13 +1269,54 @@ def append_delta(
     inference) drives the scan. Type changes and, without the flag,
     any column-set drift refuse loudly — silent coercion is how lakes
     corrupt, and delta-rs rejects the same way (the enforcement the
-    reference leans on at collector.py:219-226)."""
+    reference leans on at collector.py:219-226).
+
+    ``identity`` (creation only): ``{"column": name, "start": 1,
+    "step": 1, "allow_explicit": False}`` declares a GENERATED
+    IDENTITY column (``delta.identity.*`` metadata, writer version 6 —
+    what delta-spark emits for ``GENERATED ALWAYS AS IDENTITY``). The
+    column is NOT in ``df``; this writer mints it: each minting append
+    assigns the contiguous next range past the high-water mark
+    (``_mint_identity`` — per-partition block allocation, no global
+    sort) and advances ``delta.identity.highWaterMark`` in the same
+    commit's metaData, the protocol's writer obligation. Later appends
+    mint whenever the identity column is absent from ``df``; a
+    full-schema append supplies explicit values only if
+    ``allow_explicit`` (GENERATED BY DEFAULT), which bumps the mark to
+    max(mark, supplied). Identity appends never rebase after a lost
+    race (the winner may have minted the same range — same
+    non-retryable class as schema changes)."""
     if txn is not None and last_txn_version(table, txn[0]) >= txn[1]:
         return -1
     partition_by = list(partition_by or [])
     os.makedirs(_log_dir(table), exist_ok=True)
     versions = _list_commit_versions(table)
     version = (versions[-1] + 1) if versions else 0
+    created_identity: tuple | None = None
+    if identity is not None:
+        if version > 0:
+            raise DeltaProtocolError(
+                "identity= declares the column at table CREATION; later "
+                "appends mint automatically from the stored metadata"
+            )
+        _icol = identity["column"]
+        _istart = int(identity.get("start", 1))
+        _istep = int(identity.get("step", 1))
+        if _istep <= 0:
+            raise DeltaProtocolError("identity step must be positive")
+        if _icol in df.columns:
+            raise DeltaProtocolError(
+                f"identity column {_icol!r} must not be present in the "
+                "creating batch (the writer mints it)"
+            )
+        df, _n0 = _mint_identity(df, _icol, _istart, _istep)
+        created_identity = (
+            _icol,
+            _istart,
+            _istep,
+            bool(identity.get("allow_explicit", False)),
+            _istart + _istep * (_n0 - 1) if _n0 else None,
+        )
     evolved_schema_json: str | None = None
     evolved_meta_id: str | None = None
     evolved_config: dict | None = None
@@ -1181,7 +1324,7 @@ def append_delta(
     mapped_schema_json: str | None = None
     if version > 0:
         snap0 = snapshot(table)
-        _check_writer_protocol(snap0, "append")
+        _check_writer_protocol(snap0, "append", identity_ok=True)
         evolved_meta_id = snap0.get("meta_id")
         evolved_config = dict(snap0.get("configuration") or {})
         mapping_mode = _mapping_mode(snap0)
@@ -1208,6 +1351,56 @@ def append_delta(
         table_schema = T.StructType.fromJson(json.loads(snap0["schema"]))
         table_cols = {f.name for f in table_schema.fields}
         df_cols = set(df.columns)
+        idents = table_identity_columns(snap0["schema"])
+        _id_missing = table_cols - df_cols
+        if (
+            idents
+            and _id_missing
+            and _id_missing <= set(idents)
+            and not (df_cols - table_cols)
+            and not merge_schema
+        ):
+            # GENERATED identity: mint the contiguous next range and
+            # advance the high-water mark in this commit's metaData
+            new_schema = snap0["schema"]
+            for c in sorted(_id_missing):
+                spec = idents[c]
+                base = (
+                    spec["hwm"] + spec["step"]
+                    if spec["hwm"] is not None
+                    else spec["start"]
+                )
+                df, n_mint = _mint_identity(df, c, base, spec["step"])
+                if n_mint:
+                    new_schema = _patch_identity_hwm(
+                        new_schema, c, base + spec["step"] * (n_mint - 1)
+                    )
+            if new_schema != snap0["schema"]:
+                evolved_schema_json = new_schema
+                mapped_schema_json = new_schema
+            df_cols = set(df.columns)
+        elif idents and not _id_missing:
+            import pyspark.sql.functions as F
+
+            # full-schema append: explicit identity values
+            for c in sorted(set(idents) & df_cols):
+                spec = idents[c]
+                if not spec["allow_explicit"]:
+                    raise DeltaProtocolError(
+                        f"append: column {c!r} is GENERATED ALWAYS AS "
+                        "IDENTITY; explicit values are not allowed "
+                        "(allowExplicitInsert is false)"
+                    )
+                mx = df.agg(
+                    F.max(F.col(c).cast("long")).alias("mx")
+                ).collect()[0]["mx"]  # METADATA only: one aggregate row
+                if mx is not None and (
+                    spec["hwm"] is None or mx > spec["hwm"]
+                ):
+                    evolved_schema_json = _patch_identity_hwm(
+                        evolved_schema_json or snap0["schema"], c, mx
+                    )
+                    mapped_schema_json = evolved_schema_json
         if df_cols != table_cols:
             if not merge_schema:
                 raise DeltaProtocolError(
@@ -1270,15 +1463,33 @@ def append_delta(
 
     actions: list[dict] = []
     if version == 0:
+        create_schema = df.schema.json()
+        proto_w = 2
+        if created_identity is not None:
+            _icol, _istart, _istep, _iallow, _ihwm = created_identity
+            sch = json.loads(create_schema)
+            for f in sch["fields"]:
+                if f["name"] == _icol:
+                    meta = {
+                        "delta.identity.start": _istart,
+                        "delta.identity.step": _istep,
+                        "delta.identity.allowExplicitInsert": _iallow,
+                    }
+                    if _ihwm is not None:
+                        meta["delta.identity.highWaterMark"] = _ihwm
+                    f["metadata"] = meta
+            create_schema = json.dumps(sch)
+            proto_w = 6  # identity columns: legacy writer version 6
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": proto_w}}
         )
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": create_schema,
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
@@ -2442,7 +2653,7 @@ def checkpoint_delta(table: str) -> int:
     form when the table advertises ``v2Checkpoint``. Returns the
     checkpointed version."""
     snap = snapshot(table)
-    _check_writer_protocol(snap, "checkpoint")
+    _check_writer_protocol(snap, "checkpoint", identity_ok=True)
     _write_checkpoint(table, snap["version"])
     return snap["version"]
 
@@ -2635,7 +2846,7 @@ def optimize_delta(
     equality is supported (the protocol restricts OPTIMIZE predicates
     to partition columns anyway); non-partition keys refuse."""
     snap = snapshot(table)
-    _check_writer_protocol(snap, "OPTIMIZE")
+    _check_writer_protocol(snap, "OPTIMIZE", identity_ok=True)
     _refuse_stable_row_id_rewrite(snap, "OPTIMIZE")
     if not snap["files"]:
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
@@ -3078,7 +3289,8 @@ def add_constraint(
     append re-validates against it. Refuses if the name exists or
     current rows violate."""
     snap = snapshot(table)
-    _check_writer_protocol(snap, "ALTER TABLE ADD CONSTRAINT")
+    _check_writer_protocol(snap, "ALTER TABLE ADD CONSTRAINT",
+                            identity_ok=True)
     if name in table_constraints(snap):
         raise DeltaProtocolError(f"constraint {name!r} already exists")
     _enforce_constraints(
@@ -3561,7 +3773,8 @@ def delete_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
-    _check_writer_protocol(snap, "DELETE", removes_data=True)
+    _check_writer_protocol(snap, "DELETE", removes_data=True,
+                            identity_ok=True)
     _refuse_cow_unsupported(snap, table, "delete_delta")
     _refuse_stable_row_id_rewrite(snap, "DELETE (copy-on-write)")
     pcols = snap["partition_cols"]
@@ -3841,7 +4054,7 @@ def delete_delta_dv(
     from acero_delta_lake_streaming_spark.storage import dvcodec
 
     snap = snapshot(table)
-    _check_writer_protocol(snap, "DELETE (deletion vectors)",
+    _check_writer_protocol(snap, "DELETE (deletion vectors)", identity_ok=True,
                            removes_data=True)
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -4095,7 +4308,8 @@ def restore_delta(
     O(|changed files|), not O(table).
     """
     cur = snapshot(table)
-    _check_writer_protocol(cur, "RESTORE", removes_data=True)
+    _check_writer_protocol(cur, "RESTORE", removes_data=True,
+                            identity_ok=True)
     target = snapshot(table, to_version)
     if target["schema"] != cur["schema"]:
         raise DeltaProtocolError(
@@ -4631,7 +4845,7 @@ def vacuum_delta(
     # (a vacuum that ignores an unknown feature could delete files the
     # feature makes load-bearing); running it unconditionally is
     # correct for non-feature tables too
-    _check_writer_protocol(snapshot(table), "VACUUM")
+    _check_writer_protocol(snapshot(table), "VACUUM", identity_ok=True)
     latest = snapshot(table)["version"]
     referenced: set[str] = set()
     retained_from = max(0, latest - keep_versions)

@@ -2251,6 +2251,87 @@ _S28_SQL = (
 )
 
 
+def s29_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29 — GENERATED IDENTITY columns end to end (the writer-v6
+    feature delta-spark emits for ``GENERATED BY DEFAULT AS
+    IDENTITY``): create with a minted ``row_id`` (contiguous 1..n_F
+    over the 'F' seed), a second minting append ('O' rows take the
+    NEXT contiguous range — the high-water mark advanced in the seed
+    commit's metaData drives the base), an EXPLICIT append ('P' rows
+    supply 1,000,000 + o_orderkey themselves, allowed because
+    allowExplicitInsert; the mark jumps to their max), and a final
+    minting append that must start ABOVE the explicit ids.
+
+    The assignment is a partition-layout permutation of each range —
+    delta-spark's per-task block allocation — so the certificate is
+    range accounting, which contiguity makes exact: per batch-part
+    (n, min_id, max_id, id_sum). A lost metaData update, a re-minted
+    range, or an overlap with the explicit ids flips it."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s29_orders_identity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderstatus = 'F'"), table,
+        identity={"column": "row_id", "start": 1, "step": 1,
+                  "allow_explicit": True},
+    )
+    delta_compat.append_delta(orders.filter("o_orderstatus = 'O'"), table)
+    delta_compat.append_delta(
+        orders.filter("o_orderstatus = 'P'").withColumn(
+            "row_id", (F.lit(1000000) + F.col("o_orderkey")).cast("long")
+        ),
+        table,
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderstatus = 'F' AND o_orderkey % 10 = 3"),
+        table,
+    )
+    part = F.expr(
+        "CASE WHEN o_orderstatus = 'F' AND row_id < 1000000 THEN 'f_seed' "
+        "WHEN o_orderstatus = 'O' THEN 'o_mint' "
+        "WHEN o_orderstatus = 'P' THEN 'p_explicit' "
+        "ELSE 'f_tail' END"
+    ).alias("part")
+    return (
+        delta_compat.read_delta(spark, table)
+        .select(part, "row_id")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("row_id").cast("bigint").alias("min_id"),
+            F.max("row_id").cast("bigint").alias("max_id"),
+            F.sum("row_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+# ranges replayed arithmetically: contiguity makes Σ = (lo+hi)·n/2 exact
+_S29_SQL = (
+    "WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderstatus = 'F'), "
+    "o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderstatus = 'O'), "
+    "p AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(min(1000000 + o_orderkey) AS BIGINT) AS lo, "
+    "CAST(max(1000000 + o_orderkey) AS BIGINT) AS hi, "
+    "CAST(sum(1000000 + o_orderkey) AS BIGINT) AS s FROM orders "
+    "WHERE o_orderstatus = 'P'), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3) "
+    "SELECT 'f_seed' AS part, f.n AS n, CAST(1 AS BIGINT) AS min_id, "
+    "f.n AS max_id, CAST((1 + f.n) * f.n // 2 AS BIGINT) AS id_sum "
+    "FROM f "
+    "UNION ALL SELECT 'o_mint', o.n, f.n + 1, f.n + o.n, "
+    "CAST((f.n + 1 + f.n + o.n) * o.n // 2 AS BIGINT) FROM f, o "
+    "UNION ALL SELECT 'p_explicit', p.n, p.lo, p.hi, p.s FROM p "
+    "UNION ALL SELECT 'f_tail', t.n, p.hi + 1, p.hi + t.n, "
+    "CAST((p.hi + 1 + p.hi + t.n) * t.n // 2 AS BIGINT) FROM p, t"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2284,6 +2365,7 @@ QUERIES = {
     "s26_clone_rewrite": s26_clone_rewrite,
     "s27_type_widening": s27_type_widening,
     "s28_replace_where": s28_replace_where,
+    "s29_identity_columns": s29_identity_columns,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2322,6 +2404,7 @@ ORACLES = {
     "s26_clone_rewrite": _S26_SQL,
     "s27_type_widening": _S27_SQL,
     "s28_replace_where": _S28_SQL,
+    "s29_identity_columns": _S29_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

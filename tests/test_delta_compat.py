@@ -3295,7 +3295,9 @@ def test_generated_columns_enforced_on_row_writes(spark, tmp_path):
         dc.merge_delta(spark, table,
                        spark.createDataFrame([(9, 1)], "k long, k2 long"),
                        ["k"])
-    # identity columns remain out of scope
+    # identity columns: explicit values under GENERATED ALWAYS refuse
+    # (minting appends are supported since round 8 — see the dedicated
+    # identity lifecycle tests)
     table2 = str(tmp_path / "ident_tbl")
     _write_parquet(
         spark, [(1,)], "k long", os.path.join(table2, "a.parquet")
@@ -4856,3 +4858,101 @@ def test_mapped_zorder_clusters_on_logical_keys(spark, tmp_path):
     assert got == set(range(10))
     with pytest.raises(dc.DeltaProtocolError, match="not columns"):
         dc.optimize_delta(spark, table, zorder_by=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# GENERATED IDENTITY columns
+# ---------------------------------------------------------------------------
+
+
+def test_identity_minting_contiguous_and_hwm_advances(spark, tmp_path):
+    """Each minting append assigns the contiguous next range past the
+    high-water mark (any permutation — the certificate is range
+    accounting), and the mark advances in the SAME commit's metaData."""
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.range(7).selectExpr("CAST(id AS STRING) AS k").repartition(4),
+        table,
+        identity={"column": "rid", "start": 5, "step": 3},
+    )
+    spec = dc.table_identity_columns(dc.snapshot(table)["schema"])["rid"]
+    assert spec == {"start": 5, "step": 3, "hwm": 5 + 3 * 6,
+                    "allow_explicit": False}
+    ids = sorted(r.rid for r in dc.read_delta(spark, table).collect())
+    assert ids == [5 + 3 * i for i in range(7)]
+    dc.append_delta(
+        spark.range(3).selectExpr("CAST(id + 100 AS STRING) AS k"), table
+    )
+    ids = sorted(r.rid for r in dc.read_delta(spark, table).collect())
+    assert ids == [5 + 3 * i for i in range(10)]
+    assert dc.table_identity_columns(
+        dc.snapshot(table)["schema"]
+    )["rid"]["hwm"] == 5 + 3 * 9
+
+
+def test_identity_generated_always_refuses_explicit(spark, tmp_path):
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.range(2).selectExpr("CAST(id AS STRING) AS k"), table,
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="GENERATED ALWAYS"):
+        dc.append_delta(
+            spark.createDataFrame([("x", 99)], "k string, rid long"), table
+        )
+
+
+def test_identity_by_default_explicit_bumps_hwm(spark, tmp_path):
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.range(2).selectExpr("CAST(id AS STRING) AS k"), table,
+        identity={"column": "rid", "start": 1, "step": 1,
+                  "allow_explicit": True},
+    )
+    dc.append_delta(
+        spark.createDataFrame([("x", 50)], "k string, rid long"), table
+    )
+    assert dc.table_identity_columns(
+        dc.snapshot(table)["schema"]
+    )["rid"]["hwm"] == 50
+    # the next mint starts above the explicit value
+    dc.append_delta(
+        spark.createDataFrame([("y",)], "k string"), table
+    )
+    ids = sorted(r.rid for r in dc.read_delta(spark, table).collect())
+    assert ids == [1, 2, 50, 51]
+
+
+def test_identity_hwm_survives_checkpoint(spark, tmp_path):
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.range(4).selectExpr("CAST(id AS STRING) AS k"), table,
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    dc.checkpoint_delta(table)
+    dc.cleanup_log(table)
+    dc.append_delta(spark.createDataFrame([("z",)], "k string"), table)
+    ids = sorted(r.rid for r in dc.read_delta(spark, table).collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+
+def test_identity_value_preserving_verbs_allowed_row_introducing_refuse(
+    spark, tmp_path
+):
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.range(6).selectExpr("CAST(id AS STRING) AS k"), table,
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([("0",)], "k string"), ["k"]
+    )
+    dc.optimize_delta(spark, table)
+    assert sorted(
+        r.rid for r in dc.read_delta(spark, table).collect()
+    ) == [2, 3, 4, 5, 6]
+    src = spark.createDataFrame([("1", 99)], "k string, rid long")
+    with pytest.raises(dc.DeltaProtocolError, match="identity column"):
+        dc.merge_delta(spark, table, src, ["k"])
+    with pytest.raises(dc.DeltaProtocolError, match="identity column"):
+        dc.rename_column(table, "rid", "row_id")
