@@ -800,8 +800,67 @@ def _read_with_mapping(
     return df.select(_logical_cols(schema_json, phys_of))
 
 
+def _mapped_part_binding(
+    snap: dict, files: list[str] | None = None
+) -> dict[str, str]:
+    """logical → PHYSICAL binding for a mapped HIVE-PARTITIONED
+    snapshot, shared by every partition-recovering mapped scan and
+    rewrite. Validates the physical-name ``col=value/`` layout; id mode
+    resolves data columns from the live files' parquet footers
+    (``_id_physical_names``) with the metadata ``physicalName``
+    fallback for exactly the partition columns — their values live in
+    directory names, never in a footer, so no field id can bind
+    them."""
+    files = snap["files"] if files is None else files
+    ppcols = set(snap["partition_cols"])  # PHYSICAL names
+    for p in snap["partition_cols"]:
+        seg = f"{p}="
+        if not all(seg in f for f in files):
+            raise DeltaProtocolError(
+                "mapped partitioned table without hive directory "
+                "layout (physical-name col=value/ segments) is not "
+                "supported"
+            )
+    if _mapping_mode(snap) == "id":
+        phys_of = _id_physical_names(snap["schema"], files)
+        meta_of = {l: p for p, l in _physical_renames(snap["schema"])}
+        return {
+            l: (meta_of[l] if meta_of[l] in ppcols else p)
+            for l, p in phys_of.items()
+        }
+    return {l: p for p, l in _physical_renames(snap["schema"])}
+
+
+def _mapped_logical_cols(
+    snap: dict, phys_of: dict[str, str]
+) -> list:
+    """Physical→logical rename projection for a mapped PARTITIONED
+    scan: directory-recovered partition columns additionally cast back
+    to the LOG schema's types (directory inference types
+    numeric-looking values as ints)."""
+    import pyspark.sql.functions as F
+
+    ppcols = set(snap["partition_cols"])
+    cols = []
+    for f in json.loads(snap["schema"])["fields"]:
+        phys = phys_of[f["name"]]
+        c = F.col(phys)
+        if phys in ppcols:
+            c = c.cast(
+                T.StructType.fromJson(
+                    {"type": "struct", "fields": [dict(f, metadata={})]}
+                ).fields[0].dataType
+            )
+        cols.append(c.alias(f["name"]))
+    return cols
+
+
 def _read_mapped_partitioned(
-    spark: SparkSession, table: str, snap: dict, phys_of: dict[str, str]
+    spark: SparkSession,
+    table: str,
+    snap: dict,
+    phys_of: dict[str, str],
+    keep_file_col: str | None = None,
 ) -> DataFrame:
     """Scan a column-mapped HIVE-PARTITIONED table (the protocol keys
     ``partitionColumns``, ``partitionValues`` AND the ``phys=value/``
@@ -809,30 +868,30 @@ def _read_mapped_partitioned(
     delta-spark writes): basePath-recover the physically-named
     partition columns, read the data columns under the physical
     schema, cast the recovered partition values back to the LOG types,
-    and rename everything to logical names. id-mode field-id
-    resolution runs over the data files exactly like the unpartitioned
-    path."""
+    and rename everything to logical names. Live deletion vectors
+    subtract under the physical schema (``_read_with_dvs`` with the
+    physical struct — the DV pair join is name-agnostic).
+    ``keep_file_col`` appends the per-row source-file URI the COW
+    verbs tag rows with."""
     import pyspark.sql.functions as F
 
-    ppcols = set(snap["partition_cols"])  # PHYSICAL names
-    for p in snap["partition_cols"]:
-        seg = f"{p}="
-        if not all(seg in f for f in snap["files"]):
-            raise DeltaProtocolError(
-                "mapped partitioned table without hive directory "
-                "layout (physical-name col=value/ segments) is not "
-                "supported"
-            )
-    if _mapping_mode(snap) == "id":
-        phys_of = _id_physical_names(snap["schema"], snap["files"])
-        # partition values never live in the data files, so footer
-        # resolution cannot bind their ids — fall back to metadata
-        # physicalName for exactly the partition columns
-        meta_of = {l: p for p, l in _physical_renames(snap["schema"])}
-        phys_of = {
-            l: (meta_of[l] if meta_of[l] in ppcols else p)
-            for l, p in phys_of.items()
-        }
+    phys_of = _mapped_part_binding(snap)
+    ppcols = set(snap["partition_cols"])
+    live_dvs = {
+        f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
+    }
+    out_cols = _mapped_logical_cols(snap, phys_of)
+    if keep_file_col is not None and live_dvs:
+        out_cols = out_cols + [F.col(keep_file_col)]
+    if live_dvs:
+        # physical full struct (partition cols under physical names):
+        # _read_with_dvs basePath-recovers the partition columns and
+        # anti-joins the decoded (file, index) pairs
+        return _read_with_dvs(
+            spark, table, snap["files"], live_dvs,
+            _phys_struct(snap["schema"], phys_of),
+            snap["partition_cols"], keep_file_col=keep_file_col,
+        ).select(out_cols)
     sch = json.loads(snap["schema"])
     data_fields = [
         dict(f, name=phys_of[f["name"]], metadata={})
@@ -845,19 +904,10 @@ def _read_mapped_partitioned(
     df = spark.read.option("basePath", table).schema(data_schema).parquet(
         *snap["files"]
     )
-    cols = []
-    for f in sch["fields"]:
-        phys = phys_of[f["name"]]
-        c = F.col(phys)
-        if phys in ppcols:
-            # directory-name inference typed it; the LOG type rules
-            c = c.cast(
-                T.StructType.fromJson(
-                    {"type": "struct", "fields": [dict(f, metadata={})]}
-                ).fields[0].dataType
-            )
-        cols.append(c.alias(f["name"]))
-    return df.select(cols)
+    if keep_file_col is not None:
+        df = df.withColumn(keep_file_col, F.input_file_name())
+        out_cols = out_cols + [F.col(keep_file_col)]
+    return df.select(out_cols)
 
 
 def read_delta(
@@ -888,8 +938,9 @@ def read_delta(
     tables read through the physical→logical rename — ``name`` mode
     via each field's ``physicalName`` metadata, ``id`` mode via
     parquet field-id resolution against the footer (what delta-spark
-    tables use after ``ALTER COLUMN`` renames); mapped partitioned/DV
-    tables refuse loudly."""
+    tables use after ``ALTER COLUMN`` renames); hive partitioning and
+    live deletion vectors compose with mapping in every
+    combination."""
     snap = snapshot(table, version, timestamp_ms)
     mode = _mapping_mode(snap)
     if mode not in ("none", "name", "id"):
@@ -927,11 +978,9 @@ def read_delta(
     }
     if mode != "none":
         if snap["partition_cols"]:
-            if live_dvs:
-                raise DeltaProtocolError(
-                    "column mapping + hive partitioning + deletion "
-                    "vectors combined is not supported by this reader"
-                )
+            # hive-partitioned mapped scan; live DVs subtract under the
+            # physical schema inside (mapping + partitioning +
+            # merge-on-read all compose)
             return _read_mapped_partitioned(spark, table, snap, phys_of)
         if mode == "id":
             # field-id resolution + drift validation over exactly the
@@ -1333,16 +1382,14 @@ def append_delta(
                 f"appending to a column mapping mode {mapping_mode!r} "
                 "table is not supported"
             )
-        if mapping_mode != "none" and snap0["partition_cols"]:
-            # the mapped reader scopes out partitioned tables — an
-            # unreadable table must not be written (symmetric with
-            # enable_column_mapping's partitioned refusal)
-            raise DeltaProtocolError(
-                "appending to a partitioned column-mapped table is not "
-                "supported (the mapped reader scopes out partitioning)"
-            )
         mapped_schema_json = snap0["schema"]
-        existing = snap0["partition_cols"]
+        existing = snap0["partition_cols"]  # PHYSICAL names when mapped
+        if mapping_mode != "none" and partition_by:
+            # the caller names partition columns LOGICALLY (the user
+            # surface); the log and the hive directories key them
+            # physically — translate before comparing and writing
+            _pmap = {l: p for p, l in _physical_renames(snap0["schema"])}
+            partition_by = [_pmap.get(c, c) for c in partition_by]
         if existing != partition_by:
             raise DeltaProtocolError(
                 f"table is partitioned by {existing}, append specified "
@@ -2881,6 +2928,12 @@ def optimize_delta(
         groups.append((snap["files"], {}))
 
     if where:
+        if _mapping_mode(snap) != "none":
+            # predicate keys arrive LOGICAL; directories and pcols are
+            # physical (partition columns always bind via metadata
+            # physicalName — their values never live in a footer)
+            _wmap = {l: p for p, l in _physical_renames(snap["schema"])}
+            where = {_wmap.get(k, k): v for k, v in where.items()}
         if not set(where) <= set(pcols):
             raise DeltaProtocolError(
                 f"OPTIMIZE WHERE keys {sorted(where)} must be partition "
@@ -2902,12 +2955,19 @@ def optimize_delta(
     # inference from one would silently drop their data.
     _mode = _mapping_mode(snap)
     _phys_of = (
-        _id_physical_names(snap["schema"], snap["files"])
+        (
+            _mapped_part_binding(snap)
+            if pcols
+            else _id_physical_names(snap["schema"], snap["files"])
+        )
         if _mode == "id"
         else {l: p for p, l in _physical_renames(snap["schema"])}
         if _mode != "none"
         else {}
     )
+    # partition columns are excluded by PHYSICAL name — pcols are
+    # physical under mapping, and a renamed partition column's logical
+    # name must not leak a phantom field into the rewrite scan
     read_schema = T.StructType.fromJson(
         {
             "type": "struct",
@@ -2915,21 +2975,21 @@ def optimize_delta(
                 dict(f, name=_phys_of.get(f["name"], f["name"]),
                      metadata={})
                 for f in json.loads(snap["schema"])["fields"]
-                if f["name"] not in pcols
+                if _phys_of.get(f["name"], f["name"]) not in pcols
             ],
         }
     )
 
-    mapped_override = None
+    _mk_mapped_override = None
     _attach_ids = None
     if _mode != "none":
         # a plain staging rewrite would strip the parquet field ids the
         # mapped files carry (and id-mode resolution depends on): re-read
         # under the physical schema and re-attach each column's mapping
         # id via alias metadata, so compacted files stay resolvable in
-        # BOTH modes. Mapped tables are unpartitioned in this module's
-        # scope, so this single frame covers the one file group below
-        # (the DV branch rebuilds it through the subtracting scan).
+        # BOTH modes. Built per file group — a hive-partitioned table
+        # compacts one directory at a time (the DV branch rebuilds the
+        # frame through the subtracting scan instead).
         import pyspark.sql.functions as F
 
         _id_of = {
@@ -2951,9 +3011,10 @@ def optimize_delta(
                 ]
             )
 
-        mapped_override = _attach_ids(
-            spark.read.schema(read_schema).parquet(*snap["files"])
-        )
+        def _mk_mapped_override(group_files):
+            return _attach_ids(
+                spark.read.schema(read_schema).parquet(*group_files)
+            )
 
     cluster = None
     if zorder_by:
@@ -2977,7 +3038,9 @@ def optimize_delta(
     removes: list[dict] = []
     adds: list[dict] = []
     for files, pvals in groups:
-        df_override = mapped_override
+        df_override = (
+            _mk_mapped_override(files) if _mk_mapped_override else None
+        )
         group_dvs = {f: d for f, d in live_dvs.items() if f in set(files)}
         if group_dvs:
             # OPTIMIZE doubles as REORG/PURGE: compact through the
@@ -3346,10 +3409,14 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
 
     The protocol is raised to what mapping demands: legacy tables move
     to (minReader 2, minWriter 5); table-features protocols add the
-    ``columnMapping`` feature to both lists. Partitioned tables refuse
-    (this module's mapped reader scopes them out — an unreadable table
-    must not be written); live deletion vectors compose fine since
-    round 7 (the mapped scan subtracts under the physical schema)."""
+    ``columnMapping`` feature to both lists. Hive-partitioned tables
+    upgrade in place too: ``partitionColumns`` and the existing
+    ``col=value/`` directories are keyed by PHYSICAL names under
+    mapping, and pinning physical = logical at upgrade makes both
+    valid as-is (renaming a partition column afterwards is
+    metadata-only — the directories keep the physical name); live
+    deletion vectors compose (the mapped scan subtracts under the
+    physical schema)."""
     if mode not in ("name", "id"):
         raise DeltaProtocolError(
             f"column mapping mode {mode!r} is not supported"
@@ -3359,11 +3426,6 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
     if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "column mapping is already enabled on this table"
-        )
-    if snap["partition_cols"]:
-        raise DeltaProtocolError(
-            "enable_column_mapping on a partitioned table is not "
-            "supported (the mapped reader scopes out partitioned tables)"
         )
     sch = json.loads(snap["schema"])
     fields = []
@@ -3552,10 +3614,10 @@ def rename_column(table: str, old: str, new: str) -> int:
         raise DeltaProtocolError(f"no such column {old!r}")
     if new in names:
         raise DeltaProtocolError(f"column {new!r} already exists")
-    if old in (snap["partition_cols"] or []):
-        raise DeltaProtocolError(
-            f"cannot rename partition column {old!r}"
-        )
+    # renaming a PARTITION column is fine under mapping: metaData's
+    # partitionColumns, every add's partitionValues and the hive
+    # col=value/ directories are all keyed by the PHYSICAL name, which
+    # this commit does not touch — only the logical surface moves
     import re as _re
 
     ref = _re.compile(rf"\b{_re.escape(old)}\b", _re.IGNORECASE)
@@ -3631,7 +3693,15 @@ def drop_column(table: str, col: str) -> int:
         raise DeltaProtocolError(f"no such column {col!r}")
     if len(names) == 1:
         raise DeltaProtocolError("cannot drop the last column")
-    if col in (snap["partition_cols"] or []):
+    # partitionColumns are PHYSICAL names — compare through the binding
+    # so a renamed partition column still refuses to drop
+    _phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sch["fields"]
+    }
+    if _phys[col] in (snap["partition_cols"] or []):
         raise DeltaProtocolError(f"cannot drop partition column {col!r}")
     import re as _re
 
@@ -3714,10 +3784,18 @@ def _cow_scan(spark: SparkSession, table: str, snap: dict) -> DataFrame:
         return spark.createDataFrame([], full).withColumn(
             "_src_file", F.lit(None).cast("string")
         )
+    if mode != "none" and snap["partition_cols"]:
+        # mapped + hive-partitioned (± DVs): basePath-recover the
+        # physically-named partition columns, subtract any live DVs
+        # under the physical schema, rename, keep the file tag
+        return _read_mapped_partitioned(
+            spark, table, snap,
+            {l: p for p, l in _physical_renames(snap["schema"])},
+            keep_file_col="_src_file",
+        )
     if live_dvs and mode != "none":
         # mapped + merge-on-read: subtract under the PHYSICAL schema,
-        # rename, keep the scan's own file tag (mapped tables are
-        # unpartitioned in this module's scope)
+        # rename, keep the scan's own file tag
         phys_of = (
             _id_physical_names(snap["schema"], snap["files"])
             if mode == "id"
@@ -3919,15 +3997,17 @@ def replace_where_delta(
             "must prune at the metadata layer, or the overwrite is a "
             "full-table rewrite in disguise)"
         )
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "replaceWhere on a column-mapped table is not supported "
-            "(partitioned mapped writes are out of scope, symmetric "
-            "with append_delta)"
-        )
     if not where:
         raise DeltaProtocolError("replaceWhere predicate must be non-empty")
-    bad = set(where) - set(pcols)
+    _mode = _mapping_mode(snap)
+    phys_where = dict(where)
+    if _mode != "none":
+        # predicate keys arrive LOGICAL (they also filter the batch,
+        # whose columns are logical); the directories, pcols and remove
+        # partitionValues are keyed physically
+        _wmap = {l: p for p, l in _physical_renames(snap["schema"])}
+        phys_where = {_wmap.get(k, k): v for k, v in where.items()}
+    bad = set(phys_where) - set(pcols)
     if bad:
         raise DeltaProtocolError(
             "replaceWhere supports partition-column equality only; "
@@ -3964,7 +4044,7 @@ def replace_where_delta(
     matching = [
         f
         for f in snap["files"]
-        if all(_pvals(f).get(k) == str(v) for k, v in where.items())
+        if all(_pvals(f).get(k) == str(v) for k, v in phys_where.items())
     ]
 
     cdc_actions: list[dict] = []
@@ -3972,18 +4052,37 @@ def replace_where_delta(
         live_dvs = {
             f: d for f, d in snap["file_dvs"].items() if f in set(matching)
         }
-        old_rows = (
-            _read_with_dvs(spark, table, matching, live_dvs, full, pcols)
-            if matching
-            else spark.createDataFrame([], full)
-        )
+        if not matching:
+            old_rows = spark.createDataFrame([], full)
+        elif _mode != "none":
+            # preimages read through the mapped partitioned scan
+            # (logical names out; DVs subtracted so an already-erased
+            # row cannot resurface as a preimage)
+            old_rows = _read_mapped_partitioned(
+                spark, table, dict(snap, files=matching), {}
+            )
+        else:
+            old_rows = _read_with_dvs(
+                spark, table, matching, live_dvs, full, pcols
+            )
         changes = old_rows.withColumn(
             "_change_type", F.lit("delete")
         ).unionByName(df.withColumn("_change_type", F.lit("insert")))
+        if _mode != "none":
+            _pof, _ids = _mapped_write_plan(snap)
+            changes = _to_physical(
+                changes, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
+            )
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    out_df = df
+    if _mode != "none":
+        _pof, _ids = _mapped_write_plan(snap)
+        out_df = _to_physical(df, snap["schema"], phys_of=_pof,
+                              attach_ids=_ids)
+    out_df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
     adds = _promote_staged(table, staging, version, pcols, True)
     removes = [
         {
@@ -4081,17 +4180,37 @@ def delete_delta_dv(
     mode = _mapping_mode(snap)
     if mode != "none":
         # mapped data files carry PHYSICAL names; the key matching
-        # below runs on logical names, so scan physical and rename
-        # (mapped tables are unpartitioned in this module's scope)
-        phys_of = (
-            _id_physical_names(snap["schema"], files)
-            if mode == "id"
-            else {l: p for p, l in _physical_renames(snap["schema"])}
-        )
-        base = spark.read.schema(
-            _phys_struct(snap["schema"], phys_of)
-        ).parquet(*files).select(
-            _logical_cols(snap["schema"], phys_of)
+        # below runs on logical names, so scan physical and rename.
+        # Hive-partitioned: basePath-recover the physically-named
+        # partition columns and cast them back to the log types
+        if pcols:
+            phys_of = _mapped_part_binding(snap, files)
+            data_schema = T.StructType.fromJson(
+                {
+                    "type": "struct",
+                    "fields": [
+                        dict(f, name=phys_of[f["name"]], metadata={})
+                        for f in json.loads(snap["schema"])["fields"]
+                        if phys_of[f["name"]] not in set(pcols)
+                    ],
+                }
+            )
+            reader = spark.read.option("basePath", table).schema(
+                data_schema
+            )
+            out_cols = _mapped_logical_cols(snap, phys_of)
+        else:
+            phys_of = (
+                _id_physical_names(snap["schema"], files)
+                if mode == "id"
+                else {l: p for p, l in _physical_renames(snap["schema"])}
+            )
+            reader = spark.read.schema(
+                _phys_struct(snap["schema"], phys_of)
+            )
+            out_cols = _logical_cols(snap["schema"], phys_of)
+        base = reader.parquet(*files).select(
+            out_cols
             + [
                 F.expr(
                     "regexp_replace(_metadata.file_path, "
@@ -4674,36 +4793,61 @@ def read_delta_changes(
             if _mapping_mode(snap_v) != "none":
                 # mapped change files carry PHYSICAL data columns plus
                 # a literal _change_type; project back to logical names
-                # exactly like the table scan (mapped tables are never
-                # partitioned in this module's scope). id mode resolves
-                # from the change files' own footers — they were written
+                # exactly like the table scan. id mode resolves from
+                # the change files' own footers — they were written
                 # with the table's footer-resolved names, which may
-                # legitimately differ from the metadata physicalName
-                phys_of = (
-                    _id_physical_names(snap_v["schema"], files)
-                    if _mapping_mode(snap_v) == "id"
-                    else {
-                        l: p for p, l in _physical_renames(snap_v["schema"])
-                    }
-                )
-                phys_fields = [
-                    dict(f, name=phys_of[f["name"]], metadata={})
-                    for f in json.loads(snap_v["schema"])["fields"]
-                ]
-                cdc_schema = T.StructType.fromJson(
-                    {"type": "struct", "fields": phys_fields}
-                ).add(ct_field)
-                part = (
-                    spark.read.schema(cdc_schema)
-                    .parquet(*files)
-                    .select(
-                        [
-                            F.col(phys_of[f.name]).alias(f.name)
-                            for f in full.fields
-                        ]
-                        + [F.col("_change_type")]
+                # legitimately differ from the metadata physicalName.
+                # Partitioned: the change files mirror the table's hive
+                # layout under _change_data/ with PHYSICAL dir names
+                if pcols:
+                    phys_of = _mapped_part_binding(snap_v, files)
+                    data_fields = [
+                        dict(f, name=phys_of[f["name"]], metadata={})
+                        for f in json.loads(snap_v["schema"])["fields"]
+                        if phys_of[f["name"]] not in set(pcols)
+                    ]
+                    cdc_schema = T.StructType.fromJson(
+                        {"type": "struct", "fields": data_fields}
+                    ).add(ct_field)
+                    part = (
+                        spark.read.option(
+                            "basePath",
+                            os.path.join(table, "_change_data"),
+                        )
+                        .schema(cdc_schema)
+                        .parquet(*files)
+                        .select(
+                            _mapped_logical_cols(snap_v, phys_of)
+                            + [F.col("_change_type")]
+                        )
                     )
-                )
+                else:
+                    phys_of = (
+                        _id_physical_names(snap_v["schema"], files)
+                        if _mapping_mode(snap_v) == "id"
+                        else {
+                            l: p
+                            for p, l in _physical_renames(snap_v["schema"])
+                        }
+                    )
+                    phys_fields = [
+                        dict(f, name=phys_of[f["name"]], metadata={})
+                        for f in json.loads(snap_v["schema"])["fields"]
+                    ]
+                    cdc_schema = T.StructType.fromJson(
+                        {"type": "struct", "fields": phys_fields}
+                    ).add(ct_field)
+                    part = (
+                        spark.read.schema(cdc_schema)
+                        .parquet(*files)
+                        .select(
+                            [
+                                F.col(phys_of[f.name]).alias(f.name)
+                                for f in full.fields
+                            ]
+                            + [F.col("_change_type")]
+                        )
+                    )
             elif pcols:
                 cdc_schema = T.StructType(
                     [f for f in full.fields if f.name not in pcols]
@@ -4741,12 +4885,18 @@ def read_delta_changes(
             if _mapping_mode(snap_v) != "none":
                 # mapped appends wrote physical names; synthesize the
                 # inserts through the same physical→logical projection
-                part = _read_with_mapping(
-                    spark, files, snap_v["schema"],
-                    _id_physical_names(snap_v["schema"], files)
-                    if _mapping_mode(snap_v) == "id"
-                    else None,
-                )
+                # (partitioned: basePath-recover the physical dirs)
+                if pcols:
+                    part = _read_mapped_partitioned(
+                        spark, table, dict(snap_v, files=files), {}
+                    )
+                else:
+                    part = _read_with_mapping(
+                        spark, files, snap_v["schema"],
+                        _id_physical_names(snap_v["schema"], files)
+                        if _mapping_mode(snap_v) == "id"
+                        else None,
+                    )
             elif pcols:
                 data_schema = T.StructType(
                     [f for f in full.fields if f.name not in pcols]

@@ -2332,6 +2332,100 @@ _S29_SQL = (
 )
 
 
+def s30_mapped_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30 — column mapping COMPOSES with hive partitioning, the
+    everyday 100 TB table shape (every production table is
+    date-partitioned; round 7 only made UNPARTITIONED tables
+    renameable): create partitioned by ``o_orderstatus`` → enable
+    mapping in place (zero rewrites — ``partitionColumns``, the
+    ``col=value/`` dirs and every add's ``partitionValues`` are keyed
+    by PHYSICAL names, and physical = logical at upgrade) → rename the
+    PARTITION column and a data column (metadata-only; the directories
+    keep the physical name) → append under the LOGICAL names ('F'
+    twins at key+1e6, price+1) → DV-erase every key % 7 = 0
+    (merge-on-read) → COW-merge price+100 onto 'O' keys % 11 = 3
+    (re-inserting any DV-erased ones — merge semantics) → OPTIMIZE
+    WHERE on the renamed partition key. Certificate: latest grouped by
+    the renamed column + time travel to v0 under the ORIGINAL schema;
+    the oracle replays the sequence storage-blind."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s30_orders_mapped_part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders, table, partition_by=["o_orderstatus"]
+    )
+    delta_compat.enable_column_mapping(table)
+    delta_compat.rename_column(table, "o_orderstatus", "status")
+    delta_compat.rename_column(table, "o_totalprice", "price")
+    app = orders.filter("o_orderstatus = 'F'").select(
+        (F.col("o_orderkey") + F.lit(1000000))
+        .cast("long")
+        .alias("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("price"),
+    )
+    delta_compat.append_delta(app, table, partition_by=["status"])
+    doomed = orders.filter("o_orderkey % 7 = 0").select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    src = orders.filter(
+        "o_orderstatus = 'O' AND o_orderkey % 11 = 3"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+    )
+    delta_compat.merge_delta(spark, table, src, ["o_orderkey"])
+    delta_compat.optimize_delta(spark, table, where={"status": "F"})
+    latest = (
+        delta_compat.read_delta(spark, table)
+        .select("o_orderkey", "status", "price")
+        .withColumn("part", F.lit("latest"))
+    )
+    v0 = (
+        delta_compat.read_delta(spark, table, version=0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .withColumn("part", F.lit("v0"))
+    )
+    return (
+        latest.unionByName(v0)
+        .groupBy("part", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S30_SQL = (
+    "WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, "
+    "o_totalprice AS p FROM orders), "
+    "latest AS ("
+    "SELECT k, s, p FROM base WHERE s = 'F' AND k % 7 != 0 "
+    "UNION ALL SELECT k + 1000000, s, p + 1.0 FROM base WHERE s = 'F' "
+    "UNION ALL SELECT k, s, "
+    "CASE WHEN k % 11 = 3 THEN p + 100.0 ELSE p END "
+    "FROM base WHERE s = 'O' AND (k % 7 != 0 OR k % 11 = 3) "
+    "UNION ALL SELECT k, s, p FROM base WHERE s = 'P' AND k % 7 != 0), "
+    "parts AS ("
+    "SELECT 'latest' AS part, k, s, p FROM latest "
+    "UNION ALL SELECT 'v0', k, s, p FROM base) "
+    "SELECT part, s AS status, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(p AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM parts GROUP BY part, status"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2366,6 +2460,7 @@ QUERIES = {
     "s27_type_widening": s27_type_widening,
     "s28_replace_where": s28_replace_where,
     "s29_identity_columns": s29_identity_columns,
+    "s30_mapped_partitioned": s30_mapped_partitioned,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2405,6 +2500,7 @@ ORACLES = {
     "s27_type_widening": _S27_SQL,
     "s28_replace_where": _S28_SQL,
     "s29_identity_columns": _S29_SQL,
+    "s30_mapped_partitioned": _S30_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,

@@ -3663,14 +3663,17 @@ def test_enable_column_mapping_refusals(spark, tmp_path):
     dc.enable_column_mapping(table)
     with pytest.raises(dc.DeltaProtocolError, match="already enabled"):
         dc.enable_column_mapping(table)
+    # partitioned tables upgrade in place since round 8: existing
+    # col=value/ dirs stay valid because physical = logical at upgrade
     ptable = str(tmp_path / "cmw_part")
     dc.append_delta(
         spark.range(4).select(F.col("id").alias("k"),
                               (F.col("id") % 2).cast("string").alias("p")),
         ptable, partition_by=["p"],
     )
-    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
-        dc.enable_column_mapping(ptable)
+    dc.enable_column_mapping(ptable)
+    assert dc.snapshot(ptable)["partition_cols"] == ["p"]
+    assert dc.read_delta(spark, ptable).count() == 4
 
 
 def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
@@ -4296,10 +4299,11 @@ def test_optimize_preserves_evolved_column(spark, tmp_path):
     assert after == before
 
 
-def test_mapped_append_partitioned_refused(spark, tmp_path):
-    """A foreign name-mapped PARTITIONED table refuses appends — the
-    mapped reader scopes out partitioning, and an unreadable table must
-    not be written (symmetric with enable_column_mapping's refusal)."""
+def test_mapped_append_partitioned_foreign_table(spark, tmp_path):
+    """A foreign name-mapped PARTITIONED table (physical data columns
+    col-<uuid>, physically-named hive dirs) accepts appends: the new
+    files land under the physical directory layout and the combined
+    state reads back with logical names."""
     import pyspark.sql.functions as F
 
     table = str(tmp_path / "cm_part_tbl")
@@ -4311,11 +4315,12 @@ def test_mapped_append_partitioned_refused(spark, tmp_path):
     md["metaData"]["partitionColumns"] = ["p"]
     schema = json.loads(md["metaData"]["schemaString"])
     schema["fields"].append(
-        {"name": "p", "type": "string", "nullable": True,
+        {"name": "part", "type": "string", "nullable": True,
          "metadata": {"delta.columnMapping.id": 3,
                       "delta.columnMapping.physicalName": "p"}}
     )
     md["metaData"]["schemaString"] = json.dumps(schema)
+    md["metaData"]["configuration"]["delta.columnMapping.maxColumnId"] = "3"
     _commit(
         table, 0,
         [_PROTO_CM, md,
@@ -4323,13 +4328,20 @@ def test_mapped_append_partitioned_refused(spark, tmp_path):
                   {"p": "x"}, "size": 1, "modificationTime": 0,
                   "dataChange": True}}],
     )
-    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
-        dc.append_delta(
-            spark.range(1).select(F.col("id").alias("k"),
-                                  F.lit("y").alias("v"),
-                                  F.lit("x").alias("p")),
-            table, partition_by=["p"],
-        )
+    dc.append_delta(
+        spark.range(1).select(F.col("id").alias("k"),
+                              F.lit("y").alias("v"),
+                              F.lit("z").alias("part")),
+        table, partition_by=["part"],  # LOGICAL partition name
+    )
+    snap = dc.snapshot(table)
+    assert snap["partition_cols"] == ["p"]
+    assert all("p=" in f for f in snap["files"])
+    got = sorted(
+        (r["k"], r["v"], r["part"])
+        for r in dc.read_delta(spark, table).collect()
+    )
+    assert got == [(0, "y", "z"), (1, "a", "x")]
 
 
 def test_assign_mapping_ids_foreign_table_without_max_column_id(spark,
@@ -4956,3 +4968,203 @@ def test_identity_value_preserving_verbs_allowed_row_introducing_refuse(
         dc.merge_delta(spark, table, src, ["k"])
     with pytest.raises(dc.DeltaProtocolError, match="identity column"):
         dc.rename_column(table, "rid", "row_id")
+
+
+# ---------------------------------------------------------------------------
+# column mapping × hive partitioning (end-to-end composition)
+# ---------------------------------------------------------------------------
+
+
+def _mk_mapped_part(spark, tmp_path, mode="name"):
+    table = str(tmp_path / "mp")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i), i % 3) for i in range(12)],
+        "k long, user string, amt double, d int",
+    )
+    dc.append_delta(df, table, partition_by=["d"])
+    dc.enable_column_mapping(table, mode=mode)
+    dc.rename_column(table, "d", "day")     # PARTITION column rename
+    dc.rename_column(table, "user", "uid")  # data column rename
+    return table
+
+
+def test_mapped_partitioned_rename_append_time_travel(spark, tmp_path):
+    """enable mapping on a PARTITIONED table, rename the partition
+    column and a data column (both metadata-only), append under the
+    LOGICAL names; the physical layout stays keyed by the original
+    names and pre-rename time travel serves the old schema."""
+    table = _mk_mapped_part(spark, tmp_path)
+    dc.append_delta(
+        spark.createDataFrame(
+            [(100, "uX", 1.0, 1)], "k long, uid string, amt double, day int"
+        ),
+        table,
+        partition_by=["day"],  # logical name
+    )
+    got = dc.read_delta(spark, table)
+    assert sorted(got.columns) == ["amt", "day", "k", "uid"]
+    assert got.count() == 13
+    assert got.filter("day = 1").count() == 5
+    # spec compliance: partitionColumns, directories and add
+    # partitionValues all keep the PHYSICAL name 'd'
+    snap = dc.snapshot(table)
+    assert snap["partition_cols"] == ["d"]
+    assert all("d=" in f for f in snap["files"])
+    # pre-rename time travel serves the original logical schema
+    old = dc.read_delta(spark, table, version=0)
+    assert sorted(old.columns) == ["amt", "d", "k", "user"]
+    assert old.count() == 12
+
+
+def test_mapped_partitioned_append_wrong_partition_name_refuses(
+    spark, tmp_path
+):
+    table = _mk_mapped_part(spark, tmp_path)
+    with pytest.raises(dc.DeltaProtocolError, match="partitioned by"):
+        dc.append_delta(
+            spark.createDataFrame(
+                [(1, "u", 1.0, 0)],
+                "k long, uid string, amt double, day int",
+            ),
+            table,
+            partition_by=["uid"],
+        )
+
+
+def test_mapped_partitioned_dv_cow_optimize_replacewhere(spark, tmp_path):
+    """the full verb set on a renamed partitioned table: DV delete,
+    COW merge, OPTIMIZE WHERE and replaceWhere all take LOGICAL
+    predicate/key names and preserve the physical layout."""
+    table = _mk_mapped_part(spark, tmp_path)
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    assert dc.read_delta(spark, table).count() == 11
+    src = spark.createDataFrame(
+        [(1, "zz", 99.0, 1), (500, "new", 5.0, 2)],
+        "k long, uid string, amt double, day int",
+    )
+    dc.merge_delta(spark, table, src, ["k"])
+    got = {
+        r["k"]: (r["uid"], r["amt"], r["day"])
+        for r in dc.read_delta(spark, table)
+        .filter("k in (0, 1, 500)")
+        .collect()
+    }
+    assert got == {1: ("zz", 99.0, 1), 500: ("new", 5.0, 2)}
+    dc.optimize_delta(spark, table, where={"day": "1"})  # logical key
+    assert dc.read_delta(spark, table).count() == 12
+    dc.replace_where_delta(
+        spark,
+        spark.createDataFrame(
+            [(700, "rw", 1.0, 0)], "k long, uid string, amt double, day int"
+        ),
+        table,
+        {"day": "0"},  # logical key
+    )
+    per_day = {
+        r["day"]: r["count"]
+        for r in dc.read_delta(spark, table).groupBy("day").count().collect()
+    }
+    assert per_day == {0: 1, 1: 4, 2: 5}
+    with pytest.raises(dc.DeltaProtocolError, match="partition columns"):
+        dc.replace_where_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", 1.0, 0)], "k long, uid string, amt double, day int"
+            ),
+            table,
+            {"uid": "x"},
+        )
+
+
+def test_mapped_partitioned_cdf_all_shapes(spark, tmp_path):
+    """CDF capture and replay across merge, replaceWhere, DV delete
+    and a synthesized-insert append on a renamed partitioned table —
+    logical names out, partition values intact."""
+    table = _mk_mapped_part(spark, tmp_path)
+    dc.merge_delta(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, "X", 9.0, 1)], "k long, uid string, amt double, day int"
+        ),
+        ["k"],
+        change_data=True,
+    )
+    v = dc.snapshot(table)["version"]
+    ch = dc.read_delta_changes(spark, table, v, v)
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+    ]
+    dc.replace_where_delta(
+        spark,
+        spark.createDataFrame(
+            [(70, "rw", 1.0, 0)], "k long, uid string, amt double, day int"
+        ),
+        table,
+        {"day": "0"},
+        change_data=True,
+    )
+    v = dc.snapshot(table)["version"]
+    ch = dc.read_delta_changes(spark, table, v, v)
+    got = sorted((r["k"], r["_change_type"], r["day"]) for r in ch.collect())
+    assert (70, "insert", 0) in got
+    assert all(t == "delete" for _, t, _ in got[:-1])
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(4,)], "k long"), ["k"],
+        change_data=True,
+    )
+    v = dc.snapshot(table)["version"]
+    ch = dc.read_delta_changes(spark, table, v, v)
+    assert [(r["k"], r["_change_type"], r["day"]) for r in ch.collect()] == [
+        (4, "delete", 1)
+    ]
+    dc.append_delta(
+        spark.createDataFrame(
+            [(80, "ap", 1.0, 2)], "k long, uid string, amt double, day int"
+        ),
+        table,
+        partition_by=["day"],
+    )
+    v = dc.snapshot(table)["version"]
+    ch = dc.read_delta_changes(spark, table, v, v)
+    assert [(r["k"], r["_change_type"], r["day"]) for r in ch.collect()] == [
+        (80, "insert", 2)
+    ]
+
+
+def test_mapped_partitioned_id_mode_checkpoint_survival(spark, tmp_path):
+    """id-mode mapping on a partitioned table: appends resolve
+    partition columns via metadata physicalName (no footer carries
+    them), and the state survives checkpoint + log cleanup."""
+    table = str(tmp_path / "mpid")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(i, f"n{i}", i % 2) for i in range(8)],
+            "k long, name string, d int",
+        ),
+        table,
+        partition_by=["d"],
+    )
+    dc.enable_column_mapping(table, mode="id")
+    dc.rename_column(table, "d", "day")
+    dc.append_delta(
+        spark.createDataFrame([(50, "x", 0)], "k long, name string, day int"),
+        table,
+        partition_by=["day"],
+    )
+    dc.checkpoint_delta(table)
+    dc.cleanup_log(table)
+    got = dc.read_delta(spark, table)
+    assert got.count() == 9
+    assert got.filter("day = 0").count() == 5
+    dc.optimize_delta(spark, table)  # compaction re-attaches field ids
+    assert dc.read_delta(spark, table).count() == 9
+
+
+def test_drop_renamed_partition_column_refuses(spark, tmp_path):
+    table = _mk_mapped_part(spark, tmp_path)
+    with pytest.raises(dc.DeltaProtocolError, match="partition column"):
+        dc.drop_column(table, "day")
