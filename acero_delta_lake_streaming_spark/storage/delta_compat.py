@@ -901,12 +901,15 @@ def _read_mapped_partitioned(
     data_schema = T.StructType.fromJson(
         {"type": "struct", "fields": data_fields}
     )
-    df = spark.read.option("basePath", table).schema(data_schema).parquet(
-        *snap["files"]
-    )
+    project = None
     if keep_file_col is not None:
-        df = df.withColumn(keep_file_col, F.input_file_name())
+        project = lambda d: d.withColumn(  # noqa: E731
+            keep_file_col, F.input_file_name()
+        )
         out_cols = out_cols + [F.col(keep_file_col)]
+    df = _grouped_part_read(
+        spark, table, snap["files"], data_schema, project=project
+    )
     return df.select(out_cols)
 
 
@@ -1012,18 +1015,17 @@ def read_delta(
             snap["partition_cols"],
         )
     if snap["partition_cols"]:
-        reader = spark.read.option("basePath", table)
         # data files carry only the non-partition columns; Spark
-        # recovers partition columns from the directory names
+        # recovers partition columns from the directory names (grouped
+        # by root, so a shallow clone's source-absolute references
+        # read alongside the clone's own appends). The LOG schema is
+        # authoritative for the recovered values' types
         data_schema = T.StructType(
             [f for f in full.fields if f.name not in snap["partition_cols"]]
         )
-        # directory-name inference types numeric-looking partition
-        # values as ints; the LOG schema is authoritative — cast the
-        # recovered partition columns back to it
-        return reader.schema(data_schema).parquet(*snap["files"]).select(
-            _pcol_cast_cols(full, snap["partition_cols"])
-        )
+        return _grouped_part_read(
+            spark, table, snap["files"], data_schema
+        ).select(_pcol_cast_cols(full, snap["partition_cols"]))
     return spark.read.schema(full).parquet(*snap["files"])
 
 
@@ -1039,6 +1041,65 @@ def _hive_pvals(rel_dir: str) -> dict[str, str]:
         (k, unquote(v))
         for k, v in (seg.split("=", 1) for seg in rel_dir.split(os.sep))
     )
+
+
+def _file_pvals(path: str) -> dict[str, str]:
+    """Partition column → raw value from a data file's TRAILING hive
+    ``col=value/`` directory segments, root-agnostic: works for files
+    under this table's root AND for a shallow clone's absolute
+    references into the source's layout (where a table-relative parse
+    would choke on the ``../`` prefix)."""
+    segs: list[str] = []
+    d = os.path.dirname(os.path.abspath(path))
+    while "=" in os.path.basename(d):
+        segs.append(os.path.basename(d))
+        d = os.path.dirname(d)
+    return dict(
+        (k, unquote(v))
+        for k, v in (seg.split("=", 1) for seg in reversed(segs))
+    )
+
+
+def _part_base(path: str) -> str:
+    """The directory above a data file's trailing hive segments — the
+    ``basePath`` Spark needs to recover its partition columns."""
+    d = os.path.dirname(os.path.abspath(path))
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
+def _grouped_part_read(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    data_schema: "T.StructType",
+    project=None,
+) -> DataFrame:
+    """Partition-recovering scan that tolerates MIXED roots: files
+    under the table root read with ``basePath`` = the table; a shallow
+    clone's absolute references into the source's hive layout group by
+    the directory above their trailing ``col=value/`` segments (the
+    source root). One read per root, unioned — the union is per
+    DISTINCT ROOT (a clone has exactly two), never per file.
+    ``project(df)`` runs per branch BEFORE the union so per-scan
+    metadata columns (``_metadata.file_path``) resolve."""
+    root = os.path.abspath(table)
+    by_base: dict[str, list[str]] = {}
+    for f in files:
+        a = os.path.abspath(f)
+        base = root if a.startswith(root + os.sep) else _part_base(a)
+        by_base.setdefault(base, []).append(f)
+    parts = []
+    for base, fs in sorted(by_base.items()):
+        df = spark.read.option("basePath", base).schema(
+            data_schema
+        ).parquet(*fs)
+        parts.append(project(df) if project is not None else df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _pcol_cast_cols(full: "T.StructType", pcols: list[str]) -> list:
@@ -1098,25 +1159,30 @@ def _read_with_dvs(
         for pos in dvcodec.read_dv(table, desc)
     ]
     pcols = list(partition_cols or [])
+
+    def _with_meta(df):
+        return df.select(
+            "*",
+            # normalize the slash count only; the percent-encoding is
+            # matched by _file_uri on the driver side
+            F.expr(
+                "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
     if pcols:
         # hive layout: data files carry only the non-partition columns;
         # basePath recovers the partition columns from directory names
-        # (same read shape as the DV-free partitioned branch)
+        # (root-grouped, so a clone's source-absolute references read)
         data_schema = T.StructType(
             [f for f in full.fields if f.name not in pcols]
         )
-        reader = spark.read.option("basePath", table).schema(data_schema)
+        base = _grouped_part_read(
+            spark, table, files, data_schema, project=_with_meta
+        )
     else:
-        reader = spark.read.schema(full)
-    base = reader.parquet(*files).select(
-        "*",
-        # normalize the slash count only; the percent-encoding is
-        # matched by _file_uri on the driver side
-        F.expr(
-            "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
-        ).alias("_dv_file"),
-        F.col("_metadata.row_index").alias("_dv_pos"),
-    )
+        base = _with_meta(spark.read.schema(full).parquet(*files))
     del_df = spark.createDataFrame(
         pairs, "`_dv_file` STRING, `_dv_pos` BIGINT"
     )
@@ -2916,11 +2982,12 @@ def optimize_delta(
         for f in snap["files"]:
             by_dir.setdefault(os.path.dirname(f), []).append(f)
         for dirpath, files in sorted(by_dir.items()):
-            rel_dir = os.path.relpath(dirpath, table)
-            pvals = _hive_pvals(rel_dir)
+            # trailing-segment parse: works for the table's own dirs
+            # AND a clone's source-absolute directories
+            pvals = _file_pvals(os.path.join(dirpath, "_"))
             if set(pvals) != set(pcols):
                 raise DeltaProtocolError(
-                    f"partition directory {rel_dir!r} does not match "
+                    f"partition directory {dirpath!r} does not match "
                     f"partition columns {pcols}"
                 )
             groups.append((sorted(files), pvals))
@@ -3215,12 +3282,9 @@ def merge_delta(
     adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
-        a = os.path.abspath(path)
-        if not a.startswith(os.path.abspath(table) + os.sep):
-            return {}  # clone external reference; clones are unpartitioned
-        return _hive_pvals(
-            os.path.relpath(os.path.dirname(path), table)
-        )
+        # trailing-segment parse is root-agnostic: table-local files
+        # AND a clone's source-absolute references both resolve
+        return _file_pvals(path) if pcols else {}
 
     removes = [
         {
@@ -3913,12 +3977,9 @@ def delete_delta(
         adds = _promote_staged(table, staging, version, pcols, True)
 
     def _pvals(path: str) -> dict[str, str]:
-        a = os.path.abspath(path)
-        if not a.startswith(os.path.abspath(table) + os.sep):
-            return {}  # clone external reference; clones are unpartitioned
-        return _hive_pvals(
-            os.path.relpath(os.path.dirname(path), table)
-        )
+        # trailing-segment parse is root-agnostic: table-local files
+        # AND a clone's source-absolute references both resolve
+        return _file_pvals(path) if pcols else {}
 
     removes = [
         {
@@ -4039,7 +4100,7 @@ def replace_where_delta(
     version = snap["version"] + 1
 
     def _pvals(f: str) -> dict[str, str]:
-        return _hive_pvals(os.path.relpath(os.path.dirname(f), table))
+        return _file_pvals(f)  # root-agnostic (clone external refs too)
 
     matching = [
         f
@@ -4178,11 +4239,18 @@ def delete_delta_dv(
         f: dvcodec.read_dv(table, d) for f, d in dvs_uri.items()
     }
     mode = _mapping_mode(snap)
+    _meta_cols = [
+        F.expr(
+            "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    ]
     if mode != "none":
         # mapped data files carry PHYSICAL names; the key matching
         # below runs on logical names, so scan physical and rename.
         # Hive-partitioned: basePath-recover the physically-named
-        # partition columns and cast them back to the log types
+        # partition columns (root-grouped, so a clone's
+        # source-absolute references read) and cast to the log types
         if pcols:
             phys_of = _mapped_part_binding(snap, files)
             data_schema = T.StructType.fromJson(
@@ -4195,30 +4263,21 @@ def delete_delta_dv(
                     ],
                 }
             )
-            reader = spark.read.option("basePath", table).schema(
-                data_schema
-            )
             out_cols = _mapped_logical_cols(snap, phys_of)
+            base = _grouped_part_read(
+                spark, table, files, data_schema,
+                project=lambda d: d.select(out_cols + _meta_cols),
+            )
         else:
             phys_of = (
                 _id_physical_names(snap["schema"], files)
                 if mode == "id"
                 else {l: p for p, l in _physical_renames(snap["schema"])}
             )
-            reader = spark.read.schema(
-                _phys_struct(snap["schema"], phys_of)
-            )
             out_cols = _logical_cols(snap["schema"], phys_of)
-        base = reader.parquet(*files).select(
-            out_cols
-            + [
-                F.expr(
-                    "regexp_replace(_metadata.file_path, "
-                    "'^file:/+', 'file:/')"
-                ).alias("_dv_file"),
-                F.col("_metadata.row_index").alias("_dv_pos"),
-            ]
-        )
+            base = spark.read.schema(
+                _phys_struct(snap["schema"], phys_of)
+            ).parquet(*files).select(out_cols + _meta_cols)
     else:
         if pcols:
             # hive layout: partition columns recovered from directory
@@ -4226,18 +4285,14 @@ def delete_delta_dv(
             data_schema = T.StructType(
                 [f for f in full.fields if f.name not in pcols]
             )
-            reader = spark.read.option("basePath", table).schema(
-                data_schema
+            base = _grouped_part_read(
+                spark, table, files, data_schema,
+                project=lambda d: d.select(*(["*"] + _meta_cols)),
             )
         else:
-            reader = spark.read.schema(full)
-        base = reader.parquet(*files).select(
-            "*",
-            F.expr(
-                "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
-            ).alias("_dv_file"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-        )
+            base = spark.read.schema(full).parquet(*files).select(
+                *(["*"] + _meta_cols)
+            )
     if existing:
         # already-deleted rows are invisible: they must not re-match
         old_pairs = [
@@ -4308,9 +4363,9 @@ def delete_delta_dv(
         _file_uri(f): m for f, m in snap["file_row_meta"].items()
     }
     def _pvals(rel: str) -> dict[str, str]:
-        if os.path.isabs(rel):
-            return {}  # clone external reference; clones are unpartitioned
-        return _hive_pvals(os.path.dirname(rel))
+        # trailing-segment parse resolves table-local relative paths
+        # AND a clone's source-absolute references identically
+        return _file_pvals(rel) if pcols else {}
 
     removes: list[dict] = []
     adds: list[dict] = []
@@ -4489,14 +4544,15 @@ def restore_delta(
             "the snapshot is unrecoverable"
         )
 
+    pcols = cur["partition_cols"]
+
     def _pvals(rel: str) -> dict[str, str]:
-        if os.path.isabs(rel):
-            return {}  # clone external reference; clones are unpartitioned
-        return _hive_pvals(os.path.dirname(rel))
+        # trailing-segment parse resolves table-local relative paths
+        # AND a clone's source-absolute references identically
+        return _file_pvals(rel) if pcols else {}
 
     cdc_actions: list[dict] = []
     if change_data and (to_add or to_remove):
-        pcols = cur["partition_cols"]
         if pcols:
             raise DeltaProtocolError(
                 "change-data capture on partitioned tables is not "
@@ -4616,16 +4672,21 @@ def clone_delta(table: str, target: str) -> int:
 
     delta-spark semantics notes: later changes to the SOURCE (vacuum
     included) can break a shallow clone — same here, and exactly why
-    ``vacuum_delta`` on the source doesn't know about clones. Rewrite
-    verbs (MERGE/DELETE/OPTIMIZE/RESTORE) on a clone refuse loudly for
-    now (their remove actions are keyed by table-relative paths)."""
+    ``vacuum_delta`` on the source doesn't know about clones.
+    Hive-partitioned sources clone too: the external adds carry their
+    ``partitionValues`` (parsed from the source's hive segments) and
+    every partition-recovering scan groups its basePath by root, so
+    the source's absolute layout and the clone's own appends read in
+    one plan (one extra union branch per ROOT, never per file)."""
     snap = snapshot(table)
     if snap["partition_cols"]:
-        raise DeltaProtocolError(
-            "shallow clone of a hive-partitioned table is not supported "
-            "(the partition-recovering read requires basePath to prefix "
-            "the data files, which absolute source paths cannot)"
-        )
+        for p in snap["partition_cols"]:
+            seg = f"{p}="
+            if not all(seg in f for f in snap["files"]):
+                raise DeltaProtocolError(
+                    "shallow clone of a partitioned table requires the "
+                    "hive directory layout (col=value/ segments)"
+                )
     if _has_external_files(snap, table):
         raise DeltaProtocolError("cloning a clone is not supported")
     if os.path.exists(_log_dir(target)):
@@ -4702,7 +4763,9 @@ def clone_delta(table: str, target: str) -> int:
         abs_f = os.path.abspath(f)
         add = {
             "path": quote(abs_f),
-            "partitionValues": {},
+            "partitionValues": (
+                _file_pvals(abs_f) if snap["partition_cols"] else {}
+            ),
             "size": os.path.getsize(abs_f),
             "modificationTime": now_ms,
             "dataChange": True,

@@ -1984,9 +1984,9 @@ def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
 
 
 def test_clone_scope_refusals(spark, tmp_path):
-    """Clone-of-clone and partitioned-source clones refuse loudly
-    (COW rewrites and DV deletes on clones work since round 7 — see
-    the clone COW lifecycle and clone DV-delete tests)."""
+    """Clone-of-clone refuses loudly (COW rewrites and DV deletes on
+    clones work since round 7; partitioned-source clones since round
+    8 — see the partitioned clone lifecycle test)."""
     import pyspark.sql.functions as F
 
     src = str(tmp_path / "ref_src")
@@ -1995,16 +1995,95 @@ def test_clone_scope_refusals(spark, tmp_path):
     dc.clone_delta(src, dst)
     with pytest.raises(dc.DeltaProtocolError):
         dc.clone_delta(dst, str(tmp_path / "ref_dst2"))
-    part_src = str(tmp_path / "ref_part")
+
+
+def test_clone_partitioned_lifecycle(spark, tmp_path):
+    """Shallow clone of a HIVE-PARTITIONED table: the clone's v0 adds
+    reference the source's absolute layout WITH partitionValues; reads
+    group basePath by root so source-external files and the clone's
+    own appends scan in one plan; DV delete, COW merge and OPTIMIZE
+    all work across the mixed roots (compaction pulls every external
+    group under the clone root); the source never changes."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "p_src")
+    dst = str(tmp_path / "p_dst")
     dc.append_delta(
-        spark.range(10).select(
-            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        spark.createDataFrame(
+            [(i, f"u{i}", i % 3) for i in range(15)],
+            "k long, name string, d int",
         ),
-        part_src,
-        partition_by=["p"],
+        src,
+        partition_by=["d"],
     )
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.clone_delta(part_src, str(tmp_path / "ref_part_clone"))
+    dc.clone_delta(src, dst)
+    snap0 = dc.snapshot(dst)
+    assert snap0["partition_cols"] == ["d"]
+    src_root = os.path.abspath(src)
+    assert all(
+        os.path.abspath(f).startswith(src_root + os.sep)
+        for f in snap0["files"]
+    )  # v0 references the SOURCE's absolute layout
+    got = dc.read_delta(spark, dst)
+    assert got.count() == 15
+    assert got.filter("d = 1").count() == 5
+    dc.append_delta(
+        spark.createDataFrame([(100, "x", 1)], "k long, name string, d int"),
+        dst, partition_by=["d"],
+    )
+    dc.delete_delta_dv(
+        spark, dst, spark.createDataFrame([(3,), (100,)], "k long"), ["k"]
+    )
+    assert dc.read_delta(spark, dst).count() == 14
+    dc.merge_delta(
+        spark, dst,
+        spark.createDataFrame(
+            [(4, "ZZ", 1), (200, "new", 2)], "k long, name string, d int"
+        ),
+        ["k"],
+    )
+    dc.optimize_delta(spark, dst)
+    snap = dc.snapshot(dst)
+    root = os.path.abspath(dst)
+    assert all(
+        os.path.abspath(f).startswith(root + os.sep) for f in snap["files"]
+    )  # compaction pulled every external group local
+    per_d = {
+        r["d"]: r["count"]
+        for r in dc.read_delta(spark, dst).groupBy("d").count().collect()
+    }
+    assert per_d == {0: 4, 1: 5, 2: 6}
+    assert dc.read_delta(spark, src).count() == 15  # source untouched
+    # time travel to the clone's v0 still resolves the external refs
+    assert dc.read_delta(spark, dst, version=0).count() == 15
+
+
+def test_clone_mapped_partitioned_composes(spark, tmp_path):
+    """The triple composition: a column-mapped, renamed, partitioned
+    source clones and the clone appends under the logical names."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "mp_src")
+    dst = str(tmp_path / "mp_dst")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(8)], "k long, d int"
+        ),
+        src,
+        partition_by=["d"],
+    )
+    dc.enable_column_mapping(src)
+    dc.rename_column(src, "d", "day")
+    dc.clone_delta(src, dst)
+    got = dc.read_delta(spark, dst)
+    assert got.columns == ["k", "day"]
+    assert got.count() == 8
+    dc.append_delta(
+        spark.createDataFrame([(50, 0)], "k long, day int"),
+        dst, partition_by=["day"],
+    )
+    assert dc.read_delta(spark, dst).filter("day = 0").count() == 5
+    assert dc.read_delta(spark, src).count() == 8
 
 
 def test_clone_cow_rewrite_lifecycle(spark, tmp_path):
