@@ -4553,11 +4553,6 @@ def restore_delta(
 
     cdc_actions: list[dict] = []
     if change_data and (to_add or to_remove):
-        if pcols:
-            raise DeltaProtocolError(
-                "change-data capture on partitioned tables is not "
-                "supported (same restriction as merge_delta)"
-            )
         if dv_involved:
             raise DeltaProtocolError(
                 "RESTORE change-data capture across deletion-vector "
@@ -4567,22 +4562,54 @@ def restore_delta(
         full = T.StructType.fromJson(json.loads(cur["schema"]))
         import pyspark.sql.functions as F
 
+        mode = _mapping_mode(cur)
+
+        def _cdf_read(paths: list[str]) -> DataFrame:
+            # the same scan shapes every verb uses: mapped files carry
+            # physical names, partitioned files recover their values
+            # from the hive dirs (root-grouped for clone references)
+            files = [os.path.join(table, p) for p in paths]
+            if mode != "none":
+                if pcols:
+                    return _read_mapped_partitioned(
+                        spark, table, dict(cur, files=files, file_dvs={}),
+                        {},
+                    )
+                return _read_with_mapping(
+                    spark, files, cur["schema"],
+                    _id_physical_names(cur["schema"], files)
+                    if mode == "id"
+                    else None,
+                )
+            if pcols:
+                data_schema = T.StructType(
+                    [f for f in full.fields if f.name not in pcols]
+                )
+                return _grouped_part_read(
+                    spark, table, files, data_schema
+                ).select(_pcol_cast_cols(full, pcols))
+            return spark.read.schema(full).parquet(*files)
+
         frames = []
         if to_add:
             frames.append(
-                spark.read.schema(full)
-                .parquet(*[os.path.join(table, p) for p in to_add])
-                .withColumn("_change_type", F.lit("insert"))
+                _cdf_read(to_add).withColumn("_change_type",
+                                             F.lit("insert"))
             )
         if to_remove:
             frames.append(
-                spark.read.schema(full)
-                .parquet(*[os.path.join(table, p) for p in to_remove])
-                .withColumn("_change_type", F.lit("delete"))
+                _cdf_read(to_remove).withColumn("_change_type",
+                                                F.lit("delete"))
             )
         changes = frames[0]
         for fr in frames[1:]:
             changes = changes.unionByName(fr)
+        if mode != "none":
+            _pof, _ids = _mapped_write_plan(cur)
+            changes = _to_physical(
+                changes, cur["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
+            )
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     now_ms = int(time.time() * 1000)

@@ -5247,3 +5247,44 @@ def test_drop_renamed_partition_column_refuses(spark, tmp_path):
     table = _mk_mapped_part(spark, tmp_path)
     with pytest.raises(dc.DeltaProtocolError, match="partition column"):
         dc.drop_column(table, "day")
+
+
+def test_restore_cdf_partitioned_and_mapped(spark, tmp_path):
+    """RESTORE change-data capture on partitioned and on mapped
+    tables: inserts/deletes read through the same scan shapes as every
+    verb (partition values recovered, physical names renamed — the old
+    logical-schema-over-physical-files read silently produced NULL
+    columns)."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "rc_part")
+    dc.append_delta(
+        spark.createDataFrame([(i, i % 2) for i in range(10)],
+                              "k long, d int"),
+        t, partition_by=["d"],
+    )
+    dc.replace_where_delta(
+        spark, spark.createDataFrame([(100, 0)], "k long, d int"),
+        t, {"d": "0"},
+    )
+    v = dc.restore_delta(spark, t, 0, change_data=True)
+    ch = dc.read_delta_changes(spark, t, v, v)
+    got = sorted((r["k"], r["_change_type"], r["d"]) for r in ch.collect())
+    assert got == [(0, "insert", 0), (2, "insert", 0), (4, "insert", 0),
+                   (6, "insert", 0), (8, "insert", 0), (100, "delete", 0)]
+
+    t2 = str(tmp_path / "rc_mapped")
+    dc.append_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t2
+    )
+    dc.enable_column_mapping(t2)
+    dc.rename_column(t2, "v", "val")
+    dc.merge_delta(
+        spark, t2, spark.createDataFrame([(3, "c")], "k long, val string"),
+        ["k"],
+    )
+    v2 = dc.restore_delta(spark, t2, 2, change_data=True)
+    ch2 = dc.read_delta_changes(spark, t2, v2, v2)
+    assert sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in ch2.collect()
+    ) == [(3, "c", "delete")]  # never (3, None, ...): names resolved
