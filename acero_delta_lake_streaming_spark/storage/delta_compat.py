@@ -4714,8 +4714,11 @@ def clone_delta(table: str, target: str) -> int:
                     "shallow clone of a partitioned table requires the "
                     "hive directory layout (col=value/ segments)"
                 )
-    if _has_external_files(snap, table):
-        raise DeltaProtocolError("cloning a clone is not supported")
+    # cloning a clone is fine: external references are ALREADY
+    # absolute (they copy through verbatim), local files absolutize
+    # against this root, and the root-grouped reads union one branch
+    # per distinct ancestor — a depth-k clone chain costs k scan
+    # branches, not k data copies
     if os.path.exists(_log_dir(target)):
         raise DeltaProtocolError(f"clone target {target} already exists")
     os.makedirs(_log_dir(target), exist_ok=True)

@@ -1983,18 +1983,49 @@ def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
     assert descs and all(d["storageType"] == "p" for d in descs.values())
 
 
-def test_clone_scope_refusals(spark, tmp_path):
-    """Clone-of-clone refuses loudly (COW rewrites and DV deletes on
-    clones work since round 7; partitioned-source clones since round
-    8 — see the partitioned clone lifecycle test)."""
+def test_clone_of_clone_chain(spark, tmp_path):
+    """Clone-of-clone: a depth-2 chain whose grandchild mixes THREE
+    roots (grandparent externals copied through verbatim, parent's
+    local appends absolutized, its own appends local) reads in one
+    root-grouped plan; carried-over DVs keep subtracting; rewrite
+    verbs localize; the ancestors never change."""
     import pyspark.sql.functions as F
 
-    src = str(tmp_path / "ref_src")
-    dst = str(tmp_path / "ref_dst")
-    dc.append_delta(spark.range(10).select(F.col("id").alias("k")), src)
-    dc.clone_delta(src, dst)
-    with pytest.raises(dc.DeltaProtocolError):
-        dc.clone_delta(dst, str(tmp_path / "ref_dst2"))
+    a = str(tmp_path / "chain_a")
+    b = str(tmp_path / "chain_b")
+    c = str(tmp_path / "chain_c")
+    dc.append_delta(
+        spark.createDataFrame([(i, i % 2) for i in range(10)],
+                              "k long, d int"),
+        a, partition_by=["d"],
+    )
+    dc.clone_delta(a, b)
+    dc.append_delta(spark.createDataFrame([(100, 0)], "k long, d int"),
+                    b, partition_by=["d"])
+    dc.delete_delta_dv(
+        spark, b, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    dc.clone_delta(b, c)
+    assert dc.read_delta(spark, c).count() == 10  # 10 + 1 - 1
+    dc.append_delta(spark.createDataFrame([(200, 1)], "k long, d int"),
+                    c, partition_by=["d"])
+    per_d = {
+        r["d"]: r["count"]
+        for r in dc.read_delta(spark, c).groupBy("d").count().collect()
+    }
+    assert per_d == {0: 6, 1: 5}
+    dc.merge_delta(
+        spark, c, spark.createDataFrame([(0, 1)], "k long, d int"), ["k"]
+    )
+    dc.optimize_delta(spark, c)
+    root = os.path.abspath(c)
+    assert all(
+        os.path.abspath(f).startswith(root + os.sep)
+        for f in dc.snapshot(c)["files"]
+    )
+    assert dc.read_delta(spark, c).count() == 11
+    assert dc.read_delta(spark, a).count() == 10
+    assert dc.read_delta(spark, b).count() == 10
 
 
 def test_clone_partitioned_lifecycle(spark, tmp_path):
