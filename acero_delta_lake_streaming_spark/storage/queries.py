@@ -2426,6 +2426,67 @@ _S30_SQL = (
 )
 
 
+def st20_mapped_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20 — the exactly-once streaming sink writes into a
+    COLUMN-MAPPED, RENAMED, hive-partitioned Delta table (s30's
+    composition given its streaming twin): seed → upgrade → rename the
+    partition column → epoch 1 lands via the ``(app_id, epoch)`` txn
+    ledger → epoch 1 REPLAYS after a simulated crash (must no-op — a
+    double-append flips every count below) → the price column renames
+    MID-STREAM (metadata-only; epoch-1 files untouched) → epoch 2
+    appends under the new logical schema. Certificate: the final table
+    grouped by the renamed partition column must equal plain ``orders``
+    — the storage machinery must be invisible."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "st20_stream_mapped")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.enable_column_mapping(table)
+    delta_compat.rename_column(table, "o_orderstatus", "status")
+    sink = delta_compat.streaming_sink(
+        table, "st20-app", partition_by=["status"]
+    )
+    e1 = orders.filter("o_orderkey % 3 = 1").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    sink(e1, 1)
+    sink(e1, 1)  # crash replay: the txn ledger must no-op this
+    delta_compat.rename_column(table, "o_totalprice", "price")
+    e2 = orders.filter("o_orderkey % 3 = 2").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    sink(e2, 2)
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(price AS DECIMAL(18,6))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_ST20_SQL = (
+    "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders GROUP BY status"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2461,6 +2522,7 @@ QUERIES = {
     "s28_replace_where": s28_replace_where,
     "s29_identity_columns": s29_identity_columns,
     "s30_mapped_partitioned": s30_mapped_partitioned,
+    "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
@@ -2501,6 +2563,7 @@ ORACLES = {
     "s28_replace_where": _S28_SQL,
     "s29_identity_columns": _S29_SQL,
     "s30_mapped_partitioned": _S30_SQL,
+    "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,
