@@ -606,6 +606,95 @@ def _x32_sql() -> str:
     )
 
 
+def x42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled LANGUAGE mixing (α = 0.5) — the α-smoothed
+    multinomial every multilingual pretraining recipe uses (mBERT/XLM's
+    exponent-smoothing): where x15 takes GIVEN mixture rates, this
+    DERIVES them from the corpus itself — p_l ∝ n_l^α, so low-resource
+    languages are upsampled relative to their raw share and the
+    English head damped (the fixture IS en-heavy, so the effect is in
+    the certificate: en's realized rate lands well under the flat
+    rate, fr's above it). α = ½ keeps the power cross-engine
+    exact (IEEE sqrt is correctly rounded in both engines); everything
+    downstream is BIGINT: q_s = ⌊√n_s·1000⌋ quantizes the irrational
+    BEFORE the cross-source sum (order-independence), the per-source
+    keep threshold is pure integer DIV arithmetic against a 16-bit
+    md5 uniform, and a rate ≥ 1 (tiny source) caps at keep-all —
+    keep-only mixing, duplication is a separate epoch-level concern.
+
+    Plan shape at 100 TB: the source-stats aggregate is O(|sources|)
+    (one hash-agg), broadcast back over the corpus scan; the keep
+    decision is a pure map — no payload ever shuffles, the same
+    incremental-determinism contract as x8/x15 (a doc's fate never
+    changes when other sources grow... though its source's THRESHOLD
+    does, which is the point of temperature mixing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "q",
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) "
+                "AS BIGINT)"
+            ),
+        )
+    )
+    tot = stats.agg(
+        F.sum("q").cast("bigint").alias("qsum"),
+        F.sum("n_docs").cast("bigint").alias("total"),
+    )
+    st = (
+        stats.crossJoin(F.broadcast(tot))  # one-row constant frame
+        .withColumn(
+            "thr",
+            F.expr("(q * (total DIV 2) * 65536) DIV (qsum * n_docs)"),
+        )
+        .withColumn("target_bp", F.expr("10000 * q DIV qsum"))
+        .select("lang", "n_docs", "thr", "target_bp")
+    )
+    u16 = F.expr(_hex4_int("md5(cast(doc_id as string))", "instr"))
+    return (
+        docs.select("lang", "doc_id")
+        .join(F.broadcast(st), "lang")
+        .select(
+            "lang", "n_docs", "target_bp",
+            (u16 < F.col("thr")).cast("int").alias("k"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+            F.max("target_bp").cast("bigint").alias("target_bp"),
+        )
+        .withColumn(
+            "realized_bp",
+            F.expr("10000 * n_kept DIV n_docs").cast("bigint"),
+        )
+    )
+
+
+_X42_SQL = (
+    "WITH stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS q "
+    "FROM documents GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(q) AS BIGINT) AS qsum, "
+    "CAST(sum(n_docs) AS BIGINT) AS total FROM stats), "
+    "st AS (SELECT s.lang, s.n_docs, "
+    "(s.q * (tot.total // 2) * 65536) // (tot.qsum * s.n_docs) AS thr, "
+    "10000 * s.q // tot.qsum AS target_bp FROM stats s CROSS JOIN tot), "
+    "d AS (SELECT doc.lang, st.n_docs, st.target_bp, "
+    f"CASE WHEN {_hex4_int('md5(cast(doc_id as varchar))', 'strpos')} "
+    "< st.thr THEN 1 ELSE 0 END AS k "
+    "FROM documents doc JOIN st ON doc.lang = st.lang) "
+    "SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs, "
+    "CAST(sum(k) AS BIGINT) AS n_kept, "
+    "CAST(max(target_bp) AS BIGINT) AS target_bp, "
+    "CAST(10000 * sum(k) // max(n_docs) AS BIGINT) AS realized_bp "
+    "FROM d GROUP BY 1"
+)
+
+
 QUERIES = {
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
@@ -617,6 +706,7 @@ QUERIES = {
     "x15_mixture_sample": x15_mixture_sample,
     "x20_curation_pipeline": x20_curation_pipeline,
     "x32_weighted_sample": x32_weighted_sample,
+    "x42_temperature_mix": x42_temperature_mix,
 }
 
 ORACLES = {
@@ -701,4 +791,5 @@ ORACLES = {
     "x15_mixture_sample": _X15_SQL,
     "x32_weighted_sample": _x32_sql(),
     "x20_curation_pipeline": _x20_sql(),
+    "x42_temperature_mix": _X42_SQL,
 }
