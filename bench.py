@@ -155,6 +155,18 @@ HEADLINE = [
     "x10b_decontaminate_trim",
     "x39_cluster_topics",
     "x40_normalized_dedup",
+    # round-8 additions: replaceWhere, BPE training, PQ-ANN, identity
+    # columns, mapping × partitioning (batch + streaming twin),
+    # temperature mixing. st19's epoch loop stays out (st17's rule:
+    # multi-pass streaming sims pay for themselves only in the
+    # correctness gate, which runs it at sf0.01 from _PRIORITY).
+    "s28_replace_where",
+    "x41_bpe_train",
+    "x3h_pq_ann",
+    "s29_identity_columns",
+    "s30_mapped_partitioned",
+    "st20_mapped_stream_sink",
+    "x42_temperature_mix",
 ]
 
 
