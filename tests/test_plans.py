@@ -644,3 +644,30 @@ def test_pq_ann_no_array_crosses_hash_exchange(spark, sf_dir):
             assert not any("array" in t for t in types), (partitioning, types)
     finally:
         release_scoped()
+
+
+def test_x42_stats_broadcast_corpus_pure_map(spark, sf_dir):
+    """x42: the language stats join back into the corpus is a
+    BROADCAST (an O(|langs|) build side must never shuffle the corpus
+    to meet it), the doc payload never crosses a hash exchange (only
+    lang-keyed aggregate rows do), and the documents scan prunes to
+    exactly (doc_id, lang)."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        x42_temperature_mix,
+    )
+
+    plan = _physical(x42_temperature_mix(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), m.group(0)
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "documents.parquet" in ln]
+    assert scans
+    assert any(
+        "ReadSchema: struct<doc_id:" in ln and "text" not in ln
+        for ln in scans
+    )
