@@ -125,3 +125,50 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
     # and strictly below the unfiltered fact table
     assert n_passed <= n_true + 0.25 * (n_total - n_true)
     assert n_passed < n_total
+
+
+def test_file_pvals_round_trip_and_hive_equivalence():
+    """The root-agnostic trailing-segment parser (`_file_pvals`) must
+    (a) round-trip any quoted hive layout it could meet — including
+    values with spaces, '+', '=', unicode — and (b) agree with the
+    table-relative parser (`_hive_pvals`) on every path under a table
+    root, for any nesting depth. Clone-external absolute paths parse
+    identically because only the trailing col=value/ segments are
+    read."""
+    import os
+
+    from urllib.parse import quote
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from acero_delta_lake_streaming_spark.storage.delta_compat import (
+        _file_pvals,
+        _hive_pvals,
+        _part_base,
+    )
+
+    cols = st.lists(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        min_size=1, max_size=3, unique=True,
+    )
+    vals = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="/\x00"
+        ),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cols=cols, data=st.data())
+    def prop(cols, data):
+        pvals = {c: data.draw(vals) for c in cols}
+        segs = [f"{c}={quote(v)}" for c, v in pvals.items()]
+        rel = os.path.join(*segs, "part-0.parquet")
+        for root in ("/tmp/tbl", "/mnt/some dir/clone_src"):
+            p = os.path.join(root, rel)
+            assert _file_pvals(p) == pvals
+            assert _part_base(p) == root
+        assert _hive_pvals(os.path.dirname(rel)) == pvals
+
+    prop()
