@@ -695,6 +695,97 @@ _X42_SQL = (
 )
 
 
+def x43_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy source selection by MARGINAL 5-gram coverage — the
+    submodular facility-location step of data selection (pick the
+    source adding the most NEW n-grams to what's already selected,
+    repeat): three unrolled greedy rounds, each entirely IN-PLAN via
+    x41's top-1-broadcast pattern — per-source marginal counts are one
+    vocab-keyed aggregate, the argmax is ``orderBy().limit(1)``
+    (deterministic ties: count DESC, source ASC), and the next round
+    anti-joins the winner's grams away. No driver decision anywhere:
+    the chain is one Catalyst plan per round over a localCheckpointed
+    (source, gram) base (CLAUDE.md's iterative-loop rule — round k
+    references round k-1 twice).
+
+    At 100 TB: the base is |distinct (source, gram)| — vocab-sized by
+    Heaps' law, sublinear in corpus — and every join in the greedy
+    chain is keyed by gram or by a ONE-ROW broadcast winner. The
+    certificate (winner + exact marginal per round) flips if any
+    round's coverage accounting is off by a single gram."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr(_WORDS_SPARK)
+    )
+    grams = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(F.expr(_GRAMS5_SPARK))).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    picked_sources = None  # union of 1-row winner frames
+    rounds = []
+    for r in (1, 2, 3):
+        cand = grams
+        if picked_sources is not None:
+            sel_grams = grams.join(
+                F.broadcast(picked_sources), "source", "leftsemi"
+            ).select("gram").distinct()
+            cand = grams.join(
+                F.broadcast(picked_sources), "source", "left_anti"
+            ).join(sel_grams, "gram", "left_anti")
+        marg = cand.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("new_grams")
+        )
+        top = marg.orderBy(F.desc("new_grams"), F.asc("source")).limit(1)
+        rounds.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "source",
+                "new_grams",
+            )
+        )
+        win = top.select("source")
+        picked_sources = (
+            win if picked_sources is None
+            else picked_sources.unionByName(win)
+        )
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+_X43_SQL = (
+    f"WITH d AS (SELECT source, {_WORDS_DUCK} AS w FROM documents), "
+    f"g AS (SELECT DISTINCT source, gram FROM (SELECT source, "
+    f"unnest(list_distinct({_GRAMS5_DUCK})) AS gram FROM d)), "
+    "c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g "
+    "GROUP BY 1), "
+    "p1 AS (SELECT source, n FROM c1 ORDER BY n DESC, source LIMIT 1), "
+    "s1 AS (SELECT DISTINCT gram FROM g "
+    "WHERE source IN (SELECT source FROM p1)), "
+    "c2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g "
+    "WHERE source NOT IN (SELECT source FROM p1) "
+    "AND gram NOT IN (SELECT gram FROM s1) GROUP BY 1), "
+    "p2 AS (SELECT source, n FROM c2 ORDER BY n DESC, source LIMIT 1), "
+    "s2 AS (SELECT DISTINCT gram FROM g "
+    "WHERE source IN (SELECT source FROM p1 UNION ALL "
+    "SELECT source FROM p2)), "
+    "c3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g "
+    "WHERE source NOT IN (SELECT source FROM p1 UNION ALL "
+    "SELECT source FROM p2) "
+    "AND gram NOT IN (SELECT gram FROM s2) GROUP BY 1), "
+    "p3 AS (SELECT source, n FROM c3 ORDER BY n DESC, source LIMIT 1) "
+    "SELECT CAST(1 AS BIGINT) AS round, source, n AS new_grams FROM p1 "
+    "UNION ALL SELECT 2, source, n FROM p2 "
+    "UNION ALL SELECT 3, source, n FROM p3"
+)
+
+
 QUERIES = {
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
@@ -707,6 +798,7 @@ QUERIES = {
     "x20_curation_pipeline": x20_curation_pipeline,
     "x32_weighted_sample": x32_weighted_sample,
     "x42_temperature_mix": x42_temperature_mix,
+    "x43_coverage_select": x43_coverage_select,
 }
 
 ORACLES = {
@@ -792,4 +884,5 @@ ORACLES = {
     "x32_weighted_sample": _x32_sql(),
     "x20_curation_pipeline": _x20_sql(),
     "x42_temperature_mix": _X42_SQL,
+    "x43_coverage_select": _X43_SQL,
 }
