@@ -972,6 +972,73 @@ _W15_SQL = (
 )
 
 
+
+
+def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series — TimescaleDB's
+    ``time_weight('LOCF')`` for event streams where plain AVG is wrong
+    because samples are unevenly spaced (a value that held for an hour
+    must weigh 3600x one that held a second): per event_type, each
+    value is weighted by how long it remained current (gap to the next
+    sample in the deterministic (ts_ns, event_id) order; the last
+    sample holds no interval), divided by the observed span.
+
+    Parity/scale notes: values convert to exact DECIMAL-derived cents
+    BEFORE weighting (never a raw-double product), gaps are integer
+    microseconds (each gap ns-floored independently — the certificate
+    defines TWA over mus-floored LOCF segments), so weighted sums are
+    pure BIGINT in any engine. One event_type shuffle shared by the
+    lead() window and the final aggregate; products bounded by
+    cents x span, ~1e15 at any corpus density (denser events shrink
+    each gap as they add rows)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    seg = events.withColumn("nxt", F.lead("ts_ns").over(w)).withColumn(
+        "dt_us", F.expr("(nxt - ts_ns) DIV 1000")
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(sum(cents * dt_us) AS BIGINT)").alias("w_sum"),
+            F.expr(
+                "CAST((max(ts_ns) - min(ts_ns)) DIV 1000 AS BIGINT)"
+            ).alias("span_us"),
+        )
+        .withColumn(
+            "twa_cents",
+            F.expr("w_sum DIV nullif(span_us, 0)").cast("bigint"),
+        )
+    )
+
+
+_W16_SQL = (
+    "WITH e AS (SELECT event_type, epoch_ns(ts) AS tns, event_id, "
+    "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents "
+    "FROM events), "
+    "s AS (SELECT *, lead(tns) OVER (PARTITION BY event_type "
+    "ORDER BY tns, event_id) AS nxt FROM e), "
+    "g AS (SELECT event_type, tns, cents, (nxt - tns) // 1000 AS dt_us "
+    "FROM s) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cents * dt_us) AS BIGINT) AS w_sum, "
+    "CAST((max(tns) - min(tns)) // 1000 AS BIGINT) AS span_us, "
+    "CAST(CAST(sum(cents * dt_us) AS BIGINT) // "
+    "nullif(CAST((max(tns) - min(tns)) // 1000 AS BIGINT), 0) "
+    "AS BIGINT) AS twa_cents "
+    "FROM g GROUP BY 1"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -988,6 +1055,7 @@ QUERIES = {
     "w13_stickiness": w13_stickiness,
     "w14_rfm_segments": w14_rfm_segments,
     "w15_attribution": w15_attribution,
+    "w16_time_weighted_avg": w16_time_weighted_avg,
 }
 
 ORACLES = {
@@ -1006,4 +1074,5 @@ ORACLES = {
     "w13_stickiness": _W13_SQL,
     "w14_rfm_segments": _W14_SQL,
     "w15_attribution": _W15_SQL,
+    "w16_time_weighted_avg": _W16_SQL,
 }
