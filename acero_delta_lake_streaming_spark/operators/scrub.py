@@ -149,6 +149,135 @@ _X16_SQL = (
 )
 
 
-QUERIES = {"x16_pii_redaction": x16_pii_redaction}
 
-ORACLES = {"x16_pii_redaction": _X16_SQL}
+
+# --------------------------------------------------------------------------
+# x44 — Luhn-validated credit-card scrubbing
+# --------------------------------------------------------------------------
+#
+# A bare [0-9]{16} regex is how PII scrubbers generate false positives:
+# order ids and tracking numbers look exactly like cards. The industry
+# separator is the Luhn mod-10 checksum — only validating candidates
+# should redact. Both the injection (building a VALID or INVALID card
+# per doc) and the validation run the same generated integer-arithmetic
+# expression, so the whole pipeline is hash-gateable cross-engine.
+
+
+def _luhn_sum(col_expr: str, length: int) -> str:
+    """Luhn digit sum of a fixed-length digit string: with the check
+    digit rightmost, every second digit from the right doubles (9-cap
+    via 2d-9). For BOTH the 15-digit base (computing its check digit)
+    and the 16-digit candidate (validating), the doubled digits sit at
+    ODD 1-based positions. Pure integer ascii arithmetic — identical
+    in Spark and DuckDB."""
+    terms = []
+    for pos in range(1, length + 1):
+        d = f"(ascii(substr({col_expr}, {pos}, 1)) - 48)"
+        if pos % 2 == 1:
+            terms.append(
+                f"(CASE WHEN 2*{d} > 9 THEN 2*{d}-9 ELSE 2*{d} END)"
+            )
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _x44_dirty(cast_str: str) -> str:
+    """The synthetic card injection, engine-parameterized only by the
+    string-cast type name: even doc_ids get a 16-digit number whose
+    check digit is Luhn-CORRECT for doc_id % 4 = 0 and off-by-5
+    otherwise — the scrubber must redact the former and keep the
+    latter."""
+    base = f"lpad(CAST(doc_id * 37 AS {cast_str}), 15, '0')"
+    luhn = _luhn_sum(base, 15)
+    check = f"((10 - ({luhn}) % 10) % 10)"
+    digit = (
+        f"CASE WHEN doc_id % 4 = 0 THEN {check} "
+        f"ELSE ({check} + 5) % 10 END"
+    )
+    return (
+        "text || CASE WHEN doc_id % 2 = 0 THEN ' card ' || "
+        f"{base} || CAST({digit} AS {cast_str}) ELSE '' END"
+    )
+
+
+_CC_PAT = "[0-9]{16}"
+
+
+def _x44_select(cast_str: str, extract: str) -> str:
+    """The shared detection/validation/redaction projection: count
+    candidates, Luhn-validate the doc's candidate, redact only when it
+    validates. ``extract`` is the engine's regexp_extract call for
+    group 0."""
+    cand = f"nullif({extract}, '')"
+    valid = (
+        f"CASE WHEN {cand} IS NOT NULL "
+        f"AND ({_luhn_sum(cand, 16)}) % 10 = 0 THEN 1 ELSE 0 END"
+    )
+    red = (
+        f"CASE WHEN ({valid}) = 1 THEN "
+        f"regexp_replace(dirty, '{_CC_PAT}', '[CARD]'"
+    )
+    return valid, red
+
+
+def x44_luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: 16-digit candidates found, whether the candidate
+    passes Luhn, and the md5 + length of the text after redacting ONLY
+    validated cards — an invalid lookalike (a tracking number) must
+    survive untouched, which the hash pins."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    dirty = docs.withColumn("dirty", F.expr(_x44_dirty("STRING")))
+    extract = f"regexp_extract(dirty, '{_CC_PAT}', 0)"
+    valid, _ = _x44_select("STRING", extract)
+    redacted = (
+        f"CASE WHEN ({valid}) = 1 THEN "
+        f"regexp_replace(dirty, '{_CC_PAT}', '[CARD]') ELSE dirty END"
+    )
+    return dirty.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(size(regexp_extract_all(dirty, '{_CC_PAT}', 0)) "
+            "AS BIGINT)"
+        ).alias("n_cand"),
+        F.expr(f"CAST({valid} AS BIGINT)").alias("n_valid"),
+        F.expr(f"md5({redacted})").alias("redacted_md5"),
+        F.expr(f"CAST(length({redacted}) AS BIGINT)").alias(
+            "redacted_len"
+        ),
+    )
+
+
+def _x44_sql() -> str:
+    extract = f"regexp_extract(dirty, '{_CC_PAT}', 0)"
+    valid, _ = _x44_select("VARCHAR", extract)
+    redacted = (
+        f"CASE WHEN ({valid}) = 1 THEN "
+        f"regexp_replace(dirty, '{_CC_PAT}', '[CARD]', 'g') "
+        "ELSE dirty END"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, source, {_x44_dirty('VARCHAR')} "
+        "AS dirty FROM documents) "
+        "SELECT doc_id, source, "
+        f"CAST(len(regexp_extract_all(dirty, '{_CC_PAT}')) AS BIGINT) "
+        "AS n_cand, "
+        f"CAST({valid} AS BIGINT) AS n_valid, "
+        f"md5({redacted}) AS redacted_md5, "
+        f"CAST(length({redacted}) AS BIGINT) AS redacted_len "
+        "FROM d"
+    )
+
+
+QUERIES = {
+    "x16_pii_redaction": x16_pii_redaction,
+    "x44_luhn_card_scrub": x44_luhn_card_scrub,
+}
+
+ORACLES = {
+    "x16_pii_redaction": _X16_SQL,
+    "x44_luhn_card_scrub": _x44_sql(),
+}
