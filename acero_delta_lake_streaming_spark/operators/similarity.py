@@ -2025,6 +2025,119 @@ _X35_SQL = (
 )
 
 
+
+
+def x45_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the cleaning pass an
+    embedding store runs before the vectors feed dedup/ANN/mixture
+    decisions: a vector whose distance to its OWN label centroid is
+    more than two standard deviations above the label mean is flagged
+    (mislabeled, corrupted, or genuinely off-distribution — all three
+    should leave the training mix).
+
+    Cross-engine exactness without a single float comparison: the
+    per-row distance quantizes to integer milli-units IMMEDIATELY
+    (d_q = floor(sqrt(sqdist) * 1000) — sqrt is correctly rounded
+    IEEE in both engines, and the quantization happens BEFORE any
+    cross-row sum, the CLAUDE.md order-independence rule), and the
+    z > 2 test clears denominators: (n*d_q - S)^2 > 4*(n*Q - S^2)
+    with S = sum d_q, Q = sum d_q^2 — pure BIGINT (bounded ~1e17 per
+    label out to sf10 at these value ranges). 100 TB shape: centroid
+    build is the x35 bounded-key shuffle (|labels|*64 keys,
+    decimal-exact means); distances are a map-side fold against a
+    broadcast |labels|-row frame; the stats join back is another
+    broadcast — the corpus never shuffles, and the distance frame is
+    scope-persisted so the two passes (stats, flag) share one scan."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cents = (
+        elems.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, v))), "
+                "s -> s.v)"
+            ).alias("carr")
+        )
+    )
+    dq = scoped_persist(
+        emb.join(F.broadcast(cents), "label").select(
+            F.col("label").cast("int").alias("label"),
+            F.expr(
+                "CAST(floor(sqrt("
+                + _sqdist_spark("embedding", "carr")
+                + ") * 1000) AS BIGINT)"
+            ).alias("dq"),
+        )
+    )
+    stats = dq.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dq").cast("bigint").alias("s"),
+        F.sum(F.expr("dq * dq")).cast("bigint").alias("q"),
+    )
+    return (
+        dq.join(F.broadcast(stats), "label")
+        .select(
+            "label", "n", "s",
+            F.expr(
+                "CAST(CASE WHEN n * dq - s > 0 AND "
+                "(n * dq - s) * (n * dq - s) > 4 * (n * q - s * s) "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("o"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("o").cast("bigint").alias("n_outliers"),
+            F.max("s").alias("sum_dq"),
+        )
+        .withColumn(
+            "outlier_bp",
+            F.expr("10000 * n_outliers DIV n").cast("bigint"),
+        )
+    )
+
+
+_X45_SQL = (
+    "WITH cents AS ("
+    "SELECT label, list(v ORDER BY dim) AS carr FROM ("
+    "SELECT e.label, t.dim, "
+    "CAST(sum(CAST(CAST(e.embedding[t.dim + 1] AS DOUBLE) "
+    "AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v "
+    "FROM embeddings e "
+    f"CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS dim) t "
+    "GROUP BY e.label, t.dim) GROUP BY label), "
+    "d AS (SELECT CAST(e.label AS INT) AS label, "
+    "CAST(floor(sqrt("
+    + _sqdist_duck("e.embedding", "c.carr")
+    + ") * 1000) AS BIGINT) AS dq "
+    "FROM embeddings e JOIN cents c ON e.label = c.label), "
+    "st AS (SELECT label, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(dq) AS BIGINT) AS s, "
+    "CAST(sum(dq * dq) AS BIGINT) AS q FROM d GROUP BY 1), "
+    "f AS (SELECT d.label, st.n, st.s, "
+    "CASE WHEN st.n * d.dq - st.s > 0 AND "
+    "(st.n * d.dq - st.s) * (st.n * d.dq - st.s) > "
+    "4 * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END AS o "
+    "FROM d JOIN st ON d.label = st.label) "
+    "SELECT label, CAST(max(n) AS BIGINT) AS n, "
+    "CAST(sum(o) AS BIGINT) AS n_outliers, "
+    "CAST(max(s) AS BIGINT) AS sum_dq, "
+    "CAST(10000 * sum(o) // max(n) AS BIGINT) AS outlier_bp "
+    "FROM f GROUP BY 1"
+)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -2040,6 +2153,7 @@ QUERIES = {
     "x28_graph_pagerank": x28_graph_pagerank,
     "x35_domain_centroids": x35_domain_centroids,
     "x37_cluster_balanced_sample": x37_cluster_balanced_sample,
+    "x45_embedding_outliers": x45_embedding_outliers,
 }
 
 ORACLES = {
@@ -2057,4 +2171,5 @@ ORACLES = {
     "x28_graph_pagerank": _X28_SQL,
     "x35_domain_centroids": _X35_SQL,
     "x37_cluster_balanced_sample": _x37_sql(),
+    "x45_embedding_outliers": _X45_SQL,
 }
