@@ -4011,6 +4011,111 @@ def delete_delta(
     return version
 
 
+def overwrite_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    change_data: bool = False,
+) -> int:
+    """Atomic FULL-TABLE overwrite — delta-spark's plain
+    ``write.mode("overwrite")`` (the re-materialize-the-gold-table
+    verb): every live file removes and the new batch's files add in
+    ONE ``dataChange:true`` commit, so a reader sees the old table or
+    the new one, never a mix, and time travel to the pre-overwrite
+    version still resolves the old files. Schema and partitioning are
+    FIXED (delta-spark requires ``overwriteSchema`` to change either —
+    out of scope here; silent type drift refuses through the same
+    merge check as append). Composes with every table shape the other
+    verbs support: hive partitioning (the batch re-partitions through
+    the staging write), column mapping incl. renamed partition columns
+    (the batch arrives LOGICAL and lands physical + field ids), live
+    DVs (replaced wholesale — the masked rows were already logically
+    gone), and clones (removes key the external absolute paths).
+
+    ``change_data=True`` captures the overwrite for the CDF: the old
+    LIVE rows (via the ordinary snapshot scan — DV-subtracted, mapped,
+    partition-recovered as appropriate) as ``delete`` preimages and
+    the batch as ``insert`` rows."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "WRITE (overwrite)", removes_data=True)
+    _refuse_stable_row_id_rewrite(snap, "overwrite")
+    pcols = snap["partition_cols"]
+    _mode = _mapping_mode(snap)
+    if _mode not in ("none", "name", "id"):
+        raise DeltaProtocolError(
+            f"overwrite on a column mapping mode {_mode!r} table is "
+            "not supported"
+        )
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    table_cols = {f.name for f in full.fields}
+    if set(df.columns) != table_cols:
+        raise DeltaProtocolError(
+            f"overwrite batch schema {sorted(df.columns)} does not "
+            f"match table schema {sorted(table_cols)} (schema change "
+            "on overwrite requires overwriteSchema, out of scope)"
+        )
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        merge_schemas,
+    )
+
+    merge_schemas(full, df.schema)  # refuse silent type drift
+    _enforce_constraints(df, table_constraints(snap))
+    _enforce_generated(df, table_generated_columns(snap))
+    version = snap["version"] + 1
+
+    cdc_actions: list[dict] = []
+    if change_data:
+        old_rows = read_delta(spark, table, version=snap["version"])
+        changes = old_rows.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(df.withColumn("_change_type", F.lit("insert")))
+        if _mode != "none":
+            _pof, _ids = _mapped_write_plan(snap)
+            changes = _to_physical(
+                changes, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
+            )
+        cdc_actions = _write_change_data(table, changes, version, pcols)
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    out_df = df
+    if _mode != "none":
+        _pof, _ids = _mapped_write_plan(snap)
+        out_df = _to_physical(df, snap["schema"], phys_of=_pof,
+                              attach_ids=_ids)
+    writer = out_df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds = _promote_staged(table, staging, version, pcols, True)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": _log_path(table, f),
+                "deletionTimestamp": now_ms,
+                "partitionValues": _file_pvals(f) if pcols else {},
+                "dataChange": True,
+            }
+        }
+        for f in snap["files"]
+    ]
+    actions = cdc_actions + removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Overwrite"},
+            }
+        }
+    ]
+    actions = _stamp_row_tracking(snap, version, actions)
+    _publish_commit(table, version, actions)
+    return version
+
+
 def replace_where_delta(
     spark: SparkSession,
     df: DataFrame,

@@ -2487,6 +2487,92 @@ _ST20_SQL = (
 )
 
 
+def s31_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31 — atomic FULL-TABLE overwrite (plain ``mode("overwrite")``,
+    the re-materialize-the-gold-table verb s28's replaceWhere scopes
+    down from): seed across two appends → DV-erase keys % 5 = 0
+    (merge-on-read) → overwrite the WHOLE table with a recomputed
+    batch (keys % 3 != 0, price + 10) with CDF capture. Certificate
+    parts: 'latest' (= the batch), 'pre' (time travel to just before —
+    the DV-subtracted live set, old files must still resolve),
+    'cdf_delete' (the capture's preimages — must equal the LIVE set,
+    an erased row must not resurface), 'cdf_insert' (= the batch)."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s31_orders_overwrite")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1"), table,
+        partition_by=["o_orderstatus"],
+    )
+    doomed = orders.filter("o_orderkey % 5 = 0").select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    batch = orders.filter("o_orderkey % 3 != 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    v = delta_compat.overwrite_delta(
+        spark, batch, table, change_data=True
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    latest = (
+        delta_compat.read_delta(spark, table)
+        .select(*cols)
+        .withColumn("part", F.lit("latest"))
+    )
+    pre = (
+        delta_compat.read_delta(spark, table, version=v - 1)
+        .select(*cols)
+        .withColumn("part", F.lit("pre"))
+    )
+    feed = delta_compat.read_delta_changes(spark, table, v, v).select(
+        *cols,
+        F.concat(F.lit("cdf_"), F.col("_change_type")).alias("part"),
+    )
+    return (
+        latest.unionByName(pre)
+        .unionByName(feed)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S31_SQL = (
+    "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders), "
+    "live AS (SELECT * FROM base WHERE o_orderkey % 5 != 0), "
+    "batch AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 10.0 AS o_totalprice FROM base "
+    "WHERE o_orderkey % 3 != 0), "
+    "parts AS ("
+    "SELECT 'latest' AS part, o_orderkey, o_orderstatus, o_totalprice "
+    "FROM batch "
+    "UNION ALL SELECT 'pre', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM live "
+    "UNION ALL SELECT 'cdf_delete', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM live "
+    "UNION ALL SELECT 'cdf_insert', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM batch) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents "
+    "FROM parts GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2522,6 +2608,7 @@ QUERIES = {
     "s28_replace_where": s28_replace_where,
     "s29_identity_columns": s29_identity_columns,
     "s30_mapped_partitioned": s30_mapped_partitioned,
+    "s31_overwrite": s31_overwrite,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2563,6 +2650,7 @@ ORACLES = {
     "s28_replace_where": _S28_SQL,
     "s29_identity_columns": _S29_SQL,
     "s30_mapped_partitioned": _S30_SQL,
+    "s31_overwrite": _S31_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

@@ -5319,3 +5319,54 @@ def test_restore_cdf_partitioned_and_mapped(spark, tmp_path):
     assert sorted(
         (r["k"], r["val"], r["_change_type"]) for r in ch2.collect()
     ) == [(3, "c", "delete")]  # never (3, None, ...): names resolved
+
+
+def test_overwrite_full_table_all_shapes(spark, tmp_path):
+    """Plain mode('overwrite'): one commit swaps the whole live set;
+    time travel keeps the old files; CDF preimages are the DV-
+    subtracted LIVE rows; composes with mapping + renamed partition
+    columns; schema drift refuses."""
+    t = str(tmp_path / "ow")
+    dc.append_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t
+    )
+    v = dc.overwrite_delta(
+        spark, spark.createDataFrame([(9, "z")], "k long, v string"), t,
+        change_data=True,
+    )
+    assert [(r["k"], r["v"]) for r in dc.read_delta(spark, t).collect()] \
+        == [(9, "z")]
+    assert dc.read_delta(spark, t, version=0).count() == 2
+    ch = dc.read_delta_changes(spark, t, v, v)
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) == [
+        (1, "delete"), (2, "delete"), (9, "insert")
+    ]
+    with pytest.raises(dc.DeltaProtocolError, match="schema"):
+        dc.overwrite_delta(
+            spark, spark.createDataFrame([(1,)], "k long"), t
+        )
+
+    t2 = str(tmp_path / "ow_mapped")
+    dc.append_delta(
+        spark.createDataFrame([(i, i % 2) for i in range(8)],
+                              "k long, d int"),
+        t2, partition_by=["d"],
+    )
+    dc.enable_column_mapping(t2)
+    dc.rename_column(t2, "d", "day")
+    dc.delete_delta_dv(
+        spark, t2, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    v2 = dc.overwrite_delta(
+        spark,
+        spark.createDataFrame([(50, 0), (51, 1)], "k long, day int"),
+        t2, change_data=True,
+    )
+    assert sorted(
+        (r["k"], r["day"]) for r in dc.read_delta(spark, t2).collect()
+    ) == [(50, 0), (51, 1)]
+    ch = dc.read_delta_changes(spark, t2, v2, v2)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert (0, "delete") not in got  # DV-erased row must not resurface
+    assert got[-2:] == [(50, "insert"), (51, "insert")]
+    assert dc.read_delta(spark, t2, version=v2 - 1).count() == 7
