@@ -556,6 +556,89 @@ def _x27_sql() -> str:
 _X27_SQL = _x27_sql()
 
 
+
+
+def dq4_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the data-quality
+    check a warehouse runs after every load: for each declared
+    foreign-key relationship, how many child rows point at a missing
+    parent (orphans). Each relationship is ONE left-anti join on the
+    key; Spark picks broadcast or shuffled hash by parent size, and
+    the audit never materializes the orphan rows themselves — counts
+    only. The fixtures are referentially clean, so the certificate
+    pins zeros plus the exact child cardinalities (a loader that
+    dropped parents, or a key-type drift that NULLs the join, flips
+    either side)."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.catalog import load_table
+
+    rels = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child).select(
+            F.col(ck).alias("fk")
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("fk")
+        ).distinct()
+        orphans = c.join(p, "fk", "left_anti")
+        part = (
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                    )
+                )  # one-row constant frame
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.withColumn(
+        "orphan_bp",
+        F.expr("10000 * n_orphans DIV n_child").cast("bigint"),
+    )
+
+
+_DQ4_SQL = " UNION ALL ".join(
+    (
+        f"SELECT '{name}' AS relationship, "
+        f"CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child, "
+        f"CAST((SELECT count(*) FROM {child} WHERE {ck} NOT IN "
+        f"(SELECT {pk} FROM {parent})) AS BIGINT) AS n_orphans, "
+        f"CAST(10000 * (SELECT count(*) FROM {child} WHERE {ck} NOT IN "
+        f"(SELECT {pk} FROM {parent})) // "
+        f"(SELECT count(*) FROM {child}) AS BIGINT) AS orphan_bp"
+    )
+    for name, child, ck, parent, pk in [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -563,6 +646,7 @@ QUERIES = {
     "dq2_expectations": dq2_expectations,
     "x17_cms_heavy_hitters": x17_cms_heavy_hitters,
     "x27_hll_distinct": x27_hll_distinct,
+    "dq4_referential_integrity": dq4_referential_integrity,
 }
 
 ORACLES = {
@@ -572,4 +656,5 @@ ORACLES = {
     "dq2_expectations": _DQ2_SQL,
     "x17_cms_heavy_hitters": _X17_SQL,
     "x27_hll_distinct": _X27_SQL,
+    "dq4_referential_integrity": _DQ4_SQL,
 }
