@@ -167,6 +167,12 @@ HEADLINE = [
     "s30_mapped_partitioned",
     "st20_mapped_stream_sink",
     "x42_temperature_mix",
+    "x43_coverage_select",
+    "w16_time_weighted_avg",
+    "x44_luhn_card_scrub",
+    "x45_embedding_outliers",
+    "s31_overwrite",
+    "dq4_referential_integrity",
 ]
 
 
