@@ -1130,6 +1130,142 @@ _X19_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X46 — cross-source boilerplate n-gram detection
+# --------------------------------------------------------------------------
+
+_X46_HEADER = (
+    "content provided under public redistribution terms see original "
+    "site notice for details"
+)
+_X46_MIN_DOCS = 3  # a gram in >= this many distinct docs ...
+_X46_MIN_SOURCES = 2  # ... AND >= this many distinct sources is boilerplate
+
+_WIN4_SPARK = (
+    "CASE WHEN size(w) >= 4 THEN "
+    "transform(sequence(0, size(w)-4), i -> concat_ws(' ', "
+    "w[i], w[i+1], w[i+2], w[i+3])) "
+    "ELSE array() END"
+)
+_WIN4_DUCK = (
+    "CASE WHEN len(w) >= 4 THEN "
+    "list_transform(range(1, len(w)-2), i -> "
+    "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) "
+    "ELSE [] END"
+)
+
+
+def x46_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE boilerplate detection — the template/license-header
+    pass of web-scale curation (C4's "boilerplate" filter, Raffel et
+    al. 2020; CCNet's cross-document repetition): an n-gram that recurs
+    across MANY DOCUMENTS FROM DIFFERENT SOURCES is template text
+    (cookie banners, license headers, nav chrome), not content. The
+    cross-source requirement is what distinguishes this from x34's
+    substring dedup: a passage quoted between two docs of one source is
+    duplication; a gram spanning sources is boilerplate. Per source:
+    total 4-gram instances, instances matching a flagged gram, distinct
+    flagged grams present, and the boilerplate rate in basis points —
+    the per-provenance contamination ranking a curation pipeline cuts
+    sources by.
+
+    Planted discrimination: every 7th doc gets a same-source twin whose
+    text is a fixed 12-word "redistribution notice" header followed by
+    the doc's first 8 words — the header's grams span ~all sources and
+    must be flagged, while ordinary cross-doc repetition below the
+    (>=3 docs, >=2 sources) bar sails through. Twin ids derive from
+    max(doc_id)+1 (the x30 lesson: no fixed offsets).
+
+    Scale shape: ONE shuffle keyed on md5(gram) (32-byte keys, never
+    gram text) computes per-gram doc/source spread; the flagged set is
+    threshold-bounded (grams crossing a many-docs bar are a vanishing
+    fraction of the gram space — Heaps' law in reverse) and BROADCASTS
+    back against the re-scanned gram stream map-side; the final rollup
+    shuffles |sources| keys. Linear in corpus tokens, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
+    twins = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            "source",
+            F.concat(
+                F.lit(_X46_HEADER + " "),
+                F.array_join(F.slice(F.expr(_WORDS_SPARK), 1, 8), " "),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(twins)
+    grams = (
+        corpus.withColumn("w", F.expr(_WORDS_SPARK))
+        .select(
+            "doc_id", "source", F.explode(F.expr(_WIN4_SPARK)).alias("g")
+        )
+        .select("doc_id", "source", F.md5("g").alias("h"))
+    )
+    boiler = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.countDistinct("source").alias("ns"),
+        )
+        .filter(
+            (F.col("nd") >= _X46_MIN_DOCS)
+            & (F.col("ns") >= _X46_MIN_SOURCES)
+        )
+        .select("h", F.lit(1).alias("is_b"))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.countDistinct(F.when(F.col("is_b") == 1, F.col("h")))
+            .cast("bigint")
+            .alias("n_boiler_grams"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_boiler",
+            "n_boiler_grams",
+            F.expr("(10000 * n_boiler) DIV n_grams")
+            .cast("bigint")
+            .alias("boiler_bp"),
+        )
+    )
+
+
+_X46_SQL = (
+    "WITH corpus AS (SELECT doc_id, source, text FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id + {_X34_OFF_SQL}, source, "
+    f"'{_X46_HEADER} ' || "
+    f"coalesce(list_aggr(list_slice({_WORDS_DUCK}, 1, 8), "
+    "'string_agg', ' '), '') "
+    "FROM documents WHERE doc_id % 7 = 0), "
+    "g AS (SELECT doc_id, source, md5(win) AS h FROM ("
+    "SELECT doc_id, source, unnest({win4}) AS win FROM ("
+    f"SELECT doc_id, source, {_WORDS_DUCK} AS w FROM corpus))), "
+    "boiler AS (SELECT h FROM g GROUP BY h "
+    f"HAVING count(DISTINCT doc_id) >= {_X46_MIN_DOCS} "
+    f"AND count(DISTINCT source) >= {_X46_MIN_SOURCES}) "
+    "SELECT g.source, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_boiler, "
+    "CAST(count(DISTINCT b.h) AS BIGINT) AS n_boiler_grams, "
+    "CAST((10000 * sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)) "
+    "// count(*) AS BIGINT) AS boiler_bp "
+    "FROM g LEFT JOIN boiler b ON b.h = g.h GROUP BY 1"
+).format(win4=_WIN4_DUCK)
+
+
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x2_minhash_near_dup": x2_minhash_near_dup,
@@ -1141,6 +1277,7 @@ QUERIES = {
     "x34_substring_dedup": x34_substring_dedup,
     "x34b_substring_trim": x34b_substring_trim,
     "x40_normalized_dedup": x40_normalized_dedup,
+    "x46_boilerplate_grams": x46_boilerplate_grams,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1155,5 +1292,6 @@ ORACLES = {
     "x34_substring_dedup": _X34_SQL,
     "x34b_substring_trim": _X34B_SQL,
     "x40_normalized_dedup": _X40_SQL,
+    "x46_boilerplate_grams": _X46_SQL,
     "x19_line_dedup": _X19_SQL,
 }

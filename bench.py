@@ -173,6 +173,7 @@ HEADLINE = [
     "x45_embedding_outliers",
     "s31_overwrite",
     "dq4_referential_integrity",
+    "x46_boilerplate_grams",
 ]
 
 
