@@ -305,6 +305,41 @@ def _bpe_merge(col: str, pat: str) -> str:
     )
 
 
+def _bpe_train(words: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The three-round merge-learning loop shared by x41 (which reports
+    the table) and x41b (which ENCODES with it): per round — pair
+    counts over the vocab, deterministic top pair (count DESC, pair
+    ASC), broadcast back, map-side two-pass merge. Returns the three
+    1-row learned frames (step, pair, cnt) and the post-merge vocab."""
+    cur = words.select(
+        F.expr("concat(' ', regexp_replace(word, '(.)', '$1 '))").alias(
+            "sym"
+        ),
+        "wt",
+    )
+    learned = []
+    for k in (1, 2, 3):
+        pairs = (
+            cur.select(
+                F.expr("filter(split(sym, ' '), x -> x != '')").alias(
+                    "syms"
+                ),
+                "wt",
+            )
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"), "wt")
+            .groupBy("pair")
+            .agg(F.sum("wt").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        learned.append(
+            top.select(F.lit(k).alias("step"), "pair", "cnt")
+        )
+        cur = cur.crossJoin(
+            F.broadcast(top.select(F.col("pair").alias("_p")))
+        ).select(F.expr(_bpe_merge("sym", "_p")).alias("sym"), "wt")
+    return learned, cur
+
+
 def x41_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X41 — byte-pair-encoding merge TRAINING, distributed: the
     tokenizer-fitting step of an LLM data pipeline (Sennrich et al.
@@ -339,32 +374,7 @@ def x41_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("wt"))
         .localCheckpoint(eager=True)
     )
-    cur = words.select(
-        F.expr("concat(' ', regexp_replace(word, '(.)', '$1 '))").alias(
-            "sym"
-        ),
-        "wt",
-    )
-    learned = []
-    for k in (1, 2, 3):
-        pairs = (
-            cur.select(
-                F.expr("filter(split(sym, ' '), x -> x != '')").alias(
-                    "syms"
-                ),
-                "wt",
-            )
-            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"), "wt")
-            .groupBy("pair")
-            .agg(F.sum("wt").cast("long").alias("cnt"))
-        )
-        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-        learned.append(
-            top.select(F.lit(k).alias("step"), "pair", "cnt")
-        )
-        cur = cur.crossJoin(
-            F.broadcast(top.select(F.col("pair").alias("_p")))
-        ).select(F.expr(_bpe_merge("sym", "_p")).alias("sym"), "wt")
+    learned, cur = _bpe_train(words)
     fin = cur.select(
         F.expr("filter(split(sym, ' '), x -> x != '')").alias("syms"), "wt"
     )
@@ -423,6 +433,121 @@ _X41_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X41b — BPE ENCODING with the learned merge table (tokenizer apply)
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_expr(sym0: str, m1: str, m2: str, m3: str) -> str:
+    """The encode chain: char-split a word, apply the three learned
+    merges in training order (each the bounded two-pass replace), count
+    surviving symbols. SAME expression text in both engines."""
+    merged = _bpe_merge(_bpe_merge(_bpe_merge(sym0, m1), m2), m3)
+    return f"size(filter(split({merged}, ' '), x -> x != ''))"
+
+
+def x41b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41b — apply the x41-learned BPE merge table to ENCODE every
+    document: the tokenizer-apply step that turns a trained merge list
+    into per-document token counts (what packing (x7), pricing, and
+    context budgeting consume). Per doc: words, pre-merge symbol count
+    (= characters), post-merge token count, and the compression in
+    basis points. Re-uses ``_bpe_train`` verbatim so trainer and
+    encoder cannot drift on the merge table.
+
+    Scale shape: training is x41's vocab-sized shuffles (sublinear by
+    Heaps' law); the merge table is a 1-ROW broadcast and encoding is
+    a pure map stage over documents — per-word char split + three
+    two-pass replaces + a size fold, whole-stage codegen, the corpus
+    never shuffles. At 100 TB this is one pass over the text column.
+    Certificate: integer-only outputs (counts + basis points), so any
+    merge-application divergence anywhere flips a row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    learned, _cur = _bpe_train(words)
+    merges = (
+        learned[0]
+        .select(F.col("pair").alias("m1"))
+        .crossJoin(F.broadcast(learned[1].select(F.col("pair").alias("m2"))))
+        .crossJoin(F.broadcast(learned[2].select(F.col("pair").alias("m3"))))
+    )
+    sym0 = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
+    return (
+        docs.crossJoin(F.broadcast(merges))
+        .select(
+            "doc_id",
+            F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
+            F.expr(
+                f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+                "word -> length(word)), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+            )
+            .cast("bigint")
+            .alias("n_syms"),
+            F.expr(
+                f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+                f"word -> {enc}), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syms",
+            "n_tokens",
+            F.expr(
+                "(10000 * (n_syms - n_tokens)) DIV nullif(n_syms, 0)"
+            )
+            .cast("bigint")
+            .alias("compress_bp"),
+        )
+    )
+
+
+def _x41b_sql() -> str:
+    sym0 = "concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
+    # DuckDB's size/filter/split aliases: len / list_filter /
+    # string_split — rewrite the engine-specific names in the shared
+    # expression text (replace/concat/nullif are already identical).
+    enc = (
+        enc.replace("size(filter(split(", "len(list_filter(string_split(")
+        .replace("x -> x != ''", "x -> x <> ''")
+    )
+    return (
+        "WITH words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wt "
+        f"FROM (SELECT unnest({_WORDS_DUCK}) AS w FROM documents) "
+        "GROUP BY 1), "
+        "s0 AS (SELECT concat(' ', regexp_replace(word, '(.)', '\\1 ', "
+        "'g')) AS sym, wt FROM words), "
+        + _x41_round_ctes("s0", 1) + ", "
+        + _x41_round_ctes("m1", 2) + ", "
+        + _x41_round_ctes("m2", 3) + ", "
+        "mt AS (SELECT t1.pair AS m1, t2.pair AS m2, t3.pair AS m3 "
+        "FROM t1 CROSS JOIN t2 CROSS JOIN t3), "
+        "enc AS (SELECT doc_id, "
+        f"len({_WORDS_DUCK}) AS n_words, "
+        f"coalesce(list_sum(list_transform({_WORDS_DUCK}, "
+        "word -> length(word))), 0) AS n_syms, "
+        f"coalesce(list_sum(list_transform({_WORDS_DUCK}, "
+        f"word -> {enc})), 0) AS n_tokens "
+        "FROM documents CROSS JOIN mt) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_syms AS BIGINT) AS n_syms, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST((10000 * (n_syms - n_tokens)) // nullif(n_syms, 0) "
+        "AS BIGINT) AS compress_bp FROM enc"
+    )
+
+
 QUERIES = {
     "x4_doc_stats": x4_doc_stats,
     "x4b_lang_profile": x4b_lang_profile,
@@ -430,6 +555,7 @@ QUERIES = {
     "x4d_langid_ngram": x4d_langid_ngram,
     "x4e_bpe_token_stats": x4e_bpe_token_stats,
     "x41_bpe_train": x41_bpe_train,
+    "x41b_bpe_encode": x41b_bpe_encode,
 }
 
 ORACLES = {
@@ -439,4 +565,5 @@ ORACLES = {
     "x4d_langid_ngram": _X4D_SQL,
     "x4e_bpe_token_stats": _X4E_SQL,
     "x41_bpe_train": _X41_SQL,
+    "x41b_bpe_encode": _x41b_sql(),
 }

@@ -174,6 +174,7 @@ HEADLINE = [
     "s31_overwrite",
     "dq4_referential_integrity",
     "x46_boilerplate_grams",
+    "x41b_bpe_encode",
 ]
 
 
