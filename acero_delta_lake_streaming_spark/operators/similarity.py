@@ -2138,6 +2138,80 @@ _X45_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X47 — ANN recall audit (approximate vs exact ground truth)
+# --------------------------------------------------------------------------
+
+
+def x47_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 — recall@5 of the IVF ANN (x3d) against the exact
+    brute-force ground truth (x3): the acceptance gate every
+    production ANN deployment runs before (and continuously after)
+    swapping approximate search in — "how many of the true top-5 does
+    the probed search return?" Per query: ground-truth size, hits, and
+    recall in basis points. Composes the two existing operators
+    verbatim (not re-derived), so the audit measures EXACTLY the
+    shipped search paths; both sides re-rank x3's rounded top-10 to
+    top-5 with the same (cosine DESC, vec_id ASC) tie-break, so the
+    truth set is engine-identical.
+
+    Scale shape: the exact arm is the brute-force scan over the
+    corpus with broadcast queries (linear, one pass — affordable for
+    an AUDIT SAMPLE of queries, which is how recall is measured at
+    100 TB: sample, not census); the IVF arm is x3d's probed plan;
+    the comparison itself joins two ≤(queries×k)-row frames —
+    negligible. Integer-only output."""
+    exact = x3_cosine_topk(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    exact5 = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    approx = x3d_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact5.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact5.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr("(10000 * coalesce(n_hits, 0)) DIV n_exact")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )
+
+
+def _x47_sql() -> str:
+    return (
+        f"WITH exact10 AS ({_X3_SQL}), "
+        f"approx AS ({_ivf_sql()}), "
+        "exact5 AS (SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk "
+        "FROM exact10) WHERE rk <= 5), "
+        "hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM exact5 e JOIN approx a "
+        "ON a.query_id = e.query_id AND a.vec_id = e.vec_id GROUP BY 1), "
+        "base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM exact5 GROUP BY 1) "
+        "SELECT b.query_id, b.n_exact, "
+        "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "CAST((10000 * coalesce(h.n_hits, 0)) // b.n_exact AS BIGINT) "
+        "AS recall_bp "
+        "FROM base b LEFT JOIN hits h ON h.query_id = b.query_id"
+    )
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -2154,6 +2228,7 @@ QUERIES = {
     "x35_domain_centroids": x35_domain_centroids,
     "x37_cluster_balanced_sample": x37_cluster_balanced_sample,
     "x45_embedding_outliers": x45_embedding_outliers,
+    "x47_ann_recall_audit": x47_ann_recall_audit,
 }
 
 ORACLES = {
@@ -2172,4 +2247,5 @@ ORACLES = {
     "x35_domain_centroids": _X35_SQL,
     "x37_cluster_balanced_sample": _x37_sql(),
     "x45_embedding_outliers": _X45_SQL,
+    "x47_ann_recall_audit": _x47_sql(),
 }

@@ -175,6 +175,7 @@ HEADLINE = [
     "dq4_referential_integrity",
     "x46_boilerplate_grams",
     "x41b_bpe_encode",
+    "x47_ann_recall_audit",
 ]
 
 
