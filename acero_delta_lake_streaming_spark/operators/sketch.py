@@ -37,7 +37,7 @@ all arithmetic is integer (``DIV`` / ``//``), no float anywhere;
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 
@@ -614,6 +614,67 @@ def dq4_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq5_timeseries_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-series completeness audit — the freshness /
+    continuity check a pipeline runs on every ingested event stream:
+    for each user, the distinct active days, the span they cover, how
+    many in-span days are MISSING, the longest consecutive gap, and
+    staleness against the global high-water day. Day indexes derive
+    from the raw int64 nanosecond epoch (``ts_ns DIV 86.4e12``) — the
+    TZ-proof integer construction (DuckDB ``epoch_ns(ts)``), never a
+    calendar function whose session-zone semantics could split the
+    engines.
+
+    Scale shape: one distinct on (user, day) — bounded by users × span
+    days, FAR below event volume — then a per-user lag window and a
+    per-user rollup on the already-user-keyed frame; the global
+    high-water day is a 1-row broadcast. Integer-only certificate."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("ts_ns DIV 86400000000000").cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = days.withColumn("prev", F.lag("day").over(w)).withColumn(
+        "gap", F.expr("coalesce(day - prev - 1, 0)")
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("day").cast("bigint").alias("first_day"),
+        F.max("day").cast("bigint").alias("last_day"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
+    gmax = days.agg(F.max("day").alias("gday"))
+    return per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        "n_days",
+        "first_day",
+        "last_day",
+        F.expr("last_day - first_day + 1 - n_days")
+        .cast("bigint")
+        .alias("missing_days"),
+        "max_gap_days",
+        F.expr("gday - last_day").cast("bigint").alias("stale_days"),
+    )
+
+
+_DQ5_SQL = (
+    "WITH days AS (SELECT DISTINCT user_id, "
+    "epoch_ns(ts) // 86400000000000 AS day FROM events), "
+    "g AS (SELECT user_id, day, coalesce(day - lag(day) OVER ("
+    "PARTITION BY user_id ORDER BY day) - 1, 0) AS gap FROM days), "
+    "pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days, "
+    "CAST(min(day) AS BIGINT) AS first_day, "
+    "CAST(max(day) AS BIGINT) AS last_day, "
+    "CAST(max(gap) AS BIGINT) AS max_gap_days FROM g GROUP BY 1) "
+    "SELECT user_id, n_days, first_day, last_day, "
+    "CAST(last_day - first_day + 1 - n_days AS BIGINT) AS missing_days, "
+    "max_gap_days, "
+    "CAST((SELECT max(day) FROM days) - last_day AS BIGINT) AS stale_days "
+    "FROM pu"
+)
+
+
 _DQ4_SQL = " UNION ALL ".join(
     (
         f"SELECT '{name}' AS relationship, "
@@ -647,6 +708,7 @@ QUERIES = {
     "x17_cms_heavy_hitters": x17_cms_heavy_hitters,
     "x27_hll_distinct": x27_hll_distinct,
     "dq4_referential_integrity": dq4_referential_integrity,
+    "dq5_timeseries_gaps": dq5_timeseries_gaps,
 }
 
 ORACLES = {
@@ -657,4 +719,5 @@ ORACLES = {
     "x17_cms_heavy_hitters": _X17_SQL,
     "x27_hll_distinct": _X27_SQL,
     "dq4_referential_integrity": _DQ4_SQL,
+    "dq5_timeseries_gaps": _DQ5_SQL,
 }

@@ -176,6 +176,7 @@ HEADLINE = [
     "x46_boilerplate_grams",
     "x41b_bpe_encode",
     "x47_ann_recall_audit",
+    "dq5_timeseries_gaps",
 ]
 
 
