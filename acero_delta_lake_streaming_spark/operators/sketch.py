@@ -675,6 +675,89 @@ _DQ5_SQL = (
 )
 
 
+def dq6_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event type — the
+    heavy-tail-safe twin of w11's mean/σ z-score: one wild value
+    shifts a mean but not a median, so production data-quality gates
+    flag on ``|x - median| > 3 · 1.4826 · MAD``. Cross-engine the
+    whole computation is INTEGER-EXACT: values quantize to cents,
+    the interpolated median of integers lands on halves (exactly
+    representable — ×2 recovers a BIGINT), deviations are BIGINTs,
+    the MAD doubles the same way, and the 3·1.4826 = 4.4478 constant
+    clears as the rational comparison ``10000·dev > 22239·mad4`` —
+    no float crosses an engine boundary (the portable-ln lesson
+    applied to quantiles).
+
+    Scale shape: two grouped aggregates over |event_types| keys with
+    the tiny stats frames broadcast back between passes. Exact
+    percentile holds a group's values; at 100 TB swap in
+    approx_percentile (dq1b's exact/approx twin precedent) — the
+    audit semantics and thresholds stay identical."""
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    s1 = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(2 * percentile(cents, 0.5D) AS BIGINT)").alias(
+            "med2"
+        ),
+    )
+    dev = cents.join(F.broadcast(s1), "event_type").select(
+        "event_type",
+        "n",
+        "med2",
+        F.expr("abs(2 * cents - med2)").alias("dev"),
+    )
+    s2 = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev, 0.5D) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(s2), "event_type")
+        .groupBy("event_type", "n", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("10000 * dev > 22239 * mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            "med2",
+            "mad4",
+            "n_outliers",
+            F.expr("(10000 * n_outliers) DIV n")
+            .cast("bigint")
+            .alias("outlier_bp"),
+        )
+    )
+
+
+_DQ6_SQL = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "s1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2 "
+    "FROM c GROUP BY 1), "
+    "d AS (SELECT c.event_type, s1.n, s1.med2, "
+    "abs(2 * c.cents - s1.med2) AS dev "
+    "FROM c JOIN s1 USING (event_type)), "
+    "s2 AS (SELECT event_type, "
+    "CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4 "
+    "FROM d GROUP BY 1) "
+    "SELECT d.event_type, d.n, d.med2, s2.mad4, "
+    "CAST(sum(CASE WHEN 10000 * d.dev > 22239 * s2.mad4 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+    "CAST((10000 * sum(CASE WHEN 10000 * d.dev > 22239 * s2.mad4 "
+    "THEN 1 ELSE 0 END)) // d.n AS BIGINT) AS outlier_bp "
+    "FROM d JOIN s2 USING (event_type) GROUP BY 1, 2, 3, 4"
+)
+
+
 _DQ4_SQL = " UNION ALL ".join(
     (
         f"SELECT '{name}' AS relationship, "
@@ -709,6 +792,7 @@ QUERIES = {
     "x27_hll_distinct": x27_hll_distinct,
     "dq4_referential_integrity": dq4_referential_integrity,
     "dq5_timeseries_gaps": dq5_timeseries_gaps,
+    "dq6_robust_outliers": dq6_robust_outliers,
 }
 
 ORACLES = {
@@ -720,4 +804,5 @@ ORACLES = {
     "x27_hll_distinct": _X27_SQL,
     "dq4_referential_integrity": _DQ4_SQL,
     "dq5_timeseries_gaps": _DQ5_SQL,
+    "dq6_robust_outliers": _DQ6_SQL,
 }

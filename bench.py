@@ -177,6 +177,7 @@ HEADLINE = [
     "x41b_bpe_encode",
     "x47_ann_recall_audit",
     "dq5_timeseries_gaps",
+    "dq6_robust_outliers",
 ]
 
 
