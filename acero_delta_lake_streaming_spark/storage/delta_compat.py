@@ -4280,6 +4280,157 @@ def replace_where_delta(
     return version
 
 
+def dynamic_overwrite_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    change_data: bool = False,
+) -> int:
+    """Dynamic partition overwrite — delta-spark's
+    ``write.mode("overwrite").option("partitionOverwriteMode",
+    "dynamic")``: replace EXACTLY the partitions PRESENT IN THE BATCH
+    and leave every other partition untouched. The verb between
+    :func:`replace_where_delta` (caller declares the predicate) and
+    :func:`overwrite_delta` (whole table): the nightly backfill that
+    recomputes "whatever days the upstream delivered" without knowing
+    them up front. The touched-partition set derives from one distinct
+    over the batch's partition columns (bounded by |touched
+    partitions| — metadata-scale at any table size); matching files
+    remove and the staged files add in ONE ``dataChange:true`` commit,
+    so readers see old-or-new per partition, never a mix, and time
+    travel still resolves the old files. A touched file's live DV dies
+    with it (the masked rows were already logically gone). Composes
+    with column mapping (batch arrives LOGICAL, lands physical + field
+    ids; the touched-set keys translate logical→physical exactly once
+    here, the partitioned-mapping rule) and clones (removes key the
+    external absolute paths). On an UNPARTITIONED table delta-spark
+    silently degenerates to a full overwrite — this writer refuses and
+    points at :func:`overwrite_delta` instead (the degenerate path
+    should be asked for by name).
+
+    ``change_data=True`` captures the overwrite for the CDF exactly
+    like replaceWhere: the touched partitions' live rows (DV-
+    subtracted) as ``delete`` preimages, the batch as ``insert``."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table)
+    _check_writer_protocol(
+        snap, "WRITE (dynamic overwrite)", removes_data=True
+    )
+    _refuse_stable_row_id_rewrite(snap, "dynamic partition overwrite")
+    pcols = snap["partition_cols"]
+    if not pcols:
+        raise DeltaProtocolError(
+            "dynamic partition overwrite on an unpartitioned table "
+            "degenerates to a full-table overwrite — call "
+            "overwrite_delta explicitly"
+        )
+    _mode = _mapping_mode(snap)
+    if _mode not in ("none", "name", "id"):
+        raise DeltaProtocolError(
+            f"dynamic overwrite on a column mapping mode {_mode!r} "
+            "table is not supported"
+        )
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    table_cols = {f.name for f in full.fields}
+    if set(df.columns) != table_cols:
+        raise DeltaProtocolError(
+            f"dynamic overwrite batch schema {sorted(df.columns)} does "
+            f"not match table schema {sorted(table_cols)}"
+        )
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        merge_schemas,
+    )
+
+    merge_schemas(full, df.schema)  # refuse silent type drift
+    _enforce_constraints(df, table_constraints(snap))
+    _enforce_generated(df, table_generated_columns(snap))
+    # logical partition columns (the batch's column names); pcols are
+    # the physical binding used by dirs/partitionValues
+    l_of = {p: l for p, l in _physical_renames(snap["schema"])}
+    lcols = [l_of.get(p, p) for p in pcols]
+    null_pred = None
+    for c in lcols:
+        clause = F.col(c).isNull()
+        null_pred = clause if null_pred is None else null_pred | clause
+    if df.filter(null_pred).limit(1).count():
+        raise DeltaProtocolError(
+            "dynamic overwrite batch has NULL partition values "
+            "(__HIVE_DEFAULT_PARTITION__ handling out of scope)"
+        )
+    touched = {
+        tuple(str(r[c]) for c in lcols)
+        for r in df.select(*lcols).distinct().collect()
+    }
+    version = snap["version"] + 1
+    matching = [
+        f
+        for f in snap["files"]
+        if tuple(_file_pvals(f).get(p) for p in pcols) in touched
+    ]
+
+    cdc_actions: list[dict] = []
+    if change_data:
+        live_dvs = {
+            f: d for f, d in snap["file_dvs"].items() if f in set(matching)
+        }
+        if not matching:
+            old_rows = spark.createDataFrame([], full)
+        elif _mode != "none":
+            old_rows = _read_mapped_partitioned(
+                spark, table, dict(snap, files=matching), {}
+            )
+        else:
+            old_rows = _read_with_dvs(
+                spark, table, matching, live_dvs, full, pcols
+            )
+        changes = old_rows.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(df.withColumn("_change_type", F.lit("insert")))
+        if _mode != "none":
+            _pof, _ids = _mapped_write_plan(snap)
+            changes = _to_physical(
+                changes, snap["schema"], extra=("_change_type",),
+                phys_of=_pof, attach_ids=_ids,
+            )
+        cdc_actions = _write_change_data(table, changes, version, pcols)
+
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    out_df = df
+    if _mode != "none":
+        _pof, _ids = _mapped_write_plan(snap)
+        out_df = _to_physical(df, snap["schema"], phys_of=_pof,
+                              attach_ids=_ids)
+    out_df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    adds = _promote_staged(table, staging, version, pcols, True)
+    removes = [
+        {
+            "remove": {
+                "path": _log_path(table, f),
+                "deletionTimestamp": int(time.time() * 1000),
+                "partitionValues": _file_pvals(f),
+                "dataChange": True,
+            }
+        }
+        for f in matching
+    ]
+    actions = cdc_actions + removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "partitionOverwriteMode": "DYNAMIC",
+                },
+            }
+        }
+    ]
+    actions = _stamp_row_tracking(snap, version, actions)
+    _publish_commit(table, version, actions)
+    return version
+
+
 def delete_delta_dv(
     spark: SparkSession,
     table: str,

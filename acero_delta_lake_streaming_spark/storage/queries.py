@@ -2549,6 +2549,108 @@ def s31_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s32_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32 — DYNAMIC partition overwrite (delta-spark's
+    ``partitionOverwriteMode=dynamic``): replace exactly the
+    partitions present in the batch, untouched elsewhere — the
+    backfill that recomputes "whatever the upstream delivered" without
+    declaring partitions up front (s28's replaceWhere needs the
+    predicate; this derives it). Seed across two appends (files
+    interleave within partitions), DV-erase some 'F' rows
+    (merge-on-read), then dynamically overwrite with a batch spanning
+    ONLY 'F' and 'P' (keys % 3 != 0, price + 10) with CDF capture —
+    'O' must survive byte-identical.
+
+    Certificate parts: 'latest' ('O' untouched + the batch),
+    'pre_touched' (time travel to just before, restricted to F/P —
+    the DV-subtracted live set; old files must still resolve),
+    'cdf_delete' (preimages = the touched partitions' LIVE set — an
+    erased row must not resurface), 'cdf_insert' (= the batch). A
+    derived-partition-set bug (touching 'O', or missing 'P') flips
+    the 'latest' accounting; oracle replays storage-blind."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s32_orders_dynover")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1"), table,
+        partition_by=["o_orderstatus"],
+    )
+    doomed = orders.filter(
+        "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    ).select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    batch = orders.filter(
+        "o_orderstatus IN ('F', 'P') AND o_orderkey % 3 != 0"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    v = delta_compat.dynamic_overwrite_delta(
+        spark, batch, table, change_data=True
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    latest = (
+        delta_compat.read_delta(spark, table)
+        .select(*cols)
+        .withColumn("part", F.lit("latest"))
+    )
+    pre = (
+        delta_compat.read_delta(spark, table, version=v - 1)
+        .filter("o_orderstatus IN ('F', 'P')")
+        .select(*cols)
+        .withColumn("part", F.lit("pre_touched"))
+    )
+    feed = delta_compat.read_delta_changes(spark, table, v, v).select(
+        *cols,
+        F.concat(F.lit("cdf_"), F.col("_change_type")).alias("part"),
+    )
+    return (
+        latest.unionByName(pre)
+        .unionByName(feed)
+        .groupBy("part", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S32_SQL = (
+    "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders), "
+    "touched_live AS (SELECT * FROM base "
+    "WHERE o_orderstatus IN ('F', 'P') "
+    "AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)), "
+    "batch AS (SELECT o_orderkey, o_orderstatus, "
+    "o_totalprice + 10.0 AS o_totalprice FROM base "
+    "WHERE o_orderstatus IN ('F', 'P') AND o_orderkey % 3 != 0), "
+    "parts AS ("
+    "SELECT 'latest' AS part, o_orderkey, o_orderstatus, o_totalprice "
+    "FROM base WHERE o_orderstatus NOT IN ('F', 'P') "
+    "UNION ALL SELECT 'latest', o_orderkey, o_orderstatus, o_totalprice "
+    "FROM batch "
+    "UNION ALL SELECT 'pre_touched', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM touched_live "
+    "UNION ALL SELECT 'cdf_delete', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM touched_live "
+    "UNION ALL SELECT 'cdf_insert', o_orderkey, o_orderstatus, "
+    "o_totalprice FROM batch) "
+    "SELECT part, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents "
+    "FROM parts GROUP BY 1, 2"
+)
+
+
 _S31_SQL = (
     "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
     "FROM orders), "
@@ -2609,6 +2711,7 @@ QUERIES = {
     "s29_identity_columns": s29_identity_columns,
     "s30_mapped_partitioned": s30_mapped_partitioned,
     "s31_overwrite": s31_overwrite,
+    "s32_dynamic_overwrite": s32_dynamic_overwrite,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2651,6 +2754,7 @@ ORACLES = {
     "s29_identity_columns": _S29_SQL,
     "s30_mapped_partitioned": _S30_SQL,
     "s31_overwrite": _S31_SQL,
+    "s32_dynamic_overwrite": _S32_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

@@ -178,6 +178,7 @@ HEADLINE = [
     "x47_ann_recall_audit",
     "dq5_timeseries_gaps",
     "dq6_robust_outliers",
+    "s32_dynamic_overwrite",
 ]
 
 

@@ -4949,6 +4949,61 @@ def test_replace_where_uncaptured_overwrite_refuses_cdf_read(spark, tmp_path):
         dc.read_delta_changes(spark, table, v, v).collect()
 
 
+def test_dynamic_overwrite_touches_only_batch_partitions(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    pre_files = set(dc.snapshot(table)["files"])
+    batch = spark.createDataFrame([(9, "b", 99.0)], _RW_DDL)
+    v = dc.dynamic_overwrite_delta(spark, batch, table)
+    got = sorted(
+        (r.id, r.part, r.val) for r in dc.read_delta(spark, table).collect()
+    )
+    # 'a' never appears in the batch, so it survives untouched
+    assert got == [(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)]
+    post = set(dc.snapshot(table)["files"])
+    assert {f for f in pre_files if "part=a" in f} <= post
+    assert not any(f in post for f in pre_files if "part=b" in f)
+    old = sorted(
+        r.id for r in dc.read_delta(spark, table, version=v - 1).collect()
+    )
+    assert old == [1, 2, 3, 4]
+
+
+def test_dynamic_overwrite_refusals(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    flat = str(tmp_path / "flat_dyn")
+    dc.append_delta(spark.createDataFrame([(1, "a", 1.0)], _RW_DDL), flat)
+    batch = spark.createDataFrame([(9, "b", 99.0)], _RW_DDL)
+    with pytest.raises(dc.DeltaProtocolError, match="unpartitioned"):
+        dc.dynamic_overwrite_delta(spark, batch, flat)
+    nulled = spark.createDataFrame([(9, None, 99.0)], _RW_DDL)
+    with pytest.raises(dc.DeltaProtocolError, match="NULL partition"):
+        dc.dynamic_overwrite_delta(spark, nulled, table)
+    skinny = spark.createDataFrame([(9, "b")], "id long, part string")
+    with pytest.raises(dc.DeltaProtocolError, match="schema"):
+        dc.dynamic_overwrite_delta(spark, skinny, table)
+    assert dc.snapshot(table)["version"] == 0
+    assert dc.snapshot(flat)["version"] == 0
+
+
+def test_dynamic_overwrite_mapped_rename_logical_batch(spark, tmp_path):
+    """Dynamic overwrite composes with column mapping: after RENAME
+    COLUMN the batch arrives with LOGICAL names, touched partitions
+    derive from the logical frame, and the staged files land under the
+    PHYSICAL binding; the read returns logical names."""
+    table = _seed_rw(spark, tmp_path)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "val", "amount")
+    batch = spark.createDataFrame(
+        [(9, "b", 99.0)], "id long, part string, amount double"
+    )
+    dc.dynamic_overwrite_delta(spark, batch, table)
+    got = sorted(
+        (r.id, r.part, r.amount)
+        for r in dc.read_delta(spark, table).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)]
+
+
 def test_mapped_zorder_clusters_on_logical_keys(spark, tmp_path):
     """OPTIMIZE ZORDER BY on a column-mapped table: clustering keys are
     LOGICAL names (incl. renamed ones); the rewrite translates them to
