@@ -1039,6 +1039,65 @@ _W16_SQL = (
 )
 
 
+def w17_pareto_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — Pareto concentration of corpus mass by source: rank
+    sources by their character mass, accumulate shares, and flag the
+    head set that carries 80% of the corpus — the concentration
+    profile a curation team reads before deciding which providers to
+    renegotiate, cap (x43 does the greedy selection; this is the
+    diagnosis), or dedup first. ``in_head`` uses the strict
+    "started before the 80% line" rule (cum_before < 0.8·total ⟺
+    10·cum_before < 8·total — pure BIGINT, no float share crosses
+    engines); the emitted share is integer basis points.
+
+    Scale shape: one |sources|-keyed aggregate, then an unpartitioned
+    window over the AGGREGATED frame — |sources| rows at any corpus
+    size (hundreds, not billions), the same post-aggregation single-
+    task shape as w11's daily series. Deterministic (mass DESC,
+    source ASC) ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    )
+    w = Window.orderBy(F.desc("mass"), F.asc("source"))
+    cum = Window.orderBy(F.desc("mass"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_src.agg(F.sum("mass").cast("bigint").alias("total"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum_mass", F.sum("mass").over(cum).cast("bigint"))
+        .select(
+            "source",
+            "mass",
+            "rank",
+            "cum_mass",
+            F.expr("(10000 * cum_mass) DIV total")
+            .cast("bigint")
+            .alias("cum_share_bp"),
+            F.expr("10 * (cum_mass - mass) < 8 * total").alias("in_head"),
+        )
+    )
+
+
+_W17_SQL = (
+    "WITH per_src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) "
+    "AS mass FROM documents GROUP BY 1), "
+    "t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM per_src), "
+    "r AS (SELECT source, mass, "
+    "CAST(row_number() OVER (ORDER BY mass DESC, source ASC) AS BIGINT) "
+    "AS rank, "
+    "CAST(sum(mass) OVER (ORDER BY mass DESC, source ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_mass FROM per_src) "
+    "SELECT source, mass, rank, cum_mass, "
+    "CAST((10000 * cum_mass) // total AS BIGINT) AS cum_share_bp, "
+    "10 * (cum_mass - mass) < 8 * total AS in_head "
+    "FROM r CROSS JOIN t"
+)
+
+
 QUERIES = {
     "w1_daily_delta": w1_daily_delta,
     "w2_moving_avg": w2_moving_avg,
@@ -1056,6 +1115,7 @@ QUERIES = {
     "w14_rfm_segments": w14_rfm_segments,
     "w15_attribution": w15_attribution,
     "w16_time_weighted_avg": w16_time_weighted_avg,
+    "w17_pareto_sources": w17_pareto_sources,
 }
 
 ORACLES = {
@@ -1075,4 +1135,5 @@ ORACLES = {
     "w14_rfm_segments": _W14_SQL,
     "w15_attribution": _W15_SQL,
     "w16_time_weighted_avg": _W16_SQL,
+    "w17_pareto_sources": _W17_SQL,
 }

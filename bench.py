@@ -179,6 +179,7 @@ HEADLINE = [
     "dq5_timeseries_gaps",
     "dq6_robust_outliers",
     "s32_dynamic_overwrite",
+    "w17_pareto_sources",
 ]
 
 
