@@ -4280,6 +4280,112 @@ def replace_where_delta(
     return version
 
 
+def overwrite_schema_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Schema-REPLACING overwrite — delta-spark's
+    ``write.mode("overwrite").option("overwriteSchema", "true")``: the
+    table's schema, data, AND partitioning all swap to the batch's in
+    ONE commit (new ``metaData`` + every live file removed + staged
+    adds), the migration verb behind re-materializing a table in a new
+    shape. The table id (``metaData.id``) and configuration survive —
+    only schemaString and partitionColumns change — so history,
+    time travel to pre-migration versions (old files resolve with the
+    OLD schema via the log-anchored metaData at that version), and
+    table properties are intact.
+
+    Boundaries, each a loud refusal: column-mapped tables (a schema
+    replacement would need a fresh logical→physical binding minted
+    under the old mapping mode — delta-spark re-mints ids there; out
+    of scope), ``rowTracking``-enabled tables (rewrite-verb rule), and
+    CHECK constraints that reference columns absent from the NEW
+    schema (delta-spark refuses the same write; constraints whose
+    columns survive are enforced against the batch). CDF capture is
+    deliberately NOT offered: preimage and postimage schemas differ,
+    and a change feed cannot span a schema replacement — consumers
+    re-snapshot (delta-spark errors the cross-boundary CDF read the
+    same way)."""
+    snap = snapshot(table)
+    _check_writer_protocol(
+        snap, "WRITE (overwriteSchema)", removes_data=True
+    )
+    _refuse_stable_row_id_rewrite(snap, "overwriteSchema overwrite")
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "overwriteSchema on a column-mapped table is not supported "
+            "(the replacement schema would need a freshly minted "
+            "physical binding)"
+        )
+    partition_by = list(partition_by or [])
+    missing = set(partition_by) - set(df.columns)
+    if missing:
+        raise DeltaProtocolError(
+            f"overwriteSchema partition columns {sorted(missing)} are "
+            "not in the batch schema"
+        )
+    cons = table_constraints(snap)
+    if cons:
+        try:
+            _enforce_constraints(df, cons)
+        except DeltaProtocolError:
+            raise
+        except Exception as exc:  # constraint references a dropped column
+            raise DeltaProtocolError(
+                "overwriteSchema: existing CHECK constraints reference "
+                f"columns absent from the new schema ({exc}); DROP the "
+                "constraint first (delta-spark refuses identically)"
+            ) from exc
+    version = snap["version"] + 1
+    staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds = _promote_staged(table, staging, version, partition_by, True)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": _log_path(table, f),
+                "deletionTimestamp": now_ms,
+                "partitionValues": (
+                    _file_pvals(f) if snap["partition_cols"] else {}
+                ),
+                "dataChange": True,
+            }
+        }
+        for f in snap["files"]
+    ]
+    meta = {
+        "metaData": {
+            "id": snap.get("meta_id") or str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": dict(snap.get("configuration") or {}),
+            "createdTime": now_ms,
+        }
+    }
+    actions = [meta] + removes + adds + [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "overwriteSchema": "true",
+                },
+            }
+        }
+    ]
+    actions = _stamp_row_tracking(snap, version, actions)
+    _publish_commit(table, version, actions)
+    return version
+
+
 def dynamic_overwrite_delta(
     spark: SparkSession,
     df: DataFrame,

@@ -2623,6 +2623,79 @@ def s32_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s33_overwrite_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33 — schema-REPLACING overwrite (``overwriteSchema=true``):
+    migrate a partitioned detail table into an unpartitioned GOLD
+    summary in one atomic commit — schema, data, and partitioning all
+    swap; history survives. Seed orders partitioned by status across
+    two appends, then overwrite-schema with the per-status rollup
+    (status, n_orders, total_cents) and NO partitioning.
+
+    Certificate parts: 'latest' reads the post-migration table (the
+    summary — new schema), 'pre' time-travels to just before and
+    re-aggregates the ORIGINAL detail rows (old files must resolve
+    with the OLD schema from that version's metaData — the
+    log-anchored schema rule), and the two must agree number-for-
+    number: the migration itself is the oracle-checkable claim."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s33_orders_gold")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 0"), table,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 2 = 1"), table,
+        partition_by=["o_orderstatus"],
+    )
+    summary = (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("total_cents"),
+        )
+    )
+    v = delta_compat.overwrite_schema_delta(spark, summary, table)
+    latest = (
+        delta_compat.read_delta(spark, table)
+        .select("o_orderstatus", "n_orders", "total_cents")
+        .withColumn("part", F.lit("latest"))
+    )
+    pre = (
+        delta_compat.read_delta(spark, table, version=v - 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("total_cents"),
+        )
+        .withColumn("part", F.lit("pre"))
+    )
+    return latest.unionByName(pre)
+
+
+_S33_SQL = (
+    "WITH summary AS (SELECT o_orderstatus, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS total_cents FROM orders GROUP BY 1) "
+    "SELECT o_orderstatus, n_orders, total_cents, 'latest' AS part "
+    "FROM summary "
+    "UNION ALL "
+    "SELECT o_orderstatus, n_orders, total_cents, 'pre' AS part "
+    "FROM summary"
+)
+
+
 _S32_SQL = (
     "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
     "FROM orders), "
@@ -2712,6 +2785,7 @@ QUERIES = {
     "s30_mapped_partitioned": s30_mapped_partitioned,
     "s31_overwrite": s31_overwrite,
     "s32_dynamic_overwrite": s32_dynamic_overwrite,
+    "s33_overwrite_schema": s33_overwrite_schema,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2755,6 +2829,7 @@ ORACLES = {
     "s30_mapped_partitioned": _S30_SQL,
     "s31_overwrite": _S31_SQL,
     "s32_dynamic_overwrite": _S32_SQL,
+    "s33_overwrite_schema": _S33_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

@@ -180,6 +180,7 @@ HEADLINE = [
     "dq6_robust_outliers",
     "s32_dynamic_overwrite",
     "w17_pareto_sources",
+    "s33_overwrite_schema",
 ]
 
 

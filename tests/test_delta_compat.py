@@ -5004,6 +5004,41 @@ def test_dynamic_overwrite_mapped_rename_logical_batch(spark, tmp_path):
     assert got == [(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)]
 
 
+def test_overwrite_schema_swaps_schema_and_partitioning(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    gold = spark.createDataFrame(
+        [("a", 2), ("b", 2)], "part string, n long"
+    )
+    v = dc.overwrite_schema_delta(spark, gold, table)
+    got = sorted((r.part, r.n) for r in dc.read_delta(spark, table).collect())
+    assert got == [("a", 2), ("b", 2)]
+    snap = dc.snapshot(table)
+    assert snap["partition_cols"] == []
+    # time travel resolves the OLD files with the OLD (log-anchored) schema
+    old = sorted(
+        (r.id, r.part, r.val)
+        for r in dc.read_delta(spark, table, version=v - 1).collect()
+    )
+    assert old == [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)
+    ]
+
+
+def test_overwrite_schema_refusals(spark, tmp_path):
+    table = _seed_rw(spark, tmp_path)
+    dc.add_constraint(spark, table, "val_pos", "val > 0")
+    gold = spark.createDataFrame([("a", 2)], "part string, n long")
+    # the CHECK constraint references `val`, gone from the new schema
+    with pytest.raises(dc.DeltaProtocolError, match="constraint"):
+        dc.overwrite_schema_delta(spark, gold, table)
+    mapped = _seed_rw(spark, tmp_path / "m")
+    dc.enable_column_mapping(mapped)
+    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+        dc.overwrite_schema_delta(spark, gold, mapped)
+    with pytest.raises(dc.DeltaProtocolError, match="partition columns"):
+        dc.overwrite_schema_delta(spark, gold, table, partition_by=["zz"])
+
+
 def test_mapped_zorder_clusters_on_logical_keys(spark, tmp_path):
     """OPTIMIZE ZORDER BY on a column-mapped table: clustering keys are
     LOGICAL names (incl. renamed ones); the rewrite translates them to
