@@ -1326,6 +1326,150 @@ def _st19_sql() -> str:
     return _X17_SQL
 
 
+def st21_streaming_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21 — streaming exact-dedup LEDGER: content-hash dedup whose
+    state is a DELTA TABLE, not stream-local memory (st14's watermark
+    dedup forgets evicted state; a ledger never does — the
+    crawl-ingest shape where a re-delivered document must be rejected
+    WEEKS later, across restarts). Seed epoch lands doc_id % 3 = 0
+    into the sink and its md5(text) hashes into the ledger; two
+    micro-batch file drops follow — epoch 0: the % 3 = 1 docs (novel)
+    plus a re-delivery of the % 3 = 0 TEXTS under fresh ids (content
+    dupes — must be rejected by ledger anti-join), epoch 1: the
+    % 3 = 2 docs plus a re-delivery of % 3 = 1. Each batch dedups
+    intra-batch (min doc_id per hash), anti-joins the LEDGER, and
+    appends novel rows to the sink + novel hashes to the ledger
+    exactly-once via the ``(app_id, epoch)`` txn ledger; a manual
+    REPLAY of epoch 0 after the stream proves idempotence (a
+    double-append flips every count).
+
+    Scale shape: per batch the work is O(|batch|) hashing map-side +
+    one anti-join against the ledger keyed on 32-byte hashes (at
+    100 TB the ledger join is a shuffled hash join on md5 — never
+    text) + O(|novel|) appends. The oracle replays the three epochs
+    blind in SQL; first-wins tie-break (min doc_id per hash, epoch
+    order) makes the kept set deterministic."""
+    base = _scratch(sf_dir, "st21")
+    drop, ledger_tbl, sink_tbl, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "ledger"),
+        os.path.join(base, "sink"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    off = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("o"))
+
+    def _intra(batch: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        hashed = batch.withColumn("h", F.md5("text"))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        return (
+            hashed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "source", "h")
+        )
+
+    seed = _intra(docs.filter("doc_id % 3 = 0"))
+    deltalite.write(
+        seed.select("doc_id", "source"), sink_tbl,
+        app_id="st21-seed", epoch=0,
+    )
+    deltalite.write(
+        seed.select("h"), ledger_tbl, app_id="st21-seed-ledger", epoch=0
+    )
+
+    redeliver0 = docs.filter("doc_id % 3 = 0").crossJoin(
+        F.broadcast(off)
+    ).select((F.col("doc_id") + F.col("o")).alias("doc_id"), "source", "text")
+    redeliver1 = docs.filter("doc_id % 3 = 1").crossJoin(
+        F.broadcast(off)
+    ).select(
+        (F.col("doc_id") + 2 * F.col("o")).alias("doc_id"), "source", "text"
+    )
+    b0 = docs.filter("doc_id % 3 = 1").unionByName(redeliver0)
+    b1 = docs.filter("doc_id % 3 = 2").unionByName(redeliver1)
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(b0, f0)
+    write_single_parquet(b1, f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        known = deltalite.read(spark, ledger_tbl).select("h")
+        novel = _intra(batch_df).join(known, "h", "left_anti")
+        deltalite.write(
+            novel.select("doc_id", "source"), sink_tbl,
+            app_id="st21", epoch=epoch_id,
+        )
+        deltalite.write(
+            novel.select("h"), ledger_tbl,
+            app_id="st21-ledger", epoch=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # crash-replay of epoch 0: the (app_id, epoch) ledger must no-op it
+    sink(spark.read.schema(
+        "doc_id LONG, source STRING, text STRING"
+    ).parquet(f0), 0)
+    return (
+        deltalite.read(spark, sink_tbl)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+def _st21_sql() -> str:
+    k = (
+        "SELECT h, source, doc_id FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) "
+        "AS rk FROM {src}) t WHERE rk = 1"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, source, text, md5(text) AS h "
+        "FROM documents), "
+        "o AS (SELECT max(doc_id) + 1 AS o FROM documents), "
+        "seed AS (SELECT doc_id, source, h FROM d WHERE doc_id % 3 = 0), "
+        "e0 AS (SELECT doc_id, source, h FROM d WHERE doc_id % 3 = 1 "
+        "UNION ALL SELECT doc_id + (SELECT o FROM o), source, h FROM d "
+        "WHERE doc_id % 3 = 0), "
+        "e1 AS (SELECT doc_id, source, h FROM d WHERE doc_id % 3 = 2 "
+        "UNION ALL SELECT doc_id + 2 * (SELECT o FROM o), source, h "
+        "FROM d WHERE doc_id % 3 = 1), "
+        f"k0 AS ({k.format(src='seed')}), "
+        "f1 AS (SELECT * FROM e0 WHERE h NOT IN (SELECT h FROM k0)), "
+        f"k1 AS ({k.format(src='f1')}), "
+        "f2 AS (SELECT * FROM e1 WHERE h NOT IN (SELECT h FROM k0) "
+        "AND h NOT IN (SELECT h FROM k1)), "
+        f"k2 AS ({k.format(src='f2')}), "
+        "kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1 "
+        "UNION ALL SELECT * FROM k2) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(doc_id) AS BIGINT) AS key_sum FROM kept GROUP BY 1"
+    )
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -1341,6 +1485,7 @@ QUERIES = {
     "st17_streaming_neardup": st17_streaming_neardup,
     "st18_streaming_ivf_assign": st18_streaming_ivf_assign,
     "st19_streaming_heavy_hitters": st19_streaming_heavy_hitters,
+    "st21_streaming_dedup_ledger": st21_streaming_dedup_ledger,
 }
 
 ORACLES = {
@@ -1358,4 +1503,5 @@ ORACLES = {
     "st17_streaming_neardup": _st17_sql(),
     "st18_streaming_ivf_assign": _st18_sql(),
     "st19_streaming_heavy_hitters": _st19_sql(),
+    "st21_streaming_dedup_ledger": _st21_sql(),
 }

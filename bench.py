@@ -181,6 +181,7 @@ HEADLINE = [
     "s32_dynamic_overwrite",
     "w17_pareto_sources",
     "s33_overwrite_schema",
+    "st21_streaming_dedup_ledger",
 ]
 
 
