@@ -528,6 +528,50 @@ def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the heterogeneous-subtotal member that
+    completes the grouping family (ROLLUP = a9 is the prefix chain,
+    CUBE = a12 is every combination; GROUPING SETS picks exactly the
+    report's levels): (status, priority) detail + per-status subtotal
+    + grand total in ONE pass. Spark expands the three sets as one
+    Expand + hash aggregate — the input is scanned once however many
+    sets the report wants, which is the whole point at 100 TB. The
+    grouping id disambiguates a real NULL from an aggregated-away
+    dimension; both engines put the leftmost column in the high bit
+    (the a12 convention). Revenue folds as exact decimal cents."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+_A15_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents, "
+    "CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid "
+    "FROM orders GROUP BY GROUPING SETS "
+    "((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+)
+
+
 def a13_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-resistant aggregation plan driven end to end: per-type
     event totals through ``plans.skew.salted_agg`` — event_type has ~5
@@ -745,6 +789,7 @@ QUERIES = {
     "a10_percentiles": a10_percentiles,
     "a14_sampled_percentiles": a14_sampled_percentiles,
     "a12_cube": a12_cube,
+    "a15_grouping_sets": a15_grouping_sets,
     "a13_salted_hot_agg": a13_salted_hot_agg,
     "a11_pivot": a11_pivot,
     "f_scalar_suite": f_scalar_suite,
@@ -893,6 +938,7 @@ ORACLES = {
         "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
         "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     ),
+    "a15_grouping_sets": _A15_SQL,
     "a12_cube": (
         "SELECT o_orderstatus, o_orderpriority, "
         "CAST(count(*) AS BIGINT) AS n, "
