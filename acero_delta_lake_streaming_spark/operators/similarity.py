@@ -2139,6 +2139,133 @@ _X45_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X48 — semantic benchmark decontamination (cross-set SemDeDup)
+# --------------------------------------------------------------------------
+
+_X48_BOFF = 2000000  # bench ids live above this offset in the union
+_X48_COS = 0.95
+
+
+def _x48_union(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ synthetic benchmark: every 13th-mod-5 vector's scaled
+    copy (×1.5 — sign-preserving, cosine exactly 1.0 with its corpus
+    source) plays the leaked eval item; ids offset by ``_X48_BOFF``."""
+    bench = emb.filter(F.col("vec_id") % 13 == 5).select(
+        (F.col("vec_id") + F.lit(_X48_BOFF)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(bench)
+
+
+def x48_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 — SEMANTIC decontamination: flag corpus vectors whose
+    embedding is near-identical (cos ≥ 0.95) to ANY benchmark vector —
+    the embedding-level sweep run after n-gram decontamination (x10
+    catches verbatim leaks; paraphrased eval items only surface here,
+    the SemDeDup/Phi-style cross-set check). x14 dedups WITHIN the
+    corpus; this compares corpus AGAINST an eval set: both sets bucket
+    under the SAME adaptive sign-LSH planes (plane count derived from
+    the union size, integer-only), candidates are corpus×bench
+    bucket-mates ONLY — never all-pairs — and exact cosine verifies.
+    Planted recall is 1.0 by construction (scaling preserves every
+    projection sign, so each leaked item shares all its source's
+    buckets). Per flagged corpus vector: the best-matching benchmark
+    item (cos DESC, id ASC — deterministic) and the rounded cosine.
+
+    Scale shape: x14's linear-candidate geometry applied cross-set —
+    candidate volume ~|bench|·occupancy, the bench side is tiny by
+    nature (an eval suite), and at 100 TB the bench buckets broadcast
+    while the corpus streams through map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    union = _x48_union(emb)
+    buckets = _adaptive_sign_buckets(spark, union)
+    ca = buckets.filter(F.col("vec_id") < _X48_BOFF).select(
+        F.col("vec_id").alias("cid_"), "tbl", "bucket"
+    )
+    cb = buckets.filter(F.col("vec_id") >= _X48_BOFF).select(
+        F.col("vec_id").alias("bid_"), "tbl", "bucket"
+    )
+    cand = (
+        ca.join(cb, ["tbl", "bucket"])
+        .select("cid_", "bid_")
+        .distinct()
+    )
+    scored = union.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    sa = scored.select(
+        F.col("vec_id").alias("cid_"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    sb = scored.select(
+        F.col("vec_id").alias("bid_"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = (
+        F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))
+    ).alias("cos")
+    hits = (
+        cand.join(sa, "cid_")
+        .join(sb, "bid_")
+        .select("cid_", "bid_", cos)
+        .filter(F.col("cos") >= _X48_COS)
+    )
+    w = Window.partitionBy("cid_").orderBy(F.desc("cos"), F.asc("bid_"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cid_").alias("vec_id"),
+            (F.col("bid_") - F.lit(_X48_BOFF)).alias("bench_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+_X48_SQL = (
+    "WITH u AS ("
+    "  SELECT vec_id, embedding FROM embeddings "
+    "  UNION ALL "
+    f"  SELECT vec_id + {_X48_BOFF}, "
+    "  list_transform(embedding, x -> x * CAST(1.5 AS REAL)) "
+    "  FROM embeddings WHERE vec_id % 13 = 5), "
+    "cnt AS (SELECT count(*) AS cnt FROM u), "
+    f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt), "
+    "planes AS (SELECT p, "
+    "CAST(p // ppt AS INT) AS tbl, "
+    "CAST(p % ppt AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * (_SEM_MAX_PLANES + 1)}) t(p) "
+    f"CROSS JOIN pp WHERE p < ppt * {_N_TABLES}), "
+    "buckets AS (SELECT e.vec_id, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM u e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl), "
+    "cand AS (SELECT DISTINCT a.vec_id AS cid_, b.vec_id AS bid_ "
+    "FROM buckets a JOIN buckets b "
+    "ON a.tbl = b.tbl AND a.bucket = b.bucket "
+    f"AND a.vec_id < {_X48_BOFF} AND b.vec_id >= {_X48_BOFF}), "
+    f"scored AS (SELECT vec_id, embedding, {_norm_duck('embedding')} "
+    "AS nrm FROM u), "
+    "hits AS (SELECT c.cid_, c.bid_, "
+    f"{_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos "
+    "FROM cand c "
+    "JOIN scored a ON a.vec_id = c.cid_ "
+    "JOIN scored b ON b.vec_id = c.bid_), "
+    f"f AS (SELECT * FROM hits WHERE cos >= {_X48_COS}), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY cid_ ORDER BY cos DESC, bid_ ASC) AS rk FROM f) "
+    f"SELECT cid_ AS vec_id, bid_ - {_X48_BOFF} AS bench_id, "
+    "round(cos, 6) AS cosine FROM r WHERE rk = 1"
+)
+
+
+# --------------------------------------------------------------------------
 # X47 — ANN recall audit (approximate vs exact ground truth)
 # --------------------------------------------------------------------------
 
@@ -2229,6 +2356,7 @@ QUERIES = {
     "x37_cluster_balanced_sample": x37_cluster_balanced_sample,
     "x45_embedding_outliers": x45_embedding_outliers,
     "x47_ann_recall_audit": x47_ann_recall_audit,
+    "x48_semantic_decontam": x48_semantic_decontam,
 }
 
 ORACLES = {
@@ -2248,4 +2376,5 @@ ORACLES = {
     "x37_cluster_balanced_sample": _x37_sql(),
     "x45_embedding_outliers": _X45_SQL,
     "x47_ann_recall_audit": _x47_sql(),
+    "x48_semantic_decontam": _X48_SQL,
 }

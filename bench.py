@@ -182,6 +182,8 @@ HEADLINE = [
     "w17_pareto_sources",
     "s33_overwrite_schema",
     "st21_streaming_dedup_ledger",
+    "a15_grouping_sets",
+    "x48_semantic_decontam",
 ]
 
 
