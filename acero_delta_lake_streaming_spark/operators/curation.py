@@ -786,7 +786,121 @@ _X43_SQL = (
 )
 
 
+def _bucket16(col: str, fn: str) -> str:
+    """First md5 hex digit of ``col`` as 0..15 (``fn``: Spark ``instr``
+    / DuckDB ``strpos`` + cast spelling handled by caller)."""
+    cast = "string" if fn == "instr" else "varchar"
+    return (
+        f"{fn}('0123456789abcdef', "
+        f"substr(md5(cast({col} as {cast})), 1, 1)) - 1"
+    )
+
+
+def x49_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 — LEAKAGE-SAFE dataset split: assign train/val/test by
+    near-dup COMPONENT, not by document. A per-doc hash split (x8)
+    puts two near-identical documents on opposite sides of the
+    train/eval line — the silent eval contamination that inflates
+    benchmark scores; the fix is standard in production (split by URL
+    / cluster / group): every member of a MinHash connected component
+    (x2d's graph, the planted near-dup corpus) inherits the split of
+    the COMPONENT key's hash, singletons fall back to their own id
+    (same 13/2/1 md5-bucket rule as x8). The certificate carries the
+    indictment of the naive rule alongside: per split, how many
+    multi-doc groups the PER-DOC rule would have torn across splits
+    (``leaky_naive`` > 0 on the planted twins — the quantified reason
+    this operator exists), while the group rule tears zero by
+    construction in both engines.
+
+    Scale shape: the component pass is x2d's (banded MinHash pairs →
+    fixed-round min-label propagation, localCheckpoint per round);
+    everything after is one |docs| left join against the ~|dup docs|
+    component frame plus a two-level rollup. No new corpus-sized
+    shuffles beyond the split-key aggregate."""
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _near_dup_corpus,
+        connected_components,
+        x2_minhash_near_dup,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus(docs).select("doc_id")
+    pairs = scoped_persist(
+        x2_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    g = corpus.join(
+        comp, corpus.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        F.expr("coalesce(component, doc_id)").alias("group_key"),
+    )
+    def _split(bexpr: str) -> F.Column:
+        b = F.expr(bexpr)
+        return (
+            F.when(b < 13, "train").when(b < 15, "val").otherwise("test")
+        )
+
+    s = g.select(
+        "group_key",
+        _split(_bucket16("group_key", "instr")).alias("split"),
+        _split(_bucket16("doc_id", "instr")).alias("nsplit"),
+    )
+    pg = s.groupBy("group_key", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("nsplit").alias("nds"),
+    )
+    return pg.groupBy("split").agg(
+        F.sum("n_members").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("nds") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_naive"),
+    )
+
+
+def _x49_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _NEAR_DUP_CORPUS_SQL,
+        _x2_sql,
+    )
+
+    def _split(bexpr: str) -> str:
+        return (
+            f"CASE WHEN {bexpr} < 13 THEN 'train' "
+            f"WHEN {bexpr} < 15 THEN 'val' ELSE 'test' END"
+        )
+
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + _x2_sql()
+        + ")), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, label) AS ("
+        "  SELECT u, u FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node), "
+        "comp AS (SELECT node, min(label) AS component FROM reach "
+        "GROUP BY 1), "
+        f"d AS (SELECT doc_id FROM ({_NEAR_DUP_CORPUS_SQL})), "
+        "g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) "
+        "AS group_key FROM d LEFT JOIN comp c ON c.node = d.doc_id), "
+        "s AS (SELECT group_key, "
+        f"{_split(_bucket16('group_key', 'strpos'))} AS split, "
+        f"{_split(_bucket16('doc_id', 'strpos'))} AS nsplit FROM g), "
+        "pg AS (SELECT group_key, split, count(*) AS n_members, "
+        "count(DISTINCT nsplit) AS nds FROM s GROUP BY 1, 2) "
+        "SELECT split, CAST(sum(n_members) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(sum(CASE WHEN nds > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS leaky_naive FROM pg GROUP BY 1"
+    )
+
+
 QUERIES = {
+    "x49_leakage_safe_split": x49_leakage_safe_split,
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
     "x9_stratified_sample": x9_stratified_sample,
@@ -802,6 +916,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x49_leakage_safe_split": _x49_sql(),
     "x7_sequence_pack": (
         f"WITH toks AS (SELECT source, doc_id, len({_WORDS_DUCK}) AS n_tokens "
         "FROM documents), "

@@ -4466,7 +4466,10 @@ def dynamic_overwrite_delta(
         )
     touched = {
         tuple(str(r[c]) for c in lcols)
-        for r in df.select(*lcols).distinct().collect()
+        # METADATA collect: one row per TOUCHED PARTITION (bounded by
+        # the batch's partition spread, never by row count) — the same
+        # commit-planner discovery any Delta client performs
+        for r in df.select(*lcols).distinct().collect()  # METADATA
     }
     version = snap["version"] + 1
     matching = [

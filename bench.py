@@ -184,6 +184,7 @@ HEADLINE = [
     "st21_streaming_dedup_ledger",
     "a15_grouping_sets",
     "x48_semantic_decontam",
+    "x49_leakage_safe_split",
 ]
 
 
