@@ -185,6 +185,7 @@ HEADLINE = [
     "a15_grouping_sets",
     "x48_semantic_decontam",
     "x49_leakage_safe_split",
+    "x50_quality_probe",
 ]
 
 
