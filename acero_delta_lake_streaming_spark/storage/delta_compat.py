@@ -1887,18 +1887,152 @@ def _strip_row_tracking(actions: list[dict]) -> list[dict]:
 
 def _refuse_stable_row_id_rewrite(snap: dict, op: str) -> None:
     """``delta.enableRowTracking=true`` promises READERS stable row ids
-    across rewrites; keeping that promise through a COW rewrite needs
-    materialized row-id columns this writer does not emit. Appends and
-    DV deletes maintain the guarantee trivially (files survive
-    byte-identical), so only the rewrite verbs refuse."""
+    across rewrites. Appends and DV deletes maintain the guarantee
+    trivially (files survive byte-identical) and OPTIMIZE keeps it by
+    MATERIALIZING the ids through the rewrite (:func:`optimize_delta`);
+    the remaining COW verbs (MERGE/DELETE/overwrites) would need the
+    same materialization folded into their touched-file rewrites and
+    refuse until they do — the supported lifecycle is append + DV
+    delete + OPTIMIZE."""
     cfg = snap.get("configuration") or {}
     if cfg.get("delta.enableRowTracking", "").lower() == "true":
         raise DeltaProtocolError(
             f"{op}: delta.enableRowTracking=true tables cannot be "
-            "rewritten by this writer (stable row ids would break "
-            "without materialized row-id columns); use DV deletes and "
-            "appends, or disable the property first"
+            "rewritten by this verb (stable row ids need the "
+            "materialized-id rewrite, which only OPTIMIZE performs); "
+            "use DV deletes + appends + OPTIMIZE, or disable the "
+            "property first"
         )
+
+
+def _materialized_row_cols(snap: dict) -> tuple[str | None, str | None]:
+    cfg = snap.get("configuration") or {}
+    return (
+        cfg.get("delta.rowTracking.materializedRowIdColumnName"),
+        cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+    )
+
+
+def _row_id_scan(
+    spark: SparkSession, table: str, snap: dict, files: list[str]
+) -> DataFrame:
+    """Scan ``files`` with their ROW IDS resolved: data columns (log
+    schema minus partition columns) plus ``_rid`` / ``_rcv`` computed
+    by the protocol's rule — ``coalesce(materialized column, baseRowId
+    + row_index)`` / ``coalesce(materialized, defaultRowCommitVersion)``
+    — with deletion-vector rows subtracted. One scan + a broadcast join
+    against the per-file (baseRowId, dcv) map (O(|files|) rows, the
+    same metadata altitude as the commit log); mapping mode none only
+    (callers gate)."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage import dvcodec
+
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    pcols = snap["partition_cols"]
+    mat_id, mat_cv = _materialized_row_cols(snap)
+    data_fields = [f for f in full.fields if f.name not in pcols]
+    scan_fields = list(data_fields)
+    for extra in (mat_id, mat_cv):
+        if extra:
+            scan_fields.append(T.StructField(extra, T.LongType(), True))
+    scan_schema = T.StructType(scan_fields)
+
+    def _with_meta(df):
+        return df.select(
+            "*",
+            F.expr(
+                "regexp_replace(_metadata.file_path, '^file:/+', 'file:/')"
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
+    if pcols:
+        base = _grouped_part_read(
+            spark, table, files, scan_schema, project=_with_meta
+        )
+    else:
+        base = _with_meta(spark.read.schema(scan_schema).parquet(*files))
+    dvs = {f: d for f, d in snap["file_dvs"].items() if f in set(files)}
+    if dvs:
+        pairs = [
+            (_file_uri(f), int(pos))
+            for f, desc in dvs.items()
+            for pos in dvcodec.read_dv(table, desc)
+        ]
+        del_df = spark.createDataFrame(
+            pairs, "`_dv_file` STRING, `_dv_pos` BIGINT"
+        )
+        base = base.join(
+            F.broadcast(del_df), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    rm_of = snap["file_row_meta"]
+    meta_rows = [
+        (
+            _file_uri(f),
+            (rm_of.get(f) or {}).get("baseRowId"),
+            (rm_of.get(f) or {}).get("defaultRowCommitVersion"),
+        )
+        for f in files
+    ]
+    rm_df = spark.createDataFrame(
+        meta_rows, "`_dv_file` STRING, `_brid` BIGINT, `_bdcv` BIGINT"
+    )
+    joined = base.join(F.broadcast(rm_df), "_dv_file", "left")
+    rid = F.coalesce(
+        *( [F.col(mat_id)] if mat_id else [] ),
+        F.col("_brid") + F.col("_dv_pos"),
+    ).alias("_rid")
+    rcv = F.coalesce(
+        *( [F.col(mat_cv)] if mat_cv else [] ),
+        F.col("_bdcv"),
+    ).alias("_rcv")
+    keep = [F.col(f.name) for f in data_fields] + [
+        F.col(c) for c in pcols  # dir-recovered when partitioned
+    ]
+    return joined.select(*keep, "_dv_file", rid, rcv)
+
+
+def read_delta_row_ids(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot scan EXPOSING ROW IDS — the reader half of the
+    rowTracking feature: every logical column plus ``_row_id`` and
+    ``_row_commit_version`` resolved by the protocol rule (materialized
+    column if the row survived a rewrite, else ``baseRowId +
+    row_index`` / ``defaultRowCommitVersion``). With
+    ``delta.enableRowTracking=true`` the ids are STABLE: the same
+    logical row keeps its id across appends, DV deletes, and OPTIMIZE
+    (which materializes them through the rewrite) — the property CDC
+    consumers and incremental materialized views key on."""
+    import pyspark.sql.functions as F
+
+    snap = snapshot(table, version=version)  # replay runs the reader gate
+    if not _row_tracking_supported(snap):
+        raise DeltaProtocolError(
+            f"{table} does not carry the rowTracking writer feature"
+        )
+    if _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "read_delta_row_ids on a column-mapped table is not supported"
+        )
+    full = T.StructType.fromJson(json.loads(snap["schema"]))
+    pcols = snap["partition_cols"]
+    if not snap["files"]:
+        out = T.StructType(
+            list(full.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_row_commit_version", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], out)
+    scan = _row_id_scan(spark, table, snap, snap["files"])
+    return scan.select(
+        *_pcol_cast_cols(full, pcols),
+        F.col("_rid").alias("_row_id"),
+        F.col("_rcv").alias("_row_commit_version"),
+    )
 
 
 def enable_row_tracking(table: str, enabled: bool = False) -> int:
@@ -1908,9 +2042,18 @@ def enable_row_tracking(table: str, enabled: bool = False) -> int:
     made explicit — the Delta upgrade rule), and every later add gets a
     fresh ``baseRowId``/``defaultRowCommitVersion``. ``enabled=True``
     additionally sets ``delta.enableRowTracking=true`` (delta-spark's
-    default on new tables), which promises stable row ids to readers —
-    this writer then refuses the rewrite verbs (see
-    :func:`_refuse_stable_row_id_rewrite`)."""
+    default on new tables), which promises stable row ids to readers.
+    In that mode the upgrade also (a) BACKFILLS: every live file
+    re-adds (``dataChange:false``, DV descriptors preserved) in the
+    same commit so the stamping assigns it a baseRowId — pre-feature
+    files would otherwise have no row ids at all (delta-spark's
+    backfill commits do the same) — and (b) mints the MATERIALIZED
+    row-id / row-commit-version column names
+    (``delta.rowTracking.materializedRow*ColumnName``), the physical
+    columns a rewrite writes preserved ids into so OPTIMIZE can keep
+    the stable-id promise (see :func:`optimize_delta`); the remaining
+    rewrite verbs still refuse (:func:`_refuse_stable_row_id_rewrite`).
+    """
     snap = snapshot(table)
     _check_writer_protocol(snap, "enable_row_tracking")
     p = snap.get("protocol") or {}
@@ -1923,6 +2066,14 @@ def enable_row_tracking(table: str, enabled: bool = False) -> int:
     cfg = dict(snap.get("configuration") or {})
     if enabled:
         cfg["delta.enableRowTracking"] = "true"
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row_id_col_{uuid.uuid4().hex[:12]}",
+        )
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row_cv_col_{uuid.uuid4().hex[:12]}",
+        )
     actions: list[dict] = [
         {
             "protocol": {
@@ -1962,6 +2113,43 @@ def enable_row_tracking(table: str, enabled: bool = False) -> int:
         },
     ]
     version = snap["version"] + 1
+    if enabled and snap["files"]:
+        # backfill: re-add each live file so _stamp_row_tracking below
+        # assigns its baseRowId; the physical file is untouched and
+        # dataChange stays false (same-content re-entry)
+        stats_of = snap["file_stats"]
+        dvs_of = snap["file_dvs"]
+        rm_of = snap["file_row_meta"]
+        backfill = []
+        for f in snap["files"]:
+            if (rm_of.get(f) or {}).get("baseRowId") is not None:
+                continue
+            rel = _log_path(table, f)
+            add = {
+                "path": rel,
+                "partitionValues": (
+                    _file_pvals(f) if snap["partition_cols"] else {}
+                ),
+                "size": os.path.getsize(f),
+                "modificationTime": now_ms,
+                "dataChange": False,
+            }
+            if stats_of.get(f):
+                add["stats"] = stats_of[f]
+            else:
+                st = _file_stats(f)
+                if st is not None:
+                    add["stats"] = st
+            if dvs_of.get(f):
+                add["deletionVector"] = dvs_of[f]
+            backfill.append({"add": add})
+        commit_info = actions.pop()  # keep commitInfo last
+        actions = actions + backfill + [commit_info]
+        actions = _stamp_row_tracking(
+            dict(snap, protocol={"writerFeatures": ["rowTracking"]}),
+            version,
+            actions,
+        )
     _publish_commit(table, version, actions)
     return version
 
@@ -2960,7 +3148,26 @@ def optimize_delta(
     to partition columns anyway); non-partition keys refuse."""
     snap = snapshot(table)
     _check_writer_protocol(snap, "OPTIMIZE", identity_ok=True)
-    _refuse_stable_row_id_rewrite(snap, "OPTIMIZE")
+    # delta.enableRowTracking=true does NOT refuse here: OPTIMIZE keeps
+    # the stable-id promise by MATERIALIZING each row's id into the
+    # rewritten files (the spec's materialized row-id columns); only
+    # the column-mapped composition stays out of scope.
+    rt_enabled = (
+        snap["configuration"].get("delta.enableRowTracking", "").lower()
+        == "true"
+    )
+    if rt_enabled and _mapping_mode(snap) != "none":
+        raise DeltaProtocolError(
+            "OPTIMIZE on a column-mapped rowTracking-enabled table is "
+            "not supported (materialized row ids under a physical "
+            "binding are out of scope)"
+        )
+    if rt_enabled and not all(_materialized_row_cols(snap)):
+        raise DeltaProtocolError(
+            "OPTIMIZE: delta.enableRowTracking=true but the table "
+            "declares no materialized row-id column names; re-run "
+            "enable_row_tracking(enabled=True) to mint them"
+        )
     if not snap["files"]:
         raise DeltaCorruptLogError(f"nothing to optimize in {table}")
     version = snap["version"] + 1
@@ -3109,7 +3316,29 @@ def optimize_delta(
             _mk_mapped_override(files) if _mk_mapped_override else None
         )
         group_dvs = {f: d for f, d in live_dvs.items() if f in set(files)}
-        if group_dvs:
+        if rt_enabled:
+            # stable-id rewrite: resolve each surviving row's id
+            # (baseRowId + index, or an earlier rewrite's materialized
+            # value) and WRITE it into the compacted files under the
+            # declared materialized column names; DV rows drop in the
+            # same scan (the purge contract). The compacted adds then
+            # take fresh baseRowIds from the stamping below — readers
+            # prefer the materialized values, so ids never move.
+            import pyspark.sql.functions as F
+
+            _mat_id, _mat_cv = _materialized_row_cols(snap)
+            _scan = _row_id_scan(spark, table, snap, files)
+            _data_names = [
+                f["name"]
+                for f in json.loads(snap["schema"])["fields"]
+                if f["name"] not in pcols
+            ]
+            df_override = _scan.select(
+                *[F.col(c) for c in _data_names],
+                F.col("_rid").alias(_mat_id),
+                F.col("_rcv").alias(_mat_cv),
+            )
+        elif group_dvs:
             # OPTIMIZE doubles as REORG/PURGE: compact through the
             # DV-filtered view, so the rewrite physically drops the
             # deleted rows and the compacted adds carry no descriptor —

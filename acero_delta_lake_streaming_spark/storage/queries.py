@@ -2683,6 +2683,66 @@ def s33_overwrite_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(pre)
 
 
+def s34_row_id_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S34 — STABLE ROW IDS end to end (``delta.enableRowTracking``):
+    seed a sorted single-file slice (v0), enable the feature with
+    BACKFILL (v1 — every existing row gets an id), append a second
+    sorted slice (v2 — ids continue above the high-water mark),
+    DV-erase every 7th key (v3 — survivors keep their ids), then
+    OPTIMIZE (v4) — the rewrite MATERIALIZES each surviving row's id
+    into the compacted file, so the (row → id) binding survives
+    physical reorganization, the property CDC consumers and
+    incremental materialized views key on.
+
+    Deterministic by construction: each batch writes ONE file in key
+    order, so row ids are the batch's key-rank plus the running
+    offset — which makes the ENTIRE id assignment SQL-replayable and
+    the certificate exact: (key, row_id, row_commit_version) for every
+    surviving row. A backfill that misses a file, an OPTIMIZE that
+    remaps one id, or a resurrected DV row flips the hash."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s34_orders_rowids")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    seed = orders.filter("o_orderkey % 3 = 0").orderBy(
+        "o_orderkey"
+    ).coalesce(1)
+    delta_compat.append_delta(seed, table)
+    delta_compat.enable_row_tracking(table, enabled=True)
+    batch2 = orders.filter("o_orderkey % 3 = 1").orderBy(
+        "o_orderkey"
+    ).coalesce(1)
+    delta_compat.append_delta(batch2, table)
+    doomed = orders.filter(
+        "o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0"
+    ).select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    delta_compat.optimize_delta(spark, table, target_partitions=1)
+    return delta_compat.read_delta_row_ids(spark, table).select(
+        "o_orderkey",
+        F.col("_row_id").cast("bigint").alias("row_id"),
+        F.col("_row_commit_version").cast("bigint").alias("row_cv"),
+    )
+
+
+_S34_SQL = (
+    "WITH s0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0), "
+    "r0 AS (SELECT o_orderkey, "
+    "row_number() OVER (ORDER BY o_orderkey) - 1 AS rid, 1 AS rcv "
+    "FROM s0), "
+    "s1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1), "
+    "r1 AS (SELECT o_orderkey, "
+    "(SELECT count(*) FROM s0) + row_number() OVER "
+    "(ORDER BY o_orderkey) - 1 AS rid, 2 AS rcv FROM s1), "
+    "allr AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1) "
+    "SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id, "
+    "CAST(rcv AS BIGINT) AS row_cv "
+    "FROM allr WHERE o_orderkey % 7 != 0"
+)
+
+
 _S33_SQL = (
     "WITH summary AS (SELECT o_orderstatus, "
     "CAST(count(*) AS BIGINT) AS n_orders, "
@@ -2786,6 +2846,7 @@ QUERIES = {
     "s31_overwrite": s31_overwrite,
     "s32_dynamic_overwrite": s32_dynamic_overwrite,
     "s33_overwrite_schema": s33_overwrite_schema,
+    "s34_row_id_lifecycle": s34_row_id_lifecycle,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2830,6 +2891,7 @@ ORACLES = {
     "s31_overwrite": _S31_SQL,
     "s32_dynamic_overwrite": _S32_SQL,
     "s33_overwrite_schema": _S33_SQL,
+    "s34_row_id_lifecycle": _S34_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

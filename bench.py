@@ -186,6 +186,7 @@ HEADLINE = [
     "x48_semantic_decontam",
     "x49_leakage_safe_split",
     "x50_quality_probe",
+    "s34_row_id_lifecycle",
 ]
 
 

@@ -2881,11 +2881,11 @@ def test_row_tracking_hwm_survives_checkpoint(spark, tmp_path):
     assert dc.row_id_high_water_mark(dc.snapshot(table)) == 6
 
 
-def test_enable_row_tracking_enabled_refuses_rewrites(spark, tmp_path):
+def test_enable_row_tracking_enabled_refuses_cow_rewrites(spark, tmp_path):
     """delta.enableRowTracking=true promises readers STABLE row ids;
-    this writer cannot preserve them through a rewrite, so the rewrite
-    verbs refuse while appends and DV deletes (file-preserving) keep
-    working."""
+    the COW verbs (MERGE/DELETE) would need the materialized-id rewrite
+    folded in and refuse; appends, DV deletes (file-preserving) and
+    OPTIMIZE (which materializes ids) keep working."""
     import pyspark.sql.functions as F
 
     table = str(tmp_path / "rt_stable_tbl")
@@ -2902,10 +2902,119 @@ def test_enable_row_tracking_enabled_refuses_rewrites(spark, tmp_path):
         dc.delete_delta(spark, table, keys, ["k"])
     with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
         dc.merge_delta(spark, table, keys, ["k"])
-    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
-        dc.optimize_delta(spark, table)
     dc.delete_delta_dv(spark, table, keys, ["k"])
     assert dc.read_delta(spark, table).count() == 11
+    dc.optimize_delta(spark, table)
+    assert dc.read_delta(spark, table).count() == 11
+
+
+def test_row_tracking_stable_ids_through_optimize(spark, tmp_path):
+    """The stable-id lifecycle: enable(enabled=True) BACKFILLS existing
+    files with row ids, appends continue the range, a DV delete drops
+    ids without moving survivors, and OPTIMIZE preserves every
+    surviving (row → id) binding by materializing the ids through the
+    rewrite — twice, so the materialized→materialized path is pinned
+    too."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_ids_tbl")
+    mk = lambda a, b: (  # noqa: E731
+        spark.range(a, b)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .orderBy("k")
+        .coalesce(1)
+    )
+    dc.append_delta(mk(0, 10), table)
+    dc.enable_row_tracking(table, enabled=True)
+    ids = sorted(
+        (r.k, r._row_id, r._row_commit_version)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    )
+    # backfill: sorted single-file write → id == k, rcv == enable commit
+    assert ids == [(k, k, 1) for k in range(10)]
+    dc.append_delta(mk(10, 15), table)
+    dc.delete_delta_dv(
+        spark, table,
+        spark.createDataFrame([(k,) for k in range(0, 15, 3)], "k long"),
+        ["k"],
+    )
+    pre = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert set(pre) == {k for k in range(15) if k % 3 != 0}
+    dc.optimize_delta(spark, table, target_partitions=1)
+    post = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert post == pre
+    assert len(dc.snapshot(table)["files"]) == 1
+    dc.append_delta(mk(15, 18), table)
+    mid = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    dc.optimize_delta(spark, table, target_partitions=1)
+    post2 = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert post2 == mid
+    # new rows took FRESH ids (above every preserved one)
+    assert min(post2[k] for k in (15, 16, 17)) > max(pre.values())
+
+
+def test_row_tracking_optimize_partitioned_and_mapped_refusal(
+    spark, tmp_path
+):
+    """Partitioned stable-id OPTIMIZE preserves ids per directory; the
+    column-mapped composition refuses loudly."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_part_tbl")
+    df = (
+        spark.range(12)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("part"),
+        )
+        .orderBy("k")
+        .coalesce(1)
+    )
+    dc.append_delta(df, table, partition_by=["part"])
+    dc.enable_row_tracking(table, enabled=True)
+    dc.append_delta(
+        spark.range(12, 16)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("part"),
+        )
+        .orderBy("k")
+        .coalesce(1),
+        table,
+        partition_by=["part"],
+    )
+    pre = {
+        (r.k, r.part): r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    dc.optimize_delta(spark, table, target_partitions=1)
+    post = {
+        (r.k, r.part): r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert post == pre
+    mapped = str(tmp_path / "rt_mapped_tbl")
+    dc.append_delta(
+        spark.range(4).select(F.col("id").alias("k")), mapped
+    )
+    dc.enable_column_mapping(mapped)
+    dc.enable_row_tracking(mapped, enabled=True)
+    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+        dc.optimize_delta(spark, mapped)
+    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+        dc.read_delta_row_ids(spark, mapped)
 
 
 def test_writer_append_only_config(spark, tmp_path):
