@@ -1885,24 +1885,36 @@ def _strip_row_tracking(actions: list[dict]) -> list[dict]:
     return out
 
 
-def _refuse_stable_row_id_rewrite(snap: dict, op: str) -> None:
-    """``delta.enableRowTracking=true`` promises READERS stable row ids
-    across rewrites. Appends and DV deletes maintain the guarantee
-    trivially (files survive byte-identical) and OPTIMIZE keeps it by
-    MATERIALIZING the ids through the rewrite (:func:`optimize_delta`);
-    the remaining COW verbs (MERGE/DELETE/overwrites) would need the
-    same materialization folded into their touched-file rewrites and
-    refuse until they do — the supported lifecycle is append + DV
-    delete + OPTIMIZE."""
-    cfg = snap.get("configuration") or {}
-    if cfg.get("delta.enableRowTracking", "").lower() == "true":
+# (the old blanket _refuse_stable_row_id_rewrite is gone: OPTIMIZE,
+# MERGE and DELETE materialize ids through their rewrites via
+# _rt_rewrite_gate/_row_id_scan, and the overwrite family replaces
+# rows — fresh ids are the spec-correct assignment there)
+
+
+def _rt_rewrite_gate(snap: dict, op: str) -> bool:
+    """Gate for a rewrite verb that CAN materialize row ids: returns
+    True when ``delta.enableRowTracking=true`` and the verb must take
+    the id-preserving path; refuses the unsupported compositions
+    (column mapping, missing materialized column names)."""
+    rt = (
+        snap["configuration"].get("delta.enableRowTracking", "").lower()
+        == "true"
+    )
+    if not rt:
+        return False
+    if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
-            f"{op}: delta.enableRowTracking=true tables cannot be "
-            "rewritten by this verb (stable row ids need the "
-            "materialized-id rewrite, which only OPTIMIZE performs); "
-            "use DV deletes + appends + OPTIMIZE, or disable the "
-            "property first"
+            f"{op} on a column-mapped rowTracking-enabled table is not "
+            "supported (materialized row ids under a physical binding "
+            "are out of scope)"
         )
+    if not all(_materialized_row_cols(snap)):
+        raise DeltaProtocolError(
+            f"{op}: delta.enableRowTracking=true but the table declares "
+            "no materialized row-id column names; re-run "
+            "enable_row_tracking(enabled=True) to mint them"
+        )
+    return True
 
 
 def _materialized_row_cols(snap: dict) -> tuple[str | None, str | None]:
@@ -2050,9 +2062,9 @@ def enable_row_tracking(table: str, enabled: bool = False) -> int:
     backfill commits do the same) — and (b) mints the MATERIALIZED
     row-id / row-commit-version column names
     (``delta.rowTracking.materializedRow*ColumnName``), the physical
-    columns a rewrite writes preserved ids into so OPTIMIZE can keep
-    the stable-id promise (see :func:`optimize_delta`); the remaining
-    rewrite verbs still refuse (:func:`_refuse_stable_row_id_rewrite`).
+    columns the rewrite verbs (OPTIMIZE, COW MERGE/DELETE) write
+    preserved ids into so every rewrite keeps the stable-id promise;
+    the overwrite family replaces rows, so fresh ids are correct there.
     """
     snap = snapshot(table)
     _check_writer_protocol(snap, "enable_row_tracking")
@@ -3422,11 +3434,23 @@ def merge_delta(
     snap = snapshot(table)
     _check_writer_protocol(snap, "MERGE", removes_data=True)
     _refuse_cow_unsupported(snap, table, "merge_delta")
-    _refuse_stable_row_id_rewrite(snap, "MERGE")
+    rt_enabled = _rt_rewrite_gate(snap, "MERGE")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
-    tagged = _cow_scan(spark, table, snap)
-    cur_cols = [c for c in tagged.columns if c != "_src_file"]
+    if rt_enabled:
+        # stable-id COW: the rewrite scan resolves each row's id so
+        # survivors carry theirs into the new files (materialized),
+        # updated rows KEEP their id with this commit as their row
+        # commit version, and inserts fall through to fresh assignment
+        tagged = _row_id_scan(
+            spark, table, snap, snap["files"]
+        ).withColumnRenamed("_dv_file", "_src_file")
+    else:
+        tagged = _cow_scan(spark, table, snap)
+    cur_cols = [
+        c for c in tagged.columns
+        if c not in ("_src_file", "_rid", "_rcv")
+    ]
     if set(source.columns) != set(cur_cols):
         raise DeltaProtocolError(
             f"merge source columns {sorted(source.columns)} do not match "
@@ -3455,9 +3479,29 @@ def merge_delta(
         .join(F.broadcast(keys), key_cols, "left_anti")
         .drop("_src_file")
     )
-    new_data = survivors.select(*cur_cols).unionByName(
-        source.select(*cur_cols)
-    )
+    if rt_enabled:
+        upd_ids = (
+            tagged.join(F.broadcast(keys), key_cols, "leftsemi")
+            .groupBy(*key_cols)
+            .agg(F.min("_rid").alias("_rid"))
+        )
+        src_ids = (
+            source.select(*cur_cols)
+            .join(upd_ids, key_cols, "left")
+            .withColumn(
+                "_rcv",
+                F.when(
+                    F.col("_rid").isNotNull(), F.lit(version)
+                ).cast("long"),
+            )
+        )
+        new_data = survivors.select(
+            *cur_cols, "_rid", "_rcv"
+        ).unionByName(src_ids.select(*cur_cols, "_rid", "_rcv"))
+    else:
+        new_data = survivors.select(*cur_cols).unionByName(
+            source.select(*cur_cols)
+        )
 
     cdc_actions: list[dict] = []
     if change_data:
@@ -3470,7 +3514,7 @@ def merge_delta(
         preimage = (
             tagged.filter(F.col("_src_file").isin(touched_uris))
             .join(F.broadcast(keys), key_cols, "leftsemi")
-            .drop("_src_file")
+            .select(*cur_cols)  # drop the tag and any row-id columns
         )
         old_keys = preimage.select(*key_cols).distinct()
         changes = (
@@ -3497,7 +3541,14 @@ def merge_delta(
         cdc_actions = _write_change_data(table, changes, version, pcols)
 
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    if _mapping_mode(snap) != "none":
+    if rt_enabled:
+        _mat_id, _mat_cv = _materialized_row_cols(snap)
+        out_data = new_data.select(
+            *cur_cols,
+            F.col("_rid").alias(_mat_id),
+            F.col("_rcv").alias(_mat_cv),
+        )
+    elif _mapping_mode(snap) != "none":
         _pof, _ids = _mapped_write_plan(snap)
         out_data = _to_physical(
             new_data, snap["schema"], phys_of=_pof, attach_ids=_ids
@@ -4147,12 +4198,20 @@ def delete_delta(
     _check_writer_protocol(snap, "DELETE", removes_data=True,
                             identity_ok=True)
     _refuse_cow_unsupported(snap, table, "delete_delta")
-    _refuse_stable_row_id_rewrite(snap, "DELETE (copy-on-write)")
+    rt_enabled = _rt_rewrite_gate(snap, "DELETE (copy-on-write)")
     pcols = snap["partition_cols"]
     version = snap["version"] + 1
     key_df = keys.select(*key_cols).distinct()
-    tagged = _cow_scan(spark, table, snap)
-    cur_cols = [c for c in tagged.columns if c != "_src_file"]
+    if rt_enabled:
+        tagged = _row_id_scan(
+            spark, table, snap, snap["files"]
+        ).withColumnRenamed("_dv_file", "_src_file")
+    else:
+        tagged = _cow_scan(spark, table, snap)
+    cur_cols = [
+        c for c in tagged.columns
+        if c not in ("_src_file", "_rid", "_rcv")
+    ]
     touched_uris = [
         r["_src_file"]
         for r in tagged.join(F.broadcast(key_df), key_cols, "leftsemi")
@@ -4169,7 +4228,9 @@ def delete_delta(
         tagged.filter(F.col("_src_file").isin(touched_uris))
         .join(F.broadcast(key_df), key_cols, "left_anti")
         .drop("_src_file")
-        .select(*cur_cols)
+        .select(
+            *cur_cols, *(["_rid", "_rcv"] if rt_enabled else [])
+        )
     )
 
     cdc_actions: list[dict] = []
@@ -4192,7 +4253,14 @@ def delete_delta(
     adds: list[dict] = []
     if touched_abs:
         staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-        if _mapping_mode(snap) != "none":
+        if rt_enabled:
+            _mat_id, _mat_cv = _materialized_row_cols(snap)
+            out_rows = survivors.select(
+                *cur_cols,
+                F.col("_rid").alias(_mat_id),
+                F.col("_rcv").alias(_mat_cv),
+            )
+        elif _mapping_mode(snap) != "none":
             _pof, _ids = _mapped_write_plan(snap)
             out_rows = _to_physical(
                 survivors, snap["schema"], phys_of=_pof, attach_ids=_ids
@@ -4269,7 +4337,10 @@ def overwrite_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "WRITE (overwrite)", removes_data=True)
-    _refuse_stable_row_id_rewrite(snap, "overwrite")
+    # rowTracking: an overwrite REPLACES rows — replaced partitions'/
+    # table's rows are logically NEW rows, so fresh baseRowIds from the
+    # stamping are the spec-correct assignment (no materialization
+    # needed; delta-spark allows the same write).
     pcols = snap["partition_cols"]
     _mode = _mapping_mode(snap)
     if _mode not in ("none", "name", "id"):
@@ -4384,7 +4455,10 @@ def replace_where_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "WRITE (replaceWhere)", removes_data=True)
-    _refuse_stable_row_id_rewrite(snap, "replaceWhere overwrite")
+    # rowTracking: an overwrite REPLACES rows — replaced partitions'/
+    # table's rows are logically NEW rows, so fresh baseRowIds from the
+    # stamping are the spec-correct assignment (no materialization
+    # needed; delta-spark allows the same write).
     pcols = snap["partition_cols"]
     if not pcols:
         raise DeltaProtocolError(
@@ -4541,7 +4615,10 @@ def overwrite_schema_delta(
     _check_writer_protocol(
         snap, "WRITE (overwriteSchema)", removes_data=True
     )
-    _refuse_stable_row_id_rewrite(snap, "overwriteSchema overwrite")
+    # rowTracking: an overwrite REPLACES rows — replaced partitions'/
+    # table's rows are logically NEW rows, so fresh baseRowIds from the
+    # stamping are the spec-correct assignment (no materialization
+    # needed; delta-spark allows the same write).
     if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "overwriteSchema on a column-mapped table is not supported "
@@ -4652,7 +4729,10 @@ def dynamic_overwrite_delta(
     _check_writer_protocol(
         snap, "WRITE (dynamic overwrite)", removes_data=True
     )
-    _refuse_stable_row_id_rewrite(snap, "dynamic partition overwrite")
+    # rowTracking: an overwrite REPLACES rows — replaced partitions'/
+    # table's rows are logically NEW rows, so fresh baseRowIds from the
+    # stamping are the spec-correct assignment (no materialization
+    # needed; delta-spark allows the same write).
     pcols = snap["partition_cols"]
     if not pcols:
         raise DeltaProtocolError(

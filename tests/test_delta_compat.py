@@ -2881,31 +2881,80 @@ def test_row_tracking_hwm_survives_checkpoint(spark, tmp_path):
     assert dc.row_id_high_water_mark(dc.snapshot(table)) == 6
 
 
-def test_enable_row_tracking_enabled_refuses_cow_rewrites(spark, tmp_path):
-    """delta.enableRowTracking=true promises readers STABLE row ids;
-    the COW verbs (MERGE/DELETE) would need the materialized-id rewrite
-    folded in and refuse; appends, DV deletes (file-preserving) and
-    OPTIMIZE (which materializes ids) keep working."""
+def test_row_tracking_cow_merge_delete_preserve_ids(spark, tmp_path):
+    """delta.enableRowTracking=true + COW MERGE/DELETE: the rewrite
+    materializes ids — a DELETE's survivors keep theirs, a MERGE's
+    updated rows keep theirs (row commit version moves to the merge
+    commit), inserts take fresh ids above every preserved one."""
     import pyspark.sql.functions as F
 
-    table = str(tmp_path / "rt_stable_tbl")
+    table = str(tmp_path / "rt_cow_tbl")
     dc.append_delta(
-        spark.range(10).coalesce(1).select(F.col("id").alias("k")), table
-    )
-    dc.enable_row_tracking(table, enabled=True)
-    dc.append_delta(
-        spark.range(10, 12).coalesce(1).select(F.col("id").alias("k")),
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .orderBy("k")
+        .coalesce(1),
         table,
     )
-    keys = spark.createDataFrame([(1,)], "k long")
-    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
-        dc.delete_delta(spark, table, keys, ["k"])
-    with pytest.raises(dc.DeltaProtocolError, match="enableRowTracking"):
-        dc.merge_delta(spark, table, keys, ["k"])
-    dc.delete_delta_dv(spark, table, keys, ["k"])
-    assert dc.read_delta(spark, table).count() == 11
-    dc.optimize_delta(spark, table)
-    assert dc.read_delta(spark, table).count() == 11
+    dc.enable_row_tracking(table, enabled=True)
+    # sorted single-file backfill → id == k
+    dc.delete_delta(
+        spark, table, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    ids = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert 1 not in ids
+    assert all(ids[k][0] == k for k in ids)  # survivors kept their ids
+    src = spark.createDataFrame([(2, 99), (20, 40)], "k long, v long")
+    mv = dc.merge_delta(spark, table, src, ["k"])
+    post = {
+        r.k: (r._row_id, r._row_commit_version, r.v)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert post[2][0] == 2 and post[2][1] == mv and post[2][2] == 99
+    assert post[20][0] > max(i for i, _, _ in post.values() if i != post[20][0])
+    # mapped composition refuses loudly
+    mapped = str(tmp_path / "rt_cow_mapped")
+    dc.append_delta(
+        spark.range(4).select(F.col("id").alias("k")), mapped
+    )
+    dc.enable_column_mapping(mapped)
+    dc.enable_row_tracking(mapped, enabled=True)
+    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+        dc.merge_delta(
+            spark, mapped, spark.createDataFrame([(1,)], "k long"), ["k"]
+        )
+
+
+def test_row_tracking_overwrite_assigns_fresh_ids(spark, tmp_path):
+    """The overwrite family REPLACES rows, so rowTracking-enabled
+    tables accept it and the batch takes fresh ids above the mark
+    (delta-spark's semantics — no materialization involved)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_ow_tbl")
+    dc.append_delta(
+        spark.range(6)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .orderBy("k")
+        .coalesce(1),
+        table,
+    )
+    dc.enable_row_tracking(table, enabled=True)
+    hwm0 = dc.row_id_high_water_mark(dc.snapshot(table))
+    batch = (
+        spark.range(100, 103)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .orderBy("k")
+        .coalesce(1)
+    )
+    dc.overwrite_delta(spark, batch, table)
+    ids = sorted(
+        r._row_id for r in dc.read_delta_row_ids(spark, table).collect()
+    )
+    assert len(ids) == 3 and min(ids) > hwm0
 
 
 def test_row_tracking_stable_ids_through_optimize(spark, tmp_path):
