@@ -250,10 +250,116 @@ _X5C_SQL = (
 )
 
 
+_X5D_BUDGET = 2048  # multimodal context budget per pack
+
+
+def x5d_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d — MODALITY-AWARE sequence packing: the multimodal training
+    batch builder, where a sample's context cost is text tokens PLUS
+    its media's token cost under the standard encodings — image →
+    16×16 patch grid (ceil-div on each axis), audio → 12.5 tokens/s
+    (``duration_ms DIV 80``), video → one 64-patch frame per second —
+    and packs fill a 2048-token budget per source (x7's deterministic
+    offset-chunking over the COMBINED cost). This is the step that
+    makes x5's typed metadata load-bearing: the packer reads widths /
+    durations, never payload bytes, so the plan stays a metadata scan
+    (the x5 pruning property) feeding one window shuffle on source.
+    Integer-only accounting: per (source, pack): samples, text tokens,
+    media tokens, total cost."""
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        assign_packs,
+    )
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _WORDS_SPARK,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_table(docs).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("text_toks"),
+    )
+    cost = F.expr(
+        "CASE WHEN media_type = 'image' THEN "
+        "((width + 15) DIV 16) * ((height + 15) DIV 16) "
+        "WHEN media_type = 'audio' THEN duration_ms DIV 80 "
+        "ELSE (duration_ms DIV 1000 + 1) * 64 END"
+    ).cast("bigint")
+    j = toks.join(media, "doc_id").select(
+        "source",
+        "doc_id",
+        "text_toks",
+        cost.alias("media_toks"),
+        (F.col("text_toks") + cost).alias("n_tokens"),
+    )
+    return (
+        assign_packs(j, budget=_X5D_BUDGET)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("text_toks").cast("bigint").alias("text_toks"),
+            F.sum("media_toks").cast("bigint").alias("media_toks"),
+            F.sum("n_tokens").cast("bigint").alias("pack_cost"),
+        )
+        .select(
+            "source",
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            "n_samples",
+            "text_toks",
+            "media_toks",
+            "pack_cost",
+        )
+    )
+
+
+def _x5d_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _WORDS_DUCK,
+    )
+
+    return (
+        "WITH m AS (SELECT doc_id, source, "
+        f"CAST(len({_WORDS_DUCK}) AS BIGINT) AS text_toks, "
+        "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] "
+        "AS media_type, "
+        "CAST(n_chars % 640 + 16 AS BIGINT) AS width, "
+        "CAST(n_chars % 480 + 16 AS BIGINT) AS height, "
+        "CAST(n_chars * 37 AS BIGINT) AS duration_ms "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, text_toks, "
+        "CAST(CASE WHEN media_type = 'image' THEN "
+        "((width + 15) // 16) * ((height + 15) // 16) "
+        "WHEN media_type = 'audio' THEN duration_ms // 80 "
+        "ELSE (duration_ms // 1000 + 1) * 64 END AS BIGINT) "
+        "AS media_toks FROM m), "
+        "t AS (SELECT source, doc_id, text_toks, media_toks, "
+        "text_toks + media_toks AS n_tokens FROM c), "
+        "packed AS (SELECT source, doc_id, text_toks, media_toks, "
+        "n_tokens, "
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY "
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"// {_X5D_BUDGET} AS pack_id FROM t) "
+        "SELECT source, CAST(pack_id AS BIGINT) AS pack_id, "
+        "CAST(count(*) AS BIGINT) AS n_samples, "
+        "CAST(SUM(text_toks) AS BIGINT) AS text_toks, "
+        "CAST(SUM(media_toks) AS BIGINT) AS media_toks, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS pack_cost "
+        "FROM packed GROUP BY 1, 2"
+    )
+
+
 QUERIES = {
     "x5_meta_pruning": x5_meta_pruning,
     "x5b_decode_features": x5b_decode_features,
     "x5c_frame_sample": x5c_frame_sample,
+    "x5d_multimodal_pack": x5d_multimodal_pack,
 }
 
 def _hexpair_sum(h: str) -> str:
@@ -288,4 +394,5 @@ ORACLES = {
     # decode path gets the full hash gate, not just a rows-only check.
     "x5b_decode_features": _X5B_SQL,
     "x5c_frame_sample": _X5C_SQL,
+    "x5d_multimodal_pack": _x5d_sql(),
 }

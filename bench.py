@@ -187,6 +187,7 @@ HEADLINE = [
     "x49_leakage_safe_split",
     "x50_quality_probe",
     "s34_row_id_lifecycle",
+    "x5d_multimodal_pack",
 ]
 
 
