@@ -249,7 +249,7 @@ def x2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x2_sql() -> str:
+def _x2_sql(corpus_sql: str = _NEAR_DUP_CORPUS_SQL) -> str:
     sig_cols = ", ".join(
         f"min((h1 + {s} * h2) % 4294967296) AS s{s}" for s in range(_N_HASHES)
     )
@@ -261,7 +261,7 @@ def _x2_sql() -> str:
         for b in range(_BANDS)
     )
     return (
-        f"WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}), "
+        f"WITH corpus AS ({corpus_sql}), "
         f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
         "hashed AS (SELECT doc_id, "
         "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1, "
@@ -1131,6 +1131,191 @@ _X19_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X51 — sequential dedup ROI report (exact → normalized → near-dup)
+# --------------------------------------------------------------------------
+
+
+def _x51_dirty(docs: DataFrame) -> DataFrame:
+    """The combined dirty corpus: base docs plus three planted
+    duplicate families in disjoint derived-id namespaces — verbatim
+    re-crawls (every 13th doc), case/whitespace mirrors (every 11th,
+    x40's construction) and appended-words near-dups (every 10th,
+    x2's construction)."""
+    base = docs.select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
+    exact = base.filter(F.col("doc_id") % 13 == 0).crossJoin(
+        F.broadcast(off)
+    ).select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+    norm = base.filter(F.col("doc_id") % 11 == 0).crossJoin(
+        F.broadcast(off)
+    ).select(
+        (F.col("doc_id") + 2 * F.col("off")).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    near = base.filter(F.col("doc_id") % 10 == 0).crossJoin(
+        F.broadcast(off)
+    ).select(
+        (F.col("doc_id") + 3 * F.col("off")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xdup ydup zdup")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(norm).unionByName(near)
+
+
+def x51_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 — the DEDUP ROI REPORT: run the three dedup passes the way
+    a production pipeline sequences them — exact content hash, then
+    normalization-aware hash, then MinHash near-dup — each over the
+    SURVIVORS of the one before, and account what each pass removed in
+    documents and tokens (basis points of the dirty corpus). This is
+    the decision artifact curation teams rank passes by: verbatim
+    re-crawls are cheapest to kill (one hash), near-dups cost a
+    banded-LSH pass and should only ever pay for what the cheap
+    passes missed — which the sequential accounting makes visible
+    (an exact twin must NOT show up again in the near-dup row).
+
+    Scale shape: passes 1–2 are md5-keyed windows (one shuffle each,
+    32-byte keys); pass 3 is x2's banded MinHash + x2d's fixed-round
+    components over the ALREADY-SHRUNK survivor corpus — running the
+    expensive pass last is itself the scale decision this report
+    justifies. Integer-only certificate (counts, token sums, bp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = _x51_dirty(docs)
+    t = dirty.select(
+        "doc_id",
+        "text",
+        F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("tok"),
+        F.md5("text").alias("he"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("hn"),
+    )
+    w1 = Window.partitionBy("he").orderBy("doc_id")
+    r1 = t.withColumn("rk1", F.row_number().over(w1))
+    d1 = r1.filter(F.col("rk1") > 1)
+    s1 = r1.filter(F.col("rk1") == 1)
+    w2 = Window.partitionBy("hn").orderBy("doc_id")
+    r2 = s1.withColumn("rk2", F.row_number().over(w2))
+    d2 = r2.filter(F.col("rk2") > 1)
+    s2 = scoped_persist(
+        r2.filter(F.col("rk2") == 1).select("doc_id", "text", "tok")
+    )
+    sh = scoped_persist(_shingle_rows(s2))
+    sigs, cand = _signatures_and_candidates(sh)
+    counts = sigs.select("doc_id", "n_sh")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    nb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    pairs = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    d3 = s2.join(
+        comp.filter(F.col("component") != F.col("node")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    kept = s2.join(d3.select("doc_id"), "doc_id", "left_anti")
+    total = t.agg(F.sum("tok").cast("bigint").alias("tt"))
+
+    def _part(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("tok"), F.lit(0))
+                .cast("bigint")
+                .alias("tokens"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("pass"),
+                "n_docs",
+                "tokens",
+                F.expr("(10000 * tokens) DIV tt")
+                .cast("bigint")
+                .alias("share_bp"),
+            )
+        )
+
+    return (
+        _part(d1, "exact")
+        .unionByName(_part(d2, "normalized"))
+        .unionByName(_part(d3, "neardup"))
+        .unionByName(_part(kept, "kept"))
+    )
+
+
+def _x51_sql() -> str:
+    off = "(SELECT max(doc_id) + 1 FROM documents)"
+    dirty = (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {off}, text FROM documents "
+        "WHERE doc_id % 13 = 0 "
+        f"UNION ALL SELECT doc_id + 2 * {off}, upper(text) || '  ' "
+        "FROM documents WHERE doc_id % 11 = 0 "
+        f"UNION ALL SELECT doc_id + 3 * {off}, text || ' xdup ydup zdup' "
+        "FROM documents WHERE doc_id % 10 = 0"
+    )
+    pairs_sql = _x2_sql("SELECT doc_id, text FROM s2")
+    part = (
+        "SELECT '{name}' AS pass, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(tok), 0) AS BIGINT) AS tokens, "
+        "CAST((10000 * coalesce(sum(tok), 0)) // (SELECT tt FROM tot) "
+        "AS BIGINT) AS share_bp FROM {src}"
+    )
+    return (
+        f"WITH RECURSIVE dirty AS ({dirty}), "
+        "t AS (SELECT doc_id, text, "
+        f"CAST(len({_WORDS_DUCK}) AS BIGINT) AS tok, "
+        "md5(text) AS he, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS hn "
+        "FROM dirty), "
+        "r1 AS (SELECT *, row_number() OVER "
+        "(PARTITION BY he ORDER BY doc_id) AS rk1 FROM t), "
+        "d1 AS (SELECT * FROM r1 WHERE rk1 > 1), "
+        "s1 AS (SELECT * FROM r1 WHERE rk1 = 1), "
+        "r2 AS (SELECT *, row_number() OVER "
+        "(PARTITION BY hn ORDER BY doc_id) AS rk2 FROM s1), "
+        "d2 AS (SELECT * FROM r2 WHERE rk2 > 1), "
+        "s2 AS (SELECT doc_id, text, tok FROM r2 WHERE rk2 = 1), "
+        f"pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, label) AS ("
+        "  SELECT u, u FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node), "
+        "comp AS (SELECT node, min(label) AS component FROM reach "
+        "GROUP BY 1), "
+        "d3 AS (SELECT s2.doc_id, s2.tok FROM s2 "
+        "JOIN comp ON comp.node = s2.doc_id "
+        "WHERE comp.component <> comp.node), "
+        "kept AS (SELECT s2.doc_id, s2.tok FROM s2 "
+        "WHERE s2.doc_id NOT IN (SELECT doc_id FROM d3)), "
+        "tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM t) "
+        + part.format(name="exact", src="d1")
+        + " UNION ALL " + part.format(name="normalized", src="d2")
+        + " UNION ALL " + part.format(name="neardup", src="d3")
+        + " UNION ALL " + part.format(name="kept", src="kept")
+    )
+
+
+# --------------------------------------------------------------------------
 # X46 — cross-source boilerplate n-gram detection
 # --------------------------------------------------------------------------
 
@@ -1278,6 +1463,7 @@ QUERIES = {
     "x34b_substring_trim": x34b_substring_trim,
     "x40_normalized_dedup": x40_normalized_dedup,
     "x46_boilerplate_grams": x46_boilerplate_grams,
+    "x51_dedup_roi": x51_dedup_roi,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1293,5 +1479,6 @@ ORACLES = {
     "x34b_substring_trim": _X34B_SQL,
     "x40_normalized_dedup": _X40_SQL,
     "x46_boilerplate_grams": _X46_SQL,
+    "x51_dedup_roi": _x51_sql(),
     "x19_line_dedup": _X19_SQL,
 }
