@@ -674,6 +674,51 @@ def f8_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS_FILTER = "filter(split(text, ' '), x -> x != '')"
 
 
+def f9_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar battery over the event stream — the calendar
+    vocabulary (ISO day-of-week, hour-of-day, ISO week, calendar day)
+    a scheduling/traffic dashboard is built from, aligned across
+    engines where their conventions differ: Spark's ``dayofweek`` is
+    1=Sunday while DuckDB's ``isodow`` is 1=Monday, so the Spark side
+    derives the ISO form with ``pmod(dayofweek+5, 7)+1``; ISO week
+    (Spark ``weekofyear`` = DuckDB ``week``) agrees natively; calendar
+    days count via the TZ-proof integer epoch-day (CLAUDE.md rule).
+    One |types|×7 aggregate — shuffle volume is the group count."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.expr("pmod(dayofweek(ts) + 5, 7) + 1")
+            .cast("bigint")
+            .alias("dow"),
+            F.expr("hour(ts)").alias("hh"),
+            F.expr("ts_ns DIV 86400000000000").alias("day"),
+            F.expr("weekofyear(ts)").alias("wk"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("hh") < 6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_night"),
+            F.countDistinct("day").cast("bigint").alias("n_days"),
+            F.countDistinct("wk").cast("bigint").alias("n_weeks"),
+        )
+    )
+
+
+_F9_SQL = (
+    "SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_night, "
+    "CAST(count(DISTINCT epoch_ns(ts) // 86400000000000) AS BIGINT) "
+    "AS n_days, "
+    "CAST(count(DISTINCT week(ts)) AS BIGINT) AS n_weeks "
+    "FROM events GROUP BY 1, 2"
+)
+
+
 def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode (F6 — processor.py:115's tool-call parse): from_json
     with an explicit schema, then aggregate on the extracted field."""
@@ -796,6 +841,7 @@ QUERIES = {
     "f6_json_extract": f6_json_extract,
     "f7_regexp_suite": f7_regexp_suite,
     "f8_array_suite": f8_array_suite,
+    "f9_datetime_suite": f9_datetime_suite,
     "ud2_explode_tokens": ud2_explode_tokens,
     "flagship_breakdown": flagship_breakdown,
 }
@@ -992,6 +1038,7 @@ ORACLES = {
         "regexp_matches(text, '^[a-z]') AS starts_lower "
         "FROM documents"
     ),
+    "f9_datetime_suite": _F9_SQL,
     "f8_array_suite": (
         "WITH d AS (SELECT doc_id, "
         "list_filter(string_split(text, ' '), x -> x <> '') AS w "
