@@ -1470,6 +1470,123 @@ def _st21_sql() -> str:
     )
 
 
+def st22_streaming_quality_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22 — CONTINUOUS data quality: dq2's expectations evaluated
+    per micro-batch, with per-epoch violation counts appended
+    exactly-once to a quality MART — the observability surface a
+    streaming ingest runs alongside the data path, so a bad upstream
+    deploy shows up as an epoch spike instead of a month-later audit.
+    Three event micro-batches arrive as file drops (epoch =
+    event_id % 3), each with PLANTED dirt: negated values on
+    event_id % 11 = 0 and an unknown event_type on event_id % 13 = 0.
+    Each batch folds to one row of counts (rows, negative values,
+    unknown types, null props) — per-epoch state is O(checks), never
+    O(rows) — and the (app_id, epoch) txn ledger makes a replayed
+    epoch a no-op (a double-applied epoch would double its counts;
+    the hash would flip).
+
+    Scale shape: the expectation evaluation is a pure map over the
+    batch folding to a 1-row aggregate; the mart grows one row per
+    epoch. The oracle replays the epoch partition + dirt injection
+    blind in SQL."""
+    base = _scratch(sf_dir, "st22")
+    drop, mart, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "mart"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    dirty = events.select(
+        "event_id",
+        F.expr(
+            "CASE WHEN event_id % 13 = 0 THEN 'unknown' "
+            "ELSE event_type END"
+        ).alias("event_type"),
+        F.expr(
+            "CASE WHEN event_id % 11 = 0 THEN -value ELSE value END"
+        ).alias("value"),
+        "props",
+    )
+    for k in range(3):
+        f = os.path.join(drop, f"b{k}.parquet")
+        write_single_parquet(dirty.filter(F.col("event_id") % 3 == k), f)
+        os.utime(f, ((k + 1) * 1_000_000,) * 2)
+
+    known = "('click', 'view', 'purchase', 'signup', 'error')"
+
+    def quality_row(batch: DataFrame, epoch_id: int) -> DataFrame:
+        return batch.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg_value"),
+            F.sum(
+                F.when(~F.expr(f"event_type IN {known}"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_unknown_type"),
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_props"),
+        ).select(F.lit(epoch_id).cast("bigint").alias("epoch"), "*")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deltalite.write(
+            quality_row(batch_df, epoch_id), mart,
+            app_id="st22", epoch=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # crash-replay of epoch 0 must no-op through the txn ledger
+    sink(
+        spark.read.schema(
+            "event_id LONG, event_type STRING, value DOUBLE, props STRING"
+        ).parquet(os.path.join(drop, "b0.parquet")),
+        0,
+    )
+    return deltalite.read(spark, mart).select(
+        "epoch", "n_rows", "n_neg_value", "n_unknown_type", "n_null_props"
+    )
+
+
+_ST22_SQL = (
+    "WITH d AS (SELECT event_id % 3 AS epoch, "
+    "CASE WHEN event_id % 13 = 0 THEN 'unknown' ELSE event_type END "
+    "AS event_type, "
+    "CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value, "
+    "props FROM events) "
+    "SELECT CAST(epoch AS BIGINT) AS epoch, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_neg_value, "
+    "CAST(sum(CASE WHEN event_type NOT IN "
+    "('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_unknown_type, "
+    "CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_null_props "
+    "FROM d GROUP BY 1"
+)
+
+
 QUERIES = {
     "s1_feed_ingest": s1_feed_ingest,
     "st1_medallion_ingest": st1_medallion_ingest,
@@ -1486,6 +1603,7 @@ QUERIES = {
     "st18_streaming_ivf_assign": st18_streaming_ivf_assign,
     "st19_streaming_heavy_hitters": st19_streaming_heavy_hitters,
     "st21_streaming_dedup_ledger": st21_streaming_dedup_ledger,
+    "st22_streaming_quality_mart": st22_streaming_quality_mart,
 }
 
 ORACLES = {
@@ -1504,4 +1622,5 @@ ORACLES = {
     "st18_streaming_ivf_assign": _st18_sql(),
     "st19_streaming_heavy_hitters": _st19_sql(),
     "st21_streaming_dedup_ledger": _st21_sql(),
+    "st22_streaming_quality_mart": _ST22_SQL,
 }
