@@ -272,6 +272,37 @@ def test_semdedup_funnel_dq2_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_round8_late_ops_plan_shapes(spark, sf_dir):
+    """x46: the flagged boilerplate-gram set joins back via BROADCAST
+    (threshold-bounded small side) and candidates never go cartesian;
+    x48: cross-set decontamination candidates come from (tbl, bucket)
+    equi-joins only (x14's rule applied cross-set); x51: the
+    sequential three-pass sweep keeps the near-dup stage cartesian-free
+    too; x5d: the multimodal packer's plan touches metadata arithmetic
+    only — no unhex/payload derivation survives pruning."""
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x46_boilerplate_grams,
+        x51_dedup_roi,
+    )
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        x5d_multimodal_pack,
+    )
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x48_semantic_decontam,
+    )
+
+    plan = _physical(x46_boilerplate_grams(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = _physical(x48_semantic_decontam(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    plan = _physical(x51_dedup_roi(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    plan = _physical(x5d_multimodal_pack(spark, sf_dir))
+    assert "unhex" not in plan  # payload bytes pruned out entirely
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_seed_selection_distributed(spark, sf_dir):
     """x3d's k-means seeds are a distributed top-8 (TakeOrderedAndProject:
     per-partition partial top-k, driver merges 8-row heads), NOT a
