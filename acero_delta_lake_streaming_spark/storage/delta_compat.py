@@ -913,12 +913,124 @@ def _read_mapped_partitioned(
     return df.select(out_cols)
 
 
+def _generated_prune_filter(snap: dict, src: str, lo, hi):
+    """Partition-prune rule derived from a GENERATED partition column
+    (delta-spark's OptimizeGeneratedColumn): if some partition column's
+    generation expression is a recognized monotone transform of
+    ``src``, return a predicate over a file's partitionValues that is
+    TRUE for every partition that can contain rows with ``src`` in
+    [lo, hi]. None = no applicable rule (callers keep all files — the
+    prune is a pure optimization). Recognized forms: ``date_format(src,
+    'yyyy-MM-dd')``, ``CAST(src AS DATE)`` (ISO strings compare
+    lexicographically), ``year(src)``, ``month(src)``, and integer
+    bucketing ``src DIV n``."""
+    import re
+
+    gencols = table_generated_columns(snap)
+    pcols = snap["partition_cols"]
+    l_of = {p: l for p, l in _physical_renames(snap["schema"])}
+    for pcol in pcols:
+        expr = gencols.get(l_of.get(pcol, pcol))
+        if not expr:
+            continue
+        e = re.sub(r"\s+", " ", expr.strip())
+        slo, shi = str(lo), str(hi)
+        if re.fullmatch(
+            rf"date_format\( ?{src} ?, ?'yyyy-MM-dd' ?\)", e, re.I
+        ) or re.fullmatch(rf"CAST ?\( ?{src} AS DATE ?\)", e, re.I):
+            dlo, dhi = slo[:10], shi[:10]
+            return lambda pv: dlo <= pv.get(pcol, "") <= dhi
+        if re.fullmatch(rf"year ?\( ?{src} ?\)", e, re.I):
+            ylo, yhi = int(slo[:4]), int(shi[:4])
+            return lambda pv: ylo <= int(pv.get(pcol, "0")) <= yhi
+        m = re.fullmatch(rf"{src} DIV (\d+)", e, re.I)
+        if m:
+            n = int(m.group(1))
+            blo, bhi = int(lo) // n, int(hi) // n
+            return lambda pv: blo <= int(pv.get(pcol, "0")) <= bhi
+    return None
+
+
+def declare_generated_column(table: str, column: str, expression: str) -> int:
+    """Attach ``delta.generationExpression`` to an EXISTING column and
+    upgrade the protocol with the ``generatedColumns`` writer feature —
+    the metadata half of delta-spark's ``GENERATED ALWAYS AS (...)``
+    for tables created by this writer. Existing data is validated by
+    the caller's construction (the declaring commit does not re-scan);
+    every later row-introducing write validates against the expression
+    (:func:`_enforce_generated`), and a generated PARTITION column
+    additionally powers metadata-layer partition pruning for
+    predicates on the SOURCE column (``read_delta(partition_prune=)``,
+    delta-spark's OptimizeGeneratedColumn)."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "ALTER TABLE (generated column)",
+                            identity_ok=True)
+    sch = json.loads(snap["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if column not in names:
+        raise DeltaProtocolError(
+            f"generated column {column!r} is not in the table schema"
+        )
+    for f in sch["fields"]:
+        if f["name"] == column:
+            meta = dict(f.get("metadata") or {})
+            meta["delta.generationExpression"] = expression
+            f["metadata"] = meta
+    p = snap.get("protocol") or {}
+    w = p.get("minWriterVersion", 2)
+    feats = set(p.get("writerFeatures") or [])
+    if w < 7 and not feats:
+        feats = _legacy_writer_features(w)
+    feats |= {"generatedColumns"}
+    now_ms = int(time.time() * 1000)
+    version = snap["version"] + 1
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": p.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": sorted(
+                        set(p.get("readerFeatures") or [])
+                    )}
+                    if p.get("minReaderVersion", 1) >= 3
+                    else {}
+                ),
+                "writerFeatures": sorted(feats),
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(sch),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ALTER TABLE",
+                "operationParameters": {
+                    "generatedColumn": column,
+                    "expression": expression,
+                },
+            }
+        },
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     skip: tuple | None = None,
     timestamp_ms: int | None = None,
+    partition_prune: tuple | None = None,
 ) -> DataFrame:
     """Lazy DataFrame over a real Delta table at ``version`` (latest if
     None). Partitioned tables must use the hive directory layout
@@ -959,6 +1071,18 @@ def read_delta(
         # reads before pruning would tax exactly the point reads
         # skipping exists to make cheap
         phys_of = {l: p for p, l in _physical_renames(snap["schema"])}
+    if partition_prune is not None and snap["files"]:
+        # predicate on a SOURCE column prunes partitions keyed by its
+        # GENERATED transform (delta-spark's OptimizeGeneratedColumn);
+        # unrecognized expressions keep every file — pure optimization,
+        # the caller still applies the row-level filter
+        _src, _plo, _phi = partition_prune
+        _keep = _generated_prune_filter(snap, _src, _plo, _phi)
+        if _keep is not None:
+            snap = dict(
+                snap,
+                files=[f for f in snap["files"] if _keep(_file_pvals(f))],
+            )
     if skip is not None and snap["files"]:
         col, lo, hi = skip
         col = phys_of.get(col, col)  # stats JSON uses physical names

@@ -2727,6 +2727,63 @@ def s34_row_id_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s35_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S35 — partition pruning THROUGH a generated column
+    (delta-spark's OptimizeGeneratedColumn): the events stream lands in
+    a Delta table hive-partitioned by ``day``, declared GENERATED from
+    ``ts`` (``date_format(ts, 'yyyy-MM-dd')``); a predicate on the RAW
+    ``ts`` column then prunes partitions at the METADATA layer — the
+    read lists only the implied ``day=`` directories' files before
+    Spark opens a footer, which on a 100 TB date-partitioned table is
+    the difference between scanning three days and scanning ten years.
+    The 3-day window aggregate (per day: events, exact cents) must
+    equal the oracle's replay over raw events — a prune that drops a
+    boundary partition or keeps a phantom one flips counts. The plan
+    property (only ``day=2024-01-05..07`` files reach the scan) is
+    pinned by ``test_generated_column_partition_pruning``."""
+    from acero_delta_lake_streaming_spark.functions.timeutil import (
+        day_between,
+    )
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s35_events_daily")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    batch = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    delta_compat.append_delta(batch, table, partition_by=["day"])
+    delta_compat.declare_generated_column(
+        table, "day", "date_format(ts, 'yyyy-MM-dd')"
+    )
+    pruned = delta_compat.read_delta(
+        spark,
+        table,
+        partition_prune=("ts", "2024-01-05 00:00:00",
+                         "2024-01-07 23:59:59"),
+    )
+    return (
+        pruned.filter(day_between("ts", "2024-01-05", "2024-01-07"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S35_SQL = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+    "GROUP BY 1"
+)
+
+
 _S34_SQL = (
     "WITH s0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0), "
     "r0 AS (SELECT o_orderkey, "
@@ -2847,6 +2904,7 @@ QUERIES = {
     "s32_dynamic_overwrite": s32_dynamic_overwrite,
     "s33_overwrite_schema": s33_overwrite_schema,
     "s34_row_id_lifecycle": s34_row_id_lifecycle,
+    "s35_generated_partition_pruning": s35_generated_partition_pruning,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2892,6 +2950,7 @@ ORACLES = {
     "s32_dynamic_overwrite": _S32_SQL,
     "s33_overwrite_schema": _S33_SQL,
     "s34_row_id_lifecycle": _S34_SQL,
+    "s35_generated_partition_pruning": _S35_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

@@ -5107,6 +5107,35 @@ def test_replace_where_uncaptured_overwrite_refuses_cdf_read(spark, tmp_path):
         dc.read_delta_changes(spark, table, v, v).collect()
 
 
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """A predicate on the SOURCE column prunes partitions keyed by its
+    GENERATED transform at the metadata layer (OptimizeGeneratedColumn):
+    only the implied partition directories' files reach the scan, and
+    the pruned read + row filter equals the full read + row filter."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "gen_prune_tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.expr("id DIV 10").alias("b")
+    )
+    dc.append_delta(df, table, partition_by=["b"])
+    dc.declare_generated_column(table, "b", "k DIV 10")
+    # later appends enforce the generation expression
+    bad = spark.createDataFrame([(50, 9)], "k long, b long")
+    with pytest.raises(dc.DeltaConstraintViolation):
+        dc.append_delta(bad, table, partition_by=["b"])
+    pruned = dc.read_delta(spark, table, partition_prune=("k", 15, 25))
+    opened = pruned.inputFiles()
+    assert opened and all(("b=1" in f or "b=2" in f) for f in opened)
+    got = sorted(
+        r.k for r in pruned.filter("k BETWEEN 15 AND 25").collect()
+    )
+    assert got == list(range(15, 26))
+    # unrecognized expression ⇒ no pruning, never wrong results
+    full = dc.read_delta(spark, table, partition_prune=("b", 1, 1))
+    assert full.count() == 40
+
+
 def test_dynamic_overwrite_touches_only_batch_partitions(spark, tmp_path):
     table = _seed_rw(spark, tmp_path)
     pre_files = set(dc.snapshot(table)["files"])
