@@ -387,11 +387,6 @@ def _check_writer_protocol(
     # WITHOUT them stays writable.
     for f in json.loads(snap["schema"])["fields"]:
         meta = f.get("metadata") or {}
-        if "delta.invariants" in meta:
-            raise DeltaProtocolError(
-                f"{op}: column {f['name']!r} declares a legacy invariant "
-                "this writer does not enforce"
-            )
         if not identity_ok and any(
             k.startswith("delta.identity.") for k in meta
         ):
@@ -1676,7 +1671,7 @@ def append_delta(
         # CHECK constraints gate every append (one scan of the BATCH,
         # not the table — the add-time full scan happened once in
         # add_constraint)
-        _enforce_constraints(df, table_constraints(snap0))
+        _enforce_constraints(df, _row_write_checks(snap0))
         # generated columns: new rows must equal their expressions
         _enforce_generated(df, table_generated_columns(snap0))
 
@@ -3583,7 +3578,7 @@ def merge_delta(
     # MERGE introduces the source's rows: they must satisfy CHECK
     # constraints and generated-column expressions like any append
     # (survivors re-written unchanged satisfy both trivially)
-    _enforce_constraints(source, table_constraints(snap))
+    _enforce_constraints(source, _row_write_checks(snap))
     _enforce_generated(source, table_generated_columns(snap))
     keys = source.select(*key_cols).distinct()
     touched_uris = [
@@ -3737,6 +3732,40 @@ def table_constraints(snap: dict) -> dict[str, str]:
         for k, v in (snap.get("configuration") or {}).items()
         if k.startswith(_CONSTRAINT_PREFIX)
     }
+
+
+def table_invariants(snap: dict) -> dict[str, str]:
+    """column-scoped legacy invariants (writer v2's ``delta.invariants``
+    field metadata, JSON ``{"expression": {"expression": <sql>}}``) as
+    name → predicate. Enforced on every row-introducing write exactly
+    like CHECK constraints — the protocol obligation of a writer that
+    claims minWriterVersion >= 2 (refusing was the conservative
+    pre-enforcement behavior)."""
+    out: dict[str, str] = {}
+    for f in json.loads(snap["schema"])["fields"]:
+        raw = (f.get("metadata") or {}).get("delta.invariants")
+        if raw:
+            try:
+                out[f"invariant__{f['name']}"] = json.loads(raw)[
+                    "expression"
+                ]["expression"]
+            except (ValueError, KeyError, TypeError) as exc:
+                raise DeltaProtocolError(
+                    f"unparseable delta.invariants on column "
+                    f"{f['name']!r}: {raw!r}"
+                ) from exc
+    return out
+
+
+def _row_write_checks(snap: dict) -> dict[str, str]:
+    """Every predicate a row-introducing write must satisfy: CHECK
+    constraints (table configuration) plus legacy column invariants
+    (schema metadata). overwriteSchema deliberately enforces only the
+    configuration constraints — invariants live in the schema being
+    REPLACED and die with it."""
+    checks = table_constraints(snap)
+    checks.update(table_invariants(snap))
+    return checks
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
@@ -4089,7 +4118,8 @@ def rename_column(table: str, old: str, new: str) -> int:
     import re as _re
 
     ref = _re.compile(rf"\b{_re.escape(old)}\b", _re.IGNORECASE)
-    for cname, expr in table_constraints(snap).items():
+    for cname, expr in {**table_constraints(snap),
+                        **table_invariants(snap)}.items():
         if ref.search(expr):
             raise DeltaProtocolError(
                 f"column {old!r} is referenced by CHECK constraint "
@@ -4174,7 +4204,8 @@ def drop_column(table: str, col: str) -> int:
     import re as _re
 
     ref = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
-    for cname, expr in table_constraints(snap).items():
+    for cname, expr in {**table_constraints(snap),
+                        **table_invariants(snap)}.items():
         if ref.search(expr):
             raise DeltaProtocolError(
                 f"column {col!r} is referenced by CHECK constraint "
@@ -4485,7 +4516,7 @@ def overwrite_delta(
     )
 
     merge_schemas(full, df.schema)  # refuse silent type drift
-    _enforce_constraints(df, table_constraints(snap))
+    _enforce_constraints(df, _row_write_checks(snap))
     _enforce_generated(df, table_generated_columns(snap))
     version = snap["version"] + 1
 
@@ -4618,7 +4649,7 @@ def replace_where_delta(
     )
 
     merge_schemas(full, df.schema)  # refuse silent type drift
-    _enforce_constraints(df, table_constraints(snap))
+    _enforce_constraints(df, _row_write_checks(snap))
     _enforce_generated(df, table_generated_columns(snap))
     pred = None
     for k, v in sorted(where.items()):
@@ -4882,7 +4913,7 @@ def dynamic_overwrite_delta(
     )
 
     merge_schemas(full, df.schema)  # refuse silent type drift
-    _enforce_constraints(df, table_constraints(snap))
+    _enforce_constraints(df, _row_write_checks(snap))
     _enforce_generated(df, table_generated_columns(snap))
     # logical partition columns (the batch's column names); pcols are
     # the physical binding used by dirs/partitionValues

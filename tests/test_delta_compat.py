@@ -3098,10 +3098,13 @@ def test_writer_append_only_config(spark, tmp_path):
         dc.restore_delta(spark, table, 0)
 
 
-def test_writer_declared_invariant_refused(spark, tmp_path):
-    """A column carrying legacy delta.invariants metadata refuses writes:
-    this writer does not enforce invariants, and appending past one
-    silently violates the table contract."""
+def test_writer_declared_invariant_enforced(spark, tmp_path):
+    """A column carrying legacy delta.invariants metadata (writer v2's
+    original per-column predicate) is ENFORCED on row-introducing
+    writes exactly like a CHECK constraint: conforming rows land,
+    violating rows refuse — the protocol obligation of claiming
+    minWriterVersion >= 2 (refusing every write was the conservative
+    pre-enforcement behavior)."""
     import pyspark.sql.functions as F
 
     table = str(tmp_path / "inv_tbl")
@@ -3129,10 +3132,20 @@ def test_writer_declared_invariant_refused(spark, tmp_path):
         ],
     )
     assert dc.read_delta(spark, table).count() == 2
-    with pytest.raises(dc.DeltaProtocolError):
+    # conforming append lands; the invariant k > 0 rejects id=0
+    dc.append_delta(
+        spark.range(5, 8).select(F.col("id").alias("k")), table
+    )
+    assert dc.read_delta(spark, table).count() == 5
+    with pytest.raises(dc.DeltaConstraintViolation):
         dc.append_delta(
             spark.range(3).select(F.col("id").alias("k")), table
         )
+    assert dc.read_delta(spark, table).count() == 5
+    # the invariant column is rename-protected like a CHECK constraint
+    dc.enable_column_mapping(table)
+    with pytest.raises(dc.DeltaProtocolError, match="referenced"):
+        dc.rename_column(table, "k", "kk")
 
 
 def test_append_race_config_change_refuses(spark, tmp_path, monkeypatch):
