@@ -758,6 +758,70 @@ _DQ6_SQL = (
 )
 
 
+def dq7_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution DRIFT between two corpus snapshots (the even-
+    vs odd-doc halves as stand-ins for last week's crawl vs this
+    week's) — the text-side drift monitor that catches an upstream
+    extraction change or a source going dark before it trains into a
+    model (dq3 is the numeric twin over orders). Per token the drift
+    statistic is the CROSS-MULTIPLIED count difference
+    ``|fa·NB − fb·NA|`` — exactly proportional to the frequency-rate
+    difference |fa/NA − fb/NB| but computed entirely in BIGINTs, so no
+    float ratio ever crosses engines; top-20 drifted tokens emit with
+    both raw counts (ties break on token). At 100 TB the per-token
+    counts are vocabulary-sized (Heaps-sublinear) and the cross
+    products need decimal widening (fa·NB can exceed int64 when both
+    sides pass ~3·10⁹ tokens) — the shape is one vocab-keyed full
+    outer join either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("t"),
+    )
+    counts = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fa"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fb"),
+    )
+    totals = counts.agg(
+        F.sum("fa").cast("bigint").alias("na"),
+        F.sum("fb").cast("bigint").alias("nb"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            "fa",
+            "fb",
+            F.expr("abs(fa * nb - fb * na)").cast("bigint").alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.asc("t"))
+        .limit(20)
+    )
+
+
+_DQ7_SQL = (
+    "WITH tok AS (SELECT doc_id % 2 = 0 AS is_a, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t "
+    "FROM documents), "
+    "c AS (SELECT t, "
+    "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS fa, "
+    "CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS fb "
+    "FROM tok GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(fa) AS BIGINT) AS na, "
+    "CAST(sum(fb) AS BIGINT) AS nb FROM c) "
+    "SELECT t, fa, fb, "
+    "CAST(abs(fa * nb - fb * na) AS BIGINT) AS drift "
+    "FROM c CROSS JOIN tot "
+    "ORDER BY drift DESC, t ASC LIMIT 20"
+)
+
+
 _DQ4_SQL = " UNION ALL ".join(
     (
         f"SELECT '{name}' AS relationship, "
@@ -793,6 +857,7 @@ QUERIES = {
     "dq4_referential_integrity": dq4_referential_integrity,
     "dq5_timeseries_gaps": dq5_timeseries_gaps,
     "dq6_robust_outliers": dq6_robust_outliers,
+    "dq7_token_drift": dq7_token_drift,
 }
 
 ORACLES = {
@@ -805,4 +870,5 @@ ORACLES = {
     "dq4_referential_integrity": _DQ4_SQL,
     "dq5_timeseries_gaps": _DQ5_SQL,
     "dq6_robust_outliers": _DQ6_SQL,
+    "dq7_token_drift": _DQ7_SQL,
 }
