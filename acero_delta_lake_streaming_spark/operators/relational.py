@@ -572,6 +572,36 @@ _A15_SQL = (
 )
 
 
+def a16_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate suite — ``count_if``, ``every``,
+    ``any`` (bool_and/bool_or in DuckDB's spelling), plus the
+    filtered-aggregate form — the predicate-folding vocabulary that
+    turns three scans of a monitoring query into one. All fold
+    map-side like any other aggregate; shuffle volume is |types|."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("count_if(value > 10.0)").cast("bigint").alias("n_big"),
+        F.expr("every(value > 0.0)").alias("all_positive"),
+        F.expr("any(value > 99.0)").alias("some_huge"),
+        F.expr("count_if(user_id % 2 = 0)")
+        .cast("bigint")
+        .alias("n_even_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+_A16_SQL = (
+    "SELECT event_type, "
+    "CAST(count(*) FILTER (WHERE value > 10.0) AS BIGINT) AS n_big, "
+    "bool_and(value > 0.0) AS all_positive, "
+    "bool_or(value > 99.0) AS some_huge, "
+    "CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) "
+    "AS n_even_users, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1"
+)
+
+
 def a13_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-resistant aggregation plan driven end to end: per-type
     event totals through ``plans.skew.salted_agg`` — event_type has ~5
@@ -835,6 +865,7 @@ QUERIES = {
     "a14_sampled_percentiles": a14_sampled_percentiles,
     "a12_cube": a12_cube,
     "a15_grouping_sets": a15_grouping_sets,
+    "a16_conditional_aggregates": a16_conditional_aggregates,
     "a13_salted_hot_agg": a13_salted_hot_agg,
     "a11_pivot": a11_pivot,
     "f_scalar_suite": f_scalar_suite,
@@ -985,6 +1016,7 @@ ORACLES = {
         "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     ),
     "a15_grouping_sets": _A15_SQL,
+    "a16_conditional_aggregates": _A16_SQL,
     "a12_cube": (
         "SELECT o_orderstatus, o_orderpriority, "
         "CAST(count(*) AS BIGINT) AS n, "
