@@ -240,12 +240,84 @@ _XJ2_SQL = (
 )
 
 
+_XJ3_TOL_NS = 3_600_000_000_000  # 1 hour staleness bound
+
+
+def xj3_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XJ3 — as-of join with a TOLERANCE bound (pandas
+    ``merge_asof(tolerance=...)``, the feature-store staleness rule):
+    the prior click only counts if it happened within the last hour —
+    a feature older than its freshness SLA must read as MISSING, not
+    as a stale value silently poisoning the model. Same one-shuffle
+    union+window merge as xj1; the tolerance is a post-match NULL-out
+    (``ts_ns - match_tns > bound → NULL``), integer nanosecond
+    arithmetic both engines share. Emits the match fields plus
+    ``staleness_ms`` for the in-bound rows."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "event_type", "ts_ns")
+    dedup_w = Window.partitionBy("user_id", "ts_ns").orderBy(
+        F.desc("event_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__rk", F.row_number().over(dedup_w))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", "ts_ns", "event_id", "value")
+    )
+    out = asof_join(
+        left,
+        clicks,
+        by="user_id",
+        left_time="ts_ns",
+        right_time="ts_ns",
+        carry={"prior_id": "event_id", "prior_tns": "ts_ns",
+               "prior_value": "value"},
+        allow_exact=False,
+        right_tiebreak="event_id",
+    )
+    fresh = F.expr(f"ts_ns - prior_tns <= {_XJ3_TOL_NS}")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns DIV 1000000").alias("ts_ms"),
+        F.when(fresh, F.col("prior_id")).alias("fresh_click_id"),
+        F.when(fresh, F.col("prior_value")).alias("fresh_click_value"),
+        F.when(fresh, F.expr("(ts_ns - prior_tns) DIV 1000000"))
+        .cast("bigint")
+        .alias("staleness_ms"),
+    )
+
+
+_XJ3_SQL = (
+    "WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS tns "
+    "FROM events), "
+    "c0 AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value "
+    "FROM events WHERE event_type = 'click'), "
+    "c AS (SELECT user_id, tns, event_id, value FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY user_id, tns "
+    "  ORDER BY event_id DESC) AS rk FROM c0) WHERE rk = 1), "
+    "m AS (SELECT l.event_id, l.user_id, l.tns, "
+    "c.event_id AS prior_id, c.tns AS prior_tns, c.value AS prior_value "
+    "FROM l ASOF LEFT JOIN c ON l.user_id = c.user_id AND c.tns < l.tns) "
+    "SELECT event_id, user_id, tns // 1000000 AS ts_ms, "
+    f"CASE WHEN tns - prior_tns <= {_XJ3_TOL_NS} THEN prior_id END "
+    "AS fresh_click_id, "
+    f"CASE WHEN tns - prior_tns <= {_XJ3_TOL_NS} THEN prior_value END "
+    "AS fresh_click_value, "
+    f"CAST(CASE WHEN tns - prior_tns <= {_XJ3_TOL_NS} "
+    "THEN (tns - prior_tns) // 1000000 END AS BIGINT) AS staleness_ms "
+    "FROM m"
+)
+
+
 QUERIES = {
+    "xj3_asof_tolerance": xj3_asof_tolerance,
     "xj1_asof_prior_click": xj1_asof_prior_click,
     "xj2_range_clicks_before_purchase": xj2_range_clicks_before_purchase,
 }
 
 ORACLES = {
+    "xj3_asof_tolerance": _XJ3_SQL,
     "xj1_asof_prior_click": _XJ1_SQL,
     "xj2_range_clicks_before_purchase": _XJ2_SQL,
 }
