@@ -1323,8 +1323,15 @@ _X46_HEADER = (
     "content provided under public redistribution terms see original "
     "site notice for details"
 )
-_X46_MIN_DOCS = 3  # a gram in >= this many distinct docs ...
-_X46_MIN_SOURCES = 2  # ... AND >= this many distinct sources is boilerplate
+#: the doc bar is a FRACTION of the corpus (>= max(3, n_docs/200) docs,
+#: i.e. 0.5%), not a constant: measured on this fixture, a FIXED bar of
+#: 3 docs grows the flagged set 39x across a 10x corpus (closed
+#: vocabulary → birthday-effect collisions), which would unbound the
+#: broadcast; a fraction bar keeps "boilerplate" meaning "pervasive"
+#: at every scale — exactly how production template filters set it.
+_X46_MIN_DOCS_FLOOR = 3
+_X46_DOC_DIVISOR = 200
+_X46_MIN_SOURCES = 2  # AND >= this many distinct sources
 
 _WIN4_SPARK = (
     "CASE WHEN size(w) >= 4 THEN "
@@ -1358,15 +1365,18 @@ def x46_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is a fixed 12-word "redistribution notice" header followed by
     the doc's first 8 words — the header's grams span ~all sources and
     must be flagged, while ordinary cross-doc repetition below the
-    (>=3 docs, >=2 sources) bar sails through. Twin ids derive from
-    max(doc_id)+1 (the x30 lesson: no fixed offsets).
+    (>= max(3, 0.5% of docs), >= 2 sources) bar sails through. Twin
+    ids derive from max(doc_id)+1 (the x30 lesson: no fixed offsets).
 
     Scale shape: ONE shuffle keyed on md5(gram) (32-byte keys, never
-    gram text) computes per-gram doc/source spread; the flagged set is
-    threshold-bounded (grams crossing a many-docs bar are a vanishing
-    fraction of the gram space — Heaps' law in reverse) and BROADCASTS
-    back against the re-scanned gram stream map-side; the final rollup
-    shuffles |sources| keys. Linear in corpus tokens, no all-pairs."""
+    gram text) computes per-gram doc/source spread; the doc bar is a
+    FRACTION of the corpus, which is what keeps the flagged set (and
+    its broadcast) bounded — MEASURED: a fixed 3-doc bar grew the
+    flagged set 39x across a 10x step of this closed-vocabulary
+    fixture (birthday-effect collisions), while the fraction bar keeps
+    "boilerplate" meaning "pervasive" at every size. The flagged set
+    broadcasts back against the persisted gram stream map-side; the
+    final rollup shuffles |sources| keys. Linear in corpus tokens."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -1394,14 +1404,22 @@ def x46_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.md5("g").alias("h"))
     )
+    ndocs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = (
         grams.groupBy("h")
         .agg(
             F.countDistinct("doc_id").alias("nd"),
             F.countDistinct("source").alias("ns"),
         )
+        .crossJoin(F.broadcast(ndocs))
         .filter(
-            (F.col("nd") >= _X46_MIN_DOCS)
+            (
+                F.col("nd")
+                >= F.expr(
+                    f"GREATEST({_X46_MIN_DOCS_FLOOR}, "
+                    f"n_docs DIV {_X46_DOC_DIVISOR})"
+                )
+            )
             & (F.col("ns") >= _X46_MIN_SOURCES)
         )
         .select("h", F.lit(1).alias("is_b"))
@@ -1441,8 +1459,10 @@ _X46_SQL = (
     "g AS (SELECT doc_id, source, md5(win) AS h FROM ("
     "SELECT doc_id, source, unnest({win4}) AS win FROM ("
     f"SELECT doc_id, source, {_WORDS_DUCK} AS w FROM corpus))), "
-    "boiler AS (SELECT h FROM g GROUP BY h "
-    f"HAVING count(DISTINCT doc_id) >= {_X46_MIN_DOCS} "
+    "nd AS (SELECT count(*) AS n_docs FROM corpus), "
+    "boiler AS (SELECT h FROM g CROSS JOIN nd GROUP BY h, n_docs "
+    f"HAVING count(DISTINCT doc_id) >= "
+    f"GREATEST({_X46_MIN_DOCS_FLOOR}, n_docs // {_X46_DOC_DIVISOR}) "
     f"AND count(DISTINCT source) >= {_X46_MIN_SOURCES}) "
     "SELECT g.source, CAST(count(*) AS BIGINT) AS n_grams, "
     "CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
