@@ -73,15 +73,13 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-7 window: the NINE new-this-round queries lead (s22 mapped
-    # COW merge/delete, s23 merge through live DVs, s24 id-mode writes,
-    # s25 rowTracking, st18 streaming IVF assignment, x34b substring
-    # trimming, s26 clone rewrites, s27 type widening, x10b
-    # decontamination trimming); then the 30 r3-proven queries deferred
-    # from round 6 (this zeroes the r3-vintage backlog); the remaining
-    # ~11 slots start on the r4-proven backlog (the rest lead round 8).
-    # Everything past the window stays verified by the local tri-scale
-    # gate (sf0.001/.01/.1).
+    # Round-8 window: every query the driver has NEVER recorded leads —
+    # the 36 round-8 additions first, then the 11 round-7 additions
+    # (CORRECTNESS_r07.json was never written, so they still lack any
+    # driver proof); the ~3 remaining slots start the r3-proven
+    # backlog. Everything past the window stays verified by the local
+    # tri-scale gate (sf0.001/.01/.1) and the full-registry
+    # driver-style rehearsals recorded in BENCH_DELTA_r08.md.
     # -- new round 8 (driver has never recorded them) --
     "s28_replace_where", "x41_bpe_train", "st19_streaming_heavy_hitters",
     "x3h_pq_ann", "s29_identity_columns", "s30_mapped_partitioned",
