@@ -617,16 +617,19 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_base_ctes() -> tuple[list[str], str]:
+def _ivf_base_ctes(corpus_where: str = "") -> tuple[list[str], str]:
     """The IVF oracle's shared CTE chain — corpus, md5-ordered seeds,
     ``_IVF_ITERS`` Lloyd rounds (decimal-exact centroid sums), the final
     assignment ``fa`` and per-query ``probes`` — reused verbatim by the
-    float search (x3d) and the IVF-SQ8 composition (x3f), so the two
-    oracles cannot drift on the coarse quantizer. Returns (ctes,
+    float search (x3d), the IVF-SQ8 composition (x3f) and the drift
+    audit (x52, which trains on a filtered ``corpus_where`` slice), so
+    the oracles cannot drift on the coarse quantizer. Returns (ctes,
     final-centroid CTE name)."""
     corpus = (
         "corpus AS (SELECT vec_id, embedding, "
-        f"{_norm_duck('embedding')} AS nrm FROM embeddings)"
+        f"{_norm_duck('embedding')} AS nrm FROM embeddings"
+        + (f" WHERE {corpus_where}" if corpus_where else "")
+        + ")"
     )
     seeds = (
         "c0 AS (SELECT CAST(rk - 1 AS INT) AS cid, "
@@ -2139,6 +2142,120 @@ _X45_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X52 — quantizer drift audit (when to retrain the ANN index)
+# --------------------------------------------------------------------------
+
+
+def x52_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 — QUANTIZER DRIFT audit: the retrain trigger for a stored
+    ANN index. st18 made "train rarely, assign per-batch" real; this
+    is the monitoring half — the quantizer was trained on YESTERDAY'S
+    corpus (the even-id half), today's full corpus assigns against it,
+    and per cell the audit reports how far the CURRENT member mean has
+    drifted from the STORED centroid (L1 distance, micro-quantized).
+    A drifting cell means the stored partition geometry no longer
+    matches the data — recall decays silently (x47 measures the
+    symptom; this measures the cause) — and the drift threshold is
+    the production retrain trigger.
+
+    Cross-engine exactness: the stored centroid is the md5-seeded
+    Lloyd construction (decimal-exact sums, the x3d quantizer
+    verbatim, trained on the filtered slice); the current means use
+    x35's decimal(18,6) accumulation; the L1 fold is the established
+    sequential zip_with/list_reduce idiom; the only emitted float is
+    floor(drift·1e6) — a BIGINT.
+
+    Scale shape: assignment is the x35 broadcast fold (corpus never
+    shuffles), the mean is one (cid, dim)-keyed aggregate (k·64
+    keys), and the drift compare joins two k-row frames."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    stored = _ivf_centroids(emb.filter("vec_id % 2 = 0"))
+    asg = _ivf_assign(emb, stored).join(emb, "vec_id")
+    cur = (
+        asg.select("cid", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, v))), "
+                "s -> s.v)"
+            ).alias("cur_arr")
+        )
+    )
+    counts = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned")
+    )
+    drift = (
+        "aggregate(zip_with(carr, cur_arr, (x, y) -> abs(CAST(x AS "
+        "DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        stored.join(cur, "cid")
+        .join(counts, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_assigned",
+            F.expr(f"CAST(floor({drift} * 1000000.0) AS BIGINT)").alias(
+                "drift_micro"
+            ),
+        )
+    )
+
+
+def _x52_sql() -> str:
+    ctes, cent = _ivf_base_ctes("vec_id % 2 = 0")
+    # drop the probe/query CTEs the drift audit does not use: keep up
+    # to the final centroid CTE
+    keep = []
+    for c in ctes:
+        keep.append(c)
+        if c.startswith(f"{cent} AS") or c.startswith(f"{cent} AS".lower()):
+            break
+    # fall back to keeping everything if the name scan missed (CTE
+    # text layout change) — unused CTEs are harmless in DuckDB
+    ctes_sql = ", ".join(keep if keep[-1].startswith(f"{cent} AS") else ctes)
+    drift = (
+        "list_reduce(list_transform(list_zip(ct.carr, cu.cur_arr), "
+        "p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        "WITH " + ctes_sql + ", "
+        "allv AS (SELECT vec_id, embedding FROM embeddings), "
+        "asg AS (SELECT vec_id, cid, embedding FROM ("
+        "SELECT v.vec_id, v.embedding, ct.cid, row_number() OVER ("
+        "PARTITION BY v.vec_id ORDER BY "
+        f"{_sqdist_duck('v.embedding', 'ct.carr')} ASC, ct.cid ASC) AS rk "
+        f"FROM allv v CROSS JOIN {cent} ct) WHERE rk = 1), "
+        "cur AS (SELECT cid, list(v ORDER BY dim) AS cur_arr FROM ("
+        "SELECT a.cid, t.dim, "
+        "CAST(sum(CAST(CAST(a.embedding[t.dim + 1] AS DOUBLE) "
+        "AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v "
+        "FROM asg a "
+        f"CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS dim) t "
+        "GROUP BY a.cid, t.dim) GROUP BY cid), "
+        "cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned "
+        "FROM asg GROUP BY 1) "
+        "SELECT CAST(ct.cid AS INT) AS cid, cnt.n_assigned, "
+        f"CAST(floor({drift} * 1000000.0) AS BIGINT) AS drift_micro "
+        f"FROM {cent} ct "
+        "JOIN cur cu ON cu.cid = ct.cid "
+        "JOIN cnt ON cnt.cid = ct.cid"
+    )
+
+
+# --------------------------------------------------------------------------
 # X48 — semantic benchmark decontamination (cross-set SemDeDup)
 # --------------------------------------------------------------------------
 
@@ -2357,6 +2474,7 @@ QUERIES = {
     "x45_embedding_outliers": x45_embedding_outliers,
     "x47_ann_recall_audit": x47_ann_recall_audit,
     "x48_semantic_decontam": x48_semantic_decontam,
+    "x52_quantizer_drift": x52_quantizer_drift,
 }
 
 ORACLES = {
@@ -2377,4 +2495,5 @@ ORACLES = {
     "x45_embedding_outliers": _X45_SQL,
     "x47_ann_recall_audit": _x47_sql(),
     "x48_semantic_decontam": _X48_SQL,
+    "x52_quantizer_drift": _x52_sql(),
 }

@@ -194,6 +194,7 @@ HEADLINE = [
     "dq7_token_drift",
     "a16_conditional_aggregates",
     "xj3_asof_tolerance",
+    "x52_quantizer_drift",
     # x51_dedup_roi stays OUT of the headline (st17's rule): its
     # sequential three-pass sweep costs ~30 s at sf0.1 — the driver
     # correctness gate runs it at sf0.01 from the top of _PRIORITY.
