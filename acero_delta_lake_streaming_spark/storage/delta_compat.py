@@ -1469,6 +1469,79 @@ def _mint_identity(
     return out, acc
 
 
+def _identity_merge_source(
+    source: DataFrame,
+    tagged: DataFrame,
+    idents: dict[str, dict],
+    id_missing: list[str],
+    key_cols: list[str],
+    snap: dict,
+) -> tuple[DataFrame, str | None]:
+    """The merge source with every identity column resolved, plus the
+    evolved schemaString when a high-water mark moved (None otherwise).
+
+    delta-spark's MERGE-on-identity contract: an OMITTED identity
+    column means matched rows KEEP the target's minted value (UPDATE
+    never touches an identity column) and unmatched rows take the next
+    contiguous range past ``delta.identity.highWaterMark``
+    (``_mint_identity`` — the same per-partition block allocation as
+    appends, no global sort); a source that CARRIES the column is an
+    explicit insert — allowed only when ``allowExplicitInsert``
+    (GENERATED BY DEFAULT), bumping the mark past the supplied
+    maximum. The matched-key id lookup is a broadcast of the matched
+    keys only — the same altitude as the touched-file discovery."""
+    import pyspark.sql.functions as F
+
+    if set(key_cols) & set(id_missing):
+        raise DeltaProtocolError(
+            "MERGE keys include an identity column absent from the "
+            f"source: {sorted(set(key_cols) & set(id_missing))}"
+        )
+    new_schema = snap["schema"]
+    for c in sorted(set(idents) & set(source.columns)):
+        spec = idents[c]
+        if not spec["allow_explicit"]:
+            raise DeltaProtocolError(
+                f"MERGE: column {c!r} is GENERATED ALWAYS AS IDENTITY; "
+                "explicit values are not allowed (allowExplicitInsert "
+                "is false)"
+            )
+        mx = source.agg(
+            F.max(F.col(c).cast("long")).alias("mx")
+        ).collect()[0]["mx"]  # METADATA only: one aggregate row
+        if mx is not None and (spec["hwm"] is None or mx > spec["hwm"]):
+            new_schema = _patch_identity_hwm(new_schema, c, mx)
+    if id_missing:
+        keys = source.select(*key_cols).distinct()
+        kept = (
+            tagged.join(F.broadcast(keys), key_cols, "leftsemi")
+            .groupBy(*key_cols)
+            .agg(*[F.min(c).alias(c) for c in id_missing])
+        )
+        src_upd = source.join(F.broadcast(kept), key_cols, "inner")
+        src_new = source.join(
+            F.broadcast(kept.select(*key_cols)), key_cols, "left_anti"
+        )
+        for c in id_missing:
+            spec = idents[c]
+            base = (
+                spec["hwm"] + spec["step"]
+                if spec["hwm"] is not None
+                else spec["start"]
+            )
+            src_new, n_mint = _mint_identity(
+                src_new, c, base, spec["step"]
+            )
+            if n_mint:
+                new_schema = _patch_identity_hwm(
+                    new_schema, c, base + spec["step"] * (n_mint - 1)
+                )
+        source = src_upd.unionByName(src_new.select(*src_upd.columns))
+    return source, (
+        None if new_schema == snap["schema"] else new_schema
+    )
+
+
 def append_delta(
     df: DataFrame,
     table: str,
@@ -3551,7 +3624,12 @@ def merge_delta(
     import pyspark.sql.functions as F
 
     snap = snapshot(table)
-    _check_writer_protocol(snap, "MERGE", removes_data=True)
+    # identity_ok: MERGE maintains identity columns correctly below —
+    # matched rows KEEP the target's minted value, unmatched rows take
+    # the next contiguous range and the high-water mark advances in
+    # this commit's metaData (delta-spark's MERGE-on-identity contract)
+    _check_writer_protocol(snap, "MERGE", removes_data=True,
+                           identity_ok=True)
     _refuse_cow_unsupported(snap, table, "merge_delta")
     rt_enabled = _rt_rewrite_gate(snap, "MERGE")
     pcols = snap["partition_cols"]
@@ -3570,10 +3648,17 @@ def merge_delta(
         c for c in tagged.columns
         if c not in ("_src_file", "_rid", "_rcv")
     ]
-    if set(source.columns) != set(cur_cols):
+    idents = table_identity_columns(snap["schema"])
+    id_missing = sorted(set(idents) - set(source.columns))
+    if set(source.columns) != set(cur_cols) - set(id_missing):
         raise DeltaProtocolError(
             f"merge source columns {sorted(source.columns)} do not match "
             f"table columns {sorted(cur_cols)}"
+        )
+    evolved_schema_json: str | None = None
+    if idents:
+        source, evolved_schema_json = _identity_merge_source(
+            source, tagged, idents, id_missing, key_cols, snap
         )
     # MERGE introduces the source's rows: they must satisfy CHECK
     # constraints and generated-column expressions like any append
@@ -3697,7 +3782,26 @@ def merge_delta(
         for f in snap["files"]
         if os.path.abspath(f) in touched_abs
     ]
-    actions = cdc_actions + removes + adds + [
+    meta_actions: list[dict] = []
+    if evolved_schema_json is not None:
+        # an advanced identity high-water mark rides this commit's
+        # metaData (same-commit atomicity: a lost race re-mints);
+        # table id, configuration and partitioning are untouched
+        meta_actions = [
+            {
+                "metaData": {
+                    "id": snap.get("meta_id") or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved_schema_json,
+                    "partitionColumns": pcols,
+                    "configuration": dict(
+                        snap.get("configuration") or {}
+                    ),
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        ]
+    actions = cdc_actions + meta_actions + removes + adds + [
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),

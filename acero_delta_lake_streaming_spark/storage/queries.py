@@ -2865,6 +2865,90 @@ _S31_SQL = (
 )
 
 
+def s36_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36 — MERGE maintains GENERATED IDENTITY columns (round 8
+    closed the last identity refusal: round-7's writer gate blocked
+    row-introducing MERGE on identity tables): seed the 'F' rows with
+    a minted ``row_id`` (contiguous 1..n_F), then ONE upsert whose
+    source omits the identity column — 'F' keys divisible by 3 update
+    (price + 100; they must KEEP their minted id — UPDATE never
+    touches an identity column, delta-spark's rule) while the 'O'
+    rows insert (fresh contiguous range past the high-water mark,
+    advanced in the SAME merge commit's metaData), and a final
+    minting append ('P') must start ABOVE the merge's range — the
+    proof the mark rode the merge.
+
+    The certificate is range accounting per status (contiguity makes
+    Σ exact): updates keeping ids ⇒ the 'f' part still sums to
+    n_F(n_F+1)/2; a re-minted update, a lost metaData update, or an
+    insert range collision flips it. Cents pin the update itself.
+
+    Reference parity: ``visualizer.py`` has no storage mutation at
+    all; this is the delta-spark identity-column contract
+    (GENERATED ALWAYS AS IDENTITY + MERGE) on the engine's own
+    real-format writer."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s36_orders_identity_merge")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderstatus = 'F'"), table,
+        identity={"column": "row_id", "start": 1, "step": 1,
+                  "allow_explicit": False},
+    )
+    src = (
+        orders.filter("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+        .withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        .unionByName(orders.filter("o_orderstatus = 'O'"))
+    )
+    delta_compat.merge_delta(spark, table, src, ["o_orderkey"])
+    delta_compat.append_delta(orders.filter("o_orderstatus = 'P'"), table)
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy(F.lower("o_orderstatus").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("row_id").cast("bigint").alias("min_id"),
+            F.max("row_id").cast("bigint").alias("max_id"),
+            F.sum("row_id").cast("bigint").alias("id_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+# ranges replayed arithmetically: updates keep ids so 'f' is still
+# exactly 1..n_F; merge inserts take the next range; the post-merge
+# mint starts above it (the hwm rode the merge commit's metaData)
+_S36_SQL = (
+    "WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice + CASE WHEN o_orderkey % 3 = 0 "
+    "THEN 100.0 ELSE 0.0 END AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_orderstatus = 'F'), "
+    "o AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_orderstatus = 'O'), "
+    "p AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_orderstatus = 'P') "
+    "SELECT 'f' AS part, f.n AS n, CAST(1 AS BIGINT) AS min_id, "
+    "f.n AS max_id, CAST((1 + f.n) * f.n // 2 AS BIGINT) AS id_sum, "
+    "f.cents AS cents FROM f "
+    "UNION ALL SELECT 'o', o.n, f.n + 1, f.n + o.n, "
+    "CAST((f.n + 1 + f.n + o.n) * o.n // 2 AS BIGINT), o.cents "
+    "FROM f, o "
+    "UNION ALL SELECT 'p', p.n, f.n + o.n + 1, f.n + o.n + p.n, "
+    "CAST((f.n + o.n + 1 + f.n + o.n + p.n) * p.n // 2 AS BIGINT), "
+    "p.cents FROM f, o, p"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2905,6 +2989,7 @@ QUERIES = {
     "s33_overwrite_schema": s33_overwrite_schema,
     "s34_row_id_lifecycle": s34_row_id_lifecycle,
     "s35_generated_partition_pruning": s35_generated_partition_pruning,
+    "s36_identity_merge": s36_identity_merge,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -2951,6 +3036,7 @@ ORACLES = {
     "s33_overwrite_schema": _S33_SQL,
     "s34_row_id_lifecycle": _S34_SQL,
     "s35_generated_partition_pruning": _S35_SQL,
+    "s36_identity_merge": _S36_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,

@@ -5363,11 +5363,123 @@ def test_identity_value_preserving_verbs_allowed_row_introducing_refuse(
     assert sorted(
         r.rid for r in dc.read_delta(spark, table).collect()
     ) == [2, 3, 4, 5, 6]
+    # MERGE with an EXPLICIT identity value still refuses on ALWAYS
     src = spark.createDataFrame([("1", 99)], "k string, rid long")
-    with pytest.raises(dc.DeltaProtocolError, match="identity column"):
+    with pytest.raises(dc.DeltaProtocolError, match="GENERATED ALWAYS"):
         dc.merge_delta(spark, table, src, ["k"])
     with pytest.raises(dc.DeltaProtocolError, match="identity column"):
         dc.rename_column(table, "rid", "row_id")
+
+
+def test_identity_merge_updates_keep_ids_inserts_mint(spark, tmp_path):
+    """MERGE on an identity table (round 8 — previously the writer
+    gate refused): matched rows KEEP their minted id, unmatched rows
+    take the next contiguous range, the mark rides the merge commit's
+    metaData, and pre-merge time travel keeps the old assignment. A
+    DV-erased key is NOT live, so merging it back is an INSERT with a
+    fresh id (the row was deleted; its id retired with it)."""
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(str(i), float(i)) for i in range(6)], "k string, v double"
+        ),
+        table,
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    base = {r.k: r.rid for r in dc.read_delta(spark, table).collect()}
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([("0",)], "k string"), ["k"]
+    )
+    src = spark.createDataFrame(
+        [("1", 101.0), ("2", 102.0), ("0", 100.0), ("9", 109.0)],
+        "k string, v double",
+    )
+    v = dc.merge_delta(spark, table, src, ["k"])
+    rows = {r.k: r for r in dc.read_delta(spark, table).collect()}
+    # matched keys keep their original minted ids, with the new values
+    assert rows["1"].rid == base["1"] and rows["1"].v == 101.0
+    assert rows["2"].rid == base["2"] and rows["2"].v == 102.0
+    # the erased key and the new key are inserts: fresh contiguous ids
+    assert sorted([rows["0"].rid, rows["9"].rid]) == [7, 8]
+    assert dc.table_identity_columns(
+        dc.snapshot(table)["schema"]
+    )["rid"]["hwm"] == 8
+    # pre-merge time travel: original live assignment intact
+    pre = {r.k: r.rid
+           for r in dc.read_delta(spark, table, version=v - 1).collect()}
+    assert pre == {k: i for k, i in base.items() if k != "0"}
+    # the next mint continues above the merge's range
+    dc.append_delta(
+        spark.createDataFrame([("z", 0.0)], "k string, v double"), table
+    )
+    assert max(
+        r.rid for r in dc.read_delta(spark, table).collect()
+    ) == 9
+
+
+def test_identity_merge_by_default_explicit_source(spark, tmp_path):
+    """GENERATED BY DEFAULT: a merge source CARRYING the identity
+    column is an explicit upsert — accepted, and the mark jumps past
+    the supplied maximum so later mints never collide."""
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.createDataFrame([("a",), ("b",)], "k string"), table,
+        identity={"column": "rid", "start": 1, "step": 1,
+                  "allow_explicit": True},
+    )
+    dc.merge_delta(
+        spark, table,
+        spark.createDataFrame([("b", 40), ("c", 41)], "k string, rid long"),
+        ["k"],
+    )
+    rows = {r.k: r.rid for r in dc.read_delta(spark, table).collect()}
+    assert rows["b"] == 40 and rows["c"] == 41
+    assert dc.table_identity_columns(
+        dc.snapshot(table)["schema"]
+    )["rid"]["hwm"] == 41
+    dc.append_delta(spark.createDataFrame([("d",)], "k string"), table)
+    assert {r.k: r.rid
+            for r in dc.read_delta(spark, table).collect()}["d"] == 42
+
+
+def test_identity_merge_key_on_omitted_identity_refuses(spark, tmp_path):
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.createDataFrame([("a",)], "k string"), table,
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="MERGE keys"):
+        dc.merge_delta(
+            spark, table,
+            spark.createDataFrame([("a",)], "k string"), ["rid"],
+        )
+
+
+def test_identity_merge_partitioned(spark, tmp_path):
+    """identity MERGE composes with hive partitioning: survivors and
+    the completed source rewrite through the partitionBy staging write
+    like any COW merge; ids stay a permutation of the exact ranges."""
+    table = str(tmp_path / "idt")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(str(i), i % 2) for i in range(8)], "k string, d int"
+        ),
+        table,
+        partition_by=["d"],
+        identity={"column": "rid", "start": 1, "step": 1},
+    )
+    src = spark.createDataFrame(
+        [("1", 0), ("100", 1), ("101", 0)], "k string, d int"
+    )
+    dc.merge_delta(spark, table, src, ["k"])
+    rows = dc.read_delta(spark, table).collect()
+    assert sorted(r.rid for r in rows) == list(range(1, 11))
+    # the matched key moved partition (d 1 → 0) but kept its id ≤ 8
+    moved = [r for r in rows if r.k == "1"][0]
+    assert moved.d == 0 and moved.rid <= 8
+    assert sorted(
+        r.rid for r in rows if r.k in ("100", "101")
+    ) == [9, 10]
 
 
 # ---------------------------------------------------------------------------
