@@ -2086,20 +2086,17 @@ def _strip_row_tracking(actions: list[dict]) -> list[dict]:
 def _rt_rewrite_gate(snap: dict, op: str) -> bool:
     """Gate for a rewrite verb that CAN materialize row ids: returns
     True when ``delta.enableRowTracking=true`` and the verb must take
-    the id-preserving path; refuses the unsupported compositions
-    (column mapping, missing materialized column names)."""
+    the id-preserving path (column mapping composes since round 8 —
+    the scan resolves the physical binding, the rewrite writes
+    physical names + field ids with the materialized columns alongside
+    by their literal names); refuses only when the materialized column
+    names were never minted."""
     rt = (
         snap["configuration"].get("delta.enableRowTracking", "").lower()
         == "true"
     )
     if not rt:
         return False
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            f"{op} on a column-mapped rowTracking-enabled table is not "
-            "supported (materialized row ids under a physical binding "
-            "are out of scope)"
-        )
     if not all(_materialized_row_cols(snap)):
         raise DeltaProtocolError(
             f"{op}: delta.enableRowTracking=true but the table declares "
@@ -2126,17 +2123,45 @@ def _row_id_scan(
     + row_index)`` / ``coalesce(materialized, defaultRowCommitVersion)``
     — with deletion-vector rows subtracted. One scan + a broadcast join
     against the per-file (baseRowId, dcv) map (O(|files|) rows, the
-    same metadata altitude as the commit log); mapping mode none only
-    (callers gate)."""
+    same metadata altitude as the commit log). COLUMN-MAPPED tables
+    scan under the physical binding (id mode: the live footers) and
+    come back out under LOGICAL names; the materialized row-id columns
+    are not schema columns, so they have no mapping and pass through
+    by their literal names in every mode."""
     import pyspark.sql.functions as F
 
     from acero_delta_lake_streaming_spark.storage import dvcodec
 
     full = T.StructType.fromJson(json.loads(snap["schema"]))
-    pcols = snap["partition_cols"]
+    pcols = snap["partition_cols"]  # PHYSICAL names when mapped
+    mode = _mapping_mode(snap)
+    if mode != "none":
+        phys_of = (
+            _mapped_part_binding(snap, files)
+            if pcols
+            else (
+                _id_physical_names(snap["schema"], files)
+                if mode == "id"
+                else {l: p for p, l in _physical_renames(snap["schema"])}
+            )
+        )
+    else:
+        phys_of = {}
     mat_id, mat_cv = _materialized_row_cols(snap)
-    data_fields = [f for f in full.fields if f.name not in pcols]
-    scan_fields = list(data_fields)
+    data_fields = [
+        f for f in full.fields
+        if phys_of.get(f.name, f.name) not in pcols
+    ]
+    part_fields = [
+        f for f in full.fields
+        if phys_of.get(f.name, f.name) in pcols
+    ]
+    scan_fields = [
+        T.StructField(
+            phys_of.get(f.name, f.name), f.dataType, f.nullable
+        )
+        for f in data_fields
+    ]
     for extra in (mat_id, mat_cv):
         if extra:
             scan_fields.append(T.StructField(extra, T.LongType(), True))
@@ -2191,8 +2216,13 @@ def _row_id_scan(
         *( [F.col(mat_cv)] if mat_cv else [] ),
         F.col("_bdcv"),
     ).alias("_rcv")
-    keep = [F.col(f.name) for f in data_fields] + [
-        F.col(c) for c in pcols  # dir-recovered when partitioned
+    keep = [
+        F.col(phys_of.get(f.name, f.name)).alias(f.name)
+        for f in data_fields
+    ] + [
+        # dir-recovered when partitioned (physical dirs → logical name)
+        F.col(phys_of.get(f.name, f.name)).alias(f.name)
+        for f in part_fields
     ]
     return joined.select(*keep, "_dv_file", rid, rcv)
 
@@ -2216,12 +2246,13 @@ def read_delta_row_ids(
         raise DeltaProtocolError(
             f"{table} does not carry the rowTracking writer feature"
         )
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "read_delta_row_ids on a column-mapped table is not supported"
-        )
     full = T.StructType.fromJson(json.loads(snap["schema"]))
-    pcols = snap["partition_cols"]
+    pcols = snap["partition_cols"]  # PHYSICAL names when mapped
+    if _mapping_mode(snap) != "none" and pcols:
+        # the scan returns LOGICAL names; cast the dir-recovered
+        # partition columns under their logical names
+        _p2l = {p: l for p, l in _physical_renames(snap["schema"])}
+        pcols = [_p2l.get(p, p) for p in pcols]
     if not snap["files"]:
         out = T.StructType(
             list(full.fields)
@@ -3354,18 +3385,13 @@ def optimize_delta(
     _check_writer_protocol(snap, "OPTIMIZE", identity_ok=True)
     # delta.enableRowTracking=true does NOT refuse here: OPTIMIZE keeps
     # the stable-id promise by MATERIALIZING each row's id into the
-    # rewritten files (the spec's materialized row-id columns); only
-    # the column-mapped composition stays out of scope.
+    # rewritten files (the spec's materialized row-id columns) — under
+    # column mapping too since round 8 (physical names + field ids for
+    # the schema columns, the materialized pair by their literal names).
     rt_enabled = (
         snap["configuration"].get("delta.enableRowTracking", "").lower()
         == "true"
     )
-    if rt_enabled and _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "OPTIMIZE on a column-mapped rowTracking-enabled table is "
-            "not supported (materialized row ids under a physical "
-            "binding are out of scope)"
-        )
     if rt_enabled and not all(_materialized_row_cols(snap)):
         raise DeltaProtocolError(
             "OPTIMIZE: delta.enableRowTracking=true but the table "
@@ -3532,13 +3558,29 @@ def optimize_delta(
 
             _mat_id, _mat_cv = _materialized_row_cols(snap)
             _scan = _row_id_scan(spark, table, snap, files)
+            # exclude partition columns by PHYSICAL name (a renamed
+            # mapped partition column's logical name differs)
             _data_names = [
                 f["name"]
                 for f in json.loads(snap["schema"])["fields"]
-                if f["name"] not in pcols
+                if _phys_of.get(f["name"], f["name"]) not in pcols
             ]
+            if _mode != "none":
+                # the scan returns LOGICAL names; the compacted files
+                # must carry physical names + field ids like any other
+                # mapped rewrite (the materialized pair is not a schema
+                # column — no mapping, literal name)
+                _sel = [
+                    F.col(c).alias(
+                        _phys_of[c],
+                        metadata={"parquet.field.id": _id_of[c]},
+                    )
+                    for c in _data_names
+                ]
+            else:
+                _sel = [F.col(c) for c in _data_names]
             df_override = _scan.select(
-                *[F.col(c) for c in _data_names],
+                *_sel,
                 F.col("_rid").alias(_mat_id),
                 F.col("_rcv").alias(_mat_cv),
             )
@@ -3752,6 +3794,15 @@ def merge_delta(
             F.col("_rid").alias(_mat_id),
             F.col("_rcv").alias(_mat_cv),
         )
+        if _mapping_mode(snap) != "none":
+            # rowTracking × mapping: schema columns land physical
+            # names + field ids; the materialized pair rides along by
+            # its literal (non-schema) name
+            _pof, _ids = _mapped_write_plan(snap)
+            out_data = _to_physical(
+                out_data, snap["schema"], extra=(_mat_id, _mat_cv),
+                phys_of=_pof, attach_ids=_ids,
+            )
     elif _mapping_mode(snap) != "none":
         _pof, _ids = _mapped_write_plan(snap)
         out_data = _to_physical(
@@ -4519,6 +4570,12 @@ def delete_delta(
                 F.col("_rid").alias(_mat_id),
                 F.col("_rcv").alias(_mat_cv),
             )
+            if _mapping_mode(snap) != "none":
+                _pof, _ids = _mapped_write_plan(snap)
+                out_rows = _to_physical(
+                    out_rows, snap["schema"], extra=(_mat_id, _mat_cv),
+                    phys_of=_pof, attach_ids=_ids,
+                )
         elif _mapping_mode(snap) != "none":
             _pof, _ids = _mapped_write_plan(snap)
             out_rows = _to_physical(

@@ -2915,17 +2915,26 @@ def test_row_tracking_cow_merge_delete_preserve_ids(spark, tmp_path):
     }
     assert post[2][0] == 2 and post[2][1] == mv and post[2][2] == 99
     assert post[20][0] > max(i for i, _, _ in post.values() if i != post[20][0])
-    # mapped composition refuses loudly
+    # mapped composition works since round 8: the merge preserves ids
+    # through the physical binding
     mapped = str(tmp_path / "rt_cow_mapped")
     dc.append_delta(
         spark.range(4).select(F.col("id").alias("k")), mapped
     )
     dc.enable_column_mapping(mapped)
     dc.enable_row_tracking(mapped, enabled=True)
-    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
-        dc.merge_delta(
-            spark, mapped, spark.createDataFrame([(1,)], "k long"), ["k"]
-        )
+    pre_m = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, mapped).collect()
+    }
+    dc.merge_delta(
+        spark, mapped, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    post_m = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, mapped).collect()
+    }
+    assert post_m == pre_m  # the matched key kept its id
 
 
 def test_row_tracking_overwrite_assigns_fresh_ids(spark, tmp_path):
@@ -3060,10 +3069,126 @@ def test_row_tracking_optimize_partitioned_and_mapped_refusal(
     )
     dc.enable_column_mapping(mapped)
     dc.enable_row_tracking(mapped, enabled=True)
-    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
-        dc.optimize_delta(spark, mapped)
-    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
-        dc.read_delta_row_ids(spark, mapped)
+    # the composition works since round 8: backfilled ids read back
+    # and survive a compaction of the mapped files
+    pre_m = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, mapped).collect()
+    }
+    # distinct stable ids (empty range-partition files may claim id
+    # slots, so the values need not be dense)
+    assert len(set(pre_m.values())) == 4
+    dc.optimize_delta(spark, mapped)
+    post_m = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, mapped).collect()
+    }
+    assert post_m == pre_m
+
+
+def test_row_tracking_mapped_renamed_full_lifecycle(spark, tmp_path):
+    """rowTracking × column mapping, the round-8 composition: enable
+    mapping, RENAME a column, enable stable row ids (backfill), then
+    run every id-preserving verb under the renamed logical name — DV
+    delete, OPTIMIZE (materializes ids into physical-named files),
+    COW MERGE (updates keep ids, inserts mint fresh), COW DELETE
+    (survivors keep ids). Ids never move; the mapped scan keeps
+    resolving the physical binding through each rewrite."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_map")
+    df = (
+        spark.range(8)
+        .select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("amt"))
+        .orderBy("k")
+        .coalesce(1)
+    )
+    dc.append_delta(df, table)
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "amt", "price")
+    dc.enable_row_tracking(table, enabled=True)
+    base = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert sorted(base.values()) == list(range(8))
+    # DV delete: survivors keep ids (file untouched, bitmap subtracts)
+    dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    # OPTIMIZE materializes surviving ids into compacted mapped files
+    dc.optimize_delta(spark, table)
+    after_opt = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert after_opt == {k: i for k, i in base.items() if k != 0}
+    # COW MERGE under the RENAMED logical name: matched keys keep ids
+    src = spark.createDataFrame(
+        [(1, 111.0), (100, 1.0)], "k long, price double"
+    )
+    dc.merge_delta(spark, table, src, ["k"])
+    rows = {r.k: r for r in dc.read_delta_row_ids(spark, table).collect()}
+    assert rows[1]._row_id == base[1] and rows[1].price == 111.0
+    assert rows[100]._row_id not in set(base.values())  # fresh id
+    # COW DELETE: survivors keep ids
+    dc.delete_delta(
+        spark, table, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    final = {
+        r.k: r._row_id
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert final[3] == base[3] and 2 not in final
+    # plain mapped read stays clean (no materialized-column leak)
+    assert set(dc.read_delta(spark, table).columns) == {"k", "price"}
+
+
+def test_row_tracking_mapped_partitioned_renamed_pcol(spark, tmp_path):
+    """The triple composition — rowTracking × mapping × hive
+    partitioning with a RENAMED partition column: ids stable through
+    a per-directory OPTIMIZE and a COW merge keyed on logical names."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "rt_map_part")
+    df = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("d"),
+        )
+        .orderBy("k")
+        .coalesce(1)
+    )
+    dc.append_delta(df, table, partition_by=["d"])
+    dc.enable_column_mapping(table)
+    dc.rename_column(table, "d", "day")
+    dc.enable_row_tracking(table, enabled=True)
+    base = {
+        r.k: (r._row_id, r.day)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert sorted(i for i, _ in base.values()) == list(range(10))
+    dc.optimize_delta(spark, table, where={"day": "1"})
+    after = {
+        r.k: (r._row_id, r.day)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert after == base
+    # merge under logical names: update keeps id, insert minted fresh
+    dc.merge_delta(
+        spark, table,
+        spark.createDataFrame([(4, "0"), (77, "1")], "k long, day string"),
+        ["k"],
+    )
+    rows = {
+        r.k: (r._row_id, r.day)
+        for r in dc.read_delta_row_ids(spark, table).collect()
+    }
+    assert rows[4] == base[4]
+    assert rows[77][1] == "1" and rows[77][0] >= 10
+    # time travel through the verbs keeps resolving
+    assert dc.read_delta(spark, table, version=0).count() == 10
 
 
 def test_writer_append_only_config(spark, tmp_path):
