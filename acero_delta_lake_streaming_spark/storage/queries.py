@@ -2949,6 +2949,98 @@ _S36_SQL = (
 )
 
 
+def s37_mapped_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S37 — STABLE ROW IDS through COLUMN MAPPING (the late-round-8
+    composition that lifted the last rowTracking refusal): seed a
+    sorted single-file slice → enable mapping → RENAME the price
+    column (metadata-only; files keep physical names) → enable row
+    tracking with backfill → append a second sorted slice under the
+    LOGICAL names → DV-erase every 7th key → update-only MERGE
+    (keys ÷5 ≡ 2 get price+50; every source key is live, so ids must
+    not move and the row commit version advances to the merge) →
+    OPTIMIZE, which materializes each surviving id into compacted
+    files that carry PHYSICAL names + field ids.
+
+    Deterministic by construction exactly like s34 (sorted single-file
+    batches ⇒ id = key-rank + running offset), so the certificate
+    replays the ENTIRE assignment blind: (key, row_id,
+    row_commit_version, cents) for every surviving row. An id remapped
+    by the mapped rewrite, a backfill miss, or an update that minted a
+    fresh id flips the hash."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s37_orders_mapped_rowids")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    seed = orders.filter("o_orderkey % 3 = 0").orderBy(
+        "o_orderkey"
+    ).coalesce(1)
+    delta_compat.append_delta(seed, table)                      # v0
+    delta_compat.enable_column_mapping(table)                   # v1
+    delta_compat.rename_column(table, "o_totalprice", "price")  # v2
+    delta_compat.enable_row_tracking(table, enabled=True)       # v3
+    batch2 = (
+        orders.filter("o_orderkey % 3 = 1")
+        .withColumnRenamed("o_totalprice", "price")
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    delta_compat.append_delta(batch2, table)                    # v4
+    doomed = orders.filter(
+        "o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0"
+    ).select("o_orderkey")
+    delta_compat.delete_delta_dv(spark, table, doomed, ["o_orderkey"])
+    src = (
+        orders.filter(
+            "o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 2 "
+            "AND o_orderkey % 7 != 0"
+        )
+        .withColumn(
+            "price", F.col("o_totalprice") + F.lit(50.0)
+        )
+        .select("o_orderkey", "price")
+    )
+    delta_compat.merge_delta(spark, table, src, ["o_orderkey"])  # v6
+    delta_compat.optimize_delta(spark, table, target_partitions=1)
+    return delta_compat.read_delta_row_ids(spark, table).select(
+        "o_orderkey",
+        F.col("_row_id").cast("bigint").alias("row_id"),
+        F.col("_row_commit_version").cast("bigint").alias("row_cv"),
+        F.expr(
+            "CAST(CAST(price AS DECIMAL(18,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+
+
+# the deterministic id assignment replayed blind: seed ids are the
+# key-rank (backfill commit v3), the second batch continues at the
+# high-water mark (v4), the update-only merge keeps ids and moves the
+# commit version to v6, DV-erased keys vanish
+_S37_SQL = (
+    "WITH s0 AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 0), "
+    "r0 AS (SELECT o_orderkey, o_totalprice, "
+    "row_number() OVER (ORDER BY o_orderkey) - 1 AS rid, 3 AS rcv "
+    "FROM s0), "
+    "s1 AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 1), "
+    "r1 AS (SELECT o_orderkey, o_totalprice, "
+    "(SELECT count(*) FROM s0) + row_number() OVER "
+    "(ORDER BY o_orderkey) - 1 AS rid, 4 AS rcv FROM s1), "
+    "allr AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1), "
+    "live AS (SELECT * FROM allr WHERE o_orderkey % 7 != 0), "
+    "fin AS (SELECT o_orderkey, rid, "
+    "CASE WHEN o_orderkey % 5 = 2 THEN 6 ELSE rcv END AS rcv, "
+    "CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 50.0 "
+    "ELSE o_totalprice END AS price FROM live) "
+    "SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id, "
+    "CAST(rcv AS BIGINT) AS row_cv, "
+    "CAST(CAST(price AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents "
+    "FROM fin"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -2990,6 +3082,7 @@ QUERIES = {
     "s34_row_id_lifecycle": s34_row_id_lifecycle,
     "s35_generated_partition_pruning": s35_generated_partition_pruning,
     "s36_identity_merge": s36_identity_merge,
+    "s37_mapped_row_ids": s37_mapped_row_ids,
     "st20_mapped_stream_sink": st20_mapped_stream_sink,
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
@@ -3037,6 +3130,7 @@ ORACLES = {
     "s34_row_id_lifecycle": _S34_SQL,
     "s35_generated_partition_pruning": _S35_SQL,
     "s36_identity_merge": _S36_SQL,
+    "s37_mapped_row_ids": _S37_SQL,
     "st20_mapped_stream_sink": _ST20_SQL,
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
