@@ -4916,17 +4916,21 @@ def overwrite_schema_delta(
     OLD schema via the log-anchored metaData at that version), and
     table properties are intact.
 
-    Boundaries, each a loud refusal: column-mapped tables (a schema
-    replacement would need a fresh logical→physical binding minted
-    under the old mapping mode — delta-spark re-mints ids there; out
-    of scope), ``rowTracking``-enabled tables (rewrite-verb rule), and
-    CHECK constraints that reference columns absent from the NEW
-    schema (delta-spark refuses the same write; constraints whose
-    columns survive are enforced against the batch). CDF capture is
-    deliberately NOT offered: preimage and postimage schemas differ,
-    and a change feed cannot span a schema replacement — consumers
-    re-snapshot (delta-spark errors the cross-boundary CDF read the
-    same way)."""
+    COLUMN-MAPPED tables work since late round 8: retained logical
+    names KEEP their mapping id + physical name (old-version time
+    travel resolves through the same binding), new columns take fresh
+    ids from ``maxColumnId`` with ``col-<uuid>`` physical names
+    (non-resurrection — a dropped-then-readded name never reads old
+    bytes), and the staged files land physical names + field ids;
+    ``partition_by`` arrives logical and translates once.
+
+    Boundaries, each a loud refusal: CHECK constraints that reference
+    columns absent from the NEW schema (delta-spark refuses the same
+    write; constraints whose columns survive are enforced against the
+    batch). CDF capture is deliberately NOT offered: preimage and
+    postimage schemas differ, and a change feed cannot span a schema
+    replacement — consumers re-snapshot (delta-spark errors the
+    cross-boundary CDF read the same way)."""
     snap = snapshot(table)
     _check_writer_protocol(
         snap, "WRITE (overwriteSchema)", removes_data=True
@@ -4935,11 +4939,32 @@ def overwrite_schema_delta(
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
     # needed; delta-spark allows the same write).
-    if _mapping_mode(snap) != "none":
-        raise DeltaProtocolError(
-            "overwriteSchema on a column-mapped table is not supported "
-            "(the replacement schema would need a freshly minted "
-            "physical binding)"
+    mode = _mapping_mode(snap)
+    new_schema_json = df.schema.json()
+    new_cfg = dict(snap.get("configuration") or {})
+    if mode != "none":
+        # fresh binding under the SAME mode: retained names keep id +
+        # physicalName, new names mint from maxColumnId (all old files
+        # are removed in this commit, so attaching field ids can never
+        # create a with/without mix)
+        old_meta = {
+            f["name"]: (f.get("metadata") or {})
+            for f in json.loads(snap["schema"])["fields"]
+        }
+        sch = json.loads(new_schema_json)
+        for f in sch["fields"]:
+            om = old_meta.get(f["name"])
+            if om and "delta.columnMapping.id" in om:
+                m = dict(f.get("metadata") or {})
+                m["delta.columnMapping.id"] = om[
+                    "delta.columnMapping.id"
+                ]
+                m["delta.columnMapping.physicalName"] = om[
+                    "delta.columnMapping.physicalName"
+                ]
+                f["metadata"] = m
+        new_schema_json, new_cfg = _assign_mapping_ids(
+            json.dumps(sch), new_cfg
         )
     partition_by = list(partition_by or [])
     missing = set(partition_by) - set(df.columns)
@@ -4962,7 +4987,19 @@ def overwrite_schema_delta(
             ) from exc
     version = snap["version"] + 1
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    out_df = df
+    if mode != "none":
+        # physical names + field ids under the NEW binding; hive dirs
+        # and partitionColumns key physically per the protocol
+        out_df = _to_physical(df, new_schema_json)
+        _npof = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in json.loads(new_schema_json)["fields"]
+        }
+        partition_by = [_npof.get(c, c) for c in partition_by]
+    writer = out_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -4985,9 +5022,9 @@ def overwrite_schema_delta(
         "metaData": {
             "id": snap.get("meta_id") or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": new_schema_json,
             "partitionColumns": partition_by,
-            "configuration": dict(snap.get("configuration") or {}),
+            "configuration": new_cfg,
             "createdTime": now_ms,
         }
     }

@@ -5356,12 +5356,62 @@ def test_overwrite_schema_refusals(spark, tmp_path):
     # the CHECK constraint references `val`, gone from the new schema
     with pytest.raises(dc.DeltaProtocolError, match="constraint"):
         dc.overwrite_schema_delta(spark, gold, table)
-    mapped = _seed_rw(spark, tmp_path / "m")
-    dc.enable_column_mapping(mapped)
-    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
-        dc.overwrite_schema_delta(spark, gold, mapped)
     with pytest.raises(dc.DeltaProtocolError, match="partition columns"):
         dc.overwrite_schema_delta(spark, gold, table, partition_by=["zz"])
+
+
+def test_overwrite_schema_on_mapped_table(spark, tmp_path):
+    """overwriteSchema on a COLUMN-MAPPED table (late round 8):
+    retained logical names keep their mapping id + physical name, a
+    re-added previously-renamed name mints a FRESH id (never re-reads
+    the old physical bytes), new columns mint from maxColumnId, staged
+    files carry physical names + field ids, and a logical
+    partition_by translates to the physical hive layout. Pre-swap
+    time travel resolves the old binding."""
+    mapped = _seed_rw(spark, tmp_path / "m")
+    dc.enable_column_mapping(mapped)
+    dc.rename_column(mapped, "val", "amount")
+    gold = spark.createDataFrame(
+        [("a", 2, 1.5), ("b", 2, 2.5)], "part string, n long, val double"
+    )
+    v = dc.overwrite_schema_delta(
+        spark, gold, mapped, partition_by=["part"]
+    )
+    got = sorted(
+        (r.part, r.n, r.val)
+        for r in dc.read_delta(spark, mapped).collect()
+    )
+    assert got == [("a", 2, 1.5), ("b", 2, 2.5)]
+    sch = json.loads(dc.snapshot(mapped)["schema"])
+    meta_of = {f["name"]: f["metadata"] for f in sch["fields"]}
+    # retained name kept its id; the re-added 'val' name minted fresh
+    # (the ORIGINAL 'val' id belongs to the renamed 'amount' lineage)
+    assert meta_of["part"]["delta.columnMapping.physicalName"] == "part"
+    assert meta_of["val"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    assert {
+        int(m["delta.columnMapping.id"]) for m in meta_of.values()
+    }.__len__() == 3
+    # partitionColumns keyed physically (= 'part', unrenamed)
+    assert dc.snapshot(mapped)["partition_cols"] == ["part"]
+    # pre-swap time travel resolves the OLD binding with logical names
+    old = sorted(
+        (r.id, r.part, r.amount)
+        for r in dc.read_delta(spark, mapped, version=v - 1).collect()
+    )
+    assert old == [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)
+    ]
+    # appends under the new binding keep working
+    dc.append_delta(
+        spark.createDataFrame(
+            [("c", 3, 3.5)], "part string, n long, val double"
+        ),
+        mapped,
+        partition_by=["part"],
+    )
+    assert dc.read_delta(spark, mapped).count() == 3
 
 
 def test_mapped_zorder_clusters_on_logical_keys(spark, tmp_path):
