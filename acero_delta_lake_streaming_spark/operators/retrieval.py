@@ -926,6 +926,105 @@ def _x38_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X53 — exact multi-phrase search (positional adjacency, map-side)
+# --------------------------------------------------------------------------
+
+#: needle set scanned in ONE pass: (label, token list). Distinct first
+#: and last tokens per phrase ⇒ occurrences cannot self-overlap, so the
+#: adjacency count is well-defined without an overlap policy.
+_X53_PHRASES = [
+    ("batch_stream", ["batch", "stream"]),
+    ("merge_data_line", ["merge", "data", "line"]),
+    ("the_fast_key", ["the", "fast", "key"]),
+]
+
+
+def x53_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 — exact PHRASE search over the corpus (the contamination /
+    blocklist / quote-detection primitive BM25's bag-of-words probe
+    cannot express: term ADJACENCY matters). Every phrase in the
+    needle set is matched in one pass; per (phrase, doc): occurrence
+    count and the first match position.
+
+    Spark-first formulation: a positional inverted index
+    (posexplode → (token, doc, pos) postings → k-way self-join on
+    pos+i) is the textbook shape, but its postings shuffle moves
+    EVERY occurrence of every needle token — and common tokens
+    ('the') make that the corpus itself. The higher-order-function
+    form does the adjacency test MAP-SIDE instead:
+    ``filter(sequence(0, len-k), i -> toks[i]=t0 AND toks[i+1]=t1
+    ...)`` per phrase, one pass over ``split(text)`` with ZERO
+    exchanges in the whole plan — each doc is matched where it
+    already lives, the classic scan-beats-index regime for needle
+    sets small enough to inline (the r3/x34b lesson: array rebuilds
+    win exactly when the explode output would BE the shuffle
+    payload). 100 TB: embarrassingly parallel, no skew surface at
+    all; output is |hits| rows.
+
+    Reference parity: no retrieval surface in the reference
+    (collector.py stores raw text); this is the Spark-native phrase
+    operator a curation pipeline needs for exact-quote dedup and
+    benchmark-string contamination sweeps (cf. x10/x48)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    needles = []
+    for label, toks in _X53_PHRASES:
+        k = len(toks)
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        # sequence() DESCENDS when its end < start (implicit -1 step),
+        # so clamp with greatest() and re-exclude via the predicate —
+        # keeps both CASE branches' types out of the plan entirely
+        needles.append(
+            f"named_struct('phrase', '{label}', 'pos', "
+            f"filter(sequence(0, greatest(size(toks) - {k}, 0)), "
+            f"i -> i <= size(toks) - {k} AND {cond}))"
+        )
+    # ONE corpus scan matches every needle: the per-phrase position
+    # arrays ride a struct array exploded map-side (a per-branch union
+    # would re-scan the corpus once per phrase)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(f"array({', '.join(needles)})")).alias("m"),
+        )
+        .filter(F.size("m.pos") > 0)
+        .select(
+            F.col("m.phrase").alias("phrase"),
+            "doc_id",
+            F.size("m.pos").cast("bigint").alias("n_occ"),
+            F.element_at("m.pos", 1).cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+def _x53_sql() -> str:
+    # DuckDB lists are 1-based: valid phrase starts are 1..len-k+1
+    # (generate_series(1, n<=0) is already empty — no guard clause)
+    parts = []
+    for label, toks in _X53_PHRASES:
+        k = len(toks)
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        parts.append(
+            f"SELECT '{label}' AS phrase, doc_id, "
+            "CAST(len(pos) AS BIGINT) AS n_occ, "
+            "CAST(pos[1] - 1 AS BIGINT) AS first_pos FROM ("
+            "SELECT doc_id, list_filter("
+            f"generate_series(1, greatest(len(toks) - {k} + 1, 0)), "
+            f"i -> {cond}) AS pos FROM d) WHERE len(pos) > 0"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
@@ -935,6 +1034,7 @@ QUERIES = {
     "x39_cluster_topics": x39_cluster_topics,
     "x36_bigram_surprise": x36_bigram_surprise,
     "x38_dsir_importance": x38_dsir_importance,
+    "x53_phrase_search": x53_phrase_search,
 }
 
 ORACLES = {
@@ -946,4 +1046,5 @@ ORACLES = {
     "x39_cluster_topics": _x39_sql(),
     "x36_bigram_surprise": _X36_SQL,
     "x38_dsir_importance": _x38_sql(),
+    "x53_phrase_search": _x53_sql(),
 }

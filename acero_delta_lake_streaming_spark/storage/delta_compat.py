@@ -4670,7 +4670,7 @@ def overwrite_delta(
         raise DeltaProtocolError(
             f"overwrite batch schema {sorted(df.columns)} does not "
             f"match table schema {sorted(table_cols)} (schema change "
-            "on overwrite requires overwriteSchema, out of scope)"
+            "on overwrite requires overwrite_schema_delta)"
         )
     from acero_delta_lake_streaming_spark.storage.deltalite import (
         merge_schemas,

@@ -303,6 +303,20 @@ def test_round8_late_ops_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_phrase_search_zero_exchange_single_scan(spark, sf_dir):
+    """x53's scale contract: the multi-phrase adjacency match is
+    MAP-SIDE — one corpus scan, zero exchanges (a positional-postings
+    join formulation would shuffle every occurrence of every needle
+    token; a per-phrase union would re-scan the corpus per phrase)."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        x53_phrase_search,
+    )
+
+    plan = _physical(x53_phrase_search(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_ivf_seed_selection_distributed(spark, sf_dir):
     """x3d's k-means seeds are a distributed top-8 (TakeOrderedAndProject:
     per-partition partial top-k, driver merges 8-row heads), NOT a
