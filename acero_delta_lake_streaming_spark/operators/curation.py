@@ -899,8 +899,157 @@ def _x49_sql() -> str:
     )
 
 
+def x54_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 — token-budget WATERFILLING across (source, lang) strata
+    with per-stratum repetition caps: the data-mixing allocation step
+    x42's temperature mixing cannot express (x42 derives RATES; this
+    allocates an exact BUDGET under caps — "spend B tokens, weight
+    strata by √tokens, never repeat a stratum beyond 2 epochs", the
+    Llama/DoReMi-era recipe shape). Strata saturate in cap/weight
+    order; the unique cutoff and the final allocation are computed in
+    EXACT INTEGER arithmetic (the one irrational, √tok, quantizes to
+    milli-units immediately — x42's discipline), so the certificate is
+    bit-replayable: per stratum (tokens, cap, alloc, epochs_bp,
+    capped).
+
+    Waterfill closed form, all BIGINT: sort by ⌊cap·1e6/w⌋ (stratum,
+    lang tiebreaks); a prefix row is capped while
+    ``(B − capsum_before)·w ≥ cap·wsum_from`` — a running MIN of that
+    flag pins the prefix even under floored-ratio ties — and every
+    uncapped stratum gets ``(B − Σ_capped cap)·w DIV Σ_uncapped w``.
+
+    Scale shape: ONE corpus aggregate (hash-agg to |strata| rows);
+    every window below it orders the |strata|-row frame (36 rows here,
+    thousands at production — always metadata-sized, persisted via
+    scoped_persist so the corpus scans once). The corpus itself never
+    shuffles and no per-doc state exists — allocation is a plan over
+    statistics, applied downstream by x15/x42-style map-side keeps."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = scoped_persist(
+        docs.select(
+            "source", "lang",
+            F.expr("size(split(text, ' '))").alias("n_tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("tok"))
+        .withColumn(
+            "w",
+            F.expr(
+                "CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000) AS BIGINT)"
+            ),
+        )
+        .withColumn("cap", F.expr("2 * tok"))
+        .withColumn("rk", F.expr("cap * 1000000 DIV w"))
+    )
+    budget = strata.agg(
+        F.expr("CAST(sum(tok) DIV 2 AS BIGINT)").alias("budget")
+    )
+    ordw = Window.orderBy("rk", "source", "lang")
+    flagged = (
+        strata.crossJoin(F.broadcast(budget))  # one-row constant frame
+        .withColumn(
+            "capsum_before",
+            F.coalesce(
+                F.sum("cap").over(
+                    ordw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "wsum_from",
+            F.sum("w").over(
+                ordw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn(
+            "flag",
+            F.expr(
+                "CASE WHEN (budget - capsum_before) * w >= cap * wsum_from "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.min("flag").over(
+                ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    rem = flagged.agg(
+        F.expr(
+            "CAST(max(budget) - sum(CASE WHEN capped = 1 THEN cap "
+            "ELSE 0 END) AS BIGINT)"
+        ).alias("b_rem"),
+        F.expr(
+            "CAST(sum(CASE WHEN capped = 0 THEN w ELSE 0 END) AS BIGINT)"
+        ).alias("wsum_rem"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(rem))  # one-row constant frame
+        .withColumn(
+            "alloc",
+            F.expr(
+                "CASE WHEN capped = 1 THEN cap "
+                "WHEN wsum_rem > 0 THEN (b_rem * w) DIV wsum_rem "
+                "ELSE 0 END"
+            ),
+        )
+        .select(
+            "source", "lang",
+            F.col("tok").cast("bigint").alias("tok"),
+            F.col("cap").cast("bigint").alias("cap"),
+            F.col("alloc").cast("bigint").alias("alloc"),
+            F.expr("10000 * alloc DIV tok").cast("bigint").alias(
+                "epochs_bp"
+            ),
+            F.col("capped").cast("bigint").alias("capped"),
+        )
+    )
+
+
+_X54_SQL = (
+    "WITH strata AS (SELECT source, lang, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok "
+    "FROM documents GROUP BY 1, 2), "
+    "st AS (SELECT source, lang, tok, "
+    "CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000) AS BIGINT) AS w, "
+    "2 * tok AS cap FROM strata), "
+    "rk AS (SELECT *, cap * 1000000 // w AS rk FROM st), "
+    "b AS (SELECT CAST(sum(tok) // 2 AS BIGINT) AS budget FROM st), "
+    "win AS (SELECT r.*, b.budget, "
+    "COALESCE(sum(cap) OVER (ORDER BY rk, source, lang "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS capsum_before, "
+    "sum(w) OVER (ORDER BY rk, source, lang "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsum_from "
+    "FROM rk r CROSS JOIN b), "
+    "flg AS (SELECT *, CASE WHEN (budget - capsum_before) * w >= "
+    "cap * wsum_from THEN 1 ELSE 0 END AS flag FROM win), "
+    "cp AS (SELECT *, min(flag) OVER (ORDER BY rk, source, lang "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped "
+    "FROM flg), "
+    "rem AS (SELECT CAST(max(budget) - sum(CASE WHEN capped = 1 "
+    "THEN cap ELSE 0 END) AS BIGINT) AS b_rem, "
+    "CAST(sum(CASE WHEN capped = 0 THEN w ELSE 0 END) AS BIGINT) "
+    "AS wsum_rem FROM cp) "
+    "SELECT c.source, c.lang, c.tok, CAST(c.cap AS BIGINT) AS cap, "
+    "CAST(CASE WHEN c.capped = 1 THEN c.cap "
+    "WHEN r.wsum_rem > 0 THEN (r.b_rem * c.w) // r.wsum_rem "
+    "ELSE 0 END AS BIGINT) AS alloc, "
+    "CAST(10000 * (CASE WHEN c.capped = 1 THEN c.cap "
+    "WHEN r.wsum_rem > 0 THEN (r.b_rem * c.w) // r.wsum_rem "
+    "ELSE 0 END) // c.tok AS BIGINT) AS epochs_bp, "
+    "CAST(c.capped AS BIGINT) AS capped "
+    "FROM cp c CROSS JOIN rem r"
+)
+
+
 QUERIES = {
     "x49_leakage_safe_split": x49_leakage_safe_split,
+    "x54_budget_waterfill": x54_budget_waterfill,
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
     "x9_stratified_sample": x9_stratified_sample,
@@ -917,6 +1066,7 @@ QUERIES = {
 
 ORACLES = {
     "x49_leakage_safe_split": _x49_sql(),
+    "x54_budget_waterfill": _X54_SQL,
     "x7_sequence_pack": (
         f"WITH toks AS (SELECT source, doc_id, len({_WORDS_DUCK}) AS n_tokens "
         "FROM documents), "
