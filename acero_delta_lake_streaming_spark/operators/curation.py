@@ -1047,9 +1047,110 @@ _X54_SQL = (
 )
 
 
+def x55_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 — corpus NOVELTY curve (Heaps'-law saturation audit): how
+    many never-seen-before 5-grams each tranche of the corpus
+    contributes, in deterministic ``doc_id`` ingest order — the
+    measurement behind "is more of this source still adding
+    information, or are we past saturation?" (the data-value twin of
+    x51's dedup ROI: x51 prices removal, this prices ACQUISITION).
+    Per doc_id-decile tranche: docs, distinct-gram instances, NOVEL
+    grams (first seen in that tranche), cumulative vocabulary, and
+    novelty in basis points.
+
+    Shape at 100 TB: per-doc grams dedup MAP-SIDE (array_distinct
+    before the explode), then ONE gram-keyed shuffle to
+    ``min(doc_id)`` — the vocabulary aggregate, Heaps-sublinear in the
+    corpus exactly like x46's gram stream — plus a map-side tranche
+    count; every window below runs over the 10-row tranche frame.
+    First-seen attribution via min() is order-free (no sequential
+    scan state), so the "curve" parallelizes like any aggregate."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr(_WORDS_SPARK)
+    )
+    mx = docs.agg(
+        F.max("doc_id").cast("bigint").alias("max_id")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(_GRAMS5_SPARK)).alias("grams"),
+    )
+    tranche = "(doc_id * 10) DIV (max_id + 1)"
+    doc_stats = (
+        per_doc.crossJoin(F.broadcast(mx))  # one-row constant frame
+        .select(
+            F.expr(tranche).alias("tranche"),
+            F.size("grams").alias("n_grams"),
+        )
+        .groupBy("tranche")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("gram_instances"),
+        )
+    )
+    novel = (
+        per_doc.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr(tranche.replace("doc_id", "first_doc")).alias(
+            "tranche"
+        ))
+        .groupBy("tranche")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    w_cum = Window.orderBy("tranche").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        doc_stats.join(novel, "tranche", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .withColumn(
+            "cum_vocab", F.sum("n_novel").over(w_cum).cast("bigint")
+        )
+        .select(
+            F.col("tranche").cast("bigint").alias("tranche"),
+            "n_docs",
+            "gram_instances",
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            "cum_vocab",
+            F.expr(
+                "10000 * n_novel DIV nullif(gram_instances, 0)"
+            ).cast("bigint").alias("novelty_bp"),
+        )
+    )
+
+
+_X55_SQL = (
+    f"WITH d AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents), "
+    f"g AS (SELECT doc_id, list_distinct({_GRAMS5_DUCK}) AS grams "
+    "FROM d), "
+    "mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM g), "
+    "ds AS (SELECT (doc_id * 10) // (mx.max_id + 1) AS tranche, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(grams)) AS BIGINT) AS gram_instances "
+    "FROM g CROSS JOIN mx GROUP BY 1), "
+    "fs AS (SELECT gram, min(doc_id) AS first_doc FROM ("
+    "SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1), "
+    "nv AS (SELECT (first_doc * 10) // (mx.max_id + 1) AS tranche, "
+    "CAST(count(*) AS BIGINT) AS n_novel FROM fs CROSS JOIN mx "
+    "GROUP BY 1) "
+    "SELECT CAST(ds.tranche AS BIGINT) AS tranche, ds.n_docs, "
+    "ds.gram_instances, "
+    "CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel, "
+    "CAST(sum(COALESCE(nv.n_novel, 0)) OVER (ORDER BY ds.tranche "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_vocab, "
+    "CAST(10000 * COALESCE(nv.n_novel, 0) "
+    "// nullif(ds.gram_instances, 0) AS BIGINT) AS novelty_bp "
+    "FROM ds LEFT JOIN nv ON ds.tranche = nv.tranche"
+)
+
+
 QUERIES = {
     "x49_leakage_safe_split": x49_leakage_safe_split,
     "x54_budget_waterfill": x54_budget_waterfill,
+    "x55_novelty_curve": x55_novelty_curve,
     "x7_sequence_pack": x7_sequence_pack,
     "x8_dataset_split": x8_dataset_split,
     "x9_stratified_sample": x9_stratified_sample,
@@ -1067,6 +1168,7 @@ QUERIES = {
 ORACLES = {
     "x49_leakage_safe_split": _x49_sql(),
     "x54_budget_waterfill": _X54_SQL,
+    "x55_novelty_curve": _X55_SQL,
     "x7_sequence_pack": (
         f"WITH toks AS (SELECT source, doc_id, len({_WORDS_DUCK}) AS n_tokens "
         "FROM documents), "

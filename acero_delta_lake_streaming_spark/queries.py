@@ -93,7 +93,7 @@ _PRIORITY = [
     "st22_streaming_quality_mart", "s35_generated_partition_pruning",
     "dq7_token_drift", "a16_conditional_aggregates", "xj3_asof_tolerance",
     "x52_quantizer_drift", "s36_identity_merge", "s37_mapped_row_ids",
-    "x53_phrase_search", "x54_budget_waterfill",
+    "x53_phrase_search", "x54_budget_waterfill", "x55_novelty_curve",
     # -- new round 7 (CORRECTNESS_r07.json was never written, so these
     # still have no driver proof; they keep the lead until one exists) --
     "s22_mapped_merge_delete", "s23_dv_merge", "s24_id_mode_writes",
