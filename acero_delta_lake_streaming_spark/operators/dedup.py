@@ -1474,6 +1474,115 @@ _X46_SQL = (
 ).format(win4=_WIN4_DUCK)
 
 
+# --------------------------------------------------------------------------
+# X57 — cross-source contamination matrix (pairwise shingle overlap)
+# --------------------------------------------------------------------------
+
+
+def x57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 — the CROSS-SOURCE contamination matrix: for every pair of
+    sources, how many distinct word-trigram shingles they share and the
+    pairwise Jaccard in basis points. x51 prices dedup WITHIN the
+    corpus; this is the provenance-level audit a mixer runs before
+    assigning per-source weights (two crawls of the same site look
+    independent in doc counts but light up here — double-weighting
+    them double-counts the content; and a candidate source overlapping
+    the eval-set source is contamination, the source-granular twin of
+    x10).
+
+    Exact, never all-pairs on DOCUMENTS: the unit is the distinct
+    (source, shingle) pair — per-source vocabularies, sublinear in
+    corpus size by Heaps' law. ONE wide shuffle total: shingle rows
+    hash to their md5 and ``collect_set(source)`` folds each shingle's
+    carrier set in a single map-side-combinable agg (the per-source
+    DISTINCT rides inside the set — no separate distinct shuffle, no
+    hash self-join; the r8 rewrite of the first-cut distinct+equi-join,
+    measured 11.6 s → 3.4 s at sf0.1). Pairs expand INSIDE the sorted
+    carrier array (≤ C(|sources|,2) structs per shingle, map-side — a
+    shingle in one source, the overwhelming majority, expands to
+    nothing), then two tiny aggs (pair counts, per-source vocabulary
+    sizes) and a 20-row broadcast close the Jaccard. Output ≤
+    C(|sources|,2) rows at any corpus size; never a cross join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.expr(_WORDS_SPARK).alias("w")
+    )
+    byh = scoped_persist(
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(F.expr(_SHINGLES_SPARK))
+            ).alias("sh"),
+        )
+        .select(F.md5("sh").alias("h"), "source")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    sizes = byh.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    shared = (
+        byh.filter(F.expr("size(srcs) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("ng", "ng_a")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("source", "source_b").
+                withColumnRenamed("ng", "ng_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "ng_a",
+            "ng_b",
+            "shared",
+            F.expr("(10000 * shared) DIV (ng_a + ng_b - shared)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+_X57_SQL = (
+    "WITH w AS (SELECT source, "
+    f"{_WORDS_DUCK} AS w FROM documents), "
+    "g AS (SELECT DISTINCT source, md5(sh) AS h FROM ("
+    f"SELECT source, unnest(list_distinct({_SHINGLES_DUCK})) AS sh "
+    "FROM w)), "
+    "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS ng "
+    "FROM g GROUP BY 1), "
+    "shared AS (SELECT a.source AS source_a, b.source AS source_b, "
+    "CAST(count(*) AS BIGINT) AS shared "
+    "FROM g a JOIN g b ON a.h = b.h AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT s.source_a, s.source_b, sa.ng AS ng_a, sb.ng AS ng_b, "
+    "s.shared, "
+    "CAST((10000 * s.shared) // (sa.ng + sb.ng - s.shared) AS BIGINT) "
+    "AS jaccard_bp "
+    "FROM shared s "
+    "JOIN sizes sa ON sa.source = s.source_a "
+    "JOIN sizes sb ON sb.source = s.source_b"
+)
+
+
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x2_minhash_near_dup": x2_minhash_near_dup,
@@ -1487,6 +1596,7 @@ QUERIES = {
     "x40_normalized_dedup": x40_normalized_dedup,
     "x46_boilerplate_grams": x46_boilerplate_grams,
     "x51_dedup_roi": x51_dedup_roi,
+    "x57_source_overlap": x57_source_overlap,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1503,5 +1613,6 @@ ORACLES = {
     "x40_normalized_dedup": _X40_SQL,
     "x46_boilerplate_grams": _X46_SQL,
     "x51_dedup_roi": _x51_sql(),
+    "x57_source_overlap": _X57_SQL,
     "x19_line_dedup": _X19_SQL,
 }

@@ -2456,6 +2456,128 @@ def _x47_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X59 — quantizer-cell LABEL PURITY (supervised clustering-quality audit)
+# --------------------------------------------------------------------------
+
+
+def x59_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 — label PURITY of the shared IVF coarse quantizer's cells:
+    per cell, the majority ``label``'s share in basis points, plus a
+    corpus row (cid = -1) with the weighted overall purity — the
+    standard external clustering-quality metric, and the audit that
+    decides whether x37's cluster-balanced sampling and x35's
+    centroids are stratifying on REAL structure or on quantizer noise
+    (a purity near 1/|labels| means the cells are meaningless for
+    curation). Rides the SAME ``_ivf_coarse`` quantizer as
+    x3d/x3f/x37/x52 — one trained binding, audited here, so a
+    quantizer change re-certifies every consumer through one oracle.
+
+    Scale shape: training/assignment is the audited x3d geometry (no
+    float array ever crosses a hash exchange); the purity math runs on
+    the (cid, label) contingency table — ≤ k·|labels| rows at ANY
+    corpus size — so every window/join below the assignment is
+    effectively free. Certificate: the full contingency-derived table
+    (cell sizes, label diversity, majority labels, purity) in exact
+    integer basis points."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _probes = _ivf_coarse(emb)
+    jl = assign.join(
+        emb.select("vec_id", F.col("label").cast("int").alias("label")),
+        "vec_id",
+    )
+    cl = scoped_persist(
+        jl.groupBy("cid", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_cnt"),
+        )
+    )
+    percell = cl.groupBy("cid").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    cells = (
+        percell.join(top, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_vecs",
+            "n_labels",
+            "top_label",
+            "top_cnt",
+            F.expr("(10000 * top_cnt) DIV n_vecs")
+            .cast("bigint")
+            .alias("purity_bp"),
+        )
+    )
+    lab = cl.select("label").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labels")
+    )
+    overall = (
+        cells.agg(
+            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+            F.sum("top_cnt").cast("bigint").alias("top_cnt"),
+        )
+        .crossJoin(F.broadcast(lab))
+        .select(
+            F.lit(-1).cast("int").alias("cid"),
+            "n_vecs",
+            "n_labels",
+            F.lit(-1).cast("int").alias("top_label"),
+            "top_cnt",
+            F.expr("(10000 * top_cnt) DIV n_vecs")
+            .cast("bigint")
+            .alias("purity_bp"),
+        )
+    )
+    return cells.unionByName(overall)
+
+
+def _x59_sql() -> str:
+    ctes, _cent = _ivf_base_ctes()
+    ctes.extend(
+        [
+            "jl AS (SELECT fa.cid, CAST(e.label AS INT) AS label "
+            "FROM fa JOIN embeddings e ON e.vec_id = fa.vec_id)",
+            "cl AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS n "
+            "FROM jl GROUP BY 1, 2)",
+            "topc AS (SELECT cid, label AS top_label, n AS top_cnt FROM ("
+            "SELECT cid, label, n, row_number() OVER (PARTITION BY cid "
+            "ORDER BY n DESC, label ASC) AS rk FROM cl) WHERE rk = 1)",
+            "percell AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs, "
+            "CAST(count(*) AS BIGINT) AS n_labels FROM cl GROUP BY 1)",
+            "cells AS (SELECT CAST(p.cid AS INT) AS cid, p.n_vecs, "
+            "p.n_labels, t.top_label, t.top_cnt, "
+            "CAST((10000 * t.top_cnt) // p.n_vecs AS BIGINT) AS purity_bp "
+            "FROM percell p JOIN topc t ON t.cid = p.cid)",
+            "lab AS (SELECT CAST(count(DISTINCT label) AS BIGINT) "
+            "AS n_labels FROM cl)",
+            "ov AS (SELECT CAST(-1 AS INT) AS cid, "
+            "CAST(sum(n_vecs) AS BIGINT) AS n_vecs, "
+            "(SELECT n_labels FROM lab) AS n_labels, "
+            "CAST(-1 AS INT) AS top_label, "
+            "CAST(sum(top_cnt) AS BIGINT) AS top_cnt, "
+            "CAST((10000 * sum(top_cnt)) // sum(n_vecs) AS BIGINT) "
+            "AS purity_bp FROM cells)",
+        ]
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT * FROM cells UNION ALL SELECT * FROM ov"
+    )
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -2475,6 +2597,7 @@ QUERIES = {
     "x47_ann_recall_audit": x47_ann_recall_audit,
     "x48_semantic_decontam": x48_semantic_decontam,
     "x52_quantizer_drift": x52_quantizer_drift,
+    "x59_cluster_purity": x59_cluster_purity,
 }
 
 ORACLES = {
@@ -2496,4 +2619,5 @@ ORACLES = {
     "x47_ann_recall_audit": _x47_sql(),
     "x48_semantic_decontam": _X48_SQL,
     "x52_quantizer_drift": _x52_sql(),
+    "x59_cluster_purity": _x59_sql(),
 }

@@ -847,6 +847,102 @@ _DQ4_SQL = " UNION ALL ".join(
 )
 
 
+# --------------------------------------------------------------------------
+# DQ8 — Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) to e5, the canonical Benford mass per leading digit.
+# A shared integer CONSTANT table (identical literal on both sides), so
+# no cross-engine logarithm is ever evaluated.
+_DQ8_EXPECTED_E5 = {
+    1: 30103, 2: 17609, 3: 12494, 4: 9691, 5: 7918,
+    6: 6695, 7: 5799, 8: 5115, 9: 4576,
+}
+
+_DQ8_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {e}" for d, e in _DQ8_EXPECTED_E5.items())
+    + " END"
+)
+
+
+def dq8_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ8 — Benford's-law FIRST-DIGIT audit of ``o_totalprice``: the
+    classic anomaly screen for price/amount columns (organically grown
+    magnitudes follow log10(1+1/d); synthetic, capped, or tampered
+    columns don't — a large deviation is a data-quality alarm worth a
+    drill-down, which is exactly what the fixture's uniform-ish price
+    generator triggers). Per digit: count, observed share (e5),
+    expected Benford share (a shared integer constant table — no
+    logarithm is evaluated in either engine), absolute deviation, and
+    the total-variation distance rides out as half the deviation sum
+    on the cid = 0 total row's dev column.
+
+    The leading digit comes from ``floor`` + BIGINT + string head —
+    float→string formatting is engine-specific but floor and integer
+    rendering are exact, and ``o_totalprice ≥ 857`` so no sub-1 values
+    exist (guarded by the WHERE). Plan: one pruned-column scan, one
+    9-row hash agg, the 1-row total broadcast back — O(1) output at
+    any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_totalprice >= 1.0"
+    )
+    digits = (
+        orders.select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+                "AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = digits.agg(F.sum("n").cast("bigint").alias("total"))
+    per = (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(100000 * n) DIV total").cast("bigint").alias(
+                "share_e5"
+            ),
+            F.expr(_DQ8_CASE).cast("bigint").alias("expected_e5"),
+        )
+        .withColumn(
+            "dev_e5",
+            F.expr("abs(share_e5 - expected_e5)").cast("bigint"),
+        )
+    )
+    totrow = per.agg(
+        F.lit(0).cast("int").alias("digit"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("share_e5").cast("bigint").alias("share_e5"),
+        F.sum("expected_e5").cast("bigint").alias("expected_e5"),
+        F.sum("dev_e5").cast("bigint").alias("dev_e5"),
+    )
+    return per.unionByName(totrow)
+
+
+_DQ8_SQL = (
+    "WITH digits AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) "
+    "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit "
+    "FROM orders WHERE o_totalprice >= 1.0), "
+    "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n "
+    "FROM digits GROUP BY 1), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g), "
+    "per AS (SELECT digit, n, "
+    "CAST((100000 * n) // total AS BIGINT) AS share_e5, "
+    f"CAST({_DQ8_CASE} AS BIGINT) AS expected_e5 "
+    "FROM g CROSS JOIN t) "
+    "SELECT digit, n, share_e5, expected_e5, "
+    "CAST(abs(share_e5 - expected_e5) AS BIGINT) AS dev_e5 FROM per "
+    "UNION ALL "
+    "SELECT CAST(0 AS INT), CAST(sum(n) AS BIGINT), "
+    "CAST(sum(share_e5) AS BIGINT), CAST(sum(expected_e5) AS BIGINT), "
+    "CAST(sum(abs(share_e5 - expected_e5)) AS BIGINT) FROM per"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -858,6 +954,7 @@ QUERIES = {
     "dq5_timeseries_gaps": dq5_timeseries_gaps,
     "dq6_robust_outliers": dq6_robust_outliers,
     "dq7_token_drift": dq7_token_drift,
+    "dq8_benford_audit": dq8_benford_audit,
 }
 
 ORACLES = {
@@ -871,4 +968,5 @@ ORACLES = {
     "dq5_timeseries_gaps": _DQ5_SQL,
     "dq6_robust_outliers": _DQ6_SQL,
     "dq7_token_drift": _DQ7_SQL,
+    "dq8_benford_audit": _DQ8_SQL,
 }

@@ -721,6 +721,89 @@ def _x50_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X56 — readability grading (Flesch–Kincaid with a vowel-run syllable
+# heuristic)
+# --------------------------------------------------------------------------
+
+_X56_GRADE_SQL = (
+    "CAST(floor((CAST(0.39 AS DOUBLE) * "
+    "(CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE)) "
+    "+ CAST(11.8 AS DOUBLE) * "
+    "(CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+    "- CAST(15.59 AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def x56_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 — per-document READABILITY grading (Flesch–Kincaid grade
+    level) rolled into per-language histogram bands: the
+    curriculum/difficulty axis of corpus curation (pair it with x26/x36
+    perplexity and x50's probe to stratify training mixes by reading
+    level). Sentences are ``[.!?]+`` runs, syllables the classic
+    vowel-run heuristic (``[aeiouy]+`` groups in lowercased text) —
+    both deterministic regexp counts, no dictionary. The FK polynomial
+    is evaluated in DOUBLE with every literal explicitly CAST (a bare
+    ``0.39`` parses as DECIMAL in Spark and divides differently — the
+    x27 lesson) and each doc's grade floor-quantizes to e3 integers
+    BEFORE any cross-row sum, so the per-band sums are
+    order-independent integer math. Bands shift by +100 grades before
+    the integer divide: grades can be negative and Spark ``DIV``
+    truncates toward zero while DuckDB ``//`` floors — identical only
+    on non-negative operands.
+
+    Scale shape: one narrow map over ``text`` (three regexp counts +
+    arithmetic, whole-stage codegen) then ONE hash-agg keyed
+    (lang, band) — output is |langs|×|bands| rows at any corpus size;
+    at 100 TB this is a single pruned-column pass, the same geometry
+    as x4. Reference anchor: the reference has no text analytics
+    (collector.py:182 concatenates title+description only); this is
+    the curation layer on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.expr(f"size({_WORDS_SPARK})").alias("n_words"),
+            F.expr(
+                "greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            ).alias("n_sent"),
+            F.expr(
+                "greatest(size(regexp_extract_all(lower(text), "
+                "'[aeiouy]+', 0)), 1)"
+            ).alias("n_syll"),
+        )
+        .filter(F.col("n_words") >= 1)
+        .select("lang", F.expr(_X56_GRADE_SQL).alias("grade_e3"))
+        .select(
+            "lang",
+            "grade_e3",
+            F.expr("(grade_e3 + 100000) DIV 3000").alias("band"),
+        )
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("grade_e3").cast("bigint").alias("sum_grade_e3"),
+        )
+    )
+
+
+_X56_SQL = (
+    "WITH d AS (SELECT lang, "
+    f"len({_WORDS_DUCK}) AS n_words, "
+    "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent, "
+    "greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) "
+    "AS n_syll "
+    "FROM documents), "
+    "g AS (SELECT lang, "
+    f"{_X56_GRADE_SQL} AS grade_e3 "
+    "FROM d WHERE n_words >= 1) "
+    "SELECT lang, (grade_e3 + 100000) // 3000 AS band, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(grade_e3) AS BIGINT) AS sum_grade_e3 "
+    "FROM g GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "x4_doc_stats": x4_doc_stats,
     "x4b_lang_profile": x4b_lang_profile,
@@ -730,6 +813,7 @@ QUERIES = {
     "x41_bpe_train": x41_bpe_train,
     "x41b_bpe_encode": x41b_bpe_encode,
     "x50_quality_probe": x50_quality_probe,
+    "x56_readability": x56_readability,
 }
 
 ORACLES = {
@@ -741,4 +825,5 @@ ORACLES = {
     "x41_bpe_train": _X41_SQL,
     "x41b_bpe_encode": _x41b_sql(),
     "x50_quality_probe": _x50_sql(),
+    "x56_readability": _X56_SQL,
 }

@@ -195,6 +195,19 @@ HEADLINE = [
     "a16_conditional_aggregates",
     "xj3_asof_tolerance",
     "x52_quantizer_drift",
+    # continuation-session additions: identity merge, rowTracking ×
+    # mapping driver row, map-side phrase search, waterfill, novelty
+    "s36_identity_merge",
+    "s37_mapped_row_ids",
+    "x53_phrase_search",
+    "x54_budget_waterfill",
+    "x55_novelty_curve",
+    # round-8 closing batch: readability bands, cross-source overlap
+    # matrix, quantizer label purity, Benford audit
+    "x56_readability",
+    "x57_source_overlap",
+    "x59_cluster_purity",
+    "dq8_benford_audit",
     # x51_dedup_roi stays OUT of the headline (st17's rule): its
     # sequential three-pass sweep costs ~30 s at sf0.1 — the driver
     # correctness gate runs it at sf0.01 from the top of _PRIORITY.

@@ -5947,3 +5947,49 @@ def test_overwrite_full_table_all_shapes(spark, tmp_path):
     assert (0, "delete") not in got  # DV-erased row must not resurface
     assert got[-2:] == [(50, "insert"), (51, "insert")]
     assert dc.read_delta(spark, t2, version=v2 - 1).count() == 7
+
+
+def test_enable_column_mapping_never_downgrades_protocol(spark, tmp_path):
+    """enable_column_mapping on a legacy (1, 6) table must emit
+    (2, 6), not (2, 5): the Delta spec forbids a writer LOWERING
+    either protocol version, and a later replay would take the
+    lowered protocol as latest (the round-8 advisor finding, fixed
+    with max() in the legacy upgrade branch)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "w6_map")
+    dc.append_delta(spark.range(2).select(F.col("id").alias("k")), table)
+    snap = dc.snapshot(table)
+    _commit(table, snap["version"] + 1,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}])
+    dc.enable_column_mapping(table)
+    p = dc.snapshot(table)["protocol"]
+    assert p["minReaderVersion"] == 2
+    assert p["minWriterVersion"] == 6  # never 6 -> 5
+    # the upgraded table stays writable and readable through the mapping
+    dc.append_delta(spark.range(2, 4).select(F.col("id").alias("k")), table)
+    assert dc.read_delta(spark, table).count() == 4
+
+
+def test_v2_sidecar_schema_carries_remove_column(spark, tmp_path):
+    """V2 checkpoint sidecars must carry BOTH add and remove columns
+    (the v2 spec's sidecar file shape): this writer's checkpoints are
+    net-of-log so remove is always null-valued, but a foreign reader
+    (delta-kernel/delta-spark) projecting `remove` from a sidecar must
+    find the column rather than fail."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "v2_rm")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), table)
+    dc.enable_v2_checkpoints(table)
+    dc.append_delta(spark.range(3, 6).select(F.col("id").alias("k")), table)
+    dc.checkpoint_delta(table)
+    sidecars = glob.glob(
+        os.path.join(table, "_delta_log", "_sidecars", "*.parquet")
+    )
+    assert sidecars
+    for sc in sidecars:
+        names = pq.read_schema(sc).names
+        assert "add" in names and "remove" in names

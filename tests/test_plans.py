@@ -716,3 +716,53 @@ def test_x42_stats_broadcast_corpus_pure_map(spark, sf_dir):
         "ReadSchema: struct<doc_id:" in ln and "text" not in ln
         for ln in scans
     )
+
+
+def test_round8_closing_plan_shapes(spark, sf_dir):
+    """x56: pure map + ONE hash-agg, the documents scan prunes to
+    (lang, text); x57: the carrier-set fold is the only wide shuffle —
+    no self-join on shingle rows survives (no SortMergeJoin), the
+    Jaccard closes through BROADCAST joins; x59: no cartesian below
+    the audited IVF assignment; dq8: one orders scan pruned to
+    o_totalprice, every join a broadcast of the 1-row total."""
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x57_source_overlap,
+    )
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x59_cluster_purity,
+    )
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq8_benford_audit,
+    )
+    from acero_delta_lake_streaming_spark.operators.text import (
+        x56_readability,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x56_readability(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # map + agg only
+        scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "documents.parquet" in ln]
+        assert scans
+        assert all("doc_id" not in ln for ln in scans)  # pruned
+
+        plan = _physical(x57_source_overlap(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # no shingle self-join
+        assert "BroadcastHashJoin" in plan  # sizes close via broadcast
+
+        plan = _physical(x59_cluster_purity(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+        plan = _physical(dq8_benford_audit(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "orders.parquet" in ln]
+        assert scans
+        assert any("ReadSchema: struct<o_totalprice:" in ln
+                   for ln in scans)
+    finally:
+        release_scoped()
