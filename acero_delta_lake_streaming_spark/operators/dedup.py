@@ -1475,6 +1475,131 @@ _X46_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X60 — containment pairs (asymmetric near-dup: doc-in-doc detection)
+# --------------------------------------------------------------------------
+
+_X60_SLICE = 50  # blocking key: doc_id < _X60_SLICE plus planted snippets
+_X60_SNIP = 15  # planted snippet length (words)
+_X60_T = 8000  # containment threshold, basis points
+
+
+def x60_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 — CONTAINMENT dedup pairs: directed ``|A∩B| / |A|`` over
+    trigram shingle sets, the asymmetric metric that catches a small
+    document living INSIDE a larger one (snippet/quote/digest
+    duplication). Symmetric Jaccard — every x2-family detector —
+    structurally misses these: a 15-word extract of a 70-word doc has
+    containment 1.0 but Jaccard ≈ 0.2, far under any dedup threshold,
+    which is why production pipelines run a containment pass (the
+    one-sided variant of Lee et al.'s dedup suite) beside MinHash. The
+    certificate plants exactly that shape: first-``_X60_SNIP``-words
+    snippet twins (fixture device, the x34 pattern) whose containment
+    must read 10000 bp while their Jaccard stays in the low thousands.
+
+    Direction is derived, not declared: the smaller shingle set is the
+    contained side (ties break to the higher doc_id — deterministic in
+    both engines). Like x2c, the pair space generates through the
+    shingle EQUI-join on an id-blocked slice (the documented blocking
+    key — production blocks by LSH bucket or suffix-array run instead;
+    the join/agg geometry is identical), so even the exact path is
+    never a cross join and candidates are bounded by shared-shingle
+    co-occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(
+        (F.col("doc_id") % 1000000) < _X60_SLICE
+    ).select("doc_id", "text")
+    snippets = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', slice({_WORDS_SPARK}, 1, {_X60_SNIP}))"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(snippets)
+    sh = scoped_persist(_shingle_rows(corpus))
+    counts = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.expr(
+                "CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b "
+                "ELSE greatest(doc_a, doc_b) END"
+            ).cast("bigint").alias("contained_id"),
+            F.expr(
+                "CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a "
+                "ELSE least(doc_a, doc_b) END"
+            ).cast("bigint").alias("container_id"),
+            F.expr("least(na, nb)").cast("bigint").alias("n_contained"),
+            F.expr("greatest(na, nb)").cast("bigint").alias(
+                "n_container"
+            ),
+            "inter",
+            F.expr("(10000 * inter) DIV least(na, nb)")
+            .cast("bigint")
+            .alias("containment_bp"),
+            F.expr("(10000 * inter) DIV (na + nb - inter)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .filter(F.col("containment_bp") >= _X60_T)
+    )
+
+
+_X60_SQL = (
+    "WITH base AS (SELECT doc_id, text FROM documents "
+    f"WHERE doc_id % 1000000 < {_X60_SLICE}), "
+    "corpus AS (SELECT doc_id, text FROM base "
+    "UNION ALL "
+    "SELECT doc_id + 2000000, "
+    f"array_to_string(list_slice({_WORDS_DUCK}, 1, {_X60_SNIP}), ' ') "
+    "FROM base WHERE doc_id % 10 = 5), "
+    f"sh AS ({_SHINGLE_ROWS_SQL}), "
+    "counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS inter FROM sh a JOIN sh b "
+    "ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "scored AS (SELECT "
+    "CAST(CASE WHEN ca.n_sh < cb.n_sh THEN i.doc_a "
+    "WHEN cb.n_sh < ca.n_sh THEN i.doc_b "
+    "ELSE greatest(i.doc_a, i.doc_b) END AS BIGINT) AS contained_id, "
+    "CAST(CASE WHEN ca.n_sh < cb.n_sh THEN i.doc_b "
+    "WHEN cb.n_sh < ca.n_sh THEN i.doc_a "
+    "ELSE least(i.doc_a, i.doc_b) END AS BIGINT) AS container_id, "
+    "CAST(least(ca.n_sh, cb.n_sh) AS BIGINT) AS n_contained, "
+    "CAST(greatest(ca.n_sh, cb.n_sh) AS BIGINT) AS n_container, "
+    "i.inter, "
+    "CAST((10000 * i.inter) // least(ca.n_sh, cb.n_sh) AS BIGINT) "
+    "AS containment_bp, "
+    "CAST((10000 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS BIGINT) "
+    "AS jaccard_bp "
+    "FROM inter i "
+    "JOIN counts ca ON ca.doc_id = i.doc_a "
+    "JOIN counts cb ON cb.doc_id = i.doc_b) "
+    f"SELECT * FROM scored WHERE containment_bp >= {_X60_T}"
+)
+
+
+# --------------------------------------------------------------------------
 # X57 — cross-source contamination matrix (pairwise shingle overlap)
 # --------------------------------------------------------------------------
 
@@ -1597,6 +1722,7 @@ QUERIES = {
     "x46_boilerplate_grams": x46_boilerplate_grams,
     "x51_dedup_roi": x51_dedup_roi,
     "x57_source_overlap": x57_source_overlap,
+    "x60_containment_pairs": x60_containment_pairs,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1614,5 +1740,6 @@ ORACLES = {
     "x46_boilerplate_grams": _X46_SQL,
     "x51_dedup_roi": _x51_sql(),
     "x57_source_overlap": _X57_SQL,
+    "x60_containment_pairs": _X60_SQL,
     "x19_line_dedup": _X19_SQL,
 }

@@ -208,6 +208,7 @@ HEADLINE = [
     "x57_source_overlap",
     "x59_cluster_purity",
     "dq8_benford_audit",
+    "x60_containment_pairs",
     # x51_dedup_roi stays OUT of the headline (st17's rule): its
     # sequential three-pass sweep costs ~30 s at sf0.1 — the driver
     # correctness gate runs it at sf0.01 from the top of _PRIORITY.

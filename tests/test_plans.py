@@ -756,6 +756,14 @@ def test_round8_closing_plan_shapes(spark, sf_dir):
         plan = _physical(x59_cluster_purity(spark, sf_dir))
         assert "CartesianProduct" not in plan
 
+        from acero_delta_lake_streaming_spark.operators.dedup import (
+            x60_containment_pairs,
+        )
+
+        plan = _physical(x60_containment_pairs(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan  # equi-join only
+
         plan = _physical(dq8_benford_audit(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
