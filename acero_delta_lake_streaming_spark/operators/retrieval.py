@@ -282,6 +282,17 @@ def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule applied to irrational addends). Production ranking semantics,
     fully hash-gated — no tolerance needed at the gate; the tolerance
     check in tests pins the approximation against math.log instead."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21b's pre-limit scored frame (doc_id, n_terms_hit, score_e9) —
+    factored so the RRF fusion (x62) ranks the SAME scoring the
+    standalone BM25 query ships; its SQL twin is ``_bm25_ctes``."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
@@ -325,28 +336,270 @@ def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score_e9"), F.asc("doc_id")).limit(_TOPK)
 
 
+def _bm25_ctes(p: str) -> str:
+    """x21b's scored-frame CTE chain, every name ``p``-prefixed so two
+    ranker chains can coexist in one statement (x62); ends in
+    ``{p}scored`` (doc_id, n_terms_hit, score_e9). Single source with
+    ``_bm25_scored`` — the Spark and SQL formulas must not drift."""
+    return (
+        f"{p}d AS (SELECT doc_id, "
+        f"len({_WORDS_DUCK}) AS dl, {_WORDS_DUCK} AS w FROM documents), "
+        f"{p}stats AS (SELECT count(*) AS n_docs, "
+        f"CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM {p}d), "
+        f"{p}t AS (SELECT doc_id, dl, term, count(*) AS tf FROM ("
+        f"SELECT doc_id, dl, unnest(w) AS term FROM {p}d) "
+        f"WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3), "
+        f"{p}dfs AS (SELECT term, count(*) AS df FROM {p}t GROUP BY 1), "
+        f"{p}c0 AS (SELECT t.doc_id, t.tf, t.dl, s.avgdl, "
+        "1.0 + (CAST(s.n_docs - dfs.df AS DOUBLE) + 0.5) "
+        "/ (CAST(dfs.df AS DOUBLE) + 0.5) AS lx "
+        f"FROM {p}t t JOIN {p}dfs dfs ON t.term = dfs.term "
+        f"CROSS JOIN {p}stats s), "
+        + _portable_ln_ctes(
+            f"{p}c0", f"{p}c", "doc_id, tf, dl, avgdl", "idf"
+        )
+        + ", "
+        f"{p}cx AS (SELECT doc_id, CAST(floor("
+        f"idf * {_LN_SAT} * 1000000000.0) AS BIGINT) AS contrib_e9 "
+        f"FROM {p}c6), "
+        f"{p}scored AS (SELECT doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_terms_hit, "
+        f"CAST(sum(contrib_e9) AS BIGINT) AS score_e9 FROM {p}cx "
+        "GROUP BY 1)"
+    )
+
+
 _X21B_SQL = (
-    "WITH d AS (SELECT doc_id, "
-    f"len({_WORDS_DUCK}) AS dl, {_WORDS_DUCK} AS w FROM documents), "
-    "stats AS (SELECT count(*) AS n_docs, "
-    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
-    "t AS (SELECT doc_id, dl, term, count(*) AS tf FROM ("
-    "SELECT doc_id, dl, unnest(w) AS term FROM d) "
-    f"WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3), "
-    "dfs AS (SELECT term, count(*) AS df FROM t GROUP BY 1), "
-    "c0 AS (SELECT t.doc_id, t.tf, t.dl, s.avgdl, "
-    "1.0 + (CAST(s.n_docs - dfs.df AS DOUBLE) + 0.5) "
-    "/ (CAST(dfs.df AS DOUBLE) + 0.5) AS lx "
-    "FROM t JOIN dfs ON t.term = dfs.term CROSS JOIN stats s), "
-    + _portable_ln_ctes("c0", "c", "doc_id, tf, dl, avgdl", "idf")
-    + ", "
-    "c AS (SELECT doc_id, CAST(floor("
-    f"idf * {_LN_SAT} * 1000000000.0) AS BIGINT) AS contrib_e9 FROM c6), "
-    "scored AS (SELECT doc_id, "
-    "CAST(count(*) AS BIGINT) AS n_terms_hit, "
-    "CAST(sum(contrib_e9) AS BIGINT) AS score_e9 FROM c GROUP BY 1) "
-    "SELECT doc_id, n_terms_hit, score_e9 FROM scored "
+    "WITH "
+    + _bm25_ctes("")
+    + " SELECT doc_id, n_terms_hit, score_e9 FROM scored "
     f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK}"
+)
+
+
+# --------------------------------------------------------------------------
+# X61 — Dirichlet query-likelihood ranking; X62 — hybrid RRF fusion
+# --------------------------------------------------------------------------
+
+_QL_MU = 2000  # Dirichlet smoothing mass (the standard default)
+_RRF_K = 60  # reciprocal-rank damping (Cormack et al.'s constant)
+_RRF_TOP = 15
+
+
+def _ql_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed QUERY-LIKELIHOOD scored frame over the x21b
+    candidate set: score(d) = Σ_hit ln(1 + tf·T/(μ·cf)) − |q|·ln((dl+μ)/μ)
+    (the rank-equivalent decomposition of Σ_q ln((tf+μ·cf/T)/(dl+μ)),
+    dropping the doc-independent Σ ln(μ·cf/T) term). Both logarithm
+    arguments are ≥ 1 rationals of BIGINTs, evaluated by the portable
+    ln and e9-quantized per contribution BEFORE any cross-row sum. SQL
+    twin: ``_ql_ctes``."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
+        .withColumn("dl", F.size("w"))
+    )
+    tot = docs.agg(F.sum("dl").cast("bigint").alias("tot")).withColumn(
+        "k", F.lit(1)
+    )
+    matched = scoped_persist(
+        docs.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cfs = matched.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("cf")
+    )
+    hits = (
+        matched.join(F.broadcast(cfs), "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .withColumn(
+            "lx",
+            F.expr(
+                "1.0 + CAST(tf * tot AS DOUBLE) "
+                f"/ CAST({_QL_MU} * cf AS DOUBLE)"
+            ),
+        )
+        .transform(_portable_ln, "lnh")
+        .withColumn(
+            "contrib_e9",
+            F.expr("CAST(floor(lnh * 1000000000.0) AS BIGINT)"),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("contrib_e9").cast("bigint").alias("hit_e9"),
+        )
+    )
+    return (
+        hits.withColumn(
+            "lx",
+            F.expr(
+                f"CAST(dl + {_QL_MU} AS DOUBLE) "
+                f"/ CAST({_QL_MU} AS DOUBLE)"
+            ),
+        )
+        .transform(_portable_ln, "lnd")
+        .withColumn(
+            "base_e9",
+            F.expr("CAST(floor(lnd * 1000000000.0) AS BIGINT)"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.expr(f"hit_e9 - {len(_QUERY_TERMS)} * base_e9")
+            .cast("bigint")
+            .alias("score_e9"),
+        )
+    )
+
+
+def _ql_ctes(p: str) -> str:
+    """SQL twin of :func:`_ql_scored`, ``p``-prefixed; ends in
+    ``{p}scored`` (doc_id, n_terms_hit, score_e9)."""
+    return (
+        f"{p}d AS (SELECT doc_id, "
+        f"len({_WORDS_DUCK}) AS dl, {_WORDS_DUCK} AS w FROM documents), "
+        f"{p}tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM {p}d), "
+        f"{p}t AS (SELECT doc_id, dl, term, count(*) AS tf FROM ("
+        f"SELECT doc_id, dl, unnest(w) AS term FROM {p}d) "
+        f"WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3), "
+        f"{p}cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf "
+        f"FROM {p}t GROUP BY 1), "
+        f"{p}h0 AS (SELECT t.doc_id, t.dl, "
+        "1.0 + CAST(t.tf * s.tot AS DOUBLE) "
+        f"/ CAST({_QL_MU} * cfs.cf AS DOUBLE) AS lx "
+        f"FROM {p}t t JOIN {p}cfs cfs ON t.term = cfs.term "
+        f"CROSS JOIN {p}tot s), "
+        + _portable_ln_ctes(f"{p}h0", f"{p}h", "doc_id, dl", "lnh")
+        + ", "
+        f"{p}hx AS (SELECT doc_id, dl, "
+        "CAST(floor(lnh * 1000000000.0) AS BIGINT) AS contrib_e9 "
+        f"FROM {p}h6), "
+        f"{p}hits AS (SELECT doc_id, dl, "
+        "CAST(count(*) AS BIGINT) AS n_terms_hit, "
+        f"CAST(sum(contrib_e9) AS BIGINT) AS hit_e9 FROM {p}hx "
+        "GROUP BY 1, 2), "
+        f"{p}b0 AS (SELECT doc_id, n_terms_hit, hit_e9, "
+        f"CAST(dl + {_QL_MU} AS DOUBLE) / CAST({_QL_MU} AS DOUBLE) AS lx "
+        f"FROM {p}hits), "
+        + _portable_ln_ctes(
+            f"{p}b0", f"{p}b", "doc_id, n_terms_hit, hit_e9", "lnd"
+        )
+        + ", "
+        f"{p}scored AS (SELECT doc_id, n_terms_hit, "
+        f"CAST(hit_e9 - {len(_QUERY_TERMS)} * "
+        "CAST(floor(lnd * 1000000000.0) AS BIGINT) AS BIGINT) "
+        f"AS score_e9 FROM {p}b6)"
+    )
+
+
+def x61_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 — Dirichlet-smoothed QUERY-LIKELIHOOD ranking (Zhai &
+    Lafferty's language-model retrieval, μ = 2000): the second classic
+    lexical ranking family beside BM25, scoring documents by the
+    likelihood their smoothed unigram LM generates the query. Same
+    inverted-index probe plan as x21b (explode → filter to query terms
+    → per-(doc, term) tf; collection stats broadcast back), so the
+    corpus pays ONE vocabulary-filtered shuffle; rank-equivalent
+    decomposition keeps both ln arguments ≥ 1 rationals of BIGINTs
+    (portable ln, e9-quantized per contribution before the
+    order-independent per-doc sum). Scores are negative (log
+    likelihoods) — exact BIGINT e9, fully hash-gated."""
+    return (
+        _ql_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+_X61_SQL = (
+    "WITH "
+    + _ql_ctes("")
+    + " SELECT doc_id, n_terms_hit, score_e9 FROM scored "
+    f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK}"
+)
+
+
+def x62_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 — RECIPROCAL-RANK FUSION of the two lexical rankers (BM25 ×
+    query likelihood): rrf(d) = Σ_lists 1/(k + rank_d), k = 60 — the
+    standard hybrid-retrieval combiner (RAG stacks fuse lexical ×
+    dense exactly this way; the two production lexical families stand
+    in here so the certificate stays hash-exact end to end). Each
+    ranker's top-k materializes via TakeOrderedAndProject (the
+    scale-safe top-k — the row_number that ASSIGNS ranks runs over the
+    already-limited 25-row frame, never the corpus), the fusion is a
+    full-outer join of two 25-row frames, and the RRF terms are exact
+    integer e6 (1000000 DIV (60 + rank)) — no float ever enters.
+    Docs ranked by only one list keep rank 0 in the other column and
+    contribute a single term, the standard union semantics."""
+    rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_bm25", F.row_number().over(rank_w))
+        .select("doc_id", "rank_bm25")
+    )
+    ql = (
+        _ql_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_ql", F.row_number().over(rank_w))
+        .select("doc_id", "rank_ql")
+    )
+    return (
+        bm.join(ql, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0))
+            .cast("bigint")
+            .alias("rank_bm25"),
+            F.coalesce("rank_ql", F.lit(0))
+            .cast("bigint")
+            .alias("rank_ql"),
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CASE WHEN rank_bm25 > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_bm25) ELSE 0 END "
+                f"+ CASE WHEN rank_ql > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_ql) ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+
+
+_X62_SQL = (
+    "WITH "
+    + _bm25_ctes("b_")
+    + ", "
+    + _ql_ctes("q_")
+    + ", "
+    "bm AS (SELECT doc_id, CAST(row_number() OVER ("
+    "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_bm25 "
+    "FROM (SELECT * FROM b_scored "
+    f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+    "qlr AS (SELECT doc_id, CAST(row_number() OVER ("
+    "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_ql "
+    "FROM (SELECT * FROM q_scored "
+    f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+    "f AS (SELECT COALESCE(bm.doc_id, qlr.doc_id) AS doc_id, "
+    "COALESCE(bm.rank_bm25, 0) AS rank_bm25, "
+    "COALESCE(qlr.rank_ql, 0) AS rank_ql "
+    "FROM bm FULL OUTER JOIN qlr ON bm.doc_id = qlr.doc_id) "
+    "SELECT doc_id, rank_bm25, rank_ql, "
+    f"CAST(CASE WHEN rank_bm25 > 0 THEN "
+    f"1000000 // ({_RRF_K} + rank_bm25) ELSE 0 END "
+    f"+ CASE WHEN rank_ql > 0 THEN "
+    f"1000000 // ({_RRF_K} + rank_ql) ELSE 0 END AS BIGINT) AS rrf_e6 "
+    f"FROM f ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {_RRF_TOP}"
 )
 
 
@@ -1035,6 +1288,8 @@ QUERIES = {
     "x36_bigram_surprise": x36_bigram_surprise,
     "x38_dsir_importance": x38_dsir_importance,
     "x53_phrase_search": x53_phrase_search,
+    "x61_ql_topk": x61_ql_topk,
+    "x62_hybrid_rrf": x62_hybrid_rrf,
 }
 
 ORACLES = {
@@ -1047,4 +1302,6 @@ ORACLES = {
     "x36_bigram_surprise": _X36_SQL,
     "x38_dsir_importance": _x38_sql(),
     "x53_phrase_search": _x53_sql(),
+    "x61_ql_topk": _X61_SQL,
+    "x62_hybrid_rrf": _X62_SQL,
 }

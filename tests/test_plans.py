@@ -764,6 +764,16 @@ def test_round8_closing_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan  # equi-join only
 
+        from acero_delta_lake_streaming_spark.operators.retrieval import (
+            x62_hybrid_rrf,
+        )
+
+        plan = _physical(x62_hybrid_rrf(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # both rankers' top-k are distributed TakeOrderedAndProject;
+        # rank assignment windows run over the limited frames only
+        assert plan.count("TakeOrderedAndProject") >= 2
+
         plan = _physical(dq8_benford_audit(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
