@@ -733,6 +733,163 @@ _ST8_SQL = (
 )
 
 
+def st23_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23 — streaming POINT-IN-TIME dimension enrichment: every
+    purchase micro-batch joins the SCD2 engagement-state history (w7's
+    gaps-and-islands geometry over the users' view/click runs) AS OF
+    the purchase's event time — the everyday lakehouse question "what
+    state was this customer in when they bought" answered exactly-once
+    in-stream. st8 enriches against the CURRENT dimension row; this is
+    the history-correct variant a warehouse needs the moment the
+    dimension changes under the stream (each batch resolves against
+    validity intervals, so a replayed epoch gets the same answer —
+    time-travel-stable enrichment).
+
+    Per epoch: the batch hash-joins the broadcast interval table on
+    user_id (the interval predicate rides the equi-join — at most one
+    run matches per purchase since runs partition each user's
+    timeline; pre-first-state purchases fall to 'none'), rolls up to
+    per-state (count, e2-floored cents) partials and commits them
+    transactionally — the sink table IS the state, counts are additive
+    across epochs, and the final read just sums partials. At 100 TB
+    the dim rides whatever join AQE picks per batch (broadcast while
+    it fits; the intervals are |users'-state-changes| rows, metadata
+    vs the stream). Oracle: the batch as-of join over all events."""
+    from pyspark.sql import Window
+
+    from acero_delta_lake_streaming_spark.streaming.ingest import (
+        EVENT_BATCH_SCHEMA,
+    )
+
+    base = _scratch(sf_dir, "st23")
+    drop, out, cp = (
+        os.path.join(base, "drop"),
+        os.path.join(base, "out"),
+        os.path.join(base, "cp"),
+    )
+    os.makedirs(drop, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    split_ns = 1705363200 * 1_000_000_000
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(purchases.filter(F.col("ts_ns") < split_ns), f0)
+    write_single_parquet(purchases.filter(F.col("ts_ns") >= split_ns), f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    hist = events.filter(F.col("event_type").isin("view", "click"))
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = hist.withColumn(
+        "new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ns").alias("from_ns")
+    )
+    dim = runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "from_ns",
+        F.expr(
+            "lead(from_ns) OVER (PARTITION BY user_id ORDER BY run_id)"
+        ).alias("to_ns"),
+    ).localCheckpoint(eager=True)  # freeze: every epoch joins the SAME dim
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = batch_df.alias("p")
+        d = F.broadcast(dim).alias("d")
+        agg = (
+            p.join(
+                d,
+                (F.col("p.user_id") == F.col("d.user_id"))
+                & (F.col("d.from_ns") <= F.col("p.ts_ns"))
+                & (
+                    F.col("d.to_ns").isNull()
+                    | (F.col("p.ts_ns") < F.col("d.to_ns"))
+                ),
+                "left",
+            )
+            .select(
+                F.coalesce(F.col("d.state"), F.lit("none")).alias(
+                    "state"
+                ),
+                F.expr("CAST(floor(p.value * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .groupBy("state")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        deltalite.write(agg, out, app_id="st23", epoch=epoch_id)
+
+    stream = (
+        spark.readStream.schema(EVENT_BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        deltalite.read(spark, out)
+        .groupBy("state")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+_ST23_SQL = (
+    "WITH e AS (SELECT event_id, epoch_ns(ts) AS tns, user_id, "
+    "event_type, value FROM events), "
+    "h AS (SELECT user_id, tns, event_id, event_type FROM e "
+    "WHERE event_type IN ('view', 'click')), "
+    "f AS (SELECT *, CASE WHEN lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY tns, event_id) IS NULL OR "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) "
+    "<> event_type THEN 1 ELSE 0 END AS new_run FROM h), "
+    "n AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id "
+    "ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM f), "
+    "runs AS (SELECT user_id, run_id, event_type, min(tns) AS from_ns "
+    "FROM n GROUP BY 1, 2, 3), "
+    "dim AS (SELECT user_id, event_type AS state, from_ns, "
+    "lead(from_ns) OVER (PARTITION BY user_id ORDER BY run_id) AS to_ns "
+    "FROM runs), "
+    "p AS (SELECT user_id, tns, value FROM e "
+    "WHERE event_type = 'purchase'), "
+    "j AS (SELECT COALESCE(d.state, 'none') AS state, "
+    "CAST(floor(p.value * 100) AS BIGINT) AS cents "
+    "FROM p LEFT JOIN dim d ON d.user_id = p.user_id "
+    "AND d.from_ns <= p.tns "
+    "AND (d.to_ns IS NULL OR p.tns < d.to_ns)) "
+    "SELECT state, CAST(count(*) AS BIGINT) AS n_purchases, "
+    "CAST(sum(cents) AS BIGINT) AS total_cents FROM j GROUP BY 1"
+)
+
+
 def st11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST11 — sessionization as a STREAM: the events fixture replays
     through ``run_session_stream`` (session_window + watermark →
@@ -1604,6 +1761,7 @@ QUERIES = {
     "st19_streaming_heavy_hitters": st19_streaming_heavy_hitters,
     "st21_streaming_dedup_ledger": st21_streaming_dedup_ledger,
     "st22_streaming_quality_mart": st22_streaming_quality_mart,
+    "st23_streaming_scd2_enrich": st23_streaming_scd2_enrich,
 }
 
 ORACLES = {
@@ -1623,4 +1781,5 @@ ORACLES = {
     "st19_streaming_heavy_hitters": _st19_sql(),
     "st21_streaming_dedup_ledger": _st21_sql(),
     "st22_streaming_quality_mart": _ST22_SQL,
+    "st23_streaming_scd2_enrich": _ST23_SQL,
 }

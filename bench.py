@@ -211,6 +211,7 @@ HEADLINE = [
     "x60_containment_pairs",
     "x61_ql_topk",
     "x62_hybrid_rrf",
+    "st23_streaming_scd2_enrich",
     # x51_dedup_roi stays OUT of the headline (st17's rule): its
     # sequential three-pass sweep costs ~30 s at sf0.1 — the driver
     # correctness gate runs it at sf0.01 from the top of _PRIORITY.
