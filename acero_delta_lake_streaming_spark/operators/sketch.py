@@ -848,6 +848,173 @@ _DQ4_SQL = " UNION ALL ".join(
 
 
 # --------------------------------------------------------------------------
+# X63 — θ-sketch audience overlap (KMV set INTERSECTION estimation)
+# --------------------------------------------------------------------------
+
+
+def x63_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 — audience OVERLAP between event types estimated from KMV
+    θ-sketches: x13 answers "how many distinct users" per set; this
+    answers "how many users do two sets SHARE" without ever touching
+    the exact sets — the Theta-sketch set-operation capability
+    (Datasketches' core pitch) that lets a 100 TB platform answer
+    audience-intersection questions from kilobyte sketches. Estimator:
+    θ = min(θ_A, θ_B), c = |{h ∈ sk_A ∩ sk_B : h < θ}|, est = c·H/θ
+    (H = the md5-derived 24-bit hash space) — all BIGINT, no float.
+    A set smaller than k has θ = H (its sketch IS the set), so the
+    estimator degrades to exact — both engines share the COALESCE.
+
+    The per-type sketches build with x13's salted two-stage k-min
+    (mergeable sketch: k-min of a union = k-min of per-cell k-mins; no
+    window over distinct hashes, reducer state O(k·cells) at any
+    corpus size). Sketch rows then pair on the HASH equi-join (k rows
+    per type — metadata-sized), thetas ride in via broadcast, and the
+    exact intersection computes alongside so the estimator's error is
+    IN the certificate (err_bp) — the x13 audit discipline applied to
+    set algebra."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.selectExpr(
+        "event_type", f"{_HASH_SPARK} AS h"
+    ).distinct()
+    cells = h.groupBy(
+        "event_type",
+        F.pmod(F.col("h"), F.lit(_PREMERGE_CELLS)).alias("cell"),
+    ).agg(
+        F.expr(f"slice(sort_array(collect_list(h)), 1, {_K})").alias(
+            "mins"
+        )
+    )
+    sk = cells.groupBy("event_type").agg(
+        F.expr(
+            f"slice(array_sort(flatten(collect_list(mins))), 1, {_K})"
+        ).alias("mins")
+    ).select(
+        "event_type",
+        "mins",
+        F.expr(
+            f"coalesce(try_element_at(mins, {_K}), {_SPACE})"
+        ).alias("theta"),
+    )
+    skrows = sk.select(
+        "event_type", F.explode("mins").alias("h")
+    )
+    common = (
+        skrows.select(F.col("event_type").alias("ta"), "h")
+        .join(
+            skrows.select(F.col("event_type").alias("tb"), "h"), "h"
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("theta").alias("theta_a"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("theta").alias("theta_b"),
+                )
+            ),
+            "tb",
+        )
+        .filter(F.expr("h < least(theta_a, theta_b)"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    du = events.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    return (
+        exact.join(common, ["ta", "tb"], "left")
+        .join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("theta").alias("theta_a"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("theta").alias("theta_b"),
+                )
+            ),
+            "tb",
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "exact_common",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias(
+                "n_common_sk"
+            ),
+            F.expr("least(theta_a, theta_b)").cast("bigint").alias(
+                "theta"
+            ),
+            F.expr(
+                f"(coalesce(c, 0) * {_SPACE}) "
+                "DIV least(theta_a, theta_b)"
+            ).cast("bigint").alias("est_common"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "(10000 * abs(est_common - exact_common)) "
+                "DIV exact_common"
+            ).cast("bigint"),
+        )
+    )
+
+
+_X63_SQL = (
+    f"WITH h AS (SELECT DISTINCT event_type, {_HASH_DUCK} AS h "
+    "FROM events), "
+    "r AS (SELECT event_type, h, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY h) AS rn FROM h), "
+    f"sk AS (SELECT event_type, h FROM r WHERE rn <= {_K}), "
+    f"th AS (SELECT event_type, COALESCE(max(CASE WHEN rn = {_K} "
+    f"THEN h END), {_SPACE}) AS theta FROM r GROUP BY 1), "
+    "common AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+    "CAST(count(*) AS BIGINT) AS c "
+    "FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type "
+    "JOIN th x ON x.event_type = a.event_type "
+    "JOIN th y ON y.event_type = b.event_type "
+    "WHERE a.h < least(x.theta, y.theta) GROUP BY 1, 2), "
+    "du AS (SELECT DISTINCT event_type, user_id FROM events), "
+    "ex AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+    "CAST(count(*) AS BIGINT) AS exact_common "
+    "FROM du a JOIN du b ON a.user_id = b.user_id "
+    "AND a.event_type < b.event_type GROUP BY 1, 2), "
+    "o AS (SELECT ex.ta AS type_a, ex.tb AS type_b, ex.exact_common, "
+    "CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common_sk, "
+    "CAST(least(x.theta, y.theta) AS BIGINT) AS theta, "
+    f"CAST((COALESCE(c.c, 0) * {_SPACE}) "
+    "// least(x.theta, y.theta) AS BIGINT) AS est_common "
+    "FROM ex LEFT JOIN common c ON c.ta = ex.ta AND c.tb = ex.tb "
+    "JOIN th x ON x.event_type = ex.ta "
+    "JOIN th y ON y.event_type = ex.tb) "
+    "SELECT *, CAST((10000 * abs(est_common - exact_common)) "
+    "// exact_common AS BIGINT) AS err_bp FROM o"
+)
+
+
+# --------------------------------------------------------------------------
 # DQ8 — Benford first-digit audit
 # --------------------------------------------------------------------------
 
@@ -955,6 +1122,7 @@ QUERIES = {
     "dq6_robust_outliers": dq6_robust_outliers,
     "dq7_token_drift": dq7_token_drift,
     "dq8_benford_audit": dq8_benford_audit,
+    "x63_sketch_overlap": x63_sketch_overlap,
 }
 
 ORACLES = {
@@ -969,4 +1137,5 @@ ORACLES = {
     "dq6_robust_outliers": _DQ6_SQL,
     "dq7_token_drift": _DQ7_SQL,
     "dq8_benford_audit": _DQ8_SQL,
+    "x63_sketch_overlap": _X63_SQL,
 }
