@@ -2578,6 +2578,135 @@ def _x59_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X64 — Matryoshka truncation recall audit
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 4)  # prefix truncations audited against the full 64
+
+
+def x64_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 — MATRYOSHKA truncation audit: recall@10 of prefix-truncated
+    embeddings (dims 16 and 4 of the stored 64) against the full-dim
+    exact top-10 — the measurement behind MRL-style "store wide, serve
+    narrow" deployments (truncate to d/4 for the candidate pass, spend
+    full dims only on the short re-rank list; this audit is the
+    decision input for how far you can cut). Truncation is a per-row
+    ``slice`` (free at scan time — at 100 TB the narrow pass reads 4/64
+    of the vector bytes), cosines reuse the sequential-fold dot (a
+    prefix of the same fold, so both engines stay bit-identical), and
+    the certificate is PURE INTEGERS: per (query, dim) the overlap
+    count of the truncated top-10 with the full top-10 — no float ever
+    emitted. Exact top-k per dim is x3's audited brute-force geometry
+    (5-row query broadcast; the documented exact baseline, not the
+    scale path — x3d/x3f are); the full-dim list scope-persists and
+    every truncated list probes it."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk(d: int | None) -> DataFrame:
+        col = (
+            "embedding" if d is None else f"slice(embedding, 1, {d})"
+        )
+        corpus = emb.select(
+            "vec_id",
+            F.expr(col).alias("e"),
+            F.expr(_norm_spark(col)).alias("nrm"),
+        )
+        queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        cos = (
+            F.expr(_dot_spark("e", "qe"))
+            / (F.col("nrm") * F.col("qnrm"))
+        ).alias("cos")
+        pairs = (
+            corpus.join(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cos)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOPK)
+            .select("query_id", "vec_id")
+        )
+
+    full = scoped_persist(topk(None))
+    anchors = full.select("query_id").distinct()
+    out = None
+    for d in _MRL_DIMS:
+        hits = (
+            topk(d)
+            .join(full, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        rows = (
+            anchors.join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).cast("int").alias("dim"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias(
+                    "n_hits"
+                ),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.withColumn(
+        "recall_bp",
+        F.expr(f"(10000 * n_hits) DIV {_TOPK}").cast("bigint"),
+    )
+
+
+def _x64_sql() -> str:
+    def topk_cte(name: str, col: str) -> str:
+        return (
+            f"{name} AS (SELECT query_id, vec_id FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            f"{_dot_duck(col('c'), col('q'))} "
+            f"/ ({_norm_duck(col('c'))} * {_norm_duck(col('q'))}) DESC, "
+            "c.vec_id ASC) AS rk "
+            "FROM embeddings c CROSS JOIN embeddings q "
+            f"WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id) "
+            f"WHERE rk <= {_TOPK})"
+        )
+
+    ctes = [
+        topk_cte("tk_full", lambda t: f"{t}.embedding"),
+    ]
+    parts = []
+    for d in _MRL_DIMS:
+        ctes.append(
+            topk_cte(
+                f"tk_{d}",
+                lambda t, d=d: f"list_slice({t}.embedding, 1, {d})",
+            )
+        )
+        ctes.append(
+            f"h_{d} AS (SELECT t.query_id, "
+            "CAST(count(*) AS BIGINT) AS n_hits "
+            f"FROM tk_{d} t JOIN tk_full f "
+            "ON f.query_id = t.query_id AND f.vec_id = t.vec_id "
+            "GROUP BY 1)"
+        )
+        parts.append(
+            f"SELECT a.query_id, CAST({d} AS INT) AS dim, "
+            "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "CAST((10000 * COALESCE(h.n_hits, 0)) "
+            f"// {_TOPK} AS BIGINT) AS recall_bp "
+            f"FROM (SELECT DISTINCT query_id FROM tk_full) a "
+            f"LEFT JOIN h_{d} h ON h.query_id = a.query_id"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -2598,6 +2727,7 @@ QUERIES = {
     "x48_semantic_decontam": x48_semantic_decontam,
     "x52_quantizer_drift": x52_quantizer_drift,
     "x59_cluster_purity": x59_cluster_purity,
+    "x64_matryoshka_recall": x64_matryoshka_recall,
 }
 
 ORACLES = {
@@ -2620,4 +2750,5 @@ ORACLES = {
     "x48_semantic_decontam": _X48_SQL,
     "x52_quantizer_drift": _x52_sql(),
     "x59_cluster_purity": _x59_sql(),
+    "x64_matryoshka_recall": _x64_sql(),
 }
