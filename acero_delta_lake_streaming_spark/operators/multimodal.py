@@ -355,11 +355,122 @@ def _x5d_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X5e — audio VAD segmentation (energy threshold + run detection in-batch)
+# --------------------------------------------------------------------------
+
+_VAD_FRAME_MS = 1000  # stub frame hop
+_VAD_THRESH = 128  # speech threshold on the 0-255 stub energy
+
+
+def vad_segments(media: DataFrame) -> DataFrame:
+    """Voice-activity segmentation over the audio rows: per row, a
+    deterministic per-frame 'energy' series derives from the payload
+    bytes (``content[i % 32]`` — the StubDecoder convention: a pure
+    function of the bytes, so the SQL oracle can replay it), frames
+    above ``_VAD_THRESH`` are speech, and maximal speech RUNS collapse
+    to per-media segment statistics INSIDE the Arrow batch — the honest
+    audio-pipeline shape: a real VAD also emits segments from the
+    decoder, and the per-frame series never materializes as rows
+    anywhere except the verifying oracle. Projection into the Python
+    stage is (media_id, content, duration_ms) only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_frames": [], "n_segments": [],
+                "speech_frames": [], "sum_energy": [], "max_run": [],
+            }
+            for mid, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                data = bytes(content) if content is not None else b""
+                nf = int(duration // _VAD_FRAME_MS) + 1
+                segs = 0
+                speech = 0
+                energy = 0
+                run_len = 0
+                max_run = 0
+                for i in range(nf):
+                    e = data[i % 32] if data else 0
+                    if e >= _VAD_THRESH:
+                        speech += 1
+                        energy += e
+                        run_len += 1
+                        if run_len == 1:
+                            segs += 1
+                        if run_len > max_run:
+                            max_run = run_len
+                    else:
+                        run_len = 0
+                out["media_id"].append(mid)
+                out["n_frames"].append(nf)
+                out["n_segments"].append(segs)
+                out["speech_frames"].append(speech)
+                out["sum_energy"].append(energy)
+                out["max_run"].append(max_run)
+            yield pd.DataFrame(out)
+
+    narrow = media.filter(F.col("meta.media_type") == "audio").select(
+        "media_id",
+        "content",
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    return narrow.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_frames int, n_segments int, "
+            "speech_frames int, sum_energy long, max_run int"
+        ),
+    )
+
+
+def x5e_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e — stub-VAD segmentation of the audio rows with a full hash
+    gate: the run detection happens in real Python over the bytes (one
+    Arrow stage, same plumbing a webrtcvad/energy VAD needs), while
+    the oracle replays frames + gaps-and-islands in SQL from the
+    md5-derived payload. At 100 TB the per-frame series exists only
+    transiently inside each batch — segments, not frames, are what
+    shuffles (here: nothing shuffles; output is one row per audio
+    asset)."""
+    media = build_media_table(load_table(spark, sf_dir, "documents"))
+    return vad_segments(media)
+
+
+_X5E_SQL = (
+    "WITH audio AS (SELECT doc_id AS media_id, "
+    "md5(text) || md5('x' || text) AS hex, "
+    "n_chars * 37 AS duration_ms FROM documents WHERE doc_id % 3 = 1), "
+    f"fr AS (SELECT media_id, t.i, "
+    "CAST(('0x' || substr(hex, ((t.i % 32) * 2) + 1, 2)) AS INT) AS e "
+    f"FROM audio, UNNEST(range(0, duration_ms // {_VAD_FRAME_MS} + 1)) "
+    "AS t(i)), "
+    f"sp AS (SELECT media_id, i, e, "
+    "i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS g "
+    f"FROM fr WHERE e >= {_VAD_THRESH}), "
+    "segs AS (SELECT media_id, g, count(*) AS n, sum(e) AS se "
+    "FROM sp GROUP BY 1, 2), "
+    "per AS (SELECT media_id, CAST(count(*) AS INT) AS n_segments, "
+    "CAST(sum(n) AS INT) AS speech_frames, "
+    "CAST(sum(se) AS BIGINT) AS sum_energy, "
+    "CAST(max(n) AS INT) AS max_run FROM segs GROUP BY 1) "
+    "SELECT a.media_id, "
+    f"CAST(a.duration_ms // {_VAD_FRAME_MS} + 1 AS INT) AS n_frames, "
+    "COALESCE(p.n_segments, 0) AS n_segments, "
+    "COALESCE(p.speech_frames, 0) AS speech_frames, "
+    "CAST(COALESCE(p.sum_energy, 0) AS BIGINT) AS sum_energy, "
+    "COALESCE(p.max_run, 0) AS max_run "
+    "FROM audio a LEFT JOIN per p ON p.media_id = a.media_id"
+)
+
+
 QUERIES = {
     "x5_meta_pruning": x5_meta_pruning,
     "x5b_decode_features": x5b_decode_features,
     "x5c_frame_sample": x5c_frame_sample,
     "x5d_multimodal_pack": x5d_multimodal_pack,
+    "x5e_audio_vad": x5e_audio_vad,
 }
 
 def _hexpair_sum(h: str) -> str:
@@ -395,4 +506,8 @@ ORACLES = {
     "x5b_decode_features": _X5B_SQL,
     "x5c_frame_sample": _X5C_SQL,
     "x5d_multimodal_pack": _x5d_sql(),
+    # x5e's run detection is real Python over the bytes, but energies
+    # are a pure function of the md5-derived payload — the oracle
+    # replays frames + gaps-and-islands in SQL, full hash gate.
+    "x5e_audio_vad": _X5E_SQL,
 }

@@ -774,6 +774,16 @@ def test_round8_closing_plan_shapes(spark, sf_dir):
         # rank assignment windows run over the limited frames only
         assert plan.count("TakeOrderedAndProject") >= 2
 
+        from acero_delta_lake_streaming_spark.operators.multimodal import (
+            x5e_audio_vad,
+        )
+
+        plan = _physical(x5e_audio_vad(spark, sf_dir))
+        # VAD runs in ONE Arrow stage; segments, not frames, leave it —
+        # no exchange at all below the decode
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange hashpartitioning" not in plan
+
         plan = _physical(dq8_benford_audit(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
