@@ -848,6 +848,77 @@ _DQ4_SQL = " UNION ALL ".join(
 
 
 # --------------------------------------------------------------------------
+# DQ9 — cross-table reconciliation drift (orders vs derived lineitem sums)
+# --------------------------------------------------------------------------
+
+
+def dq9_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9 — VALUE-level reconciliation between a rollup table and its
+    detail: ``o_totalprice`` vs the per-order Σ extendedprice·(1−disc)·
+    (1+tax) — the header-vs-detail conservation check every warehouse
+    runs after a load (dq4 checks KEY integrity; this checks the
+    MONEY). The fixture deliberately does NOT conserve (max drift
+    ~7e5, 257 headerless orders at sf0.01), so the certificate is the
+    full drift DISTRIBUTION: relative drift in basis points banded
+    into 1000-bp buckets (capped at band 10), plus a band −1 row for
+    orders with no detail rows at all.
+
+    Numeric discipline: each detail term is a per-row double product
+    cast to DECIMAL(18,6) BEFORE the sum (order-independent exact
+    accumulation, the q1/CLAUDE rule — a double Σ over shuffled detail
+    rows would ULP-drift the banding), the derived side scales to e6
+    BIGINTs exactly in decimal, and the header side floors through the
+    identical IEEE double product in both engines. One detail
+    hash-agg + one header join — the same two-shuffle shape at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+                "AS DECIMAL(18,6))"
+            )
+        ).alias("s")
+    )
+    j = orders.select("o_orderkey", "o_totalprice").join(
+        derived, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    banded = j.select(
+        F.expr(
+            "CASE WHEN s IS NULL THEN CAST(-1 AS BIGINT) ELSE least("
+            "((10000 * abs(CAST(floor(o_totalprice * "
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) "
+            "- CAST(s * 1000000 AS BIGINT))) "
+            "DIV CAST(floor(o_totalprice * CAST(1000000 AS DOUBLE)) "
+            "AS BIGINT)) DIV 1000, CAST(10 AS BIGINT)) END"
+        ).alias("band")
+    )
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+_DQ9_SQL = (
+    "WITH derived AS (SELECT l_orderkey, "
+    "sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+    "AS DECIMAL(18,6))) AS s "
+    "FROM lineitem GROUP BY 1), "
+    "j AS (SELECT o_orderkey, o_totalprice, s FROM orders "
+    "LEFT JOIN derived ON o_orderkey = l_orderkey), "
+    "banded AS (SELECT CASE WHEN s IS NULL THEN CAST(-1 AS BIGINT) "
+    "ELSE least(((10000 * abs(CAST(floor(o_totalprice * "
+    "CAST(1000000 AS DOUBLE)) AS BIGINT) "
+    "- CAST(s * 1000000 AS BIGINT))) "
+    "// CAST(floor(o_totalprice * CAST(1000000 AS DOUBLE)) "
+    "AS BIGINT)) // 1000, CAST(10 AS BIGINT)) END AS band FROM j) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM banded GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
 # X63 — θ-sketch audience overlap (KMV set INTERSECTION estimation)
 # --------------------------------------------------------------------------
 
@@ -1123,6 +1194,7 @@ QUERIES = {
     "dq7_token_drift": dq7_token_drift,
     "dq8_benford_audit": dq8_benford_audit,
     "x63_sketch_overlap": x63_sketch_overlap,
+    "dq9_reconciliation": dq9_reconciliation,
 }
 
 ORACLES = {
@@ -1138,4 +1210,5 @@ ORACLES = {
     "dq7_token_drift": _DQ7_SQL,
     "dq8_benford_audit": _DQ8_SQL,
     "x63_sketch_overlap": _X63_SQL,
+    "dq9_reconciliation": _DQ9_SQL,
 }
