@@ -1475,6 +1475,157 @@ _X46_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X65 — LSH banding sweep (candidate volume vs recall, measured)
+# --------------------------------------------------------------------------
+
+_X65_CONFIGS = (6, 4, 2)  # bands over the SAME 12 hashes (rows = 12/b)
+
+
+def x65_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 — the LSH TUNING audit: re-band the SAME 12 Carter-Wegman
+    min-hashes three ways (6×2, 4×3 = x2's shipped config, 2×6) and
+    measure, per configuration, the candidate-pair volume and the
+    recall of the planted near-duplicates — the bands×rows trade
+    SCALING.md documents as x2's knob, MEASURED instead of asserted
+    (P(candidate) = 1−(1−s^r)^b: more bands of shorter keys buys
+    recall with candidate volume; fewer, longer bands the reverse —
+    this certificate is the data you tune from). Signatures compute
+    ONCE (scoped persist); each banding is a metadata re-keying of the
+    12 BIGINTs plus a band-key self-equi-join — no re-scan, no
+    re-hash, never a cross join. Truth = planted pairs whose BOTH
+    sides have signatures (derived from the signature frame itself, so
+    shingle-less docs can't deflate recall). Output: 3 rows of exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(_near_dup_corpus(docs))
+    sigs = scoped_persist(_signatures(sh))
+    truth = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            F.expr(
+                "b.doc_id = a.doc_id + 1000000 AND a.doc_id % 10 = 0"
+            ),
+        )
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+        )
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    out = None
+    for b in _X65_CONFIGS:
+        r = _N_HASHES // b
+        frames = [
+            sigs.select(
+                "doc_id",
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"s{i * r + j}").cast("string")
+                        for j in range(r)
+                    ],
+                ).alias("bkey"),
+            )
+            for i in range(b)
+        ]
+        bands = frames[0]
+        for fr in frames[1:]:
+            bands = bands.unionByName(fr)
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bkey") == F.col("y.bkey"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_found = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_found")
+        )
+        row = (
+            n_cand.withColumn("k", F.lit(1))
+            .join(n_found.withColumn("k", F.lit(1)), "k")
+            .join(F.broadcast(n_truth.withColumn("k", F.lit(1))), "k")
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_planted",
+                "n_found",
+                F.expr("(10000 * n_found) DIV n_planted")
+                .cast("bigint")
+                .alias("recall_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _x65_sql() -> str:
+    sig_cols = ", ".join(
+        f"min((h1 + {s} * h2) % 4294967296) AS s{s}"
+        for s in range(_N_HASHES)
+    )
+    parts = []
+    for b in _X65_CONFIGS:
+        r = _N_HASHES // b
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, "
+            + " || ':' || ".join(
+                f"CAST(s{i * r + j} AS VARCHAR)" for j in range(r)
+            )
+            + " AS bkey FROM sigs"
+            for i in range(b)
+        )
+        parts.append(
+            f"SELECT CAST({b} AS INT) AS bands, "
+            f"CAST({r} AS INT) AS rows_per_band, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM ("
+            "SELECT DISTINCT x.doc_id, y.doc_id FROM "
+            f"({band_selects}) x JOIN ({band_selects}) y "
+            "ON x.band = y.band AND x.bkey = y.bkey "
+            "AND x.doc_id < y.doc_id)) AS n_candidates, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_planted, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM truth t "
+            "WHERE EXISTS (SELECT 1 FROM ("
+            f"{band_selects}) x JOIN ({band_selects}) y "
+            "ON x.band = y.band AND x.bkey = y.bkey "
+            "AND x.doc_id = t.doc_a AND y.doc_id = t.doc_b)) AS n_found"
+        )
+    inner = " UNION ALL ".join(
+        f"SELECT * FROM ({p})" for p in parts
+    )
+    return (
+        f"WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}), "
+        f"dshingles AS ({_SHINGLE_ROWS_SQL}), "
+        "hashed AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1, "
+        "CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2 "
+        "FROM dshingles), "
+        f"sigs AS (SELECT doc_id, {sig_cols} FROM hashed "
+        "GROUP BY doc_id), "
+        "truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1000000 "
+        "AND a.doc_id % 10 = 0) "
+        f"SELECT *, CAST((10000 * n_found) // n_planted AS BIGINT) "
+        f"AS recall_bp FROM ({inner})"
+    )
+
+
+# --------------------------------------------------------------------------
 # X60 — containment pairs (asymmetric near-dup: doc-in-doc detection)
 # --------------------------------------------------------------------------
 
@@ -1723,6 +1874,7 @@ QUERIES = {
     "x51_dedup_roi": x51_dedup_roi,
     "x57_source_overlap": x57_source_overlap,
     "x60_containment_pairs": x60_containment_pairs,
+    "x65_lsh_sweep": x65_lsh_sweep,
     "x19_line_dedup": x19_line_dedup,
 }
 
@@ -1741,5 +1893,6 @@ ORACLES = {
     "x51_dedup_roi": _x51_sql(),
     "x57_source_overlap": _X57_SQL,
     "x60_containment_pairs": _X60_SQL,
+    "x65_lsh_sweep": _x65_sql(),
     "x19_line_dedup": _X19_SQL,
 }
