@@ -4038,6 +4038,119 @@ def add_constraint(
     return version
 
 
+def set_domain_metadata(
+    table: str, domain: str, configuration: dict | str
+) -> int:
+    """SET a user-controlled ``domainMetadata`` entry — the protocol's
+    named key-value channel that travels WITH the table through
+    commits, checkpoints (all three forms) and time travel, which
+    table properties cannot do per-domain and external metastores
+    cannot do atomically-with-the-data. delta-spark uses it internally
+    (clustering state, rowTracking's high-water mark — both already
+    honored here); this verb exposes the same channel for application
+    domains: pipeline watermarks, ownership, retention contracts.
+
+    One commit: the ``domainMetadata`` action (configuration
+    normalized to a sorted-key JSON string when a dict is passed) plus
+    a protocol upgrade to writer 7 + the ``domainMetadata`` feature
+    when the table doesn't carry it yet (legacy implied features ride
+    along, the enable_row_tracking pattern — existing versions never
+    lowered). Setting an existing domain REPLACES its configuration
+    (latest action wins in replay, the spec's rule). ``delta.``-prefixed
+    domains refuse — those belong to their owning table features, and
+    writing them from user code would desynchronize feature state."""
+    if domain.startswith("delta."):
+        raise DeltaProtocolError(
+            f"domain {domain!r} is system-controlled (delta.* domains "
+            "belong to their owning table feature)"
+        )
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "SET DOMAIN METADATA", identity_ok=True)
+    cfg = (
+        configuration
+        if isinstance(configuration, str)
+        else json.dumps(configuration, sort_keys=True)
+    )
+    p = snap.get("protocol") or {}
+    w = p.get("minWriterVersion", 2)
+    feats = set(p.get("writerFeatures") or [])
+    actions: list[dict] = []
+    if "domainMetadata" not in feats:
+        base = feats if feats else (
+            _legacy_writer_features(w) if w < 7 else set()
+        )
+        proto = {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(base | {"domainMetadata"}),
+        }
+        if p.get("minReaderVersion", 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(p.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    now_ms = int(time.time() * 1000)
+    actions += [
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": cfg,
+                "removed": False,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET DOMAIN METADATA",
+                "operationParameters": {"domain": domain},
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+def remove_domain_metadata(table: str, domain: str) -> int:
+    """Tombstone a user domain: one commit with ``removed: true``.
+    Replay drops the domain; checkpoints carry live domains only, so
+    the tombstone needs no retention bookkeeping. Refuses ``delta.*``
+    (system-owned) and domains the table doesn't carry (delta-spark's
+    rule — a silent no-op would mask a caller bug)."""
+    if domain.startswith("delta."):
+        raise DeltaProtocolError(
+            f"domain {domain!r} is system-controlled"
+        )
+    snap = snapshot(table)
+    _check_writer_protocol(
+        snap, "REMOVE DOMAIN METADATA", identity_ok=True
+    )
+    if domain not in (snap.get("domain_metadata") or {}):
+        raise DeltaProtocolError(
+            f"domain {domain!r} does not exist on this table"
+        )
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": "{}",
+                "removed": True,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REMOVE DOMAIN METADATA",
+                "operationParameters": {"domain": domain},
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
 def enable_column_mapping(table: str, mode: str = "name") -> int:
     """``ALTER TABLE ... SET TBLPROPERTIES
     ('delta.columnMapping.mode' = 'name')`` — upgrade a table to

@@ -3041,6 +3041,78 @@ _S37_SQL = (
 )
 
 
+def s38_domain_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38 — user-controlled domainMetadata end to end: seed a table,
+    SET two application domains (protocol upgrades to writer 7 + the
+    ``domainMetadata`` feature in the same commit), append, CHECKPOINT
+    (live domains land in checkpoint state — later snapshots replay
+    from it, so survival is exercised in-query, not just in tests),
+    tombstone one domain, UPDATE the other (latest action wins), and
+    append again. The certificate is the live domain set read back
+    through the checkpointed replay — exactly one domain with the
+    UPDATED configuration; if replay, checkpoint carriage, tombstoning
+    or last-wins ordering broke, a domain row appears/disappears/
+    differs and the hash flips — plus the row count proving the
+    upgraded table still appends. At 100 TB every verb here is a
+    metadata commit: O(1) regardless of data size, the reason the
+    domain channel beats re-writing table properties or an external
+    metastore for per-pipeline state."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s38_dm_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 0"), table)
+    delta_compat.set_domain_metadata(
+        table,
+        "app.pipeline",
+        {"watermark": "2024-01-15", "owner": "curation"},
+    )
+    delta_compat.set_domain_metadata(
+        table, "app.retention", {"days": "30"}
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 1"), table)
+    delta_compat.checkpoint_delta(table)
+    delta_compat.remove_domain_metadata(table, "app.retention")
+    delta_compat.set_domain_metadata(
+        table,
+        "app.pipeline",
+        {"watermark": "2024-01-16", "owner": "curation"},
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 2"), table)
+    snap = delta_compat.snapshot(table)
+    doms = sorted(
+        (d, c)
+        for d, c in (snap.get("domain_metadata") or {}).items()
+        if d.startswith("app.")
+    )
+    dom_df = spark.createDataFrame(
+        [("domain", d, c, 1) for d, c in doms],
+        "part string, k string, v string, n bigint",
+    )
+    counts = (
+        delta_compat.read_delta(spark, table)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("rows").alias("part"),
+            F.lit("count").alias("k"),
+            F.lit("").alias("v"),
+            "n",
+        )
+    )
+    return dom_df.unionByName(counts)
+
+
+_S38_SQL = (
+    "SELECT 'domain' AS part, 'app.pipeline' AS k, "
+    "'{\"owner\": \"curation\", \"watermark\": \"2024-01-16\"}' AS v, "
+    "CAST(1 AS BIGINT) AS n "
+    "UNION ALL "
+    "SELECT 'rows', 'count', '', CAST(count(*) AS BIGINT) FROM orders"
+)
+
+
 QUERIES = {
     "s3_delta_append_scan": s3_delta_append_scan,
     "s3b_skipping_scan": s3b_skipping_scan,
@@ -3064,6 +3136,7 @@ QUERIES = {
     "s18_shallow_clone": s18_shallow_clone,
     "dq3_profile_drift": dq3_profile_drift,
     "s19_check_constraints": s19_check_constraints,
+    "s38_domain_metadata": s38_domain_metadata,
     "s20_column_mapping_writes": s20_column_mapping_writes,
     "s20b_drop_column": s20b_drop_column,
     "s21_v2_checkpoint": s21_v2_checkpoint,
@@ -3112,6 +3185,7 @@ ORACLES = {
     "s18_shallow_clone": _S18_SQL,
     "dq3_profile_drift": _DQ3_SQL,
     "s19_check_constraints": _S19_SQL,
+    "s38_domain_metadata": _S38_SQL,
     "s20_column_mapping_writes": _S20_SQL,
     "s20b_drop_column": _S20B_SQL,
     "s21_v2_checkpoint": _S21_SQL,

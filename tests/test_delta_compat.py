@@ -5993,3 +5993,55 @@ def test_v2_sidecar_schema_carries_remove_column(spark, tmp_path):
     for sc in sidecars:
         names = pq.read_schema(sc).names
         assert "add" in names and "remove" in names
+
+
+def test_domain_metadata_lifecycle(spark, tmp_path):
+    """set → read; update wins; tombstone removes; checkpoint carries
+    live domains (replay from checkpoint alone must resolve them);
+    delta.* and unknown-domain removals refuse."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "dm_tbl")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), table)
+    dc.set_domain_metadata(table, "app.a", {"x": "1"})
+    dc.set_domain_metadata(table, "app.b", "{\"y\": \"2\"}")
+    snap = dc.snapshot(table)
+    assert snap["domain_metadata"]["app.a"] == '{"x": "1"}'
+    assert snap["domain_metadata"]["app.b"] == '{"y": "2"}'
+    proto = snap["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "domainMetadata" in proto["writerFeatures"]
+    # update wins, tombstone removes
+    dc.set_domain_metadata(table, "app.a", {"x": "9"})
+    dc.remove_domain_metadata(table, "app.b")
+    snap = dc.snapshot(table)
+    assert snap["domain_metadata"] == {"app.a": '{"x": "9"}'}
+    # checkpoint carries live domains: hide the JSON tail behind it
+    dc.append_delta(spark.range(3, 5).select(F.col("id").alias("k")),
+                    table)
+    ck_v = dc.checkpoint_delta(table)
+    for v in range(ck_v + 1):
+        os.rename(dc._commit_path(table, v),
+                  dc._commit_path(table, v) + ".h")
+    try:
+        snap = dc.snapshot(table)
+        assert snap["domain_metadata"] == {"app.a": '{"x": "9"}'}
+        assert "app.b" not in snap["domain_metadata"]
+    finally:
+        for v in range(ck_v + 1):
+            os.rename(dc._commit_path(table, v) + ".h",
+                      dc._commit_path(table, v))
+    # refusals
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.set_domain_metadata(table, "delta.clustering", {"z": "1"})
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.remove_domain_metadata(table, "app.never_set")
+    # the upgraded table still appends and rewrite verbs preserve
+    # domains they don't own
+    dc.append_delta(spark.range(5, 7).select(F.col("id").alias("k")),
+                    table)
+    dc.optimize_delta(spark, table)
+    assert dc.snapshot(table)["domain_metadata"] == {
+        "app.a": '{"x": "9"}'
+    }
+    assert dc.read_delta(spark, table).count() == 7
