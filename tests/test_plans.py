@@ -794,3 +794,44 @@ def test_round8_closing_plan_shapes(spark, sf_dir):
                    for ln in scans)
     finally:
         release_scoped()
+
+
+def test_closing_session_ranker_sketch_plan_shapes(spark, sf_dir):
+    """x61: the QL ranker keeps x21b's inverted-index probe geometry —
+    collection stats broadcast back, top-k via TakeOrderedAndProject,
+    no cartesian; x63: sketch pairing and theta rides are equi/broadcast
+    joins only; x65: ONE keyed self-join carries all three banding
+    configs (no per-config join fan-out); dq9: detail agg + header
+    join, no nested loop."""
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x65_lsh_sweep,
+    )
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        x61_ql_topk,
+    )
+    from acero_delta_lake_streaming_spark.operators.sketch import (
+        dq9_reconciliation,
+        x63_sketch_overlap,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x61_ql_topk(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan  # cf/total stats broadcast
+
+        plan = _physical(x63_sketch_overlap(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+        plan = _physical(x65_lsh_sweep(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # the only nested loop is the 1-row n_truth constant broadcast;
+        # the band self-join itself must be keyed
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+        plan = _physical(dq9_reconciliation(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        release_scoped()
