@@ -80,7 +80,7 @@ _PRIORITY = [
     # like everything past the window, stay verified by the local
     # tri-scale gate at sf0.001/.01/.1 and the full-registry
     # driver-style rehearsals recorded in BENCH_DELTA_r08.md, the
-    # latest of which ran 237/237 green this session).
+    # latest of which ran the full 246/246 green this session).
     # -- new round 8 (driver has never recorded them) --
     "x56_readability", "x57_source_overlap", "x59_cluster_purity",
     "dq8_benford_audit", "x60_containment_pairs", "x61_ql_topk",
