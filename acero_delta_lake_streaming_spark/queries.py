@@ -86,7 +86,7 @@ _PRIORITY = [
     "dq8_benford_audit", "x60_containment_pairs", "x61_ql_topk",
     "x62_hybrid_rrf", "st23_streaming_scd2_enrich",
     "x63_sketch_overlap", "x64_matryoshka_recall", "x5e_audio_vad",
-    "dq9_reconciliation", "x65_lsh_sweep", "s38_domain_metadata",
+    "dq9_reconciliation", "x65_lsh_sweep", "s38_domain_metadata", "s39_column_defaults",
     "s28_replace_where", "x41_bpe_train", "st19_streaming_heavy_hitters",
     "x3h_pq_ann", "s29_identity_columns", "s30_mapped_partitioned",
     "st20_mapped_stream_sink", "x42_temperature_mix",

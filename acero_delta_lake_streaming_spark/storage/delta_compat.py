@@ -326,6 +326,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # not emit; appends and DV deletes keep the guarantee trivially
     # (files and their row ids survive byte-identical).
     "rowTracking",
+    # honored: appends missing a column whose field metadata carries
+    # CURRENT_DEFAULT fill it from the default expression
+    # (add_column_default is the ALTER that records one); full-schema
+    # appends are untouched — the feature's exact writer obligation
+    "allowColumnDefaults",
 }
 
 
@@ -1381,6 +1386,18 @@ def last_txn_version(table: str, app_id: str) -> int:
     return latest
 
 
+def table_column_defaults(schema_json: str) -> dict[str, str]:
+    """Column DEFAULT expressions from the log schema: name → SQL
+    expression, read from the ``CURRENT_DEFAULT`` field-metadata key
+    delta-spark records for ``allowColumnDefaults`` tables."""
+    out: dict[str, str] = {}
+    for f in json.loads(schema_json)["fields"]:
+        meta = f.get("metadata") or {}
+        if meta.get("CURRENT_DEFAULT"):
+            out[f["name"]] = meta["CURRENT_DEFAULT"]
+    return out
+
+
 def table_identity_columns(schema_json: str) -> dict[str, dict]:
     """Identity-column specs from the log schema: name →
     {start, step, hwm, allow_explicit}. ``hwm`` is None until the first
@@ -1706,6 +1723,27 @@ def append_delta(
                         evolved_schema_json or snap0["schema"], c, mx
                     )
                     mapped_schema_json = evolved_schema_json
+        defaults = table_column_defaults(snap0["schema"])
+        d_missing = table_cols - df_cols
+        if (
+            defaults
+            and d_missing
+            and d_missing <= set(defaults)
+            and not (df_cols - table_cols)
+            and not merge_schema
+        ):
+            import pyspark.sql.functions as F
+
+            # allowColumnDefaults: fill omitted columns from their
+            # CURRENT_DEFAULT expressions (cast to the declared type)
+            for c in sorted(d_missing):
+                fld_t = next(
+                    f.dataType
+                    for f in table_schema.fields
+                    if f.name == c
+                )
+                df = df.withColumn(c, F.expr(defaults[c]).cast(fld_t))
+            df_cols = set(df.columns)
         if df_cols != table_cols:
             if not merge_schema:
                 raise DeltaProtocolError(
@@ -4103,6 +4141,84 @@ def set_domain_metadata(
                 "timestamp": now_ms,
                 "operation": "SET DOMAIN METADATA",
                 "operationParameters": {"domain": domain},
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+def add_column_default(table: str, column: str, default_sql: str) -> int:
+    """``ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr`` — the
+    delta-spark 3.x ``allowColumnDefaults`` feature: record the
+    expression in the column's ``CURRENT_DEFAULT`` field metadata (one
+    metadata commit; zero files touched) and upgrade the protocol to
+    writer 7 + the feature when absent (versions never lowered). From
+    then on an append whose batch OMITS the column fills it from the
+    default; full-schema appends are untouched. Refuses unknown
+    columns, identity columns (they mint, not default) and generated
+    columns (their expression already owns the value)."""
+    snap = snapshot(table)
+    _check_writer_protocol(
+        snap, "ALTER COLUMN SET DEFAULT", identity_ok=True
+    )
+    sch = json.loads(snap["schema"])
+    fld = next(
+        (f for f in sch["fields"] if f["name"] == column), None
+    )
+    if fld is None:
+        raise DeltaProtocolError(
+            f"SET DEFAULT: column {column!r} does not exist"
+        )
+    if column in table_identity_columns(snap["schema"]):
+        raise DeltaProtocolError(
+            f"SET DEFAULT: {column!r} is an identity column"
+        )
+    if (fld.get("metadata") or {}).get("delta.generationExpression"):
+        raise DeltaProtocolError(
+            f"SET DEFAULT: {column!r} is a generated column"
+        )
+    md = dict(fld.get("metadata") or {})
+    md["CURRENT_DEFAULT"] = default_sql
+    fld["metadata"] = md
+    p = snap.get("protocol") or {}
+    w = p.get("minWriterVersion", 2)
+    feats = set(p.get("writerFeatures") or [])
+    actions: list[dict] = []
+    if "allowColumnDefaults" not in feats:
+        base = feats if feats else (
+            _legacy_writer_features(w) if w < 7 else set()
+        )
+        proto = {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(base | {"allowColumnDefaults"}),
+        }
+        if p.get("minReaderVersion", 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(p.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    now_ms = int(time.time() * 1000)
+    actions += [
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(sch),
+                "partitionColumns": snap["partition_cols"],
+                "configuration": dict(snap.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ALTER COLUMN SET DEFAULT",
+                "operationParameters": {
+                    "column": column, "default": default_sql
+                },
             }
         },
     ]

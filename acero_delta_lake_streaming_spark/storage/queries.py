@@ -3041,6 +3041,65 @@ _S37_SQL = (
 )
 
 
+def s39_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S39 — column DEFAULT values (delta-spark 3.x's
+    ``allowColumnDefaults``): seed a two-column table, record
+    ``DEFAULT CAST(-1.0 AS DOUBLE)`` on ``amount`` (one metadata
+    commit; protocol → writer 7 + the feature), then append a batch
+    that OMITS the column — every omitted row must land with the
+    default — and a full-schema batch that must pass through
+    untouched. Certificate: per-part (defaulted vs real) counts and
+    key sums over the final table; if the fill ever misfires (wrong
+    rows, wrong value, full batches overwritten) the partition flips
+    and the hash fails. At 100 TB the ALTER is O(|schema|) metadata
+    and the fill is a per-batch projection — no scan, no rewrite."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s39_cd_delta")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    delta_compat.append_delta(orders.filter("k % 3 = 0"), table)
+    delta_compat.add_column_default(
+        table, "amount", "CAST(-1.0 AS DOUBLE)"
+    )
+    delta_compat.append_delta(
+        orders.filter("k % 3 = 1").select("k"), table
+    )
+    delta_compat.append_delta(orders.filter("k % 3 = 2"), table)
+    return (
+        delta_compat.read_delta(spark, table)
+        .select(
+            F.expr(
+                "CASE WHEN amount = -1.0 THEN 'defaulted' "
+                "ELSE 'real' END"
+            ).alias("part"),
+            "k",
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+_S39_SQL = (
+    "WITH u AS ("
+    "SELECT o_orderkey AS k, o_totalprice AS amount FROM orders "
+    "WHERE o_orderkey % 3 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey, -1.0 FROM orders WHERE o_orderkey % 3 = 1 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 3 = 2) "
+    "SELECT CASE WHEN amount = -1.0 THEN 'defaulted' ELSE 'real' END "
+    "AS part, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS sum_k FROM u GROUP BY 1"
+)
+
+
 def s38_domain_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S38 — user-controlled domainMetadata end to end: seed a table,
     SET two application domains (protocol upgrades to writer 7 + the
@@ -3137,6 +3196,7 @@ QUERIES = {
     "dq3_profile_drift": dq3_profile_drift,
     "s19_check_constraints": s19_check_constraints,
     "s38_domain_metadata": s38_domain_metadata,
+    "s39_column_defaults": s39_column_defaults,
     "s20_column_mapping_writes": s20_column_mapping_writes,
     "s20b_drop_column": s20b_drop_column,
     "s21_v2_checkpoint": s21_v2_checkpoint,
@@ -3186,6 +3246,7 @@ ORACLES = {
     "dq3_profile_drift": _DQ3_SQL,
     "s19_check_constraints": _S19_SQL,
     "s38_domain_metadata": _S38_SQL,
+    "s39_column_defaults": _S39_SQL,
     "s20_column_mapping_writes": _S20_SQL,
     "s20b_drop_column": _S20B_SQL,
     "s21_v2_checkpoint": _S21_SQL,

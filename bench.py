@@ -218,6 +218,7 @@ HEADLINE = [
     "dq9_reconciliation",
     "x65_lsh_sweep",
     "s38_domain_metadata",
+    "s39_column_defaults",
     # x51_dedup_roi stays OUT of the headline (st17's rule): its
     # sequential three-pass sweep costs ~30 s at sf0.1 — the driver
     # correctness gate runs it at sf0.01 from the top of _PRIORITY.

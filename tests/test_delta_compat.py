@@ -6045,3 +6045,45 @@ def test_domain_metadata_lifecycle(spark, tmp_path):
         "app.a": '{"x": "9"}'
     }
     assert dc.read_delta(spark, table).count() == 7
+
+
+def test_column_defaults_lifecycle(spark, tmp_path):
+    """SET DEFAULT fills only omitted columns; full-schema appends are
+    untouched; pre-feature missing-column appends refuse (unchanged);
+    unknown/identity/generated columns refuse; the feature lands in
+    the protocol and pre-default time travel is intact."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cd_tbl")
+    seed = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    dc.append_delta(seed, table)
+    # without a default, an omitted column still refuses
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.append_delta(
+            spark.range(3, 5).select(F.col("id").alias("k")), table
+        )
+    v_alter = dc.add_column_default(table, "v", "CAST(99 AS BIGINT)")
+    proto = dc.snapshot(table)["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    dc.append_delta(
+        spark.range(3, 5).select(F.col("id").alias("k")), table
+    )
+    dc.append_delta(
+        spark.range(5, 7).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        ),
+        table,
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()
+    )
+    assert got == [(0, 0), (1, 10), (2, 20), (3, 99), (4, 99),
+                   (5, 7), (6, 7)]
+    # pre-default time travel: only the seed, old schema metadata
+    assert dc.read_delta(spark, table, version=v_alter - 1).count() == 3
+    # refusals
+    with pytest.raises(dc.DeltaProtocolError):
+        dc.add_column_default(table, "nope", "1")
