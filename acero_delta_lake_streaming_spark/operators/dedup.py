@@ -1762,6 +1762,160 @@ _X60_SQL = (
 
 
 # --------------------------------------------------------------------------
+# X60B — corpus-wide containment dedup (df-capped shingle blocking)
+# --------------------------------------------------------------------------
+
+_X60B_CAP = 20  # max document frequency for a shingle to block on
+_X60B_NMIN = 5  # min pairable-shingle count on the contained side
+
+
+def x60b_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60B — x60's containment metric swept over the WHOLE corpus
+    (VERDICT r8 item 2: x60 demonstrates the geometry on an id-blocked
+    50-doc slice; this is the production pass). Same directed
+    ``|A∩B| / |A|`` certificate — first-15-word snippet twins planted
+    across the entire corpus must read 10000 bp containment while
+    their Jaccard stays in the low thousands — but the blocking key is
+    now the shingle itself under a DOCUMENT-FREQUENCY CAP (the x46
+    fraction-bar lesson): only shingles carried by 2..``_X60B_CAP``
+    documents generate candidates, so no hot shingle's group ever goes
+    quadratic and total pair volume is bounded by Σ df² ≤ CAP·|rows|
+    (measured 1.17 M at sf0.1; the cap is the knob that survives a
+    Zipfian 100 TB corpus where "of the and" carries everything).
+    Both sides of the metric live in the capped shingle space, so a
+    true subset pair keeps containment exactly 10000 bp regardless of
+    which hot shingles were excluded; ``_X60B_NMIN`` floors the
+    contained side's evidence so one lucky rare shingle can't mint a
+    pair.
+
+    ONE wide shuffle total, the x57 carrier-fold shape: shingle rows
+    fold to ``collect_set(doc_id)`` per shingle (map-side combinable),
+    the df cap is a ``size(ids)`` filter on that carrier set, per-doc
+    pairable counts re-explode the kept sets, and candidate pairs
+    expand INSIDE the sorted carrier array (≤ C(df,2) structs
+    map-side) before a pair-keyed count — no shingle-stream self-join,
+    no cross join; the two denominator joins broadcast a corpus-sized
+    tiny frame. Reference anchor: the dedup mandate in the north-star
+    extension list (SURVEY.md §2 X1/X2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    snippets = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', slice({_WORDS_SPARK}, 1, {_X60_SNIP}))"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(snippets)
+    kept = scoped_persist(
+        _shingle_rows(corpus)
+        .groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.expr(f"size(ids) BETWEEN 2 AND {_X60B_CAP}"))
+    )
+    counts = kept.select(F.explode("ids").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    inter = (
+        kept.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(least(x, y) AS doc_a, "
+                    "greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                counts.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("na"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("nb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            F.expr(
+                "CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b "
+                "ELSE greatest(doc_a, doc_b) END"
+            ).cast("bigint").alias("contained_id"),
+            F.expr(
+                "CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a "
+                "ELSE least(doc_a, doc_b) END"
+            ).cast("bigint").alias("container_id"),
+            F.expr("least(na, nb)").cast("bigint").alias("n_contained"),
+            F.expr("greatest(na, nb)").cast("bigint").alias(
+                "n_container"
+            ),
+            "inter",
+            F.expr("(10000 * inter) DIV least(na, nb)")
+            .cast("bigint")
+            .alias("containment_bp"),
+            F.expr("(10000 * inter) DIV (na + nb - inter)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .filter(
+            (F.col("containment_bp") >= _X60_T)
+            & (F.col("n_contained") >= _X60B_NMIN)
+        )
+    )
+
+
+_X60B_SQL = (
+    "WITH base AS (SELECT doc_id, text FROM documents), "
+    "corpus AS (SELECT doc_id, text FROM base "
+    "UNION ALL "
+    "SELECT doc_id + 2000000, "
+    f"array_to_string(list_slice({_WORDS_DUCK}, 1, {_X60_SNIP}), ' ') "
+    "FROM base WHERE doc_id % 10 = 5), "
+    f"sh AS ({_SHINGLE_ROWS_SQL}), "
+    "df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1), "
+    "rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) "
+    f"WHERE df BETWEEN 2 AND {_X60B_CAP}), "
+    "counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM rare GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS inter FROM rare a JOIN rare b "
+    "ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "scored AS (SELECT "
+    "CAST(CASE WHEN ca.n_sh < cb.n_sh THEN i.doc_a "
+    "WHEN cb.n_sh < ca.n_sh THEN i.doc_b "
+    "ELSE greatest(i.doc_a, i.doc_b) END AS BIGINT) AS contained_id, "
+    "CAST(CASE WHEN ca.n_sh < cb.n_sh THEN i.doc_b "
+    "WHEN cb.n_sh < ca.n_sh THEN i.doc_a "
+    "ELSE least(i.doc_a, i.doc_b) END AS BIGINT) AS container_id, "
+    "CAST(least(ca.n_sh, cb.n_sh) AS BIGINT) AS n_contained, "
+    "CAST(greatest(ca.n_sh, cb.n_sh) AS BIGINT) AS n_container, "
+    "i.inter, "
+    "CAST((10000 * i.inter) // least(ca.n_sh, cb.n_sh) AS BIGINT) "
+    "AS containment_bp, "
+    "CAST((10000 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS BIGINT) "
+    "AS jaccard_bp "
+    "FROM inter i "
+    "JOIN counts ca ON ca.doc_id = i.doc_a "
+    "JOIN counts cb ON cb.doc_id = i.doc_b) "
+    f"SELECT * FROM scored WHERE containment_bp >= {_X60_T} "
+    f"AND n_contained >= {_X60B_NMIN}"
+)
+
+
+# --------------------------------------------------------------------------
 # X57 — cross-source contamination matrix (pairwise shingle overlap)
 # --------------------------------------------------------------------------
 
@@ -1885,6 +2039,7 @@ QUERIES = {
     "x51_dedup_roi": x51_dedup_roi,
     "x57_source_overlap": x57_source_overlap,
     "x60_containment_pairs": x60_containment_pairs,
+    "x60b_corpus_containment": x60b_corpus_containment,
     "x65_lsh_sweep": x65_lsh_sweep,
     "x19_line_dedup": x19_line_dedup,
 }
@@ -1904,6 +2059,7 @@ ORACLES = {
     "x51_dedup_roi": _x51_sql(),
     "x57_source_overlap": _X57_SQL,
     "x60_containment_pairs": _X60_SQL,
+    "x60b_corpus_containment": _X60B_SQL,
     "x65_lsh_sweep": _x65_sql(),
     "x19_line_dedup": _X19_SQL,
 }

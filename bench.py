@@ -209,6 +209,8 @@ HEADLINE = [
     "x59_cluster_purity",
     "dq8_benford_audit",
     "x60_containment_pairs",
+    # round 9: corpus-wide containment (x60's production pass)
+    "x60b_corpus_containment",
     "x61_ql_topk",
     "x62_hybrid_rrf",
     "st23_streaming_scd2_enrich",

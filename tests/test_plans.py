@@ -835,3 +835,38 @@ def test_closing_session_ranker_sketch_plan_shapes(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         release_scoped()
+
+
+def test_x60b_plan_never_exceeds_bucket_cooccupancy(spark, sf_dir):
+    """x60b (VERDICT r8 item 2): corpus-wide containment must generate
+    candidate pairs ONLY inside df-capped shingle carrier sets — the
+    shingle stream never self-joins (no SortMergeJoin anywhere: pairs
+    expand map-side inside the collect_set array), nothing is ever a
+    cross join, and the denominator counts close through BROADCAST
+    joins. Exactly one exchange keys on the raw shingle (the carrier
+    fold); every other hash exchange keys on doc ids / pair ids."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        x60b_corpus_containment,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x60b_corpus_containment(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan  # no shingle self-join
+        assert "BroadcastHashJoin" in plan  # denominators broadcast
+        sh_exchanges = {
+            m.group(0)
+            for m in re.finditer(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan
+            )
+            if re.search(r"\bsh#\d+", m.group(1))
+        }
+        # the persisted carrier fold reprints under each consumer, so
+        # count DISTINCT exchanges (expr ids disambiguate), not lines
+        assert len(sh_exchanges) <= 1, sh_exchanges
+    finally:
+        release_scoped()
