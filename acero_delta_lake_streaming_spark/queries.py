@@ -89,8 +89,8 @@ _PRIORITY = [
     "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",
     "x10b_decontaminate_trim", "x39_cluster_topics",
     "x40_normalized_dedup",
-    # -- new round 9 (VERDICT r8 item 2: corpus-wide containment) --
-    "x60b_corpus_containment",
+    # -- new round 9 (VERDICT r8 items 2-3) --
+    "x60b_corpus_containment", "st24_delta_append_stream",
     # -- stalest driver proofs: r3-vintage --
     "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
     "x3b_ann_lsh", "x3c_cosine_neardup", "x4b_lang_profile",

@@ -6319,6 +6319,122 @@ def follow_delta_changes(
         sleep_fn(interval_s)
 
 
+def follow_delta_appends(
+    spark: SparkSession,
+    table: str,
+    apply_fn,
+    *,
+    start_version: int = 0,
+    start_epoch: int = 0,
+    max_files_per_trigger: int = 1000,
+    on_data_change: str = "error",
+    max_cycles: int | None = None,
+    interval_s: float = 30.0,
+    sleep_fn=None,
+) -> tuple[int, int]:
+    """Tail a REAL Delta log as a rate-limited APPEND stream — the
+    plain-add half of the follower pair (``follow_delta_changes`` is
+    the CDC half): delta-spark's ``readStream.format("delta")`` with
+    ``maxFilesPerTrigger`` semantics re-expressed over the protocol
+    log. Per cycle, the newly committed versions' ``add`` actions are
+    consumed IN VERSION ORDER (path-sorted within a version — the
+    deterministic admission order), chunked into micro-batches of at
+    most ``max_files_per_trigger`` files (a large commit spans several
+    epochs; a batch may also span commits, exactly delta-spark's
+    admission control), and each chunk is handed to
+    ``apply_fn(batch_df, epoch_id)`` with a monotonically increasing
+    epoch. Pair it with :func:`streaming_sink` and the ``txn`` ledger
+    makes the whole pipe exactly-once: a crash-replayed epoch no-ops
+    at the sink instead of double-appending.
+
+    ``dataChange: false`` commits (OPTIMIZE, clustering) are invisible
+    — their adds are re-arranged state, not news, so a mid-stream
+    compaction must not re-emit rows. A ``dataChange: true`` REMOVE
+    (MERGE/DELETE/overwrite rewrote data) is not an append:
+    ``on_data_change='error'`` (default) raises — delta-spark's
+    streaming-source contract — while ``'skip'`` drops that ENTIRE
+    commit, adds included (``skipChangeCommits``; the rewritten adds
+    carry pre-existing rows, so admitting them would re-emit).
+
+    Scope: unpartitioned, unmapped sources (the streaming-ingest
+    shape); partitioned or column-mapped tables raise by name. Epochs
+    read under the LOG schema at the cycle's head — authoritative, no
+    footer inference. Returns ``(next_version, next_epoch)`` so a
+    restart resumes both cursors.
+
+    Reference anchor: the incremental feed→table tail loop in
+    collector.py:40-74 (poll, consume only the new slice, append
+    downstream), upgraded to version-ordered log admission."""
+    import time as _time
+
+    sleep_fn = sleep_fn or _time.sleep
+    if max_files_per_trigger < 1:
+        raise ValueError("max_files_per_trigger must be >= 1")
+    if on_data_change not in ("error", "skip"):
+        raise ValueError("on_data_change must be 'error' or 'skip'")
+    cursor = start_version
+    epoch = start_epoch
+    cycle = 0
+    while True:
+        versions = [
+            v for v in _list_commit_versions(table) if v >= cursor
+        ]
+        if versions:
+            snap = snapshot(table)  # protocol gate + authoritative schema
+            if _mapping_mode(snap) != "none":
+                raise DeltaProtocolError(
+                    "follow_delta_appends: column-mapped sources are "
+                    "not supported (physical-name admission is the "
+                    "CDC follower's job)"
+                )
+            if snap["partition_cols"]:
+                raise DeltaProtocolError(
+                    "follow_delta_appends: partitioned sources are "
+                    "not supported yet"
+                )
+            full = T.StructType.fromJson(json.loads(snap["schema"]))
+            queue: list[str] = []
+            for v in versions:
+                adds: list[str] = []
+                changed_removes = False
+                with open(_commit_path(table, v)) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        action = json.loads(line)
+                        if "add" in action and action["add"].get(
+                            "dataChange", True
+                        ):
+                            adds.append(action["add"]["path"])
+                        if "remove" in action and action["remove"].get(
+                            "dataChange", True
+                        ):
+                            changed_removes = True
+                if changed_removes:
+                    if on_data_change == "error":
+                        raise DeltaProtocolError(
+                            f"follow_delta_appends: version {v} of "
+                            f"{table} rewrote existing data "
+                            "(dataChange remove); this source is "
+                            "append-only — use follow_delta_changes "
+                            "or on_data_change='skip'"
+                        )
+                    continue  # skipChangeCommits: whole commit invisible
+                queue.extend(
+                    os.path.join(table, p) for p in sorted(adds)
+                )
+            for i in range(0, len(queue), max_files_per_trigger):
+                chunk = queue[i : i + max_files_per_trigger]
+                apply_fn(spark.read.schema(full).parquet(*chunk), epoch)
+                epoch += 1
+            cursor = versions[-1] + 1
+        cycle += 1
+        if max_cycles is not None and cycle >= max_cycles:
+            return cursor, epoch
+        sleep_fn(interval_s)
+
+
 def vacuum_delta(
     table: str,
     keep_versions: int = 0,

@@ -1642,6 +1642,63 @@ def st15_delta_cdf_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST15_SQL = _ST10_SQL
 
 
+def st24_delta_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST24 — Delta as a rate-limited STREAMING SOURCE (VERDICT r8 item
+    3): the plain append-tail half the CDC followers (st10/st15) don't
+    cover — delta-spark's ``readStream.format("delta")`` with
+    ``maxFilesPerTrigger``, re-expressed over the protocol log by
+    ``follow_delta_appends``. The source takes two seed appends, a
+    mid-stream OPTIMIZE (``dataChange:false`` — its compacted re-adds
+    must be INVISIBLE, or the tail re-emits every row it already
+    shipped), then a third append; the follower admits the add actions
+    version-ordered in ≤2-file micro-batches into a downstream real
+    Delta table through the ``txn``-ledger sink. The ENTIRE history is
+    then replayed from version 0 — a crash-restart that lost its
+    cursor — and every epoch must no-op at the sink (exactly-once via
+    ``(app_id, epoch)``), proven by the hash gate: one double-admitted
+    batch doubles a group's count. Oracle replays the version-ordered
+    union of the three appended slices."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "st24_src")
+    sink_t = _scratch(sf_dir, "st24_sink")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 5 = 0"), src)
+    delta_compat.append_delta(orders.filter("o_orderkey % 5 = 1"), src)
+    delta_compat.optimize_delta(spark, src, target_partitions=1)
+    delta_compat.append_delta(orders.filter("o_orderkey % 5 = 2"), src)
+    sink = delta_compat.streaming_sink(sink_t, "st24_follower")
+    drain = dict(max_files_per_trigger=2, max_cycles=1,
+                 sleep_fn=lambda _s: None)
+    delta_compat.follow_delta_appends(spark, src, sink, **drain)
+    # crash-replay from a lost cursor: same admission order, same
+    # epoch ids — the txn ledger must absorb every batch
+    delta_compat.follow_delta_appends(spark, src, sink, **drain)
+    return (
+        delta_compat.read_delta(spark, sink_t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_ST24_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents "
+    "FROM orders WHERE o_orderkey % 5 IN (0, 1, 2) GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3220,6 +3277,7 @@ QUERIES = {
     "st10_cdf_follower": st10_cdf_follower,
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
+    "st24_delta_append_stream": st24_delta_append_stream,
 }
 
 ORACLES = {
@@ -3270,4 +3328,5 @@ ORACLES = {
     "st10_cdf_follower": _ST10_SQL,
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,
+    "st24_delta_append_stream": _ST24_SQL,
 }

@@ -6087,3 +6087,102 @@ def test_column_defaults_lifecycle(spark, tmp_path):
     # refusals
     with pytest.raises(dc.DeltaProtocolError):
         dc.add_column_default(table, "nope", "1")
+
+
+def test_follow_delta_appends_lifecycle(spark, tmp_path):
+    """st24's source semantics, pinned piecewise: version-ordered
+    admission chunked by max_files_per_trigger (a multi-file commit
+    spans epochs), dataChange:false commits invisible (OPTIMIZE never
+    re-emits), a dataChange REMOVE raises by default and skips its
+    WHOLE commit under on_data_change='skip', txn-ledger replay
+    no-ops, and partitioned/mapped sources refuse by name."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "st24_src")
+    seen: list[tuple[int, list[int]]] = []
+
+    def tap(df, epoch):
+        seen.append((epoch, sorted(r["k"] for r in df.collect())))
+
+    def mk(lo, hi, parts):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"))
+            .repartition(parts)
+        )
+
+    dc.append_delta(mk(0, 4, 2), table)       # v0: 2 files
+    dc.append_delta(mk(4, 10, 3), table)      # v1: 3 files
+    cur, ep = dc.follow_delta_appends(
+        spark, table, tap, max_files_per_trigger=2,
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert cur == 2 and ep == 3  # 5 files / 2 per trigger = 3 epochs
+    assert [e for e, _ in seen] == [0, 1, 2]
+    assert sorted(k for _, ks in seen for k in ks) == list(range(10))
+    # chunking never crosses the version boundary out of order: epoch
+    # 0 is entirely v0 (2 files), epochs 1-2 carry v1's 3 files
+    assert seen[0][1] == sorted(seen[0][1]) and max(seen[0][1]) <= 3
+
+    # OPTIMIZE (dataChange:false) must be invisible
+    dc.optimize_delta(spark, table, target_partitions=1)
+    seen.clear()
+    cur, ep = dc.follow_delta_appends(
+        spark, table, tap, start_version=cur, start_epoch=ep,
+        max_files_per_trigger=2, max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert cur == 3 and ep == 3 and seen == []
+
+    # a real rewrite (dataChange remove) is not an append
+    dc.delete_delta(
+        spark, table,
+        spark.range(0, 2).select(F.col("id").alias("k")), ["k"],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="append-only"):
+        dc.follow_delta_appends(
+            spark, table, tap, start_version=cur,
+            max_cycles=1, sleep_fn=lambda _s: None,
+        )
+    # skip mode drops the WHOLE rewrite commit (its adds carry
+    # pre-existing rows), then admits the next plain append
+    dc.append_delta(mk(10, 12, 1), table)
+    seen.clear()
+    cur2, ep2 = dc.follow_delta_appends(
+        spark, table, tap, start_version=cur, start_epoch=ep,
+        on_data_change="skip", max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert sorted(k for _, ks in seen for k in ks) == [10, 11]
+
+    # exactly-once through the txn sink: full-history replay no-ops
+    sink_t = str(tmp_path / "st24_sink")
+    sink = dc.streaming_sink(sink_t, "t24")
+    dc.follow_delta_appends(
+        spark, table, sink, on_data_change="skip",
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    once = dc.read_delta(spark, sink_t).count()
+    dc.follow_delta_appends(
+        spark, table, sink, on_data_change="skip",
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert dc.read_delta(spark, sink_t).count() == once
+
+    # refusals by name
+    ptab = str(tmp_path / "st24_part")
+    dc.append_delta(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        ptab, partition_by=["p"],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
+        dc.follow_delta_appends(
+            spark, ptab, tap, max_cycles=1, sleep_fn=lambda _s: None,
+        )
+    mtab = str(tmp_path / "st24_mapped")
+    dc.append_delta(spark.range(4).select(F.col("id").alias("k")), mtab)
+    dc.enable_column_mapping(mtab)
+    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+        dc.follow_delta_appends(
+            spark, mtab, tap, max_cycles=1, sleep_fn=lambda _s: None,
+        )
