@@ -331,6 +331,15 @@ _SUPPORTED_WRITER_FEATURES = {
     # (add_column_default is the ALTER that records one); full-schema
     # appends are untouched — the feature's exact writer obligation
     "allowColumnDefaults",
+    # honored: the feature's only obligation bites during metadata
+    # cleanup — commits and checkpoints below
+    # delta.requireCheckpointProtectionBeforeVersion may only be
+    # removed by a sweep whose superseding checkpoint reaches that
+    # version; cleanup_log enforces exactly that (and no other verb
+    # here ever deletes log entries). variantType, collations and
+    # icebergCompatV1/V2 stay OUT of this set deliberately: refusal
+    # by name is pinned in tests/test_delta_compat.py
+    "checkpointProtection",
 }
 
 
@@ -6539,9 +6548,22 @@ def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
     retention floor supersedes it). Never deletes checkpoints, the
     ``_last_checkpoint`` pointer, or any commit at/after the floor, and
     refuses nothing: with no qualifying checkpoint it is a no-op.
-    Returns the deleted file names."""
-    latest = snapshot(table)["version"]
+    Returns the deleted file names.
+
+    Honors the ``checkpointProtection`` table feature: when the table
+    sets ``delta.requireCheckpointProtectionBeforeVersion = N``, log
+    entries below N may only disappear in a sweep whose superseding
+    checkpoint is at or past N — a cleanup that would leave replay of
+    some version < N depending on an unprotected reconstruction is
+    skipped entirely (no-op, never a partial delete)."""
+    snap = snapshot(table)
+    latest = snap["version"]
     floor = max(0, latest - keep_versions)
+    protect_before = int(
+        snap["configuration"].get(
+            "delta.requireCheckpointProtectionBeforeVersion", 0
+        )
+    )
     # newest checkpoint at or below the retention floor: versions < it
     # are reconstructable from it, so their JSON may go
     ckpt = None
@@ -6553,6 +6575,10 @@ def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
         except DeltaCorruptLogError:
             continue  # incomplete part set from a crashed publish
     if ckpt is None:
+        return []
+    if ckpt < protect_before:
+        # checkpointProtection: removing commits < N is only legal when
+        # the checkpoint that supersedes them is itself at/past N
         return []
     deleted = []
     for v in _list_commit_versions(table):

@@ -6186,3 +6186,96 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
         dc.follow_delta_appends(
             spark, mtab, tap, max_cycles=1, sleep_fn=lambda _s: None,
         )
+
+
+def test_checkpoint_protection_honored(spark, tmp_path):
+    """checkpointProtection (VERDICT r8 item 4): commits below
+    delta.requireCheckpointProtectionBeforeVersion may only be cleaned
+    by a sweep whose superseding checkpoint is at/past that version.
+    A table listing the feature stays fully writable; cleanup_log
+    no-ops while the only qualifying checkpoint is below N and
+    proceeds once one at/past N exists."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "ckpt_prot")
+    _write_parquet(
+        spark, [(0,)], "k long", os.path.join(table, "seed.parquet")
+    )
+    meta = _meta(spark, "k long")
+    meta["metaData"]["configuration"] = {
+        "delta.requireCheckpointProtectionBeforeVersion": "4"
+    }
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["checkpointProtection"]}},
+            meta,
+            {"add": {"path": "seed.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+    )
+    one = spark.range(1).select(F.col("id").alias("k"))
+    dc.append_delta(one, table)  # v1 — feature accepted, not refused
+    dc.append_delta(one, table)  # v2
+    dc.checkpoint_delta(table)   # checkpoint at 2 < N=4: protected
+    dc.append_delta(one, table)  # v3
+    dc.append_delta(one, table)  # v4
+    assert dc.cleanup_log(table, keep_versions=0) == []  # no-op
+    assert dc.read_delta(spark, table, version=0).count() == 1
+    dc.checkpoint_delta(table)   # checkpoint at 4 >= N: sweep legal
+    deleted = dc.cleanup_log(table, keep_versions=0)
+    assert deleted == [f"{v:020d}.json" for v in range(4)]
+    assert dc.read_delta(spark, table).count() == 5
+
+
+def test_unsupported_features_refused_by_name(spark, tmp_path):
+    """variantType, collations, icebergCompatV1/V2 are NOT implemented
+    and must refuse BY NAME (VERDICT r8 item 4) — the generic gate
+    catches them, these pin each name so a future feature-set edit
+    cannot silently admit one."""
+    import pyspark.sql.functions as F
+
+    one = spark.range(1).select(F.col("id").alias("k"))
+
+    # variantType is a reader feature: even a scan must refuse
+    table = str(tmp_path / "variant_tbl")
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["variantType"],
+                          "writerFeatures": ["variantType"]}},
+            _meta(spark, "k long"),
+        ],
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="variantType"):
+        dc.snapshot(table)
+
+    # writer-only features: reads fine, every mutation refuses by name
+    for feat in ("collations", "icebergCompatV1", "icebergCompatV2"):
+        table = str(tmp_path / f"{feat}_tbl")
+        _write_parquet(
+            spark, [(1,)], "k long", os.path.join(table, "a.parquet")
+        )
+        _commit(
+            table,
+            0,
+            [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 7,
+                              "writerFeatures": [feat]}},
+                _meta(spark, "k long"),
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ],
+        )
+        assert dc.read_delta(spark, table).count() == 1
+        with pytest.raises(dc.DeltaProtocolError, match=feat):
+            dc.append_delta(one, table)
+        with pytest.raises(dc.DeltaProtocolError, match=feat):
+            dc.optimize_delta(spark, table)
