@@ -201,6 +201,79 @@ def main() -> None:
         }
         print(f"incremental_{tag}: {out[f'incremental_{tag}']}", file=sys.stderr)
 
+    # Round-9 additions (VERDICT r8 item 5): the round-8/9 dedup shapes
+    # measured across the REAL fixture decade sf0.01 -> sf0.1 (500 ->
+    # 5000 docs). x57's cost driver is the map-side pair expansion
+    # (sum of `shared` = total expanded structs, Heaps-sublinear per
+    # source); x60b's is the df-capped candidate volume Σ C(df,2);
+    # x65 reports its own per-config candidate volumes — the probe
+    # records the shipped 4x3 config's growth.
+    from acero_delta_lake_streaming_spark.operators.dedup import (
+        _X60B_CAP,
+        _X60_SNIP,
+        _WORDS_SPARK,
+        x57_source_overlap,
+        x60b_corpus_containment,
+        x65_lsh_sweep,
+    )
+
+    for tag, sfd in (("s001", "/root/testdata/sf0.01"), ("s01", SF_DIR)):
+        d = load_table(spark, sfd, "documents")
+
+        t0 = time.time()
+        pair_structs = (
+            x57_source_overlap(spark, sfd)
+            .agg(F.sum("shared").cast("bigint").alias("s"))
+            .collect()[0]["s"]
+        )
+        release_scoped()
+        out[f"x57_{tag}"] = {
+            "pair_structs": int(pair_structs),
+            "sec": round(time.time() - t0, 1),
+        }
+
+        t0 = time.time()
+        base = d.select("doc_id", "text")
+        snippets = base.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', slice({_WORDS_SPARK}, 1, {_X60_SNIP}))"
+            ).alias("text"),
+        )
+        cand = (
+            _shingle_rows(base.unionByName(snippets))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df").between(2, _X60B_CAP))
+            .agg(
+                F.sum(F.expr("df * (df - 1) / 2"))
+                .cast("bigint")
+                .alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        emitted = x60b_corpus_containment(spark, sfd).count()
+        release_scoped()
+        out[f"x60b_{tag}"] = {
+            "candidates": int(cand),
+            "emitted": int(emitted),
+            "sec": round(time.time() - t0, 1),
+        }
+
+        t0 = time.time()
+        sweep = {
+            r["bands"]: (r["n_candidates"], r["recall_bp"])
+            for r in x65_lsh_sweep(spark, sfd).collect()
+        }
+        release_scoped()
+        out[f"x65_{tag}"] = {
+            "cand_4x3": int(sweep[4][0]),
+            "recall_bp_4x3": int(sweep[4][1]),
+            "sec": round(time.time() - t0, 1),
+        }
+        for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}"):
+            print(f"{k}: {out[k]}", file=sys.stderr)
+
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
     a1, a10 = out["ann_x1"], out["ann_x10"]
     s1, s10 = out["semdedup_x1"], out["semdedup_x10"]
@@ -216,6 +289,19 @@ def main() -> None:
             i10["probe_candidates"] / max(i1["probe_candidates"], 1), 2
         ),
         "incremental_corpus_ratio": round(i10["corpus"] / i1["corpus"], 2),
+        # fixture decade (10x docs): candidate growth for the r8/r9 shapes
+        "x57_struct_ratio": round(
+            out["x57_s01"]["pair_structs"]
+            / max(out["x57_s001"]["pair_structs"], 1), 2
+        ),
+        "x60b_cand_ratio": round(
+            out["x60b_s01"]["candidates"]
+            / max(out["x60b_s001"]["candidates"], 1), 2
+        ),
+        "x65_cand_ratio": round(
+            out["x65_s01"]["cand_4x3"]
+            / max(out["x65_s001"]["cand_4x3"], 1), 2
+        ),
     }
     print(json.dumps(out))
 

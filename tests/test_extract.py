@@ -225,3 +225,154 @@ def test_mock_handles_empty_text():
     parsed = json.loads(out[0]) if not out[0].startswith("ERROR") else None
     if parsed is not None:
         assert parsed["main_actors"] == [] and parsed["other_actors"] == []
+
+
+class _ScriptedHttpStub:
+    """Threaded chat/completions stub whose behavior is scripted by the
+    article's FIRST WORD, with per-text attempt counters — the live
+    transport twin of the chaos doubles (VERDICT r8 item 6): 'ok' →
+    200; 'flaky' → 429 once then 200; 'down' → 500 always; 'badauth' →
+    401 always; 'slow' → first attempt sleeps past the client timeout,
+    then 200."""
+
+    def __init__(self):
+        import http.server
+        import threading
+        import time as _time
+
+        stub = self
+        stub.hits: dict[str, int] = {}
+        lock = threading.Lock()
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                req = json.loads(self.rfile.read(n))
+                text = req["messages"][1]["content"]
+                kind = text.split(" ")[0]
+                with lock:
+                    attempt = stub.hits.get(text, 0)
+                    stub.hits[text] = attempt + 1
+                if kind == "down" or (kind == "flaky" and attempt == 0):
+                    code = 500 if kind == "down" else 429
+                    self.send_response(code)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if kind == "badauth":
+                    self.send_response(401)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if kind == "slow" and attempt == 0:
+                    _time.sleep(3)  # client timeout is 1 s
+                message = {
+                    "role": "assistant",
+                    "tool_calls": [
+                        {
+                            "type": "function",
+                            "function": {
+                                "name": "extract_event",
+                                "arguments": json.dumps(
+                                    {
+                                        "main_actors": [
+                                            {
+                                                "name": text.split(" ")[1],
+                                                "role": "subject",
+                                            }
+                                        ],
+                                        "other_actors": [],
+                                        "category": "Others",
+                                    }
+                                ),
+                            },
+                        }
+                    ],
+                }
+                body = json.dumps(
+                    {"choices": [{"message": message}]}
+                ).encode()
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client timed out and hung up ('slow' path)
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        self.base_url = f"http://127.0.0.1:{self._srv.server_port}/v1"
+        threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        ).start()
+
+    def shutdown(self):
+        self._srv.shutdown()
+
+
+def test_http_provider_retry_taxonomy_end_to_end(spark):
+    """The UD4 retry/quarantine taxonomy against the REAL transport,
+    end-to-end through mapInPandas: executor worker processes hit a
+    live local server over actual sockets. 429/500/timeout are
+    transient (retried, bounded); 401 is final (quarantined on attempt
+    1, never retried); exhausted retries quarantine. Server-side hit
+    counts pin that the retry loop re-sends exactly the transient
+    rows."""
+    from acero_delta_lake_streaming_spark.functions.extract import (
+        RetryingProvider,
+        extract_events_with_retry,
+    )
+
+    stub = _ScriptedHttpStub()
+    try:
+        provider = RetryingProvider(
+            HttpExtractionProvider(
+                base_url=stub.base_url, timeout=1, max_concurrency=4
+            ),
+            max_retries=2,
+            backoff_s=0.0,
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "ok alpha story"),
+                (2, "flaky beta story"),
+                (3, "down gamma story"),
+                (4, "badauth delta story"),
+                (5, "slow epsilon story"),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1)
+        rows = {
+            r["doc_id"]: r
+            for r in extract_events_with_retry(
+                docs, provider=provider
+            ).collect()
+        }
+    finally:
+        stub.shutdown()
+
+    # per-row attempt accounting (client view)
+    assert rows[1]["attempts"] == 1
+    assert rows[2]["attempts"] == 2   # one 429, then success
+    assert rows[3]["attempts"] == 3   # 500s exhaust max_retries=2
+    assert rows[4]["attempts"] == 1   # 401 is final, never re-sent
+    assert rows[5]["attempts"] == 2   # timeout, then success
+    # taxonomy: transient-exhausted and final errors quarantine
+    assert rows[3]["event"] is None
+    assert rows[3]["raw_response"].startswith("ERROR: transient")
+    assert rows[4]["event"] is None
+    assert rows[4]["raw_response"] == "ERROR: HTTP 401"
+    # successes parse, with the echoed actor proving positional mapping
+    for k, actor in ((1, "alpha"), (2, "beta"), (5, "epsilon")):
+        assert rows[k]["event"] is not None
+        assert rows[k]["event"]["main_actors"][0]["name"] == actor
+    # server view: the retry loop re-sent exactly the transient rows
+    hits = {t.split(" ")[0]: n for t, n in stub.hits.items()}
+    assert hits == {"ok": 1, "flaky": 2, "down": 3, "badauth": 1,
+                    "slow": 2}
