@@ -6365,11 +6365,14 @@ def follow_delta_appends(
     commit, adds included (``skipChangeCommits``; the rewritten adds
     carry pre-existing rows, so admitting them would re-emit).
 
-    Scope: unpartitioned, unmapped sources (the streaming-ingest
-    shape); partitioned or column-mapped tables raise by name. Epochs
-    read under the LOG schema at the cycle's head — authoritative, no
-    footer inference. Returns ``(next_version, next_epoch)`` so a
-    restart resumes both cursors.
+    Partitioned sources admit through the same queue — each chunk
+    reads via the partition-recovering grouped scan (hive ``col=value``
+    directories, values cast back to the LOG schema's types), so a
+    partitioned bronze table tails exactly like a flat one. Column-
+    mapped sources raise by name (physical-name admission is real
+    work, not a silent misread). Epochs read under the LOG schema at
+    the cycle's head — authoritative, no footer inference. Returns
+    ``(next_version, next_epoch)`` so a restart resumes both cursors.
 
     Reference anchor: the incremental feed→table tail loop in
     collector.py:40-74 (poll, consume only the new slice, append
@@ -6396,12 +6399,8 @@ def follow_delta_appends(
                     "not supported (physical-name admission is the "
                     "CDC follower's job)"
                 )
-            if snap["partition_cols"]:
-                raise DeltaProtocolError(
-                    "follow_delta_appends: partitioned sources are "
-                    "not supported yet"
-                )
             full = T.StructType.fromJson(json.loads(snap["schema"]))
+            pcols = snap["partition_cols"]
             queue: list[str] = []
             for v in versions:
                 adds: list[str] = []
@@ -6415,7 +6414,9 @@ def follow_delta_appends(
                         if "add" in action and action["add"].get(
                             "dataChange", True
                         ):
-                            adds.append(action["add"]["path"])
+                            # paths are URL-encoded in the log (spec);
+                            # hive dirs live decoded on disk
+                            adds.append(unquote(action["add"]["path"]))
                         if "remove" in action and action["remove"].get(
                             "dataChange", True
                         ):
@@ -6433,9 +6434,24 @@ def follow_delta_appends(
                 queue.extend(
                     os.path.join(table, p) for p in sorted(adds)
                 )
+            data_schema = T.StructType(
+                [f for f in full.fields if f.name not in pcols]
+            )
             for i in range(0, len(queue), max_files_per_trigger):
                 chunk = queue[i : i + max_files_per_trigger]
-                apply_fn(spark.read.schema(full).parquet(*chunk), epoch)
+                if pcols:
+                    for p in pcols:
+                        if not all(f"{p}=" in f for f in chunk):
+                            raise DeltaProtocolError(
+                                "follow_delta_appends: partitioned "
+                                "table without hive directory layout"
+                            )
+                    batch = _grouped_part_read(
+                        spark, table, chunk, data_schema
+                    ).select(_pcol_cast_cols(full, pcols))
+                else:
+                    batch = spark.read.schema(full).parquet(*chunk)
+                apply_fn(batch, epoch)
                 epoch += 1
             cursor = versions[-1] + 1
         cycle += 1

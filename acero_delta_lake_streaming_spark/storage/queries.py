@@ -1699,6 +1699,70 @@ _ST24_SQL = (
 )
 
 
+def st24b_partitioned_append_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST24B — st24's tail over a HIVE-PARTITIONED source landing in a
+    partitioned sink: the bronze-table shape a real ingest stream has.
+    Add actions carry ``status=X/`` directory segments (URL-encoded in
+    the log, decoded for the scan); each micro-batch reads through the
+    partition-recovering grouped scan, so the recovered partition
+    column arrives TYPED per the log schema and the downstream
+    ``txn``-ledger sink re-partitions by it. The mid-stream OPTIMIZE
+    compacts within partitions (dataChange:false — invisible), and the
+    full-history replay must no-op per epoch. The hash gate certifies
+    the values survived two hive round-trips (source dirs → stream →
+    sink dirs)."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "st24b_src")
+    sink_t = _scratch(sf_dir, "st24b_sink")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 0"), src,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 1"), src,
+        partition_by=["o_orderstatus"],
+    )
+    delta_compat.optimize_delta(spark, src, target_partitions=1)
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 = 2"), src,
+        partition_by=["o_orderstatus"],
+    )
+    sink = delta_compat.streaming_sink(
+        sink_t, "st24b_follower", partition_by=["o_orderstatus"]
+    )
+    drain = dict(max_files_per_trigger=3, max_cycles=1,
+                 sleep_fn=lambda _s: None)
+    delta_compat.follow_delta_appends(spark, src, sink, **drain)
+    delta_compat.follow_delta_appends(spark, src, sink, **drain)
+    return (
+        delta_compat.read_delta(spark, sink_t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_ST24B_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents "
+    "FROM orders GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3278,6 +3342,7 @@ QUERIES = {
     "st12_incremental_agg_mart": st12_incremental_agg_mart,
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
     "st24_delta_append_stream": st24_delta_append_stream,
+    "st24b_partitioned_append_stream": st24b_partitioned_append_stream,
 }
 
 ORACLES = {
@@ -3329,4 +3394,5 @@ ORACLES = {
     "st12_incremental_agg_mart": _ST12_SQL,
     "st15_delta_cdf_follower": _ST15_SQL,
     "st24_delta_append_stream": _ST24_SQL,
+    "st24b_partitioned_append_stream": _ST24B_SQL,
 }

@@ -121,6 +121,7 @@ HEADLINE = [
     "st15_delta_cdf_follower",
     # round 9: Delta-as-append-stream source (maxFilesPerTrigger tail)
     "st24_delta_append_stream",
+    "st24b_partitioned_append_stream",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

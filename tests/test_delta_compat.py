@@ -6167,7 +6167,8 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
     )
     assert dc.read_delta(spark, sink_t).count() == once
 
-    # refusals by name
+    # partitioned sources tail through the partition-recovering scan:
+    # hive directory values come back typed per the LOG schema
     ptab = str(tmp_path / "st24_part")
     dc.append_delta(
         spark.range(4).select(
@@ -6175,10 +6176,25 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
         ),
         ptab, partition_by=["p"],
     )
-    with pytest.raises(dc.DeltaProtocolError, match="partitioned"):
-        dc.follow_delta_appends(
-            spark, ptab, tap, max_cycles=1, sleep_fn=lambda _s: None,
-        )
+    dc.append_delta(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        ptab, partition_by=["p"],
+    )
+    got: list[tuple[int, int]] = []
+
+    def ptap(df, epoch):
+        assert dict(df.dtypes) == {"k": "bigint", "p": "bigint"}
+        got.extend((r["k"], r["p"]) for r in df.collect())
+
+    dc.follow_delta_appends(
+        spark, ptab, ptap, max_files_per_trigger=3,
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert sorted(got) == [(i, i % 2) for i in range(6)]
+
+    # column mapping still refuses by name
     mtab = str(tmp_path / "st24_mapped")
     dc.append_delta(spark.range(4).select(F.col("id").alias("k")), mtab)
     dc.enable_column_mapping(mtab)
