@@ -6369,9 +6369,14 @@ def follow_delta_appends(
     reads via the partition-recovering grouped scan (hive ``col=value``
     directories, values cast back to the LOG schema's types), so a
     partitioned bronze table tails exactly like a flat one. Column-
-    mapped sources raise by name (physical-name admission is real
-    work, not a silent misread). Epochs read under the LOG schema at
-    the cycle's head — authoritative, no footer inference. Returns
+    mapped sources (name and id mode) scan each chunk under the
+    PHYSICAL schema and project back to logical names — id mode
+    resolves parquet footer field ids over exactly the chunk's files;
+    batches always arrive under logical names. The one remaining
+    refusal is mapped × partitioned (physical partition-dir admission,
+    the `_read_mapped_partitioned` composition — raise by name rather
+    than misread). Epochs read under the LOG schema at the cycle's
+    head — authoritative, no footer inference. Returns
     ``(next_version, next_epoch)`` so a restart resumes both cursors.
 
     Reference anchor: the incremental feed→table tail loop in
@@ -6393,14 +6398,15 @@ def follow_delta_appends(
         ]
         if versions:
             snap = snapshot(table)  # protocol gate + authoritative schema
-            if _mapping_mode(snap) != "none":
-                raise DeltaProtocolError(
-                    "follow_delta_appends: column-mapped sources are "
-                    "not supported (physical-name admission is the "
-                    "CDC follower's job)"
-                )
+            mode = _mapping_mode(snap)
             full = T.StructType.fromJson(json.loads(snap["schema"]))
             pcols = snap["partition_cols"]
+            if mode != "none" and pcols:
+                raise DeltaProtocolError(
+                    "follow_delta_appends: column-mapped PARTITIONED "
+                    "sources are not supported (physical partition-dir "
+                    "admission)"
+                )
             queue: list[str] = []
             for v in versions:
                 adds: list[str] = []
@@ -6449,6 +6455,16 @@ def follow_delta_appends(
                     batch = _grouped_part_read(
                         spark, table, chunk, data_schema
                     ).select(_pcol_cast_cols(full, pcols))
+                elif mode != "none":
+                    phys_of = None
+                    if mode == "id":
+                        # footer field ids over exactly this chunk
+                        phys_of = _id_physical_names(
+                            snap["schema"], chunk
+                        )
+                    batch = _read_with_mapping(
+                        spark, chunk, snap["schema"], phys_of
+                    )
                 else:
                     batch = spark.read.schema(full).parquet(*chunk)
                 apply_fn(batch, epoch)

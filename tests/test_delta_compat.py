@@ -6194,13 +6194,52 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
     )
     assert sorted(got) == [(i, i % 2) for i in range(6)]
 
-    # column mapping still refuses by name
+    # column-mapped sources tail under the physical schema and emit
+    # LOGICAL names: rename k -> kk, append under physical names, and
+    # the follower's batches carry kk end-to-end
     mtab = str(tmp_path / "st24_mapped")
     dc.append_delta(spark.range(4).select(F.col("id").alias("k")), mtab)
     dc.enable_column_mapping(mtab)
-    with pytest.raises(dc.DeltaProtocolError, match="column-mapped"):
+    dc.rename_column(mtab, "k", "kk")
+    dc.append_delta(
+        spark.range(4, 6).select(F.col("id").alias("kk")), mtab
+    )
+    mgot: list[int] = []
+
+    def mtap(df, epoch):
+        assert df.columns == ["kk"]
+        mgot.extend(r["kk"] for r in df.collect())
+
+    dc.follow_delta_appends(
+        spark, mtab, mtap, max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert sorted(mgot) == list(range(6))
+
+    # id-mode tail: footer field ids resolve over exactly the chunk
+    itab = str(tmp_path / "st24_idmode")
+    dc.append_delta(spark.range(3).select(F.col("id").alias("k")), itab)
+    dc.enable_column_mapping(itab, mode="id")
+    dc.append_delta(spark.range(3, 5).select(F.col("id").alias("k")), itab)
+    igot: list[int] = []
+    dc.follow_delta_appends(
+        spark, itab,
+        lambda df, e: igot.extend(r["k"] for r in df.collect()),
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert sorted(igot) == list(range(5))
+
+    # the one remaining refusal: mapped x partitioned
+    mptab = str(tmp_path / "st24_mapped_part")
+    dc.append_delta(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        mptab, partition_by=["p"],
+    )
+    dc.enable_column_mapping(mptab)
+    with pytest.raises(dc.DeltaProtocolError, match="PARTITIONED"):
         dc.follow_delta_appends(
-            spark, mtab, tap, max_cycles=1, sleep_fn=lambda _s: None,
+            spark, mptab, tap, max_cycles=1, sleep_fn=lambda _s: None,
         )
 
 
