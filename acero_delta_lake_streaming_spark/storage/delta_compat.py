@@ -6372,11 +6372,11 @@ def follow_delta_appends(
     mapped sources (name and id mode) scan each chunk under the
     PHYSICAL schema and project back to logical names — id mode
     resolves parquet footer field ids over exactly the chunk's files;
-    batches always arrive under logical names. The one remaining
-    refusal is mapped × partitioned (physical partition-dir admission,
-    the `_read_mapped_partitioned` composition — raise by name rather
-    than misread). Epochs read under the LOG schema at the cycle's
-    head — authoritative, no footer inference. Returns
+    batches always arrive under logical names. Mapped × partitioned
+    composes too: the chunk reads through the mapped-partitioned scan
+    (physical ``col=value/`` dirs, values cast to the LOG types,
+    renamed to logical). Epochs read under the LOG schema at the
+    cycle's head — authoritative, no footer inference. Returns
     ``(next_version, next_epoch)`` so a restart resumes both cursors.
 
     Reference anchor: the incremental feed→table tail loop in
@@ -6393,20 +6393,27 @@ def follow_delta_appends(
     epoch = start_epoch
     cycle = 0
     while True:
-        versions = [
-            v for v in _list_commit_versions(table) if v >= cursor
-        ]
+        all_versions = _list_commit_versions(table)
+        versions = [v for v in all_versions if v >= cursor]
         if versions:
+            if versions[0] > cursor and all_versions and (
+                all_versions[0] > cursor
+            ):
+                # the cursor points below the retained log: the
+                # commits between it and the retention floor were
+                # cleaned (cleanup_log / logRetentionDuration), so
+                # their add-action feed is unrecoverable — failing
+                # loudly beats silently skipping shipped data
+                raise DeltaProtocolError(
+                    f"follow_delta_appends: versions [{cursor}, "
+                    f"{versions[0]}) of {table} were cleaned from the "
+                    "log; the tail cannot resume exactly-once — "
+                    "restart from a full snapshot"
+                )
             snap = snapshot(table)  # protocol gate + authoritative schema
             mode = _mapping_mode(snap)
             full = T.StructType.fromJson(json.loads(snap["schema"]))
             pcols = snap["partition_cols"]
-            if mode != "none" and pcols:
-                raise DeltaProtocolError(
-                    "follow_delta_appends: column-mapped PARTITIONED "
-                    "sources are not supported (physical partition-dir "
-                    "admission)"
-                )
             queue: list[str] = []
             for v in versions:
                 adds: list[str] = []
@@ -6445,7 +6452,14 @@ def follow_delta_appends(
             )
             for i in range(0, len(queue), max_files_per_trigger):
                 chunk = queue[i : i + max_files_per_trigger]
-                if pcols:
+                if pcols and mode != "none":
+                    # the protocol keys partition dirs by PHYSICAL
+                    # names under mapping; the mapped-partitioned scan
+                    # owns that composition — bind over the chunk
+                    batch = _read_mapped_partitioned(
+                        spark, table, dict(snap, files=chunk), {}
+                    )
+                elif pcols:
                     for p in pcols:
                         if not all(f"{p}=" in f for f in chunk):
                             raise DeltaProtocolError(

@@ -6228,7 +6228,8 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
     )
     assert sorted(igot) == list(range(5))
 
-    # the one remaining refusal: mapped x partitioned
+    # mapped x partitioned composes: physical col=value dirs admit,
+    # the batch arrives under LOGICAL names with typed partition values
     mptab = str(tmp_path / "st24_mapped_part")
     dc.append_delta(
         spark.range(4).select(
@@ -6237,10 +6238,24 @@ def test_follow_delta_appends_lifecycle(spark, tmp_path):
         mptab, partition_by=["p"],
     )
     dc.enable_column_mapping(mptab)
-    with pytest.raises(dc.DeltaProtocolError, match="PARTITIONED"):
-        dc.follow_delta_appends(
-            spark, mptab, tap, max_cycles=1, sleep_fn=lambda _s: None,
-        )
+    dc.rename_column(mptab, "k", "kk")
+    dc.append_delta(
+        spark.range(4, 6).select(
+            F.col("id").alias("kk"), (F.col("id") % 2).alias("p")
+        ),
+        mptab, partition_by=["p"],
+    )
+    mpgot: list[tuple[int, int]] = []
+
+    def mptap(df, epoch):
+        assert sorted(df.columns) == ["kk", "p"]
+        assert dict(df.dtypes)["p"] == "bigint"
+        mpgot.extend((r["kk"], r["p"]) for r in df.collect())
+
+    dc.follow_delta_appends(
+        spark, mptab, mptap, max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert sorted(mpgot) == [(i, i % 2) for i in range(6)]
 
 
 def test_checkpoint_protection_honored(spark, tmp_path):
@@ -6334,3 +6349,36 @@ def test_unsupported_features_refused_by_name(spark, tmp_path):
             dc.append_delta(one, table)
         with pytest.raises(dc.DeltaProtocolError, match=feat):
             dc.optimize_delta(spark, table)
+
+
+def test_follow_delta_appends_cleaned_log_gap(spark, tmp_path):
+    """A follower resuming below the retained log must fail LOUDLY:
+    the cleaned commits' add feed is unrecoverable, and silently
+    skipping them would under-ship data. Resuming at the retention
+    floor works (snapshot replays from the checkpoint)."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cleaned_tail")
+    for lo in (0, 3, 6):
+        dc.append_delta(
+            spark.range(lo, lo + 3).coalesce(1).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+    dc.checkpoint_delta(table)          # checkpoint at v2
+    assert dc.cleanup_log(table)        # v0, v1 JSONs gone
+    got: list[int] = []
+    with pytest.raises(dc.DeltaProtocolError, match="cleaned"):
+        dc.follow_delta_appends(
+            spark, table,
+            lambda df, e: got.extend(r["k"] for r in df.collect()),
+            start_version=0, max_cycles=1, sleep_fn=lambda _s: None,
+        )
+    assert got == []
+    cur, ep = dc.follow_delta_appends(
+        spark, table,
+        lambda df, e: got.extend(r["k"] for r in df.collect()),
+        start_version=2, max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert cur == 3 and sorted(got) == list(range(6, 9))
