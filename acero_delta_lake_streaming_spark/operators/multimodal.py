@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from acero_delta_lake_streaming_spark.catalog import load_table
+from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 
 _MEDIA_TYPE = "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1)"
 _FORMAT = "element_at(array('png', 'wav', 'mp4'), CAST(doc_id % 3 AS INT) + 1)"
@@ -465,12 +466,210 @@ _X5E_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X5f — perceptual-hash near-dup over the binary column (dHash + bands)
+# --------------------------------------------------------------------------
+
+_X5F_BANDS = 4  # 4 x 8-bit bands over the 32-bit fingerprint
+_X5F_T = 4  # max Hamming distance for an emitted pair
+
+
+class DHashStub:
+    """Difference-hash over the stub payload: bit i of the 32-bit
+    fingerprint is ``byte[i] > byte[(i+1) % 32]`` — the byte-domain
+    twin of image dHash (adjacent-pixel gradient signs after a
+    grayscale downscale). A real deployment swaps ``fingerprint_batch``
+    for decode → 9×8 downscale → horizontal gradient bits; everything
+    downstream (banding, bucketing, Hamming verify) is unchanged, which
+    is the point of the seam."""
+
+    def fingerprint_batch(self, contents: pd.Series) -> list[int]:
+        out = []
+        for b in contents:
+            data = bytes(b) if b is not None else b""
+            fp = 0
+            n = len(data)
+            for i in range(min(n, 32)):
+                if data[i] > data[(i + 1) % n]:
+                    fp |= 1 << i
+            out.append(fp)
+        return out
+
+
+def media_fingerprints(media: DataFrame, hasher=None) -> DataFrame:
+    """Arrow-batched perceptual fingerprinting: narrow (media_id,
+    content) projection into ONE mapInPandas stage; 8-byte ints leave
+    it, payload bytes never cross an exchange."""
+    hasher = hasher or DHashStub()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fp": pd.array(
+                        hasher.fingerprint_batch(pdf["content"]),
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, fp long"
+    )
+
+
+def x5f_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5F — near-duplicate detection for BINARY media, the multimodal
+    member of the dedup family: MinHash/SimHash shingle text, this
+    dHash-es the payload (deterministic stub for the decode, real
+    perceptual-hash geometry for everything after). The certificate
+    plants payload twins — the original 32 bytes with the first three
+    bytes perturbed (+128 mod 256), the byte-domain analogue of a
+    re-encoded thumbnail — whose fingerprints differ in ≤4 of 32
+    gradient bits; they MUST surface while unrelated payloads
+    (md5-random bytes, expected Hamming ≈ 16) stay out.
+
+    Scale shape: candidates come from 8-bit BANDS of the fingerprint
+    (a ≤4-bit difference cannot touch all 4 bands, so every true pair
+    shares one — SimHash's pigeonhole, x2b), folded x57-style:
+    ONE shuffle groups (band, key) to its carrier set, pairs expand
+    map-side inside the array, the Hamming verify joins the two
+    broadcast fingerprint frames, and ``bit_count(fp_a ^ fp_b)`` is
+    exact. Payload bytes never shuffle — only (id, 32-bit fp) pairs.
+    At larger corpora the fingerprint widens (64-bit dHash, 16-bit
+    bands) to keep bucket occupancy flat — the x3b planes rule; the
+    32-bit/8-bit fixture keeps the oracle's integer arithmetic exact.
+    Reference anchor: the dedup mandate of the north-star extensions
+    (SURVEY.md §2 X2/X5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_table(docs).select("media_id", "content")
+    perturbed_hex = F.concat(
+        *[
+            F.lpad(
+                F.hex(
+                    (
+                        F.conv(
+                            F.substring(F.md5("text"), 2 * i + 1, 2), 16, 10
+                        ).cast("long")
+                        + 128
+                    )
+                    % 256
+                ),
+                2,
+                "0",
+            )
+            for i in range(3)
+        ],
+        F.expr("substring(md5(text), 7)"),
+        F.md5(F.concat(F.lit("x"), F.col("text"))),
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("media_id"),
+        F.unhex(perturbed_hex).alias("content"),
+    )
+    fps = scoped_persist(
+        media_fingerprints(media.unionByName(twins))
+    )
+    bands = fps.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, {b} - 1), j -> "
+                "struct(j AS band, shiftright(fp, 8 * j) % 256 AS bkey))"
+                .format(b=_X5F_BANDS)
+            )
+        ).alias("bb"),
+    ).select("media_id", "bb.band", "bb.bkey")
+    pairs = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set("media_id")).alias("ids"))
+        .filter(F.expr("size(ids) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS media_a, y AS media_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.media_a", "p.media_b")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                fps.select(
+                    F.col("media_id").alias("media_a"),
+                    F.col("fp").alias("fp_a"),
+                )
+            ),
+            "media_a",
+        )
+        .join(
+            F.broadcast(
+                fps.select(
+                    F.col("media_id").alias("media_b"),
+                    F.col("fp").alias("fp_b"),
+                )
+            ),
+            "media_b",
+        )
+        .select(
+            "media_a",
+            "media_b",
+            F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias(
+                "hamming_bits"
+            ),
+        )
+        .filter(F.col("hamming_bits") <= _X5F_T)
+    )
+
+
+#: DuckDB: 1-based list of the 32 payload byte values for a 64-char hex
+_X5F_BYTES = (
+    "list_transform(range(1, 33), i -> "
+    "CAST(('0x' || substr(hex, 2 * i - 1, 2)) AS BIGINT))"
+)
+
+_X5F_SQL = (
+    "WITH base AS (SELECT doc_id AS media_id, "
+    "md5(text) || md5('x' || text) AS hex FROM documents), "
+    "bytes0 AS (SELECT media_id, "
+    f"{_X5F_BYTES} AS bs FROM base), "
+    "allb AS (SELECT media_id, bs FROM bytes0 "
+    "UNION ALL "
+    "SELECT media_id + 3000000, "
+    "list_transform(range(1, 33), i -> CASE WHEN i <= 3 "
+    "THEN (bs[i] + 128) % 256 ELSE bs[i] END) "
+    "FROM bytes0 WHERE media_id % 10 = 7), "
+    "fps AS (SELECT media_id, CAST(list_sum(list_transform("
+    "range(1, 33), i -> CASE WHEN bs[i] > bs[(i % 32) + 1] "
+    "THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS fp "
+    "FROM allb), "
+    f"bands AS (SELECT media_id, fp, t.j, "
+    "(fp >> (8 * t.j)) % 256 AS bkey "
+    f"FROM fps, UNNEST(range(0, {_X5F_BANDS})) AS t(j)), "
+    "pairs AS (SELECT DISTINCT a.media_id AS media_a, "
+    "b.media_id AS media_b FROM bands a JOIN bands b "
+    "ON a.j = b.j AND a.bkey = b.bkey AND a.media_id < b.media_id) "
+    "SELECT p.media_a, p.media_b, "
+    "CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming_bits "
+    "FROM pairs p "
+    "JOIN fps fa ON fa.media_id = p.media_a "
+    "JOIN fps fb ON fb.media_id = p.media_b "
+    f"WHERE bit_count(xor(fa.fp, fb.fp)) <= {_X5F_T}"
+)
+
+
 QUERIES = {
     "x5_meta_pruning": x5_meta_pruning,
     "x5b_decode_features": x5b_decode_features,
     "x5c_frame_sample": x5c_frame_sample,
     "x5d_multimodal_pack": x5d_multimodal_pack,
     "x5e_audio_vad": x5e_audio_vad,
+    "x5f_media_phash_neardup": x5f_media_phash_neardup,
 }
 
 def _hexpair_sum(h: str) -> str:
@@ -510,4 +709,9 @@ ORACLES = {
     # are a pure function of the md5-derived payload — the oracle
     # replays frames + gaps-and-islands in SQL, full hash gate.
     "x5e_audio_vad": _X5E_SQL,
+    # x5f's fingerprint is real Python over the payload bytes, but the
+    # dHash stub is a pure function of the md5-derived payload — the
+    # oracle rebuilds bytes -> gradient bits -> bands in SQL, full
+    # hash gate on the banded candidate semantics included.
+    "x5f_media_phash_neardup": _X5F_SQL,
 }

@@ -122,6 +122,7 @@ HEADLINE = [
     # round 9: Delta-as-append-stream source (maxFilesPerTrigger tail)
     "st24_delta_append_stream",
     "st24b_partitioned_append_stream",
+    "x5f_media_phash_neardup",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

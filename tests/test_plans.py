@@ -870,3 +870,34 @@ def test_x60b_plan_never_exceeds_bucket_cooccupancy(spark, sf_dir):
         assert len(sh_exchanges) <= 1, sh_exchanges
     finally:
         release_scoped()
+
+
+def test_x5f_payload_never_crosses_exchange(spark, sf_dir):
+    """x5f: exactly ONE Arrow stage (the fingerprint seam) — payload
+    bytes reduce to 8-byte ints before anything wide; no hash exchange
+    carries the binary content; candidate pairs come from the carrier
+    fold (no SortMergeJoin); the Hamming verify joins broadcast."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        x5f_media_phash_neardup,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x5f_media_phash_neardup(spark, sf_dir))
+        # the fingerprint frame is scoped-persisted and consumed three
+        # times (bands + both verify sides): the ONE Arrow stage
+        # reprints under each InMemoryTableScan consumer — the cache
+        # is what proves it executes once
+        assert "InMemoryTableScan" in plan
+        assert plan.count("MapInPandas") <= 3
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            assert "content" not in m.group(1), m.group(0)
+    finally:
+        release_scoped()
