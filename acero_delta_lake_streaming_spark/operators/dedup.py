@@ -1662,10 +1662,12 @@ def x60_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained side (ties break to the higher doc_id — deterministic in
     both engines). Like x2c, the pair space generates through the
     shingle EQUI-join on an id-blocked slice (the documented blocking
-    key — production blocks by LSH bucket or suffix-array run instead;
-    the join/agg geometry is identical), so even the exact path is
-    never a cross join and candidates are bounded by shared-shingle
-    co-occurrence."""
+    key), so even the exact path is never a cross join and candidates
+    are bounded by shared-shingle co-occurrence. The PRODUCTION pass is
+    :func:`x60b_corpus_containment` — same metric, df-capped shingle
+    blocking, whole corpus (VERDICT r8 item 2); this slice variant
+    stays as the geometry demonstrator with exhaustive within-block
+    pairs."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(
         (F.col("doc_id") % 1000000) < _X60_SLICE
