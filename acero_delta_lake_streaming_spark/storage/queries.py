@@ -1763,6 +1763,62 @@ _ST24B_SQL = (
 )
 
 
+def s41_bucketed_colocated_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S41 — the CO-LOCATED fact-fact join (SCALING.md's bucketing
+    promise, executed instead of asserted): lineitem and orders land
+    bucketed by order key (8 buckets, sorted within), and the orderkey
+    join then runs as a SortMergeJoin with ZERO exchanges below it —
+    both sides' bucket files are already partitioned identically, so
+    the only shuffle in the whole query is the 3-row status rollup.
+    At 100 TB this is the difference between re-shuffling two fact
+    tables on every join and paying the bucketing shuffle ONCE at
+    ingest; the `merge` hint removes the broadcast fallback so the
+    demonstrated plan is the cluster plan, not a small-SF artifact.
+    The zero-exchange-below-the-join shape is plan-guarded
+    (tests/test_plans.py). Oracle replays the plain join."""
+    li_path = _scratch(sf_dir, "s41_li_buckets")
+    od_path = _scratch(sf_dir, "s41_od_buckets")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        li.write.mode("overwrite").option("path", li_path)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("s41_lineitem_bucketed")
+    )
+    (
+        od.write.mode("overwrite").option("path", od_path)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("s41_orders_bucketed")
+    )
+    a = spark.table("s41_lineitem_bucketed")
+    b = spark.table("s41_orders_bucketed")
+    return (
+        a.hint("merge")
+        .join(b, a.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT)"
+            ).alias("qty_sum"),
+        )
+    )
+
+
+_S41_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty_sum "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3343,6 +3399,7 @@ QUERIES = {
     "st15_delta_cdf_follower": st15_delta_cdf_follower,
     "st24_delta_append_stream": st24_delta_append_stream,
     "st24b_partitioned_append_stream": st24b_partitioned_append_stream,
+    "s41_bucketed_colocated_join": s41_bucketed_colocated_join,
 }
 
 ORACLES = {
@@ -3395,4 +3452,5 @@ ORACLES = {
     "st15_delta_cdf_follower": _ST15_SQL,
     "st24_delta_append_stream": _ST24_SQL,
     "st24b_partitioned_append_stream": _ST24B_SQL,
+    "s41_bucketed_colocated_join": _S41_SQL,
 }

@@ -901,3 +901,22 @@ def test_x5f_payload_never_crosses_exchange(spark, sf_dir):
             assert "content" not in m.group(1), m.group(0)
     finally:
         release_scoped()
+
+
+def test_s41_bucketed_join_no_exchange(spark, sf_dir):
+    """s41: the orderkey join over two bucketed tables must be a
+    SortMergeJoin with ZERO exchanges below it — no Exchange in the
+    plan keys on an orderkey, and no broadcast fallback hides the
+    co-location (the cluster-plan property bucketing buys)."""
+    import re
+
+    from acero_delta_lake_streaming_spark.storage.queries import (
+        s41_bucketed_colocated_join,
+    )
+
+    plan = _physical(s41_bucketed_colocated_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1), m.group(0)
