@@ -447,6 +447,54 @@ def _bpe_encode_expr(sym0: str, m1: str, m2: str, m3: str) -> str:
     return f"size(filter(split({merged}, ' '), x -> x != ''))"
 
 
+def _bpe_doc_counts(
+    spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document (n_words, n_syms, n_tokens) under the x41-learned
+    3-merge BPE — the single source both the per-doc encode view
+    (x41b) and the per-language fertility rollup (x66) derive from, so
+    the two can never drift on the merge table or the encode chain.
+    ``keep`` passes extra document columns (e.g. ``lang``) through the
+    pure-map encode stage."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", *keep
+    )
+    words = (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    learned, _cur = _bpe_train(words)
+    merges = (
+        learned[0]
+        .select(F.col("pair").alias("m1"))
+        .crossJoin(F.broadcast(learned[1].select(F.col("pair").alias("m2"))))
+        .crossJoin(F.broadcast(learned[2].select(F.col("pair").alias("m3"))))
+    )
+    sym0 = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
+    return docs.crossJoin(F.broadcast(merges)).select(
+        "doc_id",
+        *keep,
+        F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
+        F.expr(
+            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+            "word -> length(word)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+        )
+        .cast("bigint")
+        .alias("n_syms"),
+        F.expr(
+            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+            f"word -> {enc}), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
 def x41b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X41b — apply the x41-learned BPE merge table to ENCODE every
     document: the tokenizer-apply step that turns a trained merge list
@@ -463,57 +511,67 @@ def x41b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles. At 100 TB this is one pass over the text column.
     Certificate: integer-only outputs (counts + basis points), so any
     merge-application divergence anywhere flips a row."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = (
-        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
-        .localCheckpoint(eager=True)
+    return _bpe_doc_counts(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "n_syms",
+        "n_tokens",
+        F.expr("(10000 * (n_syms - n_tokens)) DIV nullif(n_syms, 0)")
+        .cast("bigint")
+        .alias("compress_bp"),
     )
-    learned, _cur = _bpe_train(words)
-    merges = (
-        learned[0]
-        .select(F.col("pair").alias("m1"))
-        .crossJoin(F.broadcast(learned[1].select(F.col("pair").alias("m2"))))
-        .crossJoin(F.broadcast(learned[2].select(F.col("pair").alias("m3"))))
-    )
-    sym0 = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
-    enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
+
+
+def x66_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 — the per-LANGUAGE tokenizer fertility audit: tokens/word,
+    chars/token and compression under the x41-learned BPE, rolled up
+    by ``lang``. This is the audit a multilingual pipeline runs before
+    trusting a tokenizer's budget math — a tokenizer trained on one
+    language's character statistics over-fragments the others
+    (fertility ≫ 1 token/word inflates context cost and effectively
+    down-weights the language at a fixed token budget; the basis-point
+    deltas here ARE that tax, per language). Derives from the SAME
+    per-doc encode frame as x41b (``_bpe_doc_counts``), so the audit
+    audits the shipped tokenizer, not a re-derivation.
+
+    Scale: one pure-map encode pass over documents (the x41b shape),
+    then a |langs|-row aggregate — ratios computed once from the
+    summed numerators/denominators (never averaged per-doc), integer
+    basis points end-to-end."""
+    per_doc = _bpe_doc_counts(spark, sf_dir, keep=("lang",))
     return (
-        docs.crossJoin(F.broadcast(merges))
-        .select(
-            "doc_id",
-            F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
-            F.expr(
-                f"coalesce(aggregate(transform({_WORDS_SPARK}, "
-                "word -> length(word)), "
-                "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
-            )
-            .cast("bigint")
-            .alias("n_syms"),
-            F.expr(
-                f"coalesce(aggregate(transform({_WORDS_SPARK}, "
-                f"word -> {enc}), "
-                "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
-            )
-            .cast("bigint")
-            .alias("n_tokens"),
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.sum("n_syms").cast("bigint").alias("syms"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
         )
         .select(
-            "doc_id",
-            "n_words",
-            "n_syms",
-            "n_tokens",
-            F.expr(
-                "(10000 * (n_syms - n_tokens)) DIV nullif(n_syms, 0)"
-            )
+            "lang",
+            "n_docs",
+            "words",
+            "syms",
+            "tokens",
+            F.expr("(10000 * tokens) DIV nullif(words, 0)")
+            .cast("bigint")
+            .alias("fertility_bp"),
+            F.expr("(10000 * syms) DIV nullif(tokens, 0)")
+            .cast("bigint")
+            .alias("chars_per_token_bp"),
+            F.expr("(10000 * (syms - tokens)) DIV nullif(syms, 0)")
             .cast("bigint")
             .alias("compress_bp"),
         )
     )
 
 
-def _x41b_sql() -> str:
+def _bpe_enc_prefix(keep: str = "") -> str:
+    """Shared DuckDB WITH-body: train the 3-merge table, encode every
+    document into (n_words, n_syms, n_tokens) — the oracle twin of
+    :func:`_bpe_doc_counts`, single-sourced for x41b and x66. ``keep``
+    adds pass-through document columns to the ``enc`` CTE (e.g.
+    ``"lang, "``)."""
     sym0 = "concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'))"
     enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
     # DuckDB's size/filter/split aliases: len / list_filter /
@@ -534,18 +592,41 @@ def _x41b_sql() -> str:
         + _x41_round_ctes("m2", 3) + ", "
         "mt AS (SELECT t1.pair AS m1, t2.pair AS m2, t3.pair AS m3 "
         "FROM t1 CROSS JOIN t2 CROSS JOIN t3), "
-        "enc AS (SELECT doc_id, "
+        f"enc AS (SELECT doc_id, {keep}"
         f"len({_WORDS_DUCK}) AS n_words, "
         f"coalesce(list_sum(list_transform({_WORDS_DUCK}, "
         "word -> length(word))), 0) AS n_syms, "
         f"coalesce(list_sum(list_transform({_WORDS_DUCK}, "
         f"word -> {enc})), 0) AS n_tokens "
         "FROM documents CROSS JOIN mt) "
-        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    )
+
+
+def _x41b_sql() -> str:
+    return (
+        _bpe_enc_prefix()
+        + "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
         "CAST(n_syms AS BIGINT) AS n_syms, "
         "CAST(n_tokens AS BIGINT) AS n_tokens, "
         "CAST((10000 * (n_syms - n_tokens)) // nullif(n_syms, 0) "
         "AS BIGINT) AS compress_bp FROM enc"
+    )
+
+
+def _x66_sql() -> str:
+    return (
+        _bpe_enc_prefix(keep="lang, ")
+        + "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_words) AS BIGINT) AS words, "
+        "CAST(sum(n_syms) AS BIGINT) AS syms, "
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens, "
+        "CAST((10000 * sum(n_tokens)) // nullif(sum(n_words), 0) "
+        "AS BIGINT) AS fertility_bp, "
+        "CAST((10000 * sum(n_syms)) // nullif(sum(n_tokens), 0) "
+        "AS BIGINT) AS chars_per_token_bp, "
+        "CAST((10000 * (sum(n_syms) - sum(n_tokens))) "
+        "// nullif(sum(n_syms), 0) AS BIGINT) AS compress_bp "
+        "FROM enc GROUP BY 1"
     )
 
 
@@ -812,6 +893,7 @@ QUERIES = {
     "x4e_bpe_token_stats": x4e_bpe_token_stats,
     "x41_bpe_train": x41_bpe_train,
     "x41b_bpe_encode": x41b_bpe_encode,
+    "x66_tokenizer_fertility": x66_tokenizer_fertility,
     "x50_quality_probe": x50_quality_probe,
     "x56_readability": x56_readability,
 }
@@ -824,6 +906,7 @@ ORACLES = {
     "x4e_bpe_token_stats": _X4E_SQL,
     "x41_bpe_train": _X41_SQL,
     "x41b_bpe_encode": _x41b_sql(),
+    "x66_tokenizer_fertility": _x66_sql(),
     "x50_quality_probe": _x50_sql(),
     "x56_readability": _X56_SQL,
 }

@@ -105,7 +105,7 @@ _PRIORITY = [
     "st7_interval_join", "st8_stream_static_enrich",
     # -- new round 9, second batch (past the ~50 window; leads r10) --
     "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
-    "s41_bucketed_colocated_join",
+    "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
     # -- r4-vintage proofs --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

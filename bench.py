@@ -124,6 +124,7 @@ HEADLINE = [
     "st24b_partitioned_append_stream",
     "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join",
+    "x66_tokenizer_fertility",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
