@@ -1181,6 +1181,137 @@ _DQ8_SQL = (
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# X67 — mergeable binned-histogram quantiles + error audit
+# --------------------------------------------------------------------------
+
+_X67_BIN_W = 16384  # bin width in price cents (~672 bins over the fixture)
+_X67_QS = (50, 90, 99)
+
+
+def x67_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 — quantiles WITHOUT a per-group sort: a fixed-width integer
+    histogram over price cents (one partial+final hash-agg, mergeable
+    by construction — histograms add), then the q-quantile is the
+    first bin whose cumulative count reaches ``ceil(q·n/100)``; the
+    answer is the bin's lower bound, exact to one bin width. This is
+    the 100 TB percentile plan — a10's exact ``percentile`` and a14's
+    sampled twin both still sort inside each group, while the
+    histogram never moves more than |bins| rows per group after the
+    scan; the window that cumulates runs over ≤672 rows. The audit arm
+    joins the EXACT interpolated percentile (a10's bit-equal
+    ``percentile`` ≡ ``quantile_cont``) and reports the realized error
+    in basis points — at production scale you drop the audit arm and
+    keep the histogram; here it MEASURES the bin-width trade the way
+    x47 measures ANN recall. All certificate values are integers or
+    the bit-equal interpolated double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    binned = li.select(
+        "l_returnflag", F.expr(f"({cents}) DIV {_X67_BIN_W}").alias("bin")
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wflag = Window.partitionBy("l_returnflag")
+    worder = wflag.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "bin",
+        F.sum("cnt").over(worder).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wflag).cast("bigint").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _X67_QS])).alias("q0")
+    ).select(F.col("q0").cast("bigint").alias("q"))
+    est = (
+        cum.join(F.broadcast(qs))
+        .filter(F.expr("cum >= (q * n + 99) DIV 100"))
+        .groupBy("l_returnflag", "q", "n")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "l_returnflag",
+            "q",
+            "n",
+            (F.col("qbin") * F.lit(_X67_BIN_W))
+            .cast("bigint")
+            .alias("est_lo_cents"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile({cents}, {q / 100})").alias(f"p{q}")
+            for q in _X67_QS
+        ]
+    )
+    exact_long = exact.select(
+        "l_returnflag",
+        F.explode(
+            F.expr(
+                "map("
+                + ", ".join(
+                    f"CAST({q} AS BIGINT), p{q}" for q in _X67_QS
+                )
+                + ")"
+            )
+        ).alias("q", "exact_cents"),
+    )
+    return (
+        est.join(F.broadcast(exact_long), ["l_returnflag", "q"])
+        .select(
+            "l_returnflag",
+            "q",
+            "n",
+            "est_lo_cents",
+            F.round("exact_cents", 4).alias("exact_cents"),
+            F.expr(
+                "CAST(floor((10000.0 * (exact_cents - est_lo_cents)) "
+                "/ nullif(exact_cents, 0)) AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )
+
+
+_X67_SQL = (
+    "WITH cents AS (SELECT l_returnflag, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS c "
+    "FROM lineitem), "
+    f"hist AS (SELECT l_returnflag, c // {_X67_BIN_W} AS bin, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY 1, 2), "
+    "cum AS (SELECT l_returnflag, bin, "
+    "CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+    "CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n "
+    "FROM hist), "
+    "qs AS (SELECT CAST(unnest([" +
+    ", ".join(str(q) for q in _X67_QS) +
+    "]) AS BIGINT) AS q), "
+    "est AS (SELECT l_returnflag, q, n, "
+    f"CAST(min(bin) * {_X67_BIN_W} AS BIGINT) AS est_lo_cents "
+    "FROM cum CROSS JOIN qs WHERE cum >= (q * n + 99) // 100 "
+    "GROUP BY 1, 2, 3), "
+    "exact AS (SELECT l_returnflag, q, "
+    "CASE " +
+    " ".join(
+        f"WHEN q = {q} THEN quantile_cont(c, {q / 100})" for q in _X67_QS
+    ) +
+    " END AS exact_cents "
+    "FROM cents CROSS JOIN qs GROUP BY 1, 2) "
+    "SELECT e.l_returnflag, e.q, e.n, e.est_lo_cents, "
+    "round(x.exact_cents, 4) AS exact_cents, "
+    "CAST(floor((10000.0 * (x.exact_cents - e.est_lo_cents)) "
+    "/ nullif(x.exact_cents, 0)) AS BIGINT) AS err_bp "
+    "FROM est e JOIN exact x "
+    "ON x.l_returnflag = e.l_returnflag AND x.q = e.q"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -1195,6 +1326,7 @@ QUERIES = {
     "dq8_benford_audit": dq8_benford_audit,
     "x63_sketch_overlap": x63_sketch_overlap,
     "dq9_reconciliation": dq9_reconciliation,
+    "x67_histogram_quantiles": x67_histogram_quantiles,
 }
 
 ORACLES = {
@@ -1211,4 +1343,5 @@ ORACLES = {
     "dq8_benford_audit": _DQ8_SQL,
     "x63_sketch_overlap": _X63_SQL,
     "dq9_reconciliation": _DQ9_SQL,
+    "x67_histogram_quantiles": _X67_SQL,
 }

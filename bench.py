@@ -125,6 +125,7 @@ HEADLINE = [
     "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join",
     "x66_tokenizer_fertility",
+    "x67_histogram_quantiles",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
