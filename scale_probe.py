@@ -271,7 +271,26 @@ def main() -> None:
             "recall_bp_4x3": int(sweep[4][1]),
             "sec": round(time.time() - t0, 1),
         }
-        for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}"):
+
+        # x5f: candidate pairs from the 1024 possible (band, key)
+        # buckets of the 32-bit media fingerprint — the saturating
+        # geometry SCALING.md documents (fixed key space, so volume
+        # grows ~quadratically in bucket occupancy until the
+        # fingerprint widens; this measures where the fixture sits)
+        from acero_delta_lake_streaming_spark.operators.multimodal import (
+            x5f_media_phash_neardup,
+        )
+
+        t0 = time.time()
+        x5f = x5f_media_phash_neardup(spark, sfd)
+        emitted5f = x5f.count()
+        release_scoped()
+        out[f"x5f_{tag}"] = {
+            "emitted": int(emitted5f),
+            "sec": round(time.time() - t0, 1),
+        }
+        for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}",
+                  f"x5f_{tag}"):
             print(f"{k}: {out[k]}", file=sys.stderr)
 
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
@@ -301,6 +320,10 @@ def main() -> None:
         "x65_cand_ratio": round(
             out["x65_s01"]["cand_4x3"]
             / max(out["x65_s001"]["cand_4x3"], 1), 2
+        ),
+        "x5f_emitted_ratio": round(
+            out["x5f_s01"]["emitted"]
+            / max(out["x5f_s001"]["emitted"], 1), 2
         ),
     }
     print(json.dumps(out))
