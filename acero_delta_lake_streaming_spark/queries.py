@@ -106,7 +106,7 @@ _PRIORITY = [
     # -- new round 9, second batch (past the ~50 window; leads r10) --
     "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
-    "x67_histogram_quantiles",
+    "x67_histogram_quantiles", "s42_variant_ingest",
     # -- r4-vintage proofs --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

@@ -204,6 +204,14 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    # honored: Delta's schemaString "variant" IS Spark's VariantType
+    # JSON and the parquet encoding (struct<metadata,value> binaries)
+    # is Spark's own — scans, shuffles and variant_get work natively.
+    # The one composition that cannot work is id-mode field-id
+    # resolution (pyarrow cannot open variant footers) — refused by
+    # name in _id_physical_names / enable_column_mapping
+    "variantType",
+    "variantType-preview",
     # honored: the LOG schema is already authoritative for every scan
     # in this module, and Spark's parquet reader upcasts the narrower
     # physical types natively for the integer-family and float→double
@@ -244,6 +252,21 @@ def _check_type_changes(schema_json: str) -> None:
                     f"{f['name']!r} is not supported (integer-family and "
                     "float->double widenings are)"
                 )
+
+
+def _schema_has_variant(schema_json: str) -> bool:
+    """True if any field (at any nesting depth) is a VARIANT column."""
+
+    def walk(t) -> bool:
+        if t == "variant":
+            return True
+        if isinstance(t, dict):
+            return any(walk(v) for v in t.values())
+        if isinstance(t, list):
+            return any(walk(v) for v in t)
+        return False
+
+    return walk(json.loads(schema_json))
 
 
 def _check_protocol(action: dict) -> None:
@@ -331,6 +354,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # (add_column_default is the ALTER that records one); full-schema
     # appends are untouched — the feature's exact writer obligation
     "allowColumnDefaults",
+    # honored: every verb reads/writes variant columns through Spark's
+    # native VariantType (appends mint the feature pair at creation;
+    # stats computation fails safe to no-stats on variant footers)
+    "variantType",
+    "variantType-preview",
     # honored: the feature's only obligation bites during metadata
     # cleanup — commits and checkpoints below
     # delta.requireCheckpointProtectionBeforeVersion may only be
@@ -716,6 +744,13 @@ def _id_physical_names(schema_json: str, files: list[str]) -> dict[str, str]:
     it resolves to its ``physicalName`` metadata (or a never-matching
     placeholder), so the scan reads NULL for it, exactly the
     schema-evolution contract."""
+    if _schema_has_variant(schema_json):
+        raise DeltaProtocolError(
+            "id-mode column mapping on a table with VARIANT columns "
+            "is not supported: the field-id resolver reads parquet "
+            "footers, which variant logical types make unreadable"
+        )
+
     import pyarrow.parquet as pq
 
     sch = json.loads(schema_json)
@@ -1772,6 +1807,19 @@ def append_delta(
             evolved_schema_json = merge_schemas(
                 table_schema, df.schema
             ).json()
+            if _schema_has_variant(evolved_schema_json) and not (
+                {"variantType", "variantType-preview"}
+                & set(
+                    (snap0.get("protocol") or {}).get("writerFeatures")
+                    or []
+                )
+            ):
+                raise DeltaProtocolError(
+                    "merge_schema cannot add a VARIANT column to a "
+                    "table whose protocol does not list variantType; "
+                    "create variant tables with the feature from the "
+                    "start"
+                )
             if mapping_mode != "none":
                 # columns added to a mapped table get fresh ids from
                 # maxColumnId and col-<uuid> physical names (delta-spark's
@@ -1832,10 +1880,26 @@ def append_delta(
                     f["metadata"] = meta
             create_schema = json.dumps(sch)
             proto_w = 6  # identity columns: legacy writer version 6
-        actions.append(
-            {"protocol": {"minReaderVersion": 1,
-                          "minWriterVersion": proto_w}}
-        )
+        if _schema_has_variant(create_schema):
+            # variantType is a TABLE FEATURE: reader 3 / writer 7 with
+            # the pair listed (the spec's requirement; delta-spark
+            # mints exactly this on CREATE with a variant column)
+            if created_identity is not None:
+                raise DeltaProtocolError(
+                    "creating a table with both VARIANT and identity "
+                    "columns is not supported"
+                )
+            actions.append(
+                {"protocol": {"minReaderVersion": 3,
+                              "minWriterVersion": 7,
+                              "readerFeatures": ["variantType"],
+                              "writerFeatures": ["variantType"]}}
+            )
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": proto_w}}
+            )
         actions.append(
             {
                 "metaData": {
@@ -4316,6 +4380,13 @@ def enable_column_mapping(table: str, mode: str = "name") -> int:
     if _mapping_mode(snap) != "none":
         raise DeltaProtocolError(
             "column mapping is already enabled on this table"
+        )
+    if mode == "id" and _schema_has_variant(snap["schema"]):
+        raise DeltaProtocolError(
+            "id-mode column mapping on a table with VARIANT columns "
+            "is not supported (field-id resolution reads parquet "
+            "footers, which variant logical types make unreadable); "
+            "name mode works"
         )
     sch = json.loads(snap["schema"])
     fields = []

@@ -1819,6 +1819,62 @@ _S41_SQL = (
 )
 
 
+def s42_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S42 — the VARIANT column through the full Delta lifecycle
+    (Delta 4.x `variantType`, honored since round 9): semi-structured
+    payloads land as Spark's native VARIANT (the open-format JSON
+    binary delta-spark 4 writes), the table's first commit mints the
+    reader-3/writer-7 feature pair, two appends build history, and the
+    readback extracts typed fields with ``variant_get`` — schema-on-
+    read without a string re-parse per query. At 100 TB variant is the
+    format for the long tail of per-record metadata (headers, model
+    params, provenance blobs) whose schema drifts too fast for
+    columns; the binary encoding keeps extraction vectorized where a
+    JSON string column would re-tokenize per access. The oracle
+    recomputes from the base columns — the round-trip through the
+    variant binary must be value-invisible."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s42_variant")
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("lang"),
+                    F.col("n_chars").alias("n"),
+                    F.col("source"),
+                )
+            )
+        ).alias("v"),
+    )
+    delta_compat.append_delta(rows.filter("doc_id % 2 = 0"), table)
+    delta_compat.append_delta(rows.filter("doc_id % 2 = 1"), table)
+    return (
+        delta_compat.read_delta(spark, table)
+        .select(
+            F.expr("variant_get(v, '$.lang', 'string')").alias("lang"),
+            F.expr("variant_get(v, '$.n', 'long')").alias("n"),
+            F.expr("variant_get(v, '$.source', 'string')").alias("src"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("chars_sum"),
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+_S42_SQL = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+    "FROM documents GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3400,6 +3456,7 @@ QUERIES = {
     "st24_delta_append_stream": st24_delta_append_stream,
     "st24b_partitioned_append_stream": st24b_partitioned_append_stream,
     "s41_bucketed_colocated_join": s41_bucketed_colocated_join,
+    "s42_variant_ingest": s42_variant_ingest,
 }
 
 ORACLES = {
@@ -3453,4 +3510,5 @@ ORACLES = {
     "st24_delta_append_stream": _ST24_SQL,
     "st24b_partitioned_append_stream": _ST24B_SQL,
     "s41_bucketed_colocated_join": _S41_SQL,
+    "s42_variant_ingest": _S42_SQL,
 }
