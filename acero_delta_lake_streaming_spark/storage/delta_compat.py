@@ -6407,6 +6407,7 @@ def follow_delta_appends(
     start_version: int = 0,
     start_epoch: int = 0,
     max_files_per_trigger: int = 1000,
+    max_bytes_per_trigger: int | None = None,
     on_data_change: str = "error",
     max_cycles: int | None = None,
     interval_s: float = 30.0,
@@ -6419,9 +6420,14 @@ def follow_delta_appends(
     log. Per cycle, the newly committed versions' ``add`` actions are
     consumed IN VERSION ORDER (path-sorted within a version — the
     deterministic admission order), chunked into micro-batches of at
-    most ``max_files_per_trigger`` files (a large commit spans several
-    epochs; a batch may also span commits, exactly delta-spark's
-    admission control), and each chunk is handed to
+    most ``max_files_per_trigger`` files and — when
+    ``max_bytes_per_trigger`` is set — roughly that many bytes per
+    epoch (soft max from the adds' recorded sizes: the file that
+    crosses the limit is still admitted, and every epoch admits at
+    least one file — delta-spark's semantics for the option pair).
+    A large commit spans several epochs; a batch may also span
+    commits, exactly delta-spark's admission control. Each chunk is
+    handed to
     ``apply_fn(batch_df, epoch_id)`` with a monotonically increasing
     epoch. Pair it with :func:`streaming_sink` and the ``txn`` ledger
     makes the whole pipe exactly-once: a crash-replayed epoch no-ops
@@ -6485,9 +6491,9 @@ def follow_delta_appends(
             mode = _mapping_mode(snap)
             full = T.StructType.fromJson(json.loads(snap["schema"]))
             pcols = snap["partition_cols"]
-            queue: list[str] = []
+            queue: list[tuple[str, int]] = []
             for v in versions:
-                adds: list[str] = []
+                adds: list[tuple[str, int]] = []
                 changed_removes = False
                 with open(_commit_path(table, v)) as f:
                     for line in f:
@@ -6500,7 +6506,12 @@ def follow_delta_appends(
                         ):
                             # paths are URL-encoded in the log (spec);
                             # hive dirs live decoded on disk
-                            adds.append(unquote(action["add"]["path"]))
+                            adds.append(
+                                (
+                                    unquote(action["add"]["path"]),
+                                    int(action["add"].get("size", 0)),
+                                )
+                            )
                         if "remove" in action and action["remove"].get(
                             "dataChange", True
                         ):
@@ -6516,13 +6527,35 @@ def follow_delta_appends(
                         )
                     continue  # skipChangeCommits: whole commit invisible
                 queue.extend(
-                    os.path.join(table, p) for p in sorted(adds)
+                    (os.path.join(table, p), sz)
+                    for p, sz in sorted(adds)
                 )
             data_schema = T.StructType(
                 [f for f in full.fields if f.name not in pcols]
             )
-            for i in range(0, len(queue), max_files_per_trigger):
-                chunk = queue[i : i + max_files_per_trigger]
+            # admission: up to max_files files AND, when set, stop
+            # admitting once cumulative bytes have reached max_bytes —
+            # the file that crosses the limit is still admitted, and
+            # every epoch admits at least one file (delta-spark's
+            # maxBytesPerTrigger soft-max semantics)
+            chunks: list[list[str]] = []
+            cur_chunk: list[str] = []
+            cur_bytes = 0
+            for path, sz in queue:
+                if cur_chunk and (
+                    len(cur_chunk) >= max_files_per_trigger
+                    or (
+                        max_bytes_per_trigger is not None
+                        and cur_bytes >= max_bytes_per_trigger
+                    )
+                ):
+                    chunks.append(cur_chunk)
+                    cur_chunk, cur_bytes = [], 0
+                cur_chunk.append(path)
+                cur_bytes += sz
+            if cur_chunk:
+                chunks.append(cur_chunk)
+            for chunk in chunks:
                 if pcols and mode != "none":
                     # the protocol keys partition dirs by PHYSICAL
                     # names under mapping; the mapped-partitioned scan

@@ -6441,3 +6441,45 @@ def test_variant_type_lifecycle(spark, tmp_path):
         "kk", F.expr("variant_get(v, '$.n', 'long')").alias("n")
     )
     assert sorted(r["kk"] for r in got2.collect()) == list(range(2, 8))
+
+
+def test_follow_delta_appends_byte_admission(spark, tmp_path):
+    """maxBytesPerTrigger semantics: admission stops once cumulative
+    bytes reach the limit (the crossing file is still admitted; every
+    epoch admits at least one file), composing with the file cap."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "bytes_tail")
+    for lo in (0, 4):
+        dc.append_delta(
+            spark.range(lo, lo + 4)
+            .select(F.col("id").alias("k"))
+            .repartition(2),
+            table,
+        )  # 2 versions x 2 files
+    sizes = []
+    with open(os.path.join(table, "_delta_log",
+                           "00000000000000000000.json")) as f:
+        for line in f:
+            a = json.loads(line)
+            if "add" in a:
+                sizes.append(a["add"]["size"])
+    assert len(sizes) == 2 and all(s > 0 for s in sizes)
+    epochs: list[list[int]] = []
+    dc.follow_delta_appends(
+        spark, table,
+        lambda df, e: epochs.append(sorted(r["k"] for r in df.collect())),
+        max_bytes_per_trigger=1,  # below any file size: 1 file/epoch
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert len(epochs) == 4  # 4 files -> 4 single-file epochs
+    assert sorted(k for ks in epochs for k in ks) == list(range(8))
+    epochs.clear()
+    dc.follow_delta_appends(
+        spark, table,
+        lambda df, e: epochs.append(sorted(r["k"] for r in df.collect())),
+        max_bytes_per_trigger=sizes[0] + 1,  # crossing file admitted
+        max_cycles=1, sleep_fn=lambda _s: None,
+    )
+    assert len(epochs) == 2  # 2 files reach the limit -> 2 epochs
+    assert sorted(k for ks in epochs for k in ks) == list(range(8))
