@@ -186,17 +186,18 @@ def test_protocol_v3_without_features_rejected(spark, tmp_path):
 
 
 def test_unknown_reader_feature_rejected(spark, tmp_path):
-    """deletionVectors, columnMapping, v2Checkpoint and typeWidening
-    are supported; any OTHER advertised reader feature still refuses
-    loudly rather than returning wrong rows."""
+    """deletionVectors, columnMapping, v2Checkpoint, typeWidening and
+    (since round 9) variantType are supported; any OTHER advertised
+    reader feature still refuses loudly rather than returning wrong
+    rows."""
     table = str(tmp_path / "tw_tbl")
     _commit(
         table,
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["variantType-preview"],
-                          "writerFeatures": ["variantType-preview"]}},
+                          "readerFeatures": ["someFutureFeature"],
+                          "writerFeatures": ["someFutureFeature"]}},
             _meta(spark, "id long"),
         ],
     )
