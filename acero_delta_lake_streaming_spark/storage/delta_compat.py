@@ -254,6 +254,22 @@ def _check_type_changes(schema_json: str) -> None:
                 )
 
 
+def _schema_has_collations(schema_json: str) -> bool:
+    """True if any field carries ``__COLLATIONS`` metadata (Spark's —
+    and the Delta spec's — marker for collated string types)."""
+
+    def walk(t) -> bool:
+        if isinstance(t, dict):
+            if "__COLLATIONS" in (t.get("metadata") or {}):
+                return True
+            return any(walk(v) for v in t.values())
+        if isinstance(t, list):
+            return any(walk(v) for v in t)
+        return False
+
+    return walk(json.loads(schema_json))
+
+
 def _schema_has_variant(schema_json: str) -> bool:
     """True if any field (at any nesting depth) is a VARIANT column."""
 
@@ -359,6 +375,14 @@ _SUPPORTED_WRITER_FEATURES = {
     # stats computation fails safe to no-stats on variant footers)
     "variantType",
     "variantType-preview",
+    # honored: Delta's __COLLATIONS field metadata IS Spark's own
+    # schema-JSON representation of collated strings, so the log
+    # schema round-trips into collated scans natively; every verb
+    # passes the metadata through untouched (the feature's writer
+    # obligation) and comparisons/grouping under the collation are
+    # Spark semantics. Appends mint the feature at creation.
+    "collations",
+    "collations-preview",
     # honored: the feature's only obligation bites during metadata
     # cleanup — commits and checkpoints below
     # delta.requireCheckpointProtectionBeforeVersion may only be
@@ -1807,17 +1831,26 @@ def append_delta(
             evolved_schema_json = merge_schemas(
                 table_schema, df.schema
             ).json()
+            _have = set(
+                (snap0.get("protocol") or {}).get("writerFeatures")
+                or []
+            )
             if _schema_has_variant(evolved_schema_json) and not (
-                {"variantType", "variantType-preview"}
-                & set(
-                    (snap0.get("protocol") or {}).get("writerFeatures")
-                    or []
-                )
+                {"variantType", "variantType-preview"} & _have
             ):
                 raise DeltaProtocolError(
                     "merge_schema cannot add a VARIANT column to a "
                     "table whose protocol does not list variantType; "
                     "create variant tables with the feature from the "
+                    "start"
+                )
+            if _schema_has_collations(evolved_schema_json) and not (
+                {"collations", "collations-preview"} & _have
+            ):
+                raise DeltaProtocolError(
+                    "merge_schema cannot add a COLLATED column to a "
+                    "table whose protocol does not list collations; "
+                    "create collated tables with the feature from the "
                     "start"
                 )
             if mapping_mode != "none":
@@ -1880,21 +1913,29 @@ def append_delta(
                     f["metadata"] = meta
             create_schema = json.dumps(sch)
             proto_w = 6  # identity columns: legacy writer version 6
-        if _schema_has_variant(create_schema):
-            # variantType is a TABLE FEATURE: reader 3 / writer 7 with
-            # the pair listed (the spec's requirement; delta-spark
-            # mints exactly this on CREATE with a variant column)
+        has_variant = _schema_has_variant(create_schema)
+        has_coll = _schema_has_collations(create_schema)
+        if has_variant or has_coll:
+            # TABLE FEATURES minted from the created schema, the
+            # spec's requirement (delta-spark does the same on CREATE):
+            # variantType needs the reader-3/writer-7 pair; collations
+            # is writer-only (readers without it ignore the metadata)
             if created_identity is not None:
                 raise DeltaProtocolError(
-                    "creating a table with both VARIANT and identity "
-                    "columns is not supported"
+                    "creating a table with identity columns plus "
+                    "variant/collated columns is not supported"
                 )
-            actions.append(
-                {"protocol": {"minReaderVersion": 3,
-                              "minWriterVersion": 7,
-                              "readerFeatures": ["variantType"],
-                              "writerFeatures": ["variantType"]}}
+            wfeats = (["variantType"] if has_variant else []) + (
+                ["collations"] if has_coll else []
             )
+            proto: dict = {
+                "minReaderVersion": 3 if has_variant else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": wfeats,
+            }
+            if has_variant:
+                proto["readerFeatures"] = ["variantType"]
+            actions.append({"protocol": proto})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1,

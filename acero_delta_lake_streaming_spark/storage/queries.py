@@ -1875,6 +1875,59 @@ _S42_SQL = (
 )
 
 
+def s43_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S43 — COLLATED string columns through the Delta lifecycle
+    (Delta 4.x `collations`, honored since round 9): a deliberately
+    case-mangled language column lands typed ``STRING COLLATE
+    UTF8_LCASE``, the table's first commit mints writer-7 + the
+    collations feature and the ``__COLLATIONS`` field metadata rides
+    the log schema (the writer obligation — Spark's schema JSON IS the
+    spec's representation), and the read-back column is still
+    collated: grouping unifies 'EN'/'en'/'En' WITHOUT any lower() in
+    the aggregation path — the engine's collation, not a normalization
+    column, does the work. The certificate emits the lowercased
+    representative (a pure projection of the already-unified groups),
+    which the oracle reproduces with explicit lower() — if the
+    collation were dropped anywhere in the round trip, the mangled
+    cases would split into separate groups and the counts would
+    flip."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s43_collated")
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN upper(lang) "
+            "WHEN 1 THEN initcap(lang) ELSE lang END "
+            "AS STRING COLLATE UTF8_LCASE)"
+        ).alias("lang_ci"),
+    )
+    delta_compat.append_delta(rows.filter("doc_id % 2 = 0"), table)
+    delta_compat.append_delta(rows.filter("doc_id % 2 = 1"), table)
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("lang_ci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        .select(
+            F.lower("lang_ci").alias("lang"),
+            "n_docs",
+            "chars_sum",
+        )
+    )
+
+
+_S43_SQL = (
+    "SELECT lower(lang) AS lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+    "FROM documents GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3457,6 +3510,7 @@ QUERIES = {
     "st24b_partitioned_append_stream": st24b_partitioned_append_stream,
     "s41_bucketed_colocated_join": s41_bucketed_colocated_join,
     "s42_variant_ingest": s42_variant_ingest,
+    "s43_collated_grouping": s43_collated_grouping,
 }
 
 ORACLES = {
@@ -3511,4 +3565,5 @@ ORACLES = {
     "st24b_partitioned_append_stream": _ST24B_SQL,
     "s41_bucketed_colocated_join": _S41_SQL,
     "s42_variant_ingest": _S42_SQL,
+    "s43_collated_grouping": _S43_SQL,
 }

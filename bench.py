@@ -127,6 +127,7 @@ HEADLINE = [
     "x66_tokenizer_fertility",
     "x67_histogram_quantiles",
     "s42_variant_ingest",
+    "s43_collated_grouping",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

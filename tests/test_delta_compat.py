@@ -6303,17 +6303,18 @@ def test_checkpoint_protection_honored(spark, tmp_path):
 
 
 def test_unsupported_features_refused_by_name(spark, tmp_path):
-    """collations and icebergCompatV1/V2 are NOT implemented and must
-    refuse BY NAME (VERDICT r8 item 4) — the generic gate catches
-    them, these pin each name so a future feature-set edit cannot
-    silently admit one. (variantType moved OUT of this set: it is
-    honored since round 9 — see test_variant_type_lifecycle.)"""
+    """icebergCompatV1/V2 are NOT implemented and must refuse BY NAME
+    (VERDICT r8 item 4) — the generic gate catches them, these pin
+    each name so a future feature-set edit cannot silently admit one.
+    (variantType and collations moved OUT of this set: both honored
+    since round 9 — see test_variant_type_lifecycle and
+    test_collations_lifecycle.)"""
     import pyspark.sql.functions as F
 
     one = spark.range(1).select(F.col("id").alias("k"))
 
     # writer-only features: reads fine, every mutation refuses by name
-    for feat in ("collations", "icebergCompatV1", "icebergCompatV2"):
+    for feat in ("icebergCompatV1", "icebergCompatV2"):
         table = str(tmp_path / f"{feat}_tbl")
         _write_parquet(
             spark, [(1,)], "k long", os.path.join(table, "a.parquet")
@@ -6484,3 +6485,44 @@ def test_follow_delta_appends_byte_admission(spark, tmp_path):
     )
     assert len(epochs) == 2  # 2 files reach the limit -> 2 epochs
     assert sorted(k for ks in epochs for k in ks) == list(range(8))
+
+
+def test_collations_lifecycle(spark, tmp_path):
+    """collations honored: creating a table with a COLLATED string
+    column mints writer-7 + the collations feature, the __COLLATIONS
+    field metadata survives the log round-trip (the writer
+    obligation), and scans come back COLLATED — case-insensitive
+    equality and grouping work on the read-back column. Adding a
+    collated column to an uncollated table refuses by name."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "coll_tbl")
+    df = spark.sql(
+        "SELECT id AS k, CAST(element_at(array('Abc', 'aBc', 'xyz'), "
+        "CAST(id % 3 AS INT) + 1) AS STRING COLLATE UTF8_LCASE) AS s "
+        "FROM range(6)"
+    )
+    dc.append_delta(df.coalesce(1), table)
+    proto = dc.snapshot(table)["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "collations" in proto["writerFeatures"]
+    assert "__COLLATIONS" in dc.snapshot(table)["schema"]
+    dc.append_delta(df.coalesce(1), table)  # metadata preserved
+    back = dc.read_delta(spark, table)
+    assert "collate UTF8_LCASE" in back.schema["s"].dataType.simpleString()
+    # case-insensitive semantics survived the round trip
+    groups = {
+        (r["sl"], r["n"])
+        for r in back.groupBy(F.lower("s").alias("sl"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert groups == {("abc", 8), ("xyz", 4)}
+    assert back.filter(F.col("s") == F.lit("ABC").cast(
+        back.schema["s"].dataType)).count() == 8
+    # late collated addition refuses by name
+    plain = str(tmp_path / "plain_coll")
+    dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")), plain
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="collations"):
+        dc.append_delta(df, plain, merge_schema=True)
