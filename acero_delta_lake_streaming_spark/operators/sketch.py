@@ -1312,6 +1312,102 @@ _X67_SQL = (
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# DQ10 — primary-key uniqueness audit across the warehouse
+# --------------------------------------------------------------------------
+
+#: (table, key column) pairs under the uniqueness contract. lineitem's
+#: key is composite — audited as the (orderkey, linenumber) pair.
+_DQ10_KEYS = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+)
+
+
+def dq10_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ10 — the PRIMARY-KEY uniqueness audit, one row per claimed
+    key: row count, distinct-key count, surplus rows riding a
+    duplicated key, and uniqueness in basis points. dq4 audits the
+    FK direction (orphans); this is the PK direction — the first
+    thing a warehouse health check asserts, because a silently
+    duplicated key turns every downstream join into a row multiplier
+    (a 2× key dup doubles join output and every SUM over it). The
+    composite lineitem key is audited as its (orderkey, linenumber)
+    pair via the same count-distinct shape.
+
+    Scale: one pruned single-column scan per table feeding count +
+    exact count-distinct (shuffle = the key hash pairs, the x1
+    discipline); the union is |tables| rows. At 100 TB swap the exact
+    distinct for dq1b's KMV twin per column and keep the same
+    certificate columns."""
+    parts = []
+    for tname, key in _DQ10_KEYS:
+        t = load_table(spark, sf_dir, tname)
+        parts.append(
+            t.select(F.col(key).cast("string").alias("k")).agg(
+                F.lit(f"{tname}.{key}").alias("key_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("k").cast("bigint").alias("n_keys"),
+            )
+        )
+    li = load_table(spark, sf_dir, "lineitem")
+    parts.append(
+        li.select(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("k")
+        ).agg(
+            F.lit("lineitem.l_orderkey-l_linenumber").alias("key_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("k").cast("bigint").alias("n_keys"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "key_name",
+        "n_rows",
+        "n_keys",
+        (F.col("n_rows") - F.col("n_keys")).cast("bigint").alias(
+            "dup_rows"
+        ),
+        F.expr("(10000 * n_keys) DIV nullif(n_rows, 0)")
+        .cast("bigint")
+        .alias("uniq_bp"),
+    )
+
+
+_DQ10_SQL = (
+    "WITH u AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{t}.{k}' AS key_name, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(DISTINCT CAST({k} AS VARCHAR)) AS BIGINT) "
+        f"AS n_keys FROM {t}"
+        for t, k in _DQ10_KEYS
+    )
+    + " UNION ALL "
+    "SELECT 'lineitem.l_orderkey-l_linenumber', "
+    "CAST(count(*) AS BIGINT), "
+    "CAST(count(DISTINCT concat_ws('-', CAST(l_orderkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR))) AS BIGINT) FROM lineitem) "
+    "SELECT key_name, n_rows, n_keys, "
+    "CAST(n_rows - n_keys AS BIGINT) AS dup_rows, "
+    "CAST((10000 * n_keys) // nullif(n_rows, 0) AS BIGINT) AS uniq_bp "
+    "FROM u"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -1327,6 +1423,7 @@ QUERIES = {
     "x63_sketch_overlap": x63_sketch_overlap,
     "dq9_reconciliation": dq9_reconciliation,
     "x67_histogram_quantiles": x67_histogram_quantiles,
+    "dq10_key_uniqueness": dq10_key_uniqueness,
 }
 
 ORACLES = {
@@ -1344,4 +1441,5 @@ ORACLES = {
     "x63_sketch_overlap": _X63_SQL,
     "dq9_reconciliation": _DQ9_SQL,
     "x67_histogram_quantiles": _X67_SQL,
+    "dq10_key_uniqueness": _DQ10_SQL,
 }

@@ -107,7 +107,7 @@ _PRIORITY = [
     "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
     "x67_histogram_quantiles", "s42_variant_ingest",
-    "s43_collated_grouping",
+    "s43_collated_grouping", "dq10_key_uniqueness",
     # -- r4-vintage proofs --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

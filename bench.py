@@ -128,6 +128,7 @@ HEADLINE = [
     "x67_histogram_quantiles",
     "s42_variant_ingest",
     "s43_collated_grouping",
+    "dq10_key_uniqueness",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
