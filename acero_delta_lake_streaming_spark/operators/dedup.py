@@ -1796,8 +1796,10 @@ def x60b_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairable counts re-explode the kept sets, and candidate pairs
     expand INSIDE the sorted carrier array (≤ C(df,2) structs
     map-side) before a pair-keyed count — no shingle-stream self-join,
-    no cross join; the two denominator joins broadcast a corpus-sized
-    tiny frame. Reference anchor: the dedup mandate in the north-star
+    no cross join; the two denominator joins carry an O(corpus) count
+    frame with NO broadcast hint (AQE broadcasts at fixture scale,
+    shuffle-hash-joins at 100 TB where a forced broadcast would OOM).
+    Reference anchor: the dedup mandate in the north-star
     extension list (SURVEY.md §2 X1/X2)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
@@ -1832,22 +1834,23 @@ def x60b_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
+    # No F.broadcast hint on the denominator joins: counts is O(corpus)
+    # (one row per pairable document) and a FORCED broadcast of a
+    # per-document frame OOMs at 100 TB. The inter frame is already
+    # pair-aggregated, so AQE picks broadcast at fixture scale and a
+    # shuffled hash join at scale (round-10 verdict item 3).
     return (
         inter.join(
-            F.broadcast(
-                counts.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("n_sh").alias("na"),
-                )
+            counts.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("na"),
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                counts.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("n_sh").alias("nb"),
-                )
+            counts.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("nb"),
             ),
             "doc_b",
         )

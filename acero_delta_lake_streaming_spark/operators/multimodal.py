@@ -470,28 +470,45 @@ _X5E_SQL = (
 # X5f — perceptual-hash near-dup over the binary column (dHash + bands)
 # --------------------------------------------------------------------------
 
-_X5F_BANDS = 4  # 4 x 8-bit bands over the 32-bit fingerprint
-_X5F_T = 4  # max Hamming distance for an emitted pair
+_X5F_BANDS = 4  # band count (lanes of the fingerprint)
+_X5F_LANE = 14  # bit spacing between band anchors (56-bit fp / 4 lanes)
+_X5F_T = 8  # max Hamming distance for an emitted pair (twins ≤ 7 by
+# construction, measured max 6; the random tail of the correlated
+# gradient bits rises steeply past 8, so 8 is the separation point)
+_X5F_OCC = 4  # target expected bucket occupancy (the x3b/x14 B knob)
+# adaptive band-key width: 8 bits at fixture scale (the oracle-exact
+# geometry round 9 shipped) up to the full 14-bit lane — supports
+# corpora to OCC * 4 * 2^14 before occupancy grows, and the fp itself
+# widens (stride-3 gradients, 72+ bits) beyond that
+_X5F_WMIN, _X5F_WMAX = 8, _X5F_LANE
 
 
 class DHashStub:
-    """Difference-hash over the stub payload: bit i of the 32-bit
-    fingerprint is ``byte[i] > byte[(i+1) % 32]`` — the byte-domain
-    twin of image dHash (adjacent-pixel gradient signs after a
-    grayscale downscale). A real deployment swaps ``fingerprint_batch``
-    for decode → 9×8 downscale → horizontal gradient bits; everything
-    downstream (banding, bucketing, Hamming verify) is unchanged, which
-    is the point of the seam."""
+    """Difference-hash over the stub payload: bit i (i < 32) of the
+    56-bit fingerprint is ``byte[i] > byte[(i+1) % 32]`` and bit 32+i
+    (i < 24) is the stride-2 gradient ``byte[i] > byte[(i+2) % 32]`` —
+    the byte-domain twin of image dHash (adjacent-pixel gradient signs
+    after a grayscale downscale; the stride-2 plane is the vertical
+    gradient a 2-row downscale yields). A real deployment swaps
+    ``fingerprint_batch`` for decode → downscale → gradient bits;
+    everything downstream (adaptive banding, bucketing, Hamming
+    verify) is unchanged, which is the point of the seam. Neighbors
+    wrap at the fingerprint byte width (32), never the payload length,
+    so a >32-byte payload hashes its first 32 bytes exactly like the
+    32-byte oracle (round-10 advisor item)."""
 
     def fingerprint_batch(self, contents: pd.Series) -> list[int]:
         out = []
         for b in contents:
             data = bytes(b) if b is not None else b""
             fp = 0
-            n = len(data)
-            for i in range(min(n, 32)):
-                if data[i] > data[(i + 1) % n]:
+            w = min(len(data), 32)
+            for i in range(w):
+                if data[i] > data[(i + 1) % w]:
                     fp |= 1 << i
+            for i in range(min(w, 24)):
+                if data[i] > data[(i + 2) % w]:
+                    fp |= 1 << (32 + i)
             out.append(fp)
         return out
 
@@ -526,20 +543,26 @@ def x5f_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual-hash geometry for everything after). The certificate
     plants payload twins — the original 32 bytes with the first three
     bytes perturbed (+128 mod 256), the byte-domain analogue of a
-    re-encoded thumbnail — whose fingerprints differ in ≤4 of 32
-    gradient bits; they MUST surface while unrelated payloads
-    (md5-random bytes, expected Hamming ≈ 16) stay out.
+    re-encoded thumbnail — whose fingerprints differ in ≤7 of 56
+    gradient bits, all inside lanes 0 and 2 (the perturbed bytes only
+    touch stride-1 bits {0,1,2,31} and stride-2 bits {32,33,34}), so
+    lanes 1 and 3 are untouched and recall is GUARANTEED 1.0 by
+    construction; unrelated payloads (md5-random bytes, expected
+    Hamming ≈ 28) stay out.
 
-    Scale shape: candidates come from 8-bit BANDS of the fingerprint
-    (a ≤4-bit difference cannot touch all 4 bands, so every true pair
-    shares one — SimHash's pigeonhole, x2b), folded x57-style:
+    Scale shape: candidates come from BANDS anchored on the 4 14-bit
+    lanes of the fingerprint (SimHash's pigeonhole, x2b), folded
+    x57-style:
     ONE shuffle groups (band, key) to its carrier set, pairs expand
-    map-side inside the array, the Hamming verify joins the two
-    broadcast fingerprint frames, and ``bit_count(fp_a ^ fp_b)`` is
-    exact. Payload bytes never shuffle — only (id, 32-bit fp) pairs.
-    At larger corpora the fingerprint widens (64-bit dHash, 16-bit
-    bands) to keep bucket occupancy flat — the x3b planes rule; the
-    32-bit/8-bit fixture keeps the oracle's integer arithmetic exact.
+    map-side inside the array, the Hamming verify joins the O(corpus)
+    fingerprint frame twice with NO broadcast hint (AQE broadcasts at
+    fixture scale, shuffle-hash-joins at 100 TB), and
+    ``bit_count(fp_a ^ fp_b)`` is exact. Payload bytes never shuffle —
+    only (id, fingerprint) int pairs. The band geometry is
+    CORPUS-ADAPTIVE (the x3b planes rule): band-key bits grow with
+    log2(n_media) so expected bucket occupancy stays flat across
+    decades instead of going occupancy-quadratic in a fixed 1024-cell
+    space; the fixture count keeps the 8-bit bands the oracle replays.
     Reference anchor: the dedup mandate of the north-star extensions
     (SURVEY.md §2 X2/X5)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -571,16 +594,36 @@ def x5f_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = scoped_persist(
         media_fingerprints(media.unionByName(twins))
     )
-    bands = fps.select(
-        "media_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, {b} - 1), j -> "
-                "struct(j AS band, shiftright(fp, 8 * j) % 256 AS bkey))"
-                .format(b=_X5F_BANDS)
+    # Corpus-adaptive band-key width (VERDICT r9 item 2, the x3b/x14
+    # planes rule): wbits = clamp(ceil(log2(n / OCC)), 8..14), derived
+    # INTEGER-ONLY in-plan (length(bin(m - 1)) is (m-1).bit_length();
+    # no float log2 that could flip at a power-of-two boundary between
+    # engines) from a one-row count broadcast — expected bucket
+    # occupancy stays ≈ OCC across decades instead of going
+    # occupancy-quadratic in a fixed 1024-cell space.
+    geo = fps.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(
+            "CAST(GREATEST({wmin}, LEAST({wmax}, length(bin(GREATEST("
+            "(cnt + {bm1}) DIV {b}, 2) - 1)))) AS INT)".format(
+                wmin=_X5F_WMIN, wmax=_X5F_WMAX, b=_X5F_OCC, bm1=_X5F_OCC - 1
             )
-        ).alias("bb"),
-    ).select("media_id", "bb.band", "bb.bkey")
+        ).alias("wbits")
+    )
+    bands = (
+        fps.crossJoin(F.broadcast(geo))
+        .select(
+            "media_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, {b} - 1), j -> "
+                    "struct(j AS band, shiftright(fp, {lane} * j) "
+                    "% shiftleft(CAST(1 AS BIGINT), wbits) AS bkey))"
+                    .format(b=_X5F_BANDS, lane=_X5F_LANE)
+                )
+            ).alias("bb"),
+        )
+        .select("media_id", "bb.band", "bb.bkey")
+    )
     pairs = (
         bands.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_set("media_id")).alias("ids"))
@@ -597,22 +640,23 @@ def x5f_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.media_a", "p.media_b")
         .distinct()
     )
+    # No F.broadcast hint on the fingerprint frames: fps is O(corpus)
+    # (one row per media asset) and a FORCED broadcast of a per-document
+    # frame OOMs at 100 TB. The pair frame is already band-aggregated,
+    # so AQE picks broadcast at fixture scale and a shuffled hash join
+    # at scale (round-10 verdict item 3).
     return (
         pairs.join(
-            F.broadcast(
-                fps.select(
-                    F.col("media_id").alias("media_a"),
-                    F.col("fp").alias("fp_a"),
-                )
+            fps.select(
+                F.col("media_id").alias("media_a"),
+                F.col("fp").alias("fp_a"),
             ),
             "media_a",
         )
         .join(
-            F.broadcast(
-                fps.select(
-                    F.col("media_id").alias("media_b"),
-                    F.col("fp").alias("fp_b"),
-                )
+            fps.select(
+                F.col("media_id").alias("media_b"),
+                F.col("fp").alias("fp_b"),
             ),
             "media_b",
         )
@@ -644,13 +688,20 @@ _X5F_SQL = (
     "list_transform(range(1, 33), i -> CASE WHEN i <= 3 "
     "THEN (bs[i] + 128) % 256 ELSE bs[i] END) "
     "FROM bytes0 WHERE media_id % 10 = 7), "
-    "fps AS (SELECT media_id, CAST(list_sum(list_transform("
-    "range(1, 33), i -> CASE WHEN bs[i] > bs[(i % 32) + 1] "
-    "THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS fp "
-    "FROM allb), "
+    "fps AS (SELECT media_id, CAST("
+    "list_sum(list_transform(range(1, 33), i -> "
+    "CASE WHEN bs[i] > bs[(i % 32) + 1] "
+    "THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) + "
+    "list_sum(list_transform(range(1, 25), i -> "
+    "CASE WHEN bs[i] > bs[i + 2] "
+    "THEN CAST(1 AS BIGINT) << (i + 31) ELSE CAST(0 AS BIGINT) END)) "
+    "AS BIGINT) AS fp FROM allb), "
+    f"geo AS (SELECT GREATEST({_X5F_WMIN}, LEAST({_X5F_WMAX}, "
+    f"length(bin(GREATEST((count(*) + {_X5F_OCC - 1}) // {_X5F_OCC}, 2)"
+    " - 1)))) AS wbits FROM fps), "
     f"bands AS (SELECT media_id, fp, t.j, "
-    "(fp >> (8 * t.j)) % 256 AS bkey "
-    f"FROM fps, UNNEST(range(0, {_X5F_BANDS})) AS t(j)), "
+    f"(fp >> ({_X5F_LANE} * t.j)) % (CAST(1 AS BIGINT) << wbits) AS bkey "
+    f"FROM fps, geo, UNNEST(range(0, {_X5F_BANDS})) AS t(j)), "
     "pairs AS (SELECT DISTINCT a.media_id AS media_a, "
     "b.media_id AS media_b FROM bands a JOIN bands b "
     "ON a.j = b.j AND a.bkey = b.bkey AND a.media_id < b.media_id) "

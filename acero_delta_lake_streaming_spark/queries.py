@@ -73,42 +73,22 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-9 window (VERDICT r8 item 1, verbatim): the 18 queries the
-    # driver has NEVER recorded lead (CORRECTNESS_r07.json was never
-    # written, orphaning the round-7 storage verbs), then every other
-    # query sorted by the ROUND OF ITS NEWEST DRIVER PROOF, stalest
-    # first — r3-vintage proofs fill the rest of the ~50 cut, r8-vintage
-    # proofs (freshest) go last. Order within a vintage is unchanged.
+    # Round-10 window (VERDICT r9 item 1, verbatim): the 8 round-9
+    # second-batch queries the driver has NEVER recorded lead, then
+    # every other query sorted by the ROUND OF ITS NEWEST DRIVER PROOF,
+    # stalest first — r4-vintage proofs fill the rest of the ~50 cut;
+    # the 50 queries recorded green in CORRECTNESS_r09.json (r9-vintage,
+    # freshest) go last. Order within a vintage is unchanged.
     # Everything past the window stays verified by the local tri-scale
     # gate at sf0.001/.01/.1 (tests/test_oracle_parity.py).
-    # -- never driver-recorded (r07 never written; VERDICT r8 item 1) --
-    "xj3_asof_tolerance", "x52_quantizer_drift", "s36_identity_merge",
-    "s37_mapped_row_ids", "x53_phrase_search", "x54_budget_waterfill",
-    "x55_novelty_curve", "s22_mapped_merge_delete", "s23_dv_merge",
-    "s24_id_mode_writes", "s25_row_tracking", "st18_streaming_ivf_assign",
-    "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",
-    "x10b_decontaminate_trim", "x39_cluster_topics",
-    "x40_normalized_dedup",
-    # -- new round 9 (VERDICT r8 items 2-3) --
-    "x60b_corpus_containment", "st24_delta_append_stream",
-    # -- stalest driver proofs: r3-vintage --
-    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
-    "x3b_ann_lsh", "x3c_cosine_neardup", "x4b_lang_profile",
-    "x4c_fingerprint", "x4d_langid_ngram", "x4e_bpe_token_stats",
-    "x5b_decode_features", "x5c_frame_sample", "x6b_session_stats",
-    "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
-    "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
-    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
-    "x11_context_chunks", "s6_cached_read", "s7_upsert_merge",
-    "s8_delta_format_roundtrip", "s9_zorder_skipping",
-    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
-    "st7_interval_join", "st8_stream_static_enrich",
-    # -- new round 9, second batch (past the ~50 window; leads r10) --
+    # -- never driver-recorded (round-9 second batch; VERDICT r9 item 1) --
     "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
     "x67_histogram_quantiles", "s42_variant_ingest",
     "s43_collated_grouping", "dq10_key_uniqueness",
-    # -- r4-vintage proofs --
+    # -- new round 10 --
+    "x68_training_shards",
+    # -- stalest driver proofs: r4-vintage --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
     "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
@@ -184,6 +164,26 @@ _PRIORITY = [
     "x5d_multimodal_pack", "x51_dedup_roi", "f9_datetime_suite",
     "st22_streaming_quality_mart", "s35_generated_partition_pruning",
     "dq7_token_drift", "a16_conditional_aggregates",
+    # -- r9-vintage proofs (the full CORRECTNESS_r09 window; freshest) --
+    "xj3_asof_tolerance", "x52_quantizer_drift", "s36_identity_merge",
+    "s37_mapped_row_ids", "x53_phrase_search", "x54_budget_waterfill",
+    "x55_novelty_curve", "s22_mapped_merge_delete", "s23_dv_merge",
+    "s24_id_mode_writes", "s25_row_tracking", "st18_streaming_ivf_assign",
+    "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",
+    "x10b_decontaminate_trim", "x39_cluster_topics",
+    "x40_normalized_dedup", "x60b_corpus_containment",
+    "st24_delta_append_stream",
+    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
+    "x3b_ann_lsh", "x3c_cosine_neardup", "x4b_lang_profile",
+    "x4c_fingerprint", "x4d_langid_ngram", "x4e_bpe_token_stats",
+    "x5b_decode_features", "x5c_frame_sample", "x6b_session_stats",
+    "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
+    "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
+    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
+    "x11_context_chunks", "s6_cached_read", "s7_upsert_merge",
+    "s8_delta_format_roundtrip", "s9_zorder_skipping",
+    "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
+    "st7_interval_join", "st8_stream_static_enrich",
 ]
 
 

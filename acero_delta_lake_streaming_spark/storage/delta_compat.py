@@ -271,18 +271,36 @@ def _schema_has_collations(schema_json: str) -> bool:
 
 
 def _schema_has_variant(schema_json: str) -> bool:
-    """True if any field (at any nesting depth) is a VARIANT column."""
+    """True if any field (at any nesting depth) is a VARIANT column.
 
-    def walk(t) -> bool:
+    Walks only TYPE slots — field ``type``, array ``elementType``, map
+    ``keyType``/``valueType`` — never names or metadata values, so a
+    column merely *named* ``variant`` (or a metadata string ``variant``)
+    cannot trip the variantType feature gate (round-10 advisor item:
+    the old all-values walk minted a spurious protocol upgrade on
+    create and made merge/column-mapping refuse legal tables).
+    """
+
+    def walk_type(t) -> bool:
         if t == "variant":
             return True
         if isinstance(t, dict):
-            return any(walk(v) for v in t.values())
-        if isinstance(t, list):
-            return any(walk(v) for v in t)
+            kind = t.get("type")
+            if kind == "struct":
+                return any(
+                    walk_type(f.get("type")) for f in t.get("fields") or []
+                )
+            if kind == "array":
+                return walk_type(t.get("elementType"))
+            if kind == "map":
+                return walk_type(t.get("keyType")) or walk_type(
+                    t.get("valueType")
+                )
+            # a type descriptor whose "type" slot is itself a type spec
+            return walk_type(kind)
         return False
 
-    return walk(json.loads(schema_json))
+    return walk_type(json.loads(schema_json))
 
 
 def _check_protocol(action: dict) -> None:

@@ -10,6 +10,7 @@ straight from the fixture parquet — so the round trip through commit log
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -1786,18 +1787,26 @@ def s41_bucketed_colocated_join(
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
+    # Metastore table names are scoped per sf_dir (round-10 advisor
+    # item): a fixed global name leaks catalog state across scale
+    # factors within a session — the tri-scale gate's rerun at a
+    # different sf_dir would silently depend on overwrite semantics,
+    # and concurrent sessions sharing a metastore would race.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_tbl = f"s41_lineitem_bucketed_{tag}"
+    od_tbl = f"s41_orders_bucketed_{tag}"
     (
         li.write.mode("overwrite").option("path", li_path)
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("s41_lineitem_bucketed")
+        .saveAsTable(li_tbl)
     )
     (
         od.write.mode("overwrite").option("path", od_path)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("s41_orders_bucketed")
+        .saveAsTable(od_tbl)
     )
-    a = spark.table("s41_lineitem_bucketed")
-    b = spark.table("s41_orders_bucketed")
+    a = spark.table(li_tbl)
+    b = spark.table(od_tbl)
     return (
         a.hint("merge")
         .join(b, a.l_orderkey == b.o_orderkey)

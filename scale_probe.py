@@ -272,11 +272,10 @@ def main() -> None:
             "sec": round(time.time() - t0, 1),
         }
 
-        # x5f: candidate pairs from the 1024 possible (band, key)
-        # buckets of the 32-bit media fingerprint — the saturating
-        # geometry SCALING.md documents (fixed key space, so volume
-        # grows ~quadratically in bucket occupancy until the
-        # fingerprint widens; this measures where the fixture sits)
+        # x5f: emitted pairs under the CORPUS-ADAPTIVE band geometry
+        # (round 10): band-key width grows with log2(n_media), so the
+        # decade ratio should read ~linear (measured 11.2x vs the
+        # round-9 fixed-1024-cell geometry's 21.5x)
         from acero_delta_lake_streaming_spark.operators.multimodal import (
             x5f_media_phash_neardup,
         )

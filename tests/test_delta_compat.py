@@ -6445,6 +6445,41 @@ def test_variant_type_lifecycle(spark, tmp_path):
     assert sorted(r["kk"] for r in got2.collect()) == list(range(2, 8))
 
 
+def test_column_named_variant_is_not_variant_type(spark, tmp_path):
+    """Round-10 advisor item: the variantType gate must trigger on the
+    TYPE 'variant' only — a plain string column merely NAMED 'variant'
+    (or metadata carrying the string 'variant') must not mint the
+    reader-3 protocol on create, must not make merge-schema appends
+    refuse, and must stay id-mode-mappable."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "named_variant")
+    rows = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("variant"),
+    )
+    dc.append_delta(rows.coalesce(1), table)
+    proto = dc.snapshot(table)["protocol"]
+    assert proto.get("minReaderVersion", 1) < 3
+    assert "variantType" not in (proto.get("readerFeatures") or [])
+
+    # merge-schema append ADDING a column named variant is legal too
+    plain = str(tmp_path / "plain_then_named")
+    dc.append_delta(
+        spark.range(2).select(F.col("id").alias("k")), plain
+    )
+    dc.append_delta(rows, plain, merge_schema=True)
+    assert dc.read_delta(spark, plain).count() == 5
+
+    # id-mode mapping accepts the table (the old all-values schema walk
+    # false-positived here and refused)
+    dc.enable_column_mapping(table, mode="id")
+    got = dc.read_delta(spark, table).select("k", "variant")
+    assert sorted((r["k"], r["variant"]) for r in got.collect()) == [
+        (i, str(i)) for i in range(3)
+    ]
+
+
 def test_follow_delta_appends_byte_admission(spark, tmp_path):
     """maxBytesPerTrigger semantics: admission stops once cumulative
     bytes reach the limit (the crossing file is still admitted; every

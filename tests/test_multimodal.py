@@ -71,3 +71,30 @@ def test_decode_features_shape_and_determinism(spark, sf_dir):
 def test_real_decoder_seam_is_explicit():
     with pytest.raises(NotImplementedError):
         PillowDecoder()
+
+
+def test_dhash_stub_wraps_at_fingerprint_width():
+    """Round-10 advisor item: the dHash neighbor wraps at the 32-byte
+    fingerprint width, never the payload length — a payload longer
+    than 32 bytes must fingerprint identically to its 32-byte prefix
+    (the seam is documented as decoder-swappable, so arbitrary sizes
+    must match the oracle's fixed-width arithmetic)."""
+    import pandas as pd
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        DHashStub,
+    )
+
+    base = bytes(range(7, 7 + 32))
+    longer = base + bytes([255] * 16)
+    fp32, fp48 = DHashStub().fingerprint_batch(pd.Series([base, longer]))
+    assert fp32 == fp48
+    # the 56-bit layout: stride-1 bits 0..31, stride-2 bits 32..55
+    expect = 0
+    for i in range(32):
+        if base[i] > base[(i + 1) % 32]:
+            expect |= 1 << i
+    for i in range(24):
+        if base[i] > base[(i + 2) % 32]:
+            expect |= 1 << (32 + i)
+    assert fp32 == expect
