@@ -73,6 +73,59 @@ def test_real_decoder_seam_is_explicit():
         PillowDecoder()
 
 
+def test_container_wrap_decode_roundtrip(spark, sf_dir):
+    """Round-10 real-decode seam: wrap_media_containers emits genuine
+    RIFF/WAVE + BMP containers whose stdlib parse (_decode_payload)
+    recovers EXACTLY the deterministic payload — audio chunk-walks,
+    images reorder bottom-up rows, video passes through raw."""
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _decode_payload,
+        wrap_media_containers,
+    )
+
+    media = build_media_table(
+        load_table(spark, sf_dir, "documents").limit(30)
+    )
+    raw = {r.media_id: bytes(r.content) for r in media.collect()}
+    rows = wrap_media_containers(media).select(
+        "media_id", "content", "meta.format"
+    ).collect()
+    seen = set()
+    for r in rows:
+        data = bytes(r.content)
+        if r.format == "wav":
+            assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+            assert len(data) == 76
+        elif r.format == "bmp":
+            assert data[:2] == b"BM" and len(data) == 86
+        else:
+            assert data == raw[r.media_id]
+        assert _decode_payload(data, r.format) == raw[r.media_id]
+        seen.add(r.format)
+    assert seen == {"wav", "bmp", "mp4"}
+
+
+def test_malformed_containers_raise():
+    """The decode path QUARANTINES malformed input (raises), never
+    returns silent garbage: truncated RIFF, wrong codec, compressed
+    BMP, bad magic."""
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _decode_payload,
+    )
+
+    with pytest.raises(ValueError):
+        _decode_payload(b"RIFFxxxxWAVE", "wav")  # size mismatch
+    with pytest.raises(ValueError):
+        _decode_payload(b"nota wave....", "wav")
+    with pytest.raises(ValueError):
+        _decode_payload(b"XX" + b"\x00" * 84, "bmp")
+    # compressed BMP (BI_RLE8 = 1 in the compression slot) refuses
+    hdr = bytearray(b"BM" + b"\x00" * 84)
+    hdr[30] = 1
+    with pytest.raises(ValueError):
+        _decode_payload(bytes(hdr), "bmp")
+
+
 def test_dhash_stub_wraps_at_fingerprint_width():
     """Round-10 advisor item: the dHash neighbor wraps at the 32-byte
     fingerprint width, never the payload length — a payload longer
