@@ -1163,6 +1163,123 @@ _X55_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x68 — training-shard writer (the curation family's terminal step)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+# Shard assignment: first md5 hex char of the sample key (source:pack)
+# mod N — deterministic, stateless, balanced in expectation. The hash
+# rule (not a global rank/ntile) is the 100 TB answer: no global sort,
+# re-running on a grown corpus never reassigns an existing sample, and
+# the ONE corpus shuffle is the repartition on the shard key itself.
+_SHARD_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(concat(source, ':', "
+    "cast(pack_id as string))), 1, 1)) - 1) % "
+    f"{_N_SHARDS}"
+)
+_SHARD_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(source || ':' || "
+    "CAST(pack_id AS varchar)), 1, 1)) - 1) % "
+    f"{_N_SHARDS}"
+)
+
+
+def shard_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training samples with their shard assignment: one row per
+    (source, pack) carrying doc/token counts, a content fingerprint
+    (md5 of the pack's doc ids in order — the oracle-replayable stand-in
+    for hashing the token bytes), and the md5-derived ``shard_id``.
+
+    Plan shape (pinned by ``tests/test_plans.py``): ONE exchange on
+    ``source`` shared by the packing window and the per-pack aggregate
+    (hash-partitioning on ``source`` satisfies the (source, pack_id)
+    clustering, so the groupBy adds no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({_WORDS_SPARK})").alias("n_tokens"),
+    )
+    return (
+        assign_packs(toks)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.expr(
+                "md5(concat_ws(',', transform(array_sort("
+                "collect_list(doc_id)), x -> cast(x as string))))"
+            ).alias("sample_md5"),
+        )
+        .withColumn("shard_id", F.expr(_SHARD_SPARK).cast("int"))
+    )
+
+
+def write_training_shards(samples: DataFrame, path: str) -> None:
+    """Materialize shard-partitioned training files: one hive directory
+    per shard (``shard_id=N/``), rows sorted by (source, pack_id) inside
+    each shard so the bytes are reproducible run-over-run. The
+    repartition IS the single corpus shuffle; the sort is partition-local
+    (no exchange). At 100 TB this writes ~corpus/N per shard with no
+    driver-side coordination — the webdataset/tfrecord-shaped terminal
+    step of the curation pipeline (the reference's pipeline stops at
+    extraction, processor.py:74-117; it has no trainer-facing output)."""
+    (
+        samples.repartition(_N_SHARDS, "shard_id")
+        .sortWithinPartitions("source", "pack_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+def x68_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the training shards, then derive the per-shard manifest
+    FROM THE FILES READ BACK (shard id, sample count, doc count, token
+    count, content md5 = md5 of the sorted per-sample fingerprints) —
+    the manifest a training job validates before consuming a shard. The
+    read-back makes the writer honest: the oracle replays the assignment
+    purely in SQL, so any write-path corruption breaks the hash gate."""
+    from acero_delta_lake_streaming_spark.storage.queries import _scratch
+
+    path = _scratch(sf_dir, "x68_shards")
+    write_training_shards(shard_samples(spark, sf_dir), path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("n_docs").alias("total_docs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.expr(
+                "md5(concat_ws('', sort_array(collect_list(sample_md5))))"
+            ).alias("content_md5"),
+        )
+    )
+
+
+_X68_SQL = (
+    f"WITH toks AS (SELECT source, doc_id, len({_WORDS_DUCK}) AS n_tokens "
+    "FROM documents), "
+    "packed AS (SELECT source, doc_id, n_tokens, "
+    "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"// {_PACK_TOKENS} AS pack_id FROM toks), "
+    "samples AS (SELECT source, pack_id, count(*) AS n_docs, "
+    "SUM(n_tokens) AS pack_tokens, "
+    "md5(string_agg(CAST(doc_id AS varchar), ',' ORDER BY doc_id)) "
+    "AS sample_md5 FROM packed GROUP BY 1, 2), "
+    f"sh AS (SELECT *, {_SHARD_DUCK} AS shard_id FROM samples) "
+    "SELECT CAST(shard_id AS INT) AS shard_id, count(*) AS n_samples, "
+    "CAST(SUM(n_docs) AS BIGINT) AS total_docs, "
+    "CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens, "
+    "md5(string_agg(sample_md5, '' ORDER BY sample_md5)) AS content_md5 "
+    "FROM sh GROUP BY 1"
+)
+
+
 QUERIES = {
     "x49_leakage_safe_split": x49_leakage_safe_split,
     "x54_budget_waterfill": x54_budget_waterfill,
@@ -1179,6 +1296,7 @@ QUERIES = {
     "x32_weighted_sample": x32_weighted_sample,
     "x42_temperature_mix": x42_temperature_mix,
     "x43_coverage_select": x43_coverage_select,
+    "x68_training_shards": x68_training_shards,
 }
 
 ORACLES = {
@@ -1268,4 +1386,5 @@ ORACLES = {
     "x20_curation_pipeline": _x20_sql(),
     "x42_temperature_mix": _X42_SQL,
     "x43_coverage_select": _X43_SQL,
+    "x68_training_shards": _X68_SQL,
 }

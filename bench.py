@@ -129,6 +129,8 @@ HEADLINE = [
     "s42_variant_ingest",
     "s43_collated_grouping",
     "dq10_key_uniqueness",
+    # round 10: training-shard writer (write + read-back manifest)
+    "x68_training_shards",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

@@ -929,3 +929,29 @@ def test_s41_bucketed_join_no_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "orderkey" not in m.group(1), m.group(0)
+
+
+def test_x68_single_corpus_shuffle_on_shard_key(spark, sf_dir):
+    """x68 (VERDICT r9 item 5): the shard-writer plan must carry exactly
+    TWO exchanges — the packing window's partition on ``source`` (shared
+    by the per-pack aggregate: hash-partitioning on source satisfies the
+    (source, pack_id) clustering, so the groupBy adds no shuffle) and
+    the REPARTITION_BY_NUM on ``shard_id`` that IS the one corpus
+    shuffle the manifest costs. No global sort, no Arrow stage, no
+    cartesian product."""
+    import re
+
+    from acero_delta_lake_streaming_spark.operators.curation import (
+        _N_SHARDS,
+        shard_samples,
+    )
+
+    pre = shard_samples(spark, sf_dir).repartition(_N_SHARDS, "shard_id")
+    plan = _physical(pre)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, exchanges
+    assert any("source" in e for e in exchanges)
+    assert any("shard_id" in e for e in exchanges)
