@@ -407,10 +407,56 @@ _SUPPORTED_WRITER_FEATURES = {
     # removed by a sweep whose superseding checkpoint reaches that
     # version; cleanup_log enforces exactly that (and no other verb
     # here ever deletes log entries). variantType, collations and
-    # icebergCompatV1/V2 stay OUT of this set deliberately: refusal
-    # by name is pinned in tests/test_delta_compat.py
+    # icebergCompatV1 stay OUT of this set deliberately: refusal
+    # by name is pinned in tests/test_delta_compat.py (variantType and
+    # collations honored since round 9; icebergCompatV2 since round 10)
     "checkpointProtection",
+    # honored (round 10): when delta.enableIcebergCompatV2=true the
+    # writer obligations bind — column mapping (name/id) must be live,
+    # deletion vectors must never be WRITTEN (delete_delta_dv refuses;
+    # COW DELETE stays legal), every committed add must carry
+    # stats.numRecords (enforced where adds are minted: a no-stats
+    # footer refuses instead of silently breaking the Iceberg
+    # manifest contract), and the schema must stay Iceberg-mappable
+    # (variant refuses; _WIDENING_OK's int-family/float->double are
+    # all Iceberg-legal widenings). enable_iceberg_compat_v2 is the
+    # ALTER; a foreign table LISTING the feature with the property
+    # unset stays writable with no extra obligations (the spec binds
+    # them to the table property, not the flag).
+    "icebergCompatV2",
 }
+
+
+def _iceberg_v2_active(snap: dict) -> bool:
+    """icebergCompatV2 obligations bind iff the writer feature is listed
+    AND the table property is true — the spec ties enforcement to
+    ``delta.enableIcebergCompatV2``, so a foreign table that merely
+    lists the flag stays an ordinary Delta table for writers."""
+    p = snap.get("protocol") or {}
+    if "icebergCompatV2" not in set(p.get("writerFeatures") or []):
+        return False
+    cfg = snap.get("configuration") or {}
+    return cfg.get("delta.enableIcebergCompatV2", "").lower() == "true"
+
+
+def _iceberg_v2_require_stats(table: str, op: str) -> None:
+    """Called from the add-minting paths ONLY when a footer yielded no
+    stats: on an icebergCompatV2-active table a stats-less add would
+    break the numRecords obligation, so the write refuses instead of
+    committing it. Costs one log replay on the already-exceptional
+    no-stats path; the common path pays nothing. A table being CREATED
+    by this very write (no log / no metaData yet — e.g. the first
+    append of a variant table, whose footers never yield stats) cannot
+    be V2-active: enablement is an ALTER on an existing table."""
+    try:
+        snap = snapshot(table)
+    except DeltaCorruptLogError:
+        return
+    if _iceberg_v2_active(snap):
+        raise DeltaProtocolError(
+            f"{op}: icebergCompatV2 requires stats.numRecords on every "
+            "add; this file's parquet footer yields no stats"
+        )
 
 
 def _legacy_writer_features(w: int) -> set[str]:
@@ -485,6 +531,28 @@ def _check_writer_protocol(
             f"{op}: table is delta.appendOnly=true; removing data is "
             "forbidden"
         )
+    if _iceberg_v2_active(snap):
+        # icebergCompatV2 writer obligations (bound to the table
+        # property): DVs are never WRITTEN, column mapping must be
+        # live, and the schema must stay Iceberg-mappable. A table
+        # violating the preconditions (foreign writer set the property
+        # without them) refuses every mutation — writing past a broken
+        # compat contract would corrupt the Iceberg-side view.
+        if op == "DELETE (deletion vectors)":
+            raise DeltaProtocolError(
+                f"{op}: icebergCompatV2 forbids writing deletion "
+                "vectors; use the copy-on-write DELETE"
+            )
+        if _mapping_mode(snap) not in ("name", "id"):
+            raise DeltaProtocolError(
+                f"{op}: icebergCompatV2 requires column mapping mode "
+                "'name' or 'id'"
+            )
+        if _schema_has_variant(snap["schema"]):
+            raise DeltaProtocolError(
+                f"{op}: icebergCompatV2 table carries a variant column "
+                "(no Iceberg type mapping exists)"
+            )
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -2721,6 +2789,8 @@ def _promote_staged(
             stats = _file_stats(os.path.join(table, rel))
             if stats is not None:
                 add["stats"] = stats
+            else:
+                _iceberg_v2_require_stats(table, "WRITE")
             adds.append({"add": add})
     import shutil
 
@@ -3440,6 +3510,113 @@ def enable_in_commit_timestamps(table: str) -> int:
     return version
 
 
+def enable_iceberg_compat_v2(table: str) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableIcebergCompatV2' = 'true')`` — the ``icebergCompatV2``
+    writer feature: from this commit on the table's files are readable
+    as an Iceberg table, which binds this writer to the feature's
+    obligations (no deletion-vector WRITES, stats.numRecords on every
+    add, live column mapping, Iceberg-mappable types). Enablement
+    validates the preconditions instead of trusting them:
+
+    * column mapping must already be 'name' or 'id' (run
+      :func:`enable_column_mapping` first — V2 depends on it);
+    * the schema must carry no variant column (no Iceberg mapping);
+    * no live file may carry a deletion vector (OPTIMIZE applies and
+      purges them — compaction is the migration step);
+    * every live add must already carry ``stats.numRecords`` (OPTIMIZE
+      replaces the full file set attaching footer stats, so it is also
+      the stats backfill).
+
+    Protocol rises to writer-features (7) with legacy capabilities made
+    explicit; reader side is untouched (the feature is writer-only —
+    column mapping already raised the reader requirement when it was
+    enabled). icebergCompatV1 stays refused by name: V2 is the surviving
+    spec and honoring the superseded variant would only mask a
+    misconfigured foreign table."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "enable_iceberg_compat_v2")
+    cfg = dict(snap.get("configuration") or {})
+    if cfg.get("delta.enableIcebergCompatV2", "").lower() == "true":
+        raise DeltaProtocolError(
+            "icebergCompatV2 is already enabled on this table"
+        )
+    if _mapping_mode(snap) not in ("name", "id"):
+        raise DeltaProtocolError(
+            "enable_iceberg_compat_v2: column mapping mode 'name' or "
+            "'id' is required first (enable_column_mapping)"
+        )
+    if _schema_has_variant(snap["schema"]):
+        raise DeltaProtocolError(
+            "enable_iceberg_compat_v2: schema carries a variant column "
+            "(no Iceberg type mapping exists)"
+        )
+    dvs = {f: d for f, d in snap["file_dvs"].items() if d}
+    if dvs:
+        raise DeltaProtocolError(
+            "enable_iceberg_compat_v2: live deletion vectors on "
+            f"{len(dvs)} file(s); OPTIMIZE to apply and purge them first"
+        )
+    for f, st in snap["file_stats"].items():
+        ok = False
+        if st:
+            try:
+                ok = json.loads(st).get("numRecords") is not None
+            except (ValueError, AttributeError):
+                ok = False
+        if not ok:
+            raise DeltaProtocolError(
+                "enable_iceberg_compat_v2: live add without "
+                f"stats.numRecords ({os.path.relpath(f, table)}); "
+                "OPTIMIZE to rewrite with footer stats first"
+            )
+    p = snap.get("protocol") or {}
+    r = p.get("minReaderVersion", 1)
+    w = p.get("minWriterVersion", 2)
+    wf = set(p.get("writerFeatures") or [])
+    if w < 7:
+        wf |= _legacy_writer_features(w)
+    wf.add("icebergCompatV2")
+    proto: dict = {
+        "minReaderVersion": r,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if r >= 3:
+        proto["readerFeatures"] = sorted(
+            set(p.get("readerFeatures") or [])
+        )
+    version = snap["version"] + 1
+    now_ms = int(time.time() * 1000)
+    cfg["delta.enableIcebergCompatV2"] = "true"
+    actions = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.enableIcebergCompatV2": "true"}
+                    )
+                },
+            }
+        },
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
 def _compact_files(
     spark: SparkSession,
     table: str,
@@ -3503,6 +3680,8 @@ def _compact_files(
         stats = _file_stats(os.path.join(table, rel))
         if stats is not None:
             add["stats"] = stats
+        else:
+            _iceberg_v2_require_stats(table, "OPTIMIZE")
         adds.append({"add": add})
     import shutil
 

@@ -1937,6 +1937,57 @@ _S43_SQL = (
 )
 
 
+def s44_iceberg_compat_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S44 — icebergCompatV2 through the write lifecycle (honored since
+    round 10; the last protocol feature that still refused): seed a
+    table, enable column mapping (the feature's dependency), enable
+    icebergCompatV2 — which validates no live DVs and stats.numRecords
+    on every live add — then keep writing UNDER the bound obligations:
+    a second append (footer stats attached as always) and a
+    copy-on-write DELETE (the DV path refuses on these tables — erasure
+    pays the rewrite so the Iceberg-side view never needs DV
+    semantics). At 100 TB this is the lakehouse-interop posture:
+    one physical table, Delta writers, Iceberg readers, and the
+    obligations (stats-complete adds, no merge-on-read erasure)
+    enforced at the writer instead of discovered at the foreign
+    reader. Oracle replays seed + append − delete from the fixture."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s44_orders_iceberg")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.enable_column_mapping(table)
+    delta_compat.enable_iceberg_compat_v2(table)
+    # writes under the bound obligations
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 1"), table)
+    delta_compat.delete_delta(
+        spark, table,
+        orders.filter("o_orderkey % 10 = 0").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6)))) "
+                "AS BIGINT)"
+            ).alias("price_sum"),
+        )
+    )
+
+
+_S44_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6)))) AS BIGINT) "
+    "AS price_sum "
+    "FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1"
+)
+
+
 def s22_mapped_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 — the COW rewrite verbs on a COLUMN-MAPPED table (VERDICT r6
     item 1): the everyday rename-then-upsert / rename-then-erase
@@ -3520,6 +3571,7 @@ QUERIES = {
     "s41_bucketed_colocated_join": s41_bucketed_colocated_join,
     "s42_variant_ingest": s42_variant_ingest,
     "s43_collated_grouping": s43_collated_grouping,
+    "s44_iceberg_compat_writes": s44_iceberg_compat_writes,
 }
 
 ORACLES = {
@@ -3575,4 +3627,5 @@ ORACLES = {
     "s41_bucketed_colocated_join": _S41_SQL,
     "s42_variant_ingest": _S42_SQL,
     "s43_collated_grouping": _S43_SQL,
+    "s44_iceberg_compat_writes": _S44_SQL,
 }

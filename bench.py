@@ -129,8 +129,10 @@ HEADLINE = [
     "s42_variant_ingest",
     "s43_collated_grouping",
     "dq10_key_uniqueness",
-    # round 10: training-shard writer (write + read-back manifest)
+    # round 10: training-shard writer (write + read-back manifest),
+    # icebergCompatV2 write lifecycle
     "x68_training_shards",
+    "s44_iceberg_compat_writes",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

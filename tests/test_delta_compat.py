@@ -2294,7 +2294,7 @@ def test_clustering_and_vacuum_protocol_check_features(spark, tmp_path):
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
                           "writerFeatures": [
-                              "vacuumProtocolCheck", "icebergCompatV2"]}},
+                              "vacuumProtocolCheck", "icebergCompatV1"]}},
             _meta(spark, "k long"),
             {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                      "modificationTime": 0, "dataChange": True}},
@@ -2729,7 +2729,7 @@ def test_writer_unknown_feature_refused(spark, tmp_path):
         0,
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                          "writerFeatures": ["icebergCompatV2"]}},
+                          "writerFeatures": ["icebergCompatV1"]}},
             _meta(spark, "k long"),
             {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                      "modificationTime": 0, "dataChange": True}},
@@ -6303,40 +6303,125 @@ def test_checkpoint_protection_honored(spark, tmp_path):
 
 
 def test_unsupported_features_refused_by_name(spark, tmp_path):
-    """icebergCompatV1/V2 are NOT implemented and must refuse BY NAME
-    (VERDICT r8 item 4) — the generic gate catches them, these pin
-    each name so a future feature-set edit cannot silently admit one.
-    (variantType and collations moved OUT of this set: both honored
-    since round 9 — see test_variant_type_lifecycle and
-    test_collations_lifecycle.)"""
+    """icebergCompatV1 is NOT implemented and must refuse BY NAME
+    (VERDICT r8 item 4) — the generic gate catches it, this pins the
+    name so a future feature-set edit cannot silently admit it.
+    (variantType and collations honored since round 9; icebergCompatV2
+    honored since round 10 — see test_iceberg_compat_v2_lifecycle.)"""
     import pyspark.sql.functions as F
 
     one = spark.range(1).select(F.col("id").alias("k"))
 
-    # writer-only features: reads fine, every mutation refuses by name
-    for feat in ("icebergCompatV1", "icebergCompatV2"):
-        table = str(tmp_path / f"{feat}_tbl")
-        _write_parquet(
-            spark, [(1,)], "k long", os.path.join(table, "a.parquet")
+    # writer-only feature: reads fine, every mutation refuses by name
+    feat = "icebergCompatV1"
+    table = str(tmp_path / f"{feat}_tbl")
+    _write_parquet(
+        spark, [(1,)], "k long", os.path.join(table, "a.parquet")
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 7,
+                          "writerFeatures": [feat]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+    )
+    assert dc.read_delta(spark, table).count() == 1
+    with pytest.raises(dc.DeltaProtocolError, match=feat):
+        dc.append_delta(one, table)
+    with pytest.raises(dc.DeltaProtocolError, match=feat):
+        dc.optimize_delta(spark, table)
+
+
+def test_iceberg_compat_v2_lifecycle(spark, tmp_path):
+    """icebergCompatV2 honored end-to-end (VERDICT r9 item 7):
+    enablement validates its preconditions (column mapping live, no
+    variant, no live DVs, stats.numRecords on every live add), the
+    ALTER mints writer-7 + the feature + the table property, and from
+    then on the writer obligations bind — appends still work (our adds
+    always carry footer stats), DV deletes refuse while COW DELETE
+    stays legal, and a foreign table listing the flag WITHOUT the
+    property stays an ordinary writable table."""
+    import pyspark.sql.functions as F
+
+    one = spark.range(1).select(F.col("id").alias("k"))
+
+    # precondition: no column mapping -> refuse
+    t1 = str(tmp_path / "no_mapping")
+    dc.append_delta(one, t1)
+    with pytest.raises(dc.DeltaProtocolError, match="column mapping"):
+        dc.enable_iceberg_compat_v2(t1)
+
+    # precondition: live DV -> refuse; OPTIMIZE purges, then enable ok
+    t2 = str(tmp_path / "live_dv")
+    dc.append_delta(
+        spark.range(10).coalesce(1).select(F.col("id").alias("k")), t2
+    )
+    dc.enable_column_mapping(t2, mode="name")
+    dc.delete_delta_dv(
+        spark, t2, spark.range(1).select(F.col("id").alias("k")), ["k"]
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="deletion vector"):
+        dc.enable_iceberg_compat_v2(t2)
+    dc.optimize_delta(spark, t2)
+    v = dc.enable_iceberg_compat_v2(t2)
+    snap = dc.snapshot(t2)
+    assert snap["version"] == v
+    assert "icebergCompatV2" in snap["protocol"]["writerFeatures"]
+    assert snap["configuration"]["delta.enableIcebergCompatV2"] == "true"
+    with pytest.raises(dc.DeltaProtocolError, match="already enabled"):
+        dc.enable_iceberg_compat_v2(t2)
+
+    # obligations: appends fine (stats attached), DV delete refuses,
+    # COW delete works
+    dc.append_delta(
+        spark.range(100, 103).coalesce(1).select(F.col("id").alias("k")),
+        t2,
+    )
+    snap = dc.snapshot(t2)
+    import json as _json
+
+    for f, st in snap["file_stats"].items():
+        assert st and _json.loads(st)["numRecords"] is not None, f
+    with pytest.raises(dc.DeltaProtocolError, match="icebergCompatV2"):
+        dc.delete_delta_dv(
+            spark, t2,
+            spark.range(100, 101).select(F.col("id").alias("k")), ["k"],
         )
-        _commit(
-            table,
-            0,
-            [
-                {"protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 7,
-                              "writerFeatures": [feat]}},
-                _meta(spark, "k long"),
-                {"add": {"path": "a.parquet", "partitionValues": {},
-                         "size": 1, "modificationTime": 0,
-                         "dataChange": True}},
-            ],
-        )
-        assert dc.read_delta(spark, table).count() == 1
-        with pytest.raises(dc.DeltaProtocolError, match=feat):
-            dc.append_delta(one, table)
-        with pytest.raises(dc.DeltaProtocolError, match=feat):
-            dc.optimize_delta(spark, table)
+    dc.delete_delta(
+        spark, t2,
+        spark.range(100, 101).select(F.col("id").alias("k")), ["k"],
+    )
+    got = sorted(
+        r["k"] for r in dc.read_delta(spark, t2).collect()
+    )
+    assert got == list(range(1, 10)) + [101, 102]
+
+    # flag WITHOUT the property: ordinary table, no obligations
+    t3 = str(tmp_path / "flag_only")
+    _write_parquet(
+        spark, [(1,)], "k long", os.path.join(t3, "a.parquet")
+    )
+    _commit(
+        t3,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 7,
+                          "writerFeatures": ["icebergCompatV2"]}},
+            _meta(spark, "k long"),
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+    )
+    dc.append_delta(one, t3)  # accepted: obligations bind to property
+    assert dc.read_delta(spark, t3).count() == 2
 
 
 def test_follow_delta_appends_cleaned_log_gap(spark, tmp_path):
