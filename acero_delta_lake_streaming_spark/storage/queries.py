@@ -1764,6 +1764,83 @@ _ST24B_SQL = (
 )
 
 
+def st25_streaming_shard_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST25 — the STREAMING half of the x68 training-shard terminal
+    step: documents arrive as Delta appends, a follower tails the
+    append stream (st24's source) and each micro-batch lands ALREADY
+    SHARDED — the stateless md5 shard rule (first hex char of
+    md5(doc_id) mod 8, the same family as x68's sample rule) is a pure
+    per-row map, so incremental ingest needs no repacking, no global
+    state, and no coordination with past batches; the sink is a
+    shard-partitioned Delta table the batch packer (x68) later packs
+    within. Exactly-once via the ``(app_id, epoch)`` txn ledger,
+    proven by a full-history crash-replay that must no-op per epoch.
+    The certificate is the per-shard manifest (doc count, char sum,
+    content md5 over the sorted per-doc fingerprints) — the oracle
+    replays the assignment over the appended slices, so a double-
+    admitted batch or a mis-sharded row flips the hash."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    src = _scratch(sf_dir, "st25_src")
+    sink_t = _scratch(sf_dir, "st25_sink")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    delta_compat.append_delta(docs.filter("doc_id % 3 = 0"), src)
+    delta_compat.append_delta(docs.filter("doc_id % 3 = 1"), src)
+    delta_compat.append_delta(docs.filter("doc_id % 3 = 2"), src)
+    shard = (
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), "
+        "1, 1)) - 1) % 8"
+    )
+    base_sink = delta_compat.streaming_sink(
+        sink_t, "st25_shard_tail", partition_by=["shard_id"]
+    )
+
+    def sharded_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        base_sink(
+            batch_df.withColumn(
+                "shard_id", F.expr(shard).cast("int")
+            ),
+            epoch_id,
+        )
+
+    drain = dict(max_files_per_trigger=2, max_cycles=1,
+                 sleep_fn=lambda _s: None)
+    delta_compat.follow_delta_appends(spark, src, sharded_sink, **drain)
+    # crash-replay from a lost cursor: every epoch must no-op
+    delta_compat.follow_delta_appends(spark, src, sharded_sink, **drain)
+    return (
+        delta_compat.read_delta(spark, sink_t)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            F.expr(
+                "md5(concat_ws('', sort_array(collect_list("
+                "md5(cast(doc_id as string))))))"
+            ).alias("content_md5"),
+        )
+        .select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            "n_docs", "chars_sum", "content_md5",
+        )
+    )
+
+
+_ST25_SQL = (
+    "WITH sh AS (SELECT doc_id, n_chars, "
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS varchar)), "
+    "1, 1)) - 1) % 8 AS shard_id FROM documents) "
+    "SELECT CAST(shard_id AS INT) AS shard_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+    "md5(string_agg(md5(CAST(doc_id AS varchar)), '' "
+    "ORDER BY md5(CAST(doc_id AS varchar)))) AS content_md5 "
+    "FROM sh GROUP BY shard_id"
+)
+
+
 def s41_bucketed_colocated_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3572,6 +3649,7 @@ QUERIES = {
     "s42_variant_ingest": s42_variant_ingest,
     "s43_collated_grouping": s43_collated_grouping,
     "s44_iceberg_compat_writes": s44_iceberg_compat_writes,
+    "st25_streaming_shard_tail": st25_streaming_shard_tail,
 }
 
 ORACLES = {
@@ -3628,4 +3706,5 @@ ORACLES = {
     "s42_variant_ingest": _S42_SQL,
     "s43_collated_grouping": _S43_SQL,
     "s44_iceberg_compat_writes": _S44_SQL,
+    "st25_streaming_shard_tail": _ST25_SQL,
 }

@@ -133,6 +133,7 @@ HEADLINE = [
     # icebergCompatV2 write lifecycle
     "x68_training_shards",
     "s44_iceberg_compat_writes",
+    "st25_streaming_shard_tail",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
