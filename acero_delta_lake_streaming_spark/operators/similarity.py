@@ -2343,6 +2343,192 @@ def x48_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X69 — bitext mining (cross-lingual parallel-pair mining)
+# --------------------------------------------------------------------------
+
+_X69_POFF = 3000000  # planted "translation" ids live above this offset
+_X69_COS = "CAST(0.9 AS DOUBLE)"     # match threshold (portable literal)
+_X69_MARGIN = "CAST(0.1 AS DOUBLE)"  # best-vs-runner-up margin
+
+
+def _x69_corpus(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Language-tagged embedding corpus + planted translations: every
+    non-en doc with id % 7 == 3 gets a scaled-copy embedding registered
+    as an 'en' document (ids offset by ``_X69_POFF``) — the stand-in
+    for a true translation pair, cosine exactly 1.0 with its source.
+    Positive scaling preserves every hyperplane projection sign, so a
+    plant shares ALL of its source's LSH buckets: mining recall on the
+    planted pairs is 1.0 by construction (the x48 planted-leak
+    design, applied cross-lingually)."""
+    base = (
+        docs.select("doc_id", "lang")
+        .join(
+            emb.select("vec_id", "embedding"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("vec_id", "lang", "embedding")
+    )
+    plants = base.filter(
+        (F.col("lang") != "en") & (F.col("vec_id") % 7 == 3)
+    ).select(
+        (F.col("vec_id") + F.lit(_X69_POFF)).alias("vec_id"),
+        F.lit("en").alias("lang"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(plants)
+
+
+def x69_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 — BITEXT MINING, the LASER/CCMatrix step that builds
+    parallel corpora for multilingual training: for every non-English
+    document, find its best English counterpart in embedding space and
+    keep the pair only when the match is strong (cos ≥ 0.9) AND
+    unambiguous (margin ≥ 0.1 over the runner-up — the margin
+    criterion that kills hubness false positives). Candidates come
+    from the SAME adaptive sign-LSH both dedup and decontamination use
+    (one bucketing construction, four consumers): non-en × en
+    bucket-mates only, never all-pairs. Planted translation pairs
+    (scaled copies — see ``_x69_corpus``) are mined with recall 1.0 by
+    construction; natural cross-set cosines in the fixture top out
+    ≈0.5, so the certificate is exactly the planted-pair set plus the
+    thresholds doing their job.
+
+    Scale shape: candidate volume is Σ per-bucket |src|·|tgt| with the
+    adaptive plane count holding occupancy flat across decades (x3b's
+    rule); the margin needs only the top-2 per source doc — a bounded
+    window over candidate groups, no global sort; at 100 TB both
+    language sides stream through the same bucketed exchange."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the planted union is consumed three times (bucketing, the lang
+    # tag join, the cosine verify) and the bucket frame twice (source
+    # and target sides) — persist both once, scope-released by the
+    # entry wrapper; the bucket cache holds (id, tbl, bucket, lang)
+    # rows only, no embedding arrays
+    corpus = scoped_persist(_x69_corpus(docs, emb))
+    buckets = _adaptive_sign_buckets(
+        spark, corpus.select("vec_id", "embedding")
+    )
+    lb = scoped_persist(
+        buckets.join(corpus.select("vec_id", "lang"), "vec_id")
+    )
+    src_b = lb.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("sid_"), "tbl", "bucket"
+    )
+    tgt_b = lb.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("tid_"), "tbl", "bucket"
+    )
+    cand = src_b.join(tgt_b, ["tbl", "bucket"]).select(
+        "sid_", "tid_"
+    ).distinct()
+    scored = corpus.select(
+        "vec_id", "lang", "embedding",
+        F.expr(_norm_spark("embedding")).alias("nrm"),
+    )
+    sa = scored.select(
+        F.col("vec_id").alias("sid_"),
+        F.col("lang").alias("src_lang"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    sb = scored.select(
+        F.col("vec_id").alias("tid_"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = (
+        F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))
+    ).alias("cos")
+    pairs = cand.join(sa, "sid_").join(sb, "tid_").select(
+        "sid_", "src_lang", "tid_", cos
+    )
+    w = Window.partitionBy("sid_").orderBy(F.desc("cos"), F.asc("tid_"))
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    agg = ranked.groupBy("sid_", "src_lang").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("cos"))).alias("cos1"),
+        F.max(F.when(F.col("rk") == 1, F.col("tid_"))).alias("tid1"),
+        F.max(F.when(F.col("rk") == 2, F.col("cos"))).alias("cos2"),
+    )
+    return (
+        agg.filter(
+            (F.col("cos1") >= F.expr(_X69_COS))
+            & (
+                F.coalesce(
+                    F.col("cos1") - F.col("cos2"),
+                    F.expr("CAST(1.0 AS DOUBLE)"),
+                )
+                >= F.expr(_X69_MARGIN)
+            )
+        )
+        .select(
+            F.col("sid_").alias("src_doc"),
+            F.col("src_lang").alias("lang"),
+            F.expr(
+                f"CASE WHEN tid1 >= {_X69_POFF} "
+                f"THEN tid1 - {_X69_POFF} ELSE tid1 END"
+            ).alias("en_doc"),
+            (F.col("tid1") >= F.lit(_X69_POFF)).alias("planted"),
+            F.round("cos1", 6).alias("cosine"),
+        )
+    )
+
+
+_X69_SQL = (
+    "WITH base AS (SELECT e.vec_id AS vec_id, d.lang, e.embedding "
+    "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), "
+    "u AS (SELECT * FROM base UNION ALL "
+    f"SELECT vec_id + {_X69_POFF}, 'en', "
+    "list_transform(embedding, x -> x * CAST(1.5 AS REAL)) "
+    "FROM base WHERE lang <> 'en' AND vec_id % 7 = 3), "
+    "cnt AS (SELECT count(*) AS cnt FROM u), "
+    f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt), "
+    "planes AS (SELECT p, "
+    "CAST(p // ppt AS INT) AS tbl, "
+    "CAST(p % ppt AS INT) AS bit, "
+    f"{_W_DUCK} AS warr "
+    f"FROM range(0, {_N_TABLES * (_SEM_MAX_PLANES + 1)}) t(p) "
+    f"CROSS JOIN pp WHERE p < ppt * {_N_TABLES}), "
+    "buckets AS (SELECT e.vec_id, pl.tbl, "
+    "sum(CASE WHEN "
+    f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+    "ELSE 0 END) AS bucket "
+    "FROM u e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl), "
+    "lb AS (SELECT b.vec_id, b.tbl, b.bucket, u.lang FROM buckets b "
+    "JOIN u ON u.vec_id = b.vec_id), "
+    "cand AS (SELECT DISTINCT s.vec_id AS sid_, t.vec_id AS tid_ "
+    "FROM lb s JOIN lb t ON s.tbl = t.tbl AND s.bucket = t.bucket "
+    "AND s.lang <> 'en' AND t.lang = 'en'), "
+    "scored AS (SELECT vec_id, lang, embedding, "
+    f"{_norm_duck('embedding')} AS nrm FROM u), "
+    "pairs AS (SELECT c.sid_, a.lang AS src_lang, c.tid_, "
+    f"{_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos "
+    "FROM cand c "
+    "JOIN scored a ON a.vec_id = c.sid_ "
+    "JOIN scored b ON b.vec_id = c.tid_), "
+    "r AS (SELECT *, row_number() OVER "
+    "(PARTITION BY sid_ ORDER BY cos DESC, tid_ ASC) AS rk FROM pairs), "
+    "a2 AS (SELECT sid_, src_lang, "
+    "max(CASE WHEN rk = 1 THEN cos END) AS cos1, "
+    "max(CASE WHEN rk = 1 THEN tid_ END) AS tid1, "
+    "max(CASE WHEN rk = 2 THEN cos END) AS cos2 "
+    "FROM r WHERE rk <= 2 GROUP BY 1, 2) "
+    "SELECT sid_ AS src_doc, src_lang AS lang, "
+    f"CASE WHEN tid1 >= {_X69_POFF} THEN tid1 - {_X69_POFF} "
+    "ELSE tid1 END AS en_doc, "
+    f"tid1 >= {_X69_POFF} AS planted, "
+    "round(cos1, 6) AS cosine "
+    f"FROM a2 WHERE cos1 >= {_X69_COS} "
+    f"AND COALESCE(cos1 - cos2, CAST(1.0 AS DOUBLE)) >= {_X69_MARGIN}"
+)
+
+
 _X48_SQL = (
     "WITH u AS ("
     "  SELECT vec_id, embedding FROM embeddings "
@@ -2725,6 +2911,7 @@ QUERIES = {
     "x45_embedding_outliers": x45_embedding_outliers,
     "x47_ann_recall_audit": x47_ann_recall_audit,
     "x48_semantic_decontam": x48_semantic_decontam,
+    "x69_bitext_mining": x69_bitext_mining,
     "x52_quantizer_drift": x52_quantizer_drift,
     "x59_cluster_purity": x59_cluster_purity,
     "x64_matryoshka_recall": x64_matryoshka_recall,
@@ -2748,6 +2935,7 @@ ORACLES = {
     "x45_embedding_outliers": _X45_SQL,
     "x47_ann_recall_audit": _x47_sql(),
     "x48_semantic_decontam": _X48_SQL,
+    "x69_bitext_mining": _X69_SQL,
     "x52_quantizer_drift": _x52_sql(),
     "x59_cluster_purity": _x59_sql(),
     "x64_matryoshka_recall": _x64_sql(),

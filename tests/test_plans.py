@@ -955,3 +955,38 @@ def test_x68_single_corpus_shuffle_on_shard_key(spark, sf_dir):
     assert len(exchanges) == 2, exchanges
     assert any("source" in e for e in exchanges)
     assert any("shard_id" in e for e in exchanges)
+
+
+def test_x69_bitext_candidates_bucketed(spark, sf_dir):
+    """x69's candidate generation is (tbl, bucket) equi-joins only —
+    the cross-lingual pair volume is bounded by bucket co-occupancy,
+    never an all-pairs product; the planted union is persisted (one
+    evaluation feeds bucketing, the lang join and the verify), and the
+    only nested-loop joins are the broadcast 1-row plane-count frame
+    plus the broadcast plane set inside the single bucketing pass."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x69_bitext_mining,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    import re
+
+    try:
+        plan = _physical(x69_bitext_mining(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan  # the persisted frames
+        # cached subtrees REPRINT under each InMemoryTableScan
+        # consumer (the x5f lesson) — count DISTINCT plane-count expr
+        # ids, not lines: the bucketing fold must evaluate ONCE
+        ppt_ids = {
+            m.group(0) for m in re.finditer(r"\bppt#\d+", plan)
+        }
+        assert len(ppt_ids) <= 1, ppt_ids
+        # candidate pairs come from (tbl, bucket) equi-joins — no hash
+        # exchange ships an embedding array
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            assert "embedding" not in m.group(1), m.group(0)
+    finally:
+        release_scoped()

@@ -146,3 +146,33 @@ def test_filtered_ann_respects_slice(spark, sf_dir):
     assert out
     for r in out:
         assert labels[r["vec_id"]] == labels[r["query_id"]], r
+
+
+def test_x69_bitext_planted_recall(spark, sf_dir):
+    """Every planted translation pair must be mined (positive scaling
+    preserves all LSH bucket signs — recall 1.0 by construction), each
+    matched to its own source (en_doc == src_doc, planted=True), and
+    nothing below the cos-0.9 threshold leaks in."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x69_bitext_mining,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    expected = {
+        r["doc_id"]
+        for r in docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter("lang <> 'en' AND vec_id % 7 = 3")
+        .select("doc_id")
+        .collect()
+    }
+    out = x69_bitext_mining(spark, sf_dir).collect()
+    mined_planted = {r["src_doc"] for r in out if r["planted"]}
+    assert mined_planted == expected
+    for r in out:
+        assert r["cosine"] >= 0.9
+        if r["planted"]:
+            assert r["en_doc"] == r["src_doc"]
