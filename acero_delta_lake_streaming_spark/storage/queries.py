@@ -15,7 +15,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.functions.extract import (
@@ -1826,6 +1826,135 @@ def st25_streaming_shard_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "chars_sum", "content_md5",
         )
     )
+
+
+_ST26_BIN_W = 100000  # $1000 bins over order-total cents
+_ST26_QS = (50, 90)
+
+
+def st26_streaming_quantile_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST26 — incrementally-maintained QUANTILES: st12's IVM identity
+    composed with x67's binned-histogram plan. Quantiles are not
+    self-maintainable (a deleted row can move every percentile), but a
+    fixed-width histogram IS — signed bin counts add — so maintaining
+    the (group, bin) mart from the Change Data Feed gives percentiles
+    exact to one bin width with O(|changed rows| + |bins|) per refresh
+    and NO re-scan of the source. The source takes st12's exact commit
+    sequence (seed append, captured price-bump MERGE + inserts,
+    captured DELETE); the mart folds ``sign · 1`` per (status, bin);
+    the answer arm cumulates ≤|bins| rows per group and reads the
+    first bin reaching ⌈q·n/100⌉. At 100 TB this is how a live
+    latency/price dashboard serves p50/p90 continuously: the full
+    sort-based percentile never runs, only the histogram mart updates.
+    The oracle recomputes the binned quantiles from the replayed final
+    state — the maintained mart must be indistinguishable from a full
+    rebuild."""
+    table = _scratch(sf_dir, "st26_orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deltalite.write(orders.filter("o_orderkey % 2 = 0"), table, "append")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    binned = f"({cents}) DIV {_ST26_BIN_W}"
+    base = (
+        deltalite.read(spark, table, version=0)
+        .groupBy("o_orderstatus", F.expr(binned).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt0"))
+    )
+    bump_p = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    deltalite.upsert(
+        spark,
+        bump_p.unionByName(inserts),
+        table,
+        ["o_orderkey"],
+        change_data=True,
+    )
+    doomed = orders.filter("o_orderkey % 10 = 0").select("o_orderkey")
+    deltalite.delete_keys(
+        spark, doomed, table, ["o_orderkey"], change_data=True
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        deltalite.read_changes(spark, table, 1, 2)
+        .withColumn("sign", sign)
+        .groupBy("o_orderstatus", F.expr(binned).alias("bin"))
+        .agg(F.sum("sign").cast("bigint").alias("dcnt"))
+    )
+    mart = (
+        base.join(delta, ["o_orderstatus", "bin"], "full_outer")
+        .select(
+            "o_orderstatus",
+            "bin",
+            (
+                F.coalesce("cnt0", F.lit(0)) + F.coalesce("dcnt", F.lit(0))
+            ).cast("bigint").alias("cnt"),
+        )
+        .filter("cnt > 0")
+    )
+    wflag = Window.partitionBy("o_orderstatus")
+    worder = wflag.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = mart.select(
+        "o_orderstatus",
+        "bin",
+        F.sum("cnt").over(worder).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wflag).cast("bigint").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _ST26_QS])).alias("q0")
+    ).select(F.col("q0").cast("bigint").alias("q"))
+    return (
+        cum.join(F.broadcast(qs))
+        .filter(F.expr("cum >= (q * n + 99) DIV 100"))
+        .groupBy("o_orderstatus", "q", "n")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "o_orderstatus",
+            "q",
+            "n",
+            (F.col("qbin") * F.lit(_ST26_BIN_W))
+            .cast("bigint")
+            .alias("est_lo_cents"),
+        )
+    )
+
+
+_ST26_SQL = (
+    "WITH seed AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey % 2 = 0), "
+    "bumped AS (SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0 "
+    "ELSE o_totalprice END AS o_totalprice FROM seed), "
+    "ins AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "final AS (SELECT * FROM bumped UNION ALL SELECT * FROM ins), "
+    "kept AS (SELECT * FROM final WHERE o_orderkey % 10 <> 0), "
+    "b AS (SELECT o_orderstatus, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) "
+    f"// {_ST26_BIN_W} AS bin FROM kept), "
+    "h AS (SELECT o_orderstatus, bin, count(*) AS cnt FROM b "
+    "GROUP BY 1, 2), "
+    "c AS (SELECT o_orderstatus, bin, "
+    "sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "sum(cnt) OVER (PARTITION BY o_orderstatus) AS n FROM h), "
+    "qs AS (SELECT unnest(["
+    + ", ".join(str(q) for q in _ST26_QS)
+    + "]) AS q) "
+    "SELECT o_orderstatus, CAST(q AS BIGINT) AS q, "
+    "CAST(n AS BIGINT) AS n, "
+    f"CAST(min(bin) * {_ST26_BIN_W} AS BIGINT) AS est_lo_cents "
+    "FROM c CROSS JOIN qs WHERE cum >= (q * n + 99) // 100 "
+    "GROUP BY 1, 2, 3"
+)
 
 
 _ST25_SQL = (
@@ -3650,6 +3779,7 @@ QUERIES = {
     "s43_collated_grouping": s43_collated_grouping,
     "s44_iceberg_compat_writes": s44_iceberg_compat_writes,
     "st25_streaming_shard_tail": st25_streaming_shard_tail,
+    "st26_streaming_quantile_mart": st26_streaming_quantile_mart,
 }
 
 ORACLES = {
@@ -3707,4 +3837,5 @@ ORACLES = {
     "s43_collated_grouping": _S43_SQL,
     "s44_iceberg_compat_writes": _S44_SQL,
     "st25_streaming_shard_tail": _ST25_SQL,
+    "st26_streaming_quantile_mart": _ST26_SQL,
 }
