@@ -288,8 +288,43 @@ def main() -> None:
             "emitted": int(emitted5f),
             "sec": round(time.time() - t0, 1),
         }
+        # x69: cross-lingual candidate volume under the same adaptive
+        # sign-LSH (round 10) — planes grow with log2(n), so non-en x en
+        # bucket-mate pairs should track ~linear across the decade
+        from acero_delta_lake_streaming_spark.operators.similarity import (
+            _adaptive_sign_buckets,
+            _x69_corpus,
+            x69_bitext_mining,
+        )
+
+        t0 = time.time()
+        e69 = load_table(spark, sfd, "embeddings")
+        corpus69 = scoped_persist(_x69_corpus(d, e69))
+        b69 = _adaptive_sign_buckets(
+            spark, corpus69.select("vec_id", "embedding")
+        )
+        lb69 = b69.join(corpus69.select("vec_id", "lang"), "vec_id")
+        cand69 = (
+            lb69.filter("lang <> 'en'")
+            .selectExpr("vec_id AS sid_", "tbl", "bucket")
+            .join(
+                lb69.filter("lang = 'en'")
+                .selectExpr("vec_id AS tid_", "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .select("sid_", "tid_")
+            .distinct()
+            .count()
+        )
+        mined69 = x69_bitext_mining(spark, sfd).count()
+        release_scoped()
+        out[f"x69_{tag}"] = {
+            "candidates": int(cand69),
+            "mined": int(mined69),
+            "sec": round(time.time() - t0, 1),
+        }
         for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}",
-                  f"x5f_{tag}"):
+                  f"x5f_{tag}", f"x69_{tag}"):
             print(f"{k}: {out[k]}", file=sys.stderr)
 
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
@@ -323,6 +358,10 @@ def main() -> None:
         "x5f_emitted_ratio": round(
             out["x5f_s01"]["emitted"]
             / max(out["x5f_s001"]["emitted"], 1), 2
+        ),
+        "x69_cand_ratio": round(
+            out["x69_s01"]["candidates"]
+            / max(out["x69_s001"]["candidates"], 1), 2
         ),
     }
     print(json.dumps(out))
