@@ -1278,6 +1278,129 @@ def _x53_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# x70 — hard-negative mining for retrieval training
+# --------------------------------------------------------------------------
+
+_X70_NEG_K = 5          # negatives emitted per query
+_X70_OVERLAP_BP = 5000  # candidate sharing >= half the positive's grams
+#                         is a probable unlabeled positive, not a negative
+
+# distinct 5-gram set over the shared word split (curation.py's x10
+# derivation, inlined over the column name `w`; Spark sequence()
+# DESCENDS below its start, hence the size guard)
+_X70_G5_SPARK = (
+    "CASE WHEN size(w) >= 5 THEN array_distinct("
+    "transform(sequence(0, size(w)-5), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) "
+    "ELSE array() END"
+)
+_X70_G5_DUCK = (
+    "CASE WHEN len(w) >= 5 THEN list_distinct("
+    "list_transform(range(1, len(w)-3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) "
+    "ELSE [] END"
+)
+
+
+def x70_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 — HARD-NEGATIVE MINING, the contrastive-training data step
+    (DPR/ANCE recipe): take the ranker's own top results, call the
+    best one the positive, and mine the next-ranked documents as
+    negatives — EXCEPT candidates lexically near the positive, which
+    are probable unlabeled positives (the false-negative trap that
+    poisons contrastive training). Ranking is x21b's shipped BM25
+    (same `_bm25_scored` frame, so the miner mines EXACTLY the ranker
+    it trains against); the false-negative filter is 5-gram
+    containment vs the positive in integer basis points. Emits per
+    negative: its rank among kept negatives, BM25 rank, score, and the
+    measured overlap — the triple (query terms, positive, negatives)
+    a biencoder trains on.
+
+    Scale shape: the candidate pool is a TakeOrdered top-25 (never a
+    global sort); every window below runs over ≤25 rows; the
+    positive's gram set rides a one-row broadcast crossJoin (the
+    sanctioned constant-frame pattern). At 100 TB with a query LOG
+    instead of one query, the same plan shards per query id — pool
+    windows stay bounded, the corpus is touched only by the inverted-
+    index probe."""
+    top = scoped_persist(
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
+    w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    ranked = (
+        top.withColumn("rk", F.row_number().over(w))
+        .join(docs, "doc_id")
+        .withColumn("g", F.expr(_X70_G5_SPARK))
+        .drop("w")
+    )
+    pos = ranked.filter("rk = 1").select(
+        F.col("doc_id").alias("pos_doc"), F.col("g").alias("pos_g")
+    )
+    cands = (
+        ranked.filter("rk > 1")
+        .crossJoin(F.broadcast(pos))
+        .withColumn(
+            "overlap_bp",
+            F.expr(
+                "CAST(10000 * size(array_intersect(g, pos_g)) "
+                "DIV nullif(size(g), 0) AS BIGINT)"
+            ),
+        )
+        .filter(
+            F.coalesce(F.col("overlap_bp"), F.lit(0))
+            < F.lit(_X70_OVERLAP_BP)
+        )
+    )
+    wneg = Window.orderBy(F.asc("rk"))
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(wneg))
+        .filter(F.col("neg_rank") <= _X70_NEG_K)
+        .select(
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+            "pos_doc",
+            F.col("doc_id").alias("neg_doc"),
+            F.col("rk").cast("bigint").alias("bm25_rank"),
+            "score_e9",
+            F.coalesce(F.col("overlap_bp"), F.lit(0))
+            .cast("bigint")
+            .alias("overlap_bp"),
+        )
+    )
+
+
+_X70_SQL = (
+    "WITH "
+    + _bm25_ctes("")
+    + ", top_ AS (SELECT doc_id, n_terms_hit, score_e9 FROM scored "
+    f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK}), "
+    "rkd AS (SELECT t.*, row_number() OVER "
+    "(ORDER BY score_e9 DESC, doc_id ASC) AS rk FROM top_ t), "
+    "withg AS (SELECT r.*, g.g FROM rkd r JOIN ("
+    f"SELECT doc_id, {_X70_G5_DUCK} AS g FROM ("
+    f"SELECT doc_id, {_WORDS_DUCK} AS w FROM documents) dd) g "
+    "ON g.doc_id = r.doc_id), "
+    "pos AS (SELECT doc_id AS pos_doc, g AS pos_g FROM withg "
+    "WHERE rk = 1), "
+    "cands AS (SELECT w2.rk, w2.doc_id, w2.score_e9, p.pos_doc, "
+    "CAST(10000 * len(list_intersect(w2.g, p.pos_g)) "
+    "// nullif(len(w2.g), 0) AS BIGINT) AS overlap_bp "
+    "FROM withg w2 CROSS JOIN pos p WHERE w2.rk > 1), "
+    "kept AS (SELECT *, row_number() OVER (ORDER BY rk ASC) AS neg_rank "
+    "FROM cands "
+    f"WHERE COALESCE(overlap_bp, 0) < {_X70_OVERLAP_BP}) "
+    "SELECT CAST(neg_rank AS BIGINT) AS neg_rank, pos_doc, "
+    "doc_id AS neg_doc, CAST(rk AS BIGINT) AS bm25_rank, score_e9, "
+    "CAST(COALESCE(overlap_bp, 0) AS BIGINT) AS overlap_bp "
+    f"FROM kept WHERE neg_rank <= {_X70_NEG_K}"
+)
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
@@ -1290,6 +1413,7 @@ QUERIES = {
     "x53_phrase_search": x53_phrase_search,
     "x61_ql_topk": x61_ql_topk,
     "x62_hybrid_rrf": x62_hybrid_rrf,
+    "x70_hard_negatives": x70_hard_negatives,
 }
 
 ORACLES = {
@@ -1304,4 +1428,5 @@ ORACLES = {
     "x53_phrase_search": _x53_sql(),
     "x61_ql_topk": _X61_SQL,
     "x62_hybrid_rrf": _X62_SQL,
+    "x70_hard_negatives": _X70_SQL,
 }

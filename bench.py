@@ -136,6 +136,7 @@ HEADLINE = [
     "st25_streaming_shard_tail",
     "x69_bitext_mining",
     "st26_streaming_quantile_mart",
+    "x70_hard_negatives",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

@@ -990,3 +990,23 @@ def test_x69_bitext_candidates_bucketed(spark, sf_dir):
             assert "embedding" not in m.group(1), m.group(0)
     finally:
         release_scoped()
+
+
+def test_x70_hard_negatives_bounded_pool(spark, sf_dir):
+    """x70's candidate pool is a TakeOrdered top-25, never a global
+    sort over the scored frame; the positive's gram set rides a ONE-ROW
+    broadcast (the sanctioned constant-frame crossJoin) — no cartesian
+    product, and every window below the pool runs over <=25 rows (the
+    pool is the persisted frame the windows consume)."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        x70_hard_negatives,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        plan = _physical(x70_hard_negatives(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "Exchange rangepartitioning" not in plan  # no global sort
+    finally:
+        release_scoped()
