@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import quote, unquote
@@ -145,6 +146,25 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
         )
     ]
     return v2[-1:] if v2 else []
+
+
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compacted_ranges(table: str) -> list[tuple[int, int, str]]:
+    """Log compaction files present in the log (the Delta spec's
+    ``<x>.<y>.compacted.json`` — one file holding the reconciled
+    actions of commits x..y). Returns (start, end, abs_path) sorted by
+    start; replay may substitute one for reading the range's
+    individual commit JSONs."""
+    out = []
+    for name in os.listdir(_log_dir(table)):
+        m = _COMPACTED_RE.match(name)
+        if m:
+            a, b = int(m.group(1)), int(m.group(2))
+            if a <= b:
+                out.append((a, b, os.path.join(_log_dir(table), name)))
+    return sorted(out)
 
 
 def _checkpoint_version(table: str, max_version: int | None) -> int | None:
@@ -765,32 +785,64 @@ def snapshot(
         "domains": {},
         "row_meta": {},
     }
+    # log compaction files (spec: <x>.<y>.compacted.json) may stand in
+    # for reading the range's individual commits; a range crossing the
+    # requested version is unusable (its tail would over-apply)
+    ranges = _compacted_ranges(table)
+    if version is not None:
+        ranges = [(a, b, p) for (a, b, p) in ranges if b <= version]
     ckpt = _checkpoint_version(table, version)
     start = 0
     if ckpt is not None:
         _replay_checkpoint(table, ckpt, state)
         start = ckpt + 1
         versions = [v for v in versions if v >= start]
-    elif version is not None and (not versions or versions[0] != 0):
+        ranges = [(a, b, p) for (a, b, p) in ranges if a >= start]
+    elif version is not None and (not versions or versions[0] != 0) and (
+        not any(a == 0 for a, _b, _p in ranges)
+    ):
         raise DeltaCorruptLogError(
             f"cannot reconstruct version {version}: log does not start at 0"
         )
-    expected = start if ckpt is not None else 0
-    for v in versions:
-        if v != expected:
-            raise DeltaCorruptLogError(
-                f"commit log gap: expected {expected:020d}.json, found {v}"
-            )
-        expected += 1
-        with open(_commit_path(table, v)) as f:
+    # prefer the LONGEST compacted range per start version
+    starts: dict[int, tuple[int, str]] = {}
+    for a, b, p in ranges:
+        if a not in starts or b > starts[a][0]:
+            starts[a] = (b, p)
+    existing = set(versions)
+    tail_candidates = list(existing) + [b for _a, b, _p in ranges]
+    tail = max(tail_candidates) if tail_candidates else None
+
+    def _apply_file(path: str) -> None:
+        with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     _apply_action(state, json.loads(line))
+
+    v = start
+    while tail is not None and v <= tail:
+        if v in starts and starts[v][0] <= tail:
+            # the compacted file IS the range's reconciled state change
+            # (identical whether or not the covered commits still
+            # exist), so substitution is always safe within the target
+            b, cpath = starts[v]
+            _apply_file(cpath)
+            v = b + 1
+        elif v in existing:
+            _apply_file(_commit_path(table, v))
+            v += 1
+        else:
+            raise DeltaCorruptLogError(
+                f"commit log gap: expected {v:020d}.json, found none "
+                "(and no compacted range covers it)"
+            )
     if state["schema"] is None:
         raise DeltaCorruptLogError("no metaData action found in log")
     _check_type_changes(state["schema"])
-    resolved = versions[-1] if versions else (ckpt if ckpt is not None else -1)
+    resolved = tail if tail is not None else (
+        ckpt if ckpt is not None else -1
+    )
     return {
         "files": [os.path.join(table, p) for p in state["files"]],
         "schema": state["schema"],
@@ -6974,3 +7026,86 @@ def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
             os.remove(_commit_path(table, v))
             deleted.append(f"{v:020d}.json")
     return deleted
+
+
+def compact_log_range(table: str, start: int, end: int) -> str:
+    """Write a LOG COMPACTION FILE (the Delta spec's
+    ``<x>.<y>.compacted.json``): one JSON holding the reconciled state
+    change of commits ``start..end``, which replay may substitute for
+    reading the range's individual commit files. Reconciliation is the
+    replay identity — applying the compacted file to any state equals
+    applying the commits in order: the LAST file action per path (an
+    add later removed in-range compacts to the remove tombstone; a
+    re-add keeps its final descriptor, DVs and rowTracking columns
+    included), the latest protocol/metaData if any appeared, the
+    latest ``txn`` per appId, the latest ``domainMetadata`` per
+    domain. ``commitInfo`` and ``cdc`` actions are NOT carried — they
+    are per-commit history (CDF readers and timestamp resolution read
+    the real commits, which compaction never deletes; only
+    checkpoint-based ``cleanup_log`` removes commits).
+
+    At 100 TB-table commit rates this is the mid-ground between raw
+    JSON replay (O(commits) small reads at every snapshot) and a full
+    checkpoint (O(live files) to write): a compaction over the tail
+    costs O(tail commits) to produce and collapses every subsequent
+    replay's tail to one read. Refuses when any commit in the range is
+    missing (an unreconstructable range must not be papered over) or
+    when the range is empty/inverted. Returns the file name."""
+    if start > end:
+        raise ValueError(f"compact_log_range: {start} > {end}")
+    existing = set(_list_commit_versions(table))
+    missing = [v for v in range(start, end + 1) if v not in existing]
+    if missing:
+        raise DeltaProtocolError(
+            f"compact_log_range: commits missing from log: {missing}"
+        )
+    proto = None
+    meta = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    last_file: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action
+                elif "metaData" in action:
+                    meta = action
+                elif "add" in action:
+                    last_file[unquote(action["add"]["path"])] = action
+                elif "remove" in action:
+                    last_file[unquote(action["remove"]["path"])] = action
+                elif "txn" in action:
+                    txns[action["txn"].get("appId", "")] = action
+                elif "domainMetadata" in action:
+                    domains[action["domainMetadata"].get("domain", "")] = (
+                        action
+                    )
+                # commitInfo / cdc: per-commit history, never compacted
+    actions = (
+        ([proto] if proto else [])
+        + ([meta] if meta else [])
+        + [txns[k] for k in sorted(txns)]
+        + [domains[k] for k in sorted(domains)]
+        + [last_file[k] for k in sorted(last_file)]
+    )
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    path = os.path.join(_log_dir(table), name)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentDeltaCommitError(
+            f"compaction {name} already exists"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return name

@@ -1828,6 +1828,52 @@ def st25_streaming_shard_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s45_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S45 — LOG COMPACTION FILES (the Delta spec's
+    ``<x>.<y>.compacted.json``, round 10): four commits build history
+    (three appends + a COW DELETE whose tombstones and re-adds are the
+    reconciliation's interesting case), ``compact_log_range`` writes
+    the reconciled range file, and the read-back REPLAYS THROUGH IT —
+    snapshot substitutes the compacted file for commits 1..3, so the
+    hash gate certifies the reconciliation (last action per path,
+    latest metaData/protocol/txn/domain) end-to-end: a wrong compacted
+    file flips the aggregate. At a 100 TB table's commit rate this is
+    the mid-ground between raw JSON replay (O(commits) reads per
+    snapshot) and a full checkpoint (O(live files) to write): compact
+    the tail once, every subsequent replay reads one file for it.
+    Oracle replays the three slices minus the deleted keys."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s45_orders_compacted")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 1"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 2"), table)
+    delta_compat.delete_delta(
+        spark, table,
+        orders.filter("o_orderkey % 7 = 0").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    delta_compat.compact_log_range(table, 1, 3)
+    return (
+        delta_compat.read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+_S45_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+    "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1"
+)
+
+
 _ST26_BIN_W = 100000  # $1000 bins over order-total cents
 _ST26_QS = (50, 90)
 
@@ -3780,6 +3826,7 @@ QUERIES = {
     "s44_iceberg_compat_writes": s44_iceberg_compat_writes,
     "st25_streaming_shard_tail": st25_streaming_shard_tail,
     "st26_streaming_quantile_mart": st26_streaming_quantile_mart,
+    "s45_log_compaction": s45_log_compaction,
 }
 
 ORACLES = {
@@ -3838,4 +3885,5 @@ ORACLES = {
     "s44_iceberg_compat_writes": _S44_SQL,
     "st25_streaming_shard_tail": _ST25_SQL,
     "st26_streaming_quantile_mart": _ST26_SQL,
+    "s45_log_compaction": _S45_SQL,
 }

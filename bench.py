@@ -137,6 +137,7 @@ HEADLINE = [
     "x69_bitext_mining",
     "st26_streaming_quantile_mart",
     "x70_hard_negatives",
+    "s45_log_compaction",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

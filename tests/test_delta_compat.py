@@ -6646,3 +6646,93 @@ def test_collations_lifecycle(spark, tmp_path):
     )
     with pytest.raises(dc.DeltaProtocolError, match="collations"):
         dc.append_delta(df, plain, merge_schema=True)
+
+
+def test_log_compaction_lifecycle(spark, tmp_path):
+    """Log compaction files (round 10): compact_log_range writes the
+    spec's <x>.<y>.compacted.json with the range's reconciled actions;
+    snapshot SUBSTITUTES it for the covered commits (proven by hiding
+    the range's commit files — replay still resolves, values intact);
+    a range crossing a time-travel target is unusable (travel INTO a
+    hidden range raises); compacting a missing range refuses; a hidden
+    commit outside any range still reports a gap."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "compact_tbl")
+    for lo in (0, 3, 6, 9):
+        dc.append_delta(
+            spark.range(lo, lo + 3).coalesce(1).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+    dc.delete_delta(
+        spark, table, spark.range(4, 6).select(F.col("id").alias("k")),
+        ["k"],
+    )  # v4: COW rewrite -> remove tombstones + re-add
+    before = sorted(
+        r["k"] for r in dc.read_delta(spark, table).collect()
+    )
+    assert before == [0, 1, 2, 3] + list(range(6, 12))
+
+    name = dc.compact_log_range(table, 1, 3)
+    assert name == f"{1:020d}.{3:020d}.compacted.json"
+    snap = dc.snapshot(table)
+    assert snap["version"] == 4
+    assert sorted(
+        r["k"] for r in dc.read_delta(spark, table).collect()
+    ) == before
+
+    # hide the covered commits: replay must substitute the compacted
+    # file and read identical values
+    hidden = []
+    for v in (1, 2, 3):
+        p = dc._commit_path(table, v)
+        os.rename(p, p + ".hid")
+        hidden.append(p)
+    assert sorted(
+        r["k"] for r in dc.read_delta(spark, table).collect()
+    ) == before
+    assert dc.snapshot(table)["version"] == 4
+    # v0 still reconstructs (below the range); v2 is INSIDE the hidden
+    # range — the compacted file over-applies past it, so it is
+    # unusable for that target and replay falls back to the newest
+    # reconstructable version at/below the request (the same
+    # at-or-before floor a checkpoint-cleaned log has)
+    assert dc.read_delta(spark, table, version=0).count() == 3
+    assert dc.snapshot(table, version=2)["version"] == 0
+    for p in hidden:
+        os.rename(p + ".hid", p)
+    assert dc.snapshot(table, version=2)["version"] == 2
+
+    # refusals: missing commit in range; duplicate compaction
+    with pytest.raises(dc.DeltaProtocolError, match="missing"):
+        dc.compact_log_range(table, 3, 99)
+    with pytest.raises(dc.ConcurrentDeltaCommitError):
+        dc.compact_log_range(table, 1, 3)
+
+    # a hidden commit OUTSIDE any compacted range is still a loud gap
+    # (commit 0 sits below the [1..3] range, so nothing covers it)
+    p0 = dc._commit_path(table, 0)
+    os.rename(p0, p0 + ".hid")
+    try:
+        with pytest.raises(dc.DeltaCorruptLogError):
+            dc.snapshot(table)
+    finally:
+        os.rename(p0 + ".hid", p0)
+    # hiding the newest commit resolves at-or-before, like a cleaned
+    # tail (no later commit exists to expose the hole)
+    p4 = dc._commit_path(table, 4)
+    os.rename(p4, p4 + ".hid")
+    try:
+        assert dc.snapshot(table)["version"] == 3
+    finally:
+        os.rename(p4 + ".hid", p4)
+
+    # writes after compaction keep working and the compacted file keeps
+    # substituting under the longer log
+    dc.append_delta(
+        spark.range(100, 102).coalesce(1).select(F.col("id").alias("k")),
+        table,
+    )
+    assert dc.read_delta(spark, table).count() == len(before) + 2
