@@ -260,6 +260,28 @@ def main() -> int:
         load_pre = round(os.getloadavg()[0], 2)
     except OSError:
         load_pre = -1.0
+
+    def _steal_pct(window_s: float = 1.0) -> float:
+        """Hypervisor STEAL share over a short window — the tenancy
+        signal loadavg misses (round-10 lesson: two runs with pre-JVM
+        load ~2 and noisy=False still read ~1.3x slower on untouched
+        queries; /proc/stat steal was the only witness). Sampled
+        pre-JVM so the number is pure external contention."""
+        try:
+            def snap():
+                with open("/proc/stat") as fh:
+                    parts = fh.readline().split()[1:]
+                vals = [int(x) for x in parts]
+                return sum(vals), vals[7] if len(vals) > 7 else 0
+            t0, s0 = snap()
+            time.sleep(window_s)
+            t1, s1 = snap()
+            return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+        except OSError:
+            return -1.0
+
+    steal_pre = _steal_pct()
+    NOISE_STEAL = 10.0  # >10% stolen CPU contaminates every timing
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -312,7 +334,7 @@ def main() -> int:
         load_post = round(os.getloadavg()[0], 2)
     except OSError:
         load_post = -1.0
-    noisy = load_pre >= NOISE_LOAD
+    noisy = load_pre >= NOISE_LOAD or steal_pre >= NOISE_STEAL
 
     # Full detail to a local file (not size-constrained).
     detail = {
@@ -324,6 +346,7 @@ def main() -> int:
         "n_queries": len(timings),
         "load_pre_jvm": load_pre,
         "load_post_run": load_post,
+        "steal_pct_pre": steal_pre,
         "noise_flag": noisy,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -355,6 +378,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "load": load_pre,
+                "steal": steal_pre,
                 "noisy": noisy,
             },
             separators=(",", ":"),
