@@ -1401,6 +1401,129 @@ _X70_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# x71 — SymSpell deletion-neighborhood edit-distance join (typo mining)
+# --------------------------------------------------------------------------
+
+_X71_MIN_LEN = 4   # short tokens flood ed-1 space with false kin
+_X71_MIN_N = 2     # both sides must occur at least twice
+
+# word + its 1-deletion neighborhood; two words at edit distance 1
+# ALWAYS share an entry (substitution at i -> both delete i;
+# insert/delete -> one's deletion IS the other), so the variant
+# equi-join is a COMPLETE ed<=1 candidate generator — unlike x23's
+# noun blocking, which misses pairs whose block token differs.
+_X71_VARS_SPARK = (
+    "array_union(array(w), "
+    "transform(sequence(0, length(w) - 1), "
+    "i -> concat(substring(w, 1, i), substring(w, i + 2))))"
+)
+_X71_VARS_DUCK = (
+    "list_distinct(list_append("
+    "list_transform(range(1, len(w) + 1), "
+    "i -> substr(w, 1, i - 1) || substr(w, i + 1)), w))"
+)
+
+
+def x71_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 — vocabulary typo mining via the SYMSPELL deletion-
+    neighborhood join: every distinct corpus word emits itself plus its
+    |w| one-deletion variants; an equi-join on the variant key yields
+    EVERY word pair within edit distance 1 (guaranteed — substitution
+    collapses to a shared deletion, insert/delete to the shorter word
+    itself), then one Levenshtein call per CANDIDATE verifies. This is
+    the tokenizer-hygiene pass a corpus runs before BPE training
+    (x41): systematic misspellings fragment the learned vocabulary,
+    and the frequency asymmetry in each pair points at the typo (the
+    rarer side). x23 does blocked fuzzy linkage — fast but incomplete
+    when the block token itself is the typo; the deletion neighborhood
+    trades ~|w| key rows per word for completeness.
+
+    The fixture corpus draws from a ~31-word vocabulary with no
+    natural edit-distance-1 kin, so the operator PLANTS typos (the
+    x69/x48 planted-certificate pattern): every doc with
+    ``doc_id % 13 == 7`` contributes one token that is its first
+    ≥5-letter word with the 2nd character deleted — a deterministic,
+    SQL-replayable misspelling the join must recover (each planted
+    pair is ed-1 by construction and shares a deletion variant by the
+    SymSpell identity, so recall is 1.0 by construction).
+
+    Scale shape: the vocabulary is Heaps-sublinear in corpus tokens;
+    variants multiply it by ~avg word length; the ONE shuffle keys on
+    the variant string, and candidate volume per key is bounded by
+    bucket co-occupancy (no all-pairs anywhere). Levenshtein runs on
+    candidates only — never the vocab cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("w"))
+    typo_src = F.expr(
+        f"filter({_WORDS_SPARK}, "
+        "x -> length(x) >= 5 AND x rlike '^[a-z]+$')[0]"
+    )
+    typos = (
+        docs.filter("doc_id % 13 = 7")
+        .select(typo_src.alias("fw"))
+        .filter(F.col("fw").isNotNull())
+        .select(
+            F.expr("concat(substring(fw, 1, 1), substring(fw, 3))")
+            .alias("w")
+        )
+    )
+    vocab = (
+        toks.unionByName(typos)
+        .filter(
+            (F.length("w") >= _X71_MIN_LEN)
+            & F.col("w").rlike("^[a-z]+$")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= _X71_MIN_N)
+    )
+    vars_ = vocab.select(
+        "w", "n", F.explode(F.expr(_X71_VARS_SPARK)).alias("v")
+    )
+    a = vars_.select(
+        F.col("w").alias("word_a"), F.col("n").alias("n_a"), "v"
+    )
+    b = vars_.select(
+        F.col("w").alias("word_b"), F.col("n").alias("n_b"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "n_a", "n_b")
+        .distinct()
+        .filter(F.expr("levenshtein(word_a, word_b) = 1"))
+        .withColumn(
+            "probable_typo",
+            F.when(F.col("n_a") < F.col("n_b"), F.col("word_a"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("word_b"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+
+
+_X71_SQL = (
+    "WITH toks AS (SELECT unnest("
+    f"{_WORDS_DUCK}) AS w FROM documents "
+    "UNION ALL "
+    "SELECT substr(fw, 1, 1) || substr(fw, 3) AS w FROM ("
+    f"SELECT list_filter({_WORDS_DUCK}, "
+    "x -> len(x) >= 5 AND regexp_full_match(x, '[a-z]+'))[1] AS fw "
+    "FROM documents WHERE doc_id % 13 = 7) t WHERE fw IS NOT NULL), "
+    "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks "
+    f"WHERE len(w) >= {_X71_MIN_LEN} AND regexp_full_match(w, '[a-z]+') "
+    f"GROUP BY 1 HAVING count(*) >= {_X71_MIN_N}), "
+    f"vars AS (SELECT w, n, unnest({_X71_VARS_DUCK}) AS v FROM vocab), "
+    "cand AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b, "
+    "a.n AS n_a, b.n AS n_b "
+    "FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w) "
+    "SELECT word_a, word_b, n_a, n_b, "
+    "CASE WHEN n_a < n_b THEN word_a WHEN n_b < n_a THEN word_b "
+    "ELSE NULL END AS probable_typo "
+    "FROM cand WHERE levenshtein(word_a, word_b) = 1"
+)
+
+
 QUERIES = {
     "x21_bm25_topk": x21_bm25_topk,
     "x21b_bm25_ln_topk": x21b_bm25_ln_topk,
@@ -1414,6 +1537,7 @@ QUERIES = {
     "x61_ql_topk": x61_ql_topk,
     "x62_hybrid_rrf": x62_hybrid_rrf,
     "x70_hard_negatives": x70_hard_negatives,
+    "x71_typo_pairs": x71_typo_pairs,
 }
 
 ORACLES = {
@@ -1429,4 +1553,5 @@ ORACLES = {
     "x61_ql_topk": _X61_SQL,
     "x62_hybrid_rrf": _X62_SQL,
     "x70_hard_negatives": _X70_SQL,
+    "x71_typo_pairs": _X71_SQL,
 }

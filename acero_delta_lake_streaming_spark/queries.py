@@ -90,7 +90,7 @@ _PRIORITY = [
     "x68_training_shards", "s44_iceberg_compat_writes",
     "st25_streaming_shard_tail", "x69_bitext_mining",
     "st26_streaming_quantile_mart", "x70_hard_negatives",
-    "s45_log_compaction",
+    "s45_log_compaction", "x71_typo_pairs",
     # -- stalest driver proofs: r4-vintage --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

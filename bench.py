@@ -138,6 +138,7 @@ HEADLINE = [
     "st26_streaming_quantile_mart",
     "x70_hard_negatives",
     "s45_log_compaction",
+    "x71_typo_pairs",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
