@@ -1828,6 +1828,89 @@ def st25_streaming_shard_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s46_row_lineage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S46 — ROW-LEVEL LINEAGE DIFF, the user-facing application of
+    stable row ids (s34 proves the mechanism; this is what it is FOR):
+    diff two table versions keyed by ROW IDENTITY instead of business
+    key — the audit a 100 TB pipeline runs to answer "which rows did
+    last night's merge actually touch". Seed (v0) → rowTracking
+    backfill (v1) → MERGE that updates every 6th key in place and
+    inserts a slice of new keys (v2, COW preserving ids via the
+    materialized columns) → DV-DELETE every 10th key (v3). The diff
+    full-outer-joins ``read_delta_row_ids`` at v1 and at latest ON
+    ``_row_id``: present-both + equal values = unchanged, present-both
+    + value drift = updated (the preserved id is what makes this
+    detectable WITHOUT trusting the business key), only-new = added,
+    only-old = removed. The certificate (per-class count + key sum) is
+    id-assignment-invariant, so no write needs single-file ordering;
+    the oracle replays the classes from the fixture predicates — an
+    id broken anywhere (backfill, merge rewrite, DV re-add) moves a
+    row between classes and flips the hash."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s46_orders_lineage")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.enable_row_tracking(table, enabled=True)  # v1 backfill
+    source = (
+        orders.filter("o_orderkey % 2 = 0 AND o_orderkey % 6 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .unionByName(
+            orders.filter("o_orderkey % 2 = 1 AND o_orderkey % 5 = 1")
+        )
+    )
+    delta_compat.merge_delta(spark, table, source, ["o_orderkey"])
+    delta_compat.delete_delta_dv(
+        spark, table,
+        orders.filter("o_orderkey % 10 = 0").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    a = delta_compat.read_delta_row_ids(spark, table, version=1).select(
+        F.col("_row_id").alias("rid"),
+        F.col("o_orderkey").alias("k_a"),
+        F.col("o_totalprice").alias("p_a"),
+    )
+    b = delta_compat.read_delta_row_ids(spark, table).select(
+        F.col("_row_id").alias("rid"),
+        F.col("o_orderkey").alias("k_b"),
+        F.col("o_totalprice").alias("p_b"),
+    )
+    status = (
+        F.when(F.col("k_a").isNull(), "added")
+        .when(F.col("k_b").isNull(), "removed")
+        .when(F.col("p_a") != F.col("p_b"), "updated")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, "rid", "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("k_a", "k_b").alias("k"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+_S46_SQL = (
+    "WITH seed AS (SELECT o_orderkey AS k FROM orders "
+    "WHERE o_orderkey % 2 = 0), "
+    "ins AS (SELECT o_orderkey AS k FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 1), "
+    "cls AS (SELECT k, CASE WHEN k % 10 = 0 THEN 'removed' "
+    "WHEN k % 6 = 0 THEN 'updated' ELSE 'unchanged' END AS status "
+    "FROM seed "
+    "UNION ALL SELECT k, 'added' AS status FROM ins) "
+    "SELECT status, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum FROM cls GROUP BY 1"
+)
+
+
 def s45_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S45 — LOG COMPACTION FILES (the Delta spec's
     ``<x>.<y>.compacted.json``, round 10): four commits build history
@@ -3827,6 +3910,7 @@ QUERIES = {
     "st25_streaming_shard_tail": st25_streaming_shard_tail,
     "st26_streaming_quantile_mart": st26_streaming_quantile_mart,
     "s45_log_compaction": s45_log_compaction,
+    "s46_row_lineage_diff": s46_row_lineage_diff,
 }
 
 ORACLES = {
@@ -3886,4 +3970,5 @@ ORACLES = {
     "st25_streaming_shard_tail": _ST25_SQL,
     "st26_streaming_quantile_mart": _ST26_SQL,
     "s45_log_compaction": _S45_SQL,
+    "s46_row_lineage_diff": _S46_SQL,
 }

@@ -139,6 +139,7 @@ HEADLINE = [
     "x70_hard_negatives",
     "s45_log_compaction",
     "x71_typo_pairs",
+    "s46_row_lineage_diff",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
