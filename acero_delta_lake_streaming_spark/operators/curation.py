@@ -1280,6 +1280,69 @@ _X68_SQL = (
 )
 
 
+def x68b_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68B — the shard layout's BALANCE AUDIT: x68's md5 assignment is
+    balanced only in expectation (law of large numbers), and a training
+    job's stragglers are set by the HEAVIEST shard — so the audit
+    quantifies the claim instead of asserting it. Per shard: sample and
+    token counts, the token share in basis points, and the deviation
+    from the ideal 1/N share in basis points (signed). The certificate
+    makes the docs' balance statement measurable at every scale the
+    gate runs — and at 100 TB this exact query is the pre-flight check
+    before handing shards to a trainer. Pure derivation over
+    ``shard_samples`` (no write): one source-window exchange + one
+    ≤N-row aggregate."""
+    samples = shard_samples(spark, sf_dir)
+    per = samples.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("pack_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    tot = per.agg(
+        F.sum("shard_tokens").cast("bigint").alias("total_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_samples",
+            "shard_tokens",
+            F.expr("10000 * shard_tokens DIV total_tokens")
+            .cast("bigint")
+            .alias("share_bp"),
+            F.expr(
+                f"10000 * shard_tokens DIV total_tokens "
+                f"- 10000 DIV {_N_SHARDS}"
+            )
+            .cast("bigint")
+            .alias("dev_bp"),
+        )
+    )
+
+
+_X68B_SQL = (
+    f"WITH toks AS (SELECT source, doc_id, len({_WORDS_DUCK}) AS n_tokens "
+    "FROM documents), "
+    "packed AS (SELECT source, doc_id, n_tokens, "
+    "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"// {_PACK_TOKENS} AS pack_id FROM toks), "
+    "samples AS (SELECT source, pack_id, count(*) AS n_docs, "
+    "SUM(n_tokens) AS pack_tokens FROM packed GROUP BY 1, 2), "
+    f"sh AS (SELECT *, {_SHARD_DUCK} AS shard_id FROM samples), "
+    "per AS (SELECT CAST(shard_id AS INT) AS shard_id, "
+    "CAST(count(*) AS BIGINT) AS n_samples, "
+    "CAST(SUM(pack_tokens) AS BIGINT) AS shard_tokens "
+    "FROM sh GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens "
+    "FROM per) "
+    "SELECT shard_id, n_samples, shard_tokens, "
+    "CAST(10000 * shard_tokens // total_tokens AS BIGINT) AS share_bp, "
+    "CAST(10000 * shard_tokens // total_tokens "
+    f"- 10000 // {_N_SHARDS} AS BIGINT) AS dev_bp "
+    "FROM per CROSS JOIN tot"
+)
+
+
 QUERIES = {
     "x49_leakage_safe_split": x49_leakage_safe_split,
     "x54_budget_waterfill": x54_budget_waterfill,
@@ -1297,6 +1360,7 @@ QUERIES = {
     "x42_temperature_mix": x42_temperature_mix,
     "x43_coverage_select": x43_coverage_select,
     "x68_training_shards": x68_training_shards,
+    "x68b_shard_balance": x68b_shard_balance,
 }
 
 ORACLES = {
@@ -1387,4 +1451,5 @@ ORACLES = {
     "x42_temperature_mix": _X42_SQL,
     "x43_coverage_select": _X43_SQL,
     "x68_training_shards": _X68_SQL,
+    "x68b_shard_balance": _X68B_SQL,
 }

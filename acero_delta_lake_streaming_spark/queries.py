@@ -91,7 +91,7 @@ _PRIORITY = [
     "st25_streaming_shard_tail", "x69_bitext_mining",
     "st26_streaming_quantile_mart", "x70_hard_negatives",
     "s45_log_compaction", "x71_typo_pairs",
-    "s46_row_lineage_diff",
+    "s46_row_lineage_diff", "x68b_shard_balance",
     # -- stalest driver proofs: r4-vintage --
     "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
     "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",

@@ -140,6 +140,7 @@ HEADLINE = [
     "s45_log_compaction",
     "x71_typo_pairs",
     "s46_row_lineage_diff",
+    "x68b_shard_balance",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
