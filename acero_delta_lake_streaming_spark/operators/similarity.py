@@ -2347,7 +2347,10 @@ def x48_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X69 — bitext mining (cross-lingual parallel-pair mining)
 # --------------------------------------------------------------------------
 
-_X69_POFF = 3000000  # planted "translation" ids live above this offset
+# planted "translation" ids live above this offset; the de-offset test is
+# `>= _X69_POFF`, so natural ids must never reach it — pinned with 10x
+# headroom by tests/test_similarity.py::test_planted_id_offsets_clear_corpus
+_X69_POFF = 3000000
 _X69_COS = "CAST(0.9 AS DOUBLE)"     # match threshold (portable literal)
 _X69_MARGIN = "CAST(0.1 AS DOUBLE)"  # best-vs-runner-up margin
 

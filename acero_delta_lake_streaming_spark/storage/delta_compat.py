@@ -810,7 +810,25 @@ def snapshot(
         if a not in starts or b > starts[a][0]:
             starts[a] = (b, p)
     existing = set(versions)
-    tail_candidates = list(existing) + [b for _a, b, _p in ranges]
+    # A range may only stand in for commits (and extend the replay tail)
+    # when its START is reachable from `start` via existing commits /
+    # earlier reachable ranges. A stale or foreign compacted file whose
+    # range floats past the true head (e.g. 5..7 while only commit 0
+    # exists) must be IGNORED — not allowed to turn a healthy
+    # latest-snapshot into a phantom log-gap error. Forward walk: find
+    # the first version not covered contiguously; every usable range
+    # starts strictly below it (a range starting exactly there would
+    # have been consumed by the walk).
+    _v = start
+    while True:
+        if _v in starts and starts[_v][0] >= _v:
+            _v = starts[_v][0] + 1
+        elif _v in existing:
+            _v += 1
+        else:
+            break
+    starts = {a: bp for a, bp in starts.items() if a < _v}
+    tail_candidates = list(existing) + [b for b, _p in starts.values()]
     tail = max(tail_candidates) if tail_candidates else None
 
     def _apply_file(path: str) -> None:

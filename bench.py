@@ -275,7 +275,10 @@ def main() -> int:
                 with open("/proc/stat") as fh:
                     parts = fh.readline().split()[1:]
                 vals = [int(x) for x in parts]
-                return sum(vals), vals[7] if len(vals) > 7 else 0
+                # fields 0-7 = user..steal; guest/guest_nice (8-9) are
+                # already folded into user/nice by the kernel, so
+                # including them double-counts and understates steal%
+                return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
             t0, s0 = snap()
             time.sleep(window_s)
             t1, s1 = snap()

@@ -6736,3 +6736,48 @@ def test_log_compaction_lifecycle(spark, tmp_path):
         table,
     )
     assert dc.read_delta(spark, table).count() == len(before) + 2
+
+
+def test_unreachable_compacted_range_ignored(spark, tmp_path):
+    """A stale/foreign compacted file whose START is unreachable from
+    the replay start (e.g. range 5..7 while the log holds only commits
+    0..1) must be IGNORED: it may not extend the replay tail and turn a
+    healthy latest-snapshot into a phantom log-gap error (round-10
+    advisor finding). A REACHABLE range keeps substituting as before."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "stale_range_tbl")
+    for lo in (0, 3):
+        dc.append_delta(
+            spark.range(lo, lo + 3).coalesce(1).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+    before = sorted(r["k"] for r in dc.read_delta(spark, table).collect())
+    assert before == list(range(6))
+
+    # drop a syntactically valid but unreachable compacted range into
+    # the log (out-of-band surgery — this writer's own compact_log_range
+    # refuses missing commits)
+    foreign = os.path.join(
+        table, "_delta_log", f"{5:020d}.{7:020d}.compacted.json"
+    )
+    with open(foreign, "w") as f:
+        f.write(_json.dumps({"add": {
+            "path": "ghost.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+
+    # healthy latest snapshot: version 1, same rows, no ghost file
+    snap = dc.snapshot(table)
+    assert snap["version"] == 1
+    assert not any("ghost" in p for p in snap["files"])
+    assert sorted(
+        r["k"] for r in dc.read_delta(spark, table).collect()
+    ) == before
+    # time travel unaffected
+    assert dc.read_delta(spark, table, version=0).count() == 3
+    os.remove(foreign)

@@ -176,3 +176,27 @@ def test_x69_bitext_planted_recall(spark, sf_dir):
         assert r["cosine"] >= 0.9
         if r["planted"]:
             assert r["en_doc"] == r["src_doc"]
+
+
+def test_planted_id_offsets_clear_corpus(spark, sf_dir):
+    """The planted-id constructions (x14/x48's +1000000, x69's
+    +_X69_POFF) de-offset with a `>= offset` test, so they silently
+    misclassify if any NATURAL vec_id ever reaches the offset at a
+    larger scale factor. Pin the headroom: the corpus max id must sit
+    well below the smallest offset (10x margin — a fixture decade of
+    growth still trips this test before it corrupts a result)."""
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _X69_POFF,
+    )
+
+    max_id = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg({"vec_id": "max"})
+        .collect()[0][0]
+    )
+    smallest_offset = min(1000000, _X69_POFF)
+    assert max_id * 10 < smallest_offset, (
+        f"natural vec_id {max_id} is within 10x of the planted-id "
+        f"offset {smallest_offset}; re-derive the offsets"
+    )
