@@ -73,36 +73,18 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-10 window (VERDICT r9 item 1, verbatim): the 8 round-9
-    # second-batch queries the driver has NEVER recorded lead, then
-    # every other query sorted by the ROUND OF ITS NEWEST DRIVER PROOF,
-    # stalest first — r4-vintage proofs fill the rest of the ~50 cut;
-    # the 50 queries recorded green in CORRECTNESS_r09.json (r9-vintage,
-    # freshest) go last. Order within a vintage is unchanged.
-    # Everything past the window stays verified by the local tri-scale
-    # gate at sf0.001/.01/.1 (tests/test_oracle_parity.py).
-    # -- never driver-recorded (round-9 second batch; VERDICT r9 item 1) --
-    "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
-    "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
-    "x67_histogram_quantiles", "s42_variant_ingest",
-    "s43_collated_grouping", "dq10_key_uniqueness",
-    # -- new round 10 --
-    "x68_training_shards", "s44_iceberg_compat_writes",
-    "st25_streaming_shard_tail", "x69_bitext_mining",
-    "st26_streaming_quantile_mart", "x70_hard_negatives",
-    "s45_log_compaction", "x71_typo_pairs",
-    "s46_row_lineage_diff", "x68b_shard_balance",
-    # -- stalest driver proofs: r4-vintage --
-    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
-    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
-    "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
-    "x14_semdedup", "x15_mixture_sample", "x16_pii_redaction",
-    "x17_cms_heavy_hitters", "x19_line_dedup", "x20_curation_pipeline",
-    "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
-    "x24_jl_projection", "ud1_extract_categories", "ud2_flatten_actors",
-    "ud3_quarantine_stats", "dq1_column_profile", "dq1b_approx_profile",
-    "dq2_expectations", "a11_pivot", "a12_cube", "a13_salted_hot_agg",
-    "w6_new_users", "w9_gap_fill", "w10_ema", "w11_anomaly_zscore",
+    # Round-11 window (VERDICT r10 item 1, verbatim): new round-11
+    # queries (never recorded) lead, then the 18 r4-stale proofs
+    # (s1/s10/s10b/s11/s12/s12b/st9 + 11 TPC-H — the only queries whose
+    # newest driver proof predates r5), back-filled with r5-vintage
+    # entries to ~50. The 50 queries recorded green in
+    # CORRECTNESS_r10.json (freshest) go last. Order within a vintage
+    # is unchanged. Everything past the window stays verified by the
+    # local tri-scale gate at sf0.001/.01/.1 (test_oracle_parity.py).
+    # -- new round 11 (never driver-recorded) --
+    "s47_cdf_obligation",
+    # -- stalest driver proofs: r4-vintage (the final 18; after r11 no
+    # -- query's newest driver proof predates r5) --
     "s1_feed_ingest", "s10_delta_merge", "s10b_partitioned_merge",
     "s11_version_diff", "s12_change_feed", "s12b_incremental_consumer",
     "st9_streaming_ema", "q2_cheapest_part", "q8_market_share",
@@ -188,6 +170,26 @@ _PRIORITY = [
     "s8_delta_format_roundtrip", "s9_zorder_skipping",
     "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
     "st7_interval_join", "st8_stream_static_enrich",
+    # -- r10-vintage proofs (the full CORRECTNESS_r10 window; freshest) --
+    "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
+    "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
+    "x67_histogram_quantiles", "s42_variant_ingest",
+    "s43_collated_grouping", "dq10_key_uniqueness",
+    "x68_training_shards", "s44_iceberg_compat_writes",
+    "st25_streaming_shard_tail", "x69_bitext_mining",
+    "st26_streaming_quantile_mart", "x70_hard_negatives",
+    "s45_log_compaction", "x71_typo_pairs",
+    "s46_row_lineage_diff", "x68b_shard_balance",
+    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
+    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
+    "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
+    "x14_semdedup", "x15_mixture_sample", "x16_pii_redaction",
+    "x17_cms_heavy_hitters", "x19_line_dedup", "x20_curation_pipeline",
+    "x21_bm25_topk", "x22_quantize_error", "x23_fuzzy_linkage",
+    "x24_jl_projection", "ud1_extract_categories", "ud2_flatten_actors",
+    "ud3_quarantine_stats", "dq1_column_profile", "dq1b_approx_profile",
+    "dq2_expectations", "a11_pivot", "a12_cube", "a13_salted_hot_agg",
+    "w6_new_users", "w9_gap_fill", "w10_ema", "w11_anomaly_zscore",
 ]
 
 

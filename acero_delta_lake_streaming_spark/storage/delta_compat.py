@@ -2922,6 +2922,23 @@ def _write_change_data(
     return actions
 
 
+def _cdf_obligated(snap: dict) -> bool:
+    """``delta.enableChangeDataFeed`` is a WRITER OBLIGATION, not a
+    per-call courtesy: the Delta protocol requires every data-changing
+    commit on a table whose configuration sets the property to publish
+    change data, because downstream CDF consumers (delta-spark's
+    ``readChangeFeed``) assume the feed is gap-free. A foreign table
+    created with the flag, then mutated here without ``change_data=
+    True``, would otherwise produce commits whose change data a
+    consumer expects and won't find. Every mutating verb ORs its
+    ``change_data`` argument with this check; appends stay synthesized
+    from their ``add`` actions at read time (delta-spark does the
+    same — pure-insert commits need no ``cdc`` action)."""
+    return str(
+        snap.get("configuration", {}).get("delta.enableChangeDataFeed", "")
+    ).strip().lower() == "true"
+
+
 def _prev_in_commit_ts(table: str, version: int) -> int | None:
     """In-commit timestamp of the commit before ``version`` (None when
     the table does not write them). Chain presence propagates: every
@@ -3580,6 +3597,97 @@ def enable_in_commit_timestamps(table: str) -> int:
     return version
 
 
+#: properties whose lifecycle needs more than a metaData flip (protocol
+#: backfill, id minting, binding validation) — they have dedicated verbs
+#: and set_table_properties refuses them so their obligations can't be
+#: skipped by a raw property write.
+_MANAGED_PROPS = {
+    "delta.enableInCommitTimestamps": "enable_in_commit_timestamps",
+    "delta.enableRowTracking": "enable_row_tracking",
+    "delta.columnMapping.mode": "enable_column_mapping",
+    "delta.enableIcebergCompatV2": "enable_iceberg_compat_v2",
+}
+
+
+def set_table_properties(table: str, properties: dict[str, str]) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES (...)`` — one metaData-only
+    commit merging ``properties`` into the table configuration (the
+    reference's delta-rs tables carry properties the same way,
+    collector.py:219-226). Properties with a dedicated lifecycle verb
+    (row tracking, column mapping, in-commit timestamps, iceberg
+    compat) refuse here — their verbs perform the backfill/validation
+    the protocol obligates, and a raw flip would skip it.
+
+    ``delta.enableChangeDataFeed=true`` is the property this verb
+    exists for: it adds the ``changeDataFeed`` writer capability to the
+    protocol when absent (legacy writer version 4's implicit grant,
+    made explicit under table features), and from this commit on every
+    data-changing verb here captures change data unconditionally
+    (:func:`_cdf_obligated`) — the writer obligation a downstream CDF
+    consumer's gap-free read depends on."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "SET TBLPROPERTIES", identity_ok=True)
+    for k in properties:
+        if k in _MANAGED_PROPS:
+            raise DeltaProtocolError(
+                f"SET TBLPROPERTIES: {k} is managed by "
+                f"{_MANAGED_PROPS[k]}(); use that verb"
+            )
+    cfg = dict(snap.get("configuration") or {})
+    cfg.update({str(k): str(v) for k, v in properties.items()})
+    p = snap.get("protocol") or {}
+    r = p.get("minReaderVersion", 1)
+    w = p.get("minWriterVersion", 2)
+    actions: list[dict] = []
+    wants_cdf = (
+        str(properties.get("delta.enableChangeDataFeed", "")).lower()
+        == "true"
+    )
+    has_cdf = w >= 4 or "changeDataFeed" in set(p.get("writerFeatures") or [])
+    if wants_cdf and not has_cdf:
+        wf = set(p.get("writerFeatures") or [])
+        if w < 7:
+            wf |= _legacy_writer_features(w)
+        wf.add("changeDataFeed")
+        proto: dict = {
+            "minReaderVersion": r,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf),
+        }
+        if r >= 3:
+            proto["readerFeatures"] = sorted(
+                set(p.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    version = snap["version"] + 1
+    now_ms = int(time.time() * 1000)
+    actions += [
+        {
+            "metaData": {
+                "id": snap.get("meta_id") or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap["schema"],
+                "partitionColumns": snap["partition_cols"],
+                "configuration": cfg,
+                "createdTime": now_ms,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {str(k): str(v) for k, v in properties.items()}
+                    )
+                },
+            }
+        },
+    ]
+    _publish_commit(table, version, actions)
+    return version
+
+
 def enable_iceberg_compat_v2(table: str) -> int:
     """``ALTER TABLE ... SET TBLPROPERTIES
     ('delta.enableIcebergCompatV2' = 'true')`` — the ``icebergCompatV2``
@@ -4091,6 +4199,7 @@ def merge_delta(
     # this commit's metaData (delta-spark's MERGE-on-identity contract)
     _check_writer_protocol(snap, "MERGE", removes_data=True,
                            identity_ok=True)
+    change_data = change_data or _cdf_obligated(snap)
     _refuse_cow_unsupported(snap, table, "merge_delta")
     rt_enabled = _rt_rewrite_gate(snap, "MERGE")
     pcols = snap["partition_cols"]
@@ -5124,6 +5233,7 @@ def delete_delta(
     snap = snapshot(table)
     _check_writer_protocol(snap, "DELETE", removes_data=True,
                             identity_ok=True)
+    change_data = change_data or _cdf_obligated(snap)
     _refuse_cow_unsupported(snap, table, "delete_delta")
     rt_enabled = _rt_rewrite_gate(snap, "DELETE (copy-on-write)")
     pcols = snap["partition_cols"]
@@ -5270,6 +5380,7 @@ def overwrite_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "WRITE (overwrite)", removes_data=True)
+    change_data = change_data or _cdf_obligated(snap)
     # rowTracking: an overwrite REPLACES rows — replaced partitions'/
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
@@ -5388,6 +5499,7 @@ def replace_where_delta(
 
     snap = snapshot(table)
     _check_writer_protocol(snap, "WRITE (replaceWhere)", removes_data=True)
+    change_data = change_data or _cdf_obligated(snap)
     # rowTracking: an overwrite REPLACES rows — replaced partitions'/
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
@@ -5552,6 +5664,7 @@ def overwrite_schema_delta(
     _check_writer_protocol(
         snap, "WRITE (overwriteSchema)", removes_data=True
     )
+    change_data = change_data or _cdf_obligated(snap)
     # rowTracking: an overwrite REPLACES rows — replaced partitions'/
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
@@ -5699,6 +5812,7 @@ def dynamic_overwrite_delta(
     _check_writer_protocol(
         snap, "WRITE (dynamic overwrite)", removes_data=True
     )
+    change_data = change_data or _cdf_obligated(snap)
     # rowTracking: an overwrite REPLACES rows — replaced partitions'/
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
@@ -5860,6 +5974,7 @@ def delete_delta_dv(
     snap = snapshot(table)
     _check_writer_protocol(snap, "DELETE (deletion vectors)", identity_ok=True,
                            removes_data=True)
+    change_data = change_data or _cdf_obligated(snap)
     version = snap["version"] + 1
     full = T.StructType.fromJson(json.loads(snap["schema"]))
     files = snap["files"]
@@ -6128,6 +6243,7 @@ def restore_delta(
     cur = snapshot(table)
     _check_writer_protocol(cur, "RESTORE", removes_data=True,
                             identity_ok=True)
+    change_data = change_data or _cdf_obligated(cur)
     target = snapshot(table, to_version)
     if target["schema"] != cur["schema"]:
         raise DeltaProtocolError(

@@ -1911,6 +1911,79 @@ _S46_SQL = (
 )
 
 
+def s47_cdf_obligation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S47 — ``delta.enableChangeDataFeed`` as a WRITER OBLIGATION
+    (round 11): ``set_table_properties`` flips the flag (one
+    metaData commit + the changeDataFeed capability under table
+    features), after which a MERGE and a DELETE run WITHOUT any
+    per-call ``change_data`` argument — the table property alone
+    obligates capture, the Delta protocol contract a downstream
+    ``readChangeFeed`` consumer's gap-free read depends on (the
+    reference's delta-rs tables carry properties through the same
+    metaData action, collector.py:219-226). The consumer replays both
+    commits in one ``read_delta_changes`` range call and aggregates
+    per (commit, change type); deleted preimages reflect the merge's
+    earlier price bump, so the hash certifies ordering too.
+    O(|changed rows|) end to end — capture files and the CDF read
+    never touch unchanged data, the property check is one
+    configuration lookup on the commit path."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s47_orders_cdf")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.set_table_properties(
+        table, {"delta.enableChangeDataFeed": "true"}
+    )
+    updates = orders.filter(
+        "o_orderkey % 2 = 0 AND o_orderstatus = 'P'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    inserts = orders.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'O'")
+    # NO change_data flag on either verb — the property obligates
+    v_merge = delta_compat.merge_delta(
+        spark, table, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    v_del = delta_compat.delete_delta(
+        spark, table,
+        orders.filter("o_orderkey % 10 = 0").select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    changes = delta_compat.read_delta_changes(spark, table, v_merge, v_del)
+    return changes.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT)"
+        ).alias("cents"),
+    ).withColumn(
+        "_commit_version", F.col("_commit_version").cast("bigint")
+    )
+
+
+_S47_SQL = (
+    # v0 seed, v1 SET TBLPROPERTIES, v2 merge, v3 delete
+    "WITH upd AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'), "
+    "ins AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'), "
+    "del AS (SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' "
+    "THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p "
+    "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0), "
+    "u AS (SELECT 2 AS cv, 'update_preimage' AS ct, o_orderkey AS k, "
+    "o_totalprice AS p FROM upd "
+    "UNION ALL SELECT 2, 'update_postimage', o_orderkey, "
+    "o_totalprice + 1000.0 FROM upd "
+    "UNION ALL SELECT 2, 'insert', o_orderkey, o_totalprice FROM ins "
+    "UNION ALL SELECT 3, 'delete', o_orderkey, p FROM del) "
+    "SELECT CAST(cv AS BIGINT) AS _commit_version, ct AS _change_type, "
+    "CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum, "
+    "CAST(sum(CAST(p AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 def s45_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S45 — LOG COMPACTION FILES (the Delta spec's
     ``<x>.<y>.compacted.json``, round 10): four commits build history
@@ -3911,6 +3984,7 @@ QUERIES = {
     "st26_streaming_quantile_mart": st26_streaming_quantile_mart,
     "s45_log_compaction": s45_log_compaction,
     "s46_row_lineage_diff": s46_row_lineage_diff,
+    "s47_cdf_obligation": s47_cdf_obligation,
 }
 
 ORACLES = {
@@ -3971,4 +4045,5 @@ ORACLES = {
     "st26_streaming_quantile_mart": _ST26_SQL,
     "s45_log_compaction": _S45_SQL,
     "s46_row_lineage_diff": _S46_SQL,
+    "s47_cdf_obligation": _S47_SQL,
 }

@@ -6781,3 +6781,129 @@ def test_unreachable_compacted_range_ignored(spark, tmp_path):
     # time travel unaffected
     assert dc.read_delta(spark, table, version=0).count() == 3
     os.remove(foreign)
+
+
+def test_cdf_writer_obligation_foreign_table(spark, tmp_path):
+    """delta.enableChangeDataFeed is a WRITER OBLIGATION (round-10
+    verdict item 1): a foreign table created with the flag set (writer
+    version 4 — the legacy CDF grant), then MERGEd and DELETEd here
+    WITHOUT change_data=True, must still capture change data, and
+    read_delta_changes must replay every commit without a per-call
+    flag. Without the obligation these commits would raise
+    ChangeDataUnavailableError for a downstream delta-spark consumer."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cdf_foreign")
+    _write_parquet(
+        spark,
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        "k long, v double",
+        os.path.join(table, "f0.parquet"),
+    )
+    md = _meta(spark, "k long, v double")
+    md["metaData"]["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            md,
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+
+    # MERGE without the flag: update k=2, insert k=4
+    src = spark.createDataFrame([(2, 200.0), (4, 40.0)], "k long, v double")
+    v1 = dc.merge_delta(spark, table, src, ["k"])
+    # DELETE without the flag: k=1
+    v2 = dc.delete_delta(
+        spark, table, spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+
+    changes = dc.read_delta_changes(spark, table, v1, v2)
+    got = {
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in changes.collect()
+    }
+    assert (v1, "update_preimage", 2) in got
+    assert (v1, "update_postimage", 2) in got
+    assert (v1, "insert", 4) in got
+    assert (v2, "delete", 1) in got
+    # postimage carries the new value
+    post = [
+        r["v"] for r in changes.filter(
+            (F.col("_change_type") == "update_postimage")
+            & (F.col("k") == 2)
+        ).collect()
+    ]
+    assert post == [200.0]
+    # table state is the merge/delete result
+    assert sorted(
+        (r["k"], r["v"]) for r in dc.read_delta(spark, table).collect()
+    ) == [(2, 200.0), (3, 30.0), (4, 40.0)]
+
+
+def test_set_table_properties_cdf_lifecycle(spark, tmp_path):
+    """set_table_properties flips delta.enableChangeDataFeed on a table
+    this writer created (adding the changeDataFeed capability under
+    table features), after which the overwrite family and DV deletes
+    capture change data with no per-call flag; pre-enablement mutations
+    stay uncaptured (the feed starts at the enablement commit, exactly
+    delta-spark's semantics). Managed properties refuse."""
+    import pyspark.sql.functions as F
+
+    from acero_delta_lake_streaming_spark.storage.deltalite import (
+        ChangeDataUnavailableError,
+    )
+
+    table = str(tmp_path / "cdf_props")
+    dc.append_delta(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ).coalesce(1),
+        table,
+    )
+    # pre-enablement delete: NOT captured (and the CDF read over that
+    # commit refuses loudly, as before)
+    v_pre = dc.delete_delta(
+        spark, table, spark.createDataFrame([(3,)], "k long"), ["k"]
+    )
+    with pytest.raises(ChangeDataUnavailableError):
+        dc.read_delta_changes(spark, table, v_pre, v_pre).collect()
+
+    v_set = dc.set_table_properties(
+        table, {"delta.enableChangeDataFeed": "true"}
+    )
+    snap = dc.snapshot(table)
+    assert snap["configuration"]["delta.enableChangeDataFeed"] == "true"
+    proto = snap["protocol"]
+    assert "changeDataFeed" in set(proto.get("writerFeatures") or [])
+
+    # overwrite without the flag: captured
+    v_ow = dc.overwrite_delta(
+        spark,
+        spark.createDataFrame([(5, 50.0), (6, 60.0)], "k long, v double"),
+        table,
+    )
+    # DV delete without the flag: captured
+    v_dv = dc.delete_delta_dv(
+        spark, table, spark.createDataFrame([(5,)], "k long"), ["k"]
+    )
+    got = {
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in dc.read_delta_changes(spark, table, v_set, v_dv).collect()
+    }
+    assert (v_ow, "delete", 1) in got and (v_ow, "delete", 2) in got
+    assert (v_ow, "insert", 5) in got and (v_ow, "insert", 6) in got
+    assert (v_dv, "delete", 5) in got
+    assert sorted(
+        r["k"] for r in dc.read_delta(spark, table).collect()
+    ) == [6]
+
+    # managed property refuses with a pointer to its verb
+    with pytest.raises(dc.DeltaProtocolError, match="enable_row_tracking"):
+        dc.set_table_properties(table, {"delta.enableRowTracking": "true"})
+    # non-delta bookkeeping properties just merge into configuration
+    dc.set_table_properties(table, {"team.owner": "pipeline"})
+    assert dc.snapshot(table)["configuration"]["team.owner"] == "pipeline"
