@@ -1502,6 +1502,142 @@ def x71_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X71B_MIN_LEN = 5  # ed-2 space floods below this; SymSpell's usual gate
+
+# word + its FULL <=2-deletion neighborhood (self, |w| single
+# deletions, C(|w|,2) double deletions). SymSpell's radius-2 identity:
+# any two words within Levenshtein distance 2 share a member of their
+# <=2-deletion neighborhoods (each edit op resolves to deletions on
+# one or both sides), so the variant equi-join is a COMPLETE ed<=2
+# candidate generator; sharing a variant does NOT imply ed<=2 (two
+# deletions each side can span distance 4), which is exactly why the
+# Levenshtein verify on candidates stays in the plan.
+_X71B_VARS_SPARK = (
+    "array_distinct(concat(array(w), "
+    "transform(sequence(0, length(w) - 1), "
+    "i -> concat(substring(w, 1, i), substring(w, i + 2))), "
+    "flatten(transform(sequence(0, length(w) - 2), "
+    "i -> transform(sequence(i + 1, length(w) - 1), "
+    "j -> concat(substring(w, 1, i), substring(w, i + 2, j - i - 1), "
+    "substring(w, j + 2)))))))"
+)
+_X71B_VARS_DUCK = (
+    "list_distinct(flatten([[w], "
+    "list_transform(range(1, len(w) + 1), "
+    "i -> substr(w, 1, i - 1) || substr(w, i + 1)), "
+    "flatten(list_transform(range(1, len(w)), "
+    "p -> list_transform(range(p + 1, len(w) + 1), "
+    "q -> substr(w, 1, p - 1) || substr(w, p + 1, q - p - 1) "
+    "|| substr(w, q + 1))))]))"
+)
+
+
+def x71b_typo_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71b — SYMSPELL at radius 2 (VERDICT r10 item 5), the edit
+    distance real typo mining runs at: every vocabulary word emits its
+    full ≤2-deletion neighborhood and the variant equi-join yields
+    every word pair within Levenshtein distance 2 — COMPLETE by the
+    SymSpell radius-2 identity (each of the ≤2 edit ops resolves to
+    deletions on one or both sides; see ``_X71B_VARS_SPARK``) — then
+    one Levenshtein call per DISTINCT candidate verifies and keeps
+    d ≤ 2. Same plan as x71, more key rows: ~L²/2 variants per word
+    instead of L (SCALING.md's "same plan, more key rows" spec, now
+    shipped).
+
+    Planted certificate (the x69/x48 pattern): every doc with
+    ``doc_id % 17 == 11`` contributes one token built from its first
+    ≥6-letter word by SUBSTITUTING the 2nd character with 'q' and
+    DELETING the 4th — exactly distance 2, and the pair shares a
+    2-deletion variant by construction (delete chars 2 and 4 of the
+    original ≡ delete 'q' + char 3 of the typo), so recall on the
+    plants is 1.0 by the identity, not by luck. The ``ed`` column
+    keeps radius-1 kin distinguishable.
+
+    Scale shape: vocabulary is Heaps-sublinear in corpus tokens;
+    variants multiply it by ~L²/2 (~20x at L=9 — linear in vocab,
+    NOT in corpus); the ONE shuffle keys on the variant string;
+    Levenshtein runs on distinct candidates only, never the vocab
+    cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("w"))
+    # get() not [0]: docs with NO qualifying word yield NULL (ANSI mode
+    # throws on [0] over an empty array; DuckDB's [1] is already NULL)
+    typo_src = F.expr(
+        f"get(filter({_WORDS_SPARK}, "
+        "x -> length(x) >= 6 AND x rlike '^[a-z]+$'), 0)"
+    )
+    typos = (
+        docs.filter("doc_id % 17 = 11")
+        .select(typo_src.alias("fw"))
+        .filter(F.col("fw").isNotNull())
+        .select(
+            F.expr(
+                "concat(substring(fw, 1, 1), 'q', substring(fw, 3, 1), "
+                "substring(fw, 5))"
+            ).alias("w")
+        )
+    )
+    vocab = (
+        toks.unionByName(typos)
+        .filter(
+            (F.length("w") >= _X71B_MIN_LEN)
+            & F.col("w").rlike("^[a-z]+$")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= _X71_MIN_N)
+    )
+    vars_ = vocab.select(
+        "w", "n", F.explode(F.expr(_X71B_VARS_SPARK)).alias("v")
+    )
+    a = vars_.select(
+        F.col("w").alias("word_a"), F.col("n").alias("n_a"), "v"
+    )
+    b = vars_.select(
+        F.col("w").alias("word_b"), F.col("n").alias("n_b"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "n_a", "n_b")
+        .distinct()
+        .withColumn(
+            "ed", F.expr("levenshtein(word_a, word_b)").cast("bigint")
+        )
+        .filter(F.col("ed") <= 2)
+        .withColumn(
+            "probable_typo",
+            F.when(F.col("n_a") < F.col("n_b"), F.col("word_a"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("word_b"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+
+
+_X71B_SQL = (
+    "WITH toks AS (SELECT unnest("
+    f"{_WORDS_DUCK}) AS w FROM documents "
+    "UNION ALL "
+    "SELECT substr(fw, 1, 1) || 'q' || substr(fw, 3, 1) || substr(fw, 5) "
+    "AS w FROM ("
+    f"SELECT list_filter({_WORDS_DUCK}, "
+    "x -> len(x) >= 6 AND regexp_full_match(x, '[a-z]+'))[1] AS fw "
+    "FROM documents WHERE doc_id % 17 = 11) t WHERE fw IS NOT NULL), "
+    "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks "
+    f"WHERE len(w) >= {_X71B_MIN_LEN} AND regexp_full_match(w, '[a-z]+') "
+    f"GROUP BY 1 HAVING count(*) >= {_X71_MIN_N}), "
+    f"vars AS (SELECT w, n, unnest({_X71B_VARS_DUCK}) AS v FROM vocab), "
+    "cand AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b, "
+    "a.n AS n_a, b.n AS n_b "
+    "FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w) "
+    "SELECT word_a, word_b, n_a, n_b, "
+    "CAST(levenshtein(word_a, word_b) AS BIGINT) AS ed, "
+    "CASE WHEN n_a < n_b THEN word_a WHEN n_b < n_a THEN word_b "
+    "ELSE NULL END AS probable_typo "
+    "FROM cand WHERE levenshtein(word_a, word_b) <= 2"
+)
+
+
 _X71_SQL = (
     "WITH toks AS (SELECT unnest("
     f"{_WORDS_DUCK}) AS w FROM documents "
@@ -1538,6 +1674,7 @@ QUERIES = {
     "x62_hybrid_rrf": x62_hybrid_rrf,
     "x70_hard_negatives": x70_hard_negatives,
     "x71_typo_pairs": x71_typo_pairs,
+    "x71b_typo_pairs_ed2": x71b_typo_pairs_ed2,
 }
 
 ORACLES = {
@@ -1554,4 +1691,5 @@ ORACLES = {
     "x62_hybrid_rrf": _X62_SQL,
     "x70_hard_negatives": _X70_SQL,
     "x71_typo_pairs": _X71_SQL,
+    "x71b_typo_pairs_ed2": _X71B_SQL,
 }

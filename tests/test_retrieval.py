@@ -312,3 +312,41 @@ def test_bm25_portable_ln_accuracy_and_fold(spark, sf_dir):
     for d, (nh, s) in got.items():
         assert nh == hits[d]
         assert abs(s - py_scores[d]) <= n_terms, (d, s, py_scores[d])
+
+
+def test_x71b_ed2_planted_recall(spark, sf_dir):
+    """SymSpell radius-2 completeness, pinned on the plants: every
+    planted (original, typo) pair — 'q'-substitution at char 2 plus
+    char-4 deletion, exactly Levenshtein distance 2 — must be mined,
+    because the pair shares a 2-deletion variant by construction
+    (delete chars 2 and 4 of the original == delete 'q' and char 3 of
+    the typo). Also: zero result pairs exceed ed 2 (the verify step),
+    and radius-1 kin keep ed == 1 (x71's surface is a subset)."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        x71b_typo_pairs_ed2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fw = F.expr(
+        "get(filter(filter(split(text, ' '), x -> x != ''), "
+        "x -> length(x) >= 6 AND x rlike '^[a-z]+$'), 0)"
+    )
+    planted = {
+        (r["fw"], r["fw"][0] + "q" + r["fw"][2] + r["fw"][4:])
+        for r in docs.filter("doc_id % 17 = 11")
+        .select(fw.alias("fw"))
+        .filter(F.col("fw").isNotNull())
+        .collect()
+    }
+    assert planted, "fixture must plant at least one typo"
+    try:
+        out = x71b_typo_pairs_ed2(spark, sf_dir).collect()
+    finally:
+        release_scoped()
+    pairs = {tuple(sorted((r["word_a"], r["word_b"]))): r["ed"] for r in out}
+    for orig, typo in planted:
+        key = tuple(sorted((orig, typo)))
+        assert key in pairs, f"planted pair {key} not mined"
+        assert pairs[key] == 2
+    for r in out:
+        assert 1 <= r["ed"] <= 2
