@@ -988,6 +988,19 @@ def test_x69_bitext_candidates_bucketed(spark, sf_dir):
             r"Exchange hashpartitioning\(([^)]*)\)", plan
         ):
             assert "embedding" not in m.group(1), m.group(0)
+        # JVM walk (the x3f guard, r10 verdict item 7): no exchange is
+        # KEYED on an array, and arrays ride as payload on exactly
+        # THREE id-keyed exchanges — the source side once, the target
+        # side twice (the top-2 verify fetch and the en_doc resolve).
+        # A fourth array-carrying exchange is a regression; so is an
+        # array key anywhere.
+        df = x69_bitext_mining(spark, sf_dir)
+        carrying = 0
+        for part, types in _shuffle_exchange_outputs(df):
+            assert "embedding" not in part and "array" not in part, part
+            if any("array" in t for t in types):
+                carrying += 1
+        assert carrying == 3, carrying
     finally:
         release_scoped()
 
