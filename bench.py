@@ -320,16 +320,61 @@ def main() -> int:
         except Exception:
             pass
 
+    # Freeze mode (VERDICT r10 item 2): SPARK_GRAFT_BENCH_RUNS=N >= 2
+    # runs N FULL passes with INTERLEAVED query order (natural /
+    # reversed / half-rotated) and takes the per-query MEDIAN. The
+    # measured same-code spread on this host is ~1.3x in waves lasting
+    # minutes — back-to-back min-of-two samples sit inside one wave and
+    # cannot reject it, but interleaved passes put a query's samples
+    # minutes apart, so a single wave corrupts at most one of three and
+    # the median discards it. Per-pass timings land in the detail
+    # artifact (`runs`) so wave structure stays auditable.
+    try:
+        n_runs = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "0")))
+    except ValueError:
+        n_runs = 0
+
     timings: dict[str, float] = {}
-    for name in names:
-        try:
-            # Best of two fresh executions: JIT/GC noise on this box is
-            # ±30% per run, which drowned round-over-round comparison;
-            # the min of two is a stable proxy for the true cost.
-            timings[name] = round(min(run(name), run(name)), 4)
-        except Exception as exc:  # a broken query must not kill the bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    per_pass: list[dict[str, float]] = []
+    if n_runs >= 2:
+        import statistics
+
+        half = len(names) // 2
+        orders = {
+            0: list(names),
+            1: list(reversed(names)),
+            2: names[half:] + names[:half],
+        }
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for p in range(n_runs):
+            pass_t: dict[str, float] = {}
+            for name in orders[p % 3]:
+                try:
+                    t = run(name)
+                except Exception as exc:
+                    print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                    t = -1.0
+                pass_t[name] = round(t, 4)
+                if t >= 0:
+                    samples[name].append(t)
+            per_pass.append(pass_t)
+        for name in names:
+            timings[name] = (
+                round(statistics.median(samples[name]), 4)
+                if samples[name]
+                else -1.0
+            )
+    else:
+        for name in names:
+            try:
+                # Best of two fresh executions: JIT/GC noise on this box
+                # is ±30% per run, which drowned round-over-round
+                # comparison; the min of two is a stable proxy for the
+                # true cost.
+                timings[name] = round(min(run(name), run(name)), 4)
+            except Exception as exc:  # broken query must not kill bench
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
@@ -355,8 +400,16 @@ def main() -> int:
         "steal_pct_pre": steal_pre,
         "noise_flag": noisy,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_full.json")
+    if per_pass:
+        detail["n_runs"] = n_runs
+        detail["aggregation"] = "median_of_interleaved_passes"
+        detail["runs"] = per_pass
+        detail["run_totals"] = [
+            round(sum(t for t in p.values() if t >= 0), 2) for p in per_pass
+        ]
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
@@ -375,20 +428,20 @@ def main() -> int:
         protected = set()
 
     def _line() -> str:
-        return json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": emitted,
-                "sf": sf,
-                "n_queries": len(timings),
-                "load": load_pre,
-                "steal": steal_pre,
-                "noisy": noisy,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": emitted,
+            "sf": sf,
+            "n_queries": len(timings),
+            "load": load_pre,
+            "steal": steal_pre,
+            "noisy": noisy,
+        }
+        if per_pass:
+            payload["run_totals"] = detail["run_totals"]
+        return json.dumps(payload, separators=(",", ":"))
 
     droppable = sorted(
         (n for n, t in emitted.items() if t >= 0),
