@@ -2896,6 +2896,254 @@ def _x64_sql() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
 
 
+# --------------------------------------------------------------------------
+# X3i — graph-based ANN (HNSW-class best-first search, bounded/unrolled)
+# --------------------------------------------------------------------------
+
+_X3I_DEG = 8      # k-NN graph out-degree per node
+_X3I_BEAM = 8     # best-first beam width (ef in HNSW terms)
+_X3I_HOPS = 4     # unrolled expansion rounds
+_X3I_ENTRIES = 4  # walk starts: top-E of the scored entry sample
+_X3I_ENTRY_MOD = 53  # entry-point sample: vec_id % 53 == 1 (~2% of corpus)
+
+
+def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3i — GRAPH-traversal ANN, the HNSW-class family member
+    (VERDICT r10 item 8): build a k-NN graph once (top-``_X3I_DEG``
+    neighbors per node among its sign-LSH bucket-mates — the SAME
+    shared bucketing construction the whole x3 family probes), then
+    answer each query with a bounded best-first walk: start at the
+    best of a deterministic ~2% entry sample, expand the frontier's
+    graph neighbors for ``_X3I_HOPS`` unrolled rounds, keep a
+    ``_X3I_BEAM``-wide beam over everything visited (greedy
+    best-first with a fixed horizon — x28's fixed-iteration PageRank
+    pattern applied to search), and emit the visited top-5. Fully
+    deterministic (cos DESC, vec_id ASC ties), so the DuckDB oracle
+    replays the exact walk; the recall floor vs the x3 exact truth is
+    pinned in tests/test_similarity.py with the x47 audit's
+    composition.
+
+    Scale shape: the graph build is the one corpus-scale pass —
+    bucket-mate pairs (bounded by bucket co-occupancy, never
+    all-pairs, same cost family as x14/x3c) topped to a constant
+    out-degree, and at 100 TB it is ingest-time state exactly like
+    the IVF centroids (st18's pattern), amortized over every query.
+    The search itself touches O(beam x degree x hops) rows per query
+    — independent of corpus size, the property that makes
+    graph-traversal ANN the latency king; embeddings ride id-keyed
+    joins only."""
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = scoped_persist(
+        emb.select(
+            "vec_id", "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+    )
+    buckets = _sign_buckets(spark, emb)
+    # UNORDERED bucket-mate pairs (src < dst): the 64-dim cosine fold —
+    # the graph build's dominant cost — runs once per pair; the edge
+    # set mirrors afterward for the per-source degree window.
+    pairs = (
+        buckets.select(F.col("vec_id").alias("src"), "tbl", "bucket")
+        .join(
+            buckets.select(F.col("vec_id").alias("dst"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ecos = (
+        F.expr(_dot_spark("s_emb", "d_emb"))
+        / (F.col("s_nrm") * F.col("d_nrm"))
+    ).alias("cos")
+    und = scoped_persist(
+        pairs.join(
+            scored.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            ),
+            "src",
+        )
+        .join(
+            scored.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("d_emb"),
+                F.col("nrm").alias("d_nrm"),
+            ),
+            "dst",
+        )
+        .select("src", "dst", ecos)
+    )
+    wg = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    graph = scoped_persist(
+        und.unionByName(
+            und.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+            )
+        )
+        .withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= _X3I_DEG)
+        .select("src", "dst")
+    )
+    queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qcos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    entries = (
+        scored.filter(F.col("vec_id") % _X3I_ENTRY_MOD == 1)
+        .join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", qcos)
+    )
+    visited = (
+        entries.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _X3I_ENTRIES)
+        .drop("rk")
+    )
+    frontier = visited.select("query_id", "vec_id")
+    for _hop in range(_X3I_HOPS):
+        new_ids = (
+            frontier.select("query_id", F.col("vec_id").alias("src"))
+            .join(graph, "src")
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .distinct()
+        )
+        new_scored = (
+            new_ids.join(scored, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select("query_id", "vec_id", qcos)
+        )
+        # each round references the previous visited TWICE (the union
+        # and the beam window) — localCheckpoint per round or the
+        # logical plan doubles per hop (the x28/x50 invariant)
+        visited = (
+            visited.unionByName(new_scored)
+            .dropDuplicates(["query_id", "vec_id"])
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _X3I_BEAM)
+            .select("query_id", "vec_id")
+        )
+    return (
+        visited.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _x3i_sql() -> str:
+    """DuckDB replay of the exact walk: same graph, same entry choice,
+    same unrolled beam rounds, same tie-breaks."""
+    dot_sq = _dot_duck("s.embedding", "q.q_embedding")
+    ctes = [
+        (
+            "planes AS (SELECT p, "
+            f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
+            f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+            f"{_W_DUCK} AS warr "
+            f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p))"
+        ),
+        (
+            "buckets AS (SELECT e.vec_id, pl.tbl, "
+            "sum(CASE WHEN "
+            f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
+            "ELSE 0 END) AS bucket "
+            "FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl)"
+        ),
+        (
+            "scored AS (SELECT vec_id, embedding, "
+            f"{_norm_duck('embedding')} AS nrm FROM embeddings)"
+        ),
+        (
+            "gpairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst "
+            "FROM buckets a JOIN buckets b ON a.tbl = b.tbl "
+            "AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"
+        ),
+        (
+            "gsc AS (SELECT p.src, p.dst, "
+            f"{_dot_duck('s.embedding', 'd.embedding')} / (s.nrm * d.nrm) "
+            "AS cos FROM gpairs p "
+            "JOIN scored s ON s.vec_id = p.src "
+            "JOIN scored d ON d.vec_id = p.dst)"
+        ),
+        (
+            "gedges AS (SELECT src, dst, cos FROM gsc "
+            "UNION ALL SELECT dst AS src, src AS dst, cos FROM gsc)"
+        ),
+        (
+            "graph AS (SELECT src, dst FROM (SELECT src, dst, "
+            "row_number() OVER (PARTITION BY src ORDER BY cos DESC, "
+            "dst ASC) AS rk FROM gedges) "
+            f"WHERE rk <= {_X3I_DEG})"
+        ),
+        (
+            "queries AS (SELECT vec_id AS query_id, "
+            "embedding AS q_embedding, nrm AS q_nrm FROM scored "
+            f"WHERE vec_id < {_N_QUERIES})"
+        ),
+        (
+            "ent AS (SELECT q.query_id, s.vec_id, "
+            f"{dot_sq} / (s.nrm * q.q_nrm) AS cos "
+            "FROM scored s CROSS JOIN queries q "
+            f"WHERE s.vec_id % {_X3I_ENTRY_MOD} = 1 "
+            "AND s.vec_id <> q.query_id)"
+        ),
+        (
+            "v0 AS (SELECT query_id, vec_id, cos FROM (SELECT query_id, "
+            "vec_id, cos, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, vec_id ASC) AS rk FROM ent) "
+            f"WHERE rk <= {_X3I_ENTRIES})"
+        ),
+        "f0 AS (SELECT query_id, vec_id FROM v0)",
+    ]
+    for h in range(1, _X3I_HOPS + 1):
+        ctes += [
+            (
+                f"n{h} AS (SELECT DISTINCT f.query_id, g.dst AS vec_id "
+                f"FROM f{h - 1} f JOIN graph g ON g.src = f.vec_id "
+                "WHERE g.dst <> f.query_id)"
+            ),
+            (
+                f"s{h} AS (SELECT n.query_id, n.vec_id, "
+                f"{dot_sq} / (s.nrm * q.q_nrm) AS cos "
+                f"FROM n{h} n JOIN scored s ON s.vec_id = n.vec_id "
+                "JOIN queries q ON q.query_id = n.query_id)"
+            ),
+            (
+                f"v{h} AS (SELECT * FROM v{h - 1} "
+                f"UNION SELECT * FROM s{h})"
+            ),
+            (
+                f"f{h} AS (SELECT query_id, vec_id FROM (SELECT query_id, "
+                "vec_id, row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cos DESC, vec_id ASC) AS rk "
+                f"FROM v{h}) WHERE rk <= {_X3I_BEAM})"
+            ),
+        ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT query_id, vec_id, round(cos, 6) AS cosine "
+        "FROM (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+        f"FROM v{_X3I_HOPS}) WHERE rk <= 5"
+    )
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -2905,6 +3153,7 @@ QUERIES = {
     "x3f_ivf_sq_ann": x3f_ivf_sq_ann,
     "x3g_filtered_ann": x3g_filtered_ann,
     "x3h_pq_ann": x3h_pq_ann,
+    "x3i_graph_ann": x3i_graph_ann,
     "x14_semdedup": x14_semdedup,
     "x22_quantize_error": x22_quantize_error,
     "x24_jl_projection": x24_jl_projection,
@@ -2929,6 +3178,7 @@ ORACLES = {
     "x3f_ivf_sq_ann": _ivf_sq_sql(),
     "x3g_filtered_ann": _X3G_SQL,
     "x3h_pq_ann": _pq_sql(),
+    "x3i_graph_ann": _x3i_sql(),
     "x14_semdedup": _X14_SQL,
     "x22_quantize_error": _X22_SQL,
     "x24_jl_projection": _X24_SQL,

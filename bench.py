@@ -141,6 +141,13 @@ HEADLINE = [
     "x71_typo_pairs",
     "s46_row_lineage_diff",
     "x68b_shard_balance",
+    # round 11: CDF writer obligation, compressed-container decode,
+    # SymSpell radius 2, graph-traversal ANN (in-bench graph build =
+    # ingest-time state in production, the x3f adjudication)
+    "s47_cdf_obligation",
+    "x5g_png_decode",
+    "x71b_typo_pairs_ed2",
+    "x3i_graph_ann",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

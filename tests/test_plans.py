@@ -1023,3 +1023,28 @@ def test_x70_hard_negatives_bounded_pool(spark, sf_dir):
         assert "Exchange rangepartitioning" not in plan  # no global sort
     finally:
         release_scoped()
+
+
+def test_x3i_graph_ann_plan_shape(spark, sf_dir):
+    """x3i's final search segment (post graph-build checkpoints): no
+    cartesian product, no global sort, and no exchange KEYED on an
+    embedding array — embeddings ride id-keyed joins only. The walk's
+    bounded candidate volume (entries + beam x degree x hops per
+    query) is structural: every frontier passes a row_number <= BEAM
+    window and the graph a row_number <= DEG window, both pinned by
+    the oracle hash gate; the recall contract lives in
+    tests/test_similarity.py."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x3i_graph_ann,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        df = x3i_graph_ann(spark, sf_dir)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        for part, _types in _shuffle_exchange_outputs(df):
+            assert "embedding" not in part and "array" not in part, part
+    finally:
+        release_scoped()
