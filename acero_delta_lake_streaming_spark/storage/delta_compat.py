@@ -5664,7 +5664,10 @@ def overwrite_schema_delta(
     _check_writer_protocol(
         snap, "WRITE (overwriteSchema)", removes_data=True
     )
-    change_data = change_data or _cdf_obligated(snap)
+    # NOT gated on _cdf_obligated: overwriteSchema offers no CDF capture
+    # by design (pre/postimage schemas differ; a change feed cannot span
+    # a schema replacement — the cross-boundary CDF read refuses and
+    # consumers re-snapshot, exactly delta-spark's semantics).
     # rowTracking: an overwrite REPLACES rows — replaced partitions'/
     # table's rows are logically NEW rows, so fresh baseRowIds from the
     # stamping are the spec-correct assignment (no materialization
