@@ -1402,6 +1402,181 @@ _X70_SQL = (
 
 
 # --------------------------------------------------------------------------
+# x72 — MMR diversity re-rank (maximal marginal relevance)
+# --------------------------------------------------------------------------
+
+_X72_K = 5            # final diversified result size
+_X72_DBL = "CAST(0.5 AS DOUBLE)"  # lambda (and 1-lambda) — portable literal
+
+
+def x72_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    Goldstein 1998), the diversity pass RAG context assembly runs so
+    five retrieved passages aren't five paraphrases of one document:
+    greedily select k results maximizing ``λ·relevance − (1−λ)·max
+    cosine to anything already selected``. Relevance is x21b's
+    shipped BM25 (the same ``_bm25_scored`` frame the standalone
+    query, the RRF fusion, and the hard-negative miner consume —
+    FOUR consumers of one ranker now), min-max-free normalized as
+    score/max-score over the pool; similarity is exact cosine over
+    the pool's embeddings. The greedy argmax is unrolled ``_X72_K``
+    times with deterministic ties (mmr DESC, doc_id ASC), so the
+    DuckDB oracle replays the exact selection walk; pick 1 is the
+    pure-relevance top hit by construction (its mmr column carries
+    the unpenalized normalized relevance).
+
+    Scale shape: the pool is a TakeOrdered top-25 — every frame below
+    it is ≤ pool-sized (the 25x25 similarity matrix included), and
+    each greedy step is an argmax over ≤25 rows; at 100 TB with a
+    query log the same plan shards per query id (x70's note) and the
+    corpus is touched only by the inverted-index probe. Per-step
+    frames localCheckpoint (1-row picks — the plan-doubling
+    invariant)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _dot_spark,
+        _norm_spark,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+    wall = Window.partitionBy()
+    pool = scoped_persist(
+        top.join(emb.select("vec_id", "embedding"),
+                 top.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            (
+                F.col("score_e9").cast("double")
+                / F.max("score_e9").over(wall).cast("double")
+            ).alias("rel"),
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+    )
+    sims = scoped_persist(
+        pool.select(
+            F.col("doc_id").alias("da"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        .join(
+            F.broadcast(
+                pool.select(
+                    F.col("doc_id").alias("db"),
+                    F.col("embedding").alias("eb"),
+                    F.col("nrm").alias("nb"),
+                )
+            )
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "da",
+            "db",
+            (
+                F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    sel = (
+        pool.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(1)
+        .select(
+            "doc_id", F.lit(1).alias("pick"), F.col("rel").alias("mmr")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, _X72_K + 1):
+        maxsim = (
+            sims.join(
+                F.broadcast(sel.select(F.col("doc_id").alias("db"))), "db"
+            )
+            .groupBy("da")
+            .agg(F.max("cos").alias("maxsim"))
+        )
+        pick = (
+            pool.join(sel.select("doc_id"), "doc_id", "left_anti")
+            .join(maxsim, pool.doc_id == maxsim.da)
+            .select(
+                "doc_id",
+                F.lit(t).alias("pick"),
+                F.expr(
+                    f"{_X72_DBL} * rel - {_X72_DBL} * maxsim"
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("doc_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("pick").cast("bigint").alias("pick"),
+        "doc_id",
+        F.expr("CAST(floor(mmr * 1e9) AS BIGINT)").alias("mmr_e9"),
+    )
+
+
+def _x72_sql() -> str:
+    """DuckDB replay of the exact greedy walk, unrolled."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _dot_duck,
+        _norm_duck,
+    )
+
+    ctes = [
+        (
+            f"mtop AS (SELECT doc_id, score_e9 FROM scored "
+            f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})"
+        ),
+        "mmx AS (SELECT max(score_e9) AS m FROM mtop)",
+        (
+            "mpool AS (SELECT t.doc_id, "
+            "CAST(t.score_e9 AS DOUBLE) / CAST(x.m AS DOUBLE) AS rel, "
+            f"e.embedding, {_norm_duck('e.embedding')} AS nrm "
+            "FROM mtop t CROSS JOIN mmx x "
+            "JOIN embeddings e ON e.vec_id = t.doc_id)"
+        ),
+        (
+            "msims AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+            f"{_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+            "AS cos FROM mpool a CROSS JOIN mpool b "
+            "WHERE a.doc_id <> b.doc_id)"
+        ),
+        (
+            "msel1 AS (SELECT doc_id, 1 AS pick, rel AS mmr FROM mpool "
+            "ORDER BY rel DESC, doc_id ASC LIMIT 1)"
+        ),
+    ]
+    for t in range(2, _X72_K + 1):
+        ctes += [
+            (
+                f"mms{t} AS (SELECT s.da, max(s.cos) AS maxsim "
+                f"FROM msims s JOIN msel{t - 1} x ON x.doc_id = s.db "
+                "GROUP BY 1)"
+            ),
+            (
+                f"mpick{t} AS (SELECT p.doc_id, {t} AS pick, "
+                f"{_X72_DBL} * p.rel - {_X72_DBL} * m.maxsim AS mmr "
+                f"FROM mpool p JOIN mms{t} m ON m.da = p.doc_id "
+                f"WHERE p.doc_id NOT IN (SELECT doc_id FROM msel{t - 1}) "
+                "ORDER BY mmr DESC, p.doc_id ASC LIMIT 1)"
+            ),
+            (
+                f"msel{t} AS (SELECT * FROM msel{t - 1} "
+                f"UNION ALL SELECT * FROM mpick{t})"
+            ),
+        ]
+    return (
+        "WITH " + _bm25_ctes("") + ", " + ", ".join(ctes)
+        + " SELECT CAST(pick AS BIGINT) AS pick, doc_id, "
+        "CAST(floor(mmr * 1e9) AS BIGINT) AS mmr_e9 "
+        f"FROM msel{_X72_K}"
+    )
+
+
+# --------------------------------------------------------------------------
 # x71 — SymSpell deletion-neighborhood edit-distance join (typo mining)
 # --------------------------------------------------------------------------
 
@@ -1675,6 +1850,7 @@ QUERIES = {
     "x70_hard_negatives": x70_hard_negatives,
     "x71_typo_pairs": x71_typo_pairs,
     "x71b_typo_pairs_ed2": x71b_typo_pairs_ed2,
+    "x72_mmr_rerank": x72_mmr_rerank,
 }
 
 ORACLES = {
@@ -1692,4 +1868,5 @@ ORACLES = {
     "x70_hard_negatives": _X70_SQL,
     "x71_typo_pairs": _X71_SQL,
     "x71b_typo_pairs_ed2": _X71B_SQL,
+    "x72_mmr_rerank": _x72_sql(),
 }

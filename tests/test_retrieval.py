@@ -350,3 +350,65 @@ def test_x71b_ed2_planted_recall(spark, sf_dir):
         assert pairs[key] == 2
     for r in out:
         assert 1 <= r["ed"] <= 2
+
+
+def test_x72_mmr_matches_python_greedy(spark, sf_dir):
+    """x72 vs a from-scratch greedy MMR in Python over the same pool
+    (BM25 top-25 + embeddings), replicating the expression order
+    (rel = score/max as float64, cos via the same sequential fold,
+    0.5*rel - 0.5*maxsim, ties by doc_id). The oracle replays the same
+    SQL formula, so it can't catch a formula bug both sides share;
+    this replay can. Exact equality on picks and e9-floored scores."""
+    import math
+
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _TOPK,
+        _X72_K,
+        _bm25_scored,
+        x72_mmr_rerank,
+    )
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    try:
+        top = sorted(
+            (
+                (r["doc_id"], r["score_e9"])
+                for r in _bm25_scored(spark, sf_dir).collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:_TOPK]
+        emb = {
+            r["vec_id"]: [float(v) for v in r["embedding"]]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        got = [
+            (r["pick"], r["doc_id"], r["mmr_e9"])
+            for r in x72_mmr_rerank(spark, sf_dir).collect()
+        ]
+    finally:
+        release_scoped()
+    mx = max(s for _, s in top)
+    pool = {d: float(s) / float(mx) for d, s in top}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(emb[a], emb[b]):
+            dot = dot + x * y
+        na = math.sqrt(sum(x * x for x in emb[a]))
+        nb = math.sqrt(sum(x * x for x in emb[b]))
+        return dot / (na * nb)
+
+    sel = [min(pool, key=lambda d: (-pool[d], d))]
+    expect = [(1, sel[0], math.floor(pool[sel[0]] * 1e9))]
+    for t in range(2, _X72_K + 1):
+        best = None
+        for d in pool:
+            if d in sel:
+                continue
+            mmr = 0.5 * pool[d] - 0.5 * max(cos(d, s) for s in sel)
+            if best is None or (-mmr, d) < (-best[1], best[0]):
+                best = (d, mmr)
+        sel.append(best[0])
+        expect.append((t, best[0], math.floor(best[1] * 1e9)))
+    assert sorted(got) == sorted(expect), (got, expect)
