@@ -1408,6 +1408,85 @@ _DQ10_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# DQ11 — classifier calibration audit (reliability bins + ECE)
+# --------------------------------------------------------------------------
+
+# Pseudo quality classifier over documents, the ud1 mocked-model
+# pattern: ground truth y = (n_chars >= 300), model confidence in
+# integer percent = 20 + 4*d1 + 20*y where d1 is the first md5(text)
+# hex digit (0..15) — correlated with the label but deliberately
+# miscalibrated, with a real overlap region (40..80) where both
+# classes coexist so bin accuracies are non-degenerate. Everything is
+# integer arithmetic until the final basis-point divisions, so the
+# hash gate is exact.
+_DQ11_Y = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+_DQ11_D1_SPARK = "instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
+_DQ11_D1_DUCK = "strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
+
+
+def dq11_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ11 — CALIBRATION AUDIT for a quality classifier (reliability
+    diagram + expected calibration error), the acceptance gate before
+    model-scored quality filtering drives corpus selection (the
+    fastText-classifier recipe): if the model says 0.8, is it right
+    80% of the time? Confidence buckets into 10 standard bins
+    ([0,0.1) .. [0.9,1.0]); per bin: count, mean confidence (bp),
+    empirical accuracy (bp), the |gap| (bp), and the count-weighted
+    gap — whose sum over bins, divided by N, IS the ECE. The fixture
+    classifier is the deterministic mocked model (ud1's pattern), so
+    the oracle replays it exactly; the operator itself consumes any
+    (confidence, outcome) pair stream.
+
+    Scale shape: one hash-agg on a 10-value key — partial aggregation
+    map-side, a 10-row shuffle; the audit runs over 100 TB of scores
+    in one pass with no other exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        f"{_DQ11_Y} AS y",
+        f"20 + 4 * ({_DQ11_D1_SPARK}) + 20 * ({_DQ11_Y}) AS conf_pct",
+    )
+    return (
+        scored.selectExpr(
+            "y", "conf_pct", "LEAST(conf_pct DIV 10, 9) AS bin"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("conf_pct").cast("bigint").alias("conf_sum"),
+        )
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "n",
+            "100 * conf_sum DIV n AS conf_bp",
+            "10000 * n_pos DIV n AS acc_bp",
+            "abs(100 * conf_sum DIV n - 10000 * n_pos DIV n) AS gap_bp",
+            "n * abs(100 * conf_sum DIV n - 10000 * n_pos DIV n) "
+            "AS weighted_gap",
+        )
+    )
+
+
+_DQ11_SQL = (
+    "WITH scored AS (SELECT "
+    f"{_DQ11_Y} AS y, "
+    f"20 + 4 * ({_DQ11_D1_DUCK}) + 20 * ({_DQ11_Y}) AS conf_pct "
+    "FROM documents), "
+    "b AS (SELECT y, conf_pct, LEAST(conf_pct // 10, 9) AS bin "
+    "FROM scored), "
+    "agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(y) AS BIGINT) AS n_pos, "
+    "CAST(sum(conf_pct) AS BIGINT) AS conf_sum FROM b GROUP BY 1) "
+    "SELECT CAST(bin AS BIGINT) AS bin, n, "
+    "100 * conf_sum // n AS conf_bp, "
+    "10000 * n_pos // n AS acc_bp, "
+    "abs(100 * conf_sum // n - 10000 * n_pos // n) AS gap_bp, "
+    "n * abs(100 * conf_sum // n - 10000 * n_pos // n) AS weighted_gap "
+    "FROM agg"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -1424,6 +1503,7 @@ QUERIES = {
     "dq9_reconciliation": dq9_reconciliation,
     "x67_histogram_quantiles": x67_histogram_quantiles,
     "dq10_key_uniqueness": dq10_key_uniqueness,
+    "dq11_calibration_audit": dq11_calibration_audit,
 }
 
 ORACLES = {
@@ -1442,4 +1522,5 @@ ORACLES = {
     "dq9_reconciliation": _DQ9_SQL,
     "x67_histogram_quantiles": _X67_SQL,
     "dq10_key_uniqueness": _DQ10_SQL,
+    "dq11_calibration_audit": _DQ11_SQL,
 }

@@ -83,7 +83,7 @@ _PRIORITY = [
     # local tri-scale gate at sf0.001/.01/.1 (test_oracle_parity.py).
     # -- new round 11 (never driver-recorded) --
     "s47_cdf_obligation", "x5g_png_decode", "x71b_typo_pairs_ed2",
-    "x3i_graph_ann", "x72_mmr_rerank",
+    "x3i_graph_ann", "x72_mmr_rerank", "dq11_calibration_audit",
     # -- stalest driver proofs: r4-vintage (the final 18; after r11 no
     # -- query's newest driver proof predates r5) --
     "s1_feed_ingest", "s10_delta_merge", "s10b_partitioned_merge",

@@ -149,6 +149,7 @@ HEADLINE = [
     "x71b_typo_pairs_ed2",
     "x3i_graph_ann",
     "x72_mmr_rerank",
+    "dq11_calibration_audit",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
