@@ -323,8 +323,95 @@ def main() -> None:
             "mined": int(mined69),
             "sec": round(time.time() - t0, 1),
         }
+        # x71b (round 11): SymSpell radius-2 key-row and candidate
+        # volume — variants multiply VOCAB (Heaps-sublinear in corpus
+        # tokens) by ~L^2/2, so both counts should grow slower than
+        # the 10x document decade
+        from acero_delta_lake_streaming_spark.operators.dedup import (
+            _WORDS_SPARK,
+        )
+        from acero_delta_lake_streaming_spark.operators.retrieval import (
+            _X71_MIN_N,
+            _X71B_MIN_LEN,
+            _X71B_VARS_SPARK,
+        )
+
+        t0 = time.time()
+        toks71 = d.select(F.explode(F.expr(_WORDS_SPARK)).alias("w"))
+        vocab71 = (
+            toks71.filter(
+                (F.length("w") >= _X71B_MIN_LEN)
+                & F.col("w").rlike("^[a-z]+$")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= _X71_MIN_N)
+        )
+        vars71 = scoped_persist(
+            vocab71.select(
+                "w", F.explode(F.expr(_X71B_VARS_SPARK)).alias("v")
+            )
+        )
+        nvars71 = vars71.count()
+        cand71 = (
+            vars71.selectExpr("w AS wa", "v")
+            .join(vars71.selectExpr("w AS wb", "v"), "v")
+            .filter("wa < wb")
+            .select("wa", "wb")
+            .distinct()
+            .count()
+        )
+        release_scoped()
+        out[f"x71b_{tag}"] = {
+            "variant_rows": int(nvars71),
+            "candidates": int(cand71),
+            "sec": round(time.time() - t0, 1),
+        }
+        # x3i (round 11): k-NN graph build pair volume. The shipped
+        # fixture geometry is x3b's fixed 4x3 planes; the 100 TB path
+        # swaps in the adaptive bucketing (same downstream plan).
+        # Measure BOTH so the swap's necessity and sufficiency are on
+        # record.
+        from acero_delta_lake_streaming_spark.operators.similarity import (
+            _sign_buckets,
+        )
+
+        t0 = time.time()
+        b3f = _sign_buckets(spark, e69)
+        gp_fixed = (
+            b3f.selectExpr("vec_id AS src", "tbl", "bucket")
+            .join(
+                b3f.selectExpr("vec_id AS dst", "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter("src < dst")
+            .select("src", "dst")
+            .distinct()
+            .count()
+        )
+        b3a = _adaptive_sign_buckets(
+            spark, e69.select("vec_id", "embedding")
+        )
+        gp_adapt = (
+            b3a.selectExpr("vec_id AS src", "tbl", "bucket")
+            .join(
+                b3a.selectExpr("vec_id AS dst", "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter("src < dst")
+            .select("src", "dst")
+            .distinct()
+            .count()
+        )
+        out[f"x3i_{tag}"] = {
+            "vectors": int(e69.count()),
+            "graph_pairs_fixed": int(gp_fixed),
+            "graph_pairs_adaptive": int(gp_adapt),
+            "sec": round(time.time() - t0, 1),
+        }
         for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}",
-                  f"x5f_{tag}", f"x69_{tag}"):
+                  f"x5f_{tag}", f"x69_{tag}", f"x71b_{tag}",
+                  f"x3i_{tag}"):
             print(f"{k}: {out[k]}", file=sys.stderr)
 
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
@@ -362,6 +449,22 @@ def main() -> None:
         "x69_cand_ratio": round(
             out["x69_s01"]["candidates"]
             / max(out["x69_s001"]["candidates"], 1), 2
+        ),
+        "x71b_variant_ratio": round(
+            out["x71b_s01"]["variant_rows"]
+            / max(out["x71b_s001"]["variant_rows"], 1), 2
+        ),
+        "x71b_cand_ratio": round(
+            out["x71b_s01"]["candidates"]
+            / max(out["x71b_s001"]["candidates"], 1), 2
+        ),
+        "x3i_pairs_fixed_ratio": round(
+            out["x3i_s01"]["graph_pairs_fixed"]
+            / max(out["x3i_s001"]["graph_pairs_fixed"], 1), 2
+        ),
+        "x3i_pairs_adaptive_ratio": round(
+            out["x3i_s01"]["graph_pairs_adaptive"]
+            / max(out["x3i_s001"]["graph_pairs_adaptive"], 1), 2
         ),
     }
     print(json.dumps(out))
