@@ -2901,9 +2901,9 @@ def _x64_sql() -> str:
 # --------------------------------------------------------------------------
 
 _X3I_DEG = 8      # k-NN graph out-degree per node
-_X3I_BEAM = 8     # best-first beam width (ef in HNSW terms)
+_X3I_BEAM = 10    # best-first beam width (ef in HNSW terms)
 _X3I_HOPS = 4     # unrolled expansion rounds
-_X3I_ENTRIES = 4  # walk starts: top-E of the scored entry sample
+_X3I_ENTRIES = 6  # walk starts: top-E of the scored entry sample
 _X3I_ENTRY_MOD = 53  # entry-point sample: vec_id % 53 == 1 (~2% of corpus)
 
 

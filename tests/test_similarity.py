@@ -203,9 +203,9 @@ def test_planted_id_offsets_clear_corpus(spark, sf_dir):
 
 
 def test_graph_ann_recall_floor(spark, sf_dir):
-    """x3i's best-first walk touches ~10% of the corpus (4 entries,
-    beam 8, degree 8, 4 hops) and must keep ≥0.2 mean recall@5 vs
-    brute force — measured 0.44 at sf0.001 / 0.40 at sf0.01 / 0.28 at
+    """x3i's best-first walk touches ~16% of the corpus (6 entries,
+    beam 10, degree 8, 4 hops) and must keep ≥0.2 mean recall@5 vs
+    brute force — measured 0.56 at sf0.001 / 0.52 at sf0.01 / 0.32 at
     sf0.1 on these weakly-clustered vectors (graph navigability is
     poor without real cluster structure — the same physics note as
     the IVF floor; raise beam/hops to trade visited fraction for
