@@ -1438,21 +1438,30 @@ def x72_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    wall = Window.partitionBy()
+    # Normalize rel over the PRE-join top-25 (max(score_e9) computed
+    # before the embeddings join): the DuckDB oracle and the Python
+    # replay test both take the max over the pre-join pool, so if a
+    # top-25 doc ever lacked an embeddings row the frames would diverge
+    # silently (ADVICE r11) — anchor all three to the same frame.
     top = (
         _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
-    )
-    wall = Window.partitionBy()
-    pool = scoped_persist(
-        top.join(emb.select("vec_id", "embedding"),
-                 top.doc_id == emb.vec_id)
         .select(
             "doc_id",
             (
                 F.col("score_e9").cast("double")
                 / F.max("score_e9").over(wall).cast("double")
             ).alias("rel"),
+        )
+    )
+    pool = scoped_persist(
+        top.join(emb.select("vec_id", "embedding"),
+                 top.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "rel",
             "embedding",
             F.expr(_norm_spark("embedding")).alias("nrm"),
         )
@@ -1621,7 +1630,11 @@ def x71_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥5-letter word with the 2nd character deleted — a deterministic,
     SQL-replayable misspelling the join must recover (each planted
     pair is ed-1 by construction and shares a deletion variant by the
-    SymSpell identity, so recall is 1.0 by construction).
+    SymSpell identity, so recall is 1.0 by construction). Each typo is
+    planted TWICE so it clears the ``n >= _X71_MIN_N`` vocabulary gate
+    by construction, not by fixture luck (ADVICE r11: a regenerated
+    fixture with a singleton qualifying first word must not silently
+    drop its plant).
 
     Scale shape: the vocabulary is Heaps-sublinear in corpus tokens;
     variants multiply it by ~avg word length; the ONE shuffle keys on
@@ -1642,6 +1655,8 @@ def x71_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("concat(substring(fw, 1, 1), substring(fw, 3))")
             .alias("w")
         )
+        # plant twice: the n >= _X71_MIN_N gate passes by construction
+        .select(F.explode(F.array("w", "w")).alias("w"))
     )
     vocab = (
         toks.unionByName(typos)
@@ -1721,12 +1736,17 @@ def x71b_typo_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Planted certificate (the x69/x48 pattern): every doc with
     ``doc_id % 17 == 11`` contributes one token built from its first
-    ≥6-letter word by SUBSTITUTING the 2nd character with 'q' and
-    DELETING the 4th — exactly distance 2, and the pair shares a
-    2-deletion variant by construction (delete chars 2 and 4 of the
-    original ≡ delete 'q' + char 3 of the typo), so recall on the
-    plants is 1.0 by the identity, not by luck. The ``ed`` column
-    keeps radius-1 kin distinguishable.
+    ≥6-letter word (whose 2nd character is not already 'q' — else the
+    substitution is a no-op and the plant collapses to ed 1) by
+    SUBSTITUTING the 2nd character with 'q' and DELETING the 4th —
+    exactly distance 2, and the pair shares a 2-deletion variant by
+    construction (delete chars 2 and 4 of the original ≡ delete 'q' +
+    char 3 of the typo), so recall on the plants is 1.0 by the
+    identity, not by luck. Each typo is planted TWICE so it clears the
+    ``n >= _X71_MIN_N`` vocabulary gate by construction (ADVICE r11:
+    a regenerated fixture with a singleton qualifying first word must
+    not silently drop its plant). The ``ed`` column keeps radius-1
+    kin distinguishable.
 
     Scale shape: vocabulary is Heaps-sublinear in corpus tokens;
     variants multiply it by ~L²/2 (~20x at L=9 — linear in vocab,
@@ -1739,7 +1759,8 @@ def x71b_typo_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # throws on [0] over an empty array; DuckDB's [1] is already NULL)
     typo_src = F.expr(
         f"get(filter({_WORDS_SPARK}, "
-        "x -> length(x) >= 6 AND x rlike '^[a-z]+$'), 0)"
+        "x -> length(x) >= 6 AND x rlike '^[a-z]+$' "
+        "AND substring(x, 2, 1) <> 'q'), 0)"
     )
     typos = (
         docs.filter("doc_id % 17 = 11")
@@ -1751,6 +1772,8 @@ def x71b_typo_pairs_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substring(fw, 5))"
             ).alias("w")
         )
+        # plant twice: the n >= _X71_MIN_N gate passes by construction
+        .select(F.explode(F.array("w", "w")).alias("w"))
     )
     vocab = (
         toks.unionByName(typos)
@@ -1796,8 +1819,10 @@ _X71B_SQL = (
     "SELECT substr(fw, 1, 1) || 'q' || substr(fw, 3, 1) || substr(fw, 5) "
     "AS w FROM ("
     f"SELECT list_filter({_WORDS_DUCK}, "
-    "x -> len(x) >= 6 AND regexp_full_match(x, '[a-z]+'))[1] AS fw "
-    "FROM documents WHERE doc_id % 17 = 11) t WHERE fw IS NOT NULL), "
+    "x -> len(x) >= 6 AND regexp_full_match(x, '[a-z]+') "
+    "AND substr(x, 2, 1) <> 'q')[1] AS fw "
+    "FROM documents WHERE doc_id % 17 = 11) t "
+    "CROSS JOIN range(0, 2) dup WHERE fw IS NOT NULL), "
     "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks "
     f"WHERE len(w) >= {_X71B_MIN_LEN} AND regexp_full_match(w, '[a-z]+') "
     f"GROUP BY 1 HAVING count(*) >= {_X71_MIN_N}), "
@@ -1820,7 +1845,8 @@ _X71_SQL = (
     "SELECT substr(fw, 1, 1) || substr(fw, 3) AS w FROM ("
     f"SELECT list_filter({_WORDS_DUCK}, "
     "x -> len(x) >= 5 AND regexp_full_match(x, '[a-z]+'))[1] AS fw "
-    "FROM documents WHERE doc_id % 13 = 7) t WHERE fw IS NOT NULL), "
+    "FROM documents WHERE doc_id % 13 = 7) t "
+    "CROSS JOIN range(0, 2) dup WHERE fw IS NOT NULL), "
     "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks "
     f"WHERE len(w) >= {_X71_MIN_LEN} AND regexp_full_match(w, '[a-z]+') "
     f"GROUP BY 1 HAVING count(*) >= {_X71_MIN_N}), "

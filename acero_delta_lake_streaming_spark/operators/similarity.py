@@ -2900,38 +2900,46 @@ def _x64_sql() -> str:
 # X3i — graph-based ANN (HNSW-class best-first search, bounded/unrolled)
 # --------------------------------------------------------------------------
 
-_X3I_DEG = 8      # k-NN graph out-degree per node
-_X3I_BEAM = 10    # best-first beam width (ef in HNSW terms)
-_X3I_HOPS = 4     # unrolled expansion rounds
-_X3I_ENTRIES = 6  # walk starts: top-E of the scored entry sample
-_X3I_ENTRY_MOD = 53  # entry-point sample: vec_id % 53 == 1 (~2% of corpus)
+_X3I_DEG = 8       # k-NN graph out-degree per node
+_X3I_BEAM = 12     # best-first beam width (ef in HNSW terms)
+_X3I_HOPS = 4      # unrolled expansion rounds
+_X3I_ENTRIES = 10  # walk starts: top-E of the scored hub set per query
+_X3I_HUBS = 48     # global entry-point pool: top in-degree graph nodes
 
 
 def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3i — GRAPH-traversal ANN, the HNSW-class family member
-    (VERDICT r10 item 8): build a k-NN graph once (top-``_X3I_DEG``
-    neighbors per node among its sign-LSH bucket-mates — the SAME
-    shared bucketing construction the whole x3 family probes), then
-    answer each query with a bounded best-first walk: start at the
-    best of a deterministic ~2% entry sample, expand the frontier's
+    (VERDICT r10 item 8; geometry + entry points reworked per VERDICT
+    r11 item 1): build a k-NN graph once (top-``_X3I_DEG`` neighbors
+    per node among its sign-LSH bucket-mates under the ADAPTIVE plane
+    count — the linear-candidate-growth bucketing x14/x48/x69/x5f
+    ship, measured 4.3x vs the fixed geometry's 16.1x pair growth
+    over the 4x embedding decade, SCALE_PROBE_r11), then answer each
+    query with a bounded best-first walk: start at the best
+    ``_X3I_ENTRIES`` of the graph's ``_X3I_HUBS`` highest-in-degree
+    nodes (HNSW's upper-layer role: entry points are GRAPH-derived
+    ingest-time state, not a corpus scan), expand the frontier's
     graph neighbors for ``_X3I_HOPS`` unrolled rounds, keep a
     ``_X3I_BEAM``-wide beam over everything visited (greedy
     best-first with a fixed horizon — x28's fixed-iteration PageRank
     pattern applied to search), and emit the visited top-5. Fully
-    deterministic (cos DESC, vec_id ASC ties), so the DuckDB oracle
-    replays the exact walk; the recall floor vs the x3 exact truth is
-    pinned in tests/test_similarity.py with the x47 audit's
-    composition.
+    deterministic (cos DESC, vec_id ASC ties; hubs by in-degree DESC,
+    id ASC), so the DuckDB oracle replays the exact walk; the recall
+    floor vs the x3 exact truth is pinned in tests/test_similarity.py
+    with the x47 audit's composition.
 
     Scale shape: the graph build is the one corpus-scale pass —
-    bucket-mate pairs (bounded by bucket co-occupancy, never
-    all-pairs, same cost family as x14/x3c) topped to a constant
+    bucket-mate pairs under the adaptive planes (bounded by constant
+    expected bucket occupancy, never all-pairs, LINEAR in corpus —
+    the shipped path `scale_probe.py` measures) topped to a constant
     out-degree, and at 100 TB it is ingest-time state exactly like
     the IVF centroids (st18's pattern), amortized over every query.
-    The search itself touches O(beam x degree x hops) rows per query
-    — independent of corpus size, the property that makes
-    graph-traversal ANN the latency king; embeddings ride id-keyed
-    joins only."""
+    The hub set is part of that state (a TakeOrdered over the graph's
+    in-degree — no global window, no corpus scan at query time); per
+    query the search scores ``_X3I_HUBS`` entries plus
+    O(beam x degree x hops) walked rows — independent of corpus
+    size, the property that makes graph-traversal ANN the latency
+    king; embeddings ride id-keyed joins only."""
     from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2941,7 +2949,9 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_norm_spark("embedding")).alias("nrm"),
         )
     )
-    buckets = _sign_buckets(spark, emb)
+    buckets = _adaptive_sign_buckets(
+        spark, emb.select("vec_id", "embedding")
+    )
     # UNORDERED bucket-mate pairs (src < dst): the 64-dim cosine fold —
     # the graph build's dominant cost — runs once per pair; the edge
     # set mirrors afterward for the per-source degree window.
@@ -3001,8 +3011,19 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
     )
+    # Entry points from GRAPH state: the _X3I_HUBS highest-in-degree
+    # nodes (TakeOrdered — distributed, no global window), scored
+    # against every query. H x Q cosine folds per batch — corpus-
+    # independent, unlike the r11 %53 corpus sample this replaces.
+    hubs = (
+        graph.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc("dst"))
+        .limit(_X3I_HUBS)
+        .select(F.col("dst").alias("vec_id"))
+    )
     entries = (
-        scored.filter(F.col("vec_id") % _X3I_ENTRY_MOD == 1)
+        hubs.join(scored, "vec_id")
         .join(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", qcos)
@@ -3047,16 +3068,20 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x3i_sql() -> str:
-    """DuckDB replay of the exact walk: same graph, same entry choice,
-    same unrolled beam rounds, same tie-breaks."""
+    """DuckDB replay of the exact walk: same adaptive-plane graph,
+    same hub-derived entry choice, same unrolled beam rounds, same
+    tie-breaks."""
     dot_sq = _dot_duck("s.embedding", "q.q_embedding")
     ctes = [
+        "cnt AS (SELECT count(*) AS cnt FROM embeddings)",
+        f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt)",
         (
             "planes AS (SELECT p, "
-            f"CAST(p // {_PLANES_PER_TABLE} AS INT) AS tbl, "
-            f"CAST(p % {_PLANES_PER_TABLE} AS INT) AS bit, "
+            "CAST(p // ppt AS INT) AS tbl, "
+            "CAST(p % ppt AS INT) AS bit, "
             f"{_W_DUCK} AS warr "
-            f"FROM range(0, {_N_TABLES * _PLANES_PER_TABLE}) t(p))"
+            f"FROM range(0, {_N_TABLES * (_SEM_MAX_PLANES + 1)}) t(p) "
+            f"CROSS JOIN pp WHERE p < ppt * {_N_TABLES})"
         ),
         (
             "buckets AS (SELECT e.vec_id, pl.tbl, "
@@ -3097,11 +3122,16 @@ def _x3i_sql() -> str:
             f"WHERE vec_id < {_N_QUERIES})"
         ),
         (
+            "hubs AS (SELECT dst AS vec_id FROM graph "
+            "GROUP BY dst ORDER BY count(*) DESC, dst ASC "
+            f"LIMIT {_X3I_HUBS})"
+        ),
+        (
             "ent AS (SELECT q.query_id, s.vec_id, "
             f"{dot_sq} / (s.nrm * q.q_nrm) AS cos "
-            "FROM scored s CROSS JOIN queries q "
-            f"WHERE s.vec_id % {_X3I_ENTRY_MOD} = 1 "
-            "AND s.vec_id <> q.query_id)"
+            "FROM hubs h JOIN scored s ON s.vec_id = h.vec_id "
+            "CROSS JOIN queries q "
+            "WHERE s.vec_id <> q.query_id)"
         ),
         (
             "v0 AS (SELECT query_id, vec_id, cos FROM (SELECT query_id, "

@@ -73,37 +73,19 @@ _PRIORITY = [
     # (VERDICT r4 item 2, executed every round since): fixtures
     # REGENERATE between rounds, so a query's driver proof decays — no
     # query's newest driver-green row should be older than two rounds.
-    # Round-11 window (VERDICT r10 item 1, verbatim): new round-11
-    # queries (never recorded) lead, then the 18 r4-stale proofs
-    # (s1/s10/s10b/s11/s12/s12b/st9 + 11 TPC-H — the only queries whose
-    # newest driver proof predates r5), back-filled with r5-vintage
-    # entries to ~50. The 50 queries recorded green in
-    # CORRECTNESS_r10.json (freshest) go last. Order within a vintage
-    # is unchanged. Everything past the window stays verified by the
-    # local tri-scale gate at sf0.001/.01/.1 (test_oracle_parity.py).
-    # -- new round 11 (never driver-recorded) --
-    "s47_cdf_obligation", "x5g_png_decode", "x71b_typo_pairs_ed2",
-    "x3i_graph_ann", "x72_mmr_rerank", "dq11_calibration_audit",
-    # -- stalest driver proofs: r4-vintage (the final 18; after r11 no
-    # -- query's newest driver proof predates r5) --
-    "s1_feed_ingest", "s10_delta_merge", "s10b_partitioned_merge",
-    "s11_version_diff", "s12_change_feed", "s12b_incremental_consumer",
-    "st9_streaming_ema", "q2_cheapest_part", "q8_market_share",
-    "q11_important_parts", "q12_priority_class_shipping",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q20_excess_shippers", "q21_sole_supplier_orders",
-    "q22_dormant_balances",
-    # -- r5-vintage proofs --
-    "x3d_ivf_topk", "x3e_quantized_ann", "x21b_bm25_ln_topk",
-    "s13_merge_delete", "s14_restore", "s15_stats_skipping",
-    "s16_zorder_real", "st10_cdf_follower", "st11_streaming_sessions",
-    "a14_sampled_percentiles", "x26_unigram_surprise", "s17_dv_delete",
-    "st12_incremental_agg_mart", "j4_bloom_prefilter_join",
-    "w12_retention_cohorts", "st13_left_outer_join", "x27_hll_distinct",
-    "x28_graph_pagerank", "s18_shallow_clone", "st14_watermark_dedup",
-    "ud4_retry_stats", "x29_sequence_patterns", "dq3_profile_drift",
-    "x31_source_keywords", "q1_pricing_summary", "q3_shipping_priority",
+    # Round-12 window (VERDICT r11 item 2): queries whose HASH CHANGED
+    # this round lead (they need a fresh driver proof of the new code),
+    # then the 23 r5-vintage proofs (the stalest after the r11
+    # rotation), then the r6-vintage block filling the ~50 window — its
+    # remainder leads the r13 window. Order within a vintage is
+    # unchanged. Everything past the window stays verified by the local
+    # tri-scale gate at sf0.001/.01/.1 (test_oracle_parity.py).
+    # -- round-12 changed queries (hashes changed this round: x3i's
+    # -- adaptive graph geometry + hub entries; x71/x71b plant-twice;
+    # -- x72 pre-join normalization) --
+    "x3i_graph_ann", "x71_typo_pairs", "x71b_typo_pairs_ed2",
+    "x72_mmr_rerank",
+    # -- stalest driver proofs: r5-vintage (23 entries) --
     "q4_late_shipment_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_trade", "q9_product_profit",
     "q10_returned_revenue", "q18_large_orders", "p1_project",
@@ -113,7 +95,7 @@ _PRIORITY = [
     "a4_daily_counts", "a8_grouped_total_order", "a9_rollup",
     "a10_percentiles", "t1_topk", "u1_union_discriminator",
     "f_scalar_suite",
-    # -- r6-vintage proofs --
+    # -- r6-vintage proofs (fill the ~50 window; remainder leads r13) --
     "s17b_dv_delete_partitioned", "x3f_ivf_sq_ann",
     "st16_full_outer_join", "x3g_filtered_ann", "x32_weighted_sample",
     "x33_canonical_dedup", "x34_substring_dedup", "w14_rfm_segments",
@@ -131,10 +113,28 @@ _PRIORITY = [
     "f8_array_suite", "w1_daily_delta", "w2_moving_avg",
     "w3_rank_in_group", "flagship_breakdown", "s3_delta_append_scan",
     "s3b_skipping_scan", "s4_time_travel", "s5_medallion_fanout",
-    # -- r8-vintage proofs (freshest; least in need of a slot) --
-    "x56_readability", "x57_source_overlap", "x59_cluster_purity",
-    "dq8_benford_audit", "x60_containment_pairs", "x61_ql_topk",
-    "x62_hybrid_rrf", "st23_streaming_scd2_enrich", "x63_sketch_overlap",
+    # -- r8+ vintage proofs (freshest; least in need of a slot) --
+    "s47_cdf_obligation", "x5g_png_decode", "dq11_calibration_audit",
+    "s1_feed_ingest", "s10_delta_merge", "s10b_partitioned_merge",
+    "s11_version_diff", "s12_change_feed", "s12b_incremental_consumer",
+    "st9_streaming_ema", "q2_cheapest_part", "q8_market_share",
+    "q11_important_parts", "q12_priority_class_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q20_excess_shippers", "q21_sole_supplier_orders",
+    "q22_dormant_balances", "x3d_ivf_topk", "x3e_quantized_ann",
+    "x21b_bm25_ln_topk", "s13_merge_delete", "s14_restore",
+    "s15_stats_skipping", "s16_zorder_real", "st10_cdf_follower",
+    "st11_streaming_sessions", "a14_sampled_percentiles",
+    "x26_unigram_surprise", "s17_dv_delete", "st12_incremental_agg_mart",
+    "j4_bloom_prefilter_join", "w12_retention_cohorts",
+    "st13_left_outer_join", "x27_hll_distinct", "x28_graph_pagerank",
+    "s18_shallow_clone", "st14_watermark_dedup", "ud4_retry_stats",
+    "x29_sequence_patterns", "dq3_profile_drift", "x31_source_keywords",
+    "q1_pricing_summary", "q3_shipping_priority", "x56_readability",
+    "x57_source_overlap", "x59_cluster_purity", "dq8_benford_audit",
+    "x60_containment_pairs", "x61_ql_topk", "x62_hybrid_rrf",
+    "st23_streaming_scd2_enrich", "x63_sketch_overlap",
     "x64_matryoshka_recall", "x5e_audio_vad", "dq9_reconciliation",
     "x65_lsh_sweep", "s38_domain_metadata", "s39_column_defaults",
     "s28_replace_where", "x41_bpe_train", "st19_streaming_heavy_hitters",
@@ -150,39 +150,35 @@ _PRIORITY = [
     "x49_leakage_safe_split", "x50_quality_probe", "s34_row_id_lifecycle",
     "x5d_multimodal_pack", "x51_dedup_roi", "f9_datetime_suite",
     "st22_streaming_quality_mart", "s35_generated_partition_pruning",
-    "dq7_token_drift", "a16_conditional_aggregates",
-    # -- r9-vintage proofs (the full CORRECTNESS_r09 window; freshest) --
-    "xj3_asof_tolerance", "x52_quantizer_drift", "s36_identity_merge",
-    "s37_mapped_row_ids", "x53_phrase_search", "x54_budget_waterfill",
-    "x55_novelty_curve", "s22_mapped_merge_delete", "s23_dv_merge",
-    "s24_id_mode_writes", "s25_row_tracking", "st18_streaming_ivf_assign",
+    "dq7_token_drift", "a16_conditional_aggregates", "xj3_asof_tolerance",
+    "x52_quantizer_drift", "s36_identity_merge", "s37_mapped_row_ids",
+    "x53_phrase_search", "x54_budget_waterfill", "x55_novelty_curve",
+    "s22_mapped_merge_delete", "s23_dv_merge", "s24_id_mode_writes",
+    "s25_row_tracking", "st18_streaming_ivf_assign",
     "x34b_substring_trim", "s26_clone_rewrite", "s27_type_widening",
     "x10b_decontaminate_trim", "x39_cluster_topics",
     "x40_normalized_dedup", "x60b_corpus_containment",
-    "st24_delta_append_stream",
-    "x2b_simhash_groups", "x2c_ngram_jaccard_pairs", "x2d_dup_clusters",
-    "x3b_ann_lsh", "x3c_cosine_neardup", "x4b_lang_profile",
-    "x4c_fingerprint", "x4d_langid_ngram", "x4e_bpe_token_stats",
-    "x5b_decode_features", "x5c_frame_sample", "x6b_session_stats",
-    "xj1_asof_prior_click", "xj2_range_clicks_before_purchase",
-    "w5_ohlc_downsample", "w7_scd2_user_state", "w8_funnel",
-    "x8_dataset_split", "x9_stratified_sample", "x10_contamination_check",
+    "st24_delta_append_stream", "x2b_simhash_groups",
+    "x2c_ngram_jaccard_pairs", "x2d_dup_clusters", "x3b_ann_lsh",
+    "x3c_cosine_neardup", "x4b_lang_profile", "x4c_fingerprint",
+    "x4d_langid_ngram", "x4e_bpe_token_stats", "x5b_decode_features",
+    "x5c_frame_sample", "x6b_session_stats", "xj1_asof_prior_click",
+    "xj2_range_clicks_before_purchase", "w5_ohlc_downsample",
+    "w7_scd2_user_state", "w8_funnel", "x8_dataset_split",
+    "x9_stratified_sample", "x10_contamination_check",
     "x11_context_chunks", "s6_cached_read", "s7_upsert_merge",
     "s8_delta_format_roundtrip", "s9_zorder_skipping",
     "st1_medallion_ingest", "st2_stateful_totals", "st4_windowed_counts",
     "st7_interval_join", "st8_stream_static_enrich",
-    # -- r10-vintage proofs (the full CORRECTNESS_r10 window; freshest) --
     "st24b_partitioned_append_stream", "x5f_media_phash_neardup",
     "s41_bucketed_colocated_join", "x66_tokenizer_fertility",
     "x67_histogram_quantiles", "s42_variant_ingest",
-    "s43_collated_grouping", "dq10_key_uniqueness",
-    "x68_training_shards", "s44_iceberg_compat_writes",
-    "st25_streaming_shard_tail", "x69_bitext_mining",
-    "st26_streaming_quantile_mart", "x70_hard_negatives",
-    "s45_log_compaction", "x71_typo_pairs",
-    "s46_row_lineage_diff", "x68b_shard_balance",
-    "x1_exact_dedup", "x2_minhash_near_dup", "x3_cosine_topk",
-    "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
+    "s43_collated_grouping", "dq10_key_uniqueness", "x68_training_shards",
+    "s44_iceberg_compat_writes", "st25_streaming_shard_tail",
+    "x69_bitext_mining", "st26_streaming_quantile_mart",
+    "x70_hard_negatives", "s45_log_compaction", "s46_row_lineage_diff",
+    "x68b_shard_balance", "x1_exact_dedup", "x2_minhash_near_dup",
+    "x3_cosine_topk", "x4_doc_stats", "x5_meta_pruning", "x6_sessionize",
     "x7_sequence_pack", "x12_repetition_quality", "x13_kmv_distinct",
     "x14_semdedup", "x15_mixture_sample", "x16_pii_redaction",
     "x17_cms_heavy_hitters", "x19_line_dedup", "x20_curation_pipeline",

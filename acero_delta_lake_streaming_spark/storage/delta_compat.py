@@ -828,7 +828,16 @@ def snapshot(
         else:
             break
     starts = {a: bp for a, bp in starts.items() if a < _v}
-    tail_candidates = list(existing) + [b for b, _p in starts.values()]
+    # Tail comes from the walk's COVERAGE (_v - 1), not from every kept
+    # range's end (ADVICE r11): a range the walk jumped OVER (e.g.
+    # ranges 0..1 and 1..5 with commits 0..3 — consuming 0..1 lands on
+    # 2 and proceeds via commits, never touching start 1) must not
+    # inflate tail to its end and manufacture a phantom log-gap error
+    # at 4 on a healthy version-3 log. Ranges the walk consumed are
+    # already inside _v - 1; existing commits BEYOND the walk stay in
+    # the candidates so a genuine gap below a real commit still raises
+    # in the replay loop.
+    tail_candidates = list(existing) + ([_v - 1] if _v > start else [])
     tail = max(tail_candidates) if tail_candidates else None
 
     def _apply_file(path: str) -> None:

@@ -367,11 +367,12 @@ def main() -> None:
             "candidates": int(cand71),
             "sec": round(time.time() - t0, 1),
         }
-        # x3i (round 11): k-NN graph build pair volume. The shipped
-        # fixture geometry is x3b's fixed 4x3 planes; the 100 TB path
-        # swaps in the adaptive bucketing (same downstream plan).
-        # Measure BOTH so the swap's necessity and sufficiency are on
-        # record.
+        # x3i (round 11, reworked round 12): k-NN graph build pair
+        # volume. Since round 12 the SHIPPED path is the adaptive
+        # bucketing (graph_pairs_adaptive — measured ~linear); the
+        # fixed 4x3 geometry stays measured alongside as the
+        # counterfactual that justified the swap (16.1x vs 4.3x over
+        # the decade, VERDICT r11 item 1).
         from acero_delta_lake_streaming_spark.operators.similarity import (
             _sign_buckets,
         )

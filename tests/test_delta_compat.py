@@ -6783,6 +6783,64 @@ def test_unreachable_compacted_range_ignored(spark, tmp_path):
     os.remove(foreign)
 
 
+def test_jumped_over_compacted_range_does_not_inflate_tail(
+    spark, tmp_path
+):
+    """ADVICE r11: a compacted range the reachability walk jumps OVER
+    must not extend the replay tail. Ranges 0..1 and 1..5 with commits
+    0..3: consuming 0..1 lands the walk on 2 and proceeds via commits —
+    start 1 is never touched — but the kept 1..5 range's end used to
+    inflate tail to 5, manufacturing a phantom log-gap error at 4 on a
+    healthy version-3 log. Tail now derives from walk coverage; the
+    snapshot resolves cleanly at 3 with the right rows."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "jumped_range_tbl")
+    for lo in (0, 3, 6, 9):
+        dc.append_delta(
+            spark.range(lo, lo + 3).coalesce(1).select(
+                F.col("id").alias("k")
+            ),
+            table,
+        )
+    before = sorted(r["k"] for r in dc.read_delta(spark, table).collect())
+    assert before == list(range(12))
+
+    dc.compact_log_range(table, 0, 1)
+    # overlapping foreign range whose start (1) the walk jumps over and
+    # whose end (5) exceeds the true head (out-of-band surgery — this
+    # writer's own compact_log_range refuses missing commits)
+    foreign = os.path.join(
+        table, "_delta_log", f"{1:020d}.{5:020d}.compacted.json"
+    )
+    with open(foreign, "w") as f:
+        f.write(_json.dumps({"add": {
+            "path": "ghost.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    try:
+        snap = dc.snapshot(table)
+        assert snap["version"] == 3
+        assert not any("ghost" in p for p in snap["files"])
+        assert sorted(
+            r["k"] for r in dc.read_delta(spark, table).collect()
+        ) == before
+        # a genuine gap BELOW an existing commit still raises: hide
+        # commit 2 (not covered by any usable range) — commit 3 exists
+        # beyond it, so the hole must stay loud
+        p2 = dc._commit_path(table, 2)
+        os.rename(p2, p2 + ".hid")
+        try:
+            with pytest.raises(dc.DeltaCorruptLogError):
+                dc.snapshot(table)
+        finally:
+            os.rename(p2 + ".hid", p2)
+    finally:
+        os.remove(foreign)
+
+
 def test_cdf_writer_obligation_foreign_table(spark, tmp_path):
     """delta.enableChangeDataFeed is a WRITER OBLIGATION (round-10
     verdict item 1): a foreign table created with the flag set (writer

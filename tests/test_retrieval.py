@@ -329,7 +329,8 @@ def test_x71b_ed2_planted_recall(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fw = F.expr(
         "get(filter(filter(split(text, ' '), x -> x != ''), "
-        "x -> length(x) >= 6 AND x rlike '^[a-z]+$'), 0)"
+        "x -> length(x) >= 6 AND x rlike '^[a-z]+$' "
+        "AND substring(x, 2, 1) <> 'q'), 0)"
     )
     planted = {
         (r["fw"], r["fw"][0] + "q" + r["fw"][2] + r["fw"][4:])

@@ -203,15 +203,16 @@ def test_planted_id_offsets_clear_corpus(spark, sf_dir):
 
 
 def test_graph_ann_recall_floor(spark, sf_dir):
-    """x3i's best-first walk touches ~16% of the corpus (6 entries,
-    beam 10, degree 8, 4 hops) and must keep ≥0.2 mean recall@5 vs
-    brute force — measured 0.56 at sf0.001 / 0.52 at sf0.01 / 0.32 at
-    sf0.1 on these weakly-clustered vectors (graph navigability is
-    poor without real cluster structure — the same physics note as
-    the IVF floor; raise beam/hops to trade visited fraction for
-    recall). The floor guards a broken graph build or walk, not
-    physics. Soundness: every result is a true corpus vector, never
-    the query itself."""
+    """x3i's best-first walk (48 hubs -> 10 entries, beam 12, degree
+    8, 4 hops over the ADAPTIVE-geometry graph — the round-12 shipped
+    path) must keep ≥0.2 mean recall@5 vs brute force — measured 0.46
+    at sf0.001 / 0.48 at sf0.01 / 0.32 at sf0.1 on these
+    weakly-clustered vectors (graph navigability is poor without real
+    cluster structure — the same physics note as the IVF floor; raise
+    hubs/entries/beam/hops to trade visited rows for recall). The
+    floor guards a broken graph build or walk, not physics.
+    Soundness: every result is a true corpus vector, never the query
+    itself."""
     exact = _exact_top5(spark, sf_dir)
     from acero_delta_lake_streaming_spark.operators.similarity import (
         x3i_graph_ann,
