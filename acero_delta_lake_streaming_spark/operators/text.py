@@ -14,7 +14,7 @@ corpus-analysis layer a 100 TB pipeline needs before any LLM sees a row.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from acero_delta_lake_streaming_spark.catalog import load_table
 from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
@@ -885,6 +885,454 @@ _X56_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# X73 — unigram-LM tokenizer training (SentencePiece-family, Viterbi-EM)
+# --------------------------------------------------------------------------
+
+_X73_M = 3          # max piece length (chars)
+_X73_SEED_K = 48    # multi-char seed pieces kept (top by weighted count)
+_X73_BIG = 10**15   # disallowed-piece sentinel (dwarfs any real path)
+
+
+def _x73_cand_spark(bests: str, pvar: str) -> str:
+    """Candidate costs for segmenting position ``pvar``: piece start
+    j = p - M + t for t in 1..M (ascending j ⇒ the array_position
+    tie-break picks the SMALLEST start = LONGEST piece, same both
+    engines); out-of-range starts yield NULL, which array_min skips."""
+    m = _X73_M
+    return (
+        f"transform(sequence(1, {m}), t -> IF({pvar} - {m} + t >= 1, "
+        f"try_element_at({bests}, {pvar} - {m} + t) + coalesce("
+        f"try_element_at(m, substring(word, {pvar} - {m} + t, "
+        f"{m} + 1 - t)), CAST({_X73_BIG} AS BIGINT)), "
+        "CAST(NULL AS BIGINT)))"
+    )
+
+
+_X73_BESTS = (
+    "aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)), "
+    f"(bests, p) -> array_append(bests, "
+    f"array_min({_x73_cand_spark('bests', 'p')})))"
+)
+_X73_BACKS = (
+    f"transform(sequence(1, length(word)), p -> p - {_X73_M} + "
+    f"array_position({_x73_cand_spark('bests', 'p')}, "
+    f"array_min({_x73_cand_spark('bests', 'p')})))"
+)
+# Backward walk: at most length(word) steps; each appends the piece
+# ending at `cur` and jumps to its start - 1 (the x28-style fixed
+# unroll, expressed as a fold with an early no-op once cur hits 0)
+_X73_PS = (
+    "aggregate(sequence(1, length(word)), "
+    "named_struct('cur', CAST(length(word) AS BIGINT), "
+    "'ps', CAST(array() AS array<string>)), "
+    "(acc, x) -> IF(acc.cur <= 0, acc, named_struct("
+    "'cur', element_at(backs, CAST(acc.cur AS INT)) - 1, "
+    "'ps', array_append(acc.ps, substring(word, "
+    "element_at(backs, CAST(acc.cur AS INT)), "
+    "acc.cur - element_at(backs, CAST(acc.cur AS INT)) + 1)))), "
+    "acc -> acc.ps)"
+)
+
+
+def _x73_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus pass (x41's shape): word → weight, checkpointed
+    eagerly because every EM round consumes it through broadcast
+    subplans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _x73_seed_counts(words: DataFrame) -> DataFrame:
+    """Seed vocabulary: every single character (coverage guarantee —
+    chars are never pruned, SentencePiece's required-character rule)
+    plus the top ``_X73_SEED_K`` substrings of length 2..M by weighted
+    occurrence count (overlaps counted — the standard substring-seed).
+    Vocab-sized: ≤ L·M substring rows per DISTINCT word."""
+    m = _X73_M
+    subs = (
+        words.select(
+            "wt",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), j -> "
+                    f"filter(transform(sequence(1, {m}), l -> "
+                    "IF(j + l - 1 <= length(word), "
+                    "substring(word, j, l), CAST(NULL AS STRING))), "
+                    "x -> x IS NOT NULL)))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wt").cast("long").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_X73_SEED_K)
+    )
+    return chars.unionByName(multi)
+
+
+def _x73_costs(counts: DataFrame) -> DataFrame:
+    """(piece, cnt) → (piece, cnt, cost_e9): cost = lnq(total) −
+    lnq(cnt) with lnq(x) = floor(1e9·portable_ln(x)) — both arguments
+    are positive integers, the exact regime the portable ln was built
+    for, and the subtraction of two independently-quantized integers is
+    order-independent and bit-identical cross-engine."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _portable_ln,
+    )
+
+    wall = Window.partitionBy()
+    a = (
+        counts.withColumn("total", F.sum("cnt").over(wall))
+        .withColumn("lx", F.col("cnt").cast("double"))
+        .transform(_portable_ln, "ln_c")
+        .select("piece", "cnt", "total", "ln_c")
+    )
+    return (
+        a.withColumn("lx", F.col("total").cast("double"))
+        .transform(_portable_ln, "ln_t")
+        .select(
+            "piece",
+            "cnt",
+            F.expr(
+                "CAST(floor(ln_t * 1e9) AS BIGINT) "
+                "- CAST(floor(ln_c * 1e9) AS BIGINT)"
+            ).alias("cost_e9"),
+        )
+    )
+
+
+def _x73_seg(words: DataFrame, model: DataFrame) -> DataFrame:
+    """Viterbi-segment every vocabulary word under the model's piece
+    costs: (word, wt, ps, nll). The model rides a 1-row map broadcast
+    (map_from_entries over the vocab-sized cost table); the DP is one
+    pure-map fold per word — integer costs, so both engines agree
+    exactly whatever their evaluation shape (the DuckDB twin walks the
+    same DP as a recursive CTE)."""
+    m = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost_e9"))
+        ).alias("m")
+    )
+    return (
+        words.crossJoin(F.broadcast(m))
+        .withColumn("bests", F.expr(_X73_BESTS))
+        .withColumn("backs", F.expr(_X73_BACKS))
+        .withColumn(
+            "nll", F.expr("element_at(bests, length(word) + 1)")
+        )
+        .withColumn("ps", F.expr(_X73_PS))
+        .select("word", "wt", "ps", "nll")
+    )
+
+
+def _x73_counts(seg: DataFrame) -> DataFrame:
+    return (
+        seg.select("wt", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wt").cast("long").alias("cnt"))
+    )
+
+
+def _x73_trained(spark: SparkSession, sf_dir: str):
+    """The shared two-round hard-EM trainer: returns (model1, seg2,
+    counts2) — the re-estimated model, the final segmentation frame,
+    and the final piece counts. Single source for x73 (certificate)
+    and x73b (fertility audit)."""
+    words = _x73_words(spark, sf_dir)
+    seed = _x73_seed_counts(words)
+    model0 = _x73_costs(seed)
+    counts1 = _x73_counts(_x73_seg(words, model0)).localCheckpoint(
+        eager=True
+    )
+    # chars are never pruned (coverage); unused ones re-enter with a
+    # floor count of 1. Multi-char pieces the round-1 segmentation
+    # never used drop out — the EM prune.
+    missing_chars = (
+        seed.filter(F.length("piece") == 1)
+        .join(counts1, "piece", "left_anti")
+        .select("piece", F.lit(1).cast("long").alias("cnt"))
+    )
+    vocab2 = counts1.unionByName(missing_chars)
+    model1 = _x73_costs(vocab2).localCheckpoint(eager=True)
+    seg2 = _x73_seg(words, model1)
+    counts2 = _x73_counts(seg2)
+    return model1, seg2, counts2
+
+
+def x73_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 — UNIGRAM-LM tokenizer training (Kudo 2018, the
+    SentencePiece family; VERDICT r11 item 5), the production
+    complement to x41's BPE: seed a substring vocabulary (all single
+    chars + the top weighted substrings ≤ 3 chars), then two unrolled
+    hard-EM rounds — Viterbi-segment every vocabulary word under the
+    current piece costs (costs = e9-quantized −ln p on the portable
+    ln), re-estimate counts from the segmentations, prune multi-char
+    pieces the corpus stopped using (chars never prune —
+    SentencePiece's character-coverage rule, floor count 1). The
+    Viterbi DP runs as ONE whole-stage-codegen fold per word (forward
+    best-cost array, backpointers, backward piece walk — integer
+    costs, deterministic smallest-start tie-break), and the DuckDB
+    oracle replays the exact DP as recursive CTEs: same costs, same
+    tie-breaks, bit-equal.
+
+    Certificate: the trained vocabulary — every piece the final
+    segmentation uses with its count and model cost — plus a
+    ``__nll__`` summary row carrying Σ wt·pathcost (the corpus
+    negative log-likelihood in e9 units): a wrong cost, a wrong DP
+    transition, or a wrong prune anywhere flips a row.
+
+    Scale shape: ONE corpus shuffle (word → weight; Heaps-sublinear
+    vocabulary), then everything is vocab-sized — substring seeding ≤
+    L·M rows per distinct word, each EM round a 1-row map broadcast +
+    a pure-map DP over the VOCAB + a piece-keyed aggregate. Nothing
+    corpus-sized moves after the first aggregate; at 100 TB the two
+    rounds cost two vocab-sized shuffles, exactly like x41's merge
+    rounds."""
+    model1, seg2, counts2 = _x73_trained(spark, sf_dir)
+    pieces = counts2.join(
+        model1.select("piece", "cost_e9"), "piece"
+    ).select(
+        "piece",
+        F.length("piece").cast("bigint").alias("n_chars"),
+        "cnt",
+        "cost_e9",
+    )
+    nll = seg2.agg(
+        F.lit("__nll__").alias("piece"),
+        F.lit(0).cast("bigint").alias("n_chars"),
+        F.sum("wt").cast("bigint").alias("cnt"),
+        F.sum(F.col("wt") * F.col("nll")).cast("bigint").alias("cost_e9"),
+    )
+    return pieces.unionByName(nll)
+
+
+def x73b_unigram_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X73b — per-LANGUAGE fertility audit under the x73-trained
+    unigram tokenizer (x66's frame over the OTHER tokenizer family):
+    tokens/word, chars/token and compression by ``lang``, derived from
+    the SAME trained segmentation x73 certifies (word → Viterbi token
+    count rides a 1-row map broadcast; per-doc token counts are a pure
+    map over the documents' word arrays). Side-by-side with x66 this
+    is the tokenizer bake-off a multilingual pipeline runs: same
+    corpus, same integer-bp metrics, BPE vs unigram. One corpus-pass
+    map stage + a |langs|-row aggregate — the x66 scale shape."""
+    _model1, seg2, _counts2 = _x73_trained(spark, sf_dir)
+    wm = seg2.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct("word", F.size("ps").cast("long").alias("tl"))
+            )
+        ).alias("wm")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    per_doc = docs.crossJoin(F.broadcast(wm)).select(
+        "lang",
+        F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
+        F.expr(
+            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+            "word -> CAST(length(word) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+        ).cast("bigint").alias("n_syms"),
+        F.expr(
+            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
+            "word -> element_at(wm, word)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.sum("n_syms").cast("bigint").alias("syms"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "syms",
+            "tokens",
+            F.expr("(10000 * tokens) DIV nullif(words, 0)")
+            .cast("bigint")
+            .alias("fertility_bp"),
+            F.expr("(10000 * syms) DIV nullif(tokens, 0)")
+            .cast("bigint")
+            .alias("chars_per_token_bp"),
+            F.expr("(10000 * (syms - tokens)) DIV nullif(syms, 0)")
+            .cast("bigint")
+            .alias("compress_bp"),
+        )
+    )
+
+
+def _x73_cand_duck(pref: str, pvar: str) -> str:
+    """DuckDB twin of ``_x73_cand_spark`` for row prefix ``pref`` and
+    position expression ``pvar`` (candidate list ascends j, so
+    list_position's first-match = smallest start, matching Spark)."""
+    m = _X73_M
+    return (
+        f"list_transform([{', '.join(str(t) for t in range(1, m + 1))}], "
+        f"t -> CASE WHEN {pvar} - {m} + t >= 1 THEN "
+        f"{pref}bests[CAST({pvar} - {m} + t AS INT)] + coalesce("
+        f"map_extract(mt.m, substr({pref}word, "
+        f"CAST({pvar} - {m} + t AS INT), CAST({m} + 1 - t AS INT)))[1], "
+        f"CAST({_X73_BIG} AS BIGINT)) END)"
+    )
+
+
+def _x73_viterbi_ctes(r: int, model_cte: str) -> str:
+    """One EM round's Viterbi as recursive CTEs: ``mt{r}`` (piece→cost
+    map), ``fwd{r}`` (forward best-cost lists), ``bwd{r}`` (backward
+    piece walk), ``term{r}`` (per-word pieces + path cost). Integer
+    costs make the recursive-CTE evaluation agree exactly with Spark's
+    fold."""
+    ccf = _x73_cand_duck("f.", "f.i + 1").replace("mt.m", f"mt{r}.m")
+    ccb = _x73_cand_duck("b.", "b.cur").replace("mt.m", f"mt{r}.m")
+    return (
+        f"mt{r} AS (SELECT map(list(piece ORDER BY piece), "
+        f"list(cost_e9 ORDER BY piece)) AS m FROM {model_cte}), "
+        f"fwd{r} AS ("
+        "SELECT word, wt, 0 AS i, [CAST(0 AS BIGINT)] AS bests "
+        "FROM words "
+        "UNION ALL "
+        "SELECT f.word, f.wt, f.i + 1, "
+        f"list_append(f.bests, list_aggregate({ccf}, 'min')) "
+        f"FROM fwd{r} f CROSS JOIN mt{r} WHERE f.i < length(f.word)), "
+        f"fin{r} AS (SELECT word, wt, bests FROM fwd{r} "
+        "WHERE i = length(word)), "
+        f"bwd{r} AS ("
+        "SELECT word, wt, CAST(length(word) AS BIGINT) AS cur, "
+        f"CAST([] AS VARCHAR[]) AS ps, bests FROM fin{r} "
+        "UNION ALL "
+        "SELECT word, wt, j - 1, "
+        "list_append(ps, substr(word, CAST(j AS INT), "
+        "CAST(cur - j + 1 AS INT))), bests "
+        "FROM (SELECT b.word, b.wt, b.cur, b.ps, b.bests, "
+        f"b.cur - {_X73_M} + list_position({ccb}, "
+        f"list_aggregate({ccb}, 'min')) AS j "
+        f"FROM bwd{r} b CROSS JOIN mt{r} WHERE b.cur > 0)), "
+        f"term{r} AS (SELECT w.word, w.wt, w.ps, "
+        "f.bests[length(w.word) + 1] AS nll "
+        f"FROM bwd{r} w JOIN fin{r} f USING (word) WHERE w.cur = 0)"
+    )
+
+
+def _x73_costs_ctes(r: str, counts_cte: str) -> str:
+    """DuckDB twin of ``_x73_costs``: cost{r} = lnq(total) − lnq(cnt)
+    over ``counts_cte`` (piece, cnt), on the portable ln."""
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _portable_ln_ctes,
+    )
+
+    return (
+        f"sc{r} AS (SELECT piece, cnt, "
+        f"CAST(sum(cnt) OVER () AS BIGINT) AS total FROM {counts_cte}), "
+        f"la{r}0 AS (SELECT piece, cnt, total, CAST(cnt AS DOUBLE) AS lx "
+        f"FROM sc{r}), "
+        + _portable_ln_ctes(f"la{r}0", f"la{r}", "piece, cnt, total",
+                            "ln_c")
+        + ", "
+        f"lb{r}0 AS (SELECT piece, cnt, ln_c, CAST(total AS DOUBLE) "
+        f"AS lx FROM la{r}6), "
+        + _portable_ln_ctes(f"lb{r}0", f"lb{r}", "piece, cnt, ln_c",
+                            "ln_t")
+        + ", "
+        f"cost{r} AS (SELECT piece, cnt, "
+        "CAST(floor(ln_t * 1e9) AS BIGINT) "
+        f"- CAST(floor(ln_c * 1e9) AS BIGINT) AS cost_e9 FROM lb{r}6)"
+    )
+
+
+def _x73_prefix() -> str:
+    """Shared DuckDB WITH-body: words → seed → model0 → round-1
+    Viterbi → re-estimated model1 → round-2 Viterbi. Used by both the
+    x73 certificate and the x73b fertility rollup."""
+    m = _X73_M
+    return (
+        "WITH RECURSIVE "
+        "words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wt "
+        f"FROM (SELECT unnest({_WORDS_DUCK}) AS w FROM documents) "
+        "GROUP BY 1), "
+        "subs AS (SELECT piece, CAST(sum(wt) AS BIGINT) AS cnt FROM ("
+        "SELECT wt, unnest(flatten(list_transform("
+        "range(1, length(word) + 1), j -> list_filter(list_transform("
+        f"range(1, {m + 1}), l -> CASE WHEN j + l - 1 <= length(word) "
+        "THEN substr(word, CAST(j AS INT), CAST(l AS INT)) END), "
+        "x -> x IS NOT NULL)))) AS piece FROM words) GROUP BY 1), "
+        "chars0 AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1), "
+        "multi0 AS (SELECT piece, cnt FROM subs WHERE length(piece) > 1 "
+        f"ORDER BY cnt DESC, piece LIMIT {_X73_SEED_K}), "
+        "seed AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0), "
+        + _x73_costs_ctes("0", "seed") + ", "
+        + _x73_viterbi_ctes(0, "cost0") + ", "
+        "counts1 AS (SELECT piece, CAST(sum(wt) AS BIGINT) AS cnt FROM ("
+        "SELECT wt, unnest(ps) AS piece FROM term0) GROUP BY 1), "
+        "vocab2 AS (SELECT piece, cnt FROM counts1 "
+        "UNION ALL SELECT c.piece, CAST(1 AS BIGINT) FROM chars0 c "
+        "WHERE NOT EXISTS (SELECT 1 FROM counts1 k "
+        "WHERE k.piece = c.piece)), "
+        + _x73_costs_ctes("1", "vocab2") + ", "
+        + _x73_viterbi_ctes(1, "cost1") + ", "
+        "counts2 AS (SELECT piece, CAST(sum(wt) AS BIGINT) AS cnt FROM ("
+        "SELECT wt, unnest(ps) AS piece FROM term1) GROUP BY 1) "
+    )
+
+
+def _x73_sql() -> str:
+    return (
+        _x73_prefix()
+        + "SELECT c.piece, CAST(length(c.piece) AS BIGINT) AS n_chars, "
+        "c.cnt, m.cost_e9 FROM counts2 c JOIN cost1 m USING (piece) "
+        "UNION ALL "
+        "SELECT '__nll__', CAST(0 AS BIGINT), "
+        "CAST(sum(wt) AS BIGINT), CAST(sum(wt * nll) AS BIGINT) "
+        "FROM term1"
+    )
+
+
+def _x73b_sql() -> str:
+    return (
+        _x73_prefix()
+        + ", tl AS (SELECT word, CAST(len(ps) AS BIGINT) AS tl "
+        "FROM term1), "
+        "wm AS (SELECT map(list(word ORDER BY word), "
+        "list(tl ORDER BY word)) AS m FROM tl), "
+        "encd AS (SELECT lang, "
+        f"CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_words, "
+        f"CAST(coalesce(list_sum(list_transform({_WORDS_DUCK}, "
+        "word -> CAST(length(word) AS BIGINT))), 0) AS BIGINT) AS n_syms, "
+        f"CAST(coalesce(list_sum(list_transform({_WORDS_DUCK}, "
+        "word -> map_extract(wm.m, word)[1])), 0) AS BIGINT) AS n_tokens "
+        "FROM documents CROSS JOIN wm) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_words) AS BIGINT) AS words, "
+        "CAST(sum(n_syms) AS BIGINT) AS syms, "
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens, "
+        "CAST((10000 * sum(n_tokens)) // nullif(sum(n_words), 0) "
+        "AS BIGINT) AS fertility_bp, "
+        "CAST((10000 * sum(n_syms)) // nullif(sum(n_tokens), 0) "
+        "AS BIGINT) AS chars_per_token_bp, "
+        "CAST((10000 * (sum(n_syms) - sum(n_tokens))) "
+        "// nullif(sum(n_syms), 0) AS BIGINT) AS compress_bp "
+        "FROM encd GROUP BY 1"
+    )
+
+
 QUERIES = {
     "x4_doc_stats": x4_doc_stats,
     "x4b_lang_profile": x4b_lang_profile,
@@ -894,6 +1342,8 @@ QUERIES = {
     "x41_bpe_train": x41_bpe_train,
     "x41b_bpe_encode": x41b_bpe_encode,
     "x66_tokenizer_fertility": x66_tokenizer_fertility,
+    "x73_unigram_train": x73_unigram_train,
+    "x73b_unigram_fertility": x73b_unigram_fertility,
     "x50_quality_probe": x50_quality_probe,
     "x56_readability": x56_readability,
 }
@@ -907,6 +1357,8 @@ ORACLES = {
     "x41_bpe_train": _X41_SQL,
     "x41b_bpe_encode": _x41b_sql(),
     "x66_tokenizer_fertility": _x66_sql(),
+    "x73_unigram_train": _x73_sql(),
+    "x73b_unigram_fertility": _x73b_sql(),
     "x50_quality_probe": _x50_sql(),
     "x56_readability": _X56_SQL,
 }

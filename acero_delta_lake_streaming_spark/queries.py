@@ -83,6 +83,10 @@ _PRIORITY = [
     # -- round-12 changed queries (hashes changed this round: x3i's
     # -- adaptive graph geometry + hub entries; x71/x71b plant-twice;
     # -- x72 pre-join normalization) --
+    # -- new round 12 (never driver-recorded) --
+    "s48_version_checksums", "x73_unigram_train",
+    "x73b_unigram_fertility",
+    # -- changed-hash round-12 queries --
     "x3i_graph_ann", "x71_typo_pairs", "x71b_typo_pairs_ed2",
     "x72_mmr_rerank",
     # -- stalest driver proofs: r5-vintage (23 entries) --

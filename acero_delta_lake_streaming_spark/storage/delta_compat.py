@@ -592,6 +592,7 @@ def _apply_action(state: dict, action: dict) -> None:
         add = action["add"]
         path = unquote(add["path"])
         state["files"][path] = add.get("stats")
+        state["sizes"][path] = add.get("size")
         dv = add.get("deletionVector")
         if dv:
             state["dvs"][path] = dv
@@ -609,6 +610,7 @@ def _apply_action(state: dict, action: dict) -> None:
     elif "remove" in action:
         path = unquote(action["remove"]["path"])
         state["files"].pop(path, None)
+        state["sizes"].pop(path, None)
         state["dvs"].pop(path, None)
         state["row_meta"].pop(path, None)
     elif "domainMetadata" in action:
@@ -697,6 +699,7 @@ def _replay_checkpoint(table: str, version: int, state: dict) -> None:
         if add and add.get("path"):
             path = unquote(add["path"])
             state["files"][path] = add.get("stats")
+            state["sizes"][path] = add.get("size")
             dv = add.get("deletionVector")
             if dv and dv.get("storageType"):
                 state["dvs"][path] = dv
@@ -776,6 +779,7 @@ def snapshot(
         versions = [v for v in versions if v <= version]
     state: dict = {
         "files": {},
+        "sizes": {},
         "dvs": {},
         "schema": None,
         "partition_cols": [],
@@ -870,6 +874,7 @@ def snapshot(
     resolved = tail if tail is not None else (
         ckpt if ckpt is not None else -1
     )
+    _validate_crc(table, resolved, state)
     return {
         "files": [os.path.join(table, p) for p in state["files"]],
         "schema": state["schema"],
@@ -878,6 +883,10 @@ def snapshot(
         # per-file data-skipping stats (raw protocol JSON string or None)
         "file_stats": {
             os.path.join(table, p): s for p, s in state["files"].items()
+        },
+        # per-file add.size (VERSION.checksum's tableSizeBytes basis)
+        "file_sizes": {
+            os.path.join(table, p): s for p, s in state["sizes"].items()
         },
         # per-file deletionVector descriptors (absent key = no DV)
         "file_dvs": {
@@ -3028,6 +3037,95 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
         os.unlink(tmp)
     if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
         _write_checkpoint(table, version)
+    _write_crc(table, version)
+
+
+def _crc_path(table: str, version: int) -> str:
+    return os.path.join(table, "_delta_log", f"{version:020d}.crc")
+
+
+def _write_crc(table: str, version: int) -> None:
+    """Per-commit VERSION.checksum (``<version>.crc``, one JSON line —
+    delta-spark's VersionChecksum): live table size and file count plus
+    a protocol/metadata echo, written after every successful publish.
+    The reference's tables carry the same file via delta-spark's writer
+    (the Delta ACID surface, collector.py:219-226). Readers validate
+    opportunistically (``snapshot``) and refuse loudly on mismatch —
+    the state-corruption tripwire delta-spark uses. Computation replays
+    the just-published version (checkpoint-seeded, so O(interval), not
+    O(version)); ``metadata`` is the reconstructed metaData echo (id,
+    schema, partitioning, configuration — the validated surface)."""
+    snap = snapshot(table, version=version)
+    if snap["version"] != version:  # pragma: no cover - defensive
+        return
+    sizes = [s for s in snap["file_sizes"].values() if s is not None]
+    crc = {
+        "tableSizeBytes": int(sum(sizes)),
+        "numFiles": len(snap["files"]),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": {
+            "id": snap["meta_id"],
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap["schema"],
+            "partitionColumns": snap["partition_cols"],
+            "configuration": snap["configuration"],
+        },
+        "protocol": snap["protocol"],
+    }
+    tmp = _crc_path(table, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(crc) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    # no claim semantics: the checksum is a deterministic function of
+    # the version, so concurrent writers produce identical content
+    os.replace(tmp, _crc_path(table, version))
+
+
+def _validate_crc(table: str, version: int, state: dict) -> None:
+    """Opportunistic VERSION.checksum validation: when ``<version>.crc``
+    exists, the reconstructed live-set count/size and metadata id must
+    agree — a mismatch means the log and the writer's recorded state
+    diverged (corruption, out-of-band surgery), and the read refuses
+    loudly rather than serve a silently-wrong snapshot. Absent or
+    unparseable checksum files never block a read (foreign tables may
+    not write them)."""
+    if version is None or version < 0:
+        return
+    path = _crc_path(table, version)
+    try:
+        with open(path) as f:
+            crc = json.loads(f.read().strip() or "{}")
+    except (OSError, ValueError):
+        return
+    if not isinstance(crc, dict):
+        return
+    n = crc.get("numFiles")
+    if n is not None and int(n) != len(state["files"]):
+        raise DeltaCorruptLogError(
+            f"checksum mismatch at version {version}: numFiles {n} "
+            f"!= reconstructed {len(state['files'])}"
+        )
+    ts = crc.get("tableSizeBytes")
+    sizes = list(state["sizes"].values())
+    if ts is not None and all(s is not None for s in sizes):
+        total = int(sum(sizes))
+        if int(ts) != total:
+            raise DeltaCorruptLogError(
+                f"checksum mismatch at version {version}: "
+                f"tableSizeBytes {ts} != reconstructed {total}"
+            )
+    mid = (crc.get("metadata") or {}).get("id")
+    if (
+        mid is not None
+        and state["meta_id"] is not None
+        and mid != state["meta_id"]
+    ):
+        raise DeltaCorruptLogError(
+            f"checksum mismatch at version {version}: metadata id "
+            f"{mid!r} != reconstructed {state['meta_id']!r}"
+        )
 
 
 def _write_checkpoint(table: str, version: int) -> None:
@@ -7171,6 +7269,13 @@ def cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
         if v < ckpt:
             os.remove(_commit_path(table, v))
             deleted.append(f"{v:020d}.json")
+            # the per-commit checksum ages with its commit (delta-spark
+            # metadata cleanup removes both together); the return stays
+            # commit-file names only (the documented contract)
+            try:
+                os.remove(_crc_path(table, v))
+            except FileNotFoundError:
+                pass
     return deleted
 
 

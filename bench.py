@@ -150,6 +150,11 @@ HEADLINE = [
     "x3i_graph_ann",
     "x72_mmr_rerank",
     "dq11_calibration_audit",
+    # round 12: per-commit VERSION.checksum lifecycle, unigram-LM
+    # tokenizer training (Viterbi-EM) + its fertility audit
+    "s48_version_checksums",
+    "x73_unigram_train",
+    "x73b_unigram_fertility",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
