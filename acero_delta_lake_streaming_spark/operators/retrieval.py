@@ -604,6 +604,224 @@ _X62_SQL = (
 
 
 # --------------------------------------------------------------------------
+# x74 — late-interaction (ColBERT-style maxsim) dense arm fused into RRF
+# --------------------------------------------------------------------------
+
+_X74_T = 4          # pseudo-token slices per stored vector
+_X74_D = 16         # dims per slice (4 x 16 = the stored 64)
+_X74_PRF = 3        # pseudo-relevance-feedback docs forming the query
+_X74_MISS = -(5 * 10**9)  # below any real maxsim (min = T * -1e9)
+
+
+def _x74_li_spark(qv: str, de: str) -> str:
+    """Spark maxsim: Σ_t max_j floor(1e9·cos(q_t, d_j)) over the T×T
+    slice grid — per-pair e9 quantization BEFORE the max/sum keeps the
+    certificate integer end-to-end; zero-norm slices yield NULL cosines
+    that max skips (nullif per CLAUDE's div-by-zero rule)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _dot_spark,
+        _norm_spark,
+    )
+
+    d = _X74_D
+
+    def sl(col: str, var: str) -> str:
+        return f"slice({col}, {d} * ({var} - 1) + 1, {d})"
+
+    cos = (
+        f"{_dot_spark(sl(qv, 't'), sl(de, 'j'))} / "
+        f"nullif({_norm_spark(sl(qv, 't'))} * {_norm_spark(sl(de, 'j'))}, "
+        "CAST(0.0 AS DOUBLE))"
+    )
+    return (
+        f"aggregate(transform(sequence(1, {_X74_T}), t -> "
+        f"coalesce(array_max(transform(sequence(1, {_X74_T}), j -> "
+        f"CAST(floor(1e9 * ({cos})) AS BIGINT))), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def _x74_li_duck(qv: str, de: str) -> str:
+    """DuckDB twin of ``_x74_li_spark`` (list_slice is end-INCLUSIVE;
+    list_reduce's first-element seed absorbs exactly for + folds)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _dot_duck,
+        _norm_duck,
+    )
+
+    d = _X74_D
+
+    def sl(col: str, var: str) -> str:
+        return f"list_slice({col}, {d} * ({var} - 1) + 1, {d} * {var})"
+
+    cos = (
+        f"{_dot_duck(sl(qv, 't'), sl(de, 'j'))} / "
+        f"nullif({_norm_duck(sl(qv, 't'))} * {_norm_duck(sl(de, 'j'))}, "
+        "CAST(0.0 AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, {_X74_T + 1}), t -> "
+        f"coalesce(list_aggregate(list_transform(range(1, {_X74_T + 1}), "
+        f"j -> CAST(floor(1e9 * ({cos})) AS BIGINT)), 'max'), "
+        "CAST(0 AS BIGINT))), (a, x) -> a + x)"
+    )
+
+
+def x74_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 — LATE-INTERACTION dense re-rank fused into the hybrid RRF
+    (VERDICT r11 item 7): x62's reciprocal-rank fusion gains the dense
+    arm production hybrid retrieval runs — a ColBERT-style maxsim
+    (Khattab & Zaharia 2020) where each stored 64-dim vector is read
+    as ``_X74_T`` per-token embedding prefixes of ``_X74_D`` dims
+    (x64's Matryoshka slicing — at 100 TB the narrow slices are byte
+    ranges of the same column, no second index), and score(q, d) =
+    Σ_t max_j cos(q_t, d_j). The query vector comes from
+    pseudo-relevance feedback (Rocchio): the elementwise SUM of the
+    BM25 top-``_X74_PRF`` docs' embeddings (sum, not mean — cosine is
+    scale-invariant, so the /3 never has to cross engines), folded in
+    doc_id order so both engines add in the same sequence.
+
+    Pool-bounded like x72: the corpus is touched only by the two
+    lexical rankers' inverted-index probes; the dense arm re-ranks the
+    ≤2·TOPK fused pool via id-keyed embedding fetches, a 1-row query
+    broadcast, and a T×T integer maxsim per candidate. Per-pair
+    cosines quantize to e9 integers BEFORE max/sum; ranks fuse as
+    exact integer rrf terms (1000000 DIV (k + rank)) — no float in
+    the certificate. A pool doc missing its embeddings row keeps its
+    lexical ranks and takes the ``_X74_MISS`` dense sentinel (the x72
+    advice lesson: anchor every arm to the same pool)."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _DIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    bm_top = scoped_persist(
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_bm25", F.row_number().over(rank_w))
+        .select("doc_id", "rank_bm25")
+    )
+    ql_top = (
+        _ql_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_ql", F.row_number().over(rank_w))
+        .select("doc_id", "rank_ql")
+    )
+    pool = (
+        bm_top.join(ql_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0)).cast("bigint")
+            .alias("rank_bm25"),
+            F.coalesce("rank_ql", F.lit(0)).cast("bigint")
+            .alias("rank_ql"),
+        )
+    )
+    prf = (
+        bm_top.filter(F.col("rank_bm25") <= _X74_PRF)
+        .join(emb, bm_top.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .alias("de"),
+        )
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(doc_id, de))), s -> s.de), "
+                f"transform(sequence(1, {_DIM}), "
+                "x -> CAST(0.0 AS DOUBLE)), "
+                "(a, x) -> zip_with(a, x, (p, q) -> p + q))"
+            ).alias("qv")
+        )
+    )
+    dense = (
+        pool.join(emb, pool.doc_id == emb.vec_id, "left")
+        .crossJoin(F.broadcast(prf))
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_ql",
+            F.coalesce(
+                F.expr(
+                    _x74_li_spark(
+                        "qv",
+                        "transform(embedding, x -> CAST(x AS DOUBLE))",
+                    )
+                ),
+                F.lit(_X74_MISS),
+            ).cast("bigint").alias("li_e9"),
+        )
+    )
+    li_w = Window.orderBy(F.desc("li_e9"), F.asc("doc_id"))
+    return (
+        dense.withColumn(
+            "rank_li", F.row_number().over(li_w).cast("bigint")
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CASE WHEN rank_bm25 > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_bm25) ELSE 0 END "
+                f"+ CASE WHEN rank_ql > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_ql) ELSE 0 END "
+                f"+ 1000000 DIV ({_RRF_K} + rank_li)"
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+
+
+def _x74_sql() -> str:
+    li = _x74_li_duck(
+        "qv.qv", "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    )
+    return (
+        "WITH "
+        + _bm25_ctes("b_")
+        + ", "
+        + _ql_ctes("q_")
+        + ", "
+        "bm AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_bm25 "
+        "FROM (SELECT * FROM b_scored "
+        f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+        "qlr AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_ql "
+        "FROM (SELECT * FROM q_scored "
+        f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+        "pool AS (SELECT COALESCE(bm.doc_id, qlr.doc_id) AS doc_id, "
+        "COALESCE(bm.rank_bm25, 0) AS rank_bm25, "
+        "COALESCE(qlr.rank_ql, 0) AS rank_ql "
+        "FROM bm FULL OUTER JOIN qlr ON bm.doc_id = qlr.doc_id), "
+        "qv AS (SELECT list_reduce(list(de ORDER BY doc_id), "
+        "(a, x) -> list_transform(list_zip(a, x), p -> p[1] + p[2])) "
+        "AS qv FROM (SELECT b.doc_id, "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS de "
+        f"FROM bm b JOIN embeddings e ON e.vec_id = b.doc_id "
+        f"WHERE b.rank_bm25 <= {_X74_PRF})), "
+        "dense AS (SELECT p.doc_id, p.rank_bm25, p.rank_ql, "
+        f"CAST(coalesce({li}, {_X74_MISS}) AS BIGINT) AS li_e9 "
+        "FROM pool p LEFT JOIN embeddings e ON e.vec_id = p.doc_id "
+        "CROSS JOIN qv), "
+        "rnk AS (SELECT *, CAST(row_number() OVER ("
+        "ORDER BY li_e9 DESC, doc_id ASC) AS BIGINT) AS rank_li "
+        "FROM dense) "
+        "SELECT doc_id, rank_bm25, rank_ql, rank_li, li_e9, "
+        f"CAST(CASE WHEN rank_bm25 > 0 THEN "
+        f"1000000 // ({_RRF_K} + rank_bm25) ELSE 0 END "
+        f"+ CASE WHEN rank_ql > 0 THEN "
+        f"1000000 // ({_RRF_K} + rank_ql) ELSE 0 END "
+        f"+ 1000000 // ({_RRF_K} + rank_li) AS BIGINT) AS rrf_e6 "
+        f"FROM rnk ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {_RRF_TOP}"
+    )
+
+
+# --------------------------------------------------------------------------
 # x23 — edit-distance record linkage (distinct-first + blocking)
 # --------------------------------------------------------------------------
 
@@ -1877,6 +2095,7 @@ QUERIES = {
     "x71_typo_pairs": x71_typo_pairs,
     "x71b_typo_pairs_ed2": x71b_typo_pairs_ed2,
     "x72_mmr_rerank": x72_mmr_rerank,
+    "x74_late_interaction": x74_late_interaction,
 }
 
 ORACLES = {
@@ -1895,4 +2114,5 @@ ORACLES = {
     "x71_typo_pairs": _X71_SQL,
     "x71b_typo_pairs_ed2": _X71B_SQL,
     "x72_mmr_rerank": _x72_sql(),
+    "x74_late_interaction": _x74_sql(),
 }

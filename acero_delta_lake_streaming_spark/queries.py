@@ -85,7 +85,8 @@ _PRIORITY = [
     # -- x72 pre-join normalization) --
     # -- new round 12 (never driver-recorded) --
     "s48_version_checksums", "x73_unigram_train",
-    "x73b_unigram_fertility",
+    "x73b_unigram_fertility", "x74_late_interaction",
+    "x5h_jpeg_decode",
     # -- changed-hash round-12 queries --
     "x3i_graph_ann", "x71_typo_pairs", "x71b_typo_pairs_ed2",
     "x72_mmr_rerank",

@@ -155,6 +155,8 @@ HEADLINE = [
     "s48_version_checksums",
     "x73_unigram_train",
     "x73b_unigram_fertility",
+    "x74_late_interaction",
+    "x5h_jpeg_decode",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling

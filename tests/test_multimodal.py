@@ -206,3 +206,175 @@ def test_png_malformed_raises():
     rgb[25] = 2  # color type 2 (truecolor)
     with _pytest.raises(ValueError):
         _decode_payload(bytes(rgb), "png")  # CRC catches the edit
+
+
+def test_jpeg_roundtrip_dc_exact():
+    """decode(encode(payload)) == payload bit-exactly for the LOSSY
+    codec: constant 8x8 blocks under qDC=8 make the DC path exact by
+    arithmetic (8·(v−128) divides exactly), and AC float dust
+    quantizes to zero. The file is a genuine baseline JFIF — markers,
+    Annex K huffman tables, stuffed entropy stream."""
+    import hashlib
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _JPEG_BW,
+        _decode_payload,
+        _jpeg_decode,
+        _jpeg_encode,
+    )
+
+    for seed in range(40):
+        payload = hashlib.md5(str(seed).encode()).digest() * 2  # 32 B
+        jpg = _jpeg_encode(payload)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in jpg[:24]
+        # full pixel plane: every block constant == its payload byte
+        px = _jpeg_decode(jpg)
+        w = 8 * _JPEG_BW
+        assert len(px) == 64 * len(payload)
+        for bi, v in enumerate(payload):
+            by, bx = divmod(bi, _JPEG_BW)
+            block = [
+                px[(by * 8 + y) * w + bx * 8 + x]
+                for y in range(8)
+                for x in range(8)
+            ]
+            assert block == [v] * 64
+        # the payload-extraction contract the pipeline uses
+        assert _decode_payload(jpg, "jpeg") == payload
+    for edge in (bytes([0] * 32), bytes([255] * 32), bytes(range(32)),
+                 bytes([0, 255] * 16)):
+        assert _decode_payload(_jpeg_encode(edge), "jpeg") == edge
+
+
+def test_jpeg_ac_path_against_reference():
+    """The general decode path — nonzero ACs, run/size coding, ZRL,
+    EOB, negative extend — pinned against an independent IDCT: build
+    the entropy stream COEFFICIENT-FIRST (same framing the encoder
+    writes), decode with the shipped parser, and compare every pixel
+    to a from-scratch Python reconstruction of the same spectra."""
+    import math
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _BitWriter,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZZ,
+        _jpeg_bits_of,
+        _jpeg_canonical,
+        _jpeg_cat,
+        _jpeg_decode,
+        _jpeg_encode,
+        _jpeg_quant_table,
+        _jpeg_seg,
+    )
+    import struct
+
+    # three 8x8 blocks of hand-chosen QUANTIZED zigzag coefficients:
+    # b0 exercises low-frequency ACs + negative extend; b1 a >16 zero
+    # run (ZRL) ending at the last coefficient (no EOB branch); b2
+    # DC-only (EOB immediately)
+    blocks = [
+        {0: -5, 1: 7, 2: -3, 5: 2, 9: -1},
+        {0: 12, 20: 4, 63: -2},
+        {0: 3},
+    ]
+    q = _jpeg_quant_table()
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = blk.get(0, 0) - prev_dc
+        prev_dc = blk.get(0, 0)
+        s = _jpeg_cat(diff)
+        c, ln = dc_codes[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(_jpeg_bits_of(diff, s), s)
+        i, run = 1, 0
+        while i < 64:
+            v = blk.get(i, 0)
+            if v == 0:
+                run += 1
+                i += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]
+                bw.put(zc, zl)
+                run -= 16
+            s = _jpeg_cat(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(_jpeg_bits_of(v, s), s)
+            run = 0
+            i += 1
+        if run:
+            ec, el = ac_codes[0x00]
+            bw.put(ec, el)
+    # 3 blocks in one row: 24x8 image
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    jpg = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xFFDB, bytes([0]) + bytes(q))
+        + _jpeg_seg(0xFFC0, sof)
+        + _jpeg_seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                    + bytes(_JPEG_DC_VALS))
+        + _jpeg_seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                    + bytes(_JPEG_AC_VALS))
+        + _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    got = _jpeg_decode(jpg)
+    assert len(got) == 24 * 8
+    # independent reference: dequant, de-zigzag, direct IDCT
+    for bi, blk in enumerate(blocks):
+        coeffs = [0] * 64
+        for zz_i, v in blk.items():
+            coeffs[_JPEG_ZZ[zz_i]] = v * q[zz_i]
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    for vv in range(8):
+                        cv = 1 / math.sqrt(2) if vv == 0 else 1.0
+                        f = coeffs[vv * 8 + u]
+                        if f:
+                            s += (cu * cv * f
+                                  * math.cos((2 * x + 1) * u
+                                             * math.pi / 16)
+                                  * math.cos((2 * y + 1) * vv
+                                             * math.pi / 16))
+                want = max(0, min(255, math.floor(s / 4 + 128.5)))
+                assert abs(got[y * 24 + bi * 8 + x] - want) <= 1, (
+                    bi, x, y, got[y * 24 + bi * 8 + x], want
+                )
+    # nonzero ACs really decoded: blocks 0 and 1 are NOT constant
+    b0 = [got[y * 24 + x] for y in range(8) for x in range(8)]
+    assert len(set(b0)) > 1
+
+
+def test_jpeg_malformed_raises():
+    """Bad SOI, truncation, progressive SOF, and in-stream markers all
+    raise — the quarantine path."""
+    import pytest as _pytest
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _decode_payload,
+        _jpeg_encode,
+    )
+
+    jpg = _jpeg_encode(bytes(range(32)))
+    with _pytest.raises(ValueError, match="SOI"):
+        _decode_payload(b"\x00\x00" + jpg[2:], "jpeg")
+    with _pytest.raises(ValueError):
+        _decode_payload(jpg[:40], "jpeg")
+    prog = bytearray(jpg)
+    sof_at = bytes(prog).find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # progressive
+    with _pytest.raises(ValueError, match="baseline"):
+        _decode_payload(bytes(prog), "jpeg")
