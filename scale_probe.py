@@ -410,9 +410,28 @@ def main() -> None:
             "graph_pairs_adaptive": int(gp_adapt),
             "sec": round(time.time() - t0, 1),
         }
+        # x73 (round 12): unigram-LM trainer input volume. Everything
+        # after the one corpus shuffle is VOCAB-sized — distinct words
+        # and their <= L*M seed substrings should stay ~flat across the
+        # document decade (closed fixture vocabulary; Heaps-sublinear
+        # on a real corpus).
+        from acero_delta_lake_streaming_spark.operators.text import (
+            _x73_seed_counts,
+            _x73_words,
+        )
+
+        t0 = time.time()
+        w73 = _x73_words(spark, sfd)
+        nwords73 = w73.count()
+        nseed73 = _x73_seed_counts(w73).count()
+        out[f"x73_{tag}"] = {
+            "distinct_words": int(nwords73),
+            "seed_pieces": int(nseed73),
+            "sec": round(time.time() - t0, 1),
+        }
         for k in (f"x57_{tag}", f"x60b_{tag}", f"x65_{tag}",
                   f"x5f_{tag}", f"x69_{tag}", f"x71b_{tag}",
-                  f"x3i_{tag}"):
+                  f"x3i_{tag}", f"x73_{tag}"):
             print(f"{k}: {out[k]}", file=sys.stderr)
 
     m1, m10 = out["minhash_x1"], out["minhash_x10"]
@@ -466,6 +485,10 @@ def main() -> None:
         "x3i_pairs_adaptive_ratio": round(
             out["x3i_s01"]["graph_pairs_adaptive"]
             / max(out["x3i_s001"]["graph_pairs_adaptive"], 1), 2
+        ),
+        "x73_seed_ratio": round(
+            out["x73_s01"]["seed_pieces"]
+            / max(out["x73_s001"]["seed_pieces"], 1), 2
         ),
     }
     print(json.dumps(out))
