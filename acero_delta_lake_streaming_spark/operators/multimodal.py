@@ -380,6 +380,24 @@ _JPEG_AC_VALS = [
 ]
 
 
+def _jpeg_dct_matrix():
+    """The 8-point DCT-II matrix A (A[u,x] = 0.5·C(u)·cos((2x+1)uπ/16))
+    so that F = A·f·Aᵀ and f = Aᵀ·F·A — the numpy-vectorized form of
+    the per-coefficient double loop (Arrow batches are where vectorized
+    math belongs; pure-Python 4096-op loops per block measured 41 s at
+    sf0.1)."""
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        cu = 0.7071067811865476 if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
 def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict:
     """symbol → (code, length) per the T.81 canonical procedure."""
     out, code, k = {}, 0, 0
@@ -390,15 +408,6 @@ def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict:
             k += 1
         code <<= 1
     return out
-
-
-def _jpeg_cos() -> list[list[float]]:
-    import math
-
-    return [
-        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
-        for x in range(8)
-    ]
 
 
 def _jpeg_quant_table() -> list[int]:
@@ -452,33 +461,32 @@ def _jpeg_encode(payload: bytes, blocks_w: int = _JPEG_BW) -> bytes:
 
     if not payload or len(payload) % blocks_w:
         raise ValueError("payload does not tile into block rows")
+    import numpy as np
+
     bh = len(payload) // blocks_w
     w, h = 8 * blocks_w, 8 * bh
-    cos = _jpeg_cos()
     q = _jpeg_quant_table()
     dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
+    # forward DCT of every (constant) block at once — real float
+    # pipeline, vectorized: F = A·f·Aᵀ per block (for a constant block
+    # every AC lands within float dust of 0 and quantizes away)
+    a = _jpeg_dct_matrix()
+    blocks = np.repeat(
+        np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+        - 128.0,
+        64,
+    ).reshape(-1, 8, 8)
+    # F[u,v] = (A·f·Aᵀ)[u,v]; natural zigzag indexing is v*8+u (row =
+    # vertical frequency), hence the transpose before the zigzag gather
+    coeffs = (a @ blocks @ a.T).transpose(0, 2, 1)
+    qarr = np.asarray(q, dtype=np.float64)
+    zzf = coeffs.reshape(-1, 64)[:, _JPEG_ZZ] / qarr
+    zzq = np.trunc(zzf + np.copysign(0.5, zzf)).astype(np.int64)
     prev_dc = 0
-    for v in payload:
-        # forward DCT of the constant block (real float pipeline; for a
-        # constant block every AC lands within float dust of 0)
-        shifted = [float(v) - 128.0] * 64
-        coeffs = []
-        for u in range(8):
-            cu = 0.7071067811865476 if u == 0 else 1.0
-            for vv in range(8):
-                cv = 0.7071067811865476 if vv == 0 else 1.0
-                s = 0.0
-                for y in range(8):
-                    for x in range(8):
-                        s += (shifted[y * 8 + x] * cos[x][u] * cos[y][vv])
-                coeffs.append(0.25 * cu * cv * s)
-        zz = [
-            int((coeffs[_JPEG_ZZ[i]] / q[i])
-                + (0.5 if coeffs[_JPEG_ZZ[i]] >= 0 else -0.5))
-            for i in range(64)
-        ]
+    for zzrow in zzq:
+        zz = zzrow.tolist()
         diff = zz[0] - prev_dc
         prev_dc = zz[0]
         s = _jpeg_cat(diff)
@@ -573,7 +581,6 @@ def _jpeg_decode(data: bytes) -> bytes:
     decode (DC diff + AC run/size incl. EOB/ZRL), dequant, de-zigzag,
     full 2D IDCT, level shift, floor(x+0.5) round, clamp. Returns
     row-major pixel bytes; malformed input RAISES (quarantine)."""
-    import math
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -643,12 +650,17 @@ def _jpeg_decode(data: bytes) -> bytes:
     act = huff.get((1, ac_id))
     if dct is None or act is None:
         raise ValueError("missing huffman tables")
+    import numpy as np
+
     q = qt[comp_q]
-    cos = _jpeg_cos()
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    pixels = bytearray(w * h)
+    n_blocks = bw_ * bh_
+    # entropy decode every block's dequantized spectrum first (per-bit
+    # Python by necessity), then one vectorized IDCT over all blocks:
+    # f = Aᵀ·F·A (the numpy form of the per-coefficient double loop)
+    spectra = np.zeros((n_blocks, 64), dtype=np.float64)
     prev_dc = 0
-    for bi in range(bw_ * bh_):
+    for bi in range(n_blocks):
         zz = [0] * 64
         s = _jpeg_huff_decode(br, dct)
         diff = _jpeg_extend(br.bits(s), s) if s else 0
@@ -668,24 +680,21 @@ def _jpeg_decode(data: bytes) -> bytes:
             s = rs & 0x0F
             zz[i] = _jpeg_extend(br.bits(s), s) * q[i]
             i += 1
-        coeffs = [0] * 64
-        for i in range(64):
-            coeffs[_JPEG_ZZ[i]] = zz[i]
+        spectra[bi, _JPEG_ZZ] = zz
+    a = _jpeg_dct_matrix()
+    # spectra are laid out natural [v, u] (zigzag row = vertical
+    # frequency); with S[v,u], (Aᵀ·S·A)[y,x] = Σ A[v,y]·S[v,u]·A[u,x]
+    # = f(x,y) — exactly the pixel at (row y, col x), no transpose
+    blk = a.T @ spectra.reshape(-1, 8, 8) @ a
+    px = np.floor(blk + 128.5)
+    px = np.clip(px, 0, 255).astype(np.uint8)
+    pixels = bytearray(w * h)
+    for bi in range(n_blocks):
         by, bx = divmod(bi, bw_)
         for y in range(8):
-            for x in range(8):
-                s = 0.0
-                for u in range(8):
-                    cu = 0.7071067811865476 if u == 0 else 1.0
-                    for vv in range(8):
-                        cv = 0.7071067811865476 if vv == 0 else 1.0
-                        f = coeffs[vv * 8 + u]
-                        if f:
-                            s += cu * cv * f * cos[x][u] * cos[y][vv]
-                p = math.floor(0.25 * s + 128.0 + 0.5)
-                pixels[(by * 8 + y) * w + bx * 8 + x] = max(
-                    0, min(255, p)
-                )
+            row = px[bi, y]
+            off = (by * 8 + y) * w + bx * 8
+            pixels[off:off + 8] = row.tobytes()
     return bytes(pixels)
 
 
