@@ -84,7 +84,7 @@ _PRIORITY = [
     # -- adaptive graph geometry + hub entries; x71/x71b plant-twice;
     # -- x72 pre-join normalization) --
     # -- new round 12 (never driver-recorded) --
-    "s48_version_checksums", "x73_unigram_train",
+    "s48_version_checksums", "s49_liquid_clustering", "x73_unigram_train",
     "x73b_unigram_fertility", "x74_late_interaction",
     "x5h_jpeg_decode",
     # -- changed-hash round-12 queries --

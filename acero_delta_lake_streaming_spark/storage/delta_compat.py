@@ -375,12 +375,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: domainMetadata actions replay into snapshot state and
     # survive checkpoints (rowTracking's high-water mark lives in one)
     "domainMetadata",
-    # honored: liquid-clustered tables (delta-spark 3.x's CLUSTER BY).
-    # Clustering is a physical-layout hint invisible to correctness;
-    # the spec's writer obligation is to PRESERVE the delta.clustering
-    # domain metadata, which this module's domain replay + checkpoint
-    # persistence already do — appends simply don't re-cluster
-    # (OPTIMIZE ZORDER is the explicit clustering verb here)
+    # honored ACTIVELY since round 12: enable_clustering is the CLUSTER
+    # BY verb (mints the feature + the delta.clustering domain, physical
+    # names), and optimize_delta with no explicit zorder_by reclusters
+    # from that table state — the spec's incremental-clustering shape.
+    # Foreign clustered tables keep working as before (domain preserved
+    # through replay + checkpoints; appends don't re-cluster)
     "clustering",
     # honored: VACUUM runs the full protocol gate before deleting any
     # file (vacuum_delta), which is this feature's exact obligation
@@ -4039,6 +4039,16 @@ def optimize_delta(
     live_dvs = {
         f: d for f, d in snap["file_dvs"].items() if f in set(snap["files"])
     }
+    # Liquid-clustered table (enable_clustering): OPTIMIZE with no
+    # explicit ZORDER BY is the spec's incremental-clustering verb —
+    # recluster on the delta.clustering domain's columns (returned as
+    # LOGICAL names; the zcols mapping below re-binds them physically
+    # exactly like an explicit ZORDER BY).
+    cluster_by: list[str] = []
+    if zorder_by is None:
+        cluster_by = _clustering_columns(snap)
+        if cluster_by:
+            zorder_by = cluster_by
     if zorder_by:
         logical = {f["name"] for f in json.loads(snap["schema"])["fields"]}
         unknown = set(zorder_by) - logical
@@ -4257,7 +4267,12 @@ def optimize_delta(
                 "operation": "OPTIMIZE",
                 "operationParameters": {
                     "targetSize": str(target_partitions),
-                    "zOrderBy": json.dumps(zorder_by or []),
+                    "zOrderBy": json.dumps(
+                        [] if cluster_by else (zorder_by or [])
+                    ),
+                    # delta-spark records clustering-driven layout under
+                    # clusterBy, not zOrderBy
+                    "clusterBy": json.dumps(cluster_by),
                     "predicate": json.dumps(
                         [f"{k} = {v!r}" for k, v in sorted(
                             (where or {}).items()
@@ -4738,6 +4753,114 @@ def set_domain_metadata(
                 "timestamp": now_ms,
                 "operation": "SET DOMAIN METADATA",
                 "operationParameters": {"domain": domain},
+            }
+        },
+    ]
+    version = snap["version"] + 1
+    _publish_commit(table, version, actions)
+    return version
+
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+_CLUSTERING_MAX_COLS = 4  # delta-spark's CLUSTER BY limit
+
+
+def _clustering_columns(snap: dict) -> list[str]:
+    """LOGICAL clustering column names from the live
+    ``delta.clustering`` domain (empty when the table is not
+    clustered). The domain stores PHYSICAL names (the
+    partitionColumns rule under column mapping) — translate back
+    through the current schema binding."""
+    cfg = (snap.get("domain_metadata") or {}).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    try:
+        paths = json.loads(cfg).get("clusteringColumns") or []
+    except (ValueError, AttributeError):
+        return []
+    phys = [p[0] for p in paths if p]
+    log_of = {p: l for p, l in _physical_renames(snap["schema"])}
+    return [log_of.get(p, p) for p in phys]
+
+
+def enable_clustering(table: str, columns: list[str]) -> int:
+    """``ALTER TABLE ... CLUSTER BY (cols)`` — delta-spark 3.x liquid
+    clustering: mint the ``clustering`` (+ ``domainMetadata``) writer
+    features and record the clustering columns in the
+    ``delta.clustering`` domain (configuration
+    ``{"clusteringColumns": [["col"], ...]}``, PHYSICAL names under
+    column mapping — the partitionColumns rule). From then on
+    ``optimize_delta`` with no explicit ``zorder_by`` reclusters on
+    these columns (incremental clustering is OPTIMIZE's job in the
+    spec; appends stay cheap and unclustered until then), and the
+    domain travels through commits, checkpoints and time travel like
+    all domain metadata. Re-running replaces the column set (latest
+    action wins — delta-spark's ALTER ... CLUSTER BY semantics).
+
+    Refusals: unknown columns; more than ``_CLUSTERING_MAX_COLS``
+    (delta-spark's limit); hive-partitioned tables (the spec makes
+    clustering and partitioning mutually exclusive)."""
+    snap = snapshot(table)
+    _check_writer_protocol(snap, "CLUSTER BY", identity_ok=True)
+    if snap["partition_cols"]:
+        raise DeltaProtocolError(
+            "CLUSTER BY: table is hive-partitioned; clustering and "
+            "partitioning are mutually exclusive"
+        )
+    if not columns:
+        raise DeltaProtocolError("CLUSTER BY: empty column list")
+    if len(columns) > _CLUSTERING_MAX_COLS:
+        raise DeltaProtocolError(
+            f"CLUSTER BY: at most {_CLUSTERING_MAX_COLS} clustering "
+            f"columns (got {len(columns)})"
+        )
+    logical = {f["name"] for f in json.loads(snap["schema"])["fields"]}
+    unknown = set(columns) - logical
+    if unknown:
+        raise DeltaProtocolError(
+            f"CLUSTER BY: {sorted(unknown)} are not columns of the "
+            "table schema"
+        )
+    phys_of = {l: p for p, l in _physical_renames(snap["schema"])}
+    cfg = json.dumps(
+        {"clusteringColumns": [[phys_of.get(c, c)] for c in columns]}
+    )
+    p = snap.get("protocol") or {}
+    w = p.get("minWriterVersion", 2)
+    feats = set(p.get("writerFeatures") or [])
+    actions: list[dict] = []
+    need = {"clustering", "domainMetadata"} - feats
+    if need:
+        base = feats if feats else (
+            _legacy_writer_features(w) if w < 7 else set()
+        )
+        proto = {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                base | {"clustering", "domainMetadata"}
+            ),
+        }
+        if p.get("minReaderVersion", 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(p.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    actions += [
+        {
+            "domainMetadata": {
+                "domain": _CLUSTERING_DOMAIN,
+                "configuration": cfg,
+                "removed": False,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CLUSTER BY",
+                "operationParameters": {
+                    "clusterBy": json.dumps(columns)
+                },
             }
         },
     ]

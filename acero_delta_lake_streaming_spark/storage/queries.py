@@ -2031,6 +2031,59 @@ _S45_SQL = (
 )
 
 
+def s49_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S49 — LIQUID CLUSTERING lifecycle (delta-spark 3.x ``CLUSTER
+    BY``, round 12): two interleaved appends land with useless per-file
+    stats, ``enable_clustering(["o_totalprice", "o_custkey"])`` mints
+    the ``clustering`` + ``domainMetadata`` features and records the
+    column set in the ``delta.clustering`` domain (physical names —
+    the partitionColumns rule), and a plain ``optimize_delta`` — NO
+    explicit ZORDER BY — picks the clustering columns up from the
+    domain and rewrites the layout along the z-curve (dataChange:
+    false). The read then prunes files on the TRAILING clustering
+    dimension through the log's per-add stats, exactly s16's skipping
+    contract but driven by TABLE STATE instead of a per-call argument
+    — which is the whole point of liquid clustering: layout policy
+    travels with the table, and every future OPTIMIZE (the nightly
+    compaction job at 100 TB) re-applies it with zero caller
+    knowledge. Pruning + domain persistence + refusals are pinned in
+    tests/test_delta_compat.py; the exact row filter rides the pruned
+    scan, so the result equals the plain filter regardless of layout."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s49_orders_clustered")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 0"), table)
+    delta_compat.append_delta(orders.filter("o_orderkey % 2 = 1"), table)
+    delta_compat.enable_clustering(table, ["o_totalprice", "o_custkey"])
+    delta_compat.optimize_delta(spark, table, target_partitions=8)
+    pruned = delta_compat.read_delta(
+        spark, table, skip=("o_custkey", 0.0, 700.0)
+    )
+    return (
+        pruned.filter("o_custkey <= 700")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S49_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_custkey <= 700 GROUP BY 1"
+)
+
+
 def s48_version_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S48 — per-commit VERSION.checksum files (``<version>.crc``,
     round 12; VERDICT r11 item 4): three appends and a COW DELETE each
@@ -4060,6 +4113,7 @@ QUERIES = {
     "st26_streaming_quantile_mart": st26_streaming_quantile_mart,
     "s45_log_compaction": s45_log_compaction,
     "s48_version_checksums": s48_version_checksums,
+    "s49_liquid_clustering": s49_liquid_clustering,
     "s46_row_lineage_diff": s46_row_lineage_diff,
     "s47_cdf_obligation": s47_cdf_obligation,
 }
@@ -4122,6 +4176,7 @@ ORACLES = {
     "st26_streaming_quantile_mart": _ST26_SQL,
     "s45_log_compaction": _S45_SQL,
     "s48_version_checksums": _S48_SQL,
+    "s49_liquid_clustering": _S49_SQL,
     "s46_row_lineage_diff": _S46_SQL,
     "s47_cdf_obligation": _S47_SQL,
 }

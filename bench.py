@@ -153,6 +153,7 @@ HEADLINE = [
     # round 12: per-commit VERSION.checksum lifecycle, unigram-LM
     # tokenizer training (Viterbi-EM) + its fertility audit
     "s48_version_checksums",
+    "s49_liquid_clustering",
     "x73_unigram_train",
     "x73b_unigram_fertility",
     "x74_late_interaction",

@@ -1353,6 +1353,113 @@ def test_optimize_zorder_real_prunes_trailing_dim(spark, tmp_path):
     )
 
 
+def test_liquid_clustering_lifecycle(spark, tmp_path):
+    """CLUSTER BY (round 12): enable_clustering mints clustering +
+    domainMetadata features and records the column set in the
+    delta.clustering domain; a plain OPTIMIZE (no zorder_by) picks the
+    columns up from TABLE STATE and reclusters (dataChange:false,
+    trailing-dim pruning works); the domain survives appends and
+    checkpoints; re-running CLUSTER BY replaces the set; refusals:
+    unknown column, >4 columns, partitioned table, and user writes to
+    the delta.* domain stay refused."""
+    import json as _json
+
+    table = str(tmp_path / "clustered")
+    rows = [(i, i % 97, float((i * 31) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k long, val double")
+    dc.append_delta(df.filter("id % 2 = 0").repartition(4), table)
+    dc.append_delta(df.filter("id % 2 = 1").repartition(4), table)
+    v = dc.enable_clustering(table, ["k", "val"])
+    assert v == 2
+    snap = dc.snapshot(table)
+    feats = set(snap["protocol"].get("writerFeatures") or [])
+    assert {"clustering", "domainMetadata"} <= feats
+    cfg = _json.loads(snap["domain_metadata"]["delta.clustering"])
+    assert cfg == {"clusteringColumns": [["k"], ["val"]]}
+    assert dc._clustering_columns(snap) == ["k", "val"]
+    # plain OPTIMIZE reclusters from table state
+    v = dc.optimize_delta(spark, table, target_partitions=8)
+    assert v == 3
+    got = {
+        (r.id, r.k, r.val) for r in dc.read_delta(spark, table).collect()
+    }
+    assert got == set(rows)
+    snap = dc.snapshot(table)
+    assert all(snap["file_stats"][f] for f in snap["files"])
+    pruned = dc.read_delta(spark, table, skip=("val", 0.0, 100.0))
+    assert 0 < len(pruned.inputFiles()) < len(snap["files"])
+    # commitInfo records clusterBy (not zOrderBy) for the state-driven
+    # layout
+    with open(dc._commit_path(table, 3)) as f:
+        ci = [
+            _json.loads(line)["commitInfo"]
+            for line in f
+            if '"commitInfo"' in line
+        ][0]
+    assert _json.loads(ci["operationParameters"]["clusterBy"]) == [
+        "k", "val",
+    ]
+    assert _json.loads(ci["operationParameters"]["zOrderBy"]) == []
+    # the domain survives an append and a checkpoint
+    dc.append_delta(
+        spark.createDataFrame(
+            [(9999, 1, 1.0)], "id long, k long, val double"
+        ),
+        table,
+    )
+    dc.checkpoint_delta(table)
+    snap = dc.snapshot(table)
+    assert dc._clustering_columns(snap) == ["k", "val"]
+    # re-running CLUSTER BY replaces the set
+    dc.enable_clustering(table, ["val"])
+    assert dc._clustering_columns(dc.snapshot(table)) == ["val"]
+    # refusals
+    with pytest.raises(dc.DeltaProtocolError, match="not columns"):
+        dc.enable_clustering(table, ["nope"])
+    with pytest.raises(dc.DeltaProtocolError, match="at most"):
+        dc.enable_clustering(table, ["id", "k", "val", "id", "k"])
+    with pytest.raises(dc.DeltaProtocolError, match="system-controlled"):
+        dc.set_domain_metadata(table, "delta.clustering", {"x": "y"})
+    part = str(tmp_path / "clustered_part")
+    dc.append_delta(
+        df.withColumn("p", df.k % 2), part, partition_by=["p"]
+    )
+    with pytest.raises(dc.DeltaProtocolError, match="mutually exclusive"):
+        dc.enable_clustering(part, ["val"])
+
+
+def test_mapped_clustering_uses_physical_names(spark, tmp_path):
+    """Clustering × column mapping: the delta.clustering domain stores
+    PHYSICAL column names (the partitionColumns rule), enable takes
+    LOGICAL names after a rename, and the state-driven OPTIMIZE
+    reclusters correctly through the mapping."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "clustered_mapped")
+    rows = [(i, float((i * 31) % 1000)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, val double")
+    dc.append_delta(df.filter("id % 2 = 0").coalesce(2), table)
+    dc.append_delta(df.filter("id % 2 = 1").coalesce(2), table)
+    dc.enable_column_mapping(table, "name")
+    dc.rename_column(table, "val", "score")
+    dc.enable_clustering(table, ["score"])
+    snap = dc.snapshot(table)
+    cfg = _json.loads(snap["domain_metadata"]["delta.clustering"])
+    assert cfg == {"clusteringColumns": [["val"]]}  # physical name
+    assert dc._clustering_columns(snap) == ["score"]  # logical echo
+    dc.optimize_delta(spark, table, target_partitions=6)
+    out = dc.read_delta(spark, table)
+    assert out.count() == 1000
+    assert out.filter(F.col("score") < 100.0).count() == sum(
+        1 for _i, v in rows if v < 100.0
+    )
+    snap = dc.snapshot(table)
+    pruned = dc.read_delta(spark, table, skip=("score", 0.0, 100.0))
+    assert 0 < len(pruned.inputFiles()) < len(snap["files"])
+
+
 def test_multipart_checkpoint_replay(spark, tmp_path):
     """delta-spark splits large checkpoints into N parts
     (``{v}.checkpoint.{i}.{n}.parquet``); the reader must union the
