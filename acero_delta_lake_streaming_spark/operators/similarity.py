@@ -3174,6 +3174,122 @@ def _x3i_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X75 — two-stage Matryoshka ANN: narrow-prefix candidates, full re-rank
+# --------------------------------------------------------------------------
+
+_X75_DIM = 16   # candidate-stage prefix (16 of the stored 64 dims)
+_X75_C = 50     # candidates the narrow pass hands to the re-rank
+
+
+def x75_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 — the "store wide, serve narrow" SERVING path x64 only
+    audits (round 12): stage 1 scores every corpus vector on the
+    16-dim Matryoshka PREFIX (a per-row ``slice`` — at 100 TB the
+    narrow pass reads 1/4 of the vector bytes, and composes with
+    x3d's IVF for the indexed variant) and keeps the top-``_X75_C``
+    candidates per query; stage 2 fetches ONLY those candidates'
+    full 64-dim vectors by id and re-ranks exactly. Final emit is the
+    re-ranked top-``_TOPK`` with FULL-dim cosines — the production
+    two-stage retrieval stack (coarse cheap pass over everything,
+    exact pass over a bounded shortlist). Both stages use the
+    sequential-fold cosine (the prefix fold is a prefix of the same
+    op sequence, so both engines stay bit-identical); ranks break
+    ties (cos DESC, vec_id ASC).
+
+    Scale shape: one narrow corpus scan (broadcast 5-row query set,
+    no corpus shuffle), a per-query top-C TakeOrdered-equivalent
+    window over scored pairs, then an id-keyed join for C·Q full
+    vectors — the re-rank never touches the corpus. Recall vs the
+    exact full-dim top-k is whatever the prefix earns (x64 measures
+    it); the certificate here is the exact two-stage semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = f"slice(embedding, 1, {_X75_DIM})"
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(pre).alias("pe"),
+        F.expr(_norm_spark(pre)).alias("pnrm"),
+        F.expr(_norm_spark("embedding")).alias("nrm"),
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pe").alias("qpe"),
+        F.col("pnrm").alias("qpnrm"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pcos = (
+        F.expr(_dot_spark("pe", "qpe"))
+        / F.expr("nullif(pnrm * qpnrm, CAST(0.0 AS DOUBLE))")
+    ).alias("pcos")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("vec_id")
+    )
+    cands = (
+        corpus.select("vec_id", "pe", "pnrm")
+        .join(F.broadcast(
+            queries.select("query_id", "qpe", "qpnrm")
+        ))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pcos)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _X75_C)
+        .select("query_id", "vec_id")
+    )
+    fcos = (
+        F.expr(_dot_spark("embedding", "q_embedding"))
+        / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("cos")
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        cands.join(corpus.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", "q_embedding", "q_nrm")
+            ),
+            "query_id",
+        )
+        .select("query_id", "vec_id", fcos)
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id", "vec_id", "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def _x75_sql() -> str:
+    pre_c = f"list_slice(c.embedding, 1, {_X75_DIM})"
+    pre_q = f"list_slice(q.embedding, 1, {_X75_DIM})"
+    return (
+        "WITH scored AS (SELECT vec_id, embedding, "
+        f"{_norm_duck('embedding')} AS nrm FROM embeddings), "
+        "cand AS (SELECT query_id, vec_id FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        f"{_dot_duck(pre_c, pre_q)} / "
+        f"nullif({_norm_duck(pre_c)} * {_norm_duck(pre_q)}, "
+        "CAST(0.0 AS DOUBLE)) DESC, c.vec_id ASC) AS rk "
+        "FROM embeddings c CROSS JOIN embeddings q "
+        f"WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id) "
+        f"WHERE rk <= {_X75_C}), "
+        "rr AS (SELECT k.query_id, k.vec_id, "
+        f"{_dot_duck('c.embedding', 'q.embedding')} / (c.nrm * q.nrm) "
+        "AS cos FROM cand k "
+        "JOIN scored c ON c.vec_id = k.vec_id "
+        "JOIN scored q ON q.vec_id = k.query_id) "
+        "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, "
+        "round(cos, 6) AS cosine FROM ("
+        "SELECT query_id, vec_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank "
+        f"FROM rr) WHERE rank <= {_TOPK}"
+    )
+
+
 QUERIES = {
     "x3_cosine_topk": x3_cosine_topk,
     "x3b_ann_lsh": x3b_ann_lsh,
@@ -3197,6 +3313,7 @@ QUERIES = {
     "x52_quantizer_drift": x52_quantizer_drift,
     "x59_cluster_purity": x59_cluster_purity,
     "x64_matryoshka_recall": x64_matryoshka_recall,
+    "x75_two_stage_ann": x75_two_stage_ann,
 }
 
 ORACLES = {
@@ -3222,4 +3339,5 @@ ORACLES = {
     "x52_quantizer_drift": _x52_sql(),
     "x59_cluster_purity": _x59_sql(),
     "x64_matryoshka_recall": _x64_sql(),
+    "x75_two_stage_ann": _x75_sql(),
 }

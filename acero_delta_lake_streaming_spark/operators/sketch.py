@@ -1487,6 +1487,145 @@ _DQ11_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# DQ12 — inter-rater agreement (Cohen's kappa) between two labelers
+# --------------------------------------------------------------------------
+
+_DQ12_D2_SPARK = "instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1"
+_DQ12_D2_DUCK = "strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1"
+# two deterministic mocked labelers (ud1's pattern) sharing a real
+# signal (document length) but reading different md5 digits and
+# thresholds — correlated, with genuine off-diagonal disagreement
+_DQ12_LA = (
+    "CASE WHEN n_chars >= 300 THEN 2 WHEN ({d1}) >= 8 THEN 1 "
+    "ELSE 0 END"
+)
+_DQ12_LB = (
+    "CASE WHEN n_chars >= 280 THEN 2 WHEN ({d2}) >= 6 THEN 1 "
+    "ELSE 0 END"
+)
+
+
+def dq12_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ12 — INTER-RATER AGREEMENT audit (Cohen's kappa), the
+    validation gate before model-scored labels drive corpus decisions
+    with more than one scorer in play (two classifier versions, a
+    classifier vs a heuristic, model vs human sample): raw agreement
+    po overstates consensus when the label marginals are skewed, so
+    kappa = (po − pe)/(1 − pe) discounts chance agreement from the
+    marginals. Certificate: the full contingency table (each cell with
+    its share in bp) plus po/pe/kappa summary rows — all EXACT
+    integers (po_bp = 10000·Σdiag DIV N; pe_bp = 10000·Σ row_k·col_k
+    DIV N²; kappa_bp = 10000·(po_bp − pe_bp) DIV (10000 − pe_bp)), so
+    any drift in either labeler or the algebra flips a row. The two
+    fixture labelers are deterministic mocked models (dq11/ud1's
+    pattern); the operator consumes any (label_a, label_b) pair
+    stream.
+
+    Scale shape: ONE hash-agg on the ≤|classes|² key (map-side
+    partials; a 9-row shuffle here) — everything after the first
+    aggregate is constant-size. N² in pe's numerator overflows BIGINT
+    past ~3·10⁹ rows: at that scale accumulate the marginal products
+    in decimal(38,0) (the CLAUDE.md large-sum rule) — the fixture
+    stays in exact BIGINT."""
+    d1 = "instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.selectExpr(
+        _DQ12_LA.format(d1=d1) + " AS la",
+        _DQ12_LB.format(d2=_DQ12_D2_SPARK) + " AS lb",
+    )
+    cells = (
+        lab.groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.expr("CASE WHEN la = lb THEN n ELSE 0 END"))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    rows_m = cells.groupBy("la").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    cols_m = cells.groupBy(F.col("lb").alias("la")).agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    pe_prod = (
+        rows_m.join(cols_m, "la", "full_outer")
+        .selectExpr(
+            "coalesce(row_n, CAST(0 AS BIGINT)) * "
+            "coalesce(col_n, CAST(0 AS BIGINT)) AS p"
+        )
+        .agg(F.sum("p").cast("bigint").alias("pe_num"))
+    )
+    stats = (
+        tot.crossJoin(F.broadcast(pe_prod))
+        .selectExpr(
+            "nn",
+            "10000 * diag DIV nn AS po_bp",
+            "10000 * pe_num DIV (nn * nn) AS pe_bp",
+        )
+        .selectExpr(
+            "nn", "po_bp", "pe_bp",
+            "10000 * (po_bp - pe_bp) DIV (10000 - pe_bp) AS kappa_bp",
+        )
+    )
+    cell_rows = cells.crossJoin(F.broadcast(tot.select("nn"))).selectExpr(
+        "'cell' AS part",
+        "CAST(la AS BIGINT) AS la",
+        "CAST(lb AS BIGINT) AS lb",
+        "n",
+        "10000 * n DIV nn AS value_bp",
+    )
+    summary = stats.selectExpr(
+        "stack(3, 'po', po_bp, 'pe', pe_bp, 'kappa', kappa_bp) "
+        "AS (part, value_bp)",
+        "nn",
+    ).selectExpr(
+        "part",
+        "CAST(-1 AS BIGINT) AS la",
+        "CAST(-1 AS BIGINT) AS lb",
+        "nn AS n",
+        "value_bp",
+    )
+    return cell_rows.unionByName(summary)
+
+
+_DQ12_SQL = (
+    "WITH lab AS (SELECT "
+    + _DQ12_LA.format(
+        d1="strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1"
+    )
+    + " AS la, "
+    + _DQ12_LB.format(d2=_DQ12_D2_DUCK)
+    + " AS lb FROM documents), "
+    "cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n "
+    "FROM lab GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, "
+    "CAST(sum(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS diag "
+    "FROM cells), "
+    "rm AS (SELECT la, CAST(sum(n) AS BIGINT) AS row_n "
+    "FROM cells GROUP BY 1), "
+    "cm AS (SELECT lb AS la, CAST(sum(n) AS BIGINT) AS col_n "
+    "FROM cells GROUP BY 1), "
+    "pe AS (SELECT CAST(sum(coalesce(row_n, 0) * coalesce(col_n, 0)) "
+    "AS BIGINT) AS pe_num "
+    "FROM rm FULL OUTER JOIN cm USING (la)), "
+    "stats AS (SELECT nn, 10000 * diag // nn AS po_bp, "
+    "10000 * pe_num // (nn * nn) AS pe_bp "
+    "FROM tot CROSS JOIN pe), "
+    "stats2 AS (SELECT nn, po_bp, pe_bp, "
+    "10000 * (po_bp - pe_bp) // (10000 - pe_bp) AS kappa_bp "
+    "FROM stats) "
+    "SELECT 'cell' AS part, CAST(la AS BIGINT) AS la, "
+    "CAST(lb AS BIGINT) AS lb, n, "
+    "10000 * n // (SELECT nn FROM tot) AS value_bp FROM cells "
+    "UNION ALL SELECT 'po', -1, -1, nn, po_bp FROM stats2 "
+    "UNION ALL SELECT 'pe', -1, -1, nn, pe_bp FROM stats2 "
+    "UNION ALL SELECT 'kappa', -1, -1, nn, kappa_bp FROM stats2"
+)
+
+
 QUERIES = {
     "x13_kmv_distinct": x13_kmv_distinct,
     "dq1_column_profile": dq1_column_profile,
@@ -1504,6 +1643,7 @@ QUERIES = {
     "x67_histogram_quantiles": x67_histogram_quantiles,
     "dq10_key_uniqueness": dq10_key_uniqueness,
     "dq11_calibration_audit": dq11_calibration_audit,
+    "dq12_agreement_audit": dq12_agreement_audit,
 }
 
 ORACLES = {
@@ -1523,4 +1663,5 @@ ORACLES = {
     "x67_histogram_quantiles": _X67_SQL,
     "dq10_key_uniqueness": _DQ10_SQL,
     "dq11_calibration_audit": _DQ11_SQL,
+    "dq12_agreement_audit": _DQ12_SQL,
 }

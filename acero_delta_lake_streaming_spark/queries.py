@@ -86,7 +86,7 @@ _PRIORITY = [
     # -- new round 12 (never driver-recorded) --
     "s48_version_checksums", "s49_liquid_clustering", "x73_unigram_train",
     "x73b_unigram_fertility", "x74_late_interaction",
-    "x5h_jpeg_decode",
+    "x5h_jpeg_decode", "x75_two_stage_ann", "dq12_agreement_audit",
     # -- changed-hash round-12 queries --
     "x3i_graph_ann", "x71_typo_pairs", "x71b_typo_pairs_ed2",
     "x72_mmr_rerank",

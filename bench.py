@@ -158,6 +158,8 @@ HEADLINE = [
     "x73b_unigram_fertility",
     "x74_late_interaction",
     "x5h_jpeg_decode",
+    "x75_two_stage_ann",
+    "dq12_agreement_audit",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
