@@ -413,3 +413,114 @@ def test_x72_mmr_matches_python_greedy(spark, sf_dir):
         sel.append(best[0])
         expect.append((t, best[0], math.floor(best[1] * 1e9)))
     assert sorted(got) == sorted(expect), (got, expect)
+
+
+def test_x74_matches_python_replay(spark, sf_dir):
+    """x74 vs a from-scratch Python late-interaction replay over the
+    same pool: BM25/QL top-25 ranks, Rocchio PRF query (elementwise
+    sum of the BM25 top-3 embeddings in doc_id order, float64),
+    per-pair e9-floored slice cosines with the same sequential fold,
+    maxsim, three-arm integer RRF. The oracle replays the same SQL
+    formula, so it can't catch a formula bug both sides share; this
+    replay can. Exact equality on every emitted row."""
+    import math
+
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _RRF_K,
+        _RRF_TOP,
+        _TOPK,
+        _X74_D,
+        _X74_MISS,
+        _X74_PRF,
+        _X74_T,
+        _bm25_scored,
+        _ql_scored,
+        x74_late_interaction,
+    )
+    from acero_delta_lake_streaming_spark.catalog import load_table
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    def ranks(rows):
+        top = sorted(rows, key=lambda t: (-t[1], t[0]))[:_TOPK]
+        return {d: i + 1 for i, (d, _s) in enumerate(top)}
+
+    try:
+        bm = ranks([
+            (r["doc_id"], r["score_e9"])
+            for r in _bm25_scored(spark, sf_dir).collect()
+        ])
+        release_scoped()
+        ql = ranks([
+            (r["doc_id"], r["score_e9"])
+            for r in _ql_scored(spark, sf_dir).collect()
+        ])
+        release_scoped()
+        emb = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        got = {
+            r["doc_id"]: (
+                r["rank_bm25"], r["rank_ql"], r["rank_li"],
+                r["li_e9"], r["rrf_e6"],
+            )
+            for r in x74_late_interaction(spark, sf_dir).collect()
+        }
+    finally:
+        release_scoped()
+
+    # PRF query: elementwise sum of bm25 top-3 embeddings, doc_id order
+    prf_ids = sorted(d for d, rk in bm.items() if rk <= _X74_PRF)
+    qv = [0.0] * len(emb[prf_ids[0]])
+    for d in prf_ids:
+        qv = [a + b for a, b in zip(qv, emb[d])]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def maxsim(de):
+        total = 0
+        for t in range(_X74_T):
+            qs_ = qv[_X74_D * t:_X74_D * (t + 1)]
+            qn = math.sqrt(fold_dot(qs_, qs_))
+            best = None
+            for j in range(_X74_T):
+                ds = de[_X74_D * j:_X74_D * (j + 1)]
+                dn = math.sqrt(fold_dot(ds, ds))
+                denom = qn * dn
+                if denom == 0.0:
+                    continue
+                c = math.floor(1e9 * (fold_dot(qs_, ds) / denom))
+                best = c if best is None else max(best, c)
+            total += best if best is not None else 0
+        return total
+
+    pool = sorted(set(bm) | set(ql))
+    dense = {
+        d: (maxsim(emb[d]) if d in emb else _X74_MISS) for d in pool
+    }
+    li_rank = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(pool, key=lambda d: (-dense[d], d))
+        )
+    }
+    expected = {}
+    for d in pool:
+        rb, rq, rl = bm.get(d, 0), ql.get(d, 0), li_rank[d]
+        rrf = (
+            (1000000 // (_RRF_K + rb) if rb else 0)
+            + (1000000 // (_RRF_K + rq) if rq else 0)
+            + 1000000 // (_RRF_K + rl)
+        )
+        expected[d] = (rb, rq, rl, dense[d], rrf)
+    want = dict(
+        sorted(expected.items(), key=lambda kv: (-kv[1][4], kv[0]))
+        [:_RRF_TOP]
+    )
+    assert got == want

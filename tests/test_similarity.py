@@ -231,3 +231,37 @@ def test_graph_ann_recall_floor(spark, sf_dir):
         len(set(top5) & ann[q]) / len(top5) for q, top5 in exact.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_two_stage_ann_recall_floor(spark, sf_dir):
+    """x75's narrow-prefix candidate pass (16 of 64 dims, top-50) +
+    full re-rank must keep ≥0.2 mean recall@10 vs brute force —
+    measured 0.44 at sf0.001 / 0.48 at sf0.01 / 0.32 at sf0.1 (the
+    dim-16 truncation physics x64 measures; weakly-clustered fixture
+    vectors). The floor guards a broken candidate or re-rank stage,
+    not physics. Soundness: results are true corpus vectors, never
+    the query itself, and ranks are dense 1..k per query."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        x75_two_stage_ann,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    exact = collections.defaultdict(set)
+    for r in x3_cosine_topk(spark, sf_dir).collect():
+        exact[r.query_id].add(r.vec_id)  # x3 IS the exact top-10
+    try:
+        rows = x75_two_stage_ann(spark, sf_dir).collect()
+    finally:
+        release_scoped()
+    got = collections.defaultdict(set)
+    ranks = collections.defaultdict(list)
+    for r in rows:
+        assert r.vec_id != r.query_id
+        got[r.query_id].add(r.vec_id)
+        ranks[r.query_id].append(r.rank)
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), q
+    recalls = [
+        len(t & got[q]) / len(t) for q, t in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
