@@ -1808,6 +1808,7 @@ def append_delta(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     identity: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Append-only Delta writer: distributed parquet write, then one
     driver-side JSON commit (protocol + metaData on create, adds
@@ -1851,7 +1852,19 @@ def append_delta(
     ``allow_explicit`` (GENERATED BY DEFAULT), which bumps the mark to
     max(mark, supplied). Identity appends never rebase after a lost
     race (the winner may have minted the same range — same
-    non-retryable class as schema changes)."""
+    non-retryable class as schema changes).
+
+    ``cluster_by`` (creation only): ``CREATE TABLE ... CLUSTER BY`` —
+    delta-spark creates liquid-clustered tables from birth: commit 0
+    carries writer version 7 with the ``clustering`` +
+    ``domainMetadata`` features and the ``delta.clustering`` domain
+    (same state ``enable_clustering`` mints on an existing table), so
+    the very first ``optimize_delta`` with no explicit ``zorder_by``
+    already reclusters on these columns. Shares ``enable_clustering``'s
+    refusals (empty/unknown columns, more than four, partitioned —
+    clustering and hive partitioning are mutually exclusive) and
+    additionally refuses on an EXISTING table, where the ALTER verb is
+    the correct surface."""
     if txn is not None and last_txn_version(table, txn[0]) >= txn[1]:
         return -1
     partition_by = list(partition_by or [])
@@ -1883,6 +1896,30 @@ def append_delta(
             bool(identity.get("allow_explicit", False)),
             _istart + _istep * (_n0 - 1) if _n0 else None,
         )
+    if cluster_by is not None:
+        if version > 0:
+            raise DeltaProtocolError(
+                "cluster_by= declares the layout at table CREATION; use "
+                "enable_clustering to alter an existing table"
+            )
+        if partition_by:
+            raise DeltaProtocolError(
+                "CLUSTER BY: clustering and hive partitioning are "
+                "mutually exclusive"
+            )
+        if not cluster_by:
+            raise DeltaProtocolError("CLUSTER BY: empty column list")
+        if len(cluster_by) > _CLUSTERING_MAX_COLS:
+            raise DeltaProtocolError(
+                f"CLUSTER BY: at most {_CLUSTERING_MAX_COLS} clustering "
+                f"columns (got {len(cluster_by)})"
+            )
+        _cb_unknown = set(cluster_by) - set(df.columns)
+        if _cb_unknown:
+            raise DeltaProtocolError(
+                f"CLUSTER BY: {sorted(_cb_unknown)} are not columns of "
+                "the created schema"
+            )
     evolved_schema_json: str | None = None
     evolved_meta_id: str | None = None
     evolved_config: dict | None = None
@@ -2102,6 +2139,10 @@ def append_delta(
             wfeats = (["variantType"] if has_variant else []) + (
                 ["collations"] if has_coll else []
             )
+            if cluster_by is not None:
+                wfeats = sorted(
+                    set(wfeats) | {"clustering", "domainMetadata"}
+                )
             proto: dict = {
                 "minReaderVersion": 3 if has_variant else 1,
                 "minWriterVersion": 7,
@@ -2110,6 +2151,21 @@ def append_delta(
             if has_variant:
                 proto["readerFeatures"] = ["variantType"]
             actions.append({"protocol": proto})
+        elif cluster_by is not None:
+            # CREATE ... CLUSTER BY: born at writer 7 — legacy implied
+            # features become explicit flags (the table-features rule)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(
+                            _legacy_writer_features(proto_w)
+                            | {"clustering", "domainMetadata"}
+                        ),
+                    }
+                }
+            )
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1,
@@ -2127,6 +2183,20 @@ def append_delta(
                 }
             }
         )
+        if cluster_by is not None:
+            # creation schema carries no column mapping, so logical
+            # names ARE the physical names the domain must store
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": _CLUSTERING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cluster_by]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     if evolved_schema_json is not None:
         # metaData.id is the TABLE id and configuration holds the
         # table's properties (CDF flag, appendOnly, ...) — both are
@@ -2150,12 +2220,19 @@ def append_delta(
                      "lastUpdated": int(time.time() * 1000)}}
         )
     actions.extend(adds)
+    _op_params: dict = {"mode": "Append"}
+    if cluster_by is not None:
+        _op_params["clusterBy"] = json.dumps(cluster_by)
     actions.append(
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
-                "operation": "WRITE",
-                "operationParameters": {"mode": "Append"},
+                "operation": (
+                    "CREATE TABLE AS SELECT"
+                    if cluster_by is not None
+                    else "WRITE"
+                ),
+                "operationParameters": _op_params,
             }
         }
     )

@@ -2084,6 +2084,62 @@ _S49_SQL = (
 )
 
 
+def s49b_cluster_by_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S49b — ``CREATE TABLE ... CLUSTER BY`` (round 13; VERDICT r12
+    item 4): s49's constructor-path twin. The CREATING append itself
+    carries ``cluster_by=["o_totalprice", "o_custkey"]``, so commit 0
+    is born at writer 7 with the ``clustering`` + ``domainMetadata``
+    features and the ``delta.clustering`` domain — no ALTER step ever
+    runs. A second plain append lands unclustered (appends stay cheap;
+    the spec makes incremental clustering OPTIMIZE's job), then the
+    FIRST ``optimize_delta`` — no explicit ZORDER BY, no caller
+    knowledge — reclusters from the birth state and the read prunes on
+    the trailing clustering dimension through per-add stats. This is
+    the delta-spark ``CREATE TABLE t CLUSTER BY (a, b) AS SELECT``
+    surface: at 100 TB a table's layout policy is fixed at creation by
+    the team that owns it, and every later writer/compactor inherits it
+    from table state. Refusals (existing table, partitioned, >4 cols,
+    unknown cols) shared with s49 and pinned in
+    tests/test_delta_compat.py. Reference anchor: the Delta ACID
+    surface (collector.py:219-226) via delta-spark's writer."""
+    from acero_delta_lake_streaming_spark.storage import delta_compat
+
+    table = _scratch(sf_dir, "s49b_orders_cluster_create")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_compat.append_delta(
+        orders.filter("o_orderkey % 3 <> 2"),
+        table,
+        cluster_by=["o_totalprice", "o_custkey"],
+    )
+    delta_compat.append_delta(orders.filter("o_orderkey % 3 = 2"), table)
+    delta_compat.optimize_delta(spark, table, target_partitions=8)
+    pruned = delta_compat.read_delta(
+        spark, table, skip=("o_custkey", 0.0, 500.0)
+    )
+    return (
+        pruned.filter("o_custkey <= 500")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+_S49B_SQL = (
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) "
+    "AS cents FROM orders WHERE o_custkey <= 500 GROUP BY 1"
+)
+
+
 def s48_version_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S48 — per-commit VERSION.checksum files (``<version>.crc``,
     round 12; VERDICT r11 item 4): three appends and a COW DELETE each
@@ -4114,6 +4170,7 @@ QUERIES = {
     "s45_log_compaction": s45_log_compaction,
     "s48_version_checksums": s48_version_checksums,
     "s49_liquid_clustering": s49_liquid_clustering,
+    "s49b_cluster_by_create": s49b_cluster_by_create,
     "s46_row_lineage_diff": s46_row_lineage_diff,
     "s47_cdf_obligation": s47_cdf_obligation,
 }
@@ -4177,6 +4234,7 @@ ORACLES = {
     "s45_log_compaction": _S45_SQL,
     "s48_version_checksums": _S48_SQL,
     "s49_liquid_clustering": _S49_SQL,
+    "s49b_cluster_by_create": _S49B_SQL,
     "s46_row_lineage_diff": _S46_SQL,
     "s47_cdf_obligation": _S47_SQL,
 }

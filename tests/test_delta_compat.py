@@ -1428,6 +1428,71 @@ def test_liquid_clustering_lifecycle(spark, tmp_path):
         dc.enable_clustering(part, ["val"])
 
 
+def test_cluster_by_at_creation(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY (round 13, s49b): the creating
+    append mints writer 7 + clustering/domainMetadata features and the
+    delta.clustering domain in COMMIT 0; a later plain append keeps the
+    domain; the first state-driven OPTIMIZE reclusters and prunes;
+    refusals: existing table, partitioned creation, >4 cols, unknown
+    col, empty list."""
+    import json as _json
+
+    table = str(tmp_path / "born_clustered")
+    rows = [(i, i % 97, float((i * 31) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k long, val double")
+    v = dc.append_delta(
+        df.filter("id % 2 = 0").repartition(4), table,
+        cluster_by=["k", "val"],
+    )
+    assert v == 0
+    snap = dc.snapshot(table)
+    proto = snap["protocol"]
+    assert proto["minWriterVersion"] == 7
+    feats = set(proto.get("writerFeatures") or [])
+    assert {"clustering", "domainMetadata", "appendOnly"} <= feats
+    cfg = _json.loads(snap["domain_metadata"]["delta.clustering"])
+    assert cfg == {"clusteringColumns": [["k"], ["val"]]}
+    with open(dc._commit_path(table, 0)) as f:
+        ci = [
+            _json.loads(line)["commitInfo"]
+            for line in f
+            if '"commitInfo"' in line
+        ][0]
+    assert ci["operation"] == "CREATE TABLE AS SELECT"
+    assert _json.loads(ci["operationParameters"]["clusterBy"]) == [
+        "k", "val",
+    ]
+    # plain append keeps the birth state; first OPTIMIZE reclusters
+    dc.append_delta(df.filter("id % 2 = 1").repartition(4), table)
+    assert dc._clustering_columns(dc.snapshot(table)) == ["k", "val"]
+    dc.optimize_delta(spark, table, target_partitions=8)
+    got = {
+        (r.id, r.k, r.val) for r in dc.read_delta(spark, table).collect()
+    }
+    assert got == set(rows)
+    snap = dc.snapshot(table)
+    pruned = dc.read_delta(spark, table, skip=("val", 0.0, 100.0))
+    assert 0 < len(pruned.inputFiles()) < len(snap["files"])
+    # refusals
+    with pytest.raises(dc.DeltaProtocolError, match="CREATION"):
+        dc.append_delta(df, table, cluster_by=["k"])
+    with pytest.raises(dc.DeltaProtocolError, match="mutually exclusive"):
+        dc.append_delta(
+            df.withColumn("p", df.k % 2), str(tmp_path / "cb_part"),
+            partition_by=["p"], cluster_by=["val"],
+        )
+    with pytest.raises(dc.DeltaProtocolError, match="at most"):
+        dc.append_delta(
+            df, str(tmp_path / "cb_many"),
+            cluster_by=["id", "k", "val", "id", "k"],
+        )
+    with pytest.raises(dc.DeltaProtocolError, match="not columns"):
+        dc.append_delta(df, str(tmp_path / "cb_unknown"),
+                        cluster_by=["nope"])
+    with pytest.raises(dc.DeltaProtocolError, match="empty"):
+        dc.append_delta(df, str(tmp_path / "cb_empty"), cluster_by=[])
+
+
 def test_mapped_clustering_uses_physical_names(spark, tmp_path):
     """Clustering × column mapping: the delta.clustering domain stores
     PHYSICAL column names (the partitionColumns rule), enable takes
