@@ -326,6 +326,120 @@ class TransientFlakyProvider:
         return self.extract_batch_attempt(texts, 0)
 
 
+# --------------------------------------------------------------------------
+# Cross-encoder reranker provider seam (x76)
+# --------------------------------------------------------------------------
+
+
+class CrossEncoderProvider(Protocol):
+    """One batched cross-encoder round-trip: a query plus doc texts in,
+    raw score payloads out — the (query, doc)-pair twin of
+    :class:`ExtractionProvider`. Implementations must be picklable
+    (they ship to executors) and must return one string per input text,
+    never raising for a bad row (the UD3 rule): a valid reply is JSON
+    ``{"score_ppm": N}``; anything else quarantines downstream."""
+
+    def score_batch(self, query: str, texts: pd.Series) -> list[str]: ...
+
+
+class MockCrossEncoderProvider:
+    """Deterministic stand-in for a cross-encoder reranker (hermetic
+    tests + oracle): the score is a PURE FUNCTION of the (query, text)
+    pair, so the DuckDB oracle replays it in SQL and the x76 hash gate
+    certifies the whole mapInPandas → JVM-parse → fuse pipeline.
+
+    Rules (mirrored in x76's oracle, operators/retrieval.py):
+    * h = md5(query || '|' || text)
+    * h[0] == 'f'  → "ERROR: model refused to score" (→ quarantine)
+    * else         → ``{"score_ppm": int(h[1:5], 16)}``  (0..65535)
+    """
+
+    def score_batch(self, query: str, texts: pd.Series) -> list[str]:
+        out = []
+        for text in texts:
+            h = hashlib.md5(
+                f"{query}|{text}".encode("utf-8")
+            ).hexdigest()
+            if h[0] == "f":
+                out.append("ERROR: model refused to score")
+            else:
+                out.append(json.dumps({"score_ppm": int(h[1:5], 16)}))
+        return out
+
+
+class HttpCrossEncoderProvider:
+    """Rerank-wire provider (the production seam): POST
+    ``{base_url}/rerank`` with ``{model, query, documents}`` — the
+    rerank contract served by hosted cross-encoders — and read
+    ``results[i].relevance_score`` back as ``{"score_ppm":
+    floor(1e6·score)}`` strings. One request per Arrow batch (the
+    rerank wire is natively batched — no per-row fan-out needed).
+    Shares :class:`HttpExtractionProvider`'s failure taxonomy and
+    never raises: 429/5xx/transport → ``TRANSIENT_MARKER`` rows a
+    :class:`RetryingProvider`-style wrapper may re-send; other errors
+    → final ``ERROR`` strings that quarantine downstream. Requires an
+    explicit ``base_url``; hermetic runs use
+    :class:`MockCrossEncoderProvider`."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "rerank-v3",
+        api_key: str | None = None,
+        timeout: int = 30,
+    ):
+        if not base_url:
+            raise ValueError(
+                "HttpCrossEncoderProvider needs an explicit base_url; "
+                "use MockCrossEncoderProvider for hermetic runs"
+            )
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def score_batch(self, query: str, texts: pd.Series) -> list[str]:
+        import urllib.error
+        import urllib.request
+
+        items = list(texts)
+        if not items:
+            return []
+        payload = json.dumps(
+            {"model": self.model, "query": query, "documents": items}
+        ).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            f"{self.base_url}/rerank", data=payload, headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = json.load(resp)
+            scores: dict[int, float] = {
+                int(r["index"]): float(r["relevance_score"])
+                for r in (body.get("results") or [])
+            }
+            return [
+                json.dumps({"score_ppm": int(scores[i] * 1000000)})
+                if i in scores
+                else "ERROR: reply missing document index"
+                for i in range(len(items))
+            ]
+        except urllib.error.HTTPError as exc:
+            marker = (
+                f"{TRANSIENT_MARKER} HTTP {exc.code}"
+                if exc.code == 429 or exc.code >= 500
+                else f"ERROR: HTTP {exc.code}"
+            )
+            return [marker] * len(items)
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            return [f"{TRANSIENT_MARKER} {exc}"] * len(items)
+        except Exception as exc:  # noqa: BLE001 — quarantine, not crash
+            return [f"ERROR: {exc}"] * len(items)
+
+
 def extract_events_with_retry(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -822,6 +822,202 @@ def _x74_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# x76 — cross-encoder re-rank fused into the hybrid RRF
+# --------------------------------------------------------------------------
+
+_X76_QUERY = " ".join(_QUERY_TERMS)
+
+
+def cross_encoder_scores(
+    pool_txt: DataFrame, query: str, provider=None
+) -> DataFrame:
+    """Library form: score ``(doc_id, rank_bm25, rank_ql, text)`` pool
+    rows with a :class:`CrossEncoderProvider` inside ONE ``mapInPandas``
+    stage, parse JVM-side, and rank. The provider call happens on the
+    executor per Arrow batch (texts never round-trip through the
+    driver); the raw payload parses with PERMISSIVE ``from_json`` so a
+    provider failure string degrades to a quarantined row
+    (``ce_failed = 1``, ``rank_ce = 0`` — no dense contribution, the
+    x74 missing-embedding convention) instead of crashing the stage.
+    Tests drive planted-failure corpora through this exact plan."""
+    from acero_delta_lake_streaming_spark.functions.extract import (
+        MockCrossEncoderProvider,
+    )
+
+    provider = provider or MockCrossEncoderProvider()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rank_bm25": pdf["rank_bm25"],
+                    "rank_ql": pdf["rank_ql"],
+                    "raw": provider.score_batch(query, pdf["text"]),
+                }
+            )
+
+    scored = pool_txt.mapInPandas(
+        run,
+        "doc_id bigint, rank_bm25 bigint, rank_ql bigint, raw string",
+    )
+    ce_w = Window.orderBy(
+        F.asc("ce_failed"), F.desc("ce_ppm"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "ce_raw",
+            F.from_json("raw", "score_ppm BIGINT").getField("score_ppm"),
+        )
+        .withColumn(
+            "ce_failed",
+            F.when(F.col("ce_raw").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "ce_ppm", F.coalesce("ce_raw", F.lit(-1)).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(ce_w))
+        .withColumn(
+            "rank_ce",
+            F.expr(
+                "CAST(CASE WHEN ce_failed = 1 THEN 0 ELSE rn END "
+                "AS BIGINT)"
+            ),
+        )
+        .drop("raw", "ce_raw", "rn")
+    )
+
+
+def x76_cross_encoder_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X76 — CROSS-ENCODER re-rank fused into the hybrid RRF (VERDICT
+    r12 item 3): the production retrieval stack's last arm after
+    lexical (x21b/x61), late-interaction dense (x74) and diversity
+    (x72) — a (query, doc)-PAIR scorer over the fused lexical pool,
+    ud1's provider-seam pattern (functions/extract.py) applied to
+    reranking. The pool is the bm25 ∪ QL top-``_TOPK`` full-outer
+    fusion (≤2·TOPK docs); each pool doc's text is fetched by an
+    id-keyed join (the corpus is touched only by the lexical rankers'
+    inverted-index probes — pool-bounded like x72/x74), and ONE
+    Arrow-batched ``mapInPandas`` stage sends (query, text) pairs to
+    the :class:`CrossEncoderProvider`. The deterministic mock's score
+    is a pure md5 function of the pair, so the DuckDB oracle replays
+    the provider in SQL and the hash gate certifies the full
+    score → parse → quarantine → fuse pipeline; the wire seam
+    (``HttpCrossEncoderProvider``) swaps in per-batch rerank-API
+    calls with the UD4 transient/final taxonomy. Provider failures
+    (md5-gated 1/16 slice) quarantine: the row keeps its lexical
+    ranks, takes ``ce_failed = 1`` and contributes no cross-encoder
+    term — never crashes the stage (UD3). Ranks fuse as exact integer
+    rrf terms; no float ever enters the certificate. At 100 TB the
+    expensive model call touches ≤50 rows per query regardless of
+    corpus size — the reason cross-encoders are re-rankers, not
+    retrievers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    bm_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_bm25", F.row_number().over(rank_w))
+        .select("doc_id", "rank_bm25")
+    )
+    ql_top = (
+        _ql_scored(spark, sf_dir)
+        .orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rank_ql", F.row_number().over(rank_w))
+        .select("doc_id", "rank_ql")
+    )
+    pool = (
+        bm_top.join(ql_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0)).cast("bigint")
+            .alias("rank_bm25"),
+            F.coalesce("rank_ql", F.lit(0)).cast("bigint")
+            .alias("rank_ql"),
+        )
+    )
+    pool_txt = pool.join(docs, "doc_id")  # id-keyed text fetch
+    ce = cross_encoder_scores(pool_txt, _X76_QUERY)
+    return (
+        ce.withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CASE WHEN rank_bm25 > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_bm25) ELSE 0 END "
+                f"+ CASE WHEN rank_ql > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_ql) ELSE 0 END "
+                f"+ CASE WHEN rank_ce > 0 THEN "
+                f"1000000 DIV ({_RRF_K} + rank_ce) ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .select(
+            "doc_id", "rank_bm25", "rank_ql", "ce_ppm", "ce_failed",
+            "rank_ce", "rrf_e6",
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+
+
+def _x76_sql() -> str:
+    def dig(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+
+    score = (
+        f"(4096 * {dig(2)} + 256 * {dig(3)} + 16 * {dig(4)} + {dig(5)})"
+    )
+    return (
+        "WITH "
+        + _bm25_ctes("b_")
+        + ", "
+        + _ql_ctes("q_")
+        + ", "
+        "bm AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_bm25 "
+        "FROM (SELECT * FROM b_scored "
+        f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+        "qlr AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score_e9 DESC, doc_id ASC) AS BIGINT) AS rank_ql "
+        "FROM (SELECT * FROM q_scored "
+        f"ORDER BY score_e9 DESC, doc_id ASC LIMIT {_TOPK})), "
+        "pool AS (SELECT COALESCE(bm.doc_id, qlr.doc_id) AS doc_id, "
+        "COALESCE(bm.rank_bm25, 0) AS rank_bm25, "
+        "COALESCE(qlr.rank_ql, 0) AS rank_ql "
+        "FROM bm FULL OUTER JOIN qlr ON bm.doc_id = qlr.doc_id), "
+        "ce AS (SELECT p.doc_id, p.rank_bm25, p.rank_ql, "
+        f"md5(concat('{_X76_QUERY}', '|', d.text)) AS h "
+        "FROM pool p JOIN documents d ON d.doc_id = p.doc_id), "
+        "sc AS (SELECT doc_id, rank_bm25, rank_ql, "
+        "CAST(CASE WHEN substr(h, 1, 1) = 'f' THEN 1 ELSE 0 END "
+        "AS BIGINT) AS ce_failed, "
+        "CAST(CASE WHEN substr(h, 1, 1) = 'f' THEN -1 "
+        f"ELSE {score} END AS BIGINT) AS ce_ppm FROM ce), "
+        "rnk AS (SELECT *, row_number() OVER (ORDER BY ce_failed ASC, "
+        "ce_ppm DESC, doc_id ASC) AS rn FROM sc) "
+        "SELECT doc_id, rank_bm25, rank_ql, ce_ppm, ce_failed, "
+        "CAST(CASE WHEN ce_failed = 1 THEN 0 ELSE rn END AS BIGINT) "
+        "AS rank_ce, "
+        f"CAST(CASE WHEN rank_bm25 > 0 THEN "
+        f"1000000 // ({_RRF_K} + rank_bm25) ELSE 0 END "
+        f"+ CASE WHEN rank_ql > 0 THEN "
+        f"1000000 // ({_RRF_K} + rank_ql) ELSE 0 END "
+        f"+ CASE WHEN ce_failed = 0 THEN "
+        f"1000000 // ({_RRF_K} + rn) ELSE 0 END AS BIGINT) AS rrf_e6 "
+        f"FROM rnk ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {_RRF_TOP}"
+    )
+
+
+# --------------------------------------------------------------------------
 # x23 — edit-distance record linkage (distinct-first + blocking)
 # --------------------------------------------------------------------------
 
@@ -2096,6 +2292,7 @@ QUERIES = {
     "x71b_typo_pairs_ed2": x71b_typo_pairs_ed2,
     "x72_mmr_rerank": x72_mmr_rerank,
     "x74_late_interaction": x74_late_interaction,
+    "x76_cross_encoder_rerank": x76_cross_encoder_rerank,
 }
 
 ORACLES = {
@@ -2115,4 +2312,5 @@ ORACLES = {
     "x71b_typo_pairs_ed2": _X71B_SQL,
     "x72_mmr_rerank": _x72_sql(),
     "x74_late_interaction": _x74_sql(),
+    "x76_cross_encoder_rerank": _x76_sql(),
 }

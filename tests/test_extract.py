@@ -376,3 +376,125 @@ def test_http_provider_retry_taxonomy_end_to_end(spark):
     hits = {t.split(" ")[0]: n for t, n in stub.hits.items()}
     assert hits == {"ok": 1, "flaky": 2, "down": 3, "badauth": 1,
                     "slow": 2}
+
+
+class _RerankStub:
+    """Minimal rerank-wire stub: scores document i as (n - i) / 10 so
+    the index→row mapping is pinned; scriptable status code for the
+    failure-taxonomy test."""
+
+    def __init__(self, status: int = 200):
+        import http.server
+        import threading
+
+        stub = self
+        stub.requests: list[tuple[str, dict, dict]] = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                req = json.loads(self.rfile.read(n))
+                stub.requests.append((self.path, dict(self.headers), req))
+                if status != 200:
+                    self.send_response(status)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                docs = req["documents"]
+                body = json.dumps(
+                    {
+                        "results": [
+                            {
+                                "index": i,
+                                "relevance_score": (len(docs) - i) / 10,
+                            }
+                            for i in range(len(docs))
+                        ]
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self._srv.server_port}/v1"
+        threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        ).start()
+
+    def shutdown(self):
+        self._srv.shutdown()
+
+
+def test_http_cross_encoder_wire_shape():
+    """The rerank seam posts ONE batched request ({model, query,
+    documents}) and maps results[i].relevance_score back positionally
+    as {"score_ppm": floor(1e6*score)} strings."""
+    from acero_delta_lake_streaming_spark.functions.extract import (
+        HttpCrossEncoderProvider,
+    )
+
+    stub = _RerankStub()
+    try:
+        provider = HttpCrossEncoderProvider(
+            base_url=stub.base_url, api_key="sk-test"
+        )
+        out = provider.score_batch("q terms", pd.Series(["a", "b", "c"]))
+    finally:
+        stub.shutdown()
+    assert len(stub.requests) == 1  # natively batched: one POST
+    path, headers, req = stub.requests[0]
+    assert path == "/v1/rerank"
+    assert headers.get("Authorization") == "Bearer sk-test"
+    assert req["query"] == "q terms"
+    assert req["documents"] == ["a", "b", "c"]
+    assert [json.loads(o)["score_ppm"] for o in out] == [
+        300000, 200000, 100000,
+    ]
+
+
+def test_http_cross_encoder_failure_taxonomy():
+    """5xx and transport errors mark TRANSIENT (retryable); 4xx is a
+    final ERROR (quarantine); nothing raises."""
+    from acero_delta_lake_streaming_spark.functions.extract import (
+        TRANSIENT_MARKER,
+        HttpCrossEncoderProvider,
+        MockCrossEncoderProvider,
+    )
+
+    stub = _RerankStub(status=503)
+    try:
+        out = HttpCrossEncoderProvider(base_url=stub.base_url).score_batch(
+            "q", pd.Series(["a", "b"])
+        )
+    finally:
+        stub.shutdown()
+    assert all(o.startswith(TRANSIENT_MARKER) for o in out)
+
+    stub = _RerankStub(status=400)
+    try:
+        out = HttpCrossEncoderProvider(base_url=stub.base_url).score_batch(
+            "q", pd.Series(["a"])
+        )
+    finally:
+        stub.shutdown()
+    assert out[0].startswith("ERROR:") and not out[0].startswith(
+        TRANSIENT_MARKER
+    )
+
+    dead = HttpCrossEncoderProvider(base_url="http://127.0.0.1:9", timeout=1)
+    assert all(
+        o.startswith(TRANSIENT_MARKER)
+        for o in dead.score_batch("q", pd.Series(["a", "b"]))
+    )
+
+    with pytest.raises(ValueError, match="base_url"):
+        HttpCrossEncoderProvider(base_url="")
+
+    # the mock never raises either: empty batch, empty text
+    assert MockCrossEncoderProvider().score_batch("q", pd.Series([], dtype=object)) == []

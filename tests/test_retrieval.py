@@ -524,3 +524,56 @@ def test_x74_matches_python_replay(spark, sf_dir):
         [:_RRF_TOP]
     )
     assert got == want
+
+
+def test_x76_cross_encoder_quarantine_and_ranks(spark):
+    """Planted-failure corpus through the exact x76 mapInPandas plan
+    (cross_encoder_scores): md5-gated provider failures quarantine
+    (ce_failed = 1, rank_ce = 0, ce_ppm = -1) while KEEPING their
+    lexical ranks — the stage never crashes (UD3); surviving rows rank
+    1..k in (ce_ppm desc, doc_id) order; and every ce_ppm equals the
+    mock rule recomputed independently in Python."""
+    import hashlib
+
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        cross_encoder_scores,
+    )
+
+    query = "test query"
+    fails, oks = [], []
+    i = 0
+    while len(fails) < 3 or len(oks) < 9:
+        text = f"doc body {i}"
+        h = hashlib.md5(f"{query}|{text}".encode()).hexdigest()
+        (fails if h[0] == "f" else oks).append(text)
+        i += 1
+    texts = fails[:3] + oks[:9]
+    rows = [
+        (j, j + 1, 0 if j % 2 else j + 1, t) for j, t in enumerate(texts)
+    ]
+    pool = spark.createDataFrame(
+        rows, "doc_id long, rank_bm25 long, rank_ql long, text string"
+    )
+    out = {
+        r.doc_id: r for r in cross_encoder_scores(pool, query).collect()
+    }
+    assert len(out) == len(texts)
+    exp = {}
+    for j, t in enumerate(texts):
+        h = hashlib.md5(f"{query}|{t}".encode()).hexdigest()
+        exp[j] = None if h[0] == "f" else int(h[1:5], 16)
+    assert sum(1 for v in exp.values() if v is None) == 3  # exercised
+    for j, r in out.items():
+        if exp[j] is None:
+            assert (r.ce_failed, r.rank_ce, r.ce_ppm) == (1, 0, -1)
+        else:
+            assert r.ce_failed == 0 and r.ce_ppm == exp[j]
+        # lexical ranks ride through the Python stage untouched
+        assert (r.rank_bm25, r.rank_ql) == (j + 1, 0 if j % 2 else j + 1)
+    ok_sorted = sorted(
+        [j for j in exp if exp[j] is not None],
+        key=lambda j: (-exp[j], j),
+    )
+    assert [out[j].rank_ce for j in ok_sorted] == list(
+        range(1, len(ok_sorted) + 1)
+    )
