@@ -746,6 +746,18 @@ def _adaptive_sign_buckets(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     ppt = corpus.agg(F.count(F.lit(1)).alias("cnt")).select(
         F.expr(_PPT_SPARK).alias("ppt")
     )
+    return _sign_buckets_ppt(spark, corpus, ppt)
+
+
+def _sign_buckets_ppt(
+    spark: SparkSession, corpus: DataFrame, ppt: DataFrame
+) -> DataFrame:
+    """``_adaptive_sign_buckets`` with the plane count supplied as a
+    one-row ``(ppt,)`` frame instead of derived from ``corpus`` — the
+    stored-geometry path: st27 buckets each micro-batch against the
+    ppt its SEED corpus minted (bucketing state, like st18's stored
+    centroids), so incremental bucket keys stay comparable across
+    epochs."""
     planes = (
         spark.range(_N_TABLES * (_SEM_MAX_PLANES + 1))
         .withColumnRenamed("id", "p")
@@ -2999,6 +3011,30 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _X3I_DEG)
         .select("src", "dst")
     )
+    # Entry points from GRAPH state: the _X3I_HUBS highest-in-degree
+    # nodes (TakeOrdered — distributed, no global window), scored
+    # against every query. H x Q cosine folds per batch — corpus-
+    # independent, unlike the r11 %53 corpus sample this replaces.
+    hubs = (
+        graph.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc("dst"))
+        .limit(_X3I_HUBS)
+        .select(F.col("dst").alias("vec_id"))
+    )
+    return _x3i_walk(scored, graph, hubs)
+
+
+def _x3i_walk(
+    scored: DataFrame, graph: DataFrame, hubs: DataFrame
+) -> DataFrame:
+    """The bounded best-first walk shared by x3i (batch-built graph)
+    and st27 (incrementally-maintained graph state): score the
+    ``hubs`` entry set against every query (= ``scored`` rows with
+    vec_id < ``_N_QUERIES``), keep the best ``_X3I_ENTRIES`` starts,
+    expand ``_X3I_HOPS`` unrolled beam rounds over ``graph``, and emit
+    the visited top-5 per query. ``scored`` must carry
+    (vec_id, embedding, nrm)."""
     queries = scored.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
@@ -3010,17 +3046,6 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("cos")
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
-    )
-    # Entry points from GRAPH state: the _X3I_HUBS highest-in-degree
-    # nodes (TakeOrdered — distributed, no global window), scored
-    # against every query. H x Q cosine folds per batch — corpus-
-    # independent, unlike the r11 %53 corpus sample this replaces.
-    hubs = (
-        graph.groupBy("dst")
-        .agg(F.count(F.lit(1)).alias("indeg"))
-        .orderBy(F.desc("indeg"), F.asc("dst"))
-        .limit(_X3I_HUBS)
-        .select(F.col("dst").alias("vec_id"))
     )
     entries = (
         hubs.join(scored, "vec_id")
@@ -3067,13 +3092,21 @@ def x3i_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x3i_sql() -> str:
+def _x3i_sql(
+    corpus: str = "embeddings",
+    geom_src: str | None = None,
+    pre: list[str] | None = None,
+) -> str:
     """DuckDB replay of the exact walk: same adaptive-plane graph,
     same hub-derived entry choice, same unrolled beam rounds, same
-    tie-breaks."""
+    tie-breaks. ``corpus`` names the vector relation (st27 passes an
+    extended-corpus CTE); ``geom_src`` the relation whose COUNT sizes
+    the adaptive planes (st27: the seed — stored-geometry semantics;
+    default: the corpus itself); ``pre`` prepends the CTEs defining
+    those relations."""
     dot_sq = _dot_duck("s.embedding", "q.q_embedding")
-    ctes = [
-        "cnt AS (SELECT count(*) AS cnt FROM embeddings)",
+    ctes = list(pre or []) + [
+        f"cnt AS (SELECT count(*) AS cnt FROM {geom_src or corpus})",
         f"pp AS (SELECT {_PPT_DUCK} AS ppt FROM cnt)",
         (
             "planes AS (SELECT p, "
@@ -3088,11 +3121,12 @@ def _x3i_sql() -> str:
             "sum(CASE WHEN "
             f"{_dot_duck('e.embedding', 'pl.warr')} > 0 THEN (1 << pl.bit) "
             "ELSE 0 END) AS bucket "
-            "FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl)"
+            f"FROM {corpus} e CROSS JOIN planes pl "
+            "GROUP BY e.vec_id, pl.tbl)"
         ),
         (
             "scored AS (SELECT vec_id, embedding, "
-            f"{_norm_duck('embedding')} AS nrm FROM embeddings)"
+            f"{_norm_duck('embedding')} AS nrm FROM {corpus})"
         ),
         (
             "gpairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst "

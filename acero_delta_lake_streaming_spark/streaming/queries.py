@@ -1386,6 +1386,260 @@ def _st18_sql() -> str:
     )
 
 
+def st27_streaming_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST27 — incremental k-NN GRAPH maintenance for the graph ANN
+    (VERDICT r12 item 2): closes the ANN family's last ingest-time-state
+    gap. x3i builds its graph once per run; at 100 TB a nightly ingest
+    must NOT rebuild a corpus-scale graph per batch. Here the graph is
+    MAINTAINED STATE across micro-batches, st18's train-rarely shape
+    composed with x30's delta-probe:
+
+    * **seed** (the one corpus-scale pass): the adaptive plane count is
+      minted from the seed corpus and STORED (``st27-geom`` — bucketing
+      geometry is state, st18's stored-centroid rule, so incremental
+      bucket keys stay comparable forever), the seed's bucket-mate
+      edges are cosine-scored and stored, and the first hub refresh
+      lands.
+    * **per micro-batch** (two file-drop epochs: dimension-REVERSED
+      %5=2 copies, then NEGATED %7=3 copies — st18's fixtures): the
+      batch buckets against the STORED geometry, probes the stored
+      bucket table for its bucket-mates (new x (state ∪ new) only —
+      the O(batch x occupancy) x30 shape; old x old pairs are never
+      re-probed), scores ONLY those new edges via id-keyed embedding
+      joins, and appends edges + buckets + vectors exactly-once via
+      per-table ``(app_id, epoch)`` ledgers. The hub set (the walk's
+      entry state) refreshes per epoch from the accumulated edges —
+      a graph-linear in-degree aggregate, the cheap nightly part.
+
+    The certificate is EQUALITY WITH THE BATCH BUILD: because every
+    bucket-mate pair of the final corpus is inserted exactly once (by
+    the epoch of its later endpoint), the per-src top-``_X3I_DEG``
+    over the accumulated edge state IS x3i's graph over the same
+    corpus, and the returned walk (entries from the LAST hub refresh)
+    must hash-match the oracle's from-scratch x3i replay over
+    seed ∪ both epochs under the seed geometry. An engine that
+    re-mints geometry per batch (bucket keys shift), loses an epoch's
+    edges, double-applies a replayed epoch, or serves stale hubs
+    diverges from the batch build and fails the hash. O(batch) edge
+    work per epoch is measured in ``scale_probe.py`` (the incremental
+    probe stays flat across the corpus decade)."""
+    from pyspark.sql import Window
+
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _PPT_SPARK,
+        _X3I_DEG,
+        _X3I_HUBS,
+        _dot_spark,
+        _norm_spark,
+        _sign_buckets_ppt,
+        _x3i_walk,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
+    base = _scratch(sf_dir, "st27")
+    drop = os.path.join(base, "drop")
+    geom_tbl = os.path.join(base, "geom")
+    bk_tbl = os.path.join(base, "buckets")
+    emb_tbl = os.path.join(base, "vectors")
+    edge_tbl = os.path.join(base, "edges")
+    hub_tbl = os.path.join(base, "hubs")
+    cp = os.path.join(base, "cp")
+    os.makedirs(drop, exist_ok=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = emb.agg((F.max("vec_id") + 1).cast("bigint").alias("o"))
+
+    def pair_edges(
+        bk_probe: DataFrame, bk_state: DataFrame, emb_state: DataFrame
+    ) -> DataFrame:
+        # x30's delta-probe applied to edges: probe-side buckets join
+        # state-side buckets; normalized (src < dst) distinct pairs,
+        # cosine-scored through id-keyed embedding joins only.
+        pairs = (
+            bk_probe.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+            .join(
+                bk_state.select(
+                    F.col("vec_id").alias("b"), "tbl", "bucket"
+                ),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("src"),
+                F.greatest("a", "b").alias("dst"),
+            )
+            .distinct()
+        )
+        sc = emb_state.select(
+            "vec_id",
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+        return (
+            pairs.join(
+                sc.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("embedding").alias("s_emb"),
+                    F.col("nrm").alias("s_nrm"),
+                ),
+                "src",
+            )
+            .join(
+                sc.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("embedding").alias("d_emb"),
+                    F.col("nrm").alias("d_nrm"),
+                ),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                (
+                    F.expr(_dot_spark("s_emb", "d_emb"))
+                    / (F.col("s_nrm") * F.col("d_nrm"))
+                ).alias("cos"),
+            )
+        )
+
+    def graph_of(und: DataFrame) -> DataFrame:
+        wg = Window.partitionBy("src").orderBy(
+            F.desc("cos"), F.asc("dst")
+        )
+        return (
+            und.unionByName(
+                und.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "cos",
+                )
+            )
+            .withColumn("rk", F.row_number().over(wg))
+            .filter(F.col("rk") <= _X3I_DEG)
+            .select("src", "dst")
+        )
+
+    def refresh_hubs(epoch: int) -> None:
+        hubs = (
+            graph_of(deltalite.read(spark, edge_tbl))
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("indeg"))
+            .orderBy(F.desc("indeg"), F.asc("dst"))
+            .limit(_X3I_HUBS)
+            .select(
+                F.lit(epoch).cast("bigint").alias("hub_epoch"),
+                F.col("dst").alias("vec_id"),
+            )
+        )
+        deltalite.write(hubs, hub_tbl, app_id="st27-hubs", epoch=epoch)
+
+    # seed: mint the geometry ONCE, build the seed graph, first hubs
+    geom = emb.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.expr(_PPT_SPARK).alias("ppt")
+    )
+    deltalite.write(geom, geom_tbl, app_id="st27-geom", epoch=0)
+    ppt = deltalite.read(spark, geom_tbl)
+    bk0 = _sign_buckets_ppt(spark, emb, ppt)
+    deltalite.write(
+        pair_edges(bk0, bk0, emb), edge_tbl, app_id="st27-seed", epoch=0
+    )
+    deltalite.write(bk0, bk_tbl, app_id="st27-seed", epoch=0)
+    deltalite.write(emb, emb_tbl, app_id="st27-seed", epoch=0)
+    refresh_hubs(0)
+
+    e0 = emb.filter("vec_id % 5 = 2").crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + F.col("o")).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    e1 = emb.filter("vec_id % 7 = 3").crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + 2 * F.col("o")).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    f0 = os.path.join(drop, "b0.parquet")
+    f1 = os.path.join(drop, "b1.parquet")
+    write_single_parquet(e0, f0)
+    write_single_parquet(e1, f1)
+    os.utime(f0, (1_000_000,) * 2)
+    os.utime(f1, (2_000_000,) * 2)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bk_new = _sign_buckets_ppt(
+            spark, batch_df, deltalite.read(spark, geom_tbl)
+        )
+        bk_state = deltalite.read(spark, bk_tbl)  # pinned pre-append
+        emb_state = deltalite.read(spark, emb_tbl).unionByName(batch_df)
+        edges = pair_edges(
+            bk_new, bk_state.unionByName(bk_new), emb_state
+        )
+        deltalite.write(edges, edge_tbl, app_id="st27", epoch=epoch_id)
+        deltalite.write(bk_new, bk_tbl, app_id="st27-bk", epoch=epoch_id)
+        deltalite.write(
+            batch_df, emb_tbl, app_id="st27-emb", epoch=epoch_id
+        )
+        refresh_hubs(epoch_id + 1)
+
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # certificate: walk the MAINTAINED state (latest hub refresh)
+    scored = scoped_persist(
+        deltalite.read(spark, emb_tbl).select(
+            "vec_id",
+            "embedding",
+            F.expr(_norm_spark("embedding")).alias("nrm"),
+        )
+    )
+    graph = scoped_persist(graph_of(deltalite.read(spark, edge_tbl)))
+    hubs_all = deltalite.read(spark, hub_tbl)
+    mx = hubs_all.agg(F.max("hub_epoch").alias("mx"))
+    hubs = hubs_all.join(
+        F.broadcast(mx), F.col("hub_epoch") == F.col("mx")
+    ).select("vec_id")
+    return _x3i_walk(scored, graph, hubs)
+
+
+def _st27_sql() -> str:
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _x3i_sql,
+    )
+
+    o = "(SELECT max(vec_id) + 1 FROM embeddings)"
+    pre = [
+        (
+            f"e0 AS (SELECT vec_id + {o} AS vec_id, "
+            "list_reverse(embedding) AS embedding FROM embeddings "
+            "WHERE vec_id % 5 = 2)"
+        ),
+        (
+            f"e1 AS (SELECT vec_id + 2 * {o} AS vec_id, "
+            "list_transform(embedding, x -> -x) AS embedding "
+            "FROM embeddings WHERE vec_id % 7 = 3)"
+        ),
+        (
+            "corpus AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT * FROM e0 UNION ALL SELECT * FROM e1)"
+        ),
+    ]
+    # from-scratch x3i replay over the FINAL corpus under the SEED
+    # geometry — what the maintained state must equal bit-for-bit
+    return _x3i_sql(corpus="corpus", geom_src="embeddings", pre=pre)
+
+
 def st19_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST19 — streaming heavy hitters: the count-min sketch maintained
     INCREMENTALLY across micro-batches (x17's streaming twin). Each
@@ -1758,6 +2012,7 @@ QUERIES = {
     "st11_streaming_sessions": st11_streaming_sessions,
     "st17_streaming_neardup": st17_streaming_neardup,
     "st18_streaming_ivf_assign": st18_streaming_ivf_assign,
+    "st27_streaming_graph_ann": st27_streaming_graph_ann,
     "st19_streaming_heavy_hitters": st19_streaming_heavy_hitters,
     "st21_streaming_dedup_ledger": st21_streaming_dedup_ledger,
     "st22_streaming_quality_mart": st22_streaming_quality_mart,
@@ -1778,6 +2033,7 @@ ORACLES = {
     "st11_streaming_sessions": _ST11_SQL,
     "st17_streaming_neardup": _st17_sql(),
     "st18_streaming_ivf_assign": _st18_sql(),
+    "st27_streaming_graph_ann": _st27_sql(),
     "st19_streaming_heavy_hitters": _st19_sql(),
     "st21_streaming_dedup_ledger": _st21_sql(),
     "st22_streaming_quality_mart": _ST22_SQL,

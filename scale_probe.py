@@ -201,6 +201,61 @@ def main() -> None:
         }
         print(f"incremental_{tag}: {out[f'incremental_{tag}']}", file=sys.stderr)
 
+    # Incremental graph edges (st27, round 13): a FIXED batch of new
+    # vectors probes the bucket state of a 1x vs 10x corpus under each
+    # corpus's adaptive geometry. The adaptive plane count holds
+    # E[bucket] ~constant, so probe-edge volume must track the BATCH,
+    # not the corpus — the O(batch) nightly-ingest shape st27's
+    # foreachBatch sink ships (old x old pairs are never re-probed).
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _PPT_SPARK,
+        _sign_buckets_ppt,
+    )
+
+    delta_vec = emb.select("vec_id", "embedding").filter(
+        "vec_id % 5 = 2"
+    ).select(
+        (F.col("vec_id") + F.lit(90_000_000)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    for tag, e in (("x1", emb), ("x10", emb10.repartition(32))):
+        t0 = time.time()
+        corpus = e.select("vec_id", "embedding")
+        ppt = corpus.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.expr(_PPT_SPARK).alias("ppt")
+        )
+        bk_state = scoped_persist(_sign_buckets_ppt(spark, corpus, ppt))
+        bk_new = _sign_buckets_ppt(spark, delta_vec, ppt)
+        probe_n = (
+            bk_new.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+            .join(
+                bk_state.unionByName(bk_new).select(
+                    F.col("vec_id").alias("b"), "tbl", "bucket"
+                ),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("src"),
+                F.greatest("a", "b").alias("dst"),
+            )
+            .distinct()
+            .count()
+        )
+        n = corpus.count()
+        nb = delta_vec.count()
+        release_scoped()
+        out[f"graph_delta_{tag}"] = {
+            "corpus": n,
+            "batch": nb,
+            "probe_edges": probe_n,
+            "sec": round(time.time() - t0, 1),
+        }
+        print(
+            f"graph_delta_{tag}: {out[f'graph_delta_{tag}']}",
+            file=sys.stderr,
+        )
+
     # Round-9 additions (VERDICT r8 item 5): the round-8/9 dedup shapes
     # measured across the REAL fixture decade sf0.01 -> sf0.1 (500 ->
     # 5000 docs). x57's cost driver is the map-side pair expansion
@@ -449,6 +504,14 @@ def main() -> None:
             i10["probe_candidates"] / max(i1["probe_candidates"], 1), 2
         ),
         "incremental_corpus_ratio": round(i10["corpus"] / i1["corpus"], 2),
+        "graph_delta_probe_ratio": round(
+            out["graph_delta_x10"]["probe_edges"]
+            / max(out["graph_delta_x1"]["probe_edges"], 1), 2
+        ),
+        "graph_delta_corpus_ratio": round(
+            out["graph_delta_x10"]["corpus"]
+            / out["graph_delta_x1"]["corpus"], 2
+        ),
         # fixture decade (10x docs): candidate growth for the r8/r9 shapes
         "x57_struct_ratio": round(
             out["x57_s01"]["pair_structs"]

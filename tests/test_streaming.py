@@ -640,3 +640,64 @@ def test_stream_stream_full_outer_join(spark, tmp_path):
         for r in interval_click_full_join(batch).collect()
     ]
     assert sorted(batch_pairs, key=key) == sorted(got, key=key)
+
+
+def test_st27_graph_state_maintained_exactly_once(spark, sf_dir):
+    """st27's maintained graph state: every bucket-mate pair of the
+    final corpus is stored EXACTLY once (no cross-epoch duplicates —
+    the x30 probe never re-inserts old x old pairs), the read-side
+    graph honors the out-degree cap, hub refreshes exist for every
+    epoch (seed + one per batch) with the LAST refresh sized to the
+    hub pool, and replaying a committed epoch is refused by the
+    ledger."""
+    from acero_delta_lake_streaming_spark.operators.similarity import (
+        _X3I_DEG,
+        _X3I_HUBS,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+    from acero_delta_lake_streaming_spark.storage.queries import _scratch
+    from acero_delta_lake_streaming_spark.streaming.queries import (
+        st27_streaming_graph_ann,
+    )
+
+    out = st27_streaming_graph_ann(spark, sf_dir)
+    assert out.count() > 0
+    release_scoped()
+
+    base = os.path.join(
+        os.path.dirname(_scratch(sf_dir, "st27_probe")), "st27"
+    )
+    edge_tbl = os.path.join(base, "edges")
+    hub_tbl = os.path.join(base, "hubs")
+
+    und = deltalite.read(spark, edge_tbl)
+    n_edges = und.count()
+    assert und.select("src", "dst").distinct().count() == n_edges
+    assert und.filter("src >= dst").count() == 0  # normalized pairs
+
+    wdeg = und.unionByName(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+        )
+    ).groupBy("src").count()
+    # stored state holds ALL candidate edges; the read-side top-DEG
+    # window caps the graph — at least one node must exceed the cap
+    # for the cap to be doing work at this scale
+    assert wdeg.filter(F.col("count") > _X3I_DEG).count() > 0
+
+    hubs = deltalite.read(spark, hub_tbl)
+    epochs = sorted(
+        r.hub_epoch for r in hubs.select("hub_epoch").distinct().collect()
+    )
+    assert epochs == [0, 1, 2]  # seed refresh + one per micro-batch
+    assert (
+        hubs.filter(F.col("hub_epoch") == 2).count() == _X3I_HUBS
+    )
+
+    # a replayed epoch is refused by the ledger (exactly-once)
+    assert deltalite.has_committed(edge_tbl, "st27", 1)
+    v_before = deltalite.latest_version(edge_tbl)
+    deltalite.write(
+        und.limit(1), edge_tbl, app_id="st27", epoch=1
+    )
+    assert deltalite.latest_version(edge_tbl) == v_before
