@@ -375,6 +375,94 @@ def test_jpeg_malformed_raises():
         _decode_payload(jpg[:40], "jpeg")
     prog = bytearray(jpg)
     sof_at = bytes(prog).find(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2  # progressive
-    with _pytest.raises(ValueError, match="baseline"):
+    prog[sof_at + 1] = 0xC2  # SOF2 marker on a BASELINE scan script:
+    # the single Ss=0..Se=63 scan is an invalid progressive band
+    with _pytest.raises(ValueError, match="progressive scan band"):
         _decode_payload(bytes(prog), "jpeg")
+    lossless = bytearray(jpg)
+    lossless[sof_at + 1] = 0xC3  # lossless stays refused by name
+    with _pytest.raises(ValueError, match="only baseline"):
+        _decode_payload(bytes(lossless), "jpeg")
+
+
+def test_jpeg_progressive_roundtrip_dc_exact():
+    """decode(encode_progressive(payload)) == payload bit-exactly, and
+    pixel-identical to the baseline file of the same payload: the six
+    SOF2 scans (spectral selection + successive approximation) carry
+    x5h's exact coefficients."""
+    import hashlib
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _decode_payload,
+        _jpeg_decode,
+        _jpeg_encode,
+        _jpeg_encode_progressive,
+    )
+
+    for seed in range(40):
+        payload = hashlib.md5(str(seed).encode()).digest() * 2  # 32 B
+        prog = _jpeg_encode_progressive(payload)
+        assert prog[:2] == b"\xff\xd8" and prog[-2:] == b"\xff\xd9"
+        assert b"\xff\xc2" in prog  # SOF2
+        assert prog.count(b"\xff\xda") >= 6  # six scans
+        assert _jpeg_decode(prog) == _jpeg_decode(_jpeg_encode(payload))
+        assert _decode_payload(prog, "jpeg") == payload
+    for edge in (bytes([0] * 32), bytes([255] * 32), bytes(range(32)),
+                 bytes([0, 255] * 16)):
+        assert _decode_payload(
+            _jpeg_encode_progressive(edge), "jpeg"
+        ) == edge
+
+
+def test_jpeg_progressive_general_path_against_reference():
+    """The general progressive decode — nonzero ACs across both bands,
+    refinement magnitudes (history correction bits), newly-nonzero
+    coefficients appearing only at Al=0, EOBRUN, ZRL spans, and the
+    history-coefficient-after-the-16th-zero corner — pinned against a
+    direct IDCT of the same quantized coefficients."""
+    import random
+
+    import numpy as np
+
+    from acero_delta_lake_streaming_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _jpeg_decode,
+        _jpeg_pixels_from_spectra,
+        _jpeg_progressive_bytes,
+        _jpeg_quant_table,
+    )
+
+    q = _jpeg_quant_table()
+
+    def reference(zzq, n):
+        spectra = np.zeros((n, 64))
+        for bi in range(n):
+            for k in range(64):
+                spectra[bi, _JPEG_ZZ[k]] = zzq[bi, k] * q[k]
+        return _jpeg_pixels_from_spectra(spectra, 8 * n, 8, n)
+
+    rng = random.Random(7)
+    for trial in range(60):
+        n = rng.randint(1, 6)
+        zzq = np.zeros((n, 64), dtype=np.int64)
+        for bi in range(n):
+            zzq[bi, 0] = rng.randint(-60, 60)
+            for _ in range(rng.randint(0, 20)):
+                k = rng.randint(1, 63)
+                zzq[bi, k] = rng.choice(
+                    [-1, 1, -2, 2, -3, 3, -7, 9, -31, 33]
+                )
+        jpg = _jpeg_progressive_bytes(zzq, 8 * n, 8)
+        assert _jpeg_decode(jpg) == reference(zzq, n), trial
+
+    # corner: a long zero-history run whose ZRL span must interleave a
+    # history coefficient's correction bit, plus a late newly-nonzero
+    zzq = np.zeros((1, 64), dtype=np.int64)
+    zzq[0, 1] = 5
+    zzq[0, 20] = 3
+    zzq[0, 40] = 1
+    jpg = _jpeg_progressive_bytes(zzq, 8, 8)
+    assert _jpeg_decode(jpg) == reference(zzq, 1)
+    # truncated scan raises (quarantine)
+    with __import__("pytest").raises(ValueError):
+        _jpeg_decode(jpg[: len(jpg) // 2])
