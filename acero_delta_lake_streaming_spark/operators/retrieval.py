@@ -946,7 +946,9 @@ def x76_cross_encoder_rerank(
             .alias("rank_ql"),
         )
     )
-    pool_txt = pool.join(docs, "doc_id")  # id-keyed text fetch
+    # id-keyed text fetch: broadcast the ≤2·TOPK pool into the corpus
+    # scan — the probe side must never shuffle corpus-wide text
+    pool_txt = docs.join(F.broadcast(pool), "doc_id")
     ce = cross_encoder_scores(pool_txt, _X76_QUERY)
     return (
         ce.withColumn(
