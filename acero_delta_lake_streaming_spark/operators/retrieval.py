@@ -1020,6 +1020,132 @@ def _x76_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# x77 — learned-sparse (SPLADE-family) expansion retrieval
+# --------------------------------------------------------------------------
+
+_X77_TOP = 25
+# doc-side "learned" term importance + expansion gate (md5 mock rules,
+# mirrored verbatim in the oracle): wt(term) = 1 + hex digit 1 of
+# md5(term) (= strpos/instr over the hex alphabet, 1..16); a term
+# EXPANDS to reverse(term) at ceil(wt / 2) iff md5(term)[0] < '8'
+# (ceil keeps weight-1 terms' expansions alive — 'merge' is the
+# fixture channel that fires on BOTH sides)
+_X77_WT_SPARK = "instr('0123456789abcdef', substr(md5(term), 2, 1))"
+_X77_WT_DUCK = "strpos('0123456789abcdef', substr(md5(term), 2, 1))"
+_X77_EXP_PRED = "substr(md5(term), 1, 1) < '8'"
+
+
+def _x77_qvec() -> dict[str, int]:
+    """The query's sparse vector, encoded ONCE driver-side (exactly
+    where a real system runs the query encoder — never per row): term
+    weights from the 'q|'-salted md5 rule, plus reversed expansion
+    terms at half weight under the same gate. Inlined as literals in
+    BOTH engines, so parity is by construction."""
+    import hashlib
+
+    q: dict[str, int] = {}
+    for t in _QUERY_TERMS:
+        h = hashlib.md5(f"q|{t}".encode()).hexdigest()
+        wq = int(h[1], 16) + 1
+        q[t] = q.get(t, 0) + wq
+        if h[0] < "8":
+            r = t[::-1]
+            q[r] = q.get(r, 0) + (wq + 1) // 2
+    return q
+
+
+def x77_learned_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 — LEARNED-SPARSE retrieval (SPLADE/uniCOIL family, Formal et
+    al. 2021): the retrieval stack's expansion-index arm. Each document
+    token carries a "learned" importance weight, and gated tokens ALSO
+    index under an expansion key they don't literally contain — the
+    property that lets a sparse index match semantically without
+    lexical overlap, which neither BM25 (x21b) nor QL (x61) can do.
+    Both the weight and the expansion gate are deterministic md5 mocks
+    (the ud1/x76 convention: the oracle replays them in SQL, the hash
+    gate certifies the full expansion-index plan; a real checkpoint
+    swaps in via the same seam).
+
+    score(d) = Σ_{k ∈ keys(q) ∩ keys(d)} w_d(k)·w_q(k), exact integers
+    end to end. Scale shape — the reason learned-sparse serves from
+    inverted indexes at 100 TB: the query vector is encoded ONCE
+    driver-side (≤ 2·|q| keys) and broadcast; the corpus explode is
+    filtered by that literal key set (direct keys ∪ reversed keys)
+    BEFORE the one doc-keyed shuffle, so only matching postings ever
+    move — x21's probe plan with the expansion arm unioned in
+    map-side. Per-occurrence weights sum to tf·wt under the grouped
+    aggregate (weights are per-term constants), and a key hit by both
+    arms (a literal term AND someone's expansion) accumulates once per
+    the sparse-dot semantics."""
+    qvec = _x77_qvec()
+    keys = sorted(qvec)
+    rkeys = [k[::-1] for k in keys]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
+    toks = docs.select("doc_id", F.explode("w").alias("term"))
+    direct = toks.filter(F.col("term").isin(*keys)).select(
+        "doc_id",
+        F.col("term").alias("key"),
+        F.expr(_X77_WT_SPARK).cast("bigint").alias("wt"),
+    )
+    exp = (
+        toks.filter(F.col("term").isin(*rkeys))
+        .filter(F.expr(_X77_EXP_PRED))
+        .select(
+            "doc_id",
+            F.expr("reverse(term)").alias("key"),
+            F.expr(f"({_X77_WT_SPARK} + 1) DIV 2").cast("bigint")
+            .alias("wt"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [(k, qvec[k]) for k in keys], "key string, wq long"
+    )
+    return (
+        direct.unionByName(exp)
+        .groupBy("doc_id", "key")
+        .agg(F.sum("wt").cast("bigint").alias("wd"))
+        .join(F.broadcast(qdf), "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys_hit"),
+            F.sum(F.col("wd") * F.col("wq")).cast("bigint").alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_X77_TOP)
+    )
+
+
+def _x77_sql() -> str:
+    qvec = _x77_qvec()
+    keys = sorted(qvec)
+    keys_sql = ", ".join(f"'{k}'" for k in keys)
+    rkeys_sql = ", ".join(f"'{k[::-1]}'" for k in keys)
+    vals = ", ".join(f"('{k}', {qvec[k]})" for k in keys)
+    return (
+        f"WITH d AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents), "
+        "t AS (SELECT doc_id, unnest(w) AS term FROM d), "
+        "direct AS (SELECT doc_id, term AS key, "
+        f"CAST({_X77_WT_DUCK} AS BIGINT) AS wt "
+        f"FROM t WHERE term IN ({keys_sql})), "
+        "exp AS (SELECT doc_id, reverse(term) AS key, "
+        f"CAST(({_X77_WT_DUCK} + 1) // 2 AS BIGINT) AS wt "
+        f"FROM t WHERE term IN ({rkeys_sql}) AND {_X77_EXP_PRED}), "
+        "ent AS (SELECT doc_id, key, CAST(sum(wt) AS BIGINT) AS wd "
+        "FROM (SELECT * FROM direct "
+        "UNION ALL SELECT * FROM exp) GROUP BY 1, 2), "
+        f"qv(key, wq) AS (SELECT * FROM (VALUES {vals})) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_keys_hit, "
+        "CAST(sum(wd * wq) AS BIGINT) AS score "
+        "FROM ent JOIN qv USING (key) GROUP BY 1 "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {_X77_TOP}"
+    )
+
+
+# --------------------------------------------------------------------------
 # x23 — edit-distance record linkage (distinct-first + blocking)
 # --------------------------------------------------------------------------
 
@@ -2295,6 +2421,7 @@ QUERIES = {
     "x72_mmr_rerank": x72_mmr_rerank,
     "x74_late_interaction": x74_late_interaction,
     "x76_cross_encoder_rerank": x76_cross_encoder_rerank,
+    "x77_learned_sparse": x77_learned_sparse,
 }
 
 ORACLES = {
@@ -2315,4 +2442,5 @@ ORACLES = {
     "x72_mmr_rerank": _x72_sql(),
     "x74_late_interaction": _x74_sql(),
     "x76_cross_encoder_rerank": _x76_sql(),
+    "x77_learned_sparse": _x77_sql(),
 }

@@ -85,6 +85,7 @@ _PRIORITY = [
     # -- new round 13 (never driver-recorded) --
     "s49b_cluster_by_create", "x76_cross_encoder_rerank",
     "st27_streaming_graph_ann", "x5i_progressive_jpeg_decode",
+    "x77_learned_sparse",
     # -- r6-vintage (the stalest; 35) --
     "x37_cluster_balanced_sample", "x38_dsir_importance", "w13_stickiness",
     "st15_delta_cdf_follower", "s19_check_constraints",

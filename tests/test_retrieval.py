@@ -577,3 +577,65 @@ def test_x76_cross_encoder_quarantine_and_ranks(spark):
     assert [out[j].rank_ce for j in ok_sorted] == list(
         range(1, len(ok_sorted) + 1)
     )
+
+
+def test_x77_matches_python_replay_and_expansion_fires(spark, sf_dir):
+    """x77's full expansion-index scoring replayed from scratch in
+    Python over the raw parquet (tokenize, md5 weights, the < '8'
+    expansion gate, ceil-half weights, sparse dot, top-25 with
+    deterministic ties) — and the expansion channel must be
+    NON-VACUOUS: at least one scored doc carries an expansion-key
+    contribution ('merge' → 'egrem' passes both gates on this query),
+    so the plan's expansion arm is exercised, not dead code."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from acero_delta_lake_streaming_spark.operators.retrieval import (
+        _X77_TOP,
+        _x77_qvec,
+        x77_learned_sparse,
+    )
+    from acero_delta_lake_streaming_spark.plans.cache import release_scoped
+
+    got = [
+        (r.doc_id, r.n_keys_hit, r.score)
+        for r in x77_learned_sparse(spark, sf_dir).collect()
+    ]
+    release_scoped()
+
+    qvec = _x77_qvec()
+    keys = set(qvec)
+    rkeys = {k[::-1] for k in keys}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    scores: dict[int, dict[str, int]] = defaultdict(
+        lambda: defaultdict(int)
+    )
+    for row in tbl:
+        for term in (t for t in row["text"].split(" ") if t):
+            h = hashlib.md5(term.encode()).hexdigest()
+            wt = int(h[1], 16) + 1
+            if term in keys:
+                scores[row["doc_id"]][term] += wt
+            if term in rkeys and h[0] < "8":
+                scores[row["doc_id"]][term[::-1]] += (wt + 1) // 2
+    per_doc = {}
+    expansion_seen = False
+    for doc_id, ent in scores.items():
+        hit = {k: wd for k, wd in ent.items() if k in qvec}
+        if not hit:
+            continue
+        if any(k not in ("spark", "vector", "merge", "stream") for k in hit):
+            expansion_seen = True
+        per_doc[doc_id] = (
+            len(hit), sum(wd * qvec[k] for k, wd in hit.items())
+        )
+    want = sorted(
+        ((d, n, s) for d, (n, s) in per_doc.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:_X77_TOP]
+    assert got == want
+    assert expansion_seen
