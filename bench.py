@@ -160,6 +160,13 @@ HEADLINE = [
     "x5h_jpeg_decode",
     "x75_two_stage_ann",
     "dq12_agreement_audit",
+    # round 13: cluster-by-create, cross-encoder arm, incremental
+    # graph maintenance, progressive JPEG, learned-sparse retrieval
+    "s49b_cluster_by_create",
+    "x76_cross_encoder_rerank",
+    "st27_streaming_graph_ann",
+    "x5i_progressive_jpeg_decode",
+    "x77_learned_sparse",
     # round-6 additions: partitioned-DV delete, IVF-SQ8 combined ANN,
     # full-outer stream-stream interval join, filtered ANN, v2
     # checkpoints read, A-ES weighted sampling
