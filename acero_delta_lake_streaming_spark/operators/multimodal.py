@@ -130,6 +130,19 @@ def wrap_media_containers(media: DataFrame) -> DataFrame:
     )
 
 
+def _spread_payload(narrow: DataFrame) -> DataFrame:
+    """Round-robin repartition of the narrow (media_id, 32-byte payload)
+    projection to core count before a Python codec stage (guide §2.5 —
+    the fixture parquet is ONE row group, so the scan is one task and a
+    chained encode+decode otherwise runs single-threaded; the exchange
+    moves ~48 bytes/row while the codec work is milliseconds/row).
+    Scale-adaptive: defaultParallelism follows the master's core count,
+    and on a real many-split input the extra exchange stays proportional
+    to the (tiny) projected width, never the corpus."""
+    n = narrow.sparkSession.sparkContext.defaultParallelism
+    return narrow.repartition(n)
+
+
 def encode_png(media: DataFrame) -> DataFrame:
     """Arrow-batched PNG encode: (media_id, payload, meta) → the same
     frame with ``content`` replaced by a genuine zlib-deflated PNG
@@ -137,7 +150,10 @@ def encode_png(media: DataFrame) -> DataFrame:
     necessity (deflate + CRC-32 are not JVM column ops); narrow — only
     id + 32 payload bytes cross into Arrow, and the stage is 1→1 with
     no exchange, so at 100 TB it pipelines with the scan exactly like
-    the decode stage does."""
+    the decode stage does. Deliberately NOT ``_spread_payload``-spread
+    (r13): zlib encode+inflate is ~0.4 s single-task at sf0.1 and the
+    exchange + 32-task overhead measured a net loss (0.54 -> 0.68 s),
+    unlike the millisecond-per-row JPEG codecs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -321,7 +337,7 @@ def encode_jpeg(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(
+    return _spread_payload(media.select("media_id", "content")).mapInPandas(
         run, schema="media_id long, content binary"
     )
 
@@ -343,7 +359,7 @@ def encode_jpeg_progressive(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(
+    return _spread_payload(media.select("media_id", "content")).mapInPandas(
         run, schema="media_id long, content binary"
     )
 

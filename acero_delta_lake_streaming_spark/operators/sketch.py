@@ -498,10 +498,14 @@ def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, scaled sum, zero registers) are emitted alongside so a
     consumer can apply any correction policy. Accuracy vs exact
     distinct is pinned in tests/test_sketch.py."""
-    # md5 projected ONCE, then 10 digit extractions reference the column
-    # (inlining the hash into every digit term re-evaluated it 10x per
-    # row before subexpression elimination — measured ~2x slower)
-    bucket, rank = _hll_exprs("h", "instr")
+    # md5 projected ONCE. Spark side decodes the hex digits with conv()
+    # — one builtin per field instead of the oracle's 10 instr/substr
+    # digit terms (r13, guide §1.2 per-task work): conv(hex, 16, 10) is
+    # the exact unsigned value of the digits, so bucket/rank are
+    # bit-identical to the _hll_exprs construction DuckDB replays.
+    bucket = "CAST(conv(substr(h, 1, 2), 16, 10) AS INT)"
+    v = "CAST(conv(substr(h, 3, 8), 16, 10) AS BIGINT)"
+    rank = f"(CASE WHEN {v} = 0 THEN 33 ELSE 33 - length(bin({v})) END)"
     regs = (
         load_table(spark, sf_dir, "lineitem")
         .selectExpr("md5(cast(l_orderkey as string)) AS h")
@@ -1244,11 +1248,15 @@ def x67_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_lo_cents"),
         )
     )
+    # ONE percentile buffer, probed at all three quantiles: separate
+    # percentile(c, q) calls each materialize + sort the full per-group
+    # value buffer (3x the shuffle bytes and 3x the final-merge sort);
+    # the array form computes the identical interpolated values from a
+    # single buffer (guide §2.3 — shuffle fewer bytes; measured 3.87 ->
+    # 1.66 s at sf0.1, r13).
+    probes = ", ".join(str(q / 100) for q in _X67_QS)
     exact = li.groupBy("l_returnflag").agg(
-        *[
-            F.expr(f"percentile({cents}, {q / 100})").alias(f"p{q}")
-            for q in _X67_QS
-        ]
+        F.expr(f"percentile({cents}, array({probes}))").alias("ps")
     )
     exact_long = exact.select(
         "l_returnflag",
@@ -1256,7 +1264,8 @@ def x67_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "map("
                 + ", ".join(
-                    f"CAST({q} AS BIGINT), p{q}" for q in _X67_QS
+                    f"CAST({q} AS BIGINT), ps[{i}]"
+                    for i, q in enumerate(_X67_QS)
                 )
                 + ")"
             )

@@ -472,24 +472,28 @@ def _bpe_doc_counts(
         .crossJoin(F.broadcast(learned[1].select(F.col("pair").alias("m2"))))
         .crossJoin(F.broadcast(learned[2].select(F.col("pair").alias("m3"))))
     )
-    sym0 = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
-    enc = _bpe_encode_expr(sym0, "m1", "m2", "m3")
+    # Whole-document encode (r13, guide §1.2 per-task work): the merge
+    # chain runs ONCE over the full text's char expansion instead of
+    # per-word inside a transform() lambda (higher-order functions are
+    # interpreted per element — ~1000 words/doc each paid regexp + 6
+    # replaces + an array build). Equivalence: symbols never contain
+    # spaces (trained on space-split words) and a word boundary in the
+    # expanded string is >= 3 consecutive spaces (the separator space
+    # itself expands), so ' a b '-shaped patterns cannot match across
+    # words and the left-to-right non-overlapping scan decomposes into
+    # exactly the per-word scans. n_syms = non-space chars is the same
+    # sum-of-word-lengths identity. Values bit-identical; oracle
+    # unchanged (measured x41b 2.21 -> see OPTIMIZATION_r13.md).
+    e0 = "concat(' ', regexp_replace(text, '(.)', '$1 '))"
+    e3 = _bpe_merge(_bpe_merge(_bpe_merge(e0, "m1"), "m2"), "m3")
     return docs.crossJoin(F.broadcast(merges)).select(
         "doc_id",
         *keep,
         F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
-        F.expr(
-            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
-            "word -> length(word)), "
-            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
-        )
+        F.expr("length(replace(text, ' ', ''))")
         .cast("bigint")
         .alias("n_syms"),
-        F.expr(
-            f"coalesce(aggregate(transform({_WORDS_SPARK}, "
-            f"word -> {enc}), "
-            "CAST(0 AS BIGINT), (a, x) -> a + x), 0)"
-        )
+        F.expr(f"size(filter(split({e3}, ' '), x -> x != ''))")
         .cast("bigint")
         .alias("n_tokens"),
     )
