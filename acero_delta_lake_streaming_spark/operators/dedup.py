@@ -815,15 +815,24 @@ def x34_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("win").alias("h"))
         .distinct()
     )
-    df_counts = wins.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # wins is distinct on (doc_id, h), so count(*) per h IS the distinct
+    # doc count — no countDistinct machinery needed; and only the SMALL
+    # >=2-docs window set joins back (AQE broadcasts it at runtime), so
+    # the 5.7M-row window stream crosses one exchange fewer than the
+    # old full shuffle-join against per-window counts (r13, guide §2.4;
+    # measured 2.76 -> see OPTIMIZATION_r13.md).
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
     )
     per_doc = (
-        wins.join(df_counts, "h")
+        wins.join(dup_h, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
             .cast("bigint")
             .alias("n_dup_windows"),
         )
@@ -953,18 +962,26 @@ def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     are (bounded by duplicated-window volume). Linear in corpus tokens,
     no all-pairs step anywhere."""
     corpus = _x34_corpus(spark, sf_dir)
-    winpos = (
+    # persisted: winpos feeds TWO consumers (the dup-window detection
+    # and the coverage join) and the broadcast probe join no longer
+    # shares an exchange between them (r13 — the x46 precedent: compute
+    # the explode + md5 once).
+    winpos = scoped_persist(
         corpus.withColumn("w", F.expr(_WORDS_SPARK))
         .select(
             "doc_id", F.posexplode(F.expr(_WIN8_SPARK)).alias("p", "win")
         )
         .select("doc_id", "p", F.md5("win").alias("h"))
     )
+    # count(*) over the distinct (doc_id, h) pairs == countDistinct
+    # (r13); collect_set folds the positions dedup into the rollup agg
+    # instead of a separate distinct exchange (set == sorted distinct
+    # list after array_sort).
     dup_h = (
         winpos.select("doc_id", "h")
         .distinct()
         .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select("h")
     )
@@ -978,9 +995,8 @@ def x34b_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("pos")).alias("cov"))
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
     )
     return (
         corpus.withColumn("w", F.expr(_WORDS_SPARK))
