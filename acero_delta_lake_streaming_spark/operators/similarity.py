@@ -1795,26 +1795,42 @@ def x28_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    # NOT persisted deliberately: the three iterations share the bucket
-    # construction's exchange, and Spark's ReusedExchange already
-    # serves it from shuffle files within the single action — a
-    # scoped_persist was measured SLOWER (2.3 -> 3.0 s at sf0.1, the
-    # cache materialization cost with no recompute to save).
-    edges = pairs.unionByName(
+    raw_edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(
+    deg = raw_edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    # deg rides ON each edge (the normalized-adjacency form): the
+    # loop-invariant edges-deg join is paid once here instead of once
+    # per iteration (guide §2.4), so the body is exactly one equi-join
+    # + one hash agg + one left join per round.
+    # NOT checkpointed/persisted: a localCheckpoint was measured to cut
+    # the ACTION to 0.5 s but only by moving ~1.3-2 s of bucket build +
+    # AQE stage finalization into (untimed) query construction — a
+    # measurement shift, not a win; and scoped_persist was measured
+    # slower outright (2.3 -> 3.0 s, plan-walk cost with no recompute
+    # to save). ReusedExchange already serves the edge subtree's
+    # shuffles across the three iterations within the single action.
+    edges = raw_edges.join(deg, "src")
     ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
     nodes = emb.select("vec_id").crossJoin(F.broadcast(ncnt))
     ranks = nodes.select(
         "vec_id", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("rank")
     )
+    # The per-round state covers only nodes that RECEIVE contributions.
+    # Edges are symmetric here, so that set is exactly the nodes with
+    # >=1 edge, every round (each such node has a neighbor whose rank
+    # always exists); an isolated node receives s=0 every round and its
+    # rank is the base constant after every iteration — so the old
+    # per-iteration nodes LEFT JOIN (3 joins) collapses to ONE final
+    # left join that fills isolated nodes with the base rank
+    # (guide §2.4: remove shuffles outright). The groupBy(vec_id)
+    # output is already hash-partitioned on the next round's join key,
+    # so each round is one equi-join + one hash agg.
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(
+            edges.join(
                 ranks.select(F.col("vec_id").alias("src"), "rank"), "src"
             )
             .select(
@@ -1822,22 +1838,27 @@ def x28_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("rank DIV deg").alias("c"),
             )
         )
-        sums = contrib.groupBy("vec_id").agg(
-            F.sum("c").cast("bigint").alias("s")
-        )
         ranks = (
-            nodes.join(sums, "vec_id", "left")
+            contrib.groupBy("vec_id")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+            .crossJoin(F.broadcast(ncnt))
             .select(
                 "vec_id",
                 F.expr(
                     f"CAST((15 * ({_PR_SCALE} DIV n)) DIV 100 "
-                    "+ (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 "
-                    "AS BIGINT)"
+                    "+ (85 * s) DIV 100 AS BIGINT)"
                 ).alias("rank"),
             )
         )
+    final = nodes.join(ranks, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(
+            F.col("rank"),
+            F.expr(f"CAST((15 * ({_PR_SCALE} DIV n)) DIV 100 AS BIGINT)"),
+        ).alias("rank"),
+    )
     return (
-        ranks.orderBy(F.desc("rank"), F.asc("vec_id"))
+        final.orderBy(F.desc("rank"), F.asc("vec_id"))
         .limit(20)
         .select("vec_id", F.col("rank").alias("rank_e9"))
     )
