@@ -289,25 +289,47 @@ def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x21b's pre-limit scored frame (doc_id, n_terms_hit, score_e9) —
-    factored so the RRF fusion (x62) ranks the SAME scoring the
-    standalone BM25 query ships; its SQL twin is ``_bm25_ctes``."""
+def _lex_base(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared lexical-ranker inputs: the persisted per-doc lengths
+    ``(doc_id, dl)`` and the persisted matched postings
+    ``(doc_id, dl, term, tf)``. The fusion queries (x62/x74/x76) run
+    BOTH rankers; built separately each ranker re-tokenized the corpus
+    for its own postings AND re-scanned it for its corpus statistic —
+    four full text scans per query. Sharing one base makes it two
+    (guide §2.4: one pass over the data; §5: persist only what is
+    reused). BM25's (n_docs, avgdl) and QL's total-token count are
+    exact aggregates of the dl frame, same rows as before."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
         .withColumn("dl", F.size("w"))
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
-    ).withColumn("k", F.lit(1))
+    dln = scoped_persist(docs.select("doc_id", "dl"))
     matched = scoped_persist(
         docs.select("doc_id", "dl", F.explode("w").alias("term"))
         .filter(F.col("term").isin(*_QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return dln, matched
+
+
+def _bm25_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    base: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """x21b's pre-limit scored frame (doc_id, n_terms_hit, score_e9) —
+    factored so the RRF fusion (x62) ranks the SAME scoring the
+    standalone BM25 query ships; its SQL twin is ``_bm25_ctes``.
+    ``base`` lets fusion queries share one ``_lex_base`` with QL."""
+    dln, matched = base if base is not None else _lex_base(spark, sf_dir)
+    stats = dln.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
+    ).withColumn("k", F.lit(1))
     df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         matched.join(F.broadcast(df_tbl), "term")
@@ -386,27 +408,22 @@ _RRF_K = 60  # reciprocal-rank damping (Cormack et al.'s constant)
 _RRF_TOP = 15
 
 
-def _ql_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ql_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    base: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Dirichlet-smoothed QUERY-LIKELIHOOD scored frame over the x21b
     candidate set: score(d) = Σ_hit ln(1 + tf·T/(μ·cf)) − |q|·ln((dl+μ)/μ)
     (the rank-equivalent decomposition of Σ_q ln((tf+μ·cf/T)/(dl+μ)),
     dropping the doc-independent Σ ln(μ·cf/T) term). Both logarithm
     arguments are ≥ 1 rationals of BIGINTs, evaluated by the portable
     ln and e9-quantized per contribution BEFORE any cross-row sum. SQL
-    twin: ``_ql_ctes``."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
-        .withColumn("dl", F.size("w"))
-    )
-    tot = docs.agg(F.sum("dl").cast("bigint").alias("tot")).withColumn(
+    twin: ``_ql_ctes``. ``base`` lets fusion queries share one
+    ``_lex_base`` with BM25."""
+    dln, matched = base if base is not None else _lex_base(spark, sf_dir)
+    tot = dln.agg(F.sum("dl").cast("bigint").alias("tot")).withColumn(
         "k", F.lit(1)
-    )
-    matched = scoped_persist(
-        docs.select("doc_id", "dl", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*_QUERY_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     cfs = matched.groupBy("term").agg(
         F.sum("tf").cast("bigint").alias("cf")
@@ -536,16 +553,17 @@ def x62_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer e6 (1000000 DIV (60 + rank)) — no float ever enters.
     Docs ranked by only one list keep rank 0 in the other column and
     contribute a single term, the standard union semantics."""
+    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm = (
-        _bm25_scored(spark, sf_dir)
+        _bm25_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_bm25", F.row_number().over(rank_w))
         .select("doc_id", "rank_bm25")
     )
     ql = (
-        _ql_scored(spark, sf_dir)
+        _ql_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_ql", F.row_number().over(rank_w))
@@ -695,16 +713,17 @@ def x74_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm_top = scoped_persist(
-        _bm25_scored(spark, sf_dir)
+        _bm25_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_bm25", F.row_number().over(rank_w))
         .select("doc_id", "rank_bm25")
     )
     ql_top = (
-        _ql_scored(spark, sf_dir)
+        _ql_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_ql", F.row_number().over(rank_w))
@@ -921,16 +940,17 @@ def x76_cross_encoder_rerank(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm_top = (
-        _bm25_scored(spark, sf_dir)
+        _bm25_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_bm25", F.row_number().over(rank_w))
         .select("doc_id", "rank_bm25")
     )
     ql_top = (
-        _ql_scored(spark, sf_dir)
+        _ql_scored(spark, sf_dir, base)
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
         .withColumn("rank_ql", F.row_number().over(rank_w))
@@ -1243,18 +1263,29 @@ def x26_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnts.agg(F.sum("cnt").cast("bigint").alias("n_tok"))
         .withColumn("k", F.lit(1))
     )
-    per_doc = (
-        per_dt.join(cnts, "term")
-        .withColumn("k", F.lit(1))
+    # srp depends only on (cnt, n_tok) — i.e. on the TERM — so the
+    # portable-ln Horner chain (a ~60-op expression) evaluates on the
+    # |vocab|-sized cnts frame and the quantized integer joins back to
+    # the (doc, term) pairs, instead of re-running the chain per pair
+    # (guide §1.2 per-task work; Heaps' law makes |vocab| ≪ |pairs|).
+    # floor(srp*1e6) is per-term either way — bit-identical contribs.
+    srp_t = (
+        cnts.withColumn("k", F.lit(1))
         .join(F.broadcast(total), "k")
         .withColumn(
             "lx", F.expr("CAST(n_tok AS DOUBLE) / CAST(cnt AS DOUBLE)")
         )
         .transform(_portable_ln, "srp")
-        .withColumn(
-            "contrib_e6",
-            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
+        .select(
+            "term",
+            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT)").alias(
+                "srp_e6"
+            ),
         )
+    )
+    per_doc = (
+        per_dt.join(srp_t, "term")
+        .withColumn("contrib_e6", F.expr("srp_e6 * tf"))
         .groupBy("doc_id")
         .agg(
             F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
@@ -1531,17 +1562,28 @@ def x36_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     lefts = cnts.groupBy("w1").agg(
         F.sum("cbg").cast("bigint").alias("c1")
     )
-    per_doc = (
-        per_db.join(cnts, ["w1", "bg"])
-        .join(lefts, "w1")
+    # srp depends only on (w1, bg) — the bigram — so the portable-ln
+    # Horner chain and the lefts join run on the |bigram-vocab| cnts
+    # frame, and only the quantized integer joins back to the
+    # (doc, bigram) pairs (the x26 move; guide §1.2 per-task work).
+    # floor(srp*1e6) is per-bigram either way — bit-identical.
+    srp_bg = (
+        cnts.join(lefts, "w1")
         .withColumn(
             "lx", F.expr("CAST(c1 AS DOUBLE) / CAST(cbg AS DOUBLE)")
         )
         .transform(_portable_ln, "srp")
-        .withColumn(
-            "contrib_e6",
-            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT) * tf"),
+        .select(
+            "w1",
+            "bg",
+            F.expr("CAST(floor(srp * 1000000.0) AS BIGINT)").alias(
+                "srp_e6"
+            ),
         )
+    )
+    per_doc = (
+        per_db.join(srp_bg, ["w1", "bg"])
+        .withColumn("contrib_e6", F.expr("srp_e6 * tf"))
         .groupBy("doc_id")
         .agg(
             F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
@@ -1640,9 +1682,13 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("k", F.lit(1))
     )
-    per_doc = (
-        per_dt.join(cnts, "term")
-        .withColumn("k", F.lit(1))
+    # Both log-likelihood terms depend only on the TERM's counts, so
+    # the two portable-ln Horner chains run once per vocab entry and
+    # only the quantized integer ratio joins back to the (doc, term)
+    # pairs (the x26/x36 move; guide §1.2). floor((ln_s-ln_t)*1e6) is
+    # per-term either way — bit-identical contribs.
+    llr_t = (
+        cnts.withColumn("k", F.lit(1))
         .join(F.broadcast(stats), "k")
         .withColumn(
             "lx",
@@ -1655,12 +1701,16 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_portable_ln, "ln_t")
         .withColumn("lx", F.col("ls_lx"))
         .transform(_portable_ln, "ln_s")
-        .withColumn(
-            "contrib_e6",
+        .select(
+            "term",
             F.expr(
-                "CAST(floor((ln_s - ln_t) * 1000000.0) AS BIGINT) * tf"
-            ),
+                "CAST(floor((ln_s - ln_t) * 1000000.0) AS BIGINT)"
+            ).alias("llr_e6"),
         )
+    )
+    per_doc = (
+        per_dt.join(llr_t, "term")
+        .withColumn("contrib_e6", F.expr("llr_e6 * tf"))
         .groupBy("doc_id", "is_t")
         .agg(
             F.sum("contrib_e6").cast("bigint").alias("bits_e6"),
