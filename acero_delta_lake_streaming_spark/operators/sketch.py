@@ -148,6 +148,15 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is uniform across column types). The date column is
     formatted to ISO to keep timestamps out of the result."""
     orders = load_table(spark, sf_dir, "orders")
+    # The fixture parquet is one row group, so the 7-column
+    # countDistinct Expand (x8 the row stream) otherwise grinds through
+    # ONE partial-agg task (measured 1.35 s single-task CPU at sf0.1,
+    # r13). Spread conditionally: a many-split production scan never
+    # repartitions, and the target follows defaultParallelism
+    # (guide §2.5 input-parallelism fix).
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, sp, _ in _PROFILE_COLS:
         aggs += [
