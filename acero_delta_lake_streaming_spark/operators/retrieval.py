@@ -1921,15 +1921,20 @@ def x70_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e9"), F.asc("doc_id"))
         .limit(_TOPK)
     )
+    # Tokenize AFTER the pool join: the split()/5-gram projection sat
+    # below the join and ran corpus-wide for 25 surviving rows
+    # (guide §2.3 — project after the join when the projection is the
+    # expensive part; the join itself needs only doc_id).
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+        "doc_id", "text"
     )
     w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     ranked = (
         top.withColumn("rk", F.row_number().over(w))
         .join(docs, "doc_id")
+        .withColumn("w", F.expr(_WORDS_SPARK))
         .withColumn("g", F.expr(_X70_G5_SPARK))
-        .drop("w")
+        .drop("w", "text")
     )
     pos = ranked.filter("rk = 1").select(
         F.col("doc_id").alias("pos_doc"), F.col("g").alias("pos_g")

@@ -565,13 +565,16 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (lineitem is the part↔supplier association —
     the fixtures ship no partsupp): distinct supplier count per part
     attribute triple, for parts outside an excluded brand/type and
-    suppliers outside a NOT-IN set (negative balances). The distinct
-    (partkey, suppkey) projection collapses the fact table FIRST (one
-    shuffle to |associations|), then both dimension joins broadcast."""
-    assoc = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
+    suppliers outside a NOT-IN set (negative balances). No standalone
+    distinct on the fact projection: the final countDistinct's partial
+    aggregate already collapses duplicate (part, supplier) pairs
+    map-side before its shuffle, so a pre-distinct was a second full
+    exchange of the same keys for the same result (guide §2.4 — a
+    distinct on data the aggregate dedups anyway; removed r13, one
+    Exchange fewer, 2.0 -> measured in OPTIMIZATION_r13.md). Both
+    dimension joins broadcast."""
+    assoc = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
     )
     bad = (
         load_table(spark, sf_dir, "supplier")
