@@ -1968,6 +1968,11 @@ def x57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.expr(_WORDS_SPARK).alias("w")
     )
+    # Keyed on the RAW trigram, not md5(sh): a word trigram averages
+    # ~15-18 bytes while the md5 hex is a fixed 32 — the hash both
+    # LENGTHENED the shuffle key and cost a digest per (source,
+    # shingle) instance (r13; the md5-key discipline pays off for x34's
+    # 8-word windows, not 3-word shingles). Oracle groups identically.
     byh = scoped_persist(
         docs.select(
             "source",
@@ -1975,8 +1980,7 @@ def x57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(F.expr(_SHINGLES_SPARK))
             ).alias("sh"),
         )
-        .select(F.md5("sh").alias("h"), "source")
-        .groupBy("h")
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
     sizes = byh.select(F.explode("srcs").alias("source")).groupBy(
@@ -2026,7 +2030,7 @@ def x57_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X57_SQL = (
     "WITH w AS (SELECT source, "
     f"{_WORDS_DUCK} AS w FROM documents), "
-    "g AS (SELECT DISTINCT source, md5(sh) AS h FROM ("
+    "g AS (SELECT DISTINCT source, sh AS h FROM ("
     f"SELECT source, unnest(list_distinct({_SHINGLES_DUCK})) AS sh "
     "FROM w)), "
     "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS ng "

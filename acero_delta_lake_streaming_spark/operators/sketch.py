@@ -243,6 +243,11 @@ def dq1b_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_count_distinct`` (HLL register layout is
     implementation-defined) every value here is oracle-checkable."""
     orders = load_table(spark, sf_dir, "orders")
+    # Same single-row-group fixture as dq1: the x4 stack unpivot + md5
+    # + KMV partial agg otherwise runs as one task (guide §2.5).
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for name, sp, _, _, _ in _DQ1B_COLS:
         aggs += [
