@@ -1533,29 +1533,27 @@ def x65_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_planted")
     )
-    frames = []
+    # ONE map-side explode builds all 12 (cfg, band, bkey) rows per doc
+    # (r14, guide §2.4): the old shape was a 12-branch UNION, each branch
+    # re-scanning the persisted signature frame — 12x the scan tasks and
+    # a 12-way plan for rows a single projection can emit. Same rows,
+    # same values (struct fields computed from the same s{i} columns).
+    entries = []
     for b in _X65_CONFIGS:
         r = _N_HASHES // b
         for i in range(b):
-            frames.append(
-                sigs.select(
-                    "doc_id",
-                    F.lit(b).alias("cfg"),
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col(f"s{i * r + j}").cast("string")
-                            for j in range(r)
-                        ],
-                    ).alias("bkey"),
-                )
+            key = "concat_ws(':', " + ", ".join(
+                f"CAST(s{i * r + j} AS STRING)" for j in range(r)
+            ) + ")"
+            entries.append(
+                f"struct({b} AS cfg, {i} AS band, {key} AS bkey)"
             )
-    bands = frames[0]
-    for fr in frames[1:]:
-        bands = bands.unionByName(fr)
-    # persist the unioned band rows: the self-join otherwise evaluates
-    # the 12-branch union TWICE (once per side)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
+    ).select("doc_id", "e.cfg", "e.band", "e.bkey")
+    # persist the band rows: the self-join otherwise evaluates the
+    # explode TWICE (once per side)
     bands = scoped_persist(bands)
     cand = (
         bands.alias("x")

@@ -290,9 +290,9 @@ def x21b_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lex_base(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, persist_dl: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared lexical-ranker inputs: the persisted per-doc lengths
+    """Shared lexical-ranker inputs: the per-doc lengths
     ``(doc_id, dl)`` and the persisted matched postings
     ``(doc_id, dl, term, tf)``. The fusion queries (x62/x74/x76) run
     BOTH rankers; built separately each ranker re-tokenized the corpus
@@ -300,13 +300,22 @@ def _lex_base(
     four full text scans per query. Sharing one base makes it two
     (guide §2.4: one pass over the data; §5: persist only what is
     reused). BM25's (n_docs, avgdl) and QL's total-token count are
-    exact aggregates of the dl frame, same rows as before."""
+    exact aggregates of the dl frame, same rows as before.
+
+    ``persist_dl`` (r14, VERDICT r13 item 4): the dl frame is consumed
+    once per ranker, so only fusion callers (both rankers alive) reuse
+    it — standalone x21b/x61 were paying a pure-overhead
+    materialization for a single-consumer frame. Fusion passes True;
+    the matched postings stay persisted unconditionally (every ranker
+    reads them twice: df/cf table + scoring join)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
         .withColumn("dl", F.size("w"))
     )
-    dln = scoped_persist(docs.select("doc_id", "dl"))
+    dln = docs.select("doc_id", "dl")
+    if persist_dl:
+        dln = scoped_persist(dln)
     matched = scoped_persist(
         docs.select("doc_id", "dl", F.explode("w").alias("term"))
         .filter(F.col("term").isin(*_QUERY_TERMS))
@@ -553,7 +562,7 @@ def x62_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer e6 (1000000 DIV (60 + rank)) — no float ever enters.
     Docs ranked by only one list keep rank 0 in the other column and
     contribute a single term, the standard union semantics."""
-    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
+    base = _lex_base(spark, sf_dir, persist_dl=True)  # one tokenization, both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm = (
         _bm25_scored(spark, sf_dir, base)
@@ -713,7 +722,7 @@ def x74_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
+    base = _lex_base(spark, sf_dir, persist_dl=True)  # one tokenization, both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm_top = scoped_persist(
         _bm25_scored(spark, sf_dir, base)
@@ -729,7 +738,10 @@ def x74_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_ql", F.row_number().over(rank_w))
         .select("doc_id", "rank_ql")
     )
-    pool = (
+    # persisted: the pool feeds BOTH the semi-filter below and the
+    # dense left join — unpersisted, the QL ranker chain would
+    # re-evaluate once per consumer (r14; ≤2·TOPK rows)
+    pool = scoped_persist(
         bm_top.join(ql_top, "doc_id", "full_outer")
         .select(
             "doc_id",
@@ -757,8 +769,19 @@ def x74_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qv")
         )
     )
+    # id-keyed embedding fetch (r14, guide §3.1): LEFT-outer can only
+    # broadcast its RIGHT side, so the old pool LEFT JOIN emb either
+    # broadcast the ENTIRE embeddings table (fixture scale) or shuffled
+    # the corpus arrays on vec_id (100 TB). Pre-filtering emb to the
+    # ≤2·TOPK pool ids with a broadcast left-semi join keeps the fetch
+    # id-keyed: the corpus streams map-side, only survivors build.
+    emb_pool = emb.join(
+        F.broadcast(pool.select("doc_id")),
+        emb.vec_id == F.col("doc_id"),
+        "left_semi",
+    )
     dense = (
-        pool.join(emb, pool.doc_id == emb.vec_id, "left")
+        pool.join(emb_pool, pool.doc_id == emb_pool.vec_id, "left")
         .crossJoin(F.broadcast(prf))
         .select(
             "doc_id",
@@ -940,7 +963,7 @@ def x76_cross_encoder_rerank(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    base = _lex_base(spark, sf_dir)  # one tokenization for both arms
+    base = _lex_base(spark, sf_dir, persist_dl=True)  # one tokenization, both arms
     rank_w = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
     bm_top = (
         _bm25_scored(spark, sf_dir, base)

@@ -461,8 +461,17 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     hash-partitioned exchange even in training (x3f's plan guard
     walks every ShuffleExchange to pin this). ``corpus`` must carry
     (vec_id, embedding, ...)."""
+    # final_assign carries every corpus column next to cid (r14 join
+    # elimination — see _ivf_assign's ``keep``): x3d/x59 consumed the
+    # narrow (vec_id, cid) frame by joining it straight back to the
+    # corpus on vec_id; consumers that only need (vec_id, cid) — x3f's
+    # candidate list, x37's ranking — prune the payload columns out.
     centroids = _ivf_centroids(corpus)
-    final_assign = _ivf_assign(corpus, centroids)
+    final_assign = _ivf_assign(
+        corpus,
+        centroids,
+        keep=tuple(c for c in corpus.columns if c != "vec_id"),
+    )
     q_probe_w = Window.partitionBy("query_id").orderBy(
         F.asc("d"), F.asc("cid")
     )
@@ -483,7 +492,9 @@ def _ivf_coarse(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     return final_assign, probes
 
 
-def _ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-centroid assignment of ``vectors`` (vec_id, embedding)
     against a small ``centroids`` frame (cid, carr): a broadcast fold —
     the vectors NEVER shuffle: the k centroids collapse to ONE
@@ -493,7 +504,16 @@ def _ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     k·N scored rows on vec_id, a full corpus shuffle that existed only
     to pick a minimum each row can pick locally). Struct ordering
     compares field-by-field, so ties still break (distance, cid) — the
-    oracle's row_number order, hash-identical."""
+    oracle's row_number order, hash-identical.
+
+    ``keep`` (r14, guide §2.4 join elimination): consumers that need
+    corpus payload columns NEXT TO the cid used to join the narrow
+    (vec_id, cid) frame back on vec_id — a SortMergeJoin of two
+    corpus-sized streams that re-shuffled the payload (embedding
+    arrays included) for a 1:1 re-attach. The assignment is a pure map
+    stage, so passing the columns THROUGH it is free and the join
+    disappears; unused kept columns prune out of downstream plans.
+    Default () keeps the narrow contract (st18 writes it to a table)."""
     cents_row = centroids.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias(
             "cents"
@@ -505,7 +525,7 @@ def _ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         + " AS d, c.cid AS cid))).cid"
     )
     return vectors.crossJoin(F.broadcast(cents_row)).select(
-        "vec_id", F.expr(pick).alias("cid")
+        "vec_id", F.expr(pick).alias("cid"), *keep
     )
 
 
@@ -540,11 +560,19 @@ def _ivf_centroids(corpus: DataFrame) -> DataFrame:
         )
     )
 
-    elems = corpus.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    )
     for _ in range(_IVF_ITERS):
-        members = _ivf_assign(corpus, centroids)
+        # Lloyd update fused with the assignment (r14, guide §2.4): cid
+        # is computed INLINE on the corpus row and the explode follows
+        # in the same map stage — the old shape exploded the corpus to
+        # (vec_id, dim, x) rows and SortMergeJoined them back to the
+        # narrow assignment on vec_id, shuffling corpus×dim scalar rows
+        # PER ROUND just to re-attach a value each row can compute
+        # locally. Same (cid, dim, x) multiset (the join was 1:1 on a
+        # unique key), and the decimal sums are order-independent, so
+        # the centroids are bit-identical; two exchanges + two sorts per
+        # round disappear. First exchange is now the partial-agged
+        # (cid, dim) aggregate — scalar rows only, k·dim groups.
+        members = _ivf_assign(corpus, centroids, keep=("embedding",))
         # Centroid coordinates accumulate in decimal(18,6): exact and
         # order-independent, so the downstream argmin cell assignment
         # cannot flip on partial-agg ordering (double-sum ULP drift
@@ -552,7 +580,7 @@ def _ivf_centroids(corpus: DataFrame) -> DataFrame:
         # decimal-accumulation invariant). Cast back to double only for
         # the final per-cell mean.
         centroids = (
-            elems.join(members, "vec_id")
+            members.select("cid", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(
                 (
@@ -592,7 +620,11 @@ def x3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
     )
     final_assign, probes = _ivf_coarse(corpus)
-    scored = corpus.join(final_assign, "vec_id")
+    # final_assign already carries (embedding, nrm) next to cid — the
+    # old corpus.join(final_assign, "vec_id") SortMergeJoined two
+    # corpus-sized streams (embedding arrays crossing the exchange)
+    # for a 1:1 re-attach (r14, guide §2.4).
+    scored = final_assign
 
     queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2204,8 +2236,17 @@ def x52_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    from acero_delta_lake_streaming_spark.plans.cache import scoped_persist
+
     stored = _ivf_centroids(emb.filter("vec_id % 2 = 0"))
-    asg = _ivf_assign(emb, stored).join(emb, "vec_id")
+    # keep=("embedding",) replaces the old .join(emb, "vec_id") 1:1
+    # re-attach (r14 join elimination — see _ivf_assign). Persisted:
+    # the frame feeds TWO consumers (cur + counts) and the broadcast
+    # assignment fold would otherwise re-evaluate per consumer — the
+    # old SMJ shape shared its work through ReusedExchange, a map-side
+    # fold has no exchange to reuse (measured: unpersisted fold read
+    # ~0.35 s slower than the join it replaced).
+    asg = scoped_persist(_ivf_assign(emb, stored, keep=("embedding",)))
     cur = (
         asg.select("cid", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("cid", "dim")
@@ -2706,10 +2747,9 @@ def x59_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign, _probes = _ivf_coarse(emb)
-    jl = assign.join(
-        emb.select("vec_id", F.col("label").cast("int").alias("label")),
-        "vec_id",
-    )
+    # assign carries label inline (r14 join elimination — the old
+    # .join(emb, "vec_id") re-shuffled the corpus for a 1:1 re-attach).
+    jl = assign.select("cid", F.col("label").cast("int").alias("label"))
     cl = scoped_persist(
         jl.groupBy("cid", "label").agg(
             F.count(F.lit(1)).cast("bigint").alias("n")

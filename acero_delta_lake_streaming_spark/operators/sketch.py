@@ -153,7 +153,9 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE partial-agg task (measured 1.35 s single-task CPU at sf0.1,
     # r13). Spread conditionally: a many-split production scan never
     # repartitions, and the target follows defaultParallelism
-    # (guide §2.5 input-parallelism fix).
+    # (guide §2.5 input-parallelism fix). The .rdd partition probe is
+    # build-time-only driver work (plans the scan splits, runs no job)
+    # — file count would under-read a single huge multi-split file.
     par = spark.sparkContext.defaultParallelism
     if orders.rdd.getNumPartitions() < par:
         orders = orders.repartition(par)

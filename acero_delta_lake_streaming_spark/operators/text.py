@@ -490,10 +490,14 @@ def _bpe_doc_counts(
         "doc_id",
         *keep,
         F.expr(f"size({_WORDS_SPARK})").cast("bigint").alias("n_words"),
-        F.expr("length(replace(text, ' ', ''))")
+        # coalesce restores the pre-r13 NULL-text contract (ADVICE r13):
+        # the oracle's list_sum(NULL) coalesces to 0, and the old
+        # per-word aggregate form did too — the whole-doc rewrite must
+        # not re-open that cross-engine divergence surface.
+        F.expr("coalesce(length(replace(text, ' ', '')), 0)")
         .cast("bigint")
         .alias("n_syms"),
-        F.expr(f"size(filter(split({e3}, ' '), x -> x != ''))")
+        F.expr(f"coalesce(size(filter(split({e3}, ' '), x -> x != '')), 0)")
         .cast("bigint")
         .alias("n_tokens"),
     )

@@ -1,9 +1,10 @@
-"""Dump .explain('formatted') for headline queries to plans/r13/.
+"""Dump .explain('formatted') for headline queries to plans/<round>/.
 
 Usage:
     python tools/plan_dump.py <suffix> [name ...]
 
-Writes ``plans/r13/<query>_<suffix>.txt`` for each named query (default:
+Round directory comes from $SPARK_GRAFT_PLAN_DIR (default r14).
+Writes ``plans/<round>/<query>_<suffix>.txt`` for each named query (default:
 every headline query present in the registry). Driver-side only — plans
 are captured without executing the query, except for the eager storage
 verbs whose callable itself performs writes (the established storage-verb
@@ -20,7 +21,9 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
 )
 
 

@@ -62,10 +62,16 @@ def main() -> int:
         ok = a == b
         if not ok:
             bad += 1
-            diff = [
-                (x, y) for x, y in zip(a, b) if x != y
-            ][:3]
-            print(f"MISMATCH {name}: {len(spdf)} vs {len(opdf)} rows; {diff}")
+            # Set differences, not positional zip pairs (ADVICE r13):
+            # zip truncates on unequal counts and one inserted row
+            # misaligns every later pair.
+            sa, sb = set(a), set(b)
+            only_spark = sorted(sa - sb)[:3]
+            only_oracle = sorted(sb - sa)[:3]
+            print(
+                f"MISMATCH {name}: {len(spdf)} vs {len(opdf)} rows; "
+                f"spark-only={only_spark} oracle-only={only_oracle}"
+            )
         else:
             print(f"MATCH {name} ({len(spdf)} rows)")
     return 1 if bad else 0
