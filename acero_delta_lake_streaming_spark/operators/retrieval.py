@@ -302,23 +302,44 @@ def _lex_base(
     reused). BM25's (n_docs, avgdl) and QL's total-token count are
     exact aggregates of the dl frame, same rows as before.
 
-    ``persist_dl`` (r14, VERDICT r13 item 4): the dl frame is consumed
-    once per ranker, so only fusion callers (both rankers alive) reuse
-    it — standalone x21b/x61 were paying a pure-overhead
-    materialization for a single-consumer frame. Fusion passes True;
-    the matched postings stay persisted unconditionally (every ranker
-    reads them twice: df/cf table + scoring join)."""
+    One-scan fusion (r14, guide §2.4 one pass over the data): the r13
+    shape materialized dl and the matched postings from TWO separate
+    corpus scans, each re-running the word split — the split is the
+    dominant per-task cost of every lexical ranker (profile: the two
+    tokenize stages carried ~5 s CPU each at sf0.1 in x76). Now ONE
+    persisted narrow base carries both: the words array is filtered to
+    the query terms MAP-SIDE (the explode shrinks from corpus×words to
+    corpus×matches) and a leading NULL sentinel per document keeps
+    every doc's (doc_id, dl) row alive — ``dln`` is the sentinel
+    slice, ``matched`` aggregates the rest. explode_outer preserves
+    the degenerate NULL-text document exactly like the old
+    ``docs.select(doc_id, dl)`` did (w NULL → one NULL-term row with
+    dl NULL). Row sets of both returned frames are IDENTICAL to r13's.
+
+    ``persist_dl`` is retained for call-site documentation (fusion
+    callers pass True) but both shapes now share the single persisted
+    base — the dl frame itself is never separately materialized."""
+    terms_in = "x IN (" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
         .withColumn("dl", F.size("w"))
     )
-    dln = docs.select("doc_id", "dl")
-    if persist_dl:
-        dln = scoped_persist(dln)
+    base = scoped_persist(
+        docs.select(
+            "doc_id",
+            "dl",
+            F.explode_outer(
+                F.expr(
+                    "concat(array(CAST(NULL AS STRING)), "
+                    f"filter(w, x -> {terms_in}))"
+                )
+            ).alias("term"),
+        )
+    )
+    dln = base.filter("term IS NULL").select("doc_id", "dl")
     matched = scoped_persist(
-        docs.select("doc_id", "dl", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*_QUERY_TERMS))
+        base.filter("term IS NOT NULL")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

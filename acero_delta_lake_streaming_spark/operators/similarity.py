@@ -771,25 +771,37 @@ def planes_for_occupancy(n: int, target_occupancy: int = _SEM_TARGET_BUCKET) -> 
     return max(3, (q - 1).bit_length())
 
 
-def _adaptive_sign_buckets(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+def _adaptive_sign_buckets(
+    spark: SparkSession, corpus: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, tbl, bucket) like ``_sign_buckets``, but planes-per-table
     scales with the corpus count. The count feeds the plane set through a
-    broadcast of a one-row aggregate — declarative, no driver collect."""
+    broadcast of a one-row aggregate — declarative, no driver collect.
+    ``keep`` threads extra corpus columns through the fold (see
+    ``_sign_buckets_ppt``)."""
     ppt = corpus.agg(F.count(F.lit(1)).alias("cnt")).select(
         F.expr(_PPT_SPARK).alias("ppt")
     )
-    return _sign_buckets_ppt(spark, corpus, ppt)
+    return _sign_buckets_ppt(spark, corpus, ppt, keep)
 
 
 def _sign_buckets_ppt(
-    spark: SparkSession, corpus: DataFrame, ppt: DataFrame
+    spark: SparkSession,
+    corpus: DataFrame,
+    ppt: DataFrame,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """``_adaptive_sign_buckets`` with the plane count supplied as a
     one-row ``(ppt,)`` frame instead of derived from ``corpus`` — the
     stored-geometry path: st27 buckets each micro-batch against the
     ppt its SEED corpus minted (bucketing state, like st18's stored
     centroids), so incremental bucket keys stay comparable across
-    epochs."""
+    epochs.
+
+    ``keep`` (r14, guide §2.4 join elimination): columns functionally
+    dependent on vec_id (e.g. x69's lang tag) ride the fold as extra
+    group keys — same groups, same buckets — instead of a corpus-sized
+    re-attach join on vec_id downstream."""
     planes = (
         spark.range(_N_TABLES * (_SEM_MAX_PLANES + 1))
         .withColumnRenamed("id", "p")
@@ -806,11 +818,12 @@ def _sign_buckets_ppt(
         corpus.crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
+            *keep,
             "tbl",
             "bit",
             F.expr(_dot_spark("embedding", "warr")).alias("proj"),
         )
-        .groupBy("vec_id", "tbl")
+        .groupBy("vec_id", *keep, "tbl")
         .agg(
             F.sum(
                 F.when(F.col("proj") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
@@ -2488,11 +2501,15 @@ def x69_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry wrapper; the bucket cache holds (id, tbl, bucket, lang)
     # rows only, no embedding arrays
     corpus = scoped_persist(_x69_corpus(docs, emb))
-    buckets = _adaptive_sign_buckets(
-        spark, corpus.select("vec_id", "embedding")
-    )
+    # lang rides the bucket fold as an extra group key (functionally
+    # dependent on vec_id — same groups, same buckets), replacing the
+    # old corpus-sized buckets ⋈ (vec_id, lang) re-attach join (r14).
     lb = scoped_persist(
-        buckets.join(corpus.select("vec_id", "lang"), "vec_id")
+        _adaptive_sign_buckets(
+            spark,
+            corpus.select("vec_id", "embedding", "lang"),
+            keep=("lang",),
+        )
     )
     src_b = lb.filter(F.col("lang") != "en").select(
         F.col("vec_id").alias("sid_"), "tbl", "bucket"
